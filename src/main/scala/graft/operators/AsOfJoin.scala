@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-key) join — the reference's `merge_asof`
+  * (src/sf_datalake/utils.py:101-241), reproduced with a single-shuffle
+  * union-tag + window algorithm instead of the reference's
+  * outer-join → window → re-join (which shuffles three times).
+  *
+  * Semantics (validated against the reference's tests/test_utils.py):
+  *  - direction = "backward": each left row takes the right row with the
+  *    greatest `on` value ≤ the left `on` value within the same `by`
+  *    group (equal `on` matches).
+  *  - direction = "forward": smallest right `on` ≥ left `on`.
+  *  - "nearest" is NOT implemented — the reference documents it but its
+  *    dispatch table only maps backward/forward (utils.py:190-193 raises
+  *    KeyError); we raise too, for parity.
+  *  - tolerance (days): matches farther than `tolerance` days are nulled.
+  *
+  * Scale: one exchange on `by`, one sort on (`on`, tag) per partition —
+  * O(n log n) per group, no join explosion, skew-bounded by the entity
+  * key like every other panel operator.
+  */
+object AsOfJoin {
+
+  def mergeAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      by: Seq[String],
+      toleranceDays: Option[Int] = None,
+      direction: String = "backward"): DataFrame = {
+
+    require(direction == "backward" || direction == "forward",
+      s"merge_asof direction '$direction' not implemented (reference " +
+        "utils.py:190-193 supports only backward/forward)")
+
+    val valueCols = right.columns.filterNot(c => c == on || by.contains(c)).toSeq
+    val leftCols = left.columns.toSeq
+    require(valueCols.nonEmpty, "right side has no value columns")
+
+    val tag = "__is_right"
+    val matchedOn = "__matched_on"
+
+    // Union-tag: right rows carry their values; left rows carry nulls.
+    val taggedRight = right.select(
+      by.map(col) ++ Seq(col(on), lit(1).as(tag)) ++ valueCols.map(col): _*)
+    val taggedLeft = left.select(
+      (by.map(col) ++ Seq(col(on), lit(0).as(tag))
+        ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+        ++ leftCols.filterNot(c => by.contains(c) || c == on)
+             .map(c => col(c))): _*)
+    // Align schemas: right side lacks the left-only columns.
+    val leftOnly = leftCols.filterNot(c => by.contains(c) || c == on)
+    val taggedRightFull = leftOnly.foldLeft(taggedRight)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = taggedLeft.unionByName(taggedRightFull)
+
+    // Order so that, at equal `on`, the right row is visible to the left
+    // row: backward ⇒ right first (tag desc), forward ⇒ right last (tag asc).
+    val ord: Seq[Column] =
+      if (direction == "backward") Seq(col(on).asc, col(tag).desc)
+      else Seq(col(on).asc, col(tag).asc)
+    val w = Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
+    val frame =
+      if (direction == "backward")
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def carried(c: Column): Column =
+      if (direction == "backward") last(c, ignoreNulls = true).over(frame)
+      else first(c, ignoreNulls = true).over(frame)
+
+    val rightOn = when(col(tag) === 1, col(on))
+    var out = unioned
+      .withColumn(matchedOn, carried(rightOn))
+    for (c <- valueCols)
+      out = out.withColumn(c, carried(when(col(tag) === 1, col(c))))
+
+    // Tolerance: null out values matched farther than `toleranceDays`.
+    val withTol = toleranceDays match {
+      case Some(tol) =>
+        val dist =
+          if (direction == "backward") datediff(col(on), col(matchedOn))
+          else datediff(col(matchedOn), col(on))
+        val ok = col(matchedOn).isNotNull && dist <= tol
+        valueCols.foldLeft(out)((d, c) =>
+          d.withColumn(c, when(ok, col(c)).otherwise(lit(null))))
+      case None => out
+    }
+
+    withTol.filter(col(tag) === 0)
+      .select((leftCols ++ valueCols).map(col): _*)
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines (beyond the
+  * reference surface — BASELINE.json north star): exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash.
+  *
+  * Scale design: exact dedup is a single hash aggregate on a fingerprint;
+  * near-dup candidate generation never goes O(n²) — MinHash/LSH and
+  * SimHash bucket-join so the shuffle volume is O(n · bands), and only
+  * bucket-colliding pairs are verified.
+  */
+object Dedup {
+
+  /** Word k-gram shingles of a text column (empty array when fewer than
+    * k tokens). */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(c)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Exact dedup: keep the smallest id per normalized-text fingerprint.
+    * One hash aggregate — the canonical 100 TB dedup pass. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ threshold.
+    *
+    * Candidate generation: explode distinct shingles and self-join on the
+    * shingle — only pairs sharing ≥1 shingle are considered, never the
+    * full cross product. At 100 TB this inverted-index join is the
+    * textbook approach; hot shingles should be pre-filtered (df cap) —
+    * here data is synthetic and shingle frequencies are low.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "i")
+        .withColumnRenamed("n", "ni"), Seq("i"))
+      .join(sizes.withColumnRenamed("doc_id", "j")
+        .withColumnRenamed("n", "nj"), Seq("j"))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+  }
+
+  private val MersennePrime31 = 2147483647L // 2^31 - 1
+
+  /** Deterministic 31-bit universal-hash coefficients for permutation i
+    * (products stay under 2^62 — safe under Spark 4's default ANSI
+    * overflow checking). */
+  private def permCoeffs(i: Int): (Long, Long) = {
+    val a = ((2862933555777941757L * (i + 1) + 3037000493L) & 0x7FFFFFFFL) | 1L
+    val b = (4354685564936845319L * (i + 1) + 32452843L) & 0x7FFFFFFFL
+    (a, b)
+  }
+
+  /** MinHash signatures per document: explode 31-bit shingle hashes once,
+    * then ONE hash aggregate computing all `numHashes` permutation
+    * minima min((a_i·h + b_i) mod (2^31-1)) — map-side combinable, one
+    * shuffle on the doc id, never re-tokenizes per permutation.
+    * Output: (doc_id, sig array<bigint>). Docs with < k tokens drop out.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersennePrime31)).as("h"))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = permCoeffs(i)
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"m$i")
+    }
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH candidate pairs, verified with exact Jaccard.
+    *
+    * Banding: signature split into `bands` bands of `numHashes/bands`
+    * rows; docs colliding on any band's hash become candidates
+    * (P[candidate] ≈ 1-(1-s^r)^b). Candidates join back to the distinct
+    * shingle sets and are verified with exact array-intersection Jaccard,
+    * so the output has no false positives. Total cost: linear scans +
+    * one bucket self-join + a candidate-sized verify join.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val r = numHashes / bands
+    val sig = minHashSignatures(df, idCol, textCol, k, numHashes)
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws(",",
+          slice(col("sig"), bnd * r + lit(1), lit(r)))))).as(Seq("band", "bh")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    // verify candidates with exact set jaccard (no false positives)
+    val sets = df.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), k)).as("shset"))
+    val verified = candidates
+      .join(sets.select(col("doc_id").as("i"), col("shset").as("si")), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("shset").as("sj")), Seq("j"))
+      .withColumn("jaccard",
+        size(array_intersect(col("si"), col("sj"))).cast(DoubleType) /
+          size(array_union(col("si"), col("sj"))))
+      .filter(col("jaccard") >= threshold)
+    verified.select(col("i"), col("j"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: sum ±1 per bit over xxhash64 token
+    * hashes, sign → bit. Explode token hashes once, then ONE hash
+    * aggregate with 64 bit-sums (map-side combinable) — never
+    * re-tokenizes per bit. Output: (doc_id, sh bigint). */
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val sums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val bits = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    exploded.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist.
+    * Candidates via the 4×16-bit chunk pigeonhole: two hashes within
+    * hamming 3 share at least one exact 16-bit chunk; bucket-join on
+    * (chunk index, chunk value) keeps the join linear. For maxDist > 3
+    * the guarantee needs more/smaller chunks — callers pick. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = simHashes(df, idCol, textCol)
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "cv")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk")
+        && col("a.cv") === col("b.cv")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        hamming(col("a.sh"), col("b.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

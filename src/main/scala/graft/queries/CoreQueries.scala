@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.ColumnOps.{clip, exactSum2, nullCount, padId, rowSum}
+
+/** Harness queries for the reference's projection/filter/aggregate surface
+  * (SURVEY.md §2.2 P1-P9, §2.4 A1-A10, §2.6-2.7 O/U) over the TPC-H-ish
+  * testdata. Every query orders deterministically and keeps floating
+  * aggregates exact (decimal-cast sums) so the DuckDB oracle hash-matches.
+  */
+object CoreQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: named group-by aggregation (reference extract_cotisation_urssaf.py:108-112)
+    "a1_agg_named" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          exactSum2(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P1+P2: projection + rename (reference extract_financial_DGFiP.py:129-160)
+    "p1_project_rename" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+        .orderBy(col("custkey"))
+    }),
+
+    // P3: derived arithmetic columns (reference tva_dataset.py:66-234 ratios)
+    "p3_derived" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .withColumn("net_price",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .withColumn("charged",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("net_price"),
+          col("charged"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P4: SQL-string predicate filter (reference transform.py:897-916
+    // PrivateCompanyFilter "code_naf NOT IN ('O','P')")
+    "p4_filter_sql" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .filter("o_orderstatus NOT IN ('F', 'P')")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P5: Column predicates — isin / between / isNotNull
+    // (reference extract_judgment_DGFiP_data.py:61-65, __main__.py:158-176)
+    "p5_filter_cols" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R")
+          && col("l_quantity").between(10, 40)
+          && col("l_shipdate").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P6: conditional expressions — when/otherwise + clip
+    // (reference utils.py:75-98, rar_dataset.py:195-200)
+    "p6_conditional" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .withColumn("qty_clipped",
+          clip(col("l_quantity"), Some(lit(5.0)), Some(lit(45.0))))
+        .withColumn("bulk_flag",
+          when(col("l_quantity") >= 30, lit(1)).otherwise(lit(0)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty_clipped"),
+          col("bulk_flag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P7: null handling — synthesize nulls with nullif, then na.fill +
+    // per-row null counts (reference transform.py:244-247,349-355)
+    "p7_null_fill" -> ((s, dir) => {
+      val withNulls = Tables(s, dir, "customer")
+        .withColumn("bal", when(col("c_acctbal") < 0, lit(null))
+          .otherwise(col("c_acctbal")))
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+      withNulls
+        .withColumn("n_missing",
+          nullCount(Seq(col("bal"), col("seg"))))
+        .na.fill(Map("bal" -> 0.0, "seg" -> "UNKNOWN"))
+        .select(col("c_custkey"), col("bal"), col("seg"), col("n_missing"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // P8: distinct on a key subset (reference transform.py:534)
+    "p8_distinct" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P9 + id normalization: casts and zero-padded ids
+    // (reference transform.py:365-418 IdentifierNormalizer)
+    "p9_cast_pad" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .withColumn("custkey_str", padId(col("c_custkey"), 9))
+        .withColumn("bal_int", col("c_acctbal").cast(IntegerType))
+        .select(col("c_custkey"), col("custkey_str"), col("bal_int"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // A2: map-form keyed aggregate with passthrough re-join
+    // (reference SirenAggregator, transform.py:471-539)
+    "a2_keyed_agg" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"))
+      graft.operators.Aggregates.keyedAggregate(
+          li.drop("l_orderkey"),
+          Seq("l_suppkey", "l_returnflag"), Map("l_quantity" -> "sum"))
+        .orderBy(col("l_suppkey"), col("l_returnflag"))
+    }),
+
+    // A3/A10: min/max aggregates and spans (reference join_datasets.py:169)
+    "a3_minmax" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).cast(DateType).as("first_order"),
+          max(col("o_orderdate")).cast(DateType).as("last_order"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A4: latest snapshot per group via max_by
+    // (reference altares_preprocessing.py:74-76 groupBy+last)
+    "a4_grouped_last" -> ((s, dir) => {
+      graft.operators.Aggregates.lastByGroup(
+          Tables(s, dir, "orders"),
+          Seq("o_custkey"), "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A6: per-column null counts to a single row (reference utils.py:244-273)
+    "a6_null_counts" -> ((s, dir) => {
+      val withNulls = Tables(s, dir, "customer")
+        .withColumn("bal", when(col("c_acctbal") < 0, lit(null))
+          .otherwise(col("c_acctbal")))
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+      graft.operators.Aggregates.nullCounts(withNulls, Seq("bal", "seg"))
+    }),
+
+    // A7: per-group avg/stddev/count with exact arithmetic
+    // (reference exploration.py:103-152 one-way ANOVA inputs). Variance is
+    // spelled out from exact integer-valued sums so both engines agree.
+    "a7_group_stats" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sx"),
+          sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          (col("sx") / col("n")).as("avg_qty"),
+          ((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)).as("var_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A8: exact percentiles (reference exploration.py:366-403 summary;
+    // exact `percentile` == DuckDB quantile_cont on the same data)
+    "a8_quantiles" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.05)").as("q05"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.95)").as("q95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A9: distribution counts (reference exploration.py:47-65)
+    "a9_dist_count" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority")).count()
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Scalar function families: dates + strings + row-sum
+    // (SURVEY.md §2.8; reference transform.py:106-112, rar_dataset.py:137-144)
+    "f_scalar_dates" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .withColumn("month", date_trunc("month", col("o_orderdate"))
+          .cast(DateType))
+        .withColumn("month_plus3", add_months(date_trunc("month",
+          col("o_orderdate")).cast(DateType), 3))
+        .withColumn("days_since_epoch",
+          datediff(col("o_orderdate").cast(DateType),
+            to_date(lit("1990-01-01"))))
+        .withColumn("key_concat",
+          concat(col("o_orderkey").cast(StringType), lit("-"),
+            substring(col("o_orderpriority"), 1, 1)))
+        .select(col("o_orderkey"), col("month"), col("month_plus3"),
+          col("days_since_epoch"), col("key_concat"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f_row_sum" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .withColumn("total_rate", rowSum(Seq(col("l_discount"), col("l_tax"))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("total_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // O1: multi-column ordering (reference exploration.py:253-256)
+    "o1_orderby" -> ((s, dir) => {
+      Tables(s, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_nationkey").asc, col("s_suppkey").desc)
+    }),
+
+    // U1: union of two filtered subsets (reference transform.py:1148,1159)
+    "u1_union" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val lo = o.filter(col("o_totalprice") < 20000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      hi.union(lo).orderBy(col("o_orderkey"))
+    }),
+
+    // U2: intersect (reference tests/test_model_selection.py:26)
+    "u2_intersect" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_agg_named" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p1_project_rename" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+        |FROM customer ORDER BY custkey""".stripMargin,
+
+    "p3_derived" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p4_filter_sql" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus NOT IN ('F', 'P') ORDER BY o_orderkey""".stripMargin,
+
+    "p5_filter_cols" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 10 AND 40
+        |  AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p6_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  least(greatest(l_quantity, 5.0), 45.0) AS qty_clipped,
+        |  CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END AS bulk_flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p7_null_fill" ->
+      """SELECT c_custkey,
+        |  coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg,
+        |  (CASE WHEN (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END) AS n_missing
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "p8_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
+
+    "p9_cast_pad" ->
+      """SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS custkey_str,
+        |  CAST(trunc(c_acctbal) AS INTEGER) AS bal_int
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "a2_keyed_agg" ->
+      """SELECT l_suppkey, l_returnflag, sum(l_quantity) AS l_quantity
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a3_minmax" ->
+      """SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS first_order,
+        |  CAST(max(o_orderdate) AS DATE) AS last_order,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a4_grouped_last" ->
+      """SELECT o_custkey, arg_max(o_totalprice, o_orderkey) AS o_totalprice,
+        |  arg_max(o_orderstatus, o_orderkey) AS o_orderstatus
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a6_null_counts" ->
+      """SELECT count(CASE WHEN c_acctbal < 0 THEN 1 END) AS bal,
+        |  count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS seg
+        |FROM customer""".stripMargin,
+
+    "a7_group_stats" ->
+      """SELECT l_returnflag,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  (sum(l_quantity * l_quantity)
+        |    - sum(l_quantity) * sum(l_quantity) / count(*)) / (count(*) - 1) AS var_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a8_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.05) AS q05,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.95) AS q95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a9_dist_count" ->
+      """SELECT o_orderpriority, count(*) AS count FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f_scalar_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 3 MONTH AS DATE) AS month_plus3,
+        |  datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch,
+        |  CAST(o_orderkey AS VARCHAR) || '-' || substring(o_orderpriority, 1, 1) AS key_concat
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f_row_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(l_discount, 0) + coalesce(l_tax, 0) AS total_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "o1_orderby" ->
+      """SELECT s_nationkey, s_suppkey, s_name FROM supplier
+        |ORDER BY s_nationkey ASC, s_suppkey DESC""".stripMargin,
+
+    "u1_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 20000
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    "u2_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication harness queries over the `documents` table.
+  *
+  * d1/d2 have exact DuckDB oracles. d3 (MinHash+LSH) and d4 (SimHash)
+  * use engine-specific hash functions (xxhash64) that no portable SQL
+  * reproduces — the driver records rows-only checks; their semantics are
+  * covered by ScalaTest (candidate sets ⊇ true near-dup pairs).
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup via normalized-text fingerprint
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fingerprint"))
+    }),
+
+    // exact 3-gram Jaccard near-dup pairs (inverted-index join, ≥ 0.8)
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", k = 3, threshold = 0.8)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-verified (rows-only check)
+    "d3_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLshPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", k = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // SimHash near-dup pairs, hamming ≤ 3 (rows-only check)
+    "d4_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          maxDist = 3)
+        .orderBy(col("i"), col("j"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = i
+        |JOIN sizes sb ON sb.doc_id = j
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        |ORDER BY i, j""".stripMargin
+  )
+}

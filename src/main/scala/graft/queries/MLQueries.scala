@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** SQL-expressible slices of the reference's ML surface (SURVEY.md §2.11).
+  * The stochastic/estimator parts (resampler, split, classifiers, SHAP)
+  * are covered by ScalaTest; here we oracle the deterministic pieces:
+  * target labelling (M11) and threshold metrics (M14) over a fixed
+  * rule-based score.
+  */
+object MLQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M11 TargetVariable: label = 1 iff an "event" (first F-status order)
+    // occurs within 3 months after the panel month; null event → 0
+    // (reference transform.py:846-894)
+    "m11_target" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val panel = o.groupBy(col("o_custkey").as("custkey"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mois"))
+        .agg(count(lit(1)).as("n_orders"))
+      val events = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(min(col("o_orderdate")).cast(DateType).as("event_date"))
+      panel.join(events, Seq("custkey"), "left")
+        .withColumn("target",
+          when(col("event_date").isNotNull
+            && add_months(col("mois"), 3) >= col("event_date"), 1)
+            .otherwise(0))
+        .select(col("custkey"), col("mois"), col("n_orders"), col("target"))
+        .orderBy(col("custkey"), col("mois"))
+    }),
+
+    // M14 evaluation: confusion-matrix counts over a threshold sweep for
+    // a deterministic rule-based score (price percentile as "probability")
+    "m14_threshold_metrics" -> ((s, dir) => {
+      // single scan: explode the threshold grid per row (9 rows out per
+      // order), then one hash aggregate — no unioned re-scans
+      Tables(s, dir, "orders")
+        .select(
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("label"),
+          (col("o_totalprice") / lit(500000.0)).as("score"),
+          explode(typedLit((1 to 9).map(_ / 10.0))).as("threshold"))
+        .groupBy(col("threshold"))
+        .agg(
+          count(when(col("score") >= col("threshold")
+            && col("label") === 1, 1)).as("tp"),
+          count(when(col("score") >= col("threshold")
+            && col("label") === 0, 1)).as("fp"),
+          count(when(col("score") < col("threshold")
+            && col("label") === 1, 1)).as("fn"),
+          count(when(col("score") < col("threshold")
+            && col("label") === 0, 1)).as("tn"))
+        .orderBy(col("threshold"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m11_target" ->
+      """WITH panel AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |ev AS (SELECT o_custkey AS custkey,
+        |    CAST(min(o_orderdate) AS DATE) AS event_date
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT p.custkey, p.mois, p.n_orders,
+        |  CASE WHEN ev.event_date IS NOT NULL
+        |    AND CAST(p.mois + INTERVAL 3 MONTH AS DATE) >= ev.event_date
+        |    THEN 1 ELSE 0 END AS target
+        |FROM panel p LEFT JOIN ev USING (custkey)
+        |ORDER BY p.custkey, p.mois""".stripMargin,
+
+    "m14_threshold_metrics" ->
+      """WITH scored AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+        |    o_totalprice / 500000.0 AS score
+        |  FROM orders),
+        |t AS (SELECT CAST(unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS DOUBLE) AS threshold)
+        |SELECT threshold,
+        |  count(CASE WHEN score >= threshold AND label = 1 THEN 1 END) AS tp,
+        |  count(CASE WHEN score >= threshold AND label = 0 THEN 1 END) AS fp,
+        |  count(CASE WHEN score < threshold AND label = 1 THEN 1 END) AS fn,
+        |  count(CASE WHEN score < threshold AND label = 0 THEN 1 END) AS tn
+        |FROM scored CROSS JOIN t
+        |GROUP BY threshold ORDER BY threshold""".stripMargin
+  )
+}

@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.ColumnOps
+import graft.operators.{AsOfJoin, TimeOps}
+
+/** Harness queries for the reference's window-function surface
+  * (SURVEY.md §2.5 W1-W9) — the entity–time panel operators, mapped onto
+  * a (custkey, month) panel built from `orders`.
+  *
+  * Scale note: every query here shuffles exactly once, on the entity key;
+  * consecutive windows over the same partitioning reuse the exchange.
+  */
+object WindowQueries {
+
+  /** Monthly panel: one row per (custkey, month) with exact-decimal
+    * amount (A1 aggregation — the base of the reference's join_datasets
+    * panel). */
+  private def monthlyPanel(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("mois"))
+      .agg(ColumnOps.exactSum2(col("o_totalprice")).as("amt"),
+        count(lit(1)).as("n_orders"))
+
+  /** Dense panel: per-customer monthly spine between first and last
+    * active month, left-joined with the sparse panel — missing months
+    * carry nulls (the input to fill/interpolation operators). */
+  private def densePanel(s: SparkSession, dir: String): DataFrame = {
+    val panel = monthlyPanel(s, dir)
+    val spans = panel.groupBy(col("custkey"))
+      .agg(min(col("mois")).as("d0"), max(col("mois")).as("d1"))
+    val spine = TimeOps.explodeInterval(spans, "d0", "d1", "mois")
+      .select(col("custkey"), col("mois"))
+    spine.join(panel, Seq("custkey", "mois"), "left")
+  }
+
+  /** DuckDB CTE prefix matching monthlyPanel/densePanel. */
+  private val panelSql =
+    """WITH panel AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2)""".stripMargin
+
+  private val denseSql = panelSql +
+    """,
+      |spans AS (SELECT custkey, min(mois) AS d0, max(mois) AS d1
+      |          FROM panel GROUP BY 1),
+      |spine AS (SELECT custkey,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS mois
+      |  FROM spans),
+      |dense AS (SELECT s.custkey, s.mois, p.amt, p.n_orders
+      |          FROM spine s LEFT JOIN panel p USING (custkey, mois))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1: LagOperator — ROW lag ordered by integer month index
+    // (reference transform.py:683-764)
+    "w1_lag" -> ((s, dir) => {
+      TimeOps.lag_(monthlyPanel(s, dir), Seq("custkey"), "mois",
+          Seq("amt"), 1)
+        .select(col("custkey"), col("mois"), col("amt"), col("amt_lag1m"))
+        .orderBy(col("custkey"), col("mois"))
+    }),
+
+    // W2: DiffOperator (reference transform.py:767-843)
+    "w2_diff" -> ((s, dir) => {
+      TimeOps.diff(monthlyPanel(s, dir), Seq("custkey"), "mois",
+          Seq("amt"), 3)
+        .select(col("custkey"), col("mois"), col("amt"), col("amt_diff3m"))
+        .orderBy(col("custkey"), col("mois"))
+    }),
+
+    // W3: MovingAverage — calendar window rangeBetween(-n, 0) on month
+    // index, inclusive ⇒ n+1 months (reference transform.py:601-680).
+    // Exact-decimal window sum / count so both engines agree bitwise.
+    "w3_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("custkey"))
+        .orderBy(ColumnOps.monthIndex(col("mois")))
+        .rangeBetween(-5, Window.currentRow)
+      monthlyPanel(s, dir)
+        .withColumn("amt_mean5m",
+          sum(col("amt").cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+            / count(col("amt")).over(w))
+        .select(col("custkey"), col("mois"), col("amt"), col("amt_mean5m"))
+        .orderBy(col("custkey"), col("mois"))
+    }),
+
+    // W4: ffill + bfill over the dense panel (reference transform.py:251-269)
+    "w4_fill" -> ((s, dir) => {
+      val dense = densePanel(s, dir)
+        .withColumn("amt_ffill", col("amt"))
+        .withColumn("n_bfill", col("n_orders"))
+      val filled = TimeOps.bfill(
+        TimeOps.ffill(dense, Seq("custkey"), "mois", Seq("amt_ffill")),
+        Seq("custkey"), "mois", Seq("n_bfill"))
+      filled.select(col("custkey"), col("mois"), col("amt"),
+          col("amt_ffill"), col("n_bfill"))
+        .orderBy(col("custkey"), col("mois"))
+    }),
+
+    // W5: linear interpolation of interior gaps
+    // (reference LinearInterpolationOperator, transform.py:939-1054)
+    "w5_interpolate" -> ((s, dir) => {
+      val dense = densePanel(s, dir).withColumn("amt_interp", col("amt"))
+      TimeOps.interpolate(dense, Seq("custkey"), "mois", Seq("amt_interp"))
+        .select(col("custkey"), col("mois"), col("amt"), col("amt_interp"))
+        .orderBy(col("custkey"), col("mois"))
+    }),
+
+    // W6: least-null dedup — keep the most complete row per key
+    // (reference extract_financial_DGFiP.py:213-222)
+    "w6_leastnull_dedup" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("v1", when(col("l_discount") > 0.05, col("l_discount")))
+        .withColumn("v2", when(col("l_tax") > 0.04, col("l_tax")))
+      TimeOps.leastNullDedup(li, Seq("l_orderkey"), Seq("v1", "v2"),
+          tieBreak = Seq("l_linenumber", "l_discount", "l_tax"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("v1"), col("v2"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // W7: latest-revision dedup (reference extract_debit_urssaf.py:107-135)
+    "w7_latest_revision" -> ((s, dir) => {
+      TimeOps.latestRevision(Tables(s, dir, "lineitem"),
+          Seq("l_orderkey"), "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // W8: gaps-and-islands interval merge (reference extract_ap_data.py:159-180)
+    "w8_interval_merge" -> ((s, dir) => {
+      val iv = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("date_debut"),
+          add_months(date_trunc("month", col("o_orderdate")).cast(DateType), 2)
+            .as("date_fin"))
+        .distinct()
+      TimeOps.mergeIntervals(iv, Seq("custkey"), "date_debut", "date_fin")
+        .orderBy(col("custkey"), col("date_debut"))
+    }),
+
+    // W9: running sum + count (reference rar_dataset.py:36-76)
+    "w9_cumulative" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .withColumn("cum_amount",
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType))
+        .withColumn("n_cum", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("cum_amount"),
+          col("n_cum"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    })
+  )
+
+  /** Flagship (SURVEY.md §7.2): panel + spine + as-of + lag/diff/mean +
+    * ffill + binary target. */
+  def flagshipPanel(s: SparkSession, dir: String): DataFrame = {
+    val dense = densePanel(s, dir)
+    // time-series features (one shuffle on custkey, windows share it)
+    val lagged = TimeOps.diff(
+      TimeOps.lag_(dense, Seq("custkey"), "mois", Seq("amt"), 1),
+      Seq("custkey"), "mois", Seq("amt"), 3)
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(ColumnOps.monthIndex(col("mois")))
+      .rangeBetween(-11, Window.currentRow)
+    val withMean = lagged.withColumn("amt_mean12m",
+      sum(col("amt").cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+        / count(col("amt")).over(w))
+    val filled = TimeOps.ffill(
+      withMean.withColumn("amt_ffill", col("amt")),
+      Seq("custkey"), "mois", Seq("amt_ffill"))
+    // as-of enrichment: latest large-order snapshot ≤ 92 days back [J6]
+    val snaps = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") > 100000)
+      .groupBy(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast(DateType).as("d"))
+      .agg(max(col("o_totalprice")).as("snap_price"))
+    val enriched = AsOfJoin.mergeAsOf(
+      filled.withColumn("d", col("mois")), snaps,
+      on = "d", by = Seq("custkey"), toleranceDays = Some(92),
+      direction = "backward")
+    // binary target: "an event occurs within 3 months" [M11 analogue]
+    val events = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).cast(DateType).as("last_f_date"))
+    enriched.join(events, Seq("custkey"), "left")
+      .withColumn("target",
+        when(col("last_f_date").isNotNull
+          && add_months(col("mois"), 3) >= col("last_f_date")
+          && col("mois") <= col("last_f_date"), 1).otherwise(0))
+      .select(col("custkey"), col("mois"), col("amt"), col("amt_lag1m"),
+        col("amt_diff3m"), col("amt_mean12m"), col("amt_ffill"),
+        col("snap_price"), col("target"))
+      .orderBy(col("custkey"), col("mois"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "w1_lag" -> (panelSql +
+      """
+        |SELECT custkey, mois, amt,
+        |  lag(amt, 1) OVER (PARTITION BY custkey ORDER BY mois) AS amt_lag1m
+        |FROM panel ORDER BY custkey, mois""".stripMargin),
+
+    "w2_diff" -> (panelSql +
+      """
+        |SELECT custkey, mois, amt,
+        |  amt - lag(amt, 3) OVER (PARTITION BY custkey ORDER BY mois) AS amt_diff3m
+        |FROM panel ORDER BY custkey, mois""".stripMargin),
+
+    "w3_moving_avg" -> (panelSql +
+      """
+        |SELECT custkey, mois, amt,
+        |  CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(amt) OVER w AS amt_mean5m
+        |FROM panel
+        |WINDOW w AS (PARTITION BY custkey
+        |  ORDER BY (year(mois) * 12 + month(mois))
+        |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY custkey, mois""".stripMargin),
+
+    "w4_fill" -> (denseSql +
+      """
+        |SELECT custkey, mois, amt,
+        |  last_value(amt IGNORE NULLS) OVER (PARTITION BY custkey ORDER BY mois
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS amt_ffill,
+        |  first_value(n_orders IGNORE NULLS) OVER (PARTITION BY custkey ORDER BY mois
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_bfill
+        |FROM dense ORDER BY custkey, mois""".stripMargin),
+
+    "w5_interpolate" -> (denseSql +
+      """,
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY custkey ORDER BY mois) AS r
+        |       FROM dense),
+        |bounds AS (SELECT *,
+        |  last_value(amt IGNORE NULLS) OVER wp AS prev_val,
+        |  last_value(CASE WHEN amt IS NOT NULL THEN r END IGNORE NULLS) OVER wp AS prev_r,
+        |  first_value(amt IGNORE NULLS) OVER wn AS next_val,
+        |  first_value(CASE WHEN amt IS NOT NULL THEN r END IGNORE NULLS) OVER wn AS next_r
+        |  FROM rn
+        |  WINDOW wp AS (PARTITION BY custkey ORDER BY mois
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY custkey ORDER BY mois
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT custkey, mois, amt,
+        |  CASE WHEN amt IS NULL
+        |    THEN prev_val + (next_val - prev_val) * (r - prev_r) / (next_r - prev_r)
+        |    ELSE amt END AS amt_interp
+        |FROM bounds ORDER BY custkey, mois""".stripMargin),
+
+    "w6_leastnull_dedup" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber, l_discount, l_tax,
+        |    CASE WHEN l_discount > 0.05 THEN l_discount END AS v1,
+        |    CASE WHEN l_tax > 0.04 THEN l_tax END AS v2
+        |  FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY (CASE WHEN v1 IS NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN v2 IS NULL THEN 1 ELSE 0 END) ASC,
+        |      l_linenumber ASC, l_discount ASC, l_tax ASC) AS rn
+        |  FROM t)
+        |SELECT l_orderkey, l_linenumber, v1, v2 FROM r WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "w7_latest_revision" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT *, max(l_linenumber) OVER (PARTITION BY l_orderkey) AS mx
+        |  FROM lineitem)
+        |WHERE l_linenumber = mx
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "w8_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT o_custkey AS custkey,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS date_debut,
+        |    CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+        |      + INTERVAL 2 MONTH AS DATE) AS date_fin
+        |  FROM orders),
+        |cm AS (SELECT *,
+        |    max(date_fin) OVER (PARTITION BY custkey
+        |      ORDER BY date_debut, date_fin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+        |  FROM iv),
+        |flagged AS (SELECT *,
+        |    CASE WHEN date_debut > lag(cummax, 1)
+        |      OVER (PARTITION BY custkey ORDER BY date_debut, date_fin)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM cm),
+        |islands AS (SELECT *, sum(new_island) OVER (PARTITION BY custkey
+        |    ORDER BY date_debut, date_fin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged)
+        |SELECT custkey, min(date_debut) AS date_debut, max(date_fin) AS date_fin
+        |FROM islands GROUP BY custkey, island
+        |ORDER BY custkey, date_debut""".stripMargin,
+
+    "w9_cumulative" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cum_amount,
+        |  count(*) OVER w AS n_cum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "flagship_panel" -> (denseSql +
+      """,
+        |feat AS (SELECT custkey, mois, amt,
+        |    lag(amt, 1) OVER wo AS amt_lag1m,
+        |    amt - lag(amt, 3) OVER wo AS amt_diff3m,
+        |    CAST(sum(CAST(amt AS DECIMAL(18,2))) OVER wr AS DOUBLE)
+        |      / count(amt) OVER wr AS amt_mean12m,
+        |    last_value(amt IGNORE NULLS) OVER (PARTITION BY custkey ORDER BY mois
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS amt_ffill
+        |  FROM dense
+        |  WINDOW wo AS (PARTITION BY custkey ORDER BY mois),
+        |  wr AS (PARTITION BY custkey ORDER BY (year(mois) * 12 + month(mois))
+        |    RANGE BETWEEN 11 PRECEDING AND CURRENT ROW)),
+        |snaps AS (SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+        |    max(o_totalprice) AS snap_price
+        |  FROM orders WHERE o_totalprice > 100000 GROUP BY 1, 2),
+        |enriched AS (SELECT f.*,
+        |    CASE WHEN s.d IS NOT NULL AND datediff('day', s.d, f.mois) <= 92
+        |      THEN s.snap_price END AS snap_price
+        |  FROM feat f ASOF LEFT JOIN snaps s
+        |    ON f.custkey = s.custkey AND f.mois >= s.d),
+        |ev AS (SELECT o_custkey AS custkey, CAST(max(o_orderdate) AS DATE) AS last_f_date
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT e.custkey, e.mois, e.amt, e.amt_lag1m, e.amt_diff3m,
+        |  e.amt_mean12m, e.amt_ffill, e.snap_price,
+        |  CASE WHEN ev.last_f_date IS NOT NULL
+        |    AND CAST(e.mois + INTERVAL 3 MONTH AS DATE) >= ev.last_f_date
+        |    AND e.mois <= ev.last_f_date THEN 1 ELSE 0 END AS target
+        |FROM enriched e LEFT JOIN ev USING (custkey)
+        |ORDER BY e.custkey, e.mois""".stripMargin)
+  )
+}

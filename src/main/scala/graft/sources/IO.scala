@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers/writers mirroring the reference's io layer
+  * (reference: src/sf_datalake/io.py:41-189), Spark-first.
+  *
+  * All readers return lazy DataFrames; schema-at-read is preferred over
+  * inference (explicit StructType avoids an extra pass over CSV and gives
+  * Catalyst exact types for pushdown).
+  */
+object IO {
+
+  /** CSV scan with optional explicit schema (reference io.py:60-94).
+    * @param sep field separator (reference uses "," or "|")
+    */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      sep: String = ",",
+      schema: Option[StructType] = None,
+      inferSchema: Boolean = true,
+      header: Boolean = true): DataFrame = {
+    val r = spark.read
+      .option("header", header.toString)
+      .option("sep", sep)
+    schema match {
+      case Some(st) => r.schema(st).csv(path)
+      case None     => r.option("inferSchema", inferSchema.toString).csv(path)
+    }
+  }
+
+  /** ORC directory scan (reference io.py:89-90). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Parquet scan (reference generate_frontend_document.py:135-159). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Lowercase all column names by re-projection
+    * (reference post_join_processing.py:52). */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** CSV sink, sharded (reference io.py:116-155 uses repartition(5)). */
+  def writeCsv(df: DataFrame, path: String, sep: String = ",",
+      numPartitions: Int = 5, header: Boolean = true): Unit =
+    df.repartition(numPartitions).write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).option("sep", sep).csv(path)
+
+  /** ORC sink (reference io.py:57). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Single-file parquet sink (reference io.py:156-160 coalesce(1)).
+    * coalesce(1) is only for small result sets — never for the bulk path. */
+  def writeParquetSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Parquet sink at natural parallelism (the scale path). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Text sink for JSON config dumps (reference configuration/__init__.py:336-340
+    * uses RDD.saveAsTextFile; Dataset[String].write.text is the DF-native form). */
+  def writeText(spark: SparkSession, lines: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(lines).coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** CSV→ORC conversion utility (reference io.py:97-113). */
+  def csvToOrc(spark: SparkSession, inPath: String, outPath: String,
+      sep: String = ","): Unit =
+    writeOrc(readCsv(spark, inPath, sep), outPath)
+}
