@@ -1,0 +1,131 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.ml.tree.{GraftTreeAccess, InternalNode, LeafNode, Node}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Model explanation (reference explain.py:13-156, SURVEY.md §7.4.1).
+  *
+  * The reference ships scores to the driver and runs Python `shap`
+  * (LinearExplainer for LR, TreeExplainer for tree models). There is no
+  * JVM shap, so:
+  *  - Linear models: exact interventional linear SHAP
+  *    φ_i = w_i·(x_i − E[x_i]) — computed fully distributed (one
+  *    Summarizer pass for the means, then pure column math). The
+  *    reference's `correlation_dependent` variant differs when features
+  *    are correlated; documented delta.
+  *  - Tree ensembles: Saabas path contributions (per-node value deltas
+  *    along the decision path) — the classic TreeExplainer
+  *    approximation; exact TreeSHAP is future work.
+  *
+  * Contributions are in margin space (log-odds for LR); `sigmoid`
+  * converts to probabilities (reference __main__.py:234-243).
+  */
+object Explain {
+
+  /** Per-row linear SHAP values for a fitted LogisticRegressionModel:
+    * output column `shap` (array, one value per feature) and
+    * `expected_value` (the margin at the feature means). */
+  def linearShap(model: LogisticRegressionModel, df: DataFrame,
+      featuresCol: String = "features"): DataFrame = {
+    val means: Vector =
+      df.select(Summarizer.mean(col(featuresCol)).as("m"))
+        .first().getAs[Vector]("m")
+    val w = model.coefficients.toArray
+    val expected = model.intercept +
+      w.zip(means.toArray).map { case (wi, mi) => wi * mi }.sum
+    val x = vector_to_array(col(featuresCol))
+    val contribs = array(w.indices.map(i =>
+      lit(w(i)) * (x(i) - lit(means(i)))): _*)
+    df.withColumn("shap", contribs)
+      .withColumn("expected_value", lit(expected))
+  }
+
+  /** Saabas contributions for one decision tree: walks the path for a
+    * feature vector, attributing each split's change in leaf-value
+    * expectation to the split feature. Returns (bias, contributions). */
+  private def treePath(root: Node, x: Vector, nFeatures: Int): (Double, Array[Double]) = {
+    val contribs = new Array[Double](nFeatures)
+    var node: Node = root
+    val bias = nodeValue(root)
+    while (node.isInstanceOf[InternalNode]) {
+      val in = node.asInstanceOf[InternalNode]
+      val next =
+        if (GraftTreeAccess.goLeft(in, x)) in.leftChild else in.rightChild
+      contribs(GraftTreeAccess.splitFeature(in)) += nodeValue(next) - nodeValue(node)
+      node = next
+    }
+    (bias, contribs)
+  }
+
+  // For classification trees we use P(class=1) from the node's impurity
+  // stats so the contributions telescope into a probability.
+  private def nodeValue(node: Node): Double = {
+    val stats = GraftTreeAccess.nodeStats(node)
+    val total = stats.sum
+    if (total == 0 || stats.length < 2) 0.0 else stats(1) / total
+  }
+
+  /** Per-row Saabas contributions averaged over a random-forest
+    * ensemble. Trees are broadcast; the walk is a deterministic Scala
+    * UDF (explanation is not the scan hot path). Output columns `bias`,
+    * `contrib` (array per feature). */
+  def forestContributions(
+      treeRoots: Array[Node],
+      nFeatures: Int, df: DataFrame,
+      featuresCol: String = "features"): DataFrame = {
+    val spark = df.sparkSession
+    val roots = spark.sparkContext.broadcast(treeRoots)
+    val contribUdf = udf { (v: Vector) =>
+      val n = roots.value.length
+      val acc = new Array[Double](nFeatures)
+      var bias = 0.0
+      roots.value.foreach { r =>
+        val (b, c) = treePath(r, v, nFeatures)
+        bias += b / n
+        var i = 0
+        while (i < nFeatures) { acc(i) += c(i) / n; i += 1 }
+      }
+      (bias, acc.toSeq)
+    }
+    df.withColumn("__bc", contribUdf(col(featuresCol)))
+      .withColumn("bias", col("__bc._1"))
+      .withColumn("contrib", col("__bc._2"))
+      .drop("__bc")
+  }
+
+  /** log-odds → probability (reference __main__.py:241-243). */
+  def sigmoid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(1.0) / (lit(1.0) + exp(-c))
+
+  /** Roll per-feature contributions up into topic groups (reference
+    * explain.py:110-156): `topicGroups` maps group → feature-name
+    * prefixes; each group's score is the sum of its features'
+    * contributions. Output: one column per group. */
+  def topicGroupScores(df: DataFrame, featureNames: Seq[String],
+      topicGroups: Map[String, Seq[String]],
+      contribCol: String = "shap"): DataFrame = {
+    topicGroups.foldLeft(df) { case (d, (group, prefixes)) =>
+      val idx = featureNames.zipWithIndex.collect {
+        case (f, i) if prefixes.exists(f.startsWith) => i
+      }
+      val s =
+        if (idx.isEmpty) lit(0.0)
+        else idx.map(i => col(contribCol)(i)).reduce(_ + _)
+      d.withColumn(s"topic_$group", s)
+    }
+  }
+
+  /** Waterfall rescale (reference micro_macro_link.py:13-44): scale the
+    * micro scores so they sum exactly to the macro score. */
+  def rescaleMicro(df: DataFrame, macroCol: String,
+      microCols: Seq[String]): DataFrame = {
+    val total = microCols.map(col).reduce(_ + _)
+    microCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c) * col(macroCol) / total))
+  }
+}

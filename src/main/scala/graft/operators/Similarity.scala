@@ -55,42 +55,97 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Random-hyperplane LSH signature: one bit per plane = sign of the
-    * projection. Vectors in the same bucket are likely neighbors
-    * (P[same bit] = 1 - angle/π). */
-  def lshSignature(vecCol: Column, dim: Int, planes: Int = 12): Column = {
+  /** Random-hyperplane LSH signature for one hash table: one bit per
+    * plane = sign of the projection (P[same bit] = 1 - angle/π).
+    * `table` seeds an independent set of planes. */
+  def lshSignature(vecCol: Column, dim: Int, planes: Int,
+      table: Int): Column = {
     val v = vecCol.cast(ArrayType(DoubleType))
     val bits = (0 until planes).map { p =>
-      val plane = typedLit((0 until dim).map(d => planeValue(p, d)))
+      val plane = typedLit((0 until dim).map(d =>
+        planeValue(table * 1000 + p, d)))
       when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket
-    * (plus optionally hamming-1 probe buckets). Trades recall for a
-    * 2^planes candidate reduction — the scale path when broadcast
-    * brute-force stops fitting. */
+  /** LSH-bucketed ANN top-k with L independent hash tables: a pair is a
+    * candidate when it collides in ANY table
+    * (P[candidate] = 1-(1-(1-θ/π)^planes)^tables). The bucket join keeps
+    * the candidate set ~tables·n·bucketSize — the scale path when
+    * broadcast brute-force stops fitting. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, planes: Int = 8, multiProbe: Boolean = true): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), dim, planes).as("bucket"))
-    // multi-probe: each vector also visits all hamming-1 buckets on the
-    // query side, recovering most cross-boundary neighbors
-    val probes = if (multiProbe) {
-      val flips = typedLit((0 until planes).map(p => 1L << p) :+ 0L)
-      sig.withColumn("probe", explode(transform(flips,
-        f => col("bucket").bitwiseXOR(f))))
-    } else sig.withColumn("probe", col("bucket"))
-    val q = probes.select(col("id").as("query_id"), col("v").as("qv"),
-      col("probe"))
-    val c = sig.select(col("id").as("corpus_id"), col("v").as("cv"),
-      col("bucket").as("probe"))
-    val scored = q.join(c, Seq("probe"))
+      k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshSignature(col("v"), dim, planes, t).as("b")))
+    val bucketed = base
+      .select(col("id"), col("v"), explode(array(sigs: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val q = bucketed.select(col("id").as("query_id"), col("v").as("qv"),
+      col("t"), col("b"))
+    val c = bucketed.select(col("id").as("corpus_id"), col("v").as("cv"),
+      col("t"), col("b"))
+    val scored = q.join(c, Seq("t", "b"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("qv"), col("cv"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(first(col("qv")).as("qv"), first(col("cv")).as("cv"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+  }
+
+  /** IVF-style ANN top-k: a k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * centroids and reranks only those cells' vectors by exact cosine.
+    * The classic FAISS-IVF scheme on Spark primitives: centroids are
+    * tiny and broadcast; the corpus is scanned once to assign cells;
+    * the probe join is an equi-join on cell id. Better-behaved than
+    * hyperplane LSH when neighbor similarity is weak.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    val vecs = base.withColumn("fv", array_to_vector(col("v")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
+      .setMaxIter(10)
+    val model = km.fit(vecs)
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // distance of a vector column to each centroid (squared L2)
+    def dist2(c: Array[Double]): Column = {
+      val cc = typedLit(c.toSeq)
+      aggregate(zip_with(col("v"), cc, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val distArr = array(centroids.map(dist2): _*)
+
+    // corpus side: home cell = argmin distance
+    val cells = base.withColumn("cell",
+      array_position(distArr, array_min(distArr)).cast("int") - 1)
+    // query side: nprobe nearest cells
+    val probes = base.withColumn("dists", distArr)
+      .withColumn("cell", explode(slice(array_sort(
+        transform(sequence(lit(0), lit(nlist - 1)),
+          i => struct(element_at(col("dists"), i + 1).as("d"),
+            i.as("c")))), 1, nprobe)("c")))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+
+    val c = cells.select(col("id").as("corpus_id"), col("v").as("cv"),
+      col("cell"))
+    val scored = probes.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qv"), col("cv")).as("cos"))
-      .groupBy(col("query_id"), col("corpus_id")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -36,7 +36,16 @@ object SimilarityQueries {
     "s3_lsh_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64, k = 5,
-          planes = 8)
+          planes = 4, tables = 16)
+        .filter(col("query_id") < 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF (k-means cells + nprobe) ANN top-5 (rows-only; recall in ScalaTest)
+    "s4_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 4)
         .filter(col("query_id") < 10)
         .orderBy(col("query_id"), col("rank"))
     })

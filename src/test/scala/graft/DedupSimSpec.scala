@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Recall/correctness properties of the hash-based near-dup and ANN
+  * operators (no SQL oracle exists for engine-side hashes — these specs
+  * are their correctness gate, vs exact baselines). */
+class DedupSimSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("MinHash LSH finds every exact-Jaccard≥0.9 pair (recall at high sim)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+    // verified candidates are a subset of exact matches at the threshold
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("SimHash pairs have genuinely similar token multisets") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+    // every reported pair must also be an exact-Jaccard near-dup at ≥ 0.5
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 1, threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reported = pairs.select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reported.nonEmpty)
+    val bogus = reported -- exact
+    assert(bogus.isEmpty, s"simhash reported dissimilar pairs: $bogus")
+  }
+
+  test("exact dedup keeps one id per fingerprint") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() == out.select("fingerprint").distinct().count())
+    assert(out.agg(sum("n_dups")).first().getLong(0) == docs.count())
+  }
+
+  test("LSH ANN reaches ≥0.6 top-5 recall vs brute force") {
+    // neighbors in this synthetic data are weak (cosine ~0.3-0.4), so
+    // short signatures and many tables are needed for recall
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64,
+        k = 5, planes = 4, tables = 16)
+      .filter(col("query_id") < 20)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"ANN recall $recall too low")
+  }
+
+  test("IVF ANN reaches ≥0.5 top-5 recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4)
+      .filter(col("query_id") < 20)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("cosine is symmetric and self-similarity is 1") {
+    val a = emb.limit(1).select(col("embedding").as("va"))
+    val row = a.select(Similarity.cosine(col("va"), col("va"))).first()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+  }
+}

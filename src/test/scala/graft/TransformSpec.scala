@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ml._
+
+/** Golden-column fixtures ported verbatim from the reference's
+  * tests/test_transform.py (expected outputs live beside inputs — they
+  * encode the reference's exact operator semantics). */
+class TransformSpec extends SparkSpec {
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  test("IdentifierNormalizer pads sirens to 9 digits (test_transform.py:17-29)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(524893758, "524893758"),
+        Row(45378, "000045378"),
+        Row(54489542, "054489542"))),
+      StructType(Seq(
+        StructField("siren", IntegerType, nullable = false),
+        StructField("padded_siren", StringType, nullable = false))))
+    val out = new IdentifierNormalizer("siren", 9).transform(df).collect()
+    assert(out.forall(r => r.getString(0) == r.getString(1)))
+  }
+
+  test("DateParser parses yyyyMMdd (test_transform.py:32-51)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("20171130", d("2017-11-30")),
+        Row("20171229", d("2017-12-29")),
+        Row("20171229", d("2017-12-29")),
+        Row("20171031", d("2017-10-31")))),
+      StructType(Seq(
+        StructField("raw_date", StringType, nullable = false),
+        StructField("ref_date", DateType, nullable = false))))
+    val out = new DateParser("raw_date", "parsed_date", "yyyyMMdd")
+      .transform(df).collect()
+    assert(out.forall(r => r.getAs[Date]("parsed_date") == r.getAs[Date]("ref_date")))
+  }
+
+  private lazy val lagFixture = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("043339338", d("2018-01-01"), Integer.valueOf(7), null),
+      Row("043339338", d("2018-02-01"), Integer.valueOf(9), Integer.valueOf(7)),
+      Row("043339338", d("2018-03-01"), Integer.valueOf(83), Integer.valueOf(9)),
+      Row("043339338", d("2018-04-01"), Integer.valueOf(76), Integer.valueOf(83)),
+      Row("043339338", d("2018-05-01"), Integer.valueOf(90), Integer.valueOf(76)),
+      Row("043339338", d("2018-06-01"), Integer.valueOf(64), Integer.valueOf(90)),
+      Row("043339338", d("2018-07-01"), Integer.valueOf(83), Integer.valueOf(64)),
+      Row("043339338", d("2018-08-01"), Integer.valueOf(87), Integer.valueOf(83)),
+      Row("043339338", d("2018-09-01"), Integer.valueOf(68), Integer.valueOf(87)),
+      Row("043339338", d("2018-10-01"), Integer.valueOf(21), Integer.valueOf(68)),
+      Row("293736607", d("2020-01-01"), Integer.valueOf(97), null),
+      Row("293736607", d("2020-02-01"), Integer.valueOf(96), Integer.valueOf(97)),
+      Row("293736607", d("2020-03-01"), Integer.valueOf(33), Integer.valueOf(96)),
+      Row("293736607", d("2020-04-01"), null, Integer.valueOf(33)),
+      Row("293736607", d("2020-05-01"), Integer.valueOf(99), null),
+      Row("293736607", d("2020-06-01"), Integer.valueOf(71), Integer.valueOf(99)),
+      Row("293736607", d("2020-07-01"), Integer.valueOf(19), Integer.valueOf(71)),
+      Row("293736607", d("2020-08-01"), Integer.valueOf(95), Integer.valueOf(19)),
+      Row("293736607", d("2020-09-01"), null, Integer.valueOf(95)),
+      Row("293736607", d("2020-10-01"), Integer.valueOf(38), null))),
+    StructType(Seq(
+      StructField("siren", StringType, nullable = false),
+      StructField("période", DateType, nullable = false),
+      StructField("ca", IntegerType, nullable = true),
+      StructField("expected_ca_lag1m", IntegerType, nullable = true))))
+
+  test("LagOperator 1m lag, nulls propagate (test_transform.py:62-98)") {
+    val out = new LagOperator("ca", 1).transform(lagFixture).collect()
+    assert(out.forall(r =>
+      r.getAs[Integer]("ca_lag1m") == r.getAs[Integer]("expected_ca_lag1m")))
+  }
+
+  private lazy val mvhFixture = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("219385581", d("2015-01-01"), null, 0.0d, 39.0d, 35.0d, null),
+      Row("219385581", d("2017-03-01"), null, 0.0d, 39.0d, 35.0d, null),
+      Row("219385581", d("2017-12-01"), 35.0d, 35.0d, 35.0d, 35.0d, 35.0d),
+      Row("219385581", d("2018-01-01"), null, 0.0d, 39.0d, 54.0d, 35.0d),
+      Row("219385581", d("2022-03-01"), 54.0d, 54.0d, 54.0d, 54.0d, 54.0d),
+      Row("737745998", d("2014-10-01"), 39.0d, 39.0d, 39.0d, 39.0d, 39.0d),
+      Row("737745998", d("2015-01-01"), null, 0.0d, 39.0d, 76.0d, 39.0d),
+      Row("737745998", d("2015-02-01"), 76.0d, 76.0d, 76.0d, 76.0d, 76.0d),
+      Row("737745998", d("2015-08-01"), 92.0d, 92.0d, 92.0d, 92.0d, 92.0d),
+      Row("737745998", d("2016-06-01"), 6.0d, 6.0d, 6.0d, 6.0d, 6.0d))),
+    StructType(Seq(
+      StructField("siren", StringType, nullable = false),
+      StructField("période", DateType, nullable = false),
+      StructField("ca", DoubleType, nullable = true),
+      StructField("ca_filled_value", DoubleType, nullable = true),
+      StructField("ca_filled_median", DoubleType, nullable = true),
+      StructField("ca_filled_bfill", DoubleType, nullable = true),
+      StructField("ca_filled_ffill", DoubleType, nullable = true))))
+
+  private def checkFill(strategy: String, expectedCol: String): Unit = {
+    val handler =
+      if (strategy == "value")
+        new MissingValuesHandler(Seq("ca"), value = Map("ca" -> 0.0))
+      else new MissingValuesHandler(Seq("ca"), strategy = strategy)
+    val out = handler.transform(mvhFixture).collect()
+    out.foreach { r =>
+      val got = Option(r.getAs[java.lang.Double]("ca"))
+      val want = Option(r.getAs[java.lang.Double](expectedCol))
+      assert(got == want, s"row $r: got $got want $want")
+    }
+  }
+
+  test("MissingValuesHandler value fill (test_transform.py:101-132)") {
+    checkFill("value", "ca_filled_value")
+  }
+  test("MissingValuesHandler median fill — n/2-th sample convention") {
+    checkFill("median", "ca_filled_median")
+  }
+  test("MissingValuesHandler bfill per siren") {
+    checkFill("bfill", "ca_filled_bfill")
+  }
+  test("MissingValuesHandler ffill per siren") {
+    checkFill("ffill", "ca_filled_ffill")
+  }
+
+  test("TargetVariable labels failure within n months, null→0") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", d("2020-01-01"), d("2020-06-01")),
+        Row("a", d("2020-04-01"), d("2020-06-01")),
+        Row("b", d("2020-01-01"), null))),
+      StructType(Seq(
+        StructField("siren", StringType, nullable = false),
+        StructField("période", DateType, nullable = false),
+        StructField("date_jugement", DateType, nullable = true))))
+    val out = new TargetVariable("date_jugement", "failure", nMonths = 3)
+      .transform(df).orderBy("siren", "période").collect()
+    assert(out.map(_.getAs[Int]("failure")).toSeq == Seq(0, 1, 0))
+  }
+}
