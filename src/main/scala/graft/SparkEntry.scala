@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.MLQueries.queries
+      graft.queries.MLQueries.queries ++
+      graft.queries.EventQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
-      graft.queries.MLQueries.oracles
+      graft.queries.MLQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines (BASELINE.json
+  * north star): image/audio/video payloads travel as opaque `binary`
+  * columns plus a typed metadata struct; decode / feature-extraction /
+  * resize / frame-sampling run as batched per-partition operators.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch iteration,
+  * output shape — is real and tested. The codec step itself is a
+  * clearly-marked DETERMINISTIC FAKE (`fakeDecode`): this container has
+  * no image/audio libraries, so the "decoder" derives pixel statistics
+  * from a hash of the payload. Swapping in a real codec is a one-function
+  * change inside `decodeBatch`.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id + payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))),
+      nullable = true)))
+
+  /** Wrap raw binary payloads into the canonical media schema. */
+  def asMedia(df: DataFrame, idCol: String, contentCol: String,
+      mime: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("media_id"),
+      col(contentCol).cast(BinaryType).as("content"),
+      struct(lit(mime).as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"))
+
+  /** DETERMINISTIC FAKE decode: stands in for an image codec. Derives a
+    * fixed-length feature vector from the payload bytes (xxhash-style
+    * mixing), so results are stable across runs/executors and the
+    * downstream plumbing is fully exercisable. Replace with a real codec
+    * (e.g. javax.imageio / ffmpeg bindings) in `decodeBatch`. */
+  private[operators] def fakeDecode(payload: Array[Byte],
+      dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 0x9E3779B97F4A7C15L
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ payload(i)) * 0x100000001B3L
+        i += 1
+      }
+    }
+    var j = 0
+    while (j < dim) {
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      out(j) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      j += 1
+    }
+    out
+  }
+
+  private case class MediaFeatures(media_id: Long, feature: Array[Float],
+    n_bytes: Int)
+
+  /** Batched per-partition decode + feature extraction: the Scala
+    * analogue of a pandas `mapInPandas` decode — rows stream through the
+    * partition iterator, the (fake) codec runs once per payload, output
+    * is (media_id, feature array, n_bytes). No shuffle; scales linearly
+    * with input splits. */
+  def decodeBatch(media: DataFrame, dim: Int = 16): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val payload = r.get(contentIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        MediaFeatures(r.getLong(idIdx), fakeDecode(payload, dim),
+          if (payload == null) 0 else payload.length)
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling plumbing: emit one row per sampled frame index for a
+    * video-like payload (duration-driven), features per frame from the
+    * (fake) codec seeded by the frame index. Output:
+    * (media_id, frame_idx, feature). */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L,
+      dim: Int = 16): DataFrame = {
+    val exploded = media.select(col("media_id"), col("content"),
+      explode(sequence(lit(0L),
+        greatest(coalesce(col("meta.duration_ms"), lit(0L)) - 1, lit(0L)),
+        lit(everyMs))).as("frame_ms"))
+    val idIdx = 0; val contentIdx = 1; val frameIdx = 2
+    implicit val enc = Encoders.product[FrameFeatures]
+    exploded.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val payload = r.get(contentIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        val f = r.getLong(frameIdx)
+        // seed the fake codec with the frame offset for per-frame features
+        val seeded = if (payload == null) Array[Byte](f.toByte)
+          else payload :+ (f & 0xFF).toByte :+ ((f >> 8) & 0xFF).toByte
+        FrameFeatures(r.getLong(idIdx), f, fakeDecode(seeded, dim))
+      }
+    }.toDF()
+  }
+
+  private case class FrameFeatures(media_id: Long, frame_ms: Long,
+    feature: Array[Float])
+
+  /** Metadata-only "resize" plumbing: records target dimensions in the
+    * meta struct (the real pixel work belongs in the codec step). */
+  def withTargetSize(media: DataFrame, width: Int, height: Int): DataFrame =
+    media.withColumn("meta", struct(
+      col("meta.mime").as("mime"),
+      lit(width).as("width"),
+      lit(height).as("height"),
+      col("meta.duration_ms").as("duration_ms")))
+}

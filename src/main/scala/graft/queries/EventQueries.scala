@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Queries over the `events` stream table (batch forms of the streaming
+  * surface — tumbling windows, sessionization, JSON props).
+  *
+  * The events parquet stores nanosecond timestamps, which Spark's
+  * vectorized reader rejects by default; we read them as raw ns longs
+  * (spark.sql.legacy.parquet.nanosAsLong) and do exact integer
+  * arithmetic on them — DuckDB mirrors via epoch_ns().
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(s, dir, "events")
+  }
+
+  private val NsPerHour = 3600L * 1000000000L
+  private val SessionGapNs = 30L * 60L * 1000000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1-hour windows per event type (batch form of the
+    // Structured Streaming windowedCounts)
+    "e1_hourly_windows" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("hour_id", expr(s"ts div $NsPerHour"))
+        .groupBy(col("hour_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("total"))
+        .orderBy(col("hour_id"), col("event_type"))
+    }),
+
+    // gaps-and-islands sessionization: a >30-minute quiet gap starts a
+    // new session (batch analogue of Streaming.sessionize)
+    "e2_sessions" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        // us resolution on both sides: DuckDB's TIMESTAMP truncates the
+        // parquet ns values to us on read
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("new_session",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > SessionGapNs / 1000, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("session_start"),
+          max(col("ts_us")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // JSON property extraction + aggregation (scalar JSON family)
+    "e3_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("k") > 50, 1)).as("n_high"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_hourly_windows" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e2_sessions" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |flagged AS (SELECT *,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |      ELSE 0 END AS new_session
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sessions AS (SELECT *,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, min(ts_us) AS session_start,
+        |  max(ts_us) AS session_end, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e3_json_props" ->
+      """SELECT event_type,
+        |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |    THEN 1 END) AS n_high,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (beyond the reference, which is purely
+  * batch — SURVEY.md §2.10): the same panel/aggregation semantics over
+  * an unbounded `events` stream, plus stateful sessionization.
+  *
+  * Batch-stream parity: `windowedCounts` accepts either a static or a
+  * streaming DataFrame — the plan is identical, so batch tests verify
+  * streaming logic (run the stream with a memory sink to verify the
+  * incremental path).
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window counts/sums per event type. */
+  def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, total_value: Double)
+  private case class SessionState(start: Long, last: Long, n: Long,
+    total: Double)
+
+  /** Stateful sessionization with a gap timeout: events for a user
+    * belong to one session while they arrive within `gapMs` of each
+    * other; a quiet gap closes and emits the session
+    * (flatMapGroupsWithState with ProcessingTime timeout). */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) {
+              st = SessionState(t, t, 1, e.value)
+            } else if (t - st.last <= gapMs) {
+              st = st.copy(last = math.max(st.last, t), n = st.n + 1,
+                total = st.total + e.value)
+            } else {
+              closed += Session(userId, new Timestamp(st.start),
+                new Timestamp(st.last), st.n, st.total)
+              st = SessionState(t, t, 1, e.value)
+            }
+          }
+          if (state.hasTimedOut) {
+            if (st != null) {
+              closed += Session(userId, new Timestamp(st.start),
+                new Timestamp(st.last), st.n, st.total)
+            }
+            state.remove()
+          } else if (st != null) {
+            state.update(st)
+            state.setTimeoutDuration(gapMs)
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Drive a streaming query over a parquet directory with a memory
+    * sink, synchronously (local smoke-test harness for streams). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame,
+      queryName: String, outputMode: String = "append"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(queryName).outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

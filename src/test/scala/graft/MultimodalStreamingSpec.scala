@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Multimodal
+import graft.streaming.Streaming
+
+class MultimodalStreamingSpec extends SparkSpec {
+
+  test("multimodal: binary wrap + batched decode plumbing") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "payload-one".getBytes("UTF-8")),
+      (2L, "payload-two-longer".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes")
+    val media = Multimodal.asMedia(raw, "id", "bytes", "image/png")
+    assert(media.schema("meta").dataType.isInstanceOf[StructType])
+
+    val decoded = Multimodal.decodeBatch(media, dim = 8)
+    val rows = decoded.orderBy("media_id").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("feature").length == 8))
+    assert(rows(0).getAs[Int]("n_bytes") == "payload-one".length)
+    assert(rows(2).getAs[Int]("n_bytes") == 0)
+    // deterministic: same payload → same features on rerun
+    val again = Multimodal.decodeBatch(media, dim = 8)
+      .orderBy("media_id").collect()
+    assert(rows.map(_.getAs[scala.collection.Seq[Float]]("feature")).toSeq ==
+      again.map(_.getAs[scala.collection.Seq[Float]]("feature")).toSeq)
+  }
+
+  test("multimodal: frame sampling emits one row per sampled frame") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+        Seq((1L, "vid".getBytes("UTF-8"))).toDF("id", "bytes"),
+        "id", "bytes", "video/mp4")
+      .withColumn("meta", struct(
+        col("meta.mime").as("mime"), col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        lit(3500L).as("duration_ms")))
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L, dim = 4)
+      .orderBy("frame_ms").collect()
+    // frames at 0, 1000, 2000, 3000 ms
+    assert(frames.map(_.getAs[Long]("frame_ms")).toSeq ==
+      Seq(0L, 1000L, 2000L, 3000L))
+    // per-frame features differ (codec seeded by frame offset)
+    assert(frames.map(_.getAs[scala.collection.Seq[Float]]("feature")).distinct.length == 4)
+  }
+
+  test("streaming: windowed counts match batch (stream/batch parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(t0.getTime + i * 47000L),
+        (i % 7).toLong, if (i % 3 == 0) "click" else "view", i * 1.5)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+
+    val batch = spark.read.parquet(dir)
+    val expected = Streaming.windowedCounts(batch)
+      .orderBy("window_start", "event_type").collect()
+
+    val streamed = spark.readStream.schema(batch.schema).parquet(dir)
+    // append mode only emits watermark-closed windows on a finite file —
+    // complete mode gives exact batch parity
+    val gotComplete = Streaming.runToMemory(spark,
+        Streaming.windowedCounts(streamed), "wc_complete", "complete")
+      .orderBy("window_start", "event_type").collect()
+    assert(gotComplete.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+  }
+
+  test("streaming: gap sessionization groups events per user") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val events = Seq(
+      Streaming.Event(1, ts(0), 7L, "click", 1.0),
+      Streaming.Event(2, ts(5), 7L, "click", 2.0),
+      // 90' gap → new session
+      Streaming.Event(3, ts(95), 7L, "buy", 10.0),
+      Streaming.Event(4, ts(2), 8L, "click", 5.0)).toDS()
+    // batch Dataset drive: flatMapGroupsWithState in batch mode processes
+    // each group once with no timeout — open sessions stay in state, so
+    // only the CLOSED first session of user 7 is emitted
+    val sessions = Streaming.sessionize(events, gapMs = 30 * 60 * 1000L)
+      .collect()
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.user_id == 7L && s.n_events == 2 && s.total_value == 3.0)
+  }
+}
