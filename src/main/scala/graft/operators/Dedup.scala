@@ -16,12 +16,20 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Word k-gram shingles of a text column (empty array when fewer than
-    * k tokens). */
+    * k tokens).
+    *
+    * Implementation note: built by zip_with-ing k shifted slices of the
+    * token array, NOT by indexing the token array inside a lambda — a
+    * lambda that references an outer expression re-evaluates it per
+    * element (higher-order functions are interpreted, no CSE), which
+    * turns shingling into O(n²) regex tokenizations per document. */
   def shingles(c: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(c)
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+    val len = greatest(size(toks) - (k - 1), lit(0))
+    val parts = (0 until k).map(off => slice(toks, lit(off + 1), len))
+    val joined = parts.reduce((x, y) =>
+      zip_with(x, y, (a, b) => concat(a, lit(" "), b)))
+    when(size(toks) >= k, joined)
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
@@ -32,34 +40,66 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ threshold.
+  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ threshold,
+    * via PREFIX FILTERING (PPJoin-style set-similarity join):
     *
-    * Candidate generation: explode distinct shingles and self-join on the
-    * shingle — only pairs sharing ≥1 shingle are considered, never the
-    * full cross product. At 100 TB this inverted-index join is the
-    * textbook approach; hot shingles should be pre-filtered (df cap) —
-    * here data is synthetic and shingle frequencies are low.
+    * 1. order every doc's distinct shingles by global rarity (document
+    *    frequency asc, shingle asc) — one consistent total order;
+    * 2. index only each doc's first `n - ceil(t·n) + 1` shingles: any
+    *    two docs with Jaccard ≥ t MUST share one of these (pigeonhole),
+    *    so the inverted-index join never explodes on hot shingles;
+    * 3. candidates also pass the length filter
+    *    (ceil(t·max(|A|,|B|)) ≤ min(|A|,|B|));
+    * 4. exact verification by sorted-array intersection/union.
+    *
+    * Output: (i, j, jaccard) with i < j — identical to the naive
+    * all-pairs result, at a fraction of the join volume.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "i")
-        .withColumnRenamed("n", "ni"), Seq("i"))
-      .join(sizes.withColumnRenamed("doc_id", "j")
-        .withColumnRenamed("n", "nj"), Seq("j"))
-      .withColumn("jaccard",
-        col("c").cast(DoubleType) / (col("ni") + col("nj") - col("c")))
+    val sets = shingleSets(df, idCol, textCol, k)
+    val tokens = sets.select(col("doc_id"), explode(col("shset")).as("s"))
+    val freq = tokens.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // per-doc shingles in rare-first global order
+    val ordered = tokens.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("s")))),
+        x => x("s")).as("ordered"))
+      .withColumn("n", size(col("ordered")))
+      .withColumn("prefix_len",
+        col("n") - ceil(col("n") * threshold).cast(IntegerType) + 1)
+    val prefixes = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("ordered"), lit(1), col("prefix_len"))).as("s"))
+    val a = prefixes.as("a"); val b = prefixes.as("b")
+    val candidates = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+          && ceil(greatest(col("a.n"), col("b.n")) * threshold)
+             <= least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("i"), col("shset").as("si")), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("shset").as("sj")), Seq("j"))
+      .withColumn("c", size(array_intersect(col("si"), col("sj"))))
+      .withColumn("jaccard", col("c").cast(DoubleType) /
+        (size(col("si")) + size(col("sj")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
+
+  /** Distinct shingle sets per doc, tokenized ONCE: repartitioned
+    * BEFORE the regex tokenization (a small parquet arrives as one
+    * split — without this the whole shingling runs on one core), then
+    * persisted because candidate generation and verification both
+    * traverse it. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(shingles(col(textCol), k)).as("shset"))
+      .filter(size(col("shset")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val MersennePrime31 = 2147483647L // 2^31 - 1
 
@@ -79,9 +119,12 @@ object Dedup {
     * Output: (doc_id, sig array<bigint>). Docs with < k tokens drop out.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 32): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      k: Int = 3, numHashes: Int = 32): DataFrame =
+    minHashFromSets(shingleSets(df, idCol, textCol, k), numHashes)
+
+  /** Signatures from an existing (doc_id, shset) frame. */
+  def minHashFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = sets.select(col("doc_id"), explode(col("shset")).as("s"))
       .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersennePrime31)).as("h"))
     val mins = (0 until numHashes).map { i =>
       val (a, b) = permCoeffs(i)
@@ -106,7 +149,8 @@ object Dedup {
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     val r = numHashes / bands
-    val sig = minHashSignatures(df, idCol, textCol, k, numHashes)
+    val sets = shingleSets(df, idCol, textCol, k)
+    val sig = minHashFromSets(sets, numHashes)
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",",
@@ -118,8 +162,6 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     // verify candidates with exact set jaccard (no false positives)
-    val sets = df.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), k)).as("shset"))
     val verified = candidates
       .join(sets.select(col("doc_id").as("i"), col("shset").as("si")), Seq("i"))
       .join(sets.select(col("doc_id").as("j"), col("shset").as("sj")), Seq("j"))
@@ -135,8 +177,10 @@ object Dedup {
     * aggregate with 64 bit-sums (map-side combinable) — never
     * re-tokenizes per bit. Output: (doc_id, sh bigint). */
   def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("t"))
+    val exploded = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val sums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
