@@ -15,19 +15,19 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns (sequential left-to-right
-    * fold — deterministic). */
+  /** Dot product of two numeric-array columns — the native codegen'd
+    * Catalyst expression (graft.functions.expressions.DotProduct): a
+    * tight primitive loop, identical double accumulation order to a
+    * sequential fold, no per-element lambda frames. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.VectorExpressions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; inputs cast to double for stable math. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast(ArrayType(DoubleType))
-    val bd = b.cast(ArrayType(DoubleType))
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Cosine similarity (double accumulation regardless of input
+    * element type). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (excluding itself). The query side is broadcast —

@@ -20,9 +20,17 @@ object WindowQueries {
 
   /** Monthly panel: one row per (custkey, month) with exact-decimal
     * amount (A1 aggregation — the base of the reference's join_datasets
-    * panel). */
+    * panel).
+    *
+    * The fact table is repartitioned on the ENTITY KEY alone before the
+    * aggregation: hash(custkey) satisfies the (custkey, mois) clustered
+    * distribution, so the groupBy runs without its own exchange AND
+    * every downstream Window.partitionBy(custkey) reuses the same
+    * partitioning — the whole panel pipeline (agg + lag + diff + mean +
+    * fill + as-of) shuffles the data exactly once. */
   private def monthlyPanel(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "orders")
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey").as("custkey"),
         date_trunc("month", col("o_orderdate")).cast(DateType).as("mois"))
       .agg(ColumnOps.exactSum2(col("o_totalprice")).as("amt"),
