@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.expressions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL users.
+  *
+  * Usage:
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT graft_dot_product(a.embedding, b.embedding) ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_dot_product expects exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}
