@@ -70,6 +70,17 @@ object IO {
     spark.createDataset(lines).coalesce(1).write.mode(SaveMode.Overwrite).text(path)
   }
 
+  /** Bucketed parquet table (saveAsTable): co-locates join/agg keys at
+    * write time so repeated joins on `bucketCols` skip their exchanges
+    * entirely — the scale path for repeatedly-joined fact tables. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** CSV→ORC conversion utility (reference io.py:97-113). */
   def csvToOrc(spark: SparkSession, inPath: String, outPath: String,
       sep: String = ","): Unit =
