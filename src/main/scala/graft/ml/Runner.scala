@@ -85,14 +85,13 @@ object Runner {
   }
 
   /** Explanation stage (reference __main__.py:200-243): linear SHAP for
-    * LR (probability-space via sigmoid), Saabas contributions for
-    * forests. */
+    * LR, exact TreeSHAP for forests (the reference's TreeExplainer). */
   def explain(result: RunResult, df: DataFrame): DataFrame =
     result.model match {
       case lr: LogisticRegressionModel =>
         Explain.linearShap(lr, df)
       case rf: RandomForestClassificationModel =>
-        Explain.forestContributions(
+        TreeShap.forestShap(
           org.apache.spark.ml.tree.GraftTreeAccess.rootsOf(rf),
           rf.numFeatures, df)
       case other => throw new IllegalArgumentException(
