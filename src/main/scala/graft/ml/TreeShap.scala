@@ -31,27 +31,33 @@ object TreeShap {
       new PathElem(featureIndex, zeroFraction, oneFraction, pweight)
   }
 
-  private def nodeValue(node: Node): Double = {
+  /** Leaf value for classification trees: P(class = 1). */
+  val classificationValue: Node => Double = { node =>
     val stats = GraftTreeAccess.nodeStats(node)
     val total = stats.sum
     if (total == 0 || stats.length < 2) 0.0 else stats(1) / total
   }
 
-  private def cover(node: Node): Double =
-    GraftTreeAccess.nodeStats(node).sum
+  /** Leaf value for regression trees (GBT members): the node
+    * prediction. */
+  val regressionValue: Node => Double = GraftTreeAccess.prediction
+
+  private def cover(node: Node): Double = GraftTreeAccess.count(node)
 
   /** Expected tree output (cover-weighted mean of leaf values). */
-  def expectedValue(root: Node): Double = root match {
-    case l: LeafNode => nodeValue(l)
+  def expectedValue(root: Node,
+      value: Node => Double = classificationValue): Double = root match {
+    case l: LeafNode => value(l)
     case in: InternalNode =>
       val c = cover(in)
       if (c == 0) 0.0
-      else (cover(in.leftChild) * expectedValue(in.leftChild)
-        + cover(in.rightChild) * expectedValue(in.rightChild)) / c
+      else (cover(in.leftChild) * expectedValue(in.leftChild, value)
+        + cover(in.rightChild) * expectedValue(in.rightChild, value)) / c
   }
 
   /** Exact SHAP values of one tree for one feature vector. */
-  def shapValues(root: Node, x: Vector, nFeatures: Int): Array[Double] = {
+  def shapValues(root: Node, x: Vector, nFeatures: Int,
+      value: Node => Double = classificationValue): Array[Double] = {
     val phi = new Array[Double](nFeatures)
 
     def extend(p: ArrayBuffer[PathElem], pz: Double, po: Double,
@@ -118,7 +124,7 @@ object TreeShap {
       extend(p, pz, po, pi)
       node match {
         case leaf: LeafNode =>
-          val v = nodeValue(leaf)
+          val v = value(leaf)
           var i = 1
           while (i < p.length) {
             val w = unwoundPathSum(p, i)
@@ -152,6 +158,37 @@ object TreeShap {
     phi
   }
 
+  /** Exact TreeSHAP for a GBT classifier, in MARGIN space: the model's
+    * raw score is sum_t(weight_t · tree_t(x)), so φ is the
+    * weight-weighted sum of per-tree regression SHAP values;
+    * `expected_value` is the margin at the background distribution.
+    * probability = sigmoid(2·margin) for Spark's GBT logistic loss. */
+  def gbtShap(treeRoots: Array[Node], treeWeights: Array[Double],
+      nFeatures: Int, df: DataFrame,
+      featuresCol: String = "features"): DataFrame = {
+    val spark = df.sparkSession
+    val roots = spark.sparkContext.broadcast(treeRoots)
+    val weights = spark.sparkContext.broadcast(treeWeights)
+    val expected = treeRoots.zip(treeWeights).map { case (r, w) =>
+      w * expectedValue(r, regressionValue)
+    }.sum
+    val shapUdf = udf { (v: Vector) =>
+      val acc = new Array[Double](nFeatures)
+      var t = 0
+      while (t < roots.value.length) {
+        val phi = shapValues(roots.value(t), v, nFeatures, regressionValue)
+        var i = 0
+        while (i < nFeatures) {
+          acc(i) += weights.value(t) * phi(i); i += 1
+        }
+        t += 1
+      }
+      acc.toSeq
+    }
+    df.withColumn("shap", shapUdf(col(featuresCol)))
+      .withColumn("expected_value", lit(expected))
+  }
+
   /** Distributed exact TreeSHAP over an ensemble: trees broadcast, one
     * deterministic UDF pass; output `shap` (array per feature) and
     * `expected_value` (ensemble mean leaf value). Ensemble φ = mean of
@@ -160,7 +197,7 @@ object TreeShap {
       featuresCol: String = "features"): DataFrame = {
     val spark = df.sparkSession
     val roots = spark.sparkContext.broadcast(treeRoots)
-    val expected = treeRoots.map(expectedValue).sum / treeRoots.length
+    val expected = treeRoots.map(r => expectedValue(r)).sum / treeRoots.length
     val shapUdf = udf { (v: Vector) =>
       val n = roots.value.length
       val acc = new Array[Double](nFeatures)

@@ -56,6 +56,27 @@ object MLQueries {
           count(when(col("score") < col("threshold")
             && col("label") === 0, 1)).as("tn"))
         .orderBy(col("threshold"))
+    }),
+
+    // P10: seeded sampling (rows-only: RNG streams differ per engine)
+    "p10_sample" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P11/M10: group-wise split membership (rows-only; ratio + overlap
+    // asserts live in ScalaTest)
+    "p11_group_split" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val (train, test) = graft.ml.ModelSelection.trainTestSplit(
+        o, randomSeed = 42, trainSize = Some(0.8),
+        groupCol = Some("o_custkey"))
+      train.select(lit("train").as("part"), col("o_orderkey"))
+        .union(test.select(lit("test").as("part"), col("o_orderkey")))
+        .groupBy(col("part")).agg(count(lit(1)).as("n"))
+        .orderBy(col("part"))
     })
   )
 

@@ -27,4 +27,13 @@ object GraftTreeAccess {
 
   def rootOf(model: org.apache.spark.ml.classification.DecisionTreeClassificationModel): Node =
     model.rootNode
+
+  /** Node prediction (leaf value / internal majority value) — needed for
+    * regression trees (GBT members) whose impurity stats are
+    * (count, sum, sumSq), not class counts. */
+  def prediction(node: Node): Double = node.prediction
+
+  /** Training-sample count at a node, valid for any impurity type. */
+  def count(node: Node): Double =
+    if (node.impurityStats == null) 0.0 else node.impurityStats.count.toDouble
 }

@@ -121,4 +121,32 @@ class TreeShapSpec extends SparkSpec {
         s"${r.getDouble(0)} vs ${r.getDouble(1)}")
     }
   }
+
+  test("GBT TreeSHAP local accuracy in margin space") {
+    val rng = new Random(9)
+    val rows = (0 until 400).map { _ =>
+      val f = Array.fill(3)(rng.nextDouble())
+      Row(Vectors.dense(f), if (f(0) + f(1) > 1.0) 1 else 0)
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      StructType(Seq(
+        StructField("features", org.apache.spark.ml.linalg.SQLDataTypes.VectorType),
+        StructField("label", IntegerType))))
+    val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+      .setMaxIter(5).setMaxDepth(3).setSeed(4).setLabelCol("label").fit(df)
+    val roots = GraftTreeAccess.rootsOfGbt(gbt)
+
+    val scored = gbt.transform(df).limit(20)
+    val explained = TreeShap.gbtShap(roots, gbt.treeWeights, 3, scored)
+    // margin = rawPrediction(1); bias + sum(phi) must reconstruct it
+    val rows2 = explained.select(
+      (col("expected_value")
+        + aggregate(col("shap"), lit(0.0), (a, b) => a + b)).as("recon"),
+      org.apache.spark.ml.functions.vector_to_array(col("rawPrediction"))(1)
+        .as("margin")).collect()
+    rows2.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
 }
