@@ -1,0 +1,58 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.Streaming
+
+/** Structured Streaming queries in the graded surface: the stream runs
+  * for real (readStream → watermark → window agg → memory sink,
+  * processAllAvailable), and because the logical plan is identical to
+  * the batch form, the result carries an exact DuckDB oracle.
+  */
+object StreamingQueries {
+
+  private val runCounter = new AtomicInteger(0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1-hour windows per event type, computed by an actual
+    // streaming query over the events parquet (ns timestamps read as
+    // longs, converted to µs timestamps for the watermark/window)
+    "st1_stream_windows" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // events.parquet is a single file; the streaming file source only
+      // monitors directories — stage the file into a per-sf temp dir
+      val staged = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      java.nio.file.Files.createDirectories(staged)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val streamed = s.readStream.schema(batchSchema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = Streaming.windowedCounts(streamed,
+        windowLength = "1 hour", watermark = "2 hours")
+      val name = s"st1_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, agg, name, outputMode = "complete")
+        .select(col("window_start").cast(DateType).as("d"),
+          hour(col("window_start")).as("h"),
+          col("event_type"), col("n"))
+        .orderBy(col("d"), col("h"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_windows" ->
+      """SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,
+        |  hour(date_trunc('hour', ts)) AS h,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  )
+}
