@@ -94,6 +94,10 @@ object Runner {
         TreeShap.forestShap(
           org.apache.spark.ml.tree.GraftTreeAccess.rootsOf(rf),
           rf.numFeatures, df)
+      case gbt: org.apache.spark.ml.classification.GBTClassificationModel =>
+        TreeShap.gbtShap(
+          org.apache.spark.ml.tree.GraftTreeAccess.rootsOfGbt(gbt),
+          gbt.treeWeights, gbt.numFeatures, df)
       case other => throw new IllegalArgumentException(
         s"no explainer for ${other.getClass.getSimpleName}")
     }

@@ -163,6 +163,17 @@ class BinsOrdinalEncoder(inputCol: String, bins: Seq[Seq[Any]],
   }
 }
 
+/** Map-form keyed aggregator as a pipeline stage (reference
+  * SirenAggregator, transform.py:471-539): aggregates `aggMap` columns
+  * per `groupingCols`, keeps output names identical, re-attaches
+  * non-aggregated columns via distinct + left join. */
+class SirenAggregator(groupingCols: Seq[String] = Seq("siren", "période"),
+    aggMap: Map[String, String])
+    extends SimpleTransformer("sirenAggregator") {
+  override def transform(ds: Dataset[_]): DataFrame =
+    graft.operators.Aggregates.keyedAggregate(ds.toDF, groupingCols, aggMap)
+}
+
 /** Binary failure target: `add_months(time, n) >= eventDate`, null → 0
   * (reference TargetVariable, transform.py:846-894). */
 class TargetVariable(inputCol: String, outputCol: String, nMonths: Int,

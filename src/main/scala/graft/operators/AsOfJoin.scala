@@ -94,4 +94,64 @@ object AsOfJoin {
     withTol.filter(col(tag) === 0)
       .select((leftCols ++ valueCols).map(col): _*)
   }
+
+  /** merge_asof with the reference's EXACT duplicate-key behavior
+    * (utils.py:168-241): instead of carrying values through the window,
+    * only the matched right DATE is computed; left rows then equi-join
+    * back to the right table on (by, matchedDate) — so multiple right
+    * rows at the same (by, on) duplicate left rows, exactly like the
+    * reference's algorithm. Costs one more shuffle than `mergeAsOf`;
+    * prefer `mergeAsOf` when the right side is keyed uniquely. */
+  def mergeAsOfJoinBack(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      by: Seq[String],
+      toleranceDays: Option[Int] = None,
+      direction: String = "backward"): DataFrame = {
+
+    require(direction == "backward" || direction == "forward",
+      s"merge_asof direction '$direction' not implemented")
+
+    val leftCols = left.columns.toSeq
+    val valueCols = right.columns.filterNot(c => c == on || by.contains(c)).toSeq
+
+    val tag = "__is_right"
+    val rightKeys = right.select(by.map(col) :+ col(on): _*).distinct()
+      .withColumn(tag, lit(1))
+    val taggedLeft = left.withColumn(tag, lit(0))
+    val unioned = taggedLeft.unionByName(
+      leftCols.filterNot(c => by.contains(c) || c == on)
+        .foldLeft(rightKeys)((d, c) =>
+          d.withColumn(c, lit(null).cast(left.schema(c).dataType))))
+
+    val ord: Seq[Column] =
+      if (direction == "backward") Seq(col(on).asc, col(tag).desc)
+      else Seq(col(on).asc, col(tag).asc)
+    val w = Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
+    val frame =
+      if (direction == "backward")
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried =
+      if (direction == "backward")
+        last(when(col(tag) === 1, col(on)), ignoreNulls = true).over(frame)
+      else first(when(col(tag) === 1, col(on)), ignoreNulls = true).over(frame)
+
+    val matched = unioned.withColumn("__matched_on", carried)
+      .filter(col(tag) === 0)
+    val withTol = toleranceDays match {
+      case Some(tol) =>
+        val dist =
+          if (direction == "backward") datediff(col(on), col("__matched_on"))
+          else datediff(col("__matched_on"), col(on))
+        matched.withColumn("__matched_on",
+          when(col("__matched_on").isNotNull && dist <= tol,
+            col("__matched_on")))
+      case None => matched
+    }
+    val rightRenamed = right.withColumnRenamed(on, "__matched_on")
+    withTol.join(rightRenamed, by :+ "__matched_on", "left")
+      .select((leftCols ++ valueCols).map(col): _*)
+  }
 }

@@ -90,4 +90,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == left.count())
     assert(out.columns.toSeq == (left.columns.toSeq :+ "ebe"))
   }
+
+  test("mergeAsOfJoinBack matches mergeAsOf on unique right keys") {
+    for (dir <- Seq("backward", "forward")) {
+      val a = AsOfJoin.mergeAsOf(left, right, "période", Seq("siren"),
+        Some(365), dir).orderBy("siren", "période").collect().map(_.toSeq)
+      val b = AsOfJoin.mergeAsOfJoinBack(left, right, "période", Seq("siren"),
+        Some(365), dir).orderBy("siren", "période").collect().map(_.toSeq)
+      assert(a.toSeq == b.toSeq, s"direction $dir")
+    }
+  }
+
+  test("mergeAsOfJoinBack duplicates left rows on duplicate right keys " +
+      "(reference semantics)") {
+    val dupRight = right.union(right.limit(1)) // duplicate first right row
+    val out = AsOfJoin.mergeAsOfJoinBack(left, dupRight, "période",
+      Seq("siren"), Some(365), "backward")
+    // rows matching the duplicated (siren, date) appear twice
+    assert(out.count() > left.count())
+    // the windowed variant keeps one row per left row
+    val single = AsOfJoin.mergeAsOf(left, dupRight, "période",
+      Seq("siren"), Some(365), "backward")
+    assert(single.count() == left.count())
+  }
 }
