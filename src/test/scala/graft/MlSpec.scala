@@ -146,4 +146,50 @@ class MlSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
       s"${r.getDouble(0)} vs ${r.getDouble(1)}")
   }
+
+  test("correlation-dependent linear SHAP: local accuracy + independent-" +
+      "feature reduction to interventional") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val rng = new Random(13)
+    // independent features -> correlation_dependent == interventional
+    val rows = (0 until 2000).map { _ =>
+      val a = rng.nextGaussian(); val b = rng.nextGaussian()
+      org.apache.spark.sql.Row(a, b, if (a + 0.5 * b > 0) 1 else 0)
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      StructType(Seq(
+        StructField("a", DoubleType), StructField("b", DoubleType),
+        StructField("label", IntegerType))))
+    val assembled = new VectorAssembler().setInputCols(Array("a", "b"))
+      .setOutputCol("features").transform(df)
+    val lr = Models.getModel("LogisticRegression", labelCol = "label")
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegression]
+      .fit(assembled)
+
+    // same mean basis + same row order for both explainers
+    val probe = assembled.orderBy("a", "b")
+    val interventional = Explain.linearShap(lr, probe)
+      .orderBy("a", "b").limit(20)
+      .select("shap").collect().map(_.getAs[scala.collection.Seq[Double]](0))
+    val correlated = Explain.correlationDependentLinearShap(lr,
+        probe, nOrderings = 64)
+      .orderBy("a", "b").limit(20)
+      .select("shap", "expected_value", "features").collect()
+
+    // local accuracy: bias + sum(phi) == margin, exactly
+    correlated.foreach { r =>
+      val phi = r.getAs[scala.collection.Seq[Double]](0)
+      val margin = lr.coefficients.toArray
+        .zip(r.getAs[org.apache.spark.ml.linalg.Vector](2).toArray)
+        .map { case (w, x) => w * x }.sum + lr.intercept
+      assert(math.abs(phi.sum + r.getDouble(1) - margin) < 1e-9)
+    }
+    // near-independence: phi close to interventional (sampling + moment
+    // estimation noise only)
+    correlated.map(_.getAs[scala.collection.Seq[Double]](0))
+      .zip(interventional).foreach { case (c, i) =>
+        c.zip(i).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 0.15, s"$x vs $y") }
+      }
+  }
 }
