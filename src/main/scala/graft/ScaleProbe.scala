@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ColumnOps
+import graft.operators.{AsOfJoin, TimeOps}
+
+/** Scale probe (not part of the driver contract): generates a multi-
+  * million-row synthetic panel and times the engine's design choices
+  * against their naive alternatives, validating the 100 TB story's
+  * claims at a scale where shuffle structure dominates.
+  *
+  * Run: SPARK_GRAFT_PROBE_ROWS=10000000 sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "10000000").toLong
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // synthetic events: ~rows records over 200k entities × 60 months
+    val events = spark.range(rows).select(
+      (col("id") % 200000).as("entity"),
+      add_months(lit("2015-01-01").cast(DateType),
+        (pmod(hash(col("id")), lit(60))).cast(IntegerType)).as("mois"),
+      (pmod(hash(col("id") + 1), lit(10000)) / lit(100.0)).as("amount"))
+      .cache()
+    events.count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROBE $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    // 1. panel pipeline: entity-key pre-partitioning (1 shuffle) vs
+    //    letting agg+windows each arrange their own exchanges
+    def pipelineOn(base: DataFrame): DataFrame = {
+      val panel = base
+        .groupBy(col("entity"), col("mois"))
+        .agg(sum(col("amount")).as("amt"))
+      val withFeatures = TimeOps.movingAverage(
+        TimeOps.diff(
+          TimeOps.lag_(panel, Seq("entity"), "mois", Seq("amt"), 1),
+          Seq("entity"), "mois", Seq("amt"), 3),
+        Seq("entity"), "mois", Seq("amt"), 11)
+      withFeatures
+    }
+    time("panel+lag+diff+mean, entity-prepartitioned") {
+      pipelineOn(events.repartition(col("entity"))).count()
+    }
+    time("panel+lag+diff+mean, naive") {
+      pipelineOn(events).count()
+    }
+
+    // 2. as-of join: union-tag single-window vs join-back (outer-join
+    //    + window + equi-join, the reference's own 3-shuffle shape)
+    val left = events.groupBy(col("entity"), col("mois"))
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("mois", "d")
+    val snaps = events.filter(col("amount") > 99.0)
+      .groupBy(col("entity"), col("mois").as("d"))
+      .agg(max(col("amount")).as("snap"))
+    time("as-of join, union-tag (1 shuffle)") {
+      AsOfJoin.mergeAsOf(left, snaps, "d", Seq("entity"),
+        Some(92), "backward").count()
+    }
+    time("as-of join, join-back (reference shape)") {
+      AsOfJoin.mergeAsOfJoinBack(left, snaps, "d", Seq("entity"),
+        Some(92), "backward").count()
+    }
+
+    // 3. interval explosion: sequence+explode vs range-join on a spine
+    val intervals = events.limit(2000000)
+      .select(col("entity"), col("mois").as("d0"),
+        add_months(col("mois"), 6).as("d1"))
+      .cache()
+    intervals.count()
+    time("interval→month, sequence+explode") {
+      TimeOps.explodeInterval(intervals, "d0", "d1", "m").count()
+    }
+    time("interval→month, spine range-join") {
+      val spine = TimeOps.dateSpine(spark, "2015-01-01", "2021-01-01",
+        colName = "m")
+      intervals.join(spine,
+        col("m").between(col("d0"), col("d1")), "inner").count()
+    }
+
+    spark.stop()
+  }
+}

@@ -134,6 +134,24 @@ object TimeOps {
         expr(s"interval $step"))))
   }
 
+  /** Interval → monthly rows via a broadcast date-spine range join —
+    * the reference's own shape (extract_financial_DGFiP.py:206-212).
+    * Measured on 2M intervals × 7 months (ScaleProbe): the codegen'd
+    * broadcast join is ~3.5× faster than sequence+explode, whose
+    * per-element calendar arithmetic dominates. Use this form when the
+    * global spine bounds are known; `explodeInterval` when they are not
+    * (per-row unbounded ranges can't broadcast a spine). */
+  def explodeIntervalViaSpine(df: DataFrame, startCol: String,
+      endCol: String, spineStart: String, spineEnd: String,
+      outCol: String = "période", endExclusive: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val spine = broadcast(dateSpine(spark, spineStart, spineEnd,
+      colName = outCol))
+    val endExpr =
+      if (endExclusive) date_sub(col(endCol), 1) else col(endCol)
+    df.join(spine, col(outCol).between(col(startCol), endExpr), "inner")
+  }
+
   /** Merge overlapping/adjacent [startCol, endCol] intervals per entity —
     * gaps-and-islands (reference W8, extract_ap_data.py:159-180):
     * cumulative max(end) over preceding rows; a new island starts where
