@@ -49,15 +49,28 @@ object Dedup {
     *    two docs with Jaccard ≥ t MUST share one of these (pigeonhole),
     *    so the inverted-index join never explodes on hot shingles;
     * 3. candidates also pass the length filter
-    *    (ceil(t·max(|A|,|B|)) ≤ min(|A|,|B|));
+    *    (ceil(t·max(|A|,|B|)) ≤ min(|A|,|B|)) and the PPJoin
+    *    POSITIONAL filter: a common prefix token at (1-based) positions
+    *    (pa, pb) bounds the overlap by
+    *    `1 + min(pa-1, pb-1) + min(|A|-pa, |B|-pb)` (both lists share
+    *    one global order, so common tokens are split into those before
+    *    and after the match); pairs whose bound is below the required
+    *    overlap α = ⌈t·(|A|+|B|)/(1+t)⌉ are pruned before the verify
+    *    join — this is valid on EVERY matched prefix row, because the
+    *    bound always dominates the true overlap;
     * 4. exact verification by sorted-array intersection/union.
     *
     * Output: (i, j, jaccard) with i < j — identical to the naive
     * all-pairs result, at a fraction of the join volume.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, k)
+      k: Int = 3, threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsFromSets(shingleSets(df, idCol, textCol, k), threshold)
+
+  /** PPJoin over a pre-built (doc_id, shset) frame — lets callers share
+    * one persisted shingle pass across several dedup operators. */
+  def ngramJaccardPairsFromSets(sets: DataFrame,
+      threshold: Double): DataFrame = {
     val tokens = sets.select(col("doc_id"), explode(col("shset")).as("s"))
     val freq = tokens.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // per-doc shingles in rare-first global order
@@ -69,13 +82,27 @@ object Dedup {
       .withColumn("n", size(col("ordered")))
       .withColumn("prefix_len",
         col("n") - ceil(col("n") * threshold).cast(IntegerType) + 1)
+    // persisted: the self-join below reads this twice, and Catalyst
+    // does not reuse the (aliased) aggregation subtree across join
+    // sides — without the persist the rarity-ordering pass runs twice
     val prefixes = ordered.select(col("doc_id"), col("n"),
-      explode(slice(col("ordered"), lit(1), col("prefix_len"))).as("s"))
+      posexplode(slice(col("ordered"), lit(1), col("prefix_len")))
+        .as(Seq("p0", "s")))
+      .withColumn("p", col("p0") + 1).drop("p0")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefixes.as("a"); val b = prefixes.as("b")
+    // required overlap for Jaccard ≥ t: α = ⌈t(|A|+|B|)/(1+t)⌉ (ε-guarded
+    // against double rounding so no true pair is ever pruned)
+    val alpha = ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold))
+      - lit(1e-9))
+    val overlapBound = lit(1)
+      .plus(least(col("a.p") - 1, col("b.p") - 1))
+      .plus(least(col("a.n") - col("a.p"), col("b.n") - col("b.p")))
     val candidates = a.join(b,
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
           && ceil(greatest(col("a.n"), col("b.n")) * threshold)
-             <= least(col("a.n"), col("b.n")))
+             <= least(col("a.n"), col("b.n"))
+          && overlapBound >= alpha)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     candidates
@@ -88,16 +115,24 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
-  /** Distinct shingle sets per doc, tokenized ONCE: repartitioned
-    * BEFORE the regex tokenization (a small parquet arrives as one
-    * split — without this the whole shingling runs on one core), then
-    * persisted because candidate generation and verification both
-    * traverse it. */
+  /** Distinct shingle sets per doc as XXHASHED LONGS, tokenized ONCE:
+    * repartitioned BEFORE the regex tokenization (a small parquet
+    * arrives as one split — without this the whole shingling runs on
+    * one core), then persisted because candidate generation and
+    * verification both traverse it.
+    *
+    * Shingles are stored as `xxhash64(shingle)` rather than strings:
+    * set intersection/union, frequency counting, and the prefix
+    * inverted-index join all compare 8-byte longs instead of ~20-char
+    * strings, and the persisted footprint shrinks ~3×. Jaccard over
+    * hashed sets equals Jaccard over string sets up to 64-bit
+    * collisions (~n²/2⁶⁵ — negligible at any realistic corpus). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"),
-        array_distinct(shingles(col(textCol), k)).as("shset"))
+        array_distinct(transform(shingles(col(textCol), k),
+          s => xxhash64(s))).as("shset"))
       .filter(size(col("shset")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -122,10 +157,11 @@ object Dedup {
       k: Int = 3, numHashes: Int = 32): DataFrame =
     minHashFromSets(shingleSets(df, idCol, textCol, k), numHashes)
 
-  /** Signatures from an existing (doc_id, shset) frame. */
+  /** Signatures from an existing (doc_id, shset) frame (shset already
+    * holds xxhash64 longs, so the base hash is just a mod). */
   def minHashFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
     val exploded = sets.select(col("doc_id"), explode(col("shset")).as("s"))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(MersennePrime31)).as("h"))
+      .select(col("doc_id"), pmod(col("s"), lit(MersennePrime31)).as("h"))
     val mins = (0 until numHashes).map { i =>
       val (a, b) = permCoeffs(i)
       min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"m$i")
@@ -147,14 +183,23 @@ object Dedup {
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    minHashLshPairsFromSets(shingleSets(df, idCol, textCol, k),
+      numHashes, bands, threshold)
+
+  /** LSH pairs over a pre-built (doc_id, shset) frame (shared persisted
+    * shingle pass). */
+  def minHashLshPairsFromSets(sets: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val r = numHashes / bands
-    val sets = shingleSets(df, idCol, textCol, k)
     val sig = minHashFromSets(sets, numHashes)
+    // persisted: self-joined below (signature aggregation would
+    // otherwise run once per join side)
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",",
           slice(col("sig"), bnd * r + lit(1), lit(r)))))).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -204,10 +249,13 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val sh = simHashes(df, idCol, textCol)
+    // persisted: self-joined below (the 64-bit-sum aggregation would
+    // otherwise run once per join side)
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk")
         && col("a.cv") === col("b.cv")

