@@ -33,10 +33,15 @@ object DedupProbe {
     val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
     time("shingleSets build+persist") { sets.count() }
 
+    // pair construction is EAGER (scoped persists are released before
+    // return), so build + count inside the timer
     for (i <- 1 to 3) {
-      val pairs = graft.operators.Dedup
-        .ngramJaccardPairsFromSets(sets, threshold = 0.8)
-      time(s"ppjoin run $i") { pairs.count() }
+      val pairs = time(s"ppjoin run $i") {
+        val p = graft.operators.Dedup
+          .ngramJaccardPairsFromSets(sets, threshold = 0.8)
+        p.count()
+        p
+      }
       if (i == 1) pairs.explain("formatted")
     }
     spark.stop()

@@ -84,7 +84,10 @@ class MissingValuesHandler(
 }
 
 /** Drops rows with nulls in `inputCols`, skipping complex-typed columns
-  * (reference transform.py:296-355 MissingValuesDropper). */
+  * (reference transform.py:296-355 MissingValuesDropper; the skip-list
+  * is Array/Map/Struct/UserDefinedType per transform.py:322-329 — UDT
+  * matters because the reference runs droppers after VectorAssembler
+  * stages, so `VectorUDT` columns must pass through untouched). */
 class MissingValuesDropper(inputCols: Seq[String])
     extends SimpleTransformer("missingValuesDropper") {
   override def transform(ds: Dataset[_]): DataFrame = {
@@ -92,6 +95,7 @@ class MissingValuesDropper(inputCols: Seq[String])
     val droppable = inputCols.filter { c =>
       df.schema(c).dataType match {
         case _: ArrayType | _: MapType | _: StructType => false
+        case _: UserDefinedType[_] => false
         case _ => true
       }
     }

@@ -23,8 +23,12 @@ object Dedup {
     * lambda that references an outer expression re-evaluates it per
     * element (higher-order functions are interpreted, no CSE), which
     * turns shingling into O(n²) regex tokenizations per document. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val toks = TextOps.tokens(c)
+  def shingles(c: Column, k: Int = 3): Column =
+    shinglesOfTokens(TextOps.tokens(c), k)
+
+  /** Shingles from an already-tokenized array column — lets one token
+    * pass feed shingling (d2/d3) and SimHash (d4) alike. */
+  def shinglesOfTokens(toks: Column, k: Int): Column = {
     val len = greatest(size(toks) - (k - 1), lit(0))
     val parts = (0 until k).map(off => slice(toks, lit(off + 1), len))
     val joined = parts.reduce((x, y) =>
@@ -81,18 +85,24 @@ object Dedup {
         x => x("s")).as("ordered"))
       .withColumn("n", size(col("ordered")))
       .withColumn("prefix_len",
-        col("n") - ceil(col("n") * threshold).cast(IntegerType) + 1)
-    // persisted: the self-join below reads this twice, and Catalyst
-    // does not reuse the (aliased) aggregation subtree across join
-    // sides — without the persist the rarity-ordering pass runs twice
+        col("n") - ceil(col("n") * threshold - lit(1e-9)).cast(IntegerType)
+          + 1)
+    // persisted: the self-join below reads this twice and Catalyst does
+    // not reuse the aggregation subtree across join sides (measured: the
+    // unpersisted plan recomputes the rarity-ordering pass per side,
+    // 3-6× slower). The persist is SCOPED — this function materializes
+    // its (small) pair output eagerly and unpersists before returning,
+    // so nothing lingers in the cache manager (ADVICE r1).
     val prefixes = ordered.select(col("doc_id"), col("n"),
       posexplode(slice(col("ordered"), lit(1), col("prefix_len")))
         .as(Seq("p0", "s")))
       .withColumn("p", col("p0") + 1).drop("p0")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefixes.as("a"); val b = prefixes.as("b")
-    // required overlap for Jaccard ≥ t: α = ⌈t(|A|+|B|)/(1+t)⌉ (ε-guarded
-    // against double rounding so no true pair is ever pruned)
+    // required overlap for Jaccard ≥ t: α = ⌈t(|A|+|B|)/(1+t)⌉. Every
+    // ceil in the filter chain is ε-guarded: when t·n is exactly an
+    // integer the double product can round UP one ulp and over-ceil,
+    // pruning a pair sitting exactly at the threshold.
     val alpha = ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold))
       - lit(1e-9))
     val overlapBound = lit(1)
@@ -100,17 +110,44 @@ object Dedup {
       .plus(least(col("a.n") - col("a.p"), col("b.n") - col("b.p")))
     val candidates = a.join(b,
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
-          && ceil(greatest(col("a.n"), col("b.n")) * threshold)
+          && ceil(greatest(col("a.n"), col("b.n")) * threshold - lit(1e-9))
              <= least(col("a.n"), col("b.n"))
           && overlapBound >= alpha)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    candidates
-      .join(sets.select(col("doc_id").as("i"), col("shset").as("si")), Seq("i"))
-      .join(sets.select(col("doc_id").as("j"), col("shset").as("sj")), Seq("j"))
-      .withColumn("c", size(array_intersect(col("si"), col("sj"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = verifyJaccard(candidates, sets, threshold).localCheckpoint()
+    prefixes.unpersist(false)
+    candidates.unpersist(false)
+    out
+  }
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs WITHOUT
+    * shipping full shingle arrays: filter the exploded token table down
+    * to docs that appear in some candidate pair (at scale: candidate
+    * docs ≪ corpus), then count common tokens per pair row-wise — the
+    * shuffle carries 8-byte longs, never arrays. Inner joins are safe
+    * whenever candidates share ≥ 1 token (true for prefix- and
+    * band-generated candidates): zero-overlap pairs cannot pass any
+    * threshold > 0 anyway. */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val tokens = sets.select(col("doc_id"), explode(col("shset")).as("s"))
+    val candDocs = candidates.select(col("i").as("doc_id"))
+      .union(candidates.select(col("j").as("doc_id")))
+      .distinct()
+    val candTok = tokens.join(candDocs, Seq("doc_id"))
+    val overlap = candidates
+      .join(candTok.select(col("doc_id").as("i"), col("s")), Seq("i"))
+      .join(candTok.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = sets.select(col("doc_id"), size(col("shset")).as("nsz"))
+    overlap
+      .join(sizes.select(col("doc_id").as("i"), col("nsz").as("ni")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("nsz").as("nj")), Seq("j"))
       .withColumn("jaccard", col("c").cast(DoubleType) /
-        (size(col("si")) + size(col("sj")) - col("c")))
+        (col("ni") + col("nj") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
@@ -129,9 +166,25 @@ object Dedup {
     * collisions (~n²/2⁶⁵ — negligible at any realistic corpus). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
+    shingleSetsFromTokens(tokenize(df, idCol, textCol), k)
+
+  /** One (doc_id, toks) tokenization pass, repartitioned BEFORE the
+    * regex tokenization (a small parquet arrives as one split — without
+    * this the whole tokenization runs on one core). Shared upstream of
+    * shingling (d2/d3) AND SimHash (d4): persist the returned frame
+    * when feeding several operators — the caller owns that persist's
+    * lifecycle. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"),
-        array_distinct(transform(shingles(col(textCol), k),
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+
+  /** Shingle sets from a (doc_id, toks) frame. The returned frame is
+    * persisted (candidate generation and verification both traverse
+    * it) — the caller owns the persist's lifecycle (unpersist or let
+    * the session end). */
+  def shingleSetsFromTokens(tokens: DataFrame, k: Int): DataFrame =
+    tokens.select(col("doc_id"),
+        array_distinct(transform(shinglesOfTokens(col("toks"), k),
           s => xxhash64(s))).as("shset"))
       .filter(size(col("shset")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -193,8 +246,9 @@ object Dedup {
       threshold: Double): DataFrame = {
     val r = numHashes / bands
     val sig = minHashFromSets(sets, numHashes)
-    // persisted: self-joined below (signature aggregation would
-    // otherwise run once per join side)
+    // persisted: self-joined below (the signature aggregation would
+    // otherwise run once per join side). Scoped — unpersisted after the
+    // eager pair materialization below.
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",",
@@ -206,26 +260,27 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    // verify candidates with exact set jaccard (no false positives)
-    val verified = candidates
-      .join(sets.select(col("doc_id").as("i"), col("shset").as("si")), Seq("i"))
-      .join(sets.select(col("doc_id").as("j"), col("shset").as("sj")), Seq("j"))
-      .withColumn("jaccard",
-        size(array_intersect(col("si"), col("sj"))).cast(DoubleType) /
-          size(array_union(col("si"), col("sj"))))
-      .filter(col("jaccard") >= threshold)
-    verified.select(col("i"), col("j"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify candidates with exact set jaccard (no false positives);
+    // token-count verify — no full-array shuffles
+    val out = verifyJaccard(candidates, sets, threshold).localCheckpoint()
+    banded.unpersist(false)
+    candidates.unpersist(false)
+    out
   }
 
   /** 64-bit SimHash per document: sum ±1 per bit over xxhash64 token
     * hashes, sign → bit. Explode token hashes once, then ONE hash
     * aggregate with 64 bit-sums (map-side combinable) — never
     * re-tokenizes per bit. Output: (doc_id, sh bigint). */
-  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("t"))
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashesFromTokens(tokenize(df, idCol, textCol))
+
+  /** SimHashes from a (doc_id, toks) frame — shares the token pass
+    * with shingling when the caller persists `tokenize`'s output. */
+  def simHashesFromTokens(tokens: DataFrame): DataFrame = {
+    val exploded = tokens
+      .select(col("doc_id"), explode(col("toks")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val sums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
@@ -247,15 +302,29 @@ object Dedup {
     * (chunk index, chunk value) keeps the join linear. For maxDist > 3
     * the guarantee needs more/smaller chunks — callers pick. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val sh = simHashes(df, idCol, textCol)
+      maxDist: Int = 3): DataFrame =
+    simHashPairsFromTokens(tokenize(df, idCol, textCol), maxDist)
+
+  /** SimHash pairs over a pre-built (doc_id, toks) frame (shared
+    * persisted token pass). */
+  def simHashPairsFromTokens(tokens: DataFrame,
+      maxDist: Int): DataFrame = {
+    val sh = simHashesFromTokens(tokens)
     // persisted: self-joined below (the 64-bit-sum aggregation would
-    // otherwise run once per join side)
+    // otherwise run once per join side). Scoped — unpersisted after the
+    // eager pair materialization below.
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = simHashCandidatePairs(chunked).localCheckpoint()
+    chunked.unpersist(false)
+    out.filter(col("dist") <= maxDist)
+  }
+
+  /** All chunk-colliding (i, j) pairs with their hamming distance. */
+  private def simHashCandidatePairs(chunked: DataFrame): DataFrame = {
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk")
         && col("a.cv") === col("b.cv")
@@ -263,6 +332,5 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         hamming(col("a.sh"), col("b.sh")).as("dist"))
       .distinct()
-      .filter(col("dist") <= maxDist)
   }
 }

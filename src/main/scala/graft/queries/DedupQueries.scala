@@ -15,13 +15,31 @@ import graft.operators.Dedup
   */
 object DedupQueries {
 
-  /** One persisted shingle pass per (session, dir), shared by d2 and d3 —
-    * tokenization + set-building is the dominant common cost. */
-  private val setsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  /** One persisted token pass per (session, dir), shared by d2/d3
+    * (shingle sets) and d4 (SimHash) — tokenization is the dominant
+    * common cost. Keyed by the SparkSession OBJECT (identity hashes can
+    * collide between a live and a stopped session); entries owned by
+    * stopped sessions are pruned on access so the map never serves a
+    * DataFrame bound to a dead session and never grows without bound.
+    * Note: the cache assumes `dir`'s data is immutable for the session's
+    * lifetime (true for the harness fixtures). */
+  private val passCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def sharedPass(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    passCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped
+    }
+    passCache.getOrElseUpdate((s, dir), {
+      val toks = Dedup.tokenize(Tables(s, dir, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (toks, Dedup.shingleSetsFromTokens(toks, k = 3))
+    })
+  }
+  private def sharedTokens(s: SparkSession, dir: String): DataFrame =
+    sharedPass(s, dir)._1
   private def sharedSets(s: SparkSession, dir: String): DataFrame =
-    setsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      Dedup.shingleSets(Tables(s, dir, "documents"), "doc_id", "text", k = 3))
+    sharedPass(s, dir)._2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup via normalized-text fingerprint
@@ -44,10 +62,10 @@ object DedupQueries {
         .orderBy(col("i"), col("j"))
     }),
 
-    // SimHash near-dup pairs, hamming ≤ 3 (rows-only check)
+    // SimHash near-dup pairs, hamming ≤ 3 (rows-only check); shares the
+    // persisted token pass with d2/d3
     "d4_simhash" -> ((s, dir) => {
-      Dedup.simHashPairs(Tables(s, dir, "documents"), "doc_id", "text",
-          maxDist = 3)
+      Dedup.simHashPairsFromTokens(sharedTokens(s, dir), maxDist = 3)
         .orderBy(col("i"), col("j"))
     })
   )

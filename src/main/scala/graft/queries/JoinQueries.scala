@@ -111,10 +111,14 @@ object JoinQueries {
     }),
 
     // Anti-join (beyond reference — completes the membership family):
-    // customers that never ordered
+    // customers with no large order. The >300000 filter keeps the result
+    // non-empty at every scale factor (an anti-join against ALL orders is
+    // vacuously empty in this data), so the gate exercises real anti-join
+    // semantics.
     "j8_anti" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
-      val o = Tables(s, dir, "orders").select(col("o_custkey"))
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -240,7 +244,8 @@ object JoinQueries {
 
     "j8_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.operators.Similarity
@@ -24,11 +25,23 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // embedding cosine near-duplicate pairs, threshold 0.99
+    // embedding cosine near-duplicate pairs, threshold 0.99. The raw
+    // synthetic embeddings are near-random (max pairwise cosine ≈ 0.46),
+    // so the fixture PLANTS deterministic near-duplicates: each vector is
+    // unioned with a perturbed copy (id + 10000, x → x + 0.02·x²,
+    // add/multiply-only double arithmetic that DuckDB reproduces
+    // bit-for-bit; cosine(original, copy) ≈ 0.99998). The expected
+    // output is exactly the 300 planted pairs — a non-vacuous gate for
+    // the banded-LSH candidate + exact-verify plan.
     "s2_cosine_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(
-          Tables(s, dir, "embeddings").filter(col("vec_id") < 300),
-          "vec_id", "embedding", threshold = 0.99)
+      val base = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val perturbed = base.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.02) * x * x)
+          .as("embedding"))
+      Similarity.cosineNearDupPairs(base.unionAll(perturbed),
+          "vec_id", "embedding", threshold = 0.99, dim = 64)
         .orderBy(col("i"), col("j"))
     }),
 
@@ -41,11 +54,14 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF (k-means cells + nprobe) ANN top-5 (rows-only; recall in ScalaTest)
+    // IVF (k-means cells + nprobe) ANN top-5 (rows-only; recall in
+    // ScalaTest). maxIter = 4 explicitly: a COARSE quantizer is enough
+    // here and k-means fit dominates this query's wall-clock — the
+    // operator default stays at 10.
     "s4_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
-          nlist = 16, nprobe = 4)
+          nlist = 16, nprobe = 4, maxIter = 4)
         .filter(col("query_id") < 10)
         .orderBy(col("query_id"), col("rank"))
     })
@@ -72,10 +88,19 @@ object SimilarityQueries {
         |WHERE rank <= 5 ORDER BY query_id, rank""").stripMargin,
 
     "s2_cosine_neardup" ->
-      (s"""SELECT a.vec_id AS i, b.vec_id AS j, $cosSql AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id < 300 AND b.vec_id < 300
-        |  AND $cosSql >= 0.99
-        |ORDER BY i, j""").stripMargin
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id < 300),
+        |allv AS (SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(v, x -> x + 0.02*x*x) FROM base)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |  list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+        |ORDER BY i, j""".stripMargin
   )
 }

@@ -97,6 +97,35 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("banded-LSH near-dup pairs equal naive all-pairs (planted dups)") {
+    import org.apache.spark.sql.types._
+    // plant near-duplicates: perturbed copy of every vector (same
+    // construction as the s2 harness query)
+    val base = emb.filter(col("vec_id") < 300)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    val perturbed = base.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.02) * x * x).as("embedding"))
+    val all = base.unionAll(perturbed)
+    val naive = {
+      val a = all.select(col("vec_id").as("i"), col("embedding").as("va"))
+      val b = all.select(col("vec_id").as("j"), col("embedding").as("vb"))
+      a.join(b, col("i") < col("j"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.99)
+        .select("i", "j", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    }
+    val banded = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+        threshold = 0.99, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(naive.size == 300, s"expected 300 planted pairs, got ${naive.size}")
+    assert(banded == naive,
+      s"missed=${naive -- banded} extra=${banded -- naive}")
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = emb.limit(1).select(col("embedding").as("va"))
     val row = a.select(Similarity.cosine(col("va"), col("va"))).first()

@@ -123,6 +123,26 @@ class TransformSpec extends SparkSpec {
     checkFill("ffill", "ca_filled_ffill")
   }
 
+  test("MissingValuesDropper skips UDT columns (transform.py:322-329)") {
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.sql.functions.col
+    // mid-pipeline shape: an assembled VectorUDT column with nulls must
+    // pass through na.drop untouched; only the scalar column drops rows
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(java.lang.Double.valueOf(1.0), Vectors.dense(1.0, 2.0)),
+        Row(java.lang.Double.valueOf(2.0), null),
+        Row(null, Vectors.dense(3.0, 4.0)))),
+      StructType(Seq(
+        StructField("ca", DoubleType, nullable = true),
+        StructField("features", org.apache.spark.ml.linalg.SQLDataTypes
+          .VectorType, nullable = true))))
+    val out = new MissingValuesDropper(Seq("ca", "features")).transform(df)
+    // the null-vector row survives (UDT skipped); the null-ca row drops
+    assert(out.count() == 2)
+    assert(out.filter(col("features").isNull).count() == 1)
+  }
+
   test("TargetVariable labels failure within n months, null→0") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
