@@ -27,6 +27,7 @@ object Extracts {
     * encaissé, dû). Output: (siren, période, cotisation).
     */
   def cotisation(raw: DataFrame, minDate: String = "2014-01-01",
+      maxDate: Option[String] = None,
       fillDefaults: Map[String, Any] = Map("cotisation" -> 0.0)): DataFrame = {
     val windowed = raw
       .na.drop(Seq("fenêtre"))
@@ -36,10 +37,17 @@ object Extracts {
       .withColumn("siren", ColumnOps.siretToSiren(col("siret")))
       .withColumn("cotisation_appelée_par_mois",
         col("dû") / months_between(col("date_fin"), col("date_début")))
-    // période ∈ [date_début, date_fin - 1 day], monthly — explode, no join
-    val monthly = TimeOps.explodeInterval(windowed, "date_début", "date_fin",
+    // période ∈ [date_début, date_fin - 1 day], monthly. With a known
+    // global bound the broadcast-spine range join wins (ScaleProbe:
+    // ~3.5× over sequence+explode, whose per-element calendar arithmetic
+    // dominates); without one, fall back to the per-row explode.
+    val monthly = (maxDate match {
+      case Some(mx) => TimeOps.explodeIntervalViaSpine(windowed,
+        "date_début", "date_fin", spineStart = minDate, spineEnd = mx,
         outCol = "période", endExclusive = true)
-      .filter(col("période") >= lit(minDate))
+      case None => TimeOps.explodeInterval(windowed, "date_début",
+        "date_fin", outCol = "période", endExclusive = true)
+    }).filter(col("période") >= lit(minDate))
     monthly.groupBy(col("siren"), col("période"))
       .agg(sum(col("cotisation_appelée_par_mois")).as("cotisation"))
       .na.fill(fillDefaults.filter(_._1 == "cotisation"))
@@ -59,17 +67,16 @@ object Extracts {
       maxDate: String): DataFrame = {
     val withSiren = raw.withColumn("siren", ColumnOps.siretToSiren(col("siret")))
       .withColumn("date_traitement_d", to_date(col("date_traitement")))
-      .withColumn("__d0",
-        greatest(date_trunc("month", col("date_traitement_d")).cast(DateType),
-          lit(minDate).cast(DateType)))
+    // one-sided interval (each debt visible from its treatment date on)
+    // against a broadcast month spine: the codegen'd broadcast join beats
+    // per-row sequence+explode (ScaleProbe ~3.5×), and a month-start m
+    // satisfies m >= date_traitement exactly when m is on/after the first
+    // spine month >= date_traitement — the reference's visibility rule.
+    val spine = broadcast(
+      TimeOps.dateSpine(raw.sparkSession, minDate, maxDate))
     val monthly = withSiren
       .filter(col("date_traitement_d") <= lit(maxDate))
-      .withColumn("période", explode(sequence(
-        // first spine month >= date_traitement
-        when(col("__d0") >= col("date_traitement_d"), col("__d0"))
-          .otherwise(add_months(col("__d0"), 1)),
-        lit(maxDate).cast(DateType), expr("interval 1 month"))))
-      .drop("__d0")
+      .join(spine, col("période") >= col("date_traitement_d"))
     val latest = TimeOps.latestRevision(monthly,
       Seq("numéro_compte", "numéro_écart_négatif", "période",
         "période_cotisation"),

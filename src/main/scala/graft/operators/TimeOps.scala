@@ -140,7 +140,14 @@ object TimeOps {
     * broadcast join is ~3.5× faster than sequence+explode, whose
     * per-element calendar arithmetic dominates. Use this form when the
     * global spine bounds are known; `explodeInterval` when they are not
-    * (per-row unbounded ranges can't broadcast a spine). */
+    * (per-row unbounded ranges can't broadcast a spine).
+    *
+    * Drop-in equivalent to `explodeInterval` (the start bound is
+    * month-truncated, so the month CONTAINING startCol is included)
+    * provided `spineStart` is a month boundary ≤ every trunc(start) and
+    * `spineEnd` ≥ every end date. Intervals outside the spine are
+    * silently clipped — that's the point when a global [min, max) window
+    * bounds the analysis anyway. */
   def explodeIntervalViaSpine(df: DataFrame, startCol: String,
       endCol: String, spineStart: String, spineEnd: String,
       outCol: String = "période", endExclusive: Boolean = false): DataFrame = {
@@ -149,7 +156,8 @@ object TimeOps {
       colName = outCol))
     val endExpr =
       if (endExclusive) date_sub(col(endCol), 1) else col(endCol)
-    df.join(spine, col(outCol).between(col(startCol), endExpr), "inner")
+    df.join(spine, col(outCol).between(
+      date_trunc("month", col(startCol)).cast(DateType), endExpr), "inner")
   }
 
   /** Merge overlapping/adjacent [startCol, endCol] intervals per entity —

@@ -38,6 +38,30 @@ class EtlSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(2) - 150.0) < 1e-9))
   }
 
+  test("cotisation: spine-join path (bounded) equals explode path") {
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("12345678900011", "c1",
+          "2018-01-01T00:00:00-2018-04-01T00:00:00", 250.0, 300.0),
+        // mid-month start: the month CONTAINING the start must be kept
+        Row("12345678900022", "c2",
+          "2018-02-14T00:00:00-2018-05-20T00:00:00", 100.0, 150.0),
+        Row("98765432100011", "c3",
+          "2017-11-03T00:00:00-2018-02-01T00:00:00", 10.0, 20.0))),
+      StructType(Seq(
+        StructField("siret", StringType, nullable = false),
+        StructField("numéro_compte", StringType, nullable = true),
+        StructField("fenêtre", StringType, nullable = true),
+        StructField("encaissé", DoubleType, nullable = true),
+        StructField("dû", DoubleType, nullable = true))))
+    val viaExplode = Extracts.cotisation(raw)
+      .orderBy("siren", "période").collect()
+    val viaSpine = Extracts.cotisation(raw, maxDate = Some("2018-12-01"))
+      .orderBy("siren", "période").collect()
+    assert(viaExplode.nonEmpty)
+    assert(viaSpine.map(_.toSeq).toSeq == viaExplode.map(_.toSeq).toSeq)
+  }
+
   test("debit: latest revision kept, visible from treatment month on") {
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
