@@ -112,12 +112,14 @@ object Explain {
     * on the driver from a ≤ `nTrainSample`-row moment estimate
     * (reference default 5000); per-row explanation is then a distributed
     * matvec: φ(x) = T·x + c. Local accuracy is exact for every sampled
-    * ordering (the A_S chain telescopes), so bias + Σφ = w·x + b always.
+    * ordering (the A_S chain telescopes), so bias + Σφ = w·x + b whenever
+    * the sampled Σ is full-rank (needs ≥ d moment rows; a rank-deficient
+    * Σ makes Σ·pinv(Σ) a projection, not I, and the chain leaks).
     */
   def correlationDependentLinearShap(model: LogisticRegressionModel,
       df: DataFrame, featuresCol: String = "features",
       nTrainSample: Int = 5000, nOrderings: Int = 128,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, matvecCodegenMaxDim: Int = 32): DataFrame = {
     import breeze.linalg.{pinv, DenseMatrix => BDM, DenseVector => BDV}
 
     val w = model.coefficients.toArray
@@ -169,11 +171,40 @@ object Explain {
     val cVec = -(tAcc * mu)
 
     val expected = model.intercept + wVec.t * mu
-    val x = vector_to_array(col(featuresCol))
-    val contribs = array((0 until d).map { i =>
-      (0 until d).map(j => lit(tAcc(i, j)) * x(j)).reduce(_ + _) +
-        lit(cVec(i))
-    }: _*)
+    // φ(x) = T·x + c. Two physical plans for the matvec:
+    //  - d ≤ matvecCodegenMaxDim: d² literal terms as Column expressions —
+    //    stays inside whole-stage codegen, fastest at the reference's
+    //    feature counts;
+    //  - wide d: d² literals make Janino-compiled methods blow past the
+    //    JIT/codegen limits, so broadcast T (one copy per executor, not
+    //    per task) and run a tight primitive loop per row instead.
+    val contribs =
+      if (d <= matvecCodegenMaxDim) {
+        val x = vector_to_array(col(featuresCol))
+        array((0 until d).map { i =>
+          (0 until d).map(j => lit(tAcc(i, j)) * x(j)).reduce(_ + _) +
+            lit(cVec(i))
+        }: _*)
+      } else {
+        val sc = df.sparkSession.sparkContext
+        // breeze DenseMatrix.toArray is column-major: (i, j) = t(j*d + i)
+        val tB = sc.broadcast(tAcc.toArray)
+        val cB = sc.broadcast(cVec.toArray)
+        val mv = udf { (v: Vector) =>
+          val xa = v.toArray
+          val t = tB.value; val cc = cB.value
+          val out = cc.clone()
+          var j = 0
+          while (j < d) {
+            val xj = xa(j); val base = j * d
+            var i = 0
+            while (i < d) { out(i) += t(base + i) * xj; i += 1 }
+            j += 1
+          }
+          out.toSeq
+        }
+        mv(col(featuresCol))
+      }
     df.withColumn("shap", contribs)
       .withColumn("expected_value", lit(expected))
   }

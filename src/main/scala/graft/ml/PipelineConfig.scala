@@ -22,11 +22,23 @@ case class PipelineConfig(raw: Map[String, Any]) {
   def fillDefaultValues: Map[String, Any] = section("fill_default_values")
   def fillImputationStrategy: Map[String, String] =
     section("fill_imputation_strategy").map { case (k, v) => k -> v.toString }
-  def featuresTransformers: Map[String, Seq[String]] =
-    section("features_transformers").map {
+  /** Per-feature transformer chains, with the reference's time-aggregate
+    * duplication (configuration/__init__.py:295-310): every
+    * `{variable}_{operation}{n}m` produced by `time_aggregation` inherits
+    * the base variable's transformers — except `diff` variables, which
+    * the reference deliberately leaves out. */
+  def featuresTransformers: Map[String, Seq[String]] = {
+    val base = section("features_transformers").map {
       case (k, v: Seq[_]) => k -> v.map(_.toString)
       case (k, v) => k -> Seq(v.toString)
     }
+    val timeAgg = for {
+      (op, feats) <- timeAggregation if op != "diff"
+      (feat, months) <- feats if base.contains(feat)
+      n <- months
+    } yield s"${feat}_$op${n}m" -> base(feat)
+    base ++ timeAgg
+  }
   def ordinalEncodingBins: Map[String, Seq[Seq[Any]]] =
     section("ordinal_encoding_bins").map {
       case (k, v: Seq[_]) => k -> v.map {
@@ -129,6 +141,15 @@ object PipelineConfig {
 
   def fromJson(json: String): PipelineConfig =
     PipelineConfig(mapper.readValue(json, classOf[Map[String, Any]]))
+
+  /** CLI-style overrides: highest-precedence source in the reference's
+    * resolution order — dataclass defaults < config file < CLI args
+    * (configuration/__init__.py:251-258, 267-275). Top-level keys
+    * replace wholesale, as `dict.update` does. */
+  implicit class ConfigOps(private val c: PipelineConfig) extends AnyVal {
+    def withOverrides(cli: Map[String, Any]): PipelineConfig =
+      PipelineConfig(c.raw ++ cli)
+  }
 
   def fromFile(path: String): PipelineConfig =
     fromJson(new String(java.nio.file.Files.readAllBytes(

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * resize / frame-sampling run as batched per-partition operators.
   *
   * The Spark-side plumbing — schema, partitioning, batch iteration,
-  * output shape — is real and tested. The codec step itself is a
-  * clearly-marked DETERMINISTIC FAKE (`fakeDecode`): this container has
-  * no image/audio libraries, so the "decoder" derives pixel statistics
-  * from a hash of the payload. Swapping in a real codec is a one-function
-  * change inside `decodeBatch`.
+  * output shape — is real and tested. Image payloads (PNG/JPEG/GIF/BMP —
+  * whatever the JDK's `javax.imageio` registry reads) decode to REAL
+  * pixel statistics (`imageDecode`); payloads no installed reader
+  * understands (audio/video — no codec ships in the JDK) fall back to a
+  * clearly-marked DETERMINISTIC FAKE (`fakeDecode`) that derives stable
+  * pseudo-features from a hash of the bytes, keeping the plumbing fully
+  * exercisable. Swapping in an av codec is a one-function change inside
+  * `decodeBatch`.
   */
 object Multimodal {
 
@@ -39,12 +42,12 @@ object Multimodal {
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")).as("meta"))
 
-  /** DETERMINISTIC FAKE decode: stands in for an image codec. Derives a
+  /** DETERMINISTIC FAKE decode — the fallback for payloads no installed
+    * reader understands (audio/video; garbage bytes). Derives a
     * fixed-length feature vector from the payload bytes (xxhash-style
     * mixing), so results are stable across runs/executors and the
-    * downstream plumbing is fully exercisable. Replace with a real codec
-    * (e.g. javax.imageio / ffmpeg bindings) in `decodeBatch`. */
-  private[operators] def fakeDecode(payload: Array[Byte],
+    * downstream plumbing is fully exercisable. */
+  private[graft] def fakeDecode(payload: Array[Byte],
       dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 0x9E3779B97F4A7C15L
@@ -64,14 +67,72 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (no external
+    * dependency): parses the payload with a memory-backed stream (never
+    * ImageIO's global disk cache), then extracts a `dim`-length feature
+    * vector of actual pixel statistics —
+    *   [0..2]   mean R, G, B in [0, 1]
+    *   [3..dim) normalized luminance histogram (BT.601 luma, `dim - 3`
+    *            equal-width bins over [0, 256))
+    * Returns None when no registered reader understands the bytes (then
+    * callers fall back to `fakeDecode`). */
+  private[graft] def imageDecode(payload: Array[Byte],
+      dim: Int): Option[Array[Float]] = {
+    if (payload == null || payload.length == 0) return None
+    val img =
+      try {
+        // ImageIO.read(ImageInputStream) closes the stream itself (per its
+        // contract) — closing again throws IOException("closed").
+        javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload)))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val out = new Array[Float](dim)
+    val bins = dim - 3
+    val hist = new Array[Long](math.max(bins, 1))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < rgb.length) {
+      val p = rgb(i)
+      val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+      sr += r; sg += g; sb += b
+      if (bins > 0) {
+        // BT.601 integer luma in [0, 255]
+        val y = (299 * r + 587 * g + 114 * b) / 1000
+        hist(y * bins / 256) += 1L
+      }
+      i += 1
+    }
+    val n = w.toLong * h
+    if (dim > 0) out(0) = (sr.toDouble / (255.0 * n)).toFloat
+    if (dim > 1) out(1) = (sg.toDouble / (255.0 * n)).toFloat
+    if (dim > 2) out(2) = (sb.toDouble / (255.0 * n)).toFloat
+    var j = 0
+    while (j < bins) {
+      out(j + 3) = (hist(j).toDouble / n).toFloat
+      j += 1
+    }
+    Some(out)
+  }
+
+  /** Codec dispatch: real image decode when a JDK reader accepts the
+    * bytes, deterministic fake features otherwise. */
+  private[graft] def decode(payload: Array[Byte], dim: Int): Array[Float] =
+    imageDecode(payload, dim).getOrElse(fakeDecode(payload, dim))
+
   private case class MediaFeatures(media_id: Long, feature: Array[Float],
     n_bytes: Int)
 
   /** Batched per-partition decode + feature extraction: the Scala
     * analogue of a pandas `mapInPandas` decode — rows stream through the
-    * partition iterator, the (fake) codec runs once per payload, output
-    * is (media_id, feature array, n_bytes). No shuffle; scales linearly
-    * with input splits. */
+    * partition iterator, the codec runs once per payload (real pixels
+    * for image formats, hash-fake otherwise), output is (media_id,
+    * feature array, n_bytes). No shuffle; scales linearly with input
+    * splits. */
   def decodeBatch(media: DataFrame, dim: Int = 16): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
@@ -82,7 +143,7 @@ object Multimodal {
           case b: Array[Byte] => b
           case _ => null
         }
-        MediaFeatures(r.getLong(idIdx), fakeDecode(payload, dim),
+        MediaFeatures(r.getLong(idIdx), decode(payload, dim),
           if (payload == null) 0 else payload.length)
       }
     }.toDF()

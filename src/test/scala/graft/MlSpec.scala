@@ -192,4 +192,54 @@ class MlSpec extends SparkSpec {
           assert(math.abs(x - y) < 0.15, s"$x vs $y") }
       }
   }
+
+  test("correlation-dependent SHAP wide-d broadcast matvec: equals the " +
+      "codegen path and stays locally accurate at d=200") {
+    import org.apache.spark.ml.linalg.Vectors
+    def fitAndProbe(d: Int, n: Int) = {
+      val rng = new Random(7)
+      val data = (0 until n).map { _ =>
+        val x = Array.fill(d)(rng.nextGaussian())
+        (Vectors.dense(x), if (x.sum > 0) 1.0 else 0.0)
+      }
+      val df = spark.createDataFrame(data).toDF("features", "label")
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(5).fit(df)
+      // moments must come from n ≥ d rows: a rank-deficient Σ breaks the
+      // conditional-expectation telescoping (Σ·pinv(Σ) ≠ I)
+      (lr, df)
+    }
+
+    // d=40 (> default threshold 32): broadcast-UDF path must equal the
+    // d²-literal codegen path (same seed → same T, c)
+    val (lr40, probe40) = fitAndProbe(40, 300)
+    val viaBroadcast = Explain.correlationDependentLinearShap(lr40, probe40,
+        nTrainSample = 300, nOrderings = 4)
+      .limit(10).select("shap").collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0))
+    val viaCodegen = Explain.correlationDependentLinearShap(lr40, probe40,
+        nTrainSample = 300, nOrderings = 4, matvecCodegenMaxDim = 1000)
+      .limit(10).select("shap").collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0))
+    viaBroadcast.zip(viaCodegen).foreach { case (b, c) =>
+      b.zip(c).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+    }
+
+    // d=200: the literal path would emit 40k codegen terms; the broadcast
+    // path must complete and satisfy exact local accuracy
+    val (lr200, probe200) = fitAndProbe(200, 300)
+    val wide = Explain.correlationDependentLinearShap(lr200, probe200,
+        nTrainSample = 300, nOrderings = 2)
+      .limit(10).select("shap", "expected_value", "features").collect()
+    assert(wide.length == 10)
+    wide.foreach { r =>
+      val phi = r.getAs[scala.collection.Seq[Double]](0)
+      val margin = lr200.coefficients.toArray
+        .zip(r.getAs[org.apache.spark.ml.linalg.Vector](2).toArray)
+        .map { case (w, x) => w * x }.sum + lr200.intercept
+      assert(math.abs(phi.sum + r.getDouble(1) - margin) < 1e-6,
+        s"local accuracy: ${phi.sum + r.getDouble(1)} vs $margin")
+    }
+  }
 }

@@ -31,6 +31,41 @@ class MultimodalStreamingSpec extends SparkSpec {
       again.map(_.getAs[scala.collection.Seq[Float]]("feature")).toSeq)
   }
 
+  test("multimodal: real PNG decodes to actual pixel statistics") {
+    import spark.implicits._
+    // 16×16 PNG, left half pure red, right half pure white, written with
+    // the same javax.imageio the codec reads with
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, if (x < 8) 0xFF0000 else 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val garbage = "not-an-image".getBytes("UTF-8")
+    val media = Multimodal.asMedia(
+      Seq((1L, png()), (2L, garbage)).toDF("id", "bytes"),
+      "id", "bytes", "image/png")
+    val rows = Multimodal.decodeBatch(media, dim = 11)
+      .orderBy("media_id").collect()
+    val f = rows(0).getAs[scala.collection.Seq[Float]]("feature")
+    // mean R = 1.0 (red and white both have R=255); mean G = mean B = 0.5
+    assert(math.abs(f(0) - 1.0f) < 1e-6)
+    assert(math.abs(f(1) - 0.5f) < 1e-6)
+    assert(math.abs(f(2) - 0.5f) < 1e-6)
+    // luminance histogram (8 bins): red luma 76 → bin 2, white 255 → bin 7,
+    // half the pixels each
+    assert(math.abs(f(3 + 2) - 0.5f) < 1e-6)
+    assert(math.abs(f(3 + 7) - 0.5f) < 1e-6)
+    assert(math.abs(f.sum - (1.0f + 0.5f + 0.5f + 1.0f)) < 1e-5)
+    // non-image payload falls back to the deterministic fake
+    val g = rows(1).getAs[scala.collection.Seq[Float]]("feature")
+    assert(g.toArray.toSeq ==
+      graft.operators.Multimodal.fakeDecode(garbage, 11).toSeq)
+  }
+
   test("multimodal: frame sampling emits one row per sampled frame") {
     import spark.implicits._
     val media = Multimodal.asMedia(
