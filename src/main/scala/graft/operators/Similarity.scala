@@ -76,10 +76,13 @@ object Similarity {
     * broadcast brute-force stops fitting. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, planes: Int = 8, tables: Int = 8): DataFrame = {
-    // persisted: read once to bucket ids, twice more to re-attach vectors
-    // to the deduplicated candidate id pairs
+    // persisted AND materialized eagerly: read once to bucket ids, twice
+    // more to re-attach vectors to the deduplicated candidate id pairs —
+    // an unmaterialized cached plan scanned several times within one job
+    // races its own cache fill and recomputes per scan
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
     val sigs = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshSignature(col("v"), dim, planes, t).as("b")))
     // bucket IDS ONLY: the band self-join and the duplicate-collision
@@ -121,22 +124,51 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42,
       maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-    // persist the assembled vectors across the k-means|| init rounds and
-    // Lloyd iterations (ml.KMeans re-evaluates its input per job); a few
-    // iterations suffice for a COARSE quantizer — cell quality only
-    // shifts recall marginally while nprobe multi-probing compensates
-    val vecs = base.withColumn("fv", array_to_vector(col("v")))
+    val centroids = fitIvfCentroids(base, "v", nlist, seed, maxIter)
+    ivfTopKWithCentroids(df, idCol, vecCol, k, centroids, nprobe)
+  }
+
+  /** Fit the IVF coarse quantizer (k-means centroids) on a BOUNDED
+    * sample of the corpus: a coarse quantizer's cell quality barely
+    * moves past ~10k points per cell, while `KMeans.fit` over the full
+    * corpus scans everything once per init round + Lloyd iteration — at
+    * 100 TB that is the difference between a bounded driver-side-ish fit
+    * and dozens of full-corpus passes. `fitSampleRows` bounds the
+    * expected sample size; the quantizer is deterministic given (seed,
+    * corpus). Returns the centroids so callers can CACHE the fitted
+    * quantizer across queries on the same corpus. */
+  def fitIvfCentroids(df: DataFrame, vecCol: String, nlist: Int,
+      seed: Long = 42, maxIter: Int = 10,
+      fitSampleRows: Long = 100000): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // persist + materialize the assembled vectors across the k-means||
+    // init rounds and Lloyd iterations (ml.KMeans re-evaluates its input
+    // per job)
+    val vecs = df
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = vecs.count()
+    val sampled = if (n > fitSampleRows)
+      vecs.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+    else vecs
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
       .setMaxIter(maxIter)
-    val model = km.fit(vecs)
+    val model = km.fit(sampled)
     vecs.unpersist()
-    val centroids = model.clusterCenters.map(_.toArray)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF probe/rerank against an already-fitted coarse quantizer —
+    * the serving path when the quantizer is cached per corpus. */
+  def ivfTopKWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val nlist = centroids.length
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
 
     // distance of a vector column to each centroid (squared L2)
     def dist2(c: Array[Double]): Column = {
@@ -170,25 +202,74 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
   }
 
+  /** (planes, tables) sized so a pair sitting EXACTLY at `threshold`
+    * is missed with probability ≤ targetMiss; pairs above the threshold
+    * miss even less.
+    *
+    * Planes are sized from the CORPUS size: unrelated high-dimensional
+    * vectors are near-orthogonal (per-plane agreement ≈ 1/2), so one
+    * table yields ~n²/2^planes random candidate pairs — planes ≈
+    * log₂(n/4) keeps that linear in n. Tables then follow from the miss
+    * budget at the threshold angle θ (per-plane agreement 1-θ/π):
+    * (1 - (1-θ/π)^planes)^tables ≤ targetMiss. Fixed parameters only
+    * bound the miss rate for the angle they were sized for — e.g. 8/8
+    * is ~1e-15 at cosine 0.9999 but ~6% at 0.9. */
+  def lshParamsFor(threshold: Double, n: Long,
+      targetMiss: Double = 1e-6): (Int, Int) = {
+    val t = math.max(-0.999, math.min(0.999, threshold))
+    val pCol = 1.0 - math.acos(t) / math.Pi
+    val planes = math.max(4, math.min(20,
+      math.ceil(math.log(math.max(16.0, n.toDouble / 4)) / math.log(2.0)).toInt))
+    val p1 = math.pow(pCol, planes.toDouble)
+    val tables = math.max(2, math.min(64,
+      math.ceil(math.log(targetMiss) / math.log1p(-p1)).toInt))
+    (planes, tables)
+  }
+
+  /** Exact embedding near-duplicate pairs — the O(n²) brute-force path,
+    * selectable for small corpora or thresholds too low for LSH recall
+    * to be economical. Broadcasts one side; never use beyond ~10⁵ rows.
+    */
+  def cosineNearDupPairsExact(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val a = broadcast(df.select(col(idCol).as("i"), col(vecCol).as("va")))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, i < j.
     *
     * Candidates come from banded hyperplane-LSH buckets (a pair is a
     * candidate when its bit signatures collide in ANY of `tables`
     * tables), then every candidate is verified with EXACT cosine — so
-    * the output contains no false positives, and for genuine
-    * near-duplicates (θ ≈ a few degrees at threshold ≥ 0.95) the miss
-    * probability is ~(1-(1-θ/π)^planes)^tables ≈ 1e-15 at the defaults.
-    * The plan is linear: one signature scan, one id-only bucket
-    * self-join, one candidate-sized verify join — never the O(n²)
-    * all-pairs BroadcastNestedLoopJoin a naive `i < j` theta join
+    * the output contains no false positives. With the default
+    * `planes = 0, tables = 0` both are derived from the threshold via
+    * [[lshParamsFor]], guaranteeing miss probability ≤ 1e-6 for pairs AT
+    * the threshold (fixed parameters only bound the miss rate for the
+    * angle they were sized for — e.g. 8/8 is ~1e-15 at cosine 0.9999 but
+    * ~6% at 0.9). Explicit values are honored as given. For small
+    * corpora or low thresholds [[cosineNearDupPairsExact]] stays
+    * selectable. The plan is linear: one signature scan, one id-only
+    * bucket self-join, one candidate-sized verify join — never the
+    * O(n²) all-pairs BroadcastNestedLoopJoin a naive `i < j` theta join
     * plans. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, planes: Int = 8,
-      tables: Int = 8): DataFrame = {
+      threshold: Double, dim: Int, planes: Int = 0,
+      tables: Int = 0): DataFrame = {
+    // persisted AND materialized eagerly (scanned 3×: bucketing + two
+    // vector join-backs — see lshTopK); the count doubles as the corpus
+    // size for auto parameter sizing
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshSignature(col("v"), dim, planes, t).as("b")))
+    val n = base.count()
+    val (autoP, autoT) = lshParamsFor(threshold, n)
+    val nPlanes = if (planes > 0) planes else autoP
+    val nTables = if (tables > 0) tables else autoT
+    val sigs = (0 until nTables).map(t =>
+      struct(lit(t).as("t"), lshSignature(col("v"), dim, nPlanes, t).as("b")))
     val bucketed = base
       .select(col("id"), explode(array(sigs: _*)).as("tb"))
       .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
