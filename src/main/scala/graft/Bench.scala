@@ -6,11 +6,17 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR at local[N], prints ONE JSON line with per-query
   * seconds. A warmup pass (table counts + one tiny query) runs first so
   * timings measure query execution, not JVM/codegen/session startup.
+  *
+  * Each query runs `runs` times (default 3) and reports the MEDIAN —
+  * single-run timings at this scale are noisy enough (±50%) that
+  * regressions and wins are indistinguishable from scheduler jitter.
+  * Key names in the JSON are unchanged from the single-run contract.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,23 +33,44 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     SparkEntry.queries.get("a1_agg_named").foreach(_(spark, sfDir).count())
 
+    // JSON string escape: backslash, quote, and ALL control chars —
+    // exception messages routinely contain newlines, which would break
+    // the one-line machine-parseable contract exactly when a query fails
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
     // failure-honest: a broken query records an "err" entry instead of
-    // silently benching as fast with rc 0
+    // silently benching as fast with rc 0; a failing query is not
+    // retried (its first error is the signal)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var i = 0
+      while (i < runs && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+        i += 1
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
+      (name, median, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) System.err.println(
       s"BENCH: ${results.count(_._3.isDefined)} queries FAILED: " +
         results.collect { case (k, _, Some(_)) => k }.mkString(", "))

@@ -158,13 +158,21 @@ class BinsOrdinalEncoder(inputCol: String, bins: Seq[Seq[Any]],
     case other => throw new IllegalArgumentException(s"bad bin bound $other")
   }
   override def transform(ds: Dataset[_]): DataFrame = {
-    val splits = (bins.map(b => bound(b.head)) :+ bound(bins.last(1))).toArray
+    // the reference takes np.unique over ALL flattened bounds
+    // (transform.py:160-161) — sorted distinct, not assumed-contiguous
+    val splits = bins.flatten.map(bound).distinct.sorted.toArray
     new Bucketizer()
       .setInputCol(inputCol)
       .setOutputCol(inputCol + outputSuffix)
       .setSplits(splits)
       .transform(ds)
   }
+  // declare the output column: Pipeline.fit validates every stage's
+  // schema up front, so downstream stages (e.g. the OneHotEncoder that
+  // follows in standard.json's paydex chain) must see `{col}_bin` here
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+
+      StructField(inputCol + outputSuffix, DoubleType, nullable = true))
 }
 
 /** Map-form keyed aggregator as a pipeline stage (reference

@@ -58,4 +58,85 @@ class RunnerSpec extends SparkSpec {
     val explained = Runner.explain(result, result.testScored.limit(10))
     assert(explained.columns.contains("shap"))
   }
+
+  test("reference standard.json drives the full config path end-to-end " +
+      "(configuration/standard.json + resolution order __init__.py:244-310)") {
+    import graft.ml.PipelineConfig.ConfigOps
+
+    // the reference's production config, ported verbatim as a fixture
+    val cfg0 = PipelineConfig.fromFile(
+      "src/test/resources/reference_standard.json")
+    // CLI-style overrides (highest precedence), shrinking the date span
+    // to the synthetic panel below
+    val cfg = cfg0.withOverrides(Map(
+      "train_dates" -> Seq("2018-01-01", "2019-05-31"),
+      "prediction_date" -> "2020-02-01"))
+
+    // features_transformers + time_aggregation → transformer chains:
+    // mean/lag products inherit the base feature's scalers, diff is
+    // deliberately excluded (configuration/__init__.py:295-310)
+    val ft = cfg.featuresTransformers
+    assert(ft("cotisation_mean12m") == Seq("StandardScaler"))
+    for (n <- Seq(1, 2, 3, 6, 12)) {
+      assert(ft(s"dette_sociale_ouvrière_lag${n}m") == Seq("StandardScaler"))
+      assert(ft(s"dette_sociale_patronale_lag${n}m") == Seq("StandardScaler"))
+    }
+    assert(!ft.contains("paydex_diff12m"))
+    assert(!ft.contains("dette_par_effectif_diff3m"))
+    assert(ft("paydex") == Seq("BinsOrdinalEncoder", "OneHotEncoder"))
+    // 24 scaler-terminated base features + mean + 10 lags = 35
+    assert(ft.count(_._2.lastOption.contains("StandardScaler")) == 35)
+    assert(cfg.ordinalEncodingBins("paydex").length == 6)
+    // no model_params section → reference dataclass defaults
+    assert(cfg.modelName == "LogisticRegression")
+    assert(cfg.modelParams.isEmpty)
+    assert(cfg.fillDefaultValues("paydex") == 0)
+
+    // synthetic panel with every column the config references (the
+    // time-aggregate columns exist upstream of these stages in the
+    // reference's pipeline, so the fixture provides them directly)
+    val scalerFeatures = ft.collect {
+      case (f, ts) if ts.lastOption.contains("StandardScaler") => f
+    }.toSeq.sorted
+    val rng = new Random(11)
+    val months = (0 until 26).map(m =>
+      java.sql.Date.valueOf(f"${2018 + m / 12}-${m % 12 + 1}%02d-01"))
+    val rows = (0 until 150).flatMap { i =>
+      val siren = f"$i%09d"
+      val failing = rng.nextDouble() < 0.3
+      months.map { period =>
+        val base = if (failing) 60.0 + rng.nextDouble() * 60
+          else rng.nextDouble() * 40
+        Row.fromSeq(
+          Seq(siren, period, if (failing) 1 else 0,
+            // paydex within the bin range, non-null
+            rng.nextDouble() * 120 - 10) ++
+          scalerFeatures.map(_ => base + rng.nextDouble() * 10))
+      }
+    }
+    val schema = StructType(
+      Seq(StructField("siren", StringType),
+        StructField("période", DateType),
+        StructField("failure", IntegerType),
+        StructField("paydex", DoubleType)) ++
+      scalerFeatures.map(StructField(_, DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), schema)
+
+    // the encoding/scaling stages include the config-driven
+    // BinsOrdinalEncoder (M4) — and the full run trains and scores
+    val stages = cfg.encodingScalingStages()
+    assert(stages.exists(_.isInstanceOf[graft.ml.BinsOrdinalEncoder]))
+    val result = Runner.run(spark, df, cfg, randomSeed = 42)
+    assert(result.predictionScored.count() > 0)
+    assert(result.testScored.count() > 0)
+    // the features vector = onehot(6 paydex bins) + StandardScaler output
+    val vecSize = result.testScored
+      .select(org.apache.spark.ml.functions.vector_to_array(
+        org.apache.spark.sql.functions.col(cfg.featuresColumn)))
+      .first().getSeq[Double](0).size
+    assert(vecSize == 6 + 35, s"features vector size $vecSize")
+    assert(result.metrics("Area under ROC curve") > 0.8,
+      result.metrics.toString)
+  }
 }

@@ -143,6 +143,41 @@ class TransformSpec extends SparkSpec {
     assert(out.filter(col("features").isNull).count() == 1)
   }
 
+  test("BinsOrdinalEncoder buckets the reference paydex bins incl ±inf " +
+      "(standard.json:108-135, transform.py:115-168)") {
+    // the reference's exact paydex bins, string bounds as in the JSON
+    val bins: Seq[Seq[Any]] = Seq(
+      Seq("-inf", "0"), Seq("0", "15"), Seq("15", "30"),
+      Seq("30", "60"), Seq("60", "90"), Seq("90", "inf"))
+    // Bucketizer semantics: bucket i is [sᵢ, sᵢ₊₁); outermost buckets
+    // absorb ±inf
+    val cases = Seq(
+      -1e9 -> 0.0, -0.001 -> 0.0,
+      0.0 -> 1.0, 14.999 -> 1.0,
+      15.0 -> 2.0, 29.9 -> 2.0,
+      30.0 -> 3.0, 59.99 -> 3.0,
+      60.0 -> 4.0, 89.9 -> 4.0,
+      90.0 -> 5.0, 1e9 -> 5.0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (v, exp) => Row(v, exp) }),
+      StructType(Seq(
+        StructField("paydex", DoubleType, nullable = false),
+        StructField("expected", DoubleType, nullable = false))))
+    val out = new BinsOrdinalEncoder("paydex", bins).transform(df).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("paydex_bin") == r.getAs[Double]("expected"),
+        s"paydex=${r.getAs[Double]("paydex")}")
+    }
+    // non-contiguous/unsorted bins resolve via distinct-sorted bounds,
+    // as the reference's np.unique does (transform.py:160-161)
+    val shuffled: Seq[Seq[Any]] = Seq(Seq("15", "30"), Seq("-inf", "0"),
+      Seq("90", "inf"), Seq("0", "15"), Seq("30", "60"), Seq("60", "90"))
+    val out2 = new BinsOrdinalEncoder("paydex", shuffled).transform(df).collect()
+    out2.foreach { r =>
+      assert(r.getAs[Double]("paydex_bin") == r.getAs[Double]("expected"))
+    }
+  }
+
   test("TargetVariable labels failure within n months, null→0") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
