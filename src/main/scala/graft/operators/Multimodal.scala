@@ -67,18 +67,54 @@ object Multimodal {
     out
   }
 
+  /** Decompression-bomb guard: refuse to allocate pixel buffers past
+    * this many pixels (64 Mpx ≈ 256 MB of int ARGB) — a small malicious
+    * payload can declare a 40000×40000 canvas and OOM an executor. The
+    * framework targets arbitrary untrusted media, so dimensions are
+    * probed from the HEADER (no pixel allocation) before any decode. */
+  private[graft] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Header-only dimension probe via the registered ImageReader —
+    * reads width/height from image metadata WITHOUT decoding pixels.
+    * None when no installed reader understands the bytes. */
+  private[graft] def probeDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload == null || payload.length == 0) return None
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          if (w > 0 && h > 0) Some((w, h)) else None
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally { try iis.close() catch { case _: Throwable => () } }
+  }
+
   /** REAL image decode via the JDK's `javax.imageio` (no external
-    * dependency): parses the payload with a memory-backed stream (never
-    * ImageIO's global disk cache), then extracts a `dim`-length feature
-    * vector of actual pixel statistics —
+    * dependency): probes dimensions from the header first (bomb guard —
+    * payloads declaring > [[MaxDecodePixels]] are rejected before any
+    * pixel allocation), then parses the payload with a memory-backed
+    * stream (never ImageIO's global disk cache) and extracts a
+    * `dim`-length feature vector of actual pixel statistics —
     *   [0..2]   mean R, G, B in [0, 1]
     *   [3..dim) normalized luminance histogram (BT.601 luma, `dim - 3`
     *            equal-width bins over [0, 256))
-    * Returns None when no registered reader understands the bytes (then
+    * Returns (features, width, height); None when no registered reader
+    * understands the bytes or the declared canvas exceeds the cap (then
     * callers fall back to `fakeDecode`). */
   private[graft] def imageDecode(payload: Array[Byte],
-      dim: Int): Option[Array[Float]] = {
-    if (payload == null || payload.length == 0) return None
+      dim: Int): Option[(Array[Float], Int, Int)] = {
+    val dims = probeDims(payload) match {
+      case None => return None
+      case Some((pw, ph)) if pw.toLong * ph > MaxDecodePixels => return None
+      case Some(d) => d
+    }
     val img =
       try {
         // ImageIO.read(ImageInputStream) closes the stream itself (per its
@@ -90,6 +126,8 @@ object Multimodal {
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0) return None
+    require(w.toLong * h <= MaxDecodePixels,
+      s"decoded canvas ${w}x$h exceeds probe ${dims._1}x${dims._2}")
     val out = new Array[Float](dim)
     val bins = dim - 3
     val hist = new Array[Long](math.max(bins, 1))
@@ -116,23 +154,30 @@ object Multimodal {
       out(j + 3) = (hist(j).toDouble / n).toFloat
       j += 1
     }
-    Some(out)
+    Some((out, w, h))
   }
 
   /** Codec dispatch: real image decode when a JDK reader accepts the
-    * bytes, deterministic fake features otherwise. */
-  private[graft] def decode(payload: Array[Byte], dim: Int): Array[Float] =
-    imageDecode(payload, dim).getOrElse(fakeDecode(payload, dim))
+    * bytes, deterministic fake features otherwise. Returns the decoded
+    * dimensions when real (None/None for the fake path — an honest
+    * "unknown", never invented). */
+  private[graft] def decode(payload: Array[Byte],
+      dim: Int): (Array[Float], Option[Int], Option[Int]) =
+    imageDecode(payload, dim) match {
+      case Some((f, w, h)) => (f, Some(w), Some(h))
+      case None => (fakeDecode(payload, dim), None, None)
+    }
 
   private case class MediaFeatures(media_id: Long, feature: Array[Float],
-    n_bytes: Int)
+    n_bytes: Int, width: Option[Int], height: Option[Int])
 
   /** Batched per-partition decode + feature extraction: the Scala
     * analogue of a pandas `mapInPandas` decode — rows stream through the
     * partition iterator, the codec runs once per payload (real pixels
     * for image formats, hash-fake otherwise), output is (media_id,
-    * feature array, n_bytes). No shuffle; scales linearly with input
-    * splits. */
+    * feature array, n_bytes, width, height) with REAL decoded
+    * dimensions (null for non-image payloads). No shuffle; scales
+    * linearly with input splits. */
   def decodeBatch(media: DataFrame, dim: Int = 16): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
@@ -143,10 +188,40 @@ object Multimodal {
           case b: Array[Byte] => b
           case _ => null
         }
-        MediaFeatures(r.getLong(idIdx), decode(payload, dim),
-          if (payload == null) 0 else payload.length)
+        val (feature, w, h) = decode(payload, dim)
+        MediaFeatures(r.getLong(idIdx), feature,
+          if (payload == null) 0 else payload.length, w, h)
       }
     }.toDF()
+  }
+
+  /** Populate `meta.width`/`meta.height` from the payload's ACTUAL
+    * header dimensions (header-only probe — no pixel decode, so this is
+    * safe to run over arbitrary untrusted media at any size). Existing
+    * meta values are kept when the payload isn't a readable image. */
+  def withDecodedMeta(media: DataFrame): DataFrame = {
+    val schema = media.schema
+    val contentIdx = schema.fieldIndex("content")
+    val metaIdx = schema.fieldIndex("meta")
+    implicit val enc = Encoders.row(schema)
+    media.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val payload = r.get(contentIdx) match {
+          case b: Array[Byte] => b
+          case _ => null
+        }
+        probeDims(payload) match {
+          case Some((w, h)) =>
+            val meta = r.getStruct(metaIdx)
+            val newMeta = Row(
+              if (meta == null) null else meta.get(0), // mime
+              w, h,
+              if (meta == null) null else meta.get(3)) // duration_ms
+            Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
+          case None => r
+        }
+      }
+    }
   }
 
   /** Frame sampling plumbing: emit one row per sampled frame index for a

@@ -64,6 +64,62 @@ class MultimodalStreamingSpec extends SparkSpec {
     val g = rows(1).getAs[scala.collection.Seq[Float]]("feature")
     assert(g.toArray.toSeq ==
       graft.operators.Multimodal.fakeDecode(garbage, 11).toSeq)
+    // REAL decoded dimensions land in the output; fake path stays null
+    assert(rows(0).getAs[Int]("width") == 16)
+    assert(rows(0).getAs[Int]("height") == 16)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("width")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("height")))
+
+    // withDecodedMeta populates meta.width/height from the true header
+    val described = Multimodal.withDecodedMeta(media)
+      .orderBy("media_id").collect()
+    val meta0 = described(0).getStruct(described(0).fieldIndex("meta"))
+    assert(meta0.getAs[Int]("width") == 16)
+    assert(meta0.getAs[Int]("height") == 16)
+    assert(meta0.getAs[String]("mime") == "image/png")
+    // unreadable payload keeps its existing (null) meta dims
+    val meta1 = described(1).getStruct(described(1).fieldIndex("meta"))
+    assert(meta1.isNullAt(meta1.fieldIndex("width")))
+  }
+
+  test("multimodal: decompression-bomb payload is rejected before decode") {
+    import spark.implicits._
+    // hand-crafted PNG header declaring a 40000×40000 canvas (1.6 Gpx ≈
+    // 6.4 GB ARGB) with no real pixel data — a classic bomb shape. The
+    // header probe must reject it without allocating.
+    def bombPng(w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write("IHDR".getBytes("US-ASCII"))
+      def be32(v: Int) = ihdr.write(Array(v >>> 24, v >>> 16, v >>> 8, v)
+        .map(b => (b & 0xFF).toByte))
+      be32(w); be32(h)
+      ihdr.write(Array(8, 2, 0, 0, 0).map(_.toByte)) // bit depth 8, RGB
+      val chunk = ihdr.toByteArray
+      val crc = new java.util.zip.CRC32(); crc.update(chunk)
+      def out32(v: Long) = bos.write(Array(v >>> 24, v >>> 16, v >>> 8, v)
+        .map(b => (b & 0xFF).toByte))
+      out32(chunk.length - 4) // data length excludes the type tag
+      bos.write(chunk); out32(crc.getValue)
+      bos.toByteArray
+    }
+    val bomb = bombPng(40000, 40000)
+    // the probe itself reads only the header
+    assert(graft.operators.Multimodal.probeDims(bomb)
+      .contains((40000, 40000)))
+    // the decode path refuses it and falls back to the deterministic fake
+    assert(graft.operators.Multimodal.imageDecode(bomb, 8).isEmpty)
+    val media = Multimodal.asMedia(
+      Seq((1L, bomb)).toDF("id", "bytes"), "id", "bytes", "image/png")
+    val row = Multimodal.decodeBatch(media, dim = 8).collect().head
+    assert(row.isNullAt(row.fieldIndex("width")))
+    assert(row.getAs[scala.collection.Seq[Float]]("feature").toArray.toSeq ==
+      graft.operators.Multimodal.fakeDecode(bomb, 8).toSeq)
+    // a small legitimate image still passes the guard end-to-end
+    assert(graft.operators.Multimodal.probeDims(bombPng(4, 4))
+      .contains((4, 4)))
   }
 
   test("multimodal: frame sampling emits one row per sampled frame") {
