@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup/ANN scale probe (not part of the driver contract): the bench's
+  * 5000-document fixture measures CONSTANT FACTORS (per-stage fixed
+  * overhead dominates); this probe measures the ASYMPTOTICS — the actual
+  * 100 TB design claim — by timing d2 (PPJoin), d3 (MinHash+LSH) and s2
+  * (banded-LSH cosine near-dup) at two synthetic sizes and reporting the
+  * empirical scaling exponent log(t₂/t₁)/log(n₂/n₁). Linear-ish (≤ ~1.2)
+  * validates the bucketed candidate generation; ≥ ~1.8 means an O(n²)
+  * stage survived.
+  *
+  * Docs: ~40 words each from a skewed (quadratic) vocabulary so shingles
+  * repeat zipf-ishly; every 100th doc is a near-copy of its predecessor
+  * with ONE mutated word (3-gram Jaccard ≈ 0.85 > the 0.8 threshold).
+  * Embeddings: 64-dim hash-derived vectors; every 100th is a slightly
+  * perturbed copy (cosine ≈ 1 > 0.95).
+  *
+  * Run: SPARK_GRAFT_PROBE_N1=100000 SPARK_GRAFT_PROBE_N2=1000000 \
+  *   sbt "runMain graft.DedupScaleProbe"
+  */
+object DedupScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n1 = sys.env.getOrElse("SPARK_GRAFT_PROBE_N1", "100000").toLong
+    val n2 = sys.env.getOrElse("SPARK_GRAFT_PROBE_N2", "1000000").toLong
+    val ops = sys.env.getOrElse("SPARK_GRAFT_PROBE_OPS", "d2,d3,s2")
+      .split(",").map(_.trim).toSet
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "96g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    /** ~40-word docs; doc d with d % 100 == 1 copies doc d-1 except one
+      * word. Skewed vocab: index = floor(u² · 2000). */
+    def docs(n: Long): DataFrame = {
+      val seedDoc = when(col("id") % 100 === 1, col("id") - 1)
+        .otherwise(col("id"))
+      val u = pmod(hash(seedDoc * 1009 + col("i")), lit(10000)) / lit(10000.0)
+      val word = concat(lit("w"), floor(u * u * lit(2000)).cast(StringType))
+      val mutated = when(col("id") % 100 === 1 && col("i") === 17,
+        concat(word, lit("x"))).otherwise(word)
+      spark.range(n)
+        .select(col("id"), explode(sequence(lit(0), lit(39))).as("i"))
+        .select(col("id"), mutated.as("w"))
+        .groupBy(col("id")).agg(concat_ws(" ", collect_list(col("w")))
+          .as("text"))
+        .select(col("id").as("doc_id"), col("text"))
+    }
+
+    /** 64-dim vectors; every 100th a perturbed copy of its predecessor. */
+    def embeddings(n: Long): DataFrame = {
+      val seedVec = when(col("id") % 100 === 1, col("id") - 1)
+        .otherwise(col("id"))
+      val base = transform(sequence(lit(0), lit(63)), d =>
+        pmod(hash(seedVec * 131 + d), lit(2000)) / lit(1000.0) - lit(1.0))
+      val v = when(col("id") % 100 === 1,
+        transform(base, x => x + lit(0.01))).otherwise(base)
+      spark.range(n).select(col("id").as("vec_id"), v.as("embedding"))
+    }
+
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime(); val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $name%-34s $s%8.2f s  rows=$rows")
+      s
+    }
+
+    def exponent(label: String, t1: Double, t2: Double): Unit =
+      println(f"PROBE $label scaling exponent = " +
+        f"${math.log(t2 / t1) / math.log(n2.toDouble / n1)}%.2f " +
+        f"(n ${n1}→$n2, t $t1%.1f→$t2%.1f s; 1.0 = linear)")
+
+    val times = scala.collection.mutable.Map.empty[(String, Long), Double]
+    for (n <- Seq(n1, n2)) {
+      if (ops("d2") || ops("d3")) {
+        val d = docs(n).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        val sets = Dedup.shingleSets(d, "doc_id", "text", 3)
+        sets.count()
+        if (ops("d2")) times(("d2", n)) = time(s"d2 ppjoin          n=$n") {
+          Dedup.ngramJaccardPairsFromSets(sets, threshold = 0.8).count()
+        }
+        if (ops("d3")) times(("d3", n)) = time(s"d3 minhash lsh     n=$n") {
+          Dedup.minHashLshPairsFromSets(sets, numHashes = 32, bands = 8,
+            threshold = 0.8).count()
+        }
+        sets.unpersist(); d.unpersist()
+      }
+      if (!ops("s2")) ()
+      else {
+      val e = embeddings(n).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      // explicit (planes, tables): at moderate thresholds + large n the
+      // auto-sizing's miss ≤ 1e-6 guarantee is honest but expensive
+      // (p₁ shrinks as planes grow with log₂ n, so tables balloon); a
+      // large-corpus user tunes for their ACTUAL pair angles — planted
+      // near-dups here sit at cos ≈ 0.9999 (per-plane agreement 0.997,
+      // p₁ = 0.997²⁰ ≈ 0.95, miss = 0.05⁸ ≈ 4e-11) while 2⁻²⁰ buckets
+      // keep random collisions ~linear in n
+      times(("s2", n)) = time(s"s2 cosine near-dup n=$n") {
+        Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.95, dim = 64, planes = 20, tables = 8).count()
+      }
+      e.unpersist()
+      }
+    }
+    for (op <- Seq("d2", "d3", "s2") if ops(op))
+      exponent(op, times((op, n1)), times((op, n2)))
+    spark.stop()
+  }
+}

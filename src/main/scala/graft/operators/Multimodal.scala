@@ -168,8 +168,9 @@ object Multimodal {
       case None => (fakeDecode(payload, dim), None, None)
     }
 
-  private case class MediaFeatures(media_id: Long, feature: Array[Float],
-    n_bytes: Int, width: Option[Int], height: Option[Int])
+  // MediaFeatures / FrameFeatures are top-level (end of file): nested
+  // case classes defeat the codegen'd encoder — Janino cannot resolve an
+  // inner class constructor and falls back to interpreted serialization.
 
   /** Batched per-partition decode + feature extraction: the Scala
     * analogue of a pandas `mapInPandas` decode — rows stream through the
@@ -251,8 +252,6 @@ object Multimodal {
     }.toDF()
   }
 
-  private case class FrameFeatures(media_id: Long, frame_ms: Long,
-    feature: Array[Float])
 
   /** Metadata-only "resize" plumbing: records target dimensions in the
     * meta struct (the real pixel work belongs in the codec step). */
@@ -263,3 +262,11 @@ object Multimodal {
       lit(height).as("height"),
       col("meta.duration_ms").as("duration_ms")))
 }
+
+/** Row shape of [[Multimodal.decodeBatch]]. */
+case class MediaFeatures(media_id: Long, feature: Array[Float],
+  n_bytes: Int, width: Option[Int], height: Option[Int])
+
+/** Row shape of [[Multimodal.sampleFrames]]. */
+case class FrameFeatures(media_id: Long, frame_ms: Long,
+  feature: Array[Float])

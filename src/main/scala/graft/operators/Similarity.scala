@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
   * random-hyperplane bucketing (candidates shrink by 2^planes) and an
   * IVF-style partition via k-means coarse centroids.
   */
+/** Row shape of [[Similarity.hyperplaneBuckets]] — top-level because
+  * nested case classes defeat the codegen'd encoder (Janino cannot
+  * resolve an inner class constructor and the stage silently falls back
+  * to interpreted serialization). */
+case class HyperplaneBucket(id: Long, t: Int, b: Long)
+
 object Similarity {
 
   /** Dot product of two numeric-array columns — the native codegen'd
@@ -213,7 +219,18 @@ object Similarity {
     * budget at the threshold angle θ (per-plane agreement 1-θ/π):
     * (1 - (1-θ/π)^planes)^tables ≤ targetMiss. Fixed parameters only
     * bound the miss rate for the angle they were sized for — e.g. 8/8
-    * is ~1e-15 at cosine 0.9999 but ~6% at 0.9. */
+    * is ~1e-15 at cosine 0.9999 but ~6% at 0.9.
+    *
+    * COST CAVEAT: the guarantee is honest, and at MODERATE thresholds
+    * (≲ 0.97, θ ≳ 14°) on large corpora it is genuinely expensive —
+    * p₁ shrinks as planes track log₂ n, so tables balloon (e.g. 64
+    * tables at threshold 0.95, n = 10⁶), multiplying the bucket-join
+    * shuffle. That is the real LSH trade-off, not an implementation
+    * artifact; lowering planes instead explodes random candidates
+    * (~n²/2^planes per table). Large-corpus callers who know their true
+    * pair angles should pass EXPLICIT (planes, tables) sized for those
+    * angles (near-identical dups at cos ≈ 0.9999 need only e.g. 20/8:
+    * miss ~4e-11 with 2⁻²⁰ bucket sparsity), or use IVF. */
   def lshParamsFor(threshold: Double, n: Long,
       targetMiss: Double = 1e-6): (Int, Int) = {
     val t = math.max(-0.999, math.min(0.999, threshold))
@@ -224,6 +241,47 @@ object Similarity {
     val tables = math.max(2, math.min(64,
       math.ceil(math.log(targetMiss) / math.log1p(-p1)).toInt))
     (planes, tables)
+  }
+
+  /** (id, table, bucket) hyperplane-LSH signatures computed in ONE
+    * per-partition kernel over a precomputed plane matrix — tight JVM
+    * loops, no per-plane expression nodes. The Column-expression
+    * [[lshSignature]] is fine for small (planes × tables); past a few
+    * hundred plane dots the generated code blows Janino's 64 KB method
+    * limit and the whole stage silently falls back to interpreted
+    * execution — the kernel is the scale path (same planeValue stream,
+    * so both agree bit-for-bit). No shuffle; linear in n · tables. */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, tables: Int): DataFrame = {
+    val mat: Array[Array[Double]] = Array.tabulate(tables * planes) { i =>
+      val t = i / planes; val p = i % planes
+      Array.tabulate(dim)(d => planeValue(t * 1000 + p, d))
+    }
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    implicit val enc = Encoders.product[HyperplaneBucket]
+    base.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val vs = r.getSeq[Double](1)
+        val v = new Array[Double](math.min(vs.length, dim))
+        var i = 0
+        while (i < v.length) { v(i) = vs(i); i += 1 }
+        (0 until tables).iterator.map { t =>
+          var b = 0L
+          var p = 0
+          while (p < planes) {
+            val plane = mat(t * planes + p)
+            var s = 0.0
+            var d = 0
+            while (d < v.length) { s += v(d) * plane(d); d += 1 }
+            if (s >= 0) b |= 1L << p
+            p += 1
+          }
+          HyperplaneBucket(id, t, b)
+        }
+      }
+    }.toDF()
   }
 
   /** Exact embedding near-duplicate pairs — the O(n²) brute-force path,
@@ -262,17 +320,17 @@ object Similarity {
     // persisted AND materialized eagerly (scanned 3×: bucketing + two
     // vector join-backs — see lshTopK); the count doubles as the corpus
     // size for auto parameter sizing
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
     val (autoP, autoT) = lshParamsFor(threshold, n)
     val nPlanes = if (planes > 0) planes else autoP
     val nTables = if (tables > 0) tables else autoT
-    val sigs = (0 until nTables).map(t =>
-      struct(lit(t).as("t"), lshSignature(col("v"), dim, nPlanes, t).as("b")))
-    val bucketed = base
-      .select(col("id"), explode(array(sigs: _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // signatures via the per-partition kernel: auto-sized params can
+    // reach hundreds of plane dots, past what one codegen'd expression
+    // tree survives
+    val bucketed = hyperplaneBuckets(base, "id", "v", dim, nPlanes, nTables)
     val a = bucketed.select(col("id").as("i"), col("t"), col("b"))
     val b = bucketed.select(col("id").as("j"), col("t"), col("b"))
     val candidates = a.join(b, Seq("t", "b"))

@@ -126,6 +126,21 @@ class DedupSimSpec extends SparkSpec {
       s"missed=${naive -- banded} extra=${banded -- naive}")
   }
 
+  test("d3/d4 harness queries stay non-vacuous on the fixture") {
+    // the d3/d4 rows-only driver checks prove nothing if a fixture regen
+    // quietly drops the planted near-duplicates — pin non-emptiness here
+    // (mirrors the s2 planted-pair gate)
+    import graft.queries.DedupQueries
+    val d3 = DedupQueries.queries("d3_minhash_lsh")(spark, dir)
+    val d4 = DedupQueries.queries("d4_simhash")(spark, dir)
+    val nD3 = d3.count(); val nD4 = d4.count()
+    assert(nD3 > 0, "d3_minhash_lsh returned no pairs — fixture vacuous")
+    assert(nD4 > 0, "d4_simhash returned no pairs — fixture vacuous")
+    // structural sanity: pairs are ordered i < j
+    assert(d3.filter(col("i") >= col("j")).count() == 0)
+    assert(d4.filter(col("i") >= col("j")).count() == 0)
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = emb.limit(1).select(col("embedding").as("va"))
     val row = a.select(Similarity.cosine(col("va"), col("va"))).first()
