@@ -86,19 +86,16 @@ object Similarity {
     // more to re-attach vectors to the deduplicated candidate id pairs —
     // an unmaterialized cached plan scanned several times within one job
     // races its own cache fill and recomputes per scan
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
-    val sigs = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshSignature(col("v"), dim, planes, t).as("b")))
-    // bucket IDS ONLY: the band self-join and the duplicate-collision
-    // dedup shuffle 3 longs per row instead of two full vectors (a
-    // colliding pair appears up to `tables` times — carrying the vectors
-    // through that shuffle multiplies the dominant exchange by the
-    // vector width)
-    val bucketed = base
-      .select(col("id"), explode(array(sigs: _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // bucket IDS ONLY (via the per-partition signature kernel): the band
+    // self-join and the duplicate-collision dedup shuffle 3 longs per
+    // row instead of two full vectors (a colliding pair appears up to
+    // `tables` times — carrying the vectors through that shuffle
+    // multiplies the dominant exchange by the vector width)
+    val bucketed = hyperplaneBuckets(base, "id", "v", dim, planes, tables)
     val q = bucketed.select(col("id").as("query_id"), col("t"), col("b"))
     val c = bucketed.select(col("id").as("corpus_id"), col("t"), col("b"))
     val candidates = q.join(c, Seq("t", "b"))
