@@ -45,6 +45,33 @@ object StreamingQueries {
           hour(col("window_start")).as("h"),
           col("event_type"), col("n"))
         .orderBy(col("d"), col("h"), col("event_type"))
+    }),
+
+    // streaming dedup over an at-least-once source: the stream is
+    // unioned with itself (every event delivered twice), then
+    // dropDuplicatesWithinWatermark restores exactly-once — counts per
+    // type equal the plain batch counts, giving an exact oracle
+    "st2_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val staged = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      java.nio.file.Files.createDirectories(staged)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def stream() = s.readStream.schema(batchSchema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val duplicated = stream().unionAll(stream())
+      val deduped = Streaming.dedupStream(duplicated, Seq("event_id"),
+        eventTimeCol = "ts", watermark = "2 hours")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val name = s"st2_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, deduped, name, outputMode = "complete")
+        .orderBy(col("event_type"))
     })
   )
 
@@ -53,6 +80,10 @@ object StreamingQueries {
       """SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,
         |  hour(date_trunc('hour', ts)) AS h,
         |  event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "st2_stream_dedup" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -75,6 +75,21 @@ object Streaming {
       }
   }
 
+  /** Streaming deduplication: drop repeated `idCols` rows within the
+    * event-time watermark (`dropDuplicatesWithinWatermark`) — exactly
+    * the at-least-once-source dedup a training-data ingest needs, with
+    * BOUNDED state: a key is only held until the watermark passes it,
+    * unlike plain `dropDuplicates` on a stream whose state grows
+    * forever. Works on batch frames too (plain dropDuplicates
+    * semantics), preserving batch-stream parity testing. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      eventTimeCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(eventTimeCol, watermark)
+        .dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
   /** Drive a streaming query over a parquet directory with a memory
     * sink, synchronously (local smoke-test harness for streams). */
   def runToMemory(spark: SparkSession, streamed: DataFrame,

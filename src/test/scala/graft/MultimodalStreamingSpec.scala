@@ -164,6 +164,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(gotComplete.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
   }
 
+  test("streaming: watermarked dedup drops at-least-once duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dupevents").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // every event delivered twice (at-least-once source), 100 distinct
+    val rows = (0 until 100).flatMap { i =>
+      val r = (i.toLong, new java.sql.Timestamp(t0.getTime + i * 1000L),
+        (i % 5).toLong, "click", i * 1.0)
+      Seq(r, r)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    assert(batch.count() == 200)
+    // batch path: plain dropDuplicates
+    assert(Streaming.dedupStream(batch, Seq("event_id")).count() == 100)
+    // streaming path: bounded-state dropDuplicatesWithinWatermark
+    val streamed = spark.readStream.schema(batch.schema).parquet(dir)
+    val got = Streaming.runToMemory(spark,
+      Streaming.dedupStream(streamed, Seq("event_id")), "dedup_stream")
+    assert(got.count() == 100)
+    assert(got.select("event_id").distinct().count() == 100)
+  }
+
   test("streaming: gap sessionization groups events per user") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
