@@ -8,6 +8,51 @@ import graft.operators.Skew
   * partitioning-invariance of results. */
 class ScaleSpec extends SparkSpec {
 
+  test("dedup/ANN plans never contain an all-pairs join") {
+    // the 100 TB design claim in plan form: candidate generation is
+    // bucketed everywhere — a Cartesian or BroadcastNestedLoop join in
+    // any executed plan means an O(n²) stage crept back in. The pair
+    // operators materialize eagerly inside (scoped persists), so the
+    // check captures EVERY plan they execute via a listener instead of
+    // inspecting the (already-checkpointed) returned frame.
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.8).count()
+      graft.operators.Dedup.minHashLshPairs(
+        docs, "doc_id", "text", k = 3, threshold = 0.8).count()
+      graft.operators.Dedup.simHashPairs(docs, "doc_id", "text").count()
+      graft.operators.Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.99, dim = 64).count()
+      graft.operators.Similarity.lshTopK(
+        emb, "vec_id", "embedding", dim = 64, k = 5).count()
+      // listener callbacks are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (captured.size() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(captured.size() >= 5, "listener captured too few plans")
+      captured.forEach { plan =>
+        assert(!plan.contains("CartesianProduct"),
+          s"executed plan contains CartesianProduct:\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"executed plan contains BroadcastNestedLoopJoin:\n${plan.take(2000)}")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("salted join matches plain join on skewed keys") {
     import spark.implicits._
     // 90% of rows share one key — the classic hot key
