@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fitted product quantizer: `codebooks(s)(c)` is the `subDim`-length
+  * centroid `c` of subspace `s`. Codes are `m = codebooks.length`
+  * small ints per vector — at 100 TB the difference between shuffling
+  * 16 bytes and 256+ bytes per vector. Top-level case classes: nested
+  * ones defeat the codegen'd encoder. */
+case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+  def m: Int = codebooks.length
+  def dim: Int = m * subDim
+  def kCodes: Int = codebooks.head.length
+}
+
+/** Row shape of [[ProductQuantization.pqEncode]]. */
+case class PqCode(id: Long, code: Array[Short])
+
+/** Row shape of [[ProductQuantization.pqTopK]]'s partition-local hits. */
+case class PqHit(query_id: Long, corpus_id: Long, adist: Double)
+
+/** Product quantization for embedding columns (FAISS-PQ shape on Spark
+  * primitives — the scale path when raw vectors no longer fit the
+  * shuffle):
+  *
+  *  - [[fitPq]]: per-subspace k-means codebooks, fitted DRIVER-SIDE on
+  *    a bounded sample (deterministic Lloyd; a quantizer's quality
+  *    saturates far below the corpus size, so a 10k sample replaces
+  *    m × full-corpus KMeans jobs);
+  *  - [[pqEncode]]: one per-partition kernel pass compressing each
+  *    vector to m code bytes — linear scan, no shuffle;
+  *  - [[pqTopK]]: ADC (asymmetric distance computation) — per-query
+  *    lookup tables of exact query-subvector→centroid distances are
+  *    broadcast, the code table is scanned once with partition-local
+  *    top-k heaps, and only nq·k rows per partition reach the final
+  *    global top-k. The corpus side never materializes a float vector.
+  */
+object ProductQuantization {
+
+  /** Deterministic per-subspace Lloyd k-means over a bounded sample.
+    * Init takes evenly-spaced distinct sample points (stable across
+    * runs/executors — no RNG state). */
+  def fitPq(df: DataFrame, vecCol: String, m: Int = 16, kCodes: Int = 16,
+      iters: Int = 10, fitSampleRows: Int = 10000): PqModel = {
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .limit(fitSampleRows)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty sample for PQ fit")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+
+    def lloyd(points: Array[Array[Double]]): Array[Array[Double]] = {
+      val n = points.length
+      val k = math.min(kCodes, n)
+      // evenly-spaced init over the sample order
+      var centroids = Array.tabulate(k)(i =>
+        points(((i.toLong * n) / k).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, subDim)(0.0)
+        val counts = new Array[Long](k)
+        var p = 0
+        while (p < n) {
+          val pt = points(p)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var j = 0
+            val cc = centroids(c)
+            while (j < subDim) {
+              val diff = pt(j) - cc(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < subDim) { sums(best)(j) += pt(j); j += 1 }
+          counts(best) += 1
+          p += 1
+        }
+        centroids = Array.tabulate(k) { c =>
+          if (counts(c) == 0) centroids(c)
+          else Array.tabulate(subDim)(j => sums(c)(j) / counts(c))
+        }
+        it += 1
+      }
+      centroids
+    }
+
+    val codebooks = Array.tabulate(m) { s =>
+      lloyd(sample.map(_.slice(s * subDim, (s + 1) * subDim)))
+    }
+    PqModel(subDim, codebooks)
+  }
+
+  /** Compress vectors to m nearest-centroid codes — one kernel pass,
+    * no shuffle. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    val bc = base.sparkSession.sparkContext.broadcast(model)
+    implicit val enc = Encoders.product[PqCode]
+    base.mapPartitions { rows: Iterator[Row] =>
+      val mdl = bc.value
+      val subDim = mdl.subDim
+      rows.map { r =>
+        val vs = r.getSeq[Double](1)
+        val code = new Array[Short](mdl.m)
+        var s = 0
+        while (s < mdl.m) {
+          val book = mdl.codebooks(s)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            val cc = book(c)
+            var d = 0.0; var j = 0
+            while (j < subDim) {
+              val diff = vs(s * subDim + j) - cc(j); d += diff * diff
+              j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          code(s) = best.toShort
+          s += 1
+        }
+        PqCode(r.getLong(0), code)
+      }
+    }.toDF()
+  }
+
+  /** ADC top-k: approximate squared-L2 distance of each query to every
+    * coded corpus vector via table lookups (exact query-subvector →
+    * centroid distances, summed over the m code entries). Queries are
+    * a bounded set (same broadcast contract as bruteForceTopK); output
+    * (query_id, rank, corpus_id, adist), rank 1 = nearest. */
+  def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: PqModel, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // per-query LUT: luts(q)(s)(c) = ||query_sub(s) - centroid(s)(c)||²
+    val luts: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qv) =>
+      qid -> Array.tabulate(model.m) { s =>
+        model.codebooks(s).map { cc =>
+          var d = 0.0; var j = 0
+          while (j < model.subDim) {
+            val diff = qv(s * model.subDim + j) - cc(j); d += diff * diff
+            j += 1
+          }
+          d
+        }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    implicit val enc = Encoders.product[PqHit]
+    val codeIdx = codes.schema.fieldIndex("code")
+    val idIdx = codes.schema.fieldIndex("id")
+    // partition-local top-k heaps: only nq·k rows per partition survive
+    val localHits = codes.mapPartitions { rows: Iterator[Row] =>
+      val ls = bc.value
+      val heaps = ls.map { case (qid, _) =>
+        qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by(_._1)) // max-heap on distance: root = worst kept
+      }
+      rows.foreach { r =>
+        val id = r.getLong(idIdx)
+        val code = r.getSeq[Short](codeIdx)
+        var qi = 0
+        while (qi < ls.length) {
+          val (qid, lut) = ls(qi)
+          if (qid != id) {
+            var d = 0.0; var s = 0
+            while (s < lut.length) { d += lut(s)(code(s)); s += 1 }
+            val heap = heaps(qi)._2
+            if (heap.size < k) heap.enqueue((d, id))
+            else if (d < heap.head._1) { heap.dequeue(); heap.enqueue((d, id)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, heap) =>
+        heap.iterator.map { case (d, id) => PqHit(qid, id, d) }
+      }
+    }.toDF()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    localHits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("adist"))
+  }
+}

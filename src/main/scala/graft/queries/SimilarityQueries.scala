@@ -33,6 +33,19 @@ object SimilarityQueries {
         maxIter = 4))
   }
 
+  /** One fitted PQ codebook per (session, dir) — same serving shape as
+    * the IVF quantizer cache. */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.PqModel]
+  private def pqModel(s: SparkSession, dir: String): graft.operators.PqModel = {
+    pqCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped
+    }
+    pqCache.getOrElseUpdate((s, dir),
+      graft.operators.ProductQuantization.fitPq(
+        Tables(s, dir, "embeddings"), "embedding", m = 16, kCodes = 16))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-5 for a fixed query subset
     "s1_bruteforce_topk" -> ((s, dir) => {
@@ -81,6 +94,22 @@ object SimilarityQueries {
       Similarity.ivfTopKWithCentroids(emb, "vec_id", "embedding", k = 5,
           centroids = ivfCentroids(s, dir), nprobe = 4)
         .filter(col("query_id") < 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // product-quantization ADC top-5 (rows-only; recall + determinism
+    // in ScalaTest): vectors compressed to 16 code bytes, distances via
+    // broadcast per-query lookup tables — the corpus side never ships a
+    // float vector
+    "s5_pq_topk" -> ((s, dir) => {
+      import graft.operators.ProductQuantization
+      val emb = Tables(s, dir, "embeddings")
+      val model = pqModel(s, dir)
+      val codes = ProductQuantization.pqEncode(emb, "vec_id", "embedding",
+        model)
+      ProductQuantization.pqTopK(codes,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", model,
+          k = 5)
         .orderBy(col("query_id"), col("rank"))
     })
   )

@@ -141,6 +141,42 @@ class DedupSimSpec extends SparkSpec {
     assert(d4.filter(col("i") >= col("j")).count() == 0)
   }
 
+  test("PQ codes + ADC top-k reach ≥0.4 recall vs exact L2") {
+    import graft.operators.ProductQuantization
+    import org.apache.spark.sql.types._
+    // L2 on unit-normalized vectors orders identically to cosine
+    val normed = emb.select(col("vec_id"),
+      { val v = col("embedding").cast(ArrayType(DoubleType))
+        val n = sqrt(graft.operators.Similarity.dot(v, v))
+        transform(v, x => x / n).as("embedding") })
+    val model = ProductQuantization.fitPq(normed, "embedding",
+      m = 16, kCodes = 16)
+    assert(model.dim == 64 && model.m == 16)
+    val codes = ProductQuantization.pqEncode(normed, "vec_id", "embedding",
+      model).cache()
+    // 16 shorts per vector vs 64 doubles: the compression is the point
+    val c0 = codes.first()
+    assert(c0.getSeq[Short](c0.fieldIndex("code")).length == 16)
+    // deterministic: same fit + encode on rerun
+    val model2 = ProductQuantization.fitPq(normed, "embedding",
+      m = 16, kCodes = 16)
+    assert(model.codebooks.flatten.flatten.toSeq ==
+      model2.codebooks.flatten.flatten.toSeq)
+
+    val queries = normed.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(queries, normed, "vec_id",
+        "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = ProductQuantization.pqTopK(codes, queries, "vec_id",
+        "embedding", model, k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.4, s"PQ recall $recall too low")
+    codes.unpersist()
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val a = emb.limit(1).select(col("embedding").as("va"))
     val row = a.select(Similarity.cosine(col("va"), col("va"))).first()
