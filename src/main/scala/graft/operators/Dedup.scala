@@ -321,6 +321,59 @@ object Dedup {
     out
   }
 
+  /** Connected components over a near-dup pair graph: every document
+    * gets the MINIMUM doc id reachable through pair edges as its
+    * `cluster_id` (isolated docs cluster with themselves) — the step
+    * that turns pairwise near-dup output into actual dedup groups
+    * (keep one representative per cluster).
+    *
+    * Algorithm: iterative min-label propagation — per round, each node
+    * takes the min of its own label and its neighbors' labels; stops at
+    * fixpoint. Rounds = graph diameter; near-dup components are tiny
+    * chains/cliques, so 2-4 rounds in practice. Each round is one
+    * edge⋈label join + a min-aggregate — all hash-partitioned on node
+    * id, no driver-side graph. (At pathological diameters a
+    * large-star/small-star variant halves the round count; near-dup
+    * graphs never get there.) The driver-side loop condition mirrors
+    * KMeans-style iterate-until-converged: one scalar count per round.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .persist(mem)
+    edges.count()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist(mem)
+    labels.count()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+        .withColumnRenamed("dst", "id")
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .persist(mem)
+      next.count()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist(false)
+      labels = next
+    }
+    edges.unpersist(false)
+    val out = labels
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
+      .localCheckpoint()
+    labels.unpersist(false)
+    out
+  }
+
   /** 64-bit SimHash per document: sum ±1 per bit over xxhash64 token
     * hashes, sign → bit. Explode token hashes once, then ONE hash
     * aggregate with 64 bit-sums (map-side combinable) — never

@@ -67,6 +67,16 @@ object DedupQueries {
     "d4_simhash" -> ((s, dir) => {
       Dedup.simHashPairsFromTokens(sharedTokens(s, dir), maxDist = 3)
         .orderBy(col("i"), col("j"))
+    }),
+
+    // near-dup clusters: connected components over the exact-Jaccard
+    // pair graph — every doc labeled with the min doc id reachable
+    // (exact DuckDB oracle via recursive CTE)
+    "d5_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairsFromSets(sharedSets(s, dir),
+        threshold = 0.8)
+      Dedup.connectedComponents(Tables(s, dir, "documents"), "doc_id", pairs)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -95,6 +105,33 @@ object DedupQueries {
         |JOIN sizes sa ON sa.doc_id = i
         |JOIN sizes sb ON sb.doc_id = j
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
-        |ORDER BY i, j""".stripMargin
+        |ORDER BY i, j""".stripMargin,
+
+    "d5_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM inter
+        |  JOIN sizes sa ON sa.doc_id = i
+        |  JOIN sizes sb ON sb.doc_id = j
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        |edges AS (SELECT i AS src, j AS dst FROM pairs
+        |  UNION ALL SELECT j, i FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

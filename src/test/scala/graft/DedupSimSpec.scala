@@ -126,6 +126,19 @@ class DedupSimSpec extends SparkSpec {
       s"missed=${naive -- banded} extra=${banded -- naive}")
   }
 
+  test("connected components label chains, cliques and isolated nodes") {
+    import spark.implicits._
+    // component {1,2,3,4} as a chain (diameter 3 — needs >1 round),
+    // component {10,11}, isolated {20}
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("i", "j")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("d3/d4 harness queries stay non-vacuous on the fixture") {
     // the d3/d4 rows-only driver checks prove nothing if a fixture regen
     // quietly drops the planted near-duplicates — pin non-emptiness here
