@@ -28,7 +28,7 @@ object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
     val n1 = sys.env.getOrElse("SPARK_GRAFT_PROBE_N1", "100000").toLong
     val n2 = sys.env.getOrElse("SPARK_GRAFT_PROBE_N2", "1000000").toLong
-    val ops = sys.env.getOrElse("SPARK_GRAFT_PROBE_OPS", "d2,d3,s2")
+    val ops = sys.env.getOrElse("SPARK_GRAFT_PROBE_OPS", "d2,d3,d4,s2,s5")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,7 +81,7 @@ object DedupScaleProbe {
 
     val times = scala.collection.mutable.Map.empty[(String, Long), Double]
     for (n <- Seq(n1, n2)) {
-      if (ops("d2") || ops("d3")) {
+      if (ops("d2") || ops("d3") || ops("d4")) {
         val d = docs(n).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         d.count()
@@ -93,6 +93,15 @@ object DedupScaleProbe {
         if (ops("d3")) times(("d3", n)) = time(s"d3 minhash lsh     n=$n") {
           Dedup.minHashLshPairsFromSets(sets, numHashes = 32, bands = 8,
             threshold = 0.8).count()
+        }
+        if (ops("d4")) {
+          val toks = Dedup.tokenize(d, "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          toks.count()
+          times(("d4", n)) = time(s"d4 simhash         n=$n") {
+            Dedup.simHashPairsFromTokens(toks, maxDist = 3).count()
+          }
+          toks.unpersist()
         }
         sets.unpersist(); d.unpersist()
       }
@@ -108,14 +117,23 @@ object DedupScaleProbe {
       // near-dups here sit at cos ≈ 0.9999 (per-plane agreement 0.997,
       // p₁ = 0.997²⁰ ≈ 0.95, miss = 0.05⁸ ≈ 4e-11) while 2⁻²⁰ buckets
       // keep random collisions ~linear in n
-      times(("s2", n)) = time(s"s2 cosine near-dup n=$n") {
+      if (ops("s2")) times(("s2", n)) = time(s"s2 cosine near-dup n=$n") {
         Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
           threshold = 0.95, dim = 64, planes = 20, tables = 8).count()
+      }
+      if (ops("s5")) times(("s5", n)) = time(s"s5 pq encode+topk  n=$n") {
+        val model = operators.ProductQuantization.fitPq(e, "embedding",
+          m = 16, kCodes = 16)
+        val codes = operators.ProductQuantization.pqEncode(e, "vec_id",
+          "embedding", model)
+        operators.ProductQuantization.pqTopK(codes,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", model,
+          k = 5).count()
       }
       e.unpersist()
       }
     }
-    for (op <- Seq("d2", "d3", "s2") if ops(op))
+    for (op <- Seq("d2", "d3", "d4", "s2", "s5") if ops(op))
       exponent(op, times((op, n1)), times((op, n2)))
     spark.stop()
   }
