@@ -14,6 +14,147 @@ class AsOfJoinSpec extends SparkSpec {
 
   private def d(s: String): Date = Date.valueOf(s)
 
+  test("property: mergeAsOf equals a naive per-row reference on random panels") {
+    import org.scalacheck.{Gen, rng}
+    val epoch = d("2020-01-01").toLocalDate
+    // random (entity, dayOffset[, value]) tuples over a 30-day window
+    val leftRowGen = for {
+      e <- Gen.choose(0, 3); day <- Gen.choose(0, 29)
+    } yield (e.toLong, day)
+    val rightRowGen = for {
+      e <- Gen.choose(0, 3); day <- Gen.choose(0, 29)
+      v <- Gen.choose(-1000, 1000)
+    } yield (e.toLong, day, v.toDouble)
+
+    val leftSchema = StructType(Seq(
+      StructField("entity", LongType), StructField("d", DateType)))
+    val rightSchema = StructType(Seq(
+      StructField("entity", LongType), StructField("d", DateType),
+      StructField("v", DoubleType)))
+
+    for (caseIdx <- 0 until 25) {
+      val seed = rng.Seed(caseIdx.toLong * 7919 + 1)
+      val params = Gen.Parameters.default
+      val leftRows = Gen.listOfN(40, leftRowGen).pureApply(params, seed)
+        .distinct
+      val rightRows = Gen.listOfN(25, rightRowGen)
+        .pureApply(params, seed.next)
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toList // unique keys
+      val direction = if (caseIdx % 2 == 0) "backward" else "forward"
+      val tol = if (caseIdx % 3 == 0) Some(7) else None
+
+      val leftDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(leftRows.map { case (e, day) =>
+          Row(e, Date.valueOf(epoch.plusDays(day))) }, 4), leftSchema)
+      val rightDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rightRows.map { case (e, day, v) =>
+          Row(e, Date.valueOf(epoch.plusDays(day)), v) }, 4), rightSchema)
+
+      val got = AsOfJoin.mergeAsOf(leftDf, rightDf, "d", Seq("entity"),
+          tol, direction)
+        .collect()
+        .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toSet
+
+      val expected = leftRows.map { case (e, day) =>
+        val cands = rightRows.filter(_._1 == e)
+        val m = direction match {
+          case "backward" => cands.filter(_._2 <= day)
+            .sortBy(_._2).lastOption
+          case "forward" => cands.filter(_._2 >= day)
+            .sortBy(_._2).headOption
+        }
+        val v = m match {
+          case Some((_, rd, rv)) =>
+            val dist = if (direction == "backward") day - rd else rd - day
+            if (tol.exists(t => dist > t)) None else Some(rv)
+          case None => None
+        }
+        (e, epoch.plusDays(day).toEpochDay, v)
+      }.toSet
+
+      assert(got == expected,
+        s"case $caseIdx ($direction, tol=$tol): " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("property: ffill/bfill/interpolate equal naive references on random series") {
+    import org.scalacheck.{Gen, rng}
+    import graft.operators.TimeOps
+    val epoch = d("2020-01-01").toLocalDate
+    val rowGen = for {
+      e <- Gen.choose(0, 2); day <- Gen.choose(0, 19)
+      v <- Gen.option(Gen.choose(-100, 100).map(_.toDouble))
+    } yield (e.toLong, day, v)
+    val schema = StructType(Seq(
+      StructField("entity", LongType), StructField("d", DateType),
+      StructField("x", DoubleType, nullable = true)))
+
+    for (caseIdx <- 0 until 15) {
+      val seed = rng.Seed(caseIdx.toLong * 104729 + 3)
+      // unique (entity, day) so the window order is total
+      val rows = Gen.listOfN(30, rowGen)
+        .pureApply(Gen.Parameters.default, seed)
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toList
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (e, day, v) =>
+          Row(e, Date.valueOf(epoch.plusDays(day)),
+            v.map(java.lang.Double.valueOf).orNull) }, 3), schema)
+
+      def naive(series: List[(Int, Option[Double])],
+          mode: String): Map[Int, Option[Double]] = {
+        val sorted = series.sortBy(_._1)
+        val known = sorted.collect { case (day, Some(v)) => (day, v) }
+        // interpolation is ROW-POSITION-based, like the reference's
+        // LinearInterpolationOperator (positions on a dense monthly
+        // panel ARE the time steps — transform.py:939-1054)
+        val posOf = sorted.zipWithIndex.map { case ((day, _), i) =>
+          day -> i
+        }.toMap
+        val knownPos = sorted.zipWithIndex.collect {
+          case ((_, Some(v)), i) => (i, v)
+        }
+        sorted.map { case (day, v0) =>
+          day -> (v0 match {
+            case Some(v) => Some(v)
+            case None => mode match {
+              case "ffill" => known.filter(_._1 < day).lastOption.map(_._2)
+              case "bfill" => known.find(_._1 > day).map(_._2)
+              case "interp" =>
+                val pos = posOf(day)
+                val prev = knownPos.filter(_._1 < pos).lastOption
+                val next = knownPos.find(_._1 > pos)
+                (prev, next) match {
+                  case (Some((pp, pv)), Some((np, nv))) =>
+                    Some(pv + (nv - pv) * (pos - pp).toDouble / (np - pp))
+                  case _ => None
+                }
+            }
+          })
+        }.toMap
+      }
+
+      val byEntity = rows.groupBy(_._1).map { case (e, rs) =>
+        e -> rs.map(r => (r._2, r._3))
+      }
+      for ((mode, out) <- Seq(
+          "ffill" -> TimeOps.ffill(df, Seq("entity"), "d", Seq("x")),
+          "bfill" -> TimeOps.bfill(df, Seq("entity"), "d", Seq("x")),
+          "interp" -> TimeOps.interpolate(df, Seq("entity"), "d", Seq("x")))) {
+        val got = out.collect().map(r =>
+          (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay - epoch.toEpochDay,
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+        val expected = byEntity.flatMap { case (e, series) =>
+          naive(series, mode).map { case (day, v) => (e, day.toLong, v) }
+        }.toSet
+        assert(got == expected, s"case $caseIdx $mode: " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+      }
+    }
+  }
+
   private lazy val left = spark.createDataFrame(
     spark.sparkContext.parallelize(Seq(
       Row("043339338", d("2018-01-01"), Integer.valueOf(7), "760"),
