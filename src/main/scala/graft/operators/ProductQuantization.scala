@@ -19,6 +19,9 @@ case class PqModel(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
 /** Row shape of [[ProductQuantization.pqEncode]]. */
 case class PqCode(id: Long, code: Array[Short])
 
+/** Row shape of [[ProductQuantization.pqEncodeWithCells]]. */
+case class PqCellCode(id: Long, cell: Int, code: Array[Short])
+
 /** Row shape of [[ProductQuantization.pqTopK]]'s partition-local hits. */
 case class PqHit(query_id: Long, corpus_id: Long, adist: Double)
 
@@ -134,6 +137,143 @@ object ProductQuantization {
         PqCode(r.getLong(0), code)
       }
     }.toDF()
+  }
+
+  /** One kernel pass emitting (id, home IVF cell, PQ code) — the full
+    * FAISS-IVFPQ index build as a linear scan: coarse cell = nearest
+    * centroid over the full vector, code = per-subspace nearest
+    * codebook entries. No shuffle. */
+  def pqEncodeWithCells(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, centroids: Array[Array[Double]]): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    val bcM = base.sparkSession.sparkContext.broadcast(model)
+    val bcC = base.sparkSession.sparkContext.broadcast(centroids)
+    implicit val enc = Encoders.product[PqCellCode]
+    base.mapPartitions { rows: Iterator[Row] =>
+      val mdl = bcM.value; val cents = bcC.value
+      val subDim = mdl.subDim
+      rows.map { r =>
+        val vs = r.getSeq[Double](1)
+        var cell = 0; var cellD = Double.MaxValue
+        var ci = 0
+        while (ci < cents.length) {
+          val cc = cents(ci)
+          var d = 0.0; var j = 0
+          while (j < cc.length && j < vs.length) {
+            val diff = vs(j) - cc(j); d += diff * diff; j += 1
+          }
+          if (d < cellD) { cellD = d; cell = ci }
+          ci += 1
+        }
+        val code = new Array[Short](mdl.m)
+        var s = 0
+        while (s < mdl.m) {
+          val book = mdl.codebooks(s)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            val bc = book(c)
+            var d = 0.0; var j = 0
+            while (j < subDim) {
+              val diff = vs(s * subDim + j) - bc(j); d += diff * diff
+              j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          code(s) = best.toShort
+          s += 1
+        }
+        PqCellCode(r.getLong(0), cell, code)
+      }
+    }.toDF()
+  }
+
+  /** IVF+PQ top-k (the full FAISS-IVFPQ serving shape): each query
+    * probes its `nprobe` nearest coarse cells, and ADC runs ONLY over
+    * codes homed in a probed cell — the scan does `nprobe/nlist` of the
+    * work per query and the corpus side still never ships a float
+    * vector. Same bounded-query broadcast contract as [[pqTopK]]. */
+  def ivfPqTopK(cellCodes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: PqModel, centroids: Array[Array[Double]],
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = cellCodes.sparkSession
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qv) =>
+      qid -> Array.tabulate(model.m) { s =>
+        model.codebooks(s).map { cc =>
+          var d = 0.0; var j = 0
+          while (j < model.subDim) {
+            val diff = qv(s * model.subDim + j) - cc(j); d += diff * diff
+            j += 1
+          }
+          d
+        }
+      }
+    }
+    // per-cell list of query indices probing it (driver-side: nq × nlist)
+    val probes: Array[Array[Int]] = {
+      val byCell = Array.fill(centroids.length)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      qs.zipWithIndex.foreach { case ((_, qv), qi) =>
+        val dists = centroids.map { cc =>
+          var d = 0.0; var j = 0
+          while (j < cc.length && j < qv.length) {
+            val diff = qv(j) - cc(j); d += diff * diff; j += 1
+          }
+          d
+        }
+        dists.zipWithIndex.sortBy(_._1).take(nprobe)
+          .foreach { case (_, ci) => byCell(ci) += qi }
+      }
+      byCell.map(_.toArray)
+    }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    implicit val enc = Encoders.product[PqHit]
+    val idIdx = cellCodes.schema.fieldIndex("id")
+    val cellIdx = cellCodes.schema.fieldIndex("cell")
+    val codeIdx = cellCodes.schema.fieldIndex("code")
+    val localHits = cellCodes.mapPartitions { rows: Iterator[Row] =>
+      val ls = bcLuts.value; val prb = bcProbes.value
+      val heaps = ls.map { case (qid, _) =>
+        qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by(_._1))
+      }
+      rows.foreach { r =>
+        val id = r.getLong(idIdx)
+        val cell = r.getInt(cellIdx)
+        val qis = prb(cell)
+        if (qis.nonEmpty) {
+          val code = r.getSeq[Short](codeIdx)
+          var x = 0
+          while (x < qis.length) {
+            val qi = qis(x)
+            val (qid, lut) = ls(qi)
+            if (qid != id) {
+              var d = 0.0; var s = 0
+              while (s < lut.length) { d += lut(s)(code(s)); s += 1 }
+              val heap = heaps(qi)._2
+              if (heap.size < k) heap.enqueue((d, id))
+              else if (d < heap.head._1) { heap.dequeue(); heap.enqueue((d, id)) }
+            }
+            x += 1
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, heap) =>
+        heap.iterator.map { case (d, id) => PqHit(qid, id, d) }
+      }
+    }.toDF()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    localHits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("adist"))
   }
 
   /** ADC top-k: approximate squared-L2 distance of each query to every

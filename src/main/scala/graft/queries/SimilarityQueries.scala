@@ -111,6 +111,23 @@ object SimilarityQueries {
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", model,
           k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF+PQ top-5 (rows-only; recall in ScalaTest): coarse cells bound
+    // the scan (nprobe/nlist of the corpus per query), PQ codes bound
+    // the bytes — the full FAISS-IVFPQ serving shape; both the
+    // quantizer and the codebooks come from the per-session caches
+    "s6_ivfpq_topk" -> ((s, dir) => {
+      import graft.operators.ProductQuantization
+      val emb = Tables(s, dir, "embeddings")
+      val model = pqModel(s, dir)
+      val centroids = ivfCentroids(s, dir)
+      val cellCodes = ProductQuantization.pqEncodeWithCells(emb, "vec_id",
+        "embedding", model, centroids)
+      ProductQuantization.ivfPqTopK(cellCodes,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", model,
+          centroids, k = 5, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 

