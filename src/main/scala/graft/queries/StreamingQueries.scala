@@ -72,6 +72,38 @@ object StreamingQueries {
       val name = s"st2_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, deduped, name, outputMode = "complete")
         .orderBy(col("event_type"))
+    }),
+
+    // stream-stream interval join: each click paired with the same
+    // user's views in the following 30 minutes, as an actual
+    // watermarked two-sided streaming join (append mode); the per-user
+    // pair count is batch presentation over the sink, so the result
+    // carries an exact oracle
+    "st3_stream_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val staged = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      java.nio.file.Files.createDirectories(staged)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def stream() = s.readStream.schema(batchSchema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = stream().filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val joined = Streaming.intervalJoin(clicks, views, "user_id", "ts",
+        windowMs = 30L * 60 * 1000)
+      val name = s"st3_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, joined, name, outputMode = "append")
+        .groupBy(col("l_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -84,6 +116,15 @@ object StreamingQueries {
 
     "st2_stream_dedup" ->
       """SELECT event_type, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st3_stream_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'view'
+        |  AND b.ts >= a.ts
+        |  AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

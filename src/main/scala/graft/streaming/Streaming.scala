@@ -90,6 +90,31 @@ object Streaming {
         .dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
+  /** Stream-stream interval join: pair each left event with every
+    * right event of the same key within `[ts, ts + windowMs]` — the
+    * watermarked two-sided join (both sides' state is droppable once
+    * the watermark passes the interval bound, which the time condition
+    * encodes in both directions). Works identically on batch frames —
+    * batch-stream parity again. Columns: left prefixed `l_`, right
+    * `r_`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, windowMs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    def prefix(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+    val l = prefix(
+      if (left.isStreaming) left.withWatermark(tsCol, watermark) else left,
+      "l_")
+    val r = prefix(
+      if (right.isStreaming) right.withWatermark(tsCol, watermark) else right,
+      "r_")
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <=
+          col(s"l_$tsCol") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+  }
+
   /** Drive a streaming query over a parquet directory with a memory
     * sink, synchronously (local smoke-test harness for streams). */
   def runToMemory(spark: SparkSession, streamed: DataFrame,
