@@ -81,7 +81,7 @@ object DedupScaleProbe {
 
     val times = scala.collection.mutable.Map.empty[(String, Long), Double]
     for (n <- Seq(n1, n2)) {
-      if (ops("d2") || ops("d3") || ops("d4")) {
+      if (ops("d2") || ops("d3") || ops("d4") || ops("cc")) {
         val d = docs(n).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         d.count()
@@ -93,6 +93,12 @@ object DedupScaleProbe {
         if (ops("d3")) times(("d3", n)) = time(s"d3 minhash lsh     n=$n") {
           Dedup.minHashLshPairsFromSets(sets, numHashes = 32, bands = 8,
             threshold = 0.8).count()
+        }
+        if (ops("cc")) {
+          val pairs = Dedup.ngramJaccardPairsFromSets(sets, threshold = 0.8)
+          times(("cc", n)) = time(s"cc components      n=$n") {
+            Dedup.connectedComponents(d, "doc_id", pairs).count()
+          }
         }
         if (ops("d4")) {
           val toks = Dedup.tokenize(d, "doc_id", "text")
@@ -133,7 +139,7 @@ object DedupScaleProbe {
       e.unpersist()
       }
     }
-    for (op <- Seq("d2", "d3", "d4", "s2", "s5") if ops(op))
+    for (op <- Seq("d2", "d3", "cc", "d4", "s2", "s5") if ops(op))
       exponent(op, times((op, n1)), times((op, n2)))
     spark.stop()
   }
