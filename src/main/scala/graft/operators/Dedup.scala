@@ -374,6 +374,37 @@ object Dedup {
     out
   }
 
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word k-gram with a benchmark set — the test-set-overlap
+    * pass an LLM training pipeline runs before training on scraped
+    * data.
+    *
+    * Scale design: the benchmark side is the SMALL side (eval suites
+    * are MBs; the corpus is the 100 TB side), so its distinct k-gram
+    * set is broadcast — the corpus side is one scan + explode +
+    * broadcast hash semi-join + a distinct-on-id aggregate. No
+    * corpus-sized shuffle of gram strings, no self-join.
+    *
+    * Output: (idCol, is_contaminated) for EVERY corpus row. Benchmark
+    * documents that also appear in the corpus flag true trivially
+    * (they collide with themselves) — callers excluding them should
+    * anti-join first.
+    */
+  def contaminatedAgainst(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingles(col(textCol), k)).as("g")).distinct()
+    val hits = corpus
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("is_contaminated", lit(true))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("is_contaminated",
+        coalesce(col("is_contaminated"), lit(false)))
+  }
+
   /** 64-bit SimHash per document: sum ±1 per bit over xxhash64 token
     * hashes, sign → bit. Explode token hashes once, then ONE hash
     * aggregate with 64 bit-sums (map-side combinable) — never

@@ -96,4 +96,105 @@ object TextOps {
     val swScore = lit(1.0) - abs(sw - 0.4) / 0.6
     (lenScore + punctScore + greatest(swScore, lit(0.0))) / 3.0
   }
+
+  // -------- Gopher-style repetition / quality-filter metrics --------
+  //
+  // The rule SHAPE follows the published Gopher data-curation filters
+  // (Rae et al. 2021, "Scaling Language Models", Appendix A): repetition
+  // (duplicate lines, most-frequent and duplicated n-grams), symbol-to-
+  // word ratio, alphabetic-word fraction, and a composite pass/fail.
+  // Exact definitions are pinned below. All pure Column expressions —
+  // per-document scalar math inside the scan stage, zero shuffles at
+  // any corpus size. Metrics take PRE-MATERIALIZED array columns
+  // (tokens / n-grams / lines computed once in a projection): a lambda
+  // that references a non-trivial outer expression re-evaluates it per
+  // element (HOFs are interpreted, no CSE) — see `shinglesOfTokens`.
+
+  /** Trimmed, non-empty lines of a document; `delim` is a Java regex
+    * (default: newline). */
+  def lines(c: Column, delim: String = "\n"): Column =
+    filter(transform(split(c, delim), l => trim(l)), l => l =!= "")
+
+  /** Occurrence count of `g` inside the gram/line array — O(|arr|) per
+    * lookup; callers run it over distinct elements only. */
+  private def occurrences(arr: Column, g: Column): Column =
+    size(filter(arr, x => x === g))
+
+  /** Fraction of lines whose exact trimmed text occurs more than once
+    * (0.0 for documents with no lines). */
+  def dupLineFrac(linesCol: Column): Column =
+    when(size(linesCol) > 0,
+      size(filter(linesCol, x => occurrences(linesCol, x) > 1))
+        .cast(DoubleType) / size(linesCol))
+      .otherwise(0.0)
+
+  /** Fraction of line characters sitting inside duplicated lines. */
+  def dupLineCharFrac(linesCol: Column): Column = {
+    val tot = aggregate(transform(linesCol, l => length(l)), lit(0),
+      (a, x) => a + x)
+    val dup = aggregate(transform(
+      filter(linesCol, x => occurrences(linesCol, x) > 1),
+      l => length(l)), lit(0), (a, x) => a + x)
+    when(tot > 0, dup.cast(DoubleType) / tot).otherwise(0.0)
+  }
+
+  /** Fraction of document characters covered by the single most
+    * frequent word n-gram: count · len(gram) / len(text). Ties resolve
+    * to the lexicographically greatest gram (deterministic). */
+  def topNgramCharFrac(textCol: Column, grams: Column): Column = {
+    val dg = array_distinct(grams)
+    val maxCnt = array_max(transform(dg, g => occurrences(grams, g)))
+    val top = array_max(filter(dg, g => occurrences(grams, g) === maxCnt))
+    when(size(grams) > 0,
+      (maxCnt * length(top)).cast(DoubleType) / length(textCol))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of characters inside n-grams occurring more than once:
+    * each distinct duplicated gram charged count · len(gram). Overlaps
+    * between different duplicated grams are NOT de-overlapped (the sum
+    * can exceed 1 on highly repetitive text) — a documented
+    * simplification of the Gopher rule, monotone in the same signal. */
+  def dupNgramCharFrac(textCol: Column, grams: Column): Column = {
+    val dupChars = aggregate(transform(
+      filter(array_distinct(grams), g => occurrences(grams, g) > 1),
+      g => occurrences(grams, g) * length(g)), lit(0), (a, x) => a + x)
+    when(size(grams) > 0, dupChars.cast(DoubleType) / length(textCol))
+      .otherwise(0.0)
+  }
+
+  /** Symbol-to-word ratio: '#' characters plus '...' occurrences per
+    * token (the Gopher hash/ellipsis rule). */
+  def symbolWordRatio(textCol: Column, toks: Column): Column = {
+    val hashes = length(textCol) - length(replace(textCol, lit("#"), lit("")))
+    val ellipses =
+      (length(textCol) - length(replace(textCol, lit("..."), lit("")))) / 3
+    when(size(toks) > 0, (hashes + ellipses).cast(DoubleType) / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of tokens containing at least one a-z letter (tokens are
+    * already lowercased). */
+  def alphaWordFrac(toks: Column): Column =
+    when(size(toks) > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast(DoubleType) /
+        size(toks))
+      .otherwise(0.0)
+
+  /** Composite Gopher-style document filter. Thresholds (pinned here):
+    * 50 ≤ words ≤ 100000, 3 ≤ mean word length ≤ 10, symbol-to-word
+    * ratio < 0.1, alphabetic-word fraction > 0.8, top-n-gram character
+    * fraction < 0.2, duplicate-line fraction < 0.3. */
+  def gopherPass(textCol: Column, toks: Column, grams: Column,
+      linesCol: Column): Column = {
+    val nWords = size(toks)
+    val mwl = aggregate(transform(toks, t => length(t)), lit(0),
+      (a, x) => a + x).cast(DoubleType) / nWords
+    nWords.between(50, 100000) &&
+      mwl.between(3.0, 10.0) &&
+      (symbolWordRatio(textCol, toks) < 0.1) &&
+      (alphaWordFrac(toks) > 0.8) &&
+      (topNgramCharFrac(textCol, grams) < 0.2) &&
+      (dupLineFrac(linesCol) < 0.3)
+  }
 }

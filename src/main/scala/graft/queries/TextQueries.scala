@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TextOps
+import graft.operators.{Dedup, Ranking, TextOps}
 
 /** Text-analysis harness queries over the `documents` table. */
 object TextQueries {
@@ -47,8 +47,49 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition / quality-filter metrics (token, 2-gram
+    // and line arrays materialized once; each metric is pure scan-stage
+    // column math)
+    "t5_gopher_quality" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("grams", Dedup.shinglesOfTokens(col("toks"), 2))
+        .withColumn("lns", TextOps.lines(col("text")))
+        .select(col("doc_id"),
+          TextOps.topNgramCharFrac(col("text"), col("grams"))
+            .as("top2gram_char_frac"),
+          TextOps.dupNgramCharFrac(col("text"), col("grams"))
+            .as("dup2gram_char_frac"),
+          TextOps.symbolWordRatio(col("text"), col("toks"))
+            .as("symbol_word_ratio"),
+          TextOps.alphaWordFrac(col("toks")).as("alpha_word_frac"),
+          TextOps.dupLineFrac(col("lns")).as("dup_line_frac"),
+          TextOps.gopherPass(col("text"), col("toks"), col("grams"),
+            col("lns")).as("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 ranked retrieval: top-25 documents for a 4-term query
+    // (score rounded to 6 decimals for cross-engine float compare)
+    "t6_bm25" -> ((s, dir) => {
+      Ranking.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+          terms = bm25Terms, k = 25)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // benchmark decontamination: flag docs sharing any word 4-gram with
+    // the benchmark subset (doc_id % 50 == 0)
+    "t7_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.contaminatedAgainst(docs,
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
     })
   )
+
+  private val bm25Terms = Seq("spark", "vector", "merge", "customer")
 
   private def langScoreSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -97,6 +138,85 @@ object TextQueries {
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, text, toks,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END AS grams,
+        |    list_filter(list_transform(string_split_regex(text, '\n'), l -> trim(l)), l -> l <> '') AS lns
+        |  FROM t),
+        |m AS (SELECT doc_id, text, toks, grams, lns,
+        |    CASE WHEN len(grams) > 0 THEN
+        |      list_max(list_transform(list_distinct(grams), x -> len(list_filter(grams, y -> y = x))))
+        |      ELSE 0 END AS maxcnt,
+        |    CAST((length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) AS symbols,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alphas,
+        |    CAST(len(list_filter(lns, x -> len(list_filter(lns, y -> y = x)) > 1)) AS DOUBLE) AS duplines
+        |  FROM g),
+        |f AS (SELECT doc_id, text, toks, grams, lns, maxcnt,
+        |    CASE WHEN len(grams) > 0 THEN maxcnt * length(list_max(list_filter(list_distinct(grams),
+        |        x -> len(list_filter(grams, y -> y = x)) = maxcnt))) * 1.0 / length(text)
+        |      ELSE 0.0 END AS top2gram_char_frac,
+        |    CASE WHEN len(grams) > 0 THEN
+        |        CAST(COALESCE(list_sum(list_transform(list_filter(list_distinct(grams),
+        |          x -> len(list_filter(grams, y -> y = x)) > 1),
+        |          x -> len(list_filter(grams, y -> y = x)) * length(x))), 0) AS DOUBLE) / length(text)
+        |      ELSE 0.0 END AS dup2gram_char_frac,
+        |    CASE WHEN len(toks) > 0 THEN symbols / len(toks) ELSE 0.0 END AS symbol_word_ratio,
+        |    CASE WHEN len(toks) > 0 THEN alphas / len(toks) ELSE 0.0 END AS alpha_word_frac,
+        |    CASE WHEN len(lns) > 0 THEN duplines / len(lns) ELSE 0.0 END AS dup_line_frac
+        |  FROM m)
+        |SELECT doc_id, top2gram_char_frac, dup2gram_char_frac, symbol_word_ratio,
+        |  alpha_word_frac, dup_line_frac,
+        |  ((len(toks) BETWEEN 50 AND 100000)
+        |    AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0)
+        |    AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8
+        |    AND top2gram_char_frac < 0.2 AND dup_line_frac < 0.3) AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "t6_bm25" -> {
+      val score = bm25Terms.indices.map(i =>
+        s"""ln(1 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) * tf_$i * (1.2 + 1)
+           |    / (tf_$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))""".stripMargin)
+        .mkString(" +\n    ")
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, len(toks) AS dl,
+        |    ${bm25Terms.zipWithIndex.map { case (t, i) =>
+              s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }
+              .mkString(",\n    ")}
+        |  FROM t),
+        |s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+        |    ${bm25Terms.indices.map(i =>
+              s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+              .mkString(",\n    ")}
+        |  FROM p)
+        |SELECT doc_id, round($score, 6) AS score
+        |FROM p, s
+        |ORDER BY $score DESC, doc_id
+        |LIMIT 25""".stripMargin
+    },
+
+    "t7_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 4
+        |    THEN list_transform(range(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |    ELSE [] END)) AS s
+        |  FROM t),
+        |bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0),
+        |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (s))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Ranking, TextOps}
+
+/** Gopher-style repetition metrics, BM25 ranking, and benchmark
+  * decontamination — exercising the paths the `documents` fixture
+  * leaves degenerate (multi-line text, symbols, planted contamination).
+  */
+class TextRankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metricsFor(texts: Seq[(Long, String)]) =
+    texts.toDF("doc_id", "text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("grams", Dedup.shinglesOfTokens(col("toks"), 2))
+      .withColumn("lns", TextOps.lines(col("text")))
+
+  test("duplicate-line metrics on real multi-line text") {
+    val text = "alpha beta\ngamma delta\nalpha beta\n  \nepsilon"
+    val row = metricsFor(Seq((1L, text)))
+      .select(
+        TextOps.dupLineFrac(col("lns")).as("dlf"),
+        TextOps.dupLineCharFrac(col("lns")).as("dlcf"))
+      .head()
+    // 4 non-empty trimmed lines; "alpha beta" appears twice
+    assert(row.getDouble(0) === 2.0 / 4.0)
+    // chars: 10 + 11 + 10 + 7 = 38, duplicated = 20
+    assert(row.getDouble(1) === 20.0 / 38.0)
+  }
+
+  test("top/duplicated n-gram char fractions, exact") {
+    val text = "a b a b a b x" // 2-grams: [a b, b a, a b, b a, a b, b x]
+    val row = metricsFor(Seq((1L, text)))
+      .select(
+        TextOps.topNgramCharFrac(col("text"), col("grams")).as("top"),
+        TextOps.dupNgramCharFrac(col("text"), col("grams")).as("dup"))
+      .head()
+    // "a b" has count 3, "b a" count 2 → top is "a b": 3·3/13
+    assert(row.getDouble(0) === 3 * 3 / 13.0)
+    // duplicated grams: "a b"×3 + "b a"×2 → (9 + 6)/13
+    assert(row.getDouble(1) === (9 + 6) / 13.0)
+  }
+
+  test("top n-gram tie resolves to lexicographically greatest gram") {
+    val text = "a b c d" // all 2-grams distinct, count 1 each
+    val row = metricsFor(Seq((1L, text)))
+      .select(TextOps.topNgramCharFrac(col("text"), col("grams")))
+      .head()
+    // tie at count 1 → "c d" (greatest); 1·3/7
+    assert(row.getDouble(0) === 3 / 7.0)
+  }
+
+  test("symbol-to-word ratio counts '#' and '...'") {
+    val text = "see #tag and more... plus # alone"
+    val row = metricsFor(Seq((1L, text)))
+      .select(TextOps.symbolWordRatio(col("text"), col("toks")))
+      .head()
+    assert(row.getDouble(0) === (2 + 1) / 7.0)
+  }
+
+  test("alpha word fraction and gopher pass thresholds") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") // 60 distinct words
+    val fewWords = "too short to pass"
+    val df = metricsFor(Seq((1L, good), (2L, fewWords)))
+      .select(col("doc_id"),
+        TextOps.alphaWordFrac(col("toks")).as("awf"),
+        TextOps.gopherPass(col("text"), col("toks"), col("grams"),
+          col("lns")).as("pass"))
+      .orderBy(col("doc_id"))
+      .collect()
+    assert(df(0).getDouble(1) === 1.0)
+    assert(df(0).getBoolean(2)) // 60 words, all-alpha, no repetition
+    assert(!df(1).getBoolean(2)) // word count < 50
+  }
+
+  test("bm25TopK matches a naive in-memory reference") {
+    val corpus = Seq(
+      (0L, "spark runs fast and spark scales"),
+      (1L, "ducks swim and ducks fly"),
+      (2L, "spark and flink stream data"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark spark spark spark"))
+    val terms = Seq("spark", "stream")
+    val got = Ranking.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id",
+      "text", terms, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // naive reference
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def score(id: Long): Double = terms.map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      val dfT = toks.values.count(_.contains(t)).toDouble
+      val idf = math.log(1 + (n - dfT + 0.5) / (dfT + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    val want = corpus.map(_._1).map(id => (id, score(id)))
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(got.map(_._1).toSeq === want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("contaminatedAgainst flags k-gram overlap with the bench set") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a quick brown fox jumps over a fence"), // shares 4-gram with 0
+      (2L, "completely different text with no overlap at all"),
+      (3L, "the quick brown fox sat still")) // shares "the quick brown fox"
+    val df = docs.toDF("doc_id", "text")
+    val bench = df.filter(col("doc_id") === 0)
+    val flags = Dedup.contaminatedAgainst(df, bench, "doc_id", "text",
+        k = 4)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(flags.toSeq === Seq((0L, true), (1L, true), (2L, false),
+      (3L, true)))
+  }
+}
