@@ -81,7 +81,7 @@ object DedupScaleProbe {
 
     val times = scala.collection.mutable.Map.empty[(String, Long), Double]
     for (n <- Seq(n1, n2)) {
-      if (ops("d2") || ops("d3") || ops("d4") || ops("cc")) {
+      if (ops("d2") || ops("d3") || ops("d4") || ops("cc") || ops("t7")) {
         val d = docs(n).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         d.count()
@@ -99,6 +99,13 @@ object DedupScaleProbe {
           times(("cc", n)) = time(s"cc components      n=$n") {
             Dedup.connectedComponents(d, "doc_id", pairs).count()
           }
+        }
+        if (ops("t7")) times(("t7", n)) = time(s"t7 decontaminate   n=$n") {
+          // benchmark = 1% of the corpus — the realistic shape (eval
+          // suites are tiny next to training corpora)
+          Dedup.contaminatedAgainst(d, d.filter(col("doc_id") % 100 === 0),
+            "doc_id", "text", k = 4)
+            .filter(col("is_contaminated")).count()
         }
         if (ops("d4")) {
           val toks = Dedup.tokenize(d, "doc_id", "text")
@@ -139,7 +146,7 @@ object DedupScaleProbe {
       e.unpersist()
       }
     }
-    for (op <- Seq("d2", "d3", "cc", "d4", "s2", "s5") if ops(op))
+    for (op <- Seq("d2", "d3", "cc", "t7", "d4", "s2", "s5") if ops(op))
       exponent(op, times((op, n1)), times((op, n2)))
     spark.stop()
   }

@@ -353,18 +353,21 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
         .withColumnRenamed("dst", "id")
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .persist(mem)
-      next.count()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).count()
-      labels.unpersist(false)
-      labels = next
+      // one join carries both the next labels and the change signal —
+      // the improvement count doubles as the cache materialization
+      val merged = labels.join(neighborMin, Seq("id"), "left").persist(mem)
+      changed = merged.filter(col("nlabel") < col("label")).count()
+      if (changed > 0) {
+        val next = merged
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label")))
+              .as("label"))
+          .persist(mem)
+        next.count()
+        labels.unpersist(false)
+        labels = next
+      }
+      merged.unpersist(false)
     }
     edges.unpersist(false)
     val out = labels

@@ -40,7 +40,8 @@ object StreamingQueries {
       val agg = Streaming.windowedCounts(streamed,
         windowLength = "1 hour", watermark = "2 hours")
       val name = s"st1_out_${runCounter.incrementAndGet()}"
-      Streaming.runToMemory(s, agg, name, outputMode = "complete")
+      Streaming.runToMemory(s, agg, name, outputMode = "complete",
+          statePartitions = Some(8))
         .select(col("window_start").cast(DateType).as("d"),
           hour(col("window_start")).as("h"),
           col("event_type"), col("n"))
@@ -70,7 +71,8 @@ object StreamingQueries {
         eventTimeCol = "ts", watermark = "2 hours")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       val name = s"st2_out_${runCounter.incrementAndGet()}"
-      Streaming.runToMemory(s, deduped, name, outputMode = "complete")
+      Streaming.runToMemory(s, deduped, name, outputMode = "complete",
+        statePartitions = Some(8))
         .orderBy(col("event_type"))
     }),
 
@@ -100,7 +102,8 @@ object StreamingQueries {
       val joined = Streaming.intervalJoin(clicks, views, "user_id", "ts",
         windowMs = 30L * 60 * 1000)
       val name = s"st3_out_${runCounter.incrementAndGet()}"
-      Streaming.runToMemory(s, joined, name, outputMode = "append")
+      Streaming.runToMemory(s, joined, name, outputMode = "append",
+        statePartitions = Some(8))
         .groupBy(col("l_user_id").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))

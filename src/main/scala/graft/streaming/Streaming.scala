@@ -116,14 +116,31 @@ object Streaming {
   }
 
   /** Drive a streaming query over a parquet directory with a memory
-    * sink, synchronously (local smoke-test harness for streams). */
+    * sink, synchronously (local smoke-test harness for streams).
+    *
+    * `statePartitions` sizes the stateful-operator parallelism: a
+    * streaming query pins its state-store instance count to
+    * `spark.sql.shuffle.partitions` AT START, and every instance pays
+    * per-micro-batch load/commit overhead regardless of data volume —
+    * so size it to the stream's actual throughput (a handful for
+    * MB-scale local fixtures, hundreds on a real cluster). The session
+    * conf is restored after the stream finishes, so surrounding batch
+    * queries are unaffected. */
   def runToMemory(spark: SparkSession, streamed: DataFrame,
-      queryName: String, outputMode: String = "append"): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory").queryName(queryName).outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      queryName: String, outputMode: String = "append",
+      statePartitions: Option[Int] = None): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = streamed.writeStream
+        .format("memory").queryName(queryName).outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(queryName)
   }
 }

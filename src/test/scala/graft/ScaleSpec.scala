@@ -39,11 +39,14 @@ class ScaleSpec extends SparkSpec {
         emb, "vec_id", "embedding", threshold = 0.99, dim = 64).count()
       graft.operators.Similarity.lshTopK(
         emb, "vec_id", "embedding", dim = 64, k = 5).count()
+      graft.operators.Dedup.contaminatedAgainst(
+        docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        k = 4).count()
       // listener callbacks are delivered asynchronously
       val deadline = System.currentTimeMillis() + 10000
-      while (captured.size() < 5 && System.currentTimeMillis() < deadline)
+      while (captured.size() < 6 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
-      assert(captured.size() >= 5, "listener captured too few plans")
+      assert(captured.size() >= 6, "listener captured too few plans")
       captured.forEach { plan =>
         assert(!plan.contains("CartesianProduct"),
           s"executed plan contains CartesianProduct:\n${plan.take(2000)}")
