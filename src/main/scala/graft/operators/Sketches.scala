@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation — the 100 TB path for the
+  * stats the exact operators (A8 quantiles, A9 distribution counts)
+  * compute exactly at survey scale.
+  *
+  * Scale design: every sketch here is a bounded-size, mergeable
+  * aggregation buffer (HyperLogLog++ registers, Greenwald-Khanna /
+  * KLL-style quantile summaries), so the plan is ONE map-side-combined
+  * hash aggregate — no sort, no full shuffle of values, memory
+  * independent of row count. Exact distinct/percentile on 100 TB means
+  * shuffling every distinct value; these shuffle kilobytes per group.
+  *
+  * The outputs are approximate and engine-specific (no cross-engine
+  * oracle can hash-match); each operator is gated by a ScalaTest
+  * accuracy spec against the exact answer instead.
+  */
+object Sketches {
+
+  /** Approximate distinct `valueCol` count per group via HyperLogLog++
+    * (`rsd` = target relative standard deviation). Deterministic for a
+    * given dataset: register merges are commutative. */
+  def approxDistinctByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  /** Approximate per-group quantiles (percentile_approx; `accuracy` is
+    * the 1/ε summary size — error ≤ 1/accuracy of the rank). */
+  def approxQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .as(s"q_$i") }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stratified sample: per-stratum Bernoulli fractions in ONE scan
+    * (`df.stat.sampleBy`) — no per-stratum jobs, no shuffle; rows
+    * stream through the filter at full scan speed. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** EXACT heavy hitters: tokens appearing more than `minFrac` of all
+    * token occurrences. One explode + one map-side-combined count
+    * aggregate + a scalar total broadcast back — exact, and still
+    * scale-safe because the post-combine key space is the vocabulary,
+    * not the corpus. (A count-min sketch saves the vocabulary-sized
+    * shuffle only when the vocabulary itself is huge; for word-like
+    * tokens exact wins.) */
+  def heavyHitters(df: DataFrame, textCol: String,
+      minFrac: Double): DataFrame = {
+    val counts = df
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") > col("total") * minFrac)
+      .select(col("token"), col("n"))
+  }
+}

@@ -189,6 +189,26 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // A11: HyperLogLog++ distinct counts — the 100 TB path for A9-style
+    // stats (rows-only: sketch values are engine-specific; the ≤5%
+    // error gate vs exact lives in ScalaTest)
+    "a11_approx_distinct" -> ((s, dir) => {
+      graft.operators.Sketches.approxDistinctByGroup(
+          Tables(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A12: sketch quantiles — the 100 TB path for A8 (rows-only; rank
+    // error gate vs exact percentile lives in ScalaTest)
+    "a12_approx_quantiles" -> ((s, dir) => {
+      graft.operators.Sketches.approxQuantilesByGroup(
+          Tables(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          probs = Seq(0.05, 0.5, 0.95))
+        .withColumnRenamed("q_0", "q05").withColumnRenamed("q_1", "q50")
+        .withColumnRenamed("q_2", "q95")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Scalar function families: dates + strings + row-sum
     // (SURVEY.md §2.8; reference transform.py:106-112, rar_dataset.py:137-144)
     "f_scalar_dates" -> ((s, dir) => {

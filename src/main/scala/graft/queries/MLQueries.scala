@@ -77,6 +77,18 @@ object MLQueries {
         .union(test.select(lit("test").as("part"), col("o_orderkey")))
         .groupBy(col("part")).agg(count(lit(1)).as("n"))
         .orderBy(col("part"))
+    }),
+
+    // P12: stratified per-language sampling in one scan (rows-only:
+    // RNG streams differ per engine; per-stratum ratio asserts live in
+    // ScalaTest)
+    "p12_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sketches.stratifiedSample(
+          Tables(s, dir, "documents"), "lang",
+          Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25, "es" -> 0.1),
+          seed = 42)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
     })
   )
 

@@ -86,6 +86,13 @@ object TextQueries {
       Dedup.contaminatedAgainst(docs,
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 4)
         .orderBy(col("doc_id"))
+    }),
+
+    // exact corpus heavy hitters: tokens above 2% of all occurrences
+    "t8_heavy_hitters" -> ((s, dir) => {
+      graft.operators.Sketches.heavyHitters(
+          Tables(s, dir, "documents"), "text", minFrac = 0.02)
+        .orderBy(col("token"))
     })
   )
 
@@ -203,6 +210,15 @@ object TextQueries {
         |ORDER BY $score DESC, doc_id
         |LIMIT 25""".stripMargin
     },
+
+    "t8_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT token, n FROM c, t WHERE n > total * 0.02
+        |ORDER BY token""".stripMargin,
 
     "t7_decontaminate" ->
       """WITH t AS (SELECT doc_id,

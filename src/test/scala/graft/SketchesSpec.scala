@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Accuracy gates for the sketch-based approximate operators (their
+  * queries are rows-only: sketch values are engine-specific, so the
+  * error bound vs the exact answer is the correctness contract). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val lineitem =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("approx distinct within 5% of exact, per group") {
+    val approx = Sketches.approxDistinctByGroup(lineitem,
+        Seq("l_returnflag"), "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e <= 0.05,
+        s"group $k: approx ${approx(k)} vs exact $e") }
+  }
+
+  test("approx quantiles within rank tolerance of exact") {
+    val probs = Seq(0.05, 0.5, 0.95)
+    val approx = Sketches.approxQuantilesByGroup(lineitem,
+        "l_returnflag", "l_quantity", probs)
+      .collect().map(r => r.getString(0) ->
+        probs.indices.map(i => r.getDouble(i + 1))).toMap
+    // percentile_approx guarantees rank error ≤ n/accuracy; assert the
+    // approx value sits between the exact quantiles at p ± 0.01
+    val bounds = lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.04, 0.06, 0.49, 0.51, " +
+        "0.94, 0.96))").as("b"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    approx.foreach { case (k, qs) =>
+      val b = bounds(k)
+      for (i <- probs.indices) {
+        assert(qs(i) >= b(2 * i) && qs(i) <= b(2 * i + 1),
+          s"group $k p=${probs(i)}: ${qs(i)} outside [${b(2 * i)}, " +
+            s"${b(2 * i + 1)}]")
+      }
+    }
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fractions = Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25,
+      "es" -> 0.1)
+    val sampled = Sketches.stratifiedSample(docs, "lang", fractions, 42L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pop = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Bernoulli sampling: ±50% of the expectation is > 4σ for the
+    // strata sizes here; strata absent from `fractions` must not appear
+    sampled.keySet.foreach(k => assert(fractions.contains(k)))
+    fractions.foreach { case (k, f) =>
+      val expected = pop.getOrElse(k, 0L) * f
+      if (expected >= 20)
+        assert(math.abs(sampled.getOrElse(k, 0L) - expected) <=
+          expected * 0.5, s"stratum $k: ${sampled.get(k)} vs ~$expected")
+    }
+  }
+
+  test("heavy hitters: exact threshold on a golden corpus") {
+    val docs = Seq((0L, "a a a b"), (1L, "a b c d")).toDF("doc_id", "text")
+    val got = Sketches.heavyHitters(docs, "text", minFrac = 0.3)
+      .orderBy(col("token"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 8 tokens total: a×4 (0.5), b×2 (0.25), c, d — only 'a' > 30%
+    assert(got.toSeq === Seq(("a", 4L)))
+  }
+}
