@@ -58,8 +58,13 @@ object Sketches {
     val counts = df
       .select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("total"))
-    counts.crossJoin(broadcast(total))
+    // global total via an unpartitioned window over the POST-AGGREGATE
+    // frame: only vocabulary-sized rows funnel through the single
+    // partition, and the corpus is scanned once (re-aggregating counts
+    // for the total would rebuild the whole explode+count lineage)
+    counts
+      .withColumn("total", sum(col("n"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .filter(col("n") > col("total") * minFrac)
       .select(col("token"), col("n"))
   }

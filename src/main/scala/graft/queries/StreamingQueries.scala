@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Tables
 import graft.streaming.Streaming
 
 /** Structured Streaming queries in the graded surface: the stream runs
@@ -17,27 +18,33 @@ object StreamingQueries {
 
   private val runCounter = new AtomicInteger(0)
 
+  /** Stage `events.parquet` into a per-sf temp directory (the streaming
+    * file source only monitors directories) and return a thunk making
+    * fresh streaming readers over it — several queries need the same
+    * stream twice (self-union, two-sided join). Timestamps arrive as
+    * ns-longs and convert to µs timestamps for watermarks/windows. */
+  private def eventsStream(s: SparkSession, dir: String): () => DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    () => s.readStream.schema(batchSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 1-hour windows per event type, computed by an actual
-    // streaming query over the events parquet (ns timestamps read as
-    // longs, converted to µs timestamps for the watermark/window)
+    // streaming query over the events parquet
     "st1_stream_windows" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      // events.parquet is a single file; the streaming file source only
-      // monitors directories — stage the file into a per-sf temp dir
-      val staged = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      java.nio.file.Files.createDirectories(staged)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val streamed = s.readStream.schema(batchSchema)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = Streaming.windowedCounts(streamed,
+      val stream = eventsStream(s, dir)
+      val agg = Streaming.windowedCounts(stream(),
         windowLength = "1 hour", watermark = "2 hours")
       val name = s"st1_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, agg, name, outputMode = "complete",
@@ -53,19 +60,7 @@ object StreamingQueries {
     // dropDuplicatesWithinWatermark restores exactly-once — counts per
     // type equal the plain batch counts, giving an exact oracle
     "st2_stream_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val staged = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      java.nio.file.Files.createDirectories(staged)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      def stream() = s.readStream.schema(batchSchema)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val duplicated = stream().unionAll(stream())
       val deduped = Streaming.dedupStream(duplicated, Seq("event_id"),
         eventTimeCol = "ts", watermark = "2 hours")
@@ -82,19 +77,7 @@ object StreamingQueries {
     // pair count is batch presentation over the sink, so the result
     // carries an exact oracle
     "st3_stream_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val staged = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      java.nio.file.Files.createDirectories(staged)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      def stream() = s.readStream.schema(batchSchema)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val clicks = stream().filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
       val views = stream().filter(col("event_type") === "view")
@@ -107,6 +90,22 @@ object StreamingQueries {
         .groupBy(col("l_user_id").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
+    }),
+
+    // stream-static enrichment: events enriched with the customer
+    // dimension (broadcast per micro-batch, stateless), aggregated per
+    // market segment — the canonical streaming dimension join
+    "st4_stream_enrich" -> ((s, dir) => {
+      val stream = eventsStream(s, dir)
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = Streaming.enrichWithStatic(stream(), dim,
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val name = s"st4_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, enriched, name, outputMode = "complete",
+        statePartitions = Some(8))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -128,6 +127,11 @@ object StreamingQueries {
         |  AND a.event_type = 'click' AND b.event_type = 'view'
         |  AND b.ts >= a.ts
         |  AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st4_stream_enrich" ->
+      """SELECT c.c_mktsegment, count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -63,6 +63,22 @@ object IO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style partitioned parquet sink — the bulk layout at scale:
+    * filters on `partitionCols` become directory pruning (zero I/O for
+    * excluded partitions) instead of full scans. `sortCols` optionally
+    * sorts WITHIN files so parquet row-group min/max statistics also
+    * skip pages inside each partition. Partition columns should be
+    * low-cardinality (date, source, language) — one directory each. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    sorted.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Text sink for JSON config dumps (reference configuration/__init__.py:336-340
     * uses RDD.saveAsTextFile; Dataset[String].write.text is the DF-native form). */
   def writeText(spark: SparkSession, lines: Seq[String], path: String): Unit = {

@@ -17,6 +17,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Stream-static enrichment join: each micro-batch hash-joins
+    * against the broadcast static dimension — stateless (no store, no
+    * watermark needed on the static side); the canonical
+    * dimension-enrichment shape. The static side is re-planned per
+    * batch, so a dimension TABLE (delta/parquet dir) picks up updates
+    * between batches. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      joinExpr: org.apache.spark.sql.Column,
+      joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), joinExpr, joinType)
+
   /** Watermarked tumbling-window counts/sums per event type. */
   def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame =

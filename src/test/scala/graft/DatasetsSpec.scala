@@ -117,4 +117,25 @@ class DatasetsSpec extends SparkSpec {
     assert(back.map(r => (r.get(0).toString, r.getString(1))).toSeq ==
       Seq(("1", "a"), ("2", "b")))
   }
+
+  test("io: partitioned sink prunes directories and round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("iopart").toString
+    val df = Seq((1L, "en", 10.0), (2L, "fr", 20.0), (3L, "en", 30.0))
+      .toDF("id", "lang", "v")
+    IO.writePartitioned(df, s"$dir/p", Seq("lang"), sortCols = Seq("id"))
+    // hive-style directories per partition value
+    val subdirs = new java.io.File(s"$dir/p").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs == Set("lang=en", "lang=fr"))
+    // round-trip, and a partition filter reaches the scan as pruning
+    val back = spark.read.parquet(s"$dir/p")
+    assert(back.count() == 3)
+    val pruned = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+    assert(pruned.collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+      Seq(1L, 3L))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("lang"), scan.take(1500))
+  }
 }
