@@ -115,38 +115,88 @@ object TextOps {
   def lines(c: Column, delim: String = "\n"): Column =
     filter(transform(split(c, delim), l => trim(l)), l => l =!= "")
 
-  /** Occurrence count of `g` inside the gram/line array — O(|arr|) per
-    * lookup; callers run it over distinct elements only. */
-  private def occurrences(arr: Column, g: Column): Column =
-    size(filter(arr, x => x === g))
+  // Repetition metrics are computed by run-length-encoding a SORTED
+  // copy of the array in ONE linear fold — never by counting each
+  // element's occurrences with a nested scan. The naive occurrences()
+  // shape is O(n²) per document (fatal on real documents with 10⁴-10⁵
+  // tokens), and worse: when these metrics land in a FILTER, Catalyst's
+  // predicate pushdown substitutes alias columns into the predicate
+  // with no expense check, so a nested-lambda tree re-evaluates its
+  // outer references per element (measured: one task spinning 20+ min
+  // over 5000 small docs). The fold lambdas below reference ONLY their
+  // own arguments, so they stay linear under any alias inlining.
+
+  /** One closed-run update of the RLE accumulator: fold the finished
+    * run (acc.prev × acc.run) into (maxRun, maxVal, dupChars,
+    * dupElems). Ties on maxRun resolve to the value seen LATER in
+    * ascending sort order — i.e. the lexicographically greatest. */
+  private def rleClose(acc: Column): (Column, Column, Column, Column) = (
+    when(acc.getField("run") >= acc.getField("maxRun"), acc.getField("run"))
+      .otherwise(acc.getField("maxRun")),
+    when(acc.getField("run") >= acc.getField("maxRun"), acc.getField("prev"))
+      .otherwise(acc.getField("maxVal")),
+    acc.getField("dupChars") + when(acc.getField("run") > 1,
+      acc.getField("run").cast(LongType) * length(acc.getField("prev")))
+      .otherwise(0L),
+    acc.getField("dupElems") + when(acc.getField("run") > 1,
+      acc.getField("run").cast(LongType)).otherwise(0L))
+
+  /** Run-length statistics of a string array in one linear pass:
+    * struct(maxRun, maxVal, dupChars, dupElems) where maxRun is the
+    * highest element multiplicity, maxVal the element holding it (ties:
+    * lexicographically greatest), dupChars the char sum over all
+    * occurrences of duplicated elements, dupElems their element count. */
+  private def rleStats(arr: Column): Column = {
+    val init = struct(
+      lit(null).cast(StringType).as("prev"), lit(0).as("run"),
+      lit(0).as("maxRun"), lit(null).cast(StringType).as("maxVal"),
+      lit(0L).as("dupChars"), lit(0L).as("dupElems"))
+    aggregate(array_sort(arr), init,
+      (acc, x) => {
+        val (mr, mv, dc, de) = rleClose(acc)
+        when(acc.getField("prev").isNull || x === acc.getField("prev"),
+          struct(x.as("prev"),
+            // run+1 on match; first element: 0+1 = 1
+            (acc.getField("run") + 1).as("run"),
+            acc.getField("maxRun").as("maxRun"),
+            acc.getField("maxVal").as("maxVal"),
+            acc.getField("dupChars").as("dupChars"),
+            acc.getField("dupElems").as("dupElems")))
+        .otherwise(struct(x.as("prev"), lit(1).as("run"), mr.as("maxRun"),
+          mv.as("maxVal"), dc.as("dupChars"), de.as("dupElems")))
+      },
+      acc => {
+        val (mr, mv, dc, de) = rleClose(acc)
+        struct(mr.as("maxRun"), mv.as("maxVal"), dc.as("dupChars"),
+          de.as("dupElems"))
+      })
+  }
 
   /** Fraction of lines whose exact trimmed text occurs more than once
     * (0.0 for documents with no lines). */
   def dupLineFrac(linesCol: Column): Column =
     when(size(linesCol) > 0,
-      size(filter(linesCol, x => occurrences(linesCol, x) > 1))
-        .cast(DoubleType) / size(linesCol))
+      rleStats(linesCol).getField("dupElems").cast(DoubleType) /
+        size(linesCol))
       .otherwise(0.0)
 
   /** Fraction of line characters sitting inside duplicated lines. */
   def dupLineCharFrac(linesCol: Column): Column = {
-    val tot = aggregate(transform(linesCol, l => length(l)), lit(0),
+    val tot = aggregate(transform(linesCol, l => length(l)), lit(0L),
       (a, x) => a + x)
-    val dup = aggregate(transform(
-      filter(linesCol, x => occurrences(linesCol, x) > 1),
-      l => length(l)), lit(0), (a, x) => a + x)
-    when(tot > 0, dup.cast(DoubleType) / tot).otherwise(0.0)
+    when(tot > 0,
+      rleStats(linesCol).getField("dupChars").cast(DoubleType) / tot)
+      .otherwise(0.0)
   }
 
   /** Fraction of document characters covered by the single most
     * frequent word n-gram: count · len(gram) / len(text). Ties resolve
     * to the lexicographically greatest gram (deterministic). */
   def topNgramCharFrac(textCol: Column, grams: Column): Column = {
-    val dg = array_distinct(grams)
-    val maxCnt = array_max(transform(dg, g => occurrences(grams, g)))
-    val top = array_max(filter(dg, g => occurrences(grams, g) === maxCnt))
+    val st = rleStats(grams)
     when(size(grams) > 0,
-      (maxCnt * length(top)).cast(DoubleType) / length(textCol))
+      (st.getField("maxRun").cast(LongType) *
+        length(st.getField("maxVal"))).cast(DoubleType) / length(textCol))
       .otherwise(0.0)
   }
 
@@ -155,13 +205,11 @@ object TextOps {
     * between different duplicated grams are NOT de-overlapped (the sum
     * can exceed 1 on highly repetitive text) — a documented
     * simplification of the Gopher rule, monotone in the same signal. */
-  def dupNgramCharFrac(textCol: Column, grams: Column): Column = {
-    val dupChars = aggregate(transform(
-      filter(array_distinct(grams), g => occurrences(grams, g) > 1),
-      g => occurrences(grams, g) * length(g)), lit(0), (a, x) => a + x)
-    when(size(grams) > 0, dupChars.cast(DoubleType) / length(textCol))
+  def dupNgramCharFrac(textCol: Column, grams: Column): Column =
+    when(size(grams) > 0,
+      rleStats(grams).getField("dupChars").cast(DoubleType) /
+        length(textCol))
       .otherwise(0.0)
-  }
 
   /** Symbol-to-word ratio: '#' characters plus '...' occurrences per
     * token (the Gopher hash/ellipsis rule). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextOps}
 
 /** Deduplication harness queries over the `documents` table.
   *
@@ -77,6 +77,52 @@ object DedupQueries {
         threshold = 0.8)
       Dedup.connectedComponents(Tables(s, dir, "documents"), "doc_id", pairs)
         .orderBy(col("doc_id"))
+    }),
+
+    // the full curation pipeline, composed end-to-end from this
+    // library's operators: Gopher quality filter → exact near-dup
+    // clustering among survivors → keep one representative per cluster
+    // → benchmark decontamination. Oracled in one DuckDB statement
+    // (incl. the recursive-CTE clustering) — the "could a reference
+    // user run their whole pipeline here" demo
+    "c1_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      // The gopher decision is computed as a PROJECTED column and the
+      // filter runs above a checkpoint barrier — NOT `.filter(gopherPass
+      // (...))` directly. Filtering on the live expression lets
+      // PushPredicateThroughProject substitute the toks/grams aliases
+      // into the predicate (unlike CollapseProject it has no expense
+      // check), and the interpreted HOF tree then re-tokenizes per array
+      // element — measured: one task spinning >20 min on 5000 docs at
+      // sf0.1, vs ~1 s for the projection shape t5 uses. The checkpoint
+      // also truncates lineage for the three downstream consumers (the
+      // natural curation-pipeline shape: each stage feeds the next from
+      // materialized output).
+      val quality = docs
+        // small parquet = one input split; spread the per-doc metric
+        // math across cores BEFORE computing it (same rationale as
+        // Dedup.tokenize's repartition-before-tokenize)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("grams", Dedup.shinglesOfTokens(col("toks"), 2))
+        .withColumn("lns", TextOps.lines(col("text")))
+        .select(col("doc_id"), col("text"),
+          TextOps.gopherPass(col("text"), col("toks"), col("grams"),
+            col("lns")).as("gopher_pass"))
+        .localCheckpoint()
+        .filter(col("gopher_pass"))
+        .select(col("doc_id"), col("text"))
+      val pairs = Dedup.ngramJaccardPairs(quality, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      val reps = Dedup.connectedComponents(quality, "doc_id", pairs)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
+      val kept = quality.join(reps, Seq("doc_id"))
+      Dedup.contaminatedAgainst(kept,
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 4)
+        .filter(!col("is_contaminated"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -132,6 +178,72 @@ object DedupQueries {
         |  UNION
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c1_curation_pipeline" ->
+      """WITH RECURSIVE tq AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |gq AS (SELECT doc_id, text, toks,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END AS grams,
+        |    list_filter(list_transform(string_split_regex(text, '\n'), l -> trim(l)), l -> l <> '') AS lns
+        |  FROM tq),
+        |mq AS (SELECT doc_id, text, toks, grams, lns,
+        |    CASE WHEN len(grams) > 0 THEN
+        |      list_max(list_transform(list_distinct(grams), x -> len(list_filter(grams, y -> y = x))))
+        |      ELSE 0 END AS maxcnt
+        |  FROM gq),
+        |quality AS (SELECT doc_id, text, toks FROM mq
+        |  WHERE (len(toks) BETWEEN 50 AND 100000)
+        |    AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0)
+        |    AND (CAST((length(text) - length(replace(text, '#', ''))) +
+        |         (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(toks)) < 0.1
+        |    AND (CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)) > 0.8
+        |    AND (CASE WHEN len(grams) > 0 THEN maxcnt * length(list_max(list_filter(list_distinct(grams),
+        |        x -> len(list_filter(grams, y -> y = x)) = maxcnt))) * 1.0 / length(text) ELSE 0.0 END) < 0.2
+        |    AND (CASE WHEN len(lns) > 0 THEN
+        |        CAST(len(list_filter(lns, x -> len(list_filter(lns, y -> y = x)) > 1)) AS DOUBLE) / len(lns)
+        |      ELSE 0.0 END) < 0.3),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [] END)) AS s
+        |  FROM quality),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM inter
+        |  JOIN sizes sa ON sa.doc_id = i
+        |  JOIN sizes sb ON sb.doc_id = j
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+        |edges AS (SELECT i AS src, j AS dst FROM pairs
+        |  UNION ALL SELECT j, i FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM quality
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+        |reps AS (SELECT q.doc_id, q.toks FROM quality q JOIN comp c ON q.doc_id = c.doc_id
+        |  WHERE c.doc_id = c.cluster_id),
+        |bt AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |bg AS (SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 4
+        |    THEN list_transform(range(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |    ELSE [] END)) AS s
+        |  FROM bt),
+        |rg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 4
+        |    THEN list_transform(range(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |    ELSE [] END)) AS s
+        |  FROM reps),
+        |hits AS (SELECT DISTINCT rg.doc_id FROM rg JOIN bg USING (s))
+        |SELECT r.doc_id FROM reps r LEFT JOIN hits h ON r.doc_id = h.doc_id
+        |WHERE h.doc_id IS NULL ORDER BY r.doc_id""".stripMargin
   )
 }

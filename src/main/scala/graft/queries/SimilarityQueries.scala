@@ -128,6 +128,32 @@ object SimilarityQueries {
           emb.filter(col("vec_id") < 10), "vec_id", "embedding", model,
           centroids, k = 5, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SemDeDup-style semantic dedup, composed end-to-end: embedding
+    // near-dup pairs (banded LSH + exact cosine verify) → connected
+    // components → one representative per semantic cluster, with the
+    // cluster size kept for curation decisions. Same planted-pair
+    // fixture as s2 (exact double arithmetic both engines reproduce);
+    // oracled in one DuckDB statement incl. the recursive-CTE
+    // clustering — LSH candidate recall is the s2 gate, transitive
+    // closure + representative selection is this one's.
+    "c2_semantic_dedup" -> ((s, dir) => {
+      val base = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val perturbed = base.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.02) * x * x)
+          .as("embedding"))
+      val all = base.unionAll(perturbed)
+      val pairs = graft.operators.Dedup.connectedComponents(
+        all.select(col("vec_id")), "vec_id",
+        Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+          threshold = 0.99, dim = 64).select(col("i"), col("j")))
+      pairs.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .select(col("cluster_id").as("vec_id"), col("cluster_size"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -165,6 +191,27 @@ object SimilarityQueries {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v))
         |       * sqrt(list_dot_product(b.v, b.v))) >= 0.99
-        |ORDER BY i, j""".stripMargin
+        |ORDER BY i, j""".stripMargin,
+
+    "c2_semantic_dedup" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id < 300),
+        |allv AS (SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(v, x -> x + 0.02*x*x) FROM base),
+        |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v))) >= 0.99),
+        |edges AS (SELECT i AS src, j AS dst FROM pairs
+        |  UNION ALL SELECT j, i FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT vec_id, vec_id FROM allv
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT cluster_id AS vec_id, count(*) AS cluster_size
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

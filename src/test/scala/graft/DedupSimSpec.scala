@@ -208,4 +208,56 @@ class DedupSimSpec extends SparkSpec {
     val row = a.select(Similarity.cosine(col("va"), col("va"))).first()
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("curation pipeline: quality filter → cluster reps → decontaminate") {
+    // synthetic corpus where every stage has a known victim:
+    //   doc 4 fails the Gopher length floor (< 50 words)
+    //   docs 1,2 are near-identical (J ≈ 0.90 at k=3) → one cluster,
+    //     min-id representative 1 survives
+    //   doc 3 is clean and unique → survives
+    //   doc 5 is clean and unique but shares a 4-gram run with the
+    //     benchmark → decontaminated away
+    import graft.operators.TextOps
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i =>
+        s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val base = words("tok", 60)
+    val corpus = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.dropRight(1) :+ "changed").mkString(" ")),
+      (3L, words("uniq", 60).mkString(" ")),
+      (4L, "too short to pass"),
+      (5L, words("qrs", 60).mkString(" "))
+    ).toDF("doc_id", "text")
+    // benchmark text contains 4 consecutive words of doc 5
+    val bench = Seq((100L, ("eval question about " +
+      words("qrs", 60).slice(10, 14).mkString(" ")))).toDF("doc_id", "text")
+
+    val quality = corpus
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("grams", Dedup.shinglesOfTokens(col("toks"), 2))
+      .withColumn("lns", TextOps.lines(col("text")))
+      .filter(TextOps.gopherPass(col("text"), col("toks"), col("grams"),
+        col("lns")))
+      .select(col("doc_id"), col("text"))
+    assert(quality.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L), "quality filter should drop only doc 4")
+
+    val pairs = Dedup.ngramJaccardPairs(quality, "doc_id", "text",
+      k = 3, threshold = 0.8)
+    assert(pairs.select("i", "j").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L)), "only docs 1,2 are near-duplicates")
+
+    val reps = Dedup.connectedComponents(quality, "doc_id", pairs)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+    val kept = quality.join(reps, Seq("doc_id"))
+    val out = Dedup.contaminatedAgainst(kept,
+        bench, "doc_id", "text", k = 4)
+      .filter(!col("is_contaminated"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L),
+      s"expected reps 1,3 after decontamination, got $out")
+  }
 }
