@@ -148,6 +148,41 @@ object DedupScaleProbe {
     }
     for (op <- Seq("d2", "d3", "cc", "t7", "d4", "s2", "s5") if ops(op))
       exponent(op, times((op, n1)), times((op, n2)))
+
+    // t5: DOC-LENGTH scaling of the Gopher repetition metrics. The RLE
+    // fold is O(L log L) per document; the occurrences() shape it
+    // replaced was O(L²) — and used inside a FILTER (alias inlining) it
+    // degraded further. Exponent over L should sit near 1; ~2 means a
+    // quadratic per-doc scan crept back. The filter on gopher_pass is
+    // deliberate: it proves the metrics stay linear under predicate
+    // pushdown's alias substitution.
+    if (ops("t5")) {
+      def gopherCount(nd: Long, w: Int): Long = {
+        val u = pmod(hash(col("id") * 1009 + col("i")), lit(10000)) /
+          lit(10000.0)
+        val word = concat(lit("w"), floor(u * u * lit(2000))
+          .cast(StringType))
+        val d = spark.range(nd)
+          .select(col("id"), explode(sequence(lit(0), lit(w - 1))).as("i"))
+          .select(col("id"), word.as("w"))
+          .groupBy(col("id"))
+          .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+        d.withColumn("toks", operators.TextOps.tokens(col("text")))
+          .withColumn("grams", Dedup.shinglesOfTokens(col("toks"), 2))
+          .withColumn("lns", operators.TextOps.lines(col("text")))
+          .filter(operators.TextOps.gopherPass(col("text"), col("toks"),
+            col("grams"), col("lns")))
+          .count()
+      }
+      val (l1, l2) = (100, 1000)
+      val nd = sys.env.getOrElse("SPARK_GRAFT_PROBE_T5_DOCS", "20000").toLong
+      gopherCount(1000, 20) // codegen warmup outside the timed runs
+      val t1 = time(f"t5 gopher L=$l1%-5d    n=$nd")(gopherCount(nd, l1))
+      val t2 = time(f"t5 gopher L=$l2%-5d    n=$nd")(gopherCount(nd, l2))
+      println(f"PROBE t5 doc-length exponent = " +
+        f"${math.log(t2 / t1) / math.log(l2.toDouble / l1)}%.2f " +
+        f"(L $l1→$l2, t $t1%.1f→$t2%.1f s; 1.0 = linear)")
+    }
     spark.stop()
   }
 }

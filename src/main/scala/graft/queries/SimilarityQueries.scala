@@ -139,23 +139,53 @@ object SimilarityQueries {
     // clustering — LSH candidate recall is the s2 gate, transitive
     // closure + representative selection is this one's.
     "c2_semantic_dedup" -> ((s, dir) => {
-      val base = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
-        .select(col("vec_id"),
-          col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
-      val perturbed = base.select((col("vec_id") + 10000).as("vec_id"),
-        transform(col("embedding"), x => x + lit(0.02) * x * x)
-          .as("embedding"))
-      val all = base.unionAll(perturbed)
-      val pairs = graft.operators.Dedup.connectedComponents(
-        all.select(col("vec_id")), "vec_id",
-        Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
-          threshold = 0.99, dim = 64).select(col("i"), col("j")))
-      pairs.groupBy(col("cluster_id"))
+      semanticComponents(s, dir).groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
         .select(col("cluster_id").as("vec_id"), col("cluster_size"))
         .orderBy(col("vec_id"))
+    }),
+
+    // mean embedding per semantic cluster — the SemDeDup centroid step
+    // (centroids then drive diversity sampling / pruning decisions).
+    // posexplode + a (cluster, pos) average: the map-side-combinable
+    // shape — the corpus never collects vectors to one place, and each
+    // reducer key holds one scalar. Flat (vec_id, pos, c) output keeps
+    // the oracle compare bitwise (cluster size is 2, and a 2-element
+    // double mean is order-insensitive in both engines).
+    "s7_cluster_centroids" -> ((s, dir) => {
+      plantedVectors(s, dir).join(semanticComponents(s, dir), Seq("vec_id"))
+        .select(col("cluster_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("x")).as("c"))
+        .select(col("cluster_id").as("vec_id"),
+          col("pos").cast(LongType).as("pos"), col("c"))
+        .orderBy(col("vec_id"), col("pos"))
     })
   )
+
+  /** The s2/c2/s7 planted-pair fixture: vec_id < 300 plus perturbed
+    * copies (id + 10000, x → x + 0.02·x² — add/multiply-only double
+    * arithmetic DuckDB reproduces bit-for-bit). */
+  private def plantedVectors(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+    base.unionAll(base.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.02) * x * x)
+        .as("embedding")))
+  }
+
+  /** (vec_id, cluster_id) semantic components over the planted fixture:
+    * banded-LSH near-dup pairs at cosine ≥ 0.99 → min-label connected
+    * components. */
+  private def semanticComponents(s: SparkSession, dir: String): DataFrame = {
+    val all = plantedVectors(s, dir)
+    graft.operators.Dedup.connectedComponents(
+      all.select(col("vec_id")), "vec_id",
+      Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+        threshold = 0.99, dim = 64).select(col("i"), col("j")))
+  }
 
   // DuckDB cosine with the same sequential double fold:
   // list_dot_product on DOUBLE[] lists.
@@ -212,6 +242,32 @@ object SimilarityQueries {
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
         |comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY 1)
         |SELECT cluster_id AS vec_id, count(*) AS cluster_size
-        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s7_cluster_centroids" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id < 300),
+        |allv AS (SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(v, x -> x + 0.02*x*x) FROM base),
+        |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v))) >= 0.99),
+        |edges AS (SELECT i AS src, j AS dst FROM pairs
+        |  UNION ALL SELECT j, i FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT vec_id, vec_id FROM allv
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY 1),
+        |sel AS (SELECT c.cluster_id, a.v FROM comp c JOIN allv a ON a.vec_id = c.id),
+        |flat AS (SELECT cluster_id,
+        |    unnest(list_transform(range(1, len(v) + 1),
+        |      i -> {'pos': i - 1, 'x': v[i]})) AS e
+        |  FROM sel)
+        |SELECT cluster_id AS vec_id, e.pos AS pos, avg(e.x) AS c
+        |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
