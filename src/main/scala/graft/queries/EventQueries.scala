@@ -61,6 +61,25 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // sliding 1-hour windows every 30 minutes via Spark's NATIVE
+    // window() generator (each event expands to size/slide = 2 window
+    // rows inside the scan stage — no self-join); output keyed by the
+    // window start in epoch µs. The ns longs are truncated to µs first
+    // (same resolution contract as e2: DuckDB reads the parquet ns
+    // timestamps as µs).
+    "e4_sliding_windows" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("tsx"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("total"))
+        .select(unix_micros(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // JSON property extraction + aggregation (scalar JSON family)
     "e3_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -95,6 +114,16 @@ object EventQueries {
         |  max(ts_us) AS session_end, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e4_sliding_windows" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value
+        |  FROM events),
+        |w AS (SELECT (tus // 1800000000 - o) * 1800000000 AS win_start,
+        |    event_type, value
+        |  FROM e CROSS JOIN (VALUES (0), (1)) AS t(o))
+        |SELECT win_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e3_json_props" ->
       """SELECT event_type,

@@ -106,6 +106,21 @@ object StreamingQueries {
       Streaming.runToMemory(s, enriched, name, outputMode = "complete",
         statePartitions = Some(8))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // sliding 1-hour windows every 30 minutes over the stream — the
+    // streaming twin of batch e4 (same oracle math: each event lands in
+    // exactly window/slide = 2 windows, keyed by start in epoch µs)
+    "st5_stream_sliding" -> ((s, dir) => {
+      val stream = eventsStream(s, dir)
+      val agg = Streaming.windowedCounts(stream(), windowLength = "1 hour",
+        watermark = "2 hours", slide = Some("30 minutes"))
+      val name = s"st5_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, agg, name, outputMode = "complete",
+          statePartitions = Some(8))
+        .select(unix_micros(col("window_start")).as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
     })
   )
 
@@ -132,6 +147,15 @@ object StreamingQueries {
     "st4_stream_enrich" ->
       """SELECT c.c_mktsegment, count(*) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st5_stream_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type
+        |  FROM events),
+        |w AS (SELECT (tus // 1800000000 - o) * 1800000000 AS win_start,
+        |    event_type
+        |  FROM e CROSS JOIN (VALUES (0), (1)) AS t(o))
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

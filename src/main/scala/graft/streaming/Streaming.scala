@@ -28,12 +28,17 @@ object Streaming {
       joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), joinExpr, joinType)
 
-  /** Watermarked tumbling-window counts/sums per event type. */
+  /** Watermarked tumbling- or sliding-window counts/sums per event
+    * type (`slide` < window length → each event lands in
+    * window/slide overlapping windows, expanded by the native window()
+    * generator inside the scan — no self-join). */
   def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .groupBy(slide.map(sl => window(col("ts"), windowLength, sl))
+        .getOrElse(window(col("ts"), windowLength)), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))

@@ -75,6 +75,48 @@ class TextRankingSpec extends SparkSpec {
     assert(!df(1).getBoolean(2)) // word count < 50
   }
 
+  test("RLE repetition metrics match a naive reference on random arrays") {
+    // the linear RLE fold vs per-element counting, over random arrays
+    // with heavy duplication — guards the O(n log n) rewrite against
+    // semantic drift (multiplicities, char sums, tie resolution)
+    import org.scalacheck.{Gen, rng}
+    val elemGen = Gen.oneOf("aa", "bb", "cc", "dd", "e", "fff", "gg", "x")
+    val arrGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, elemGen))
+    val params = Gen.Parameters.default
+    val cases = (1 to 80).map { i =>
+      val arr = arrGen.pureApply(params, rng.Seed(i.toLong))
+      (i.toLong, arr.mkString(" "), arr)
+    }
+    val got = cases.toDF("id", "text", "arr")
+      .select(col("id"),
+        TextOps.dupLineFrac(col("arr")).as("dlf"),
+        TextOps.dupLineCharFrac(col("arr")).as("dlcf"),
+        TextOps.topNgramCharFrac(col("text"), col("arr")).as("top"),
+        TextOps.dupNgramCharFrac(col("text"), col("arr")).as("dup"))
+      .orderBy(col("id")).collect()
+    cases.zip(got).foreach { case ((id, text, arr), row) =>
+      val counts = arr.groupBy(identity).view.mapValues(_.size).toMap
+      val dupElems = counts.valuesIterator.filter(_ > 1).sum
+      val dupChars = counts.iterator
+        .collect { case (s, c) if c > 1 => c * s.length }.sum
+      val totChars = arr.iterator.map(_.length).sum
+      val (wantDlf, wantDlcf, wantTop, wantDup) =
+        if (arr.isEmpty) (0.0, 0.0, 0.0, 0.0)
+        else {
+          val maxCnt = counts.valuesIterator.max
+          val top = counts.collect { case (s, c) if c == maxCnt => s }.max
+          (dupElems.toDouble / arr.size,
+            if (totChars > 0) dupChars.toDouble / totChars else 0.0,
+            maxCnt.toDouble * top.length / text.length,
+            dupChars.toDouble / text.length)
+        }
+      assert(math.abs(row.getDouble(1) - wantDlf) < 1e-12, s"dlf id=$id")
+      assert(math.abs(row.getDouble(2) - wantDlcf) < 1e-12, s"dlcf id=$id")
+      assert(math.abs(row.getDouble(3) - wantTop) < 1e-12, s"top id=$id")
+      assert(math.abs(row.getDouble(4) - wantDup) < 1e-12, s"dup id=$id")
+    }
+  }
+
   test("bm25TopK matches a naive in-memory reference") {
     val corpus = Seq(
       (0L, "spark runs fast and spark scales"),
