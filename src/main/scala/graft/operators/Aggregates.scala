@@ -53,4 +53,49 @@ object Aggregates {
   def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(c =>
       count(when(col(c).isNull, lit(1))).as(c)): _*)
+
+  /** Cumulative sum of `valueCol` in GLOBAL `sortCols` order — the
+    * distributed prefix-sum, NOT a global window (an empty-partitionBy
+    * window funnels the whole table through ONE task at any scale):
+    *
+    * 1. range-repartition on the sort key (sampled split points give
+    *    ordered, balanced partitions);
+    * 2. per-partition running sums via an ordinary partitioned window
+    *    (partition id is the window key — each task scans only its
+    *    range);
+    * 3. per-partition TOTALS — one O(#partitions) row set — prefix-
+    *    scanned on the driver and joined back as broadcast offsets.
+    *
+    * `sortCols` must be a total order (add a unique tiebreak) for the
+    * result to be deterministic. Two passes over the ranged data, no
+    * global funnel; the only driver state is #partitions scalars. */
+  def globalCumSum(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      valueCol: org.apache.spark.sql.Column, outCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // materialize: scanned by offsets AND the window below
+    val totals = ranged.groupBy(col("__part"))
+      .agg(sum(valueCol).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = totals.keys.toSeq.sorted.map { p =>
+      p -> totals.keys.filter(_ < p).map(totals).sum
+    }
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("__part") === p, off).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__part")).orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val out = ranged
+      .withColumn(outCol, sum(valueCol).over(w) + offCol)
+      .drop("__part")
+      .localCheckpoint()
+    ranged.unpersist(false)
+    out
+  }
 }

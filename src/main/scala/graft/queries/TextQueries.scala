@@ -93,6 +93,25 @@ object TextQueries {
       graft.operators.Sketches.heavyHitters(
           Tables(s, dir, "documents"), "text", minFrac = 0.02)
         .orderBy(col("token"))
+    }),
+
+    // token-budget selection (the data-mixing primitive: best documents
+    // first until the token budget is spent): rank by quality, take the
+    // prefix whose cumulative token count fits. The cumulative sum is
+    // the DISTRIBUTED prefix-sum (range partitions + per-partition
+    // windows + broadcast offsets) — never a global single-task window.
+    "c3_token_budget" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextOps.tokenCount(col("text")).as("n_tokens"),
+          graft.operators.TextOps.stopwordRatio(col("text"), stopwords)
+            .as("quality"))
+      graft.operators.Aggregates.globalCumSum(scored,
+          Seq(col("quality").desc, col("doc_id").asc), col("n_tokens"),
+          "cum_tokens")
+        .filter(col("cum_tokens") <= 10000)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -219,6 +238,21 @@ object TextQueries {
         |t AS (SELECT sum(n) AS total FROM c)
         |SELECT token, n FROM c, t WHERE n > total * 0.02
         |ORDER BY token""".stripMargin,
+
+    "c3_token_budget" ->
+      (s"""WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, len(toks) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> list_contains($stopwordsSqlList, t))) AS DOUBLE)
+        |      / len(toks) AS quality
+        |  FROM t),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 10000 ORDER BY doc_id""").stripMargin,
 
     "t7_decontaminate" ->
       """WITH t AS (SELECT doc_id,

@@ -77,4 +77,23 @@ class SketchesSpec extends SparkSpec {
     // 8 tokens total: a×4 (0.5), b×2 (0.25), c, d — only 'a' > 30%
     assert(got.toSeq === Seq(("a", 4L)))
   }
+
+  test("distributed global cumsum equals the single-window cumsum") {
+    import graft.operators.Aggregates
+    // shuffled input, duplicate sort values (the id tiebreak decides),
+    // forced across several range partitions
+    val rows = scala.util.Random.shuffle(
+      (1 to 5000).map(i => (i.toLong, (i % 97).toLong, (i % 13) + 1L)))
+    val df = rows.toDF("id", "key", "v")
+    val got = Aggregates.globalCumSum(df,
+        Seq(col("key").desc, col("id").asc), col("v"), "cum",
+        numPartitions = Some(7))
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    // naive reference: one global sort on the driver
+    var acc = 0L
+    val want = rows.sortBy { case (id, k, _) => (-k, id) }
+      .map { case (id, _, v) => acc += v; id -> acc }.toMap
+    assert(got === want)
+  }
 }
