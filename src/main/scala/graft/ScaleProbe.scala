@@ -94,6 +94,28 @@ object ScaleProbe {
         col("m").between(col("d0"), col("d1")), "inner").count()
     }
 
+    // 4. global cumulative sum: the distributed prefix-sum (range
+    //    partitions + per-partition windows + broadcast offsets) vs the
+    //    naive empty-partitionBy window, which funnels every row
+    //    through ONE task — the gap is the whole point of globalCumSum
+    val forCum = events.select(col("entity"), col("mois"),
+      (col("amount") * 100).cast("long").as("v")).cache()
+    forCum.count()
+    // consume max(cum), not count(): a count would let the optimizer
+    // prune the window/cumsum entirely and time nothing
+    time("global cumsum, distributed prefix-sum") {
+      operators.Aggregates.globalCumSum(forCum,
+          Seq(col("entity").asc, col("mois").asc), col("v"), "cum")
+        .agg(max(col("cum"))).first().getLong(0)
+    }
+    time("global cumsum, single-task global window") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("entity"), col("mois"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      forCum.withColumn("cum", sum(col("v")).over(w))
+        .agg(max(col("cum"))).first().getLong(0)
+    }
+
     spark.stop()
   }
 }
