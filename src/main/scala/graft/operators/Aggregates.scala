@@ -74,10 +74,18 @@ object Aggregates {
       numPartitions: Option[Int] = None): DataFrame = {
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
+    // localCheckpoint, NOT persist: the per-partition totals and the
+    // window pass below MUST see one consistent partition assignment,
+    // and (range sampling, spark_partition_id) are only deterministic
+    // within one materialization — a cache miss that silently
+    // recomputed the shuffle with fresh sample bounds would shift rows
+    // across __part values and corrupt every offset after the moved
+    // boundary (observed under memory pressure as a constant deficit
+    // in the tail). The checkpoint pins the assignment as DATA: a lost
+    // block fails the job instead of recomputing differently.
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__part", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranged.count() // materialize: scanned by offsets AND the window below
+      .localCheckpoint()
     val totals = ranged.groupBy(col("__part"))
       .agg(sum(valueCol).as("__tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -91,11 +99,8 @@ object Aggregates {
       .partitionBy(col("__part")).orderBy(sortCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val out = ranged
+    ranged
       .withColumn(outCol, sum(valueCol).over(w) + offCol)
       .drop("__part")
-      .localCheckpoint()
-    ranged.unpersist(false)
-    out
   }
 }

@@ -245,4 +245,28 @@ object TextOps {
       (topNgramCharFrac(textCol, grams) < 0.2) &&
       (dupLineFrac(linesCol) < 0.3)
   }
+
+  /** Gopher-filter a corpus, keeping only passing rows — the SAFE
+    * staging, packaged: the decision is computed as a projected column
+    * and the filter runs above a checkpoint barrier. Filtering on the
+    * live `gopherPass` expression instead lets predicate pushdown
+    * substitute the token/gram aliases into the predicate (no expense
+    * check) and re-evaluate them per array element; the metrics
+    * themselves are inlining-proof since the RLE rewrite, but the
+    * tokenize/shingle columns would still be recomputed per reference,
+    * and downstream consumers would replan the whole tree. The
+    * checkpoint also gives each pipeline stage a materialized input —
+    * the curation-pipeline shape. */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.map(col)
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__grams", Dedup.shinglesOfTokens(col("__toks"), 2))
+      .withColumn("__lns", lines(col(textCol)))
+      .select(keep :+ gopherPass(col(textCol), col("__toks"),
+        col("__grams"), col("__lns")).as("__gopher_pass"): _*)
+      .localCheckpoint()
+      .filter(col("__gopher_pass"))
+      .drop("__gopher_pass")
+  }
 }

@@ -87,30 +87,14 @@ object DedupQueries {
     // user run their whole pipeline here" demo
     "c1_curation_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      // The gopher decision is computed as a PROJECTED column and the
-      // filter runs above a checkpoint barrier — NOT `.filter(gopherPass
-      // (...))` directly. Filtering on the live expression lets
-      // PushPredicateThroughProject substitute the toks/grams aliases
-      // into the predicate (unlike CollapseProject it has no expense
-      // check), and the interpreted HOF tree then re-tokenizes per array
-      // element — measured: one task spinning >20 min on 5000 docs at
-      // sf0.1, vs ~1 s for the projection shape t5 uses. The checkpoint
-      // also truncates lineage for the three downstream consumers (the
-      // natural curation-pipeline shape: each stage feeds the next from
-      // materialized output).
-      val quality = docs
-        // small parquet = one input split; spread the per-doc metric
-        // math across cores BEFORE computing it (same rationale as
-        // Dedup.tokenize's repartition-before-tokenize)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("toks", TextOps.tokens(col("text")))
-        .withColumn("grams", Dedup.shinglesOfTokens(col("toks"), 2))
-        .withColumn("lns", TextOps.lines(col("text")))
-        .select(col("doc_id"), col("text"),
-          TextOps.gopherPass(col("text"), col("toks"), col("grams"),
-            col("lns")).as("gopher_pass"))
-        .localCheckpoint()
-        .filter(col("gopher_pass"))
+      // gopherFilter packages the safe staging (projected decision
+      // column + checkpoint barrier — see its scaladoc for why a plain
+      // .filter(gopherPass(...)) is a pushdown-inlining trap). The
+      // repartition spreads the per-doc metric math across cores: a
+      // small parquet is one input split (same rationale as
+      // Dedup.tokenize's repartition-before-tokenize).
+      val quality = TextOps.gopherFilter(
+        docs.repartition(s.sparkContext.defaultParallelism), "text")
         .select(col("doc_id"), col("text"))
       val pairs = Dedup.ngramJaccardPairs(quality, "doc_id", "text",
         k = 3, threshold = 0.8)

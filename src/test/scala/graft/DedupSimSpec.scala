@@ -234,13 +234,7 @@ class DedupSimSpec extends SparkSpec {
     val bench = Seq((100L, ("eval question about " +
       words("qrs", 60).slice(10, 14).mkString(" ")))).toDF("doc_id", "text")
 
-    val quality = corpus
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("grams", Dedup.shinglesOfTokens(col("toks"), 2))
-      .withColumn("lns", TextOps.lines(col("text")))
-      .filter(TextOps.gopherPass(col("text"), col("toks"), col("grams"),
-        col("lns")))
-      .select(col("doc_id"), col("text"))
+    val quality = TextOps.gopherFilter(corpus, "text")
     assert(quality.select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L, 5L), "quality filter should drop only doc 4")
 

@@ -85,15 +85,20 @@ class SketchesSpec extends SparkSpec {
     val rows = scala.util.Random.shuffle(
       (1 to 5000).map(i => (i.toLong, (i % 97).toLong, (i % 13) + 1L)))
     val df = rows.toDF("id", "key", "v")
-    val got = Aggregates.globalCumSum(df,
+    val rawGot = Aggregates.globalCumSum(df,
         Seq(col("key").desc, col("id").asc), col("v"), "cum",
         numPartitions = Some(7))
       .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
-      .toMap
+    val got = rawGot.toMap
     // naive reference: one global sort on the driver
     var acc = 0L
     val want = rows.sortBy { case (id, k, _) => (-k, id) }
       .map { case (id, _, v) => acc += v; id -> acc }.toMap
-    assert(got === want)
+    assert(rawGot.length == rows.size,
+      s"row count changed: ${rawGot.length} vs ${rows.size}")
+    val bad = want.keys.filter(id => got(id) != want(id)).toSeq.sorted
+    assert(bad.isEmpty,
+      s"${bad.size} mismatched ids; first 10: " + bad.take(10).map(id =>
+        s"id=$id got=${got(id)} want=${want(id)}").mkString(", "))
   }
 }
