@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Group-by aggregation patterns from the reference (SURVEY.md §2.4). */
 object Aggregates {
@@ -86,9 +87,17 @@ object Aggregates {
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__part", spark_partition_id())
       .localCheckpoint()
+    // cast the per-partition totals explicitly: sum() of a DoubleType
+    // value column returns DoubleType and getLong would throw; an
+    // all-null partition sums to null. The running-sum output keeps the
+    // value column's own type — only the OFFSETS are integral, so the
+    // contract is: valueCol must be integral-valued (token counts,
+    // sizes). Fractional inputs need a scaled-integer representation.
     val totals = ranged.groupBy(col("__part"))
-      .agg(sum(valueCol).as("__tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .agg(sum(valueCol).cast(LongType).as("__tot"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     val offsets = totals.keys.toSeq.sorted.map { p =>
       p -> totals.keys.filter(_ < p).map(totals).sum
     }

@@ -240,9 +240,13 @@ object ProductQuantization {
     val codeIdx = cellCodes.schema.fieldIndex("code")
     val localHits = cellCodes.mapPartitions { rows: Iterator[Row] =>
       val ls = bcLuts.value; val prb = bcProbes.value
+      // lexicographic (dist, id) heap: ADC distances tie easily
+      // (identical codes ⇒ identical distance), and the final window
+      // breaks ties on corpus_id asc — eviction must agree or results
+      // depend on partition scan order.
       val heaps = ls.map { case (qid, _) =>
         qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.by(_._1))
+          Ordering.by(t => (t._1, t._2)))
       }
       rows.foreach { r =>
         val id = r.getLong(idIdx)
@@ -259,7 +263,10 @@ object ProductQuantization {
               while (s < lut.length) { d += lut(s)(code(s)); s += 1 }
               val heap = heaps(qi)._2
               if (heap.size < k) heap.enqueue((d, id))
-              else if (d < heap.head._1) { heap.dequeue(); heap.enqueue((d, id)) }
+              else if (d < heap.head._1 ||
+                  (d == heap.head._1 && id < heap.head._2)) {
+                heap.dequeue(); heap.enqueue((d, id))
+              }
             }
             x += 1
           }
@@ -308,9 +315,12 @@ object ProductQuantization {
     // partition-local top-k heaps: only nq·k rows per partition survive
     val localHits = codes.mapPartitions { rows: Iterator[Row] =>
       val ls = bc.value
+      // max-heap on (distance, id): root = worst kept. Tie-aware so a
+      // tied candidate with smaller corpus_id always survives — matches
+      // the final window's (adist asc, corpus_id asc) order.
       val heaps = ls.map { case (qid, _) =>
         qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.by(_._1)) // max-heap on distance: root = worst kept
+          Ordering.by(t => (t._1, t._2)))
       }
       rows.foreach { r =>
         val id = r.getLong(idIdx)
@@ -323,7 +333,10 @@ object ProductQuantization {
             while (s < lut.length) { d += lut(s)(code(s)); s += 1 }
             val heap = heaps(qi)._2
             if (heap.size < k) heap.enqueue((d, id))
-            else if (d < heap.head._1) { heap.dequeue(); heap.enqueue((d, id)) }
+            else if (d < heap.head._1 ||
+                (d == heap.head._1 && id < heap.head._2)) {
+              heap.dequeue(); heap.enqueue((d, id))
+            }
           }
           qi += 1
         }

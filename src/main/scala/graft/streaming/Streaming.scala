@@ -128,7 +128,9 @@ object Streaming {
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") &&
         col(s"r_$tsCol") <=
-          col(s"l_$tsCol") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+          // millisecond granularity: SECONDS via integer division floors
+          // any sub-second window to INTERVAL 0, dropping all matches
+          col(s"l_$tsCol") + expr(s"INTERVAL $windowMs MILLISECOND"))
   }
 
   /** Drive a streaming query over a parquet directory with a memory
