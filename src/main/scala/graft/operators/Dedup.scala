@@ -408,6 +408,54 @@ object Dedup {
         coalesce(col("is_contaminated"), lit(false)))
   }
 
+  /** Passage-level exact dedup (the aligned-chunk approximation of
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" — substring dedup at passage granularity): split
+    * every document into consecutive k-token chunks, keep each
+    * distinct chunk's FIRST corpus occurrence — min (doc_id,
+    * chunk_idx) — and reassemble the surviving chunks per document in
+    * original order.
+    *
+    * Scale shape: chunking is scan-stage column math; first-occurrence
+    * ownership is ONE map-side-combinable min(struct) aggregate keyed
+    * by the chunk's xxhash64 (8-byte keys through the dominant
+    * shuffle, never the chunk text and never a global window); the
+    * ownership check joins back on the same hash; reassembly is a
+    * groupBy over surviving rows only. No all-pairs stage at any size.
+    * A 64-bit hash collision would merge two distinct chunks
+    * (probability ~n²/2⁶⁴ — acceptable at this granularity; use the
+    * chunk text as the key where bit-exactness is contractual).
+    *
+    * Output: (doc_id, n_kept, text_clean) for every document keeping
+    * at least one chunk; documents whose every chunk was seen earlier
+    * disappear — full-document exact dedup as a special case. */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val chunked = df
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", ceil(size(col("__toks")) / lit(k.toDouble)).cast(IntegerType))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), col("__n") - 1),
+          i => array_join(slice(col("__toks"), i * k + 1, lit(k)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("h", xxhash64(col("chunk")))
+    val owners = chunked.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("o"))
+      .select(col("h"), col("o.doc_id").as("o_doc"),
+        col("o.chunk_idx").as("o_idx"))
+    chunked.join(owners, Seq("h"))
+      .filter(col("doc_id") === col("o_doc") &&
+        col("chunk_idx") === col("o_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("text_clean"))
+  }
+
   /** 64-bit SimHash per document: sum ±1 per bit over xxhash64 token
     * hashes, sign → bit. Explode token hashes once, then ONE hash
     * aggregate with 64 bit-sums (map-side combinable) — never

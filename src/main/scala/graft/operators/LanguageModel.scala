@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical language-model scoring for corpus curation (the CCNet
+  * shape, Wenzek et al. 2020: score every document with an n-gram LM
+  * and filter/segment the corpus by perplexity; here the LM is fit on
+  * the corpus itself, the self-scoring variant used for in-corpus
+  * outlier detection).
+  *
+  * Scale design: the model is two count tables (unigrams, bigrams)
+  * built by map-side-combinable aggregates over exploded tokens; they
+  * are VOCABULARY-sized, not corpus-sized, but can still be large at
+  * 100 TB — scoring re-attaches them with ordinary shuffle equi-joins
+  * keyed on the n-gram (never a driver collect or a blind broadcast).
+  * The corpus-level constant (vocabulary size) is a 1-row aggregate
+  * cross-joined back, the same pattern as BM25's corpus stats.
+  */
+object LanguageModel {
+
+  /** Per-document mean negative log-likelihood under an add-alpha
+    * smoothed bigram model fit on `df` itself:
+    *
+    *   P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)
+    *
+    * with c(.) corpus counts and V the unigram vocabulary size. Output
+    * (doc_id, n_bigrams, nll): nll = -mean ln P, lower = more typical
+    * of the corpus, higher = outlier (the CCNet head/tail signal).
+    * Documents with fewer than 2 tokens have no bigrams and are absent.
+    *
+    * Cross-engine float determinism: each ln term is rounded to 9
+    * decimals and summed as DECIMAL (exact, order-insensitive); the
+    * mean is rounded to 6 decimals — same recipe as the BM25 oracle.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    val toks = df.select(col(idCol).cast(LongType).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    // one exploded-token frame feeds both count tables
+    val unigrams = toks.select(explode(col("__toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = unigrams.agg(count(lit(1)).as("v"))
+    val docBigrams = toks
+      .select(col("doc_id"),
+        explode(Dedup.shinglesOfTokens(col("__toks"), 2)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val bigrams = docBigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    docBigrams
+      .join(bigrams, "bg")
+      .join(unigrams, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp",
+        round(log((col("cb") + alpha) / (col("cu") + col("v") * alpha)), 9)
+          .cast(DecimalType(20, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lnp")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("__s").cast(DoubleType) / col("n_bigrams"), 6).as("nll"))
+  }
+}

@@ -46,6 +46,46 @@ object Sketches {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Deterministic, ENGINE-PORTABLE Bernoulli sample: keep a row iff a
+    * uniform 60-bit integer derived from md5(key || salt) falls under
+    * `fraction`. Unlike seeded `sample()` (whose hash is engine- and
+    * partitioning-specific), this is a pure function of the row key —
+    * the same rows are selected on any cluster size, any engine with
+    * md5, and any re-run: the reproducible-split idiom for 100 TB
+    * training-data pipelines (and the one sampler here with an exact
+    * cross-engine oracle). One scan-stage filter, no shuffle, no state.
+    *
+    * `fraction` is quantized to basis points (1/10000). Vary `salt` to
+    * draw independent samples from the same keys. */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    val bps = math.round(fraction * 10000).toInt
+    val h = conv(substring(md5(concat(keyCol.cast("string"), lit(salt))),
+      1, 15), 16, 10).cast("long")
+    df.filter(h % 10000 < bps)
+  }
+
+  /** Quota selection per stratum (the static data-MIXING primitive:
+    * "N_s best documents from each source/language"): rank rows inside
+    * each stratum by `orderCols` and keep the top `quotas(stratum)`.
+    *
+    * Scale note: the rank is a per-stratum sort — fine while each
+    * stratum fits a task's spill budget (strata are sources/languages,
+    * so usually yes). For pathologically hot strata, pre-filter with an
+    * `approxQuantilesByGroup` score threshold at quota/|stratum| rank,
+    * then exact-rank only the survivors. */
+  def quotaSelect(df: DataFrame, stratumCol: String,
+      orderCols: Seq[Column], quotas: Map[String, Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(orderCols: _*)
+    val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (s, q)) =>
+      when(col(stratumCol) === s, q).otherwise(acc)
+    }
+    df.withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= quotaCol)
+  }
+
   /** EXACT heavy hitters: tokens appearing more than `minFrac` of all
     * token occurrences. One explode + one map-side-combined count
     * aggregate + a scalar total broadcast back — exact, and still

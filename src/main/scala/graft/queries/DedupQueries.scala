@@ -79,6 +79,14 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // passage-level exact dedup: aligned 8-token chunks, first corpus
+    // occurrence wins, survivors reassembled in document order
+    "d6_passage_dedup" -> ((s, dir) => {
+      Dedup.passageDedup(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // the full curation pipeline, composed end-to-end from this
     // library's operators: Gopher quality filter → exact near-dup
     // clustering among survivors → keep one representative per cluster
@@ -163,6 +171,23 @@ object DedupQueries {
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d6_passage_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT)),
+        |    i -> struct_pack(chunk_idx := i, chunk := list_aggregate(toks[(i*8+1):(i*8+8)], 'string_agg', ' ')))) AS c
+        |  FROM t WHERE len(toks) > 0),
+        |f AS (SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk FROM ch),
+        |own AS (SELECT chunk, min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS o
+        |  FROM f GROUP BY 1),
+        |kept AS (SELECT f.doc_id, f.chunk_idx, f.chunk
+        |  FROM f JOIN own ON f.chunk = own.chunk
+        |  WHERE f.doc_id = (own.o).doc_id AND f.chunk_idx = (own.o).chunk_idx)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "c1_curation_pipeline" ->
       """WITH RECURSIVE tq AS (SELECT doc_id, text,

@@ -79,6 +79,16 @@ object MLQueries {
         .orderBy(col("part"))
     }),
 
+    // P13: deterministic engine-portable Bernoulli sample via
+    // md5-derived uniform hash — the reproducible-split idiom, and the
+    // one sampler with an exact cross-engine oracle
+    "p13_hash_sample" -> ((s, dir) => {
+      graft.operators.Sketches.hashSample(
+          Tables(s, dir, "documents"), col("doc_id"), fraction = 0.2)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P12: stratified per-language sampling in one scan (rows-only:
     // RNG streams differ per engine; per-stratum ratio asserts live in
     // ScalaTest)
@@ -93,6 +103,11 @@ object MLQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p13_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 2000
+        |ORDER BY doc_id""".stripMargin,
+
     "m11_target" ->
       """WITH panel AS (
         |  SELECT o_custkey AS custkey,

@@ -95,6 +95,27 @@ object TextQueries {
         .orderBy(col("token"))
     }),
 
+    // bigram language-model NLL scoring (the CCNet quality signal):
+    // add-1 smoothed bigram LM fit on the corpus itself, every document
+    // scored with its mean negative log-likelihood
+    "t9_lm_nll" -> ((s, dir) => {
+      graft.operators.LanguageModel.bigramNll(
+          Tables(s, dir, "documents"), "doc_id", "text", alpha = 1.0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // static data mixing: per-language quotas, best documents first
+    // (rank by quality inside each language, keep the top quota(lang))
+    "c4_domain_mix" -> ((s, dir) => {
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.stopwordRatio(col("text"), stopwords).as("quality"))
+      graft.operators.Sketches.quotaSelect(scored, "lang",
+          Seq(col("quality").desc, col("doc_id").asc), mixQuotas)
+        .select(col("doc_id"), col("lang"), col("stratum_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-budget selection (the data-mixing primitive: best documents
     // first until the token budget is spent): rank by quality, take the
     // prefix whose cumulative token count fits. The cumulative sum is
@@ -116,6 +137,9 @@ object TextQueries {
   )
 
   private val bm25Terms = Seq("spark", "vector", "merge", "customer")
+
+  private val mixQuotas = Map(
+    "en" -> 60, "es" -> 20, "de" -> 15, "fr" -> 10, "zh" -> 15)
 
   private def langScoreSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -253,6 +277,42 @@ object TextQueries {
         |  FROM q)
         |SELECT doc_id, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 10000 ORDER BY doc_id""").stripMargin,
+
+    "t9_lm_nll" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bi AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> struct_pack(w1 := toks[i], bg := toks[i] || ' ' || toks[i+1]))
+        |    ELSE [] END) AS b
+        |  FROM t),
+        |f AS (SELECT doc_id, b.w1 AS w1, b.bg AS bg FROM bi),
+        |cb AS (SELECT bg, count(*) AS cb FROM f GROUP BY 1),
+        |u AS (SELECT unnest(toks) AS w1 FROM t),
+        |cu AS (SELECT w1, count(*) AS cu FROM u GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM cu)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-CAST(sum(CAST(round(ln((cb + 1.0) / (cu + 1.0 * v)), 9) AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS nll
+        |FROM f JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "c4_domain_mix" -> {
+      val quotaCase = mixQuotas.toSeq.sortBy(_._1).map { case (l, q) =>
+        s"WHEN '$l' THEN $q" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> list_contains($stopwordsSqlList, t))) AS DOUBLE)
+        |      / len(toks) AS quality
+        |  FROM t),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS stratum_rank
+        |  FROM q)
+        |SELECT doc_id, lang, stratum_rank FROM r
+        |WHERE stratum_rank <= CASE lang $quotaCase ELSE 0 END
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "t7_decontaminate" ->
       """WITH t AS (SELECT doc_id,

@@ -139,6 +139,29 @@ class DedupSimSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("passage dedup: first occurrence wins, reassembly in order") {
+    import spark.implicits._
+    // k=2 chunks: doc 0 = [a b][c d][e f]; doc 1 repeats [c d] at
+    // chunk 0 and [a b] at chunk 1 plus a fresh tail; doc 2 is entirely
+    // chunks already seen → must vanish from the output
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "c d a b x y"),
+      (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 3L, "a b c d e f"),   // owns all three chunks
+      (1L, 1L, "x y")))          // keeps only its novel tail
+    // ragged tail: last chunk shorter than k survives as its own unit
+    val ragged = Seq((7L, "p q r")).toDF("doc_id", "text")
+    val g2 = Dedup.passageDedup(ragged, "doc_id", "text", k = 2)
+      .head()
+    assert(g2.getLong(1) === 2L && g2.getString(2) === "p q r")
+  }
+
   test("d3/d4 harness queries stay non-vacuous on the fixture") {
     // the d3/d4 rows-only driver checks prove nothing if a fixture regen
     // quietly drops the planted near-duplicates — pin non-emptiness here

@@ -78,6 +78,42 @@ class SketchesSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 4L)))
   }
 
+  test("hash sample: deterministic, partition-invariant, near fraction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Sketches.hashSample(docs, col("doc_id"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sketches.hashSample(docs.repartition(17), col("doc_id"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "selection must not depend on partitioning")
+    val n = docs.count()
+    assert(math.abs(a.size - n * 0.2) <= n * 0.2 * 0.5,
+      s"got ${a.size} of $n at fraction 0.2")
+    // a different salt draws a (near-)independent sample
+    val salted = Sketches.hashSample(docs, col("doc_id"), 0.2, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted != a, "salt must change the draw")
+    // nested fractions: the 10% sample is NOT a subset of the 20% one
+    // (bucket predicate, not a prefix scheme) — but both are exact
+    // deterministic functions of the key
+    val again = Sketches.hashSample(docs, col("doc_id"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === a, "re-run must select identical rows")
+  }
+
+  test("quota select: per-stratum quotas and ordering respected") {
+    val rows = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6),
+      ("b", 5L, 0.5), ("b", 6L, 0.4), ("c", 7L, 0.3))
+      .toDF("s", "id", "q")
+    val got = Sketches.quotaSelect(rows, "s",
+        Seq(col("q").desc, col("id").asc), Map("a" -> 2, "b" -> 1))
+      .select("s", "id", "stratum_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._2)
+    // top-2 of a by quality, top-1 of b; c has no quota → dropped
+    assert(got.toSeq === Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
+  }
+
   test("distributed global cumsum equals the single-window cumsum") {
     import graft.operators.Aggregates
     // shuffled input, duplicate sort values (the id tiebreak decides),

@@ -147,6 +147,27 @@ class TextRankingSpec extends SparkSpec {
       assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("bigram LM NLL matches hand-computed add-1 smoothed values") {
+    import graft.operators.LanguageModel
+    // corpus: doc0 "a b a b", doc1 "a b c"
+    // unigrams a:3 b:3 c:1 → V=3; bigrams "a b":3 "b a":1 "b c":1
+    // P(a b)=(3+1)/(3+3)=2/3, P(b a)=P(b c)=(1+1)/(3+3)=1/3
+    val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val got = LanguageModel.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val ln23 = math.log(2.0 / 3.0); val ln13 = math.log(1.0 / 3.0)
+    assert(got(0L)._1 === 3L)
+    assert(math.abs(got(0L)._2 - (-(2 * ln23 + ln13) / 3)) < 2e-6)
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - (-(ln23 + ln13) / 2)) < 2e-6)
+    // a single-token document has no bigrams and must be absent
+    val single = Seq((0L, "a b"), (1L, "x")).toDF("doc_id", "text")
+    val ids = LanguageModel.bigramNll(single, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L))
+  }
+
   test("contaminatedAgainst flags k-gram overlap with the bench set") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
