@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.expressions.DotProduct
 
 /** SparkSessionExtensions entry point: registers graft's native
-  * expressions for SQL users.
+  * expressions for SQL users and the planner strategy for the native
+  * as-of join operator ([[graft.plans.AsOfJoinNode]]).
   *
   * Usage:
   * {{{
@@ -28,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_dot_product expects exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -95,6 +95,64 @@ object AsOfJoin {
       .select((leftCols ++ valueCols).map(col): _*)
   }
 
+  /** merge_asof on the NATIVE Catalyst operator
+    * ([[graft.plans.AsOfJoinNode]] → planner strategy →
+    * [[graft.plans.AsOfJoinExec]]): same semantics and signature as
+    * [[mergeAsOf]] (parity spec-gated), different physical plan — one
+    * co-partitioning exchange per side and a per-partition merge scan
+    * with O(1) state, instead of union + whole-table window. Prefer it
+    * when the right side is keyed uniquely per (by, on) and the inputs
+    * are large (or already clustered by the entity key, where the
+    * exchanges vanish entirely). */
+  def mergeAsOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      by: Seq[String],
+      toleranceDays: Option[Int] = None,
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlAccess
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types._
+
+    require(direction == "backward" || direction == "forward",
+      s"merge_asof direction '$direction' not implemented (reference " +
+        "utils.py:190-193 supports only backward/forward)")
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinPlan.register(spark)
+
+    val lPlan = GraftSqlAccess.analyzed(left)
+    // fresh exprIds on the right child so self-as-of-joins (and shared
+    // lineage) stay unambiguous — the same re-alias trick Dataset.join
+    // performs during dedup
+    val rPlan = Project(
+      GraftSqlAccess.analyzed(right).output.map(a => Alias(a, a.name)()),
+      GraftSqlAccess.analyzed(right))
+    val rOut = rPlan.output
+    def att(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column '$n' not found"))
+    val leftOn = att(lPlan.output, on); val rightOn = att(rOut, on)
+    require(leftOn.dataType == rightOn.dataType,
+      s"'$on' types differ: ${leftOn.dataType} vs ${rightOn.dataType}")
+    val valueAttrs = rOut.filterNot(a => a.name == on || by.contains(a.name))
+    require(valueAttrs.nonEmpty, "right side has no value columns")
+    val tol: Option[Long] = toleranceDays.map { d =>
+      leftOn.dataType match {
+        case DateType => d.toLong // days are the native unit
+        case TimestampType | TimestampNTZType => d.toLong * 86400L * 1000000L
+        case IntegerType | LongType => d.toLong
+        case t => throw new IllegalArgumentException(
+          s"tolerance unsupported for on-type $t")
+      }
+    }
+    GraftSqlAccess.ofRows(spark, graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      by.map(att(lPlan.output, _)), by.map(att(rOut, _)),
+      leftOn, rightOn, valueAttrs, direction, tol))
+  }
+
   /** merge_asof with the reference's EXACT duplicate-key behavior
     * (utils.py:168-241): instead of carrying values through the window,
     * only the matched right DATE is computed; left rows then equi-join

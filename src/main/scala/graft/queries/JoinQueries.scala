@@ -95,6 +95,12 @@ object JoinQueries {
     // J6b: forward direction
     "j6_asof_forward" -> ((s, dir) => asofQuery(s, dir, "forward")),
 
+    // J6c: the same backward as-of join through the NATIVE Catalyst
+    // operator (custom LogicalPlan → strategy → sort-merge exec) —
+    // same oracle, different physical plan
+    "j6_asof_native" -> ((s, dir) =>
+      asofQuery(s, dir, "backward", AsOfJoin.mergeAsOfNative)),
+
     // J7: self-join on aggregate → expressed as a window sum
     // (reference rar_dataset.py:147-153)
     "j7_selfjoin_agg" -> ((s, dir) => {
@@ -128,7 +134,9 @@ object JoinQueries {
   /** Monthly spine per customer (left) as-of joined against deduplicated
     * large-order snapshots (right). */
   private def asofQuery(s: SparkSession, dir: String,
-      direction: String): DataFrame = {
+      direction: String,
+      impl: (DataFrame, DataFrame, String, Seq[String], Option[Int],
+        String) => DataFrame = AsOfJoin.mergeAsOf): DataFrame = {
     val o = Tables(s, dir, "orders")
     val panel = o.groupBy(col("o_custkey").as("custkey"),
         date_trunc("month", col("o_orderdate")).cast(DateType).as("mois"))
@@ -140,8 +148,7 @@ object JoinQueries {
       .agg(max(col("o_totalprice")).as("snap_price"))
     val left = panel.withColumn("d", col("mois"))
     val right = snaps.withColumn("d", col("snap_date")).drop("snap_date")
-    AsOfJoin.mergeAsOf(left, right, on = "d", by = Seq("custkey"),
-        toleranceDays = Some(92), direction = direction)
+    impl(left, right, "d", Seq("custkey"), Some(92), direction)
       .select(col("custkey"), col("mois"), col("n_orders"), col("snap_price"))
       .orderBy(col("custkey"), col("mois"))
   }
@@ -197,6 +204,25 @@ object JoinQueries {
         |FROM spans ORDER BY l_suppkey, mois""".stripMargin,
 
     "j6_asof_backward" ->
+      """WITH panel AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |snaps AS (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS snap_date,
+        |    max(o_totalprice) AS snap_price
+        |  FROM orders WHERE o_totalprice > 100000 GROUP BY 1, 2)
+        |SELECT p.custkey, p.mois, p.n_orders,
+        |  CASE WHEN s.snap_date IS NOT NULL
+        |    AND datediff('day', s.snap_date, p.mois) <= 92
+        |    THEN s.snap_price END AS snap_price
+        |FROM panel p
+        |ASOF LEFT JOIN snaps s
+        |  ON p.custkey = s.custkey AND p.mois >= s.snap_date
+        |ORDER BY p.custkey, p.mois""".stripMargin,
+
+    "j6_asof_native" ->
       """WITH panel AS (
         |  SELECT o_custkey AS custkey,
         |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,

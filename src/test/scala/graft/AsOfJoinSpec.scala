@@ -232,6 +232,105 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == (left.columns.toSeq :+ "ebe"))
   }
 
+  test("native as-of join passes the reference goldens (both directions)") {
+    def runNative(direction: String): Seq[Integer] =
+      AsOfJoin.mergeAsOfNative(left, right, on = "période",
+          by = Seq("siren"), toleranceDays = Some(365),
+          direction = direction)
+        .orderBy("siren", "période")
+        .collect().toSeq.map(_.getAs[Integer]("ebe"))
+    assert(runNative("backward") == expectedBackward)
+    assert(runNative("forward") == expectedForward)
+  }
+
+  test("native as-of join: parity with mergeAsOf on random panels") {
+    import org.scalacheck.{Gen, rng}
+    val epoch = d("2020-01-01").toLocalDate
+    val leftRowGen = for {
+      e <- Gen.choose(0, 3); day <- Gen.choose(0, 29)
+    } yield (e.toLong, day)
+    val rightRowGen = for {
+      e <- Gen.choose(0, 3); day <- Gen.choose(0, 29)
+      v <- Gen.choose(-1000, 1000)
+    } yield (e.toLong, day, v.toDouble)
+    val leftSchema = StructType(Seq(
+      StructField("entity", LongType), StructField("d", DateType)))
+    val rightSchema = StructType(Seq(
+      StructField("entity", LongType), StructField("d", DateType),
+      StructField("v", DoubleType)))
+    for (caseIdx <- 0 until 12) {
+      val seed = rng.Seed(caseIdx.toLong * 6007 + 11)
+      val params = Gen.Parameters.default
+      val leftRows = Gen.listOfN(40, leftRowGen).pureApply(params, seed)
+        .distinct
+      val rightRows = Gen.listOfN(25, rightRowGen)
+        .pureApply(params, seed.next)
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toList
+      val direction = if (caseIdx % 2 == 0) "backward" else "forward"
+      val tol = if (caseIdx % 3 == 0) Some(7) else None
+      val leftDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(leftRows.map { case (e, day) =>
+          Row(e, Date.valueOf(epoch.plusDays(day))) }, 4), leftSchema)
+      val rightDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rightRows.map { case (e, day, v) =>
+          Row(e, Date.valueOf(epoch.plusDays(day)), v) }, 4), rightSchema)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      val window = rows(AsOfJoin.mergeAsOf(leftDf, rightDf, "d",
+        Seq("entity"), tol, direction))
+      val native = rows(AsOfJoin.mergeAsOfNative(leftDf, rightDf, "d",
+        Seq("entity"), tol, direction))
+      assert(native == window,
+        s"case $caseIdx ($direction, tol=$tol): " +
+          s"missing=${window -- native} extra=${native -- window}")
+    }
+  }
+
+  test("native as-of join: right null-on rows never match, left null-on gets null") {
+    val schemaL = StructType(Seq(
+      StructField("e", LongType), StructField("d", DateType)))
+    val schemaR = StructType(Seq(
+      StructField("e", LongType), StructField("d", DateType),
+      StructField("v", DoubleType)))
+    val l = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, d("2020-01-10")), Row(1L, null))), schemaL)
+    val r = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, null, 99.0), Row(1L, d("2020-01-05"), 5.0))), schemaR)
+    val got = AsOfJoin.mergeAsOfNative(l, r, "d", Seq("e"))
+      .collect()
+      .map(x => (Option(x.get(1)).map(_.toString),
+        Option(x.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got === Set(
+      (Some("2020-01-10"), Some(5.0)), // matches the real right row
+      (None, None)))                   // null-on left row: no match
+  }
+
+  test("native as-of join plans one exchange per side and no window/union") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val out = AsOfJoin.mergeAsOfNative(left, right, "période", Seq("siren"))
+    out.collect() // finalize the adaptive plan
+    // AQE wrappers (AdaptiveSparkPlanExec, query stages) are leaves —
+    // recurse into the plans they wrap
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val plan = out.queryExecution.executedPlan
+    val flat = flatten(plan)
+    assert(flat.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]),
+      s"AsOfJoinExec missing in:\n$plan")
+    val exchanges = flat.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(!flat.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"window survived:\n$plan")
+    assert(!flat.exists(_.isInstanceOf[org.apache.spark.sql.execution.UnionExec]),
+      s"union survived:\n$plan")
+  }
+
   test("mergeAsOfJoinBack matches mergeAsOf on unique right keys") {
     for (dir <- Seq("backward", "forward")) {
       val a = AsOfJoin.mergeAsOf(left, right, "période", Seq("siren"),
