@@ -77,6 +77,24 @@ object ScaleProbe {
       AsOfJoin.mergeAsOfJoinBack(left, snaps, "d", Seq("entity"),
         Some(92), "backward").count()
     }
+    time("as-of join, native exec (merge scan)") {
+      AsOfJoin.mergeAsOfNative(left, snaps, "d", Seq("entity"),
+        Some(92), "backward").count()
+    }
+    // pre-clustered inputs (stand-in for bucketed tables): the native
+    // exec's ClusteredDistribution is already satisfied → ZERO
+    // exchanges; union-tag must still union both tables and re-sort
+    // the union (union destroys partitioning)
+    val leftClustered = left.repartition(col("entity")).localCheckpoint()
+    val snapsClustered = snaps.repartition(col("entity")).localCheckpoint()
+    time("as-of pre-clustered, union-tag") {
+      AsOfJoin.mergeAsOf(leftClustered, snapsClustered, "d", Seq("entity"),
+        Some(92), "backward").count()
+    }
+    time("as-of pre-clustered, native (0 exchanges)") {
+      AsOfJoin.mergeAsOfNative(leftClustered, snapsClustered, "d",
+        Seq("entity"), Some(92), "backward").count()
+    }
 
     // 3. interval explosion: sequence+explode vs range-join on a spine
     val intervals = events.limit(2000000)

@@ -146,39 +146,62 @@ case class AsOfJoinExec(
         case _ => r.getLong(0) // TimestampType / TimestampNTZType / LongType
       }
       val rBuf = rIter0.buffered
+      val tolMax = tol.getOrElse(Long.MaxValue)
+
+      // Amortized per-row state. The right head's projections stay
+      // valid until the NEXT rByProj/rOnProj call (only on head
+      // advance), and its by-compare against the CURRENT left group is
+      // cached — so in steady state a left row pays one group-boundary
+      // compare and its own projections, nothing else.
+      var headValid = false
+      var hBy: UnsafeRow = null
+      var hOnNull = false
+      var hOnV = 0L
+      var headCmp = 0 // byOrd.compare(hBy, current left group)
+      var headCmpValid = false
+      def loadHead(): Unit = {
+        val h = rBuf.head
+        hBy = rByProj(h)
+        val o = rOnProj(h)
+        hOnNull = o.isNullAt(0)
+        hOnV = if (hOnNull) 0L else onVal(o)
+        headValid = true
+        headCmpValid = false
+      }
+      def popHead(): Unit = { rBuf.next(); headValid = false }
+      var prevLBy: UnsafeRow = null // copy; marks the current left group
 
       if (backward) {
         // one-candidate state: the latest right row at (by, on) ≤ left
-        var candBy: UnsafeRow = null
         var candOn = 0L
         var candVal: UnsafeRow = null
+        var groupCand = false // candidate belongs to the current group
         lIter.map { lRow =>
           val lBy = lByProj(lRow)
+          if (prevLBy == null || byOrd.compare(prevLBy, lBy) != 0) {
+            prevLBy = lBy.copy(); groupCand = false; headCmpValid = false
+          }
           val lOnRow = lOnProj(lRow)
           var matched: InternalRow = nullValues
           if (!lOnRow.isNullAt(0)) {
             val lOnV = onVal(lOnRow)
             var advance = true
             while (advance && rBuf.hasNext) {
-              val h = rBuf.head
-              val cmp = byOrd.compare(rByProj(h), lBy)
-              if (cmp < 0) { rBuf.next(); () } // stale group — discard
-              else if (cmp == 0) {
-                val hOnRow = rOnProj(h)
-                if (hOnRow.isNullAt(0)) { rBuf.next(); () } // never matches
-                else {
-                  val hOnV = onVal(hOnRow)
-                  if (hOnV <= lOnV) {
-                    candBy = lBy.copy(); candOn = hOnV
-                    candVal = valProj(h).copy()
-                    rBuf.next()
-                  } else advance = false
-                }
-              } else advance = false
+              if (!headValid) loadHead()
+              if (!headCmpValid) {
+                headCmp = byOrd.compare(hBy, lBy); headCmpValid = true
+              }
+              if (headCmp < 0) popHead() // stale group — discard
+              else if (headCmp == 0) {
+                if (hOnNull) popHead() // null on never matches
+                else if (hOnV <= lOnV) {
+                  candOn = hOnV; candVal = valProj(rBuf.head).copy()
+                  groupCand = true
+                  popHead()
+                } else advance = false // in group, ahead in time
+              } else advance = false // head past group: cmp stays cached
             }
-            if (candVal != null && candBy != null &&
-                byOrd.compare(candBy, lBy) == 0 &&
-                tol.forall(lOnV - candOn <= _))
+            if (groupCand && lOnV - candOn <= tolMax)
               matched = candVal
           }
           resultProj(joined(lRow, matched))
@@ -188,31 +211,26 @@ case class AsOfJoinExec(
         // rows are discarded — peek, never consume a potential match
         lIter.map { lRow =>
           val lBy = lByProj(lRow)
+          if (prevLBy == null || byOrd.compare(prevLBy, lBy) != 0) {
+            prevLBy = lBy.copy(); headCmpValid = false
+          }
           val lOnRow = lOnProj(lRow)
           var matched: InternalRow = nullValues
           if (!lOnRow.isNullAt(0)) {
             val lOnV = onVal(lOnRow)
             var advance = true
             while (advance && rBuf.hasNext) {
-              val h = rBuf.head
-              val cmp = byOrd.compare(rByProj(h), lBy)
-              if (cmp < 0) { rBuf.next(); () }
-              else if (cmp == 0) {
-                val hOnRow = rOnProj(h)
-                if (hOnRow.isNullAt(0) || onVal(hOnRow) < lOnV) {
-                  rBuf.next(); ()
-                } else advance = false
-              } else advance = false
-            }
-            if (rBuf.hasNext) {
-              val h = rBuf.head
-              if (byOrd.compare(rByProj(h), lBy) == 0) {
-                val hOnRow = rOnProj(h)
-                if (!hOnRow.isNullAt(0) &&
-                    tol.forall(onVal(hOnRow) - lOnV <= _))
-                  matched = valProj(h)
+              if (!headValid) loadHead()
+              if (!headCmpValid) {
+                headCmp = byOrd.compare(hBy, lBy); headCmpValid = true
               }
+              if (headCmp < 0) popHead()
+              else if (headCmp == 0 && (hOnNull || hOnV < lOnV)) popHead()
+              else advance = false
             }
+            if (rBuf.hasNext && headCmp == 0 && !hOnNull &&
+                hOnV - lOnV <= tolMax)
+              matched = valProj(rBuf.head)
           }
           resultProj(joined(lRow, matched))
         }
