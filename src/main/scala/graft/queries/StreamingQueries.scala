@@ -108,6 +108,24 @@ object StreamingQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // event-time sessionization over the stream via the native
+    // session_window generator (30' gap, zero-delay watermark, append
+    // mode): emitted sessions are exactly those whose end (last event
+    // + gap) the final watermark (= max event time) has passed — the
+    // oracle applies the same closure rule to its gaps-and-islands
+    "st6_stream_sessions" -> ((s, dir) => {
+      val stream = eventsStream(s, dir)
+      val sess = Streaming.sessionWindows(stream(), gap = "30 minutes",
+        watermark = "0 seconds")
+      val name = s"st6_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, sess, name, outputMode = "append",
+          statePartitions = Some(8))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // sliding 1-hour windows every 30 minutes over the stream — the
     // streaming twin of batch e4 (same oracle math: each event lands in
     // exactly window/slide = 2 windows, keyed by start in epoch µs)
@@ -125,6 +143,31 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // session_window semantics (verified by the boundary golden spec):
+    // an event at EXACTLY last+gap still merges — split only when the
+    // gap is strictly exceeded (same rule as e2's islands); close iff
+    // last + gap ≤ the final watermark (global max event time)
+    "st6_stream_sessions" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |flagged AS (SELECT *,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |      ELSE 0 END AS new_session
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sessions AS (SELECT *,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM flagged),
+        |agg AS (SELECT user_id, sid, min(ts_us) AS session_start,
+        |    max(ts_us) AS session_last, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM sessions GROUP BY 1, 2),
+        |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+        |SELECT user_id, session_start, n_events, total_value
+        |FROM agg, mx WHERE session_last + 1800000000 <= max_us
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "st1_stream_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,
         |  hour(date_trunc('hour', ts)) AS h,

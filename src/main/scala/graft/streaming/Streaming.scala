@@ -91,6 +91,33 @@ object Streaming {
       }
   }
 
+  /** Event-time sessionization via the NATIVE session_window generator:
+    * gap-merged windows maintained in the state store, one session row
+    * per (user, island). Append mode emits a session once the event-
+    * time watermark passes its end (= last event + gap) — so on a
+    * bounded stream the final still-open session per user stays in
+    * state (the oracle mirrors that closure rule exactly). Works
+    * identically on batch frames (the generator merges per group in a
+    * single aggregation), preserving batch-stream parity.
+    *
+    * Output: (user_id, session_start timestamp, n_events,
+    * total_value) — total_value decimal-summed for cross-engine float
+    * determinism. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Streaming deduplication: drop repeated `idCols` rows within the
     * event-time watermark (`dropDuplicatesWithinWatermark`) — exactly
     * the at-least-once-source dedup a training-data ingest needs, with

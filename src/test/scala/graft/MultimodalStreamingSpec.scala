@@ -188,6 +188,33 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == 100)
   }
 
+  test("session_window sessions: exact-gap events still merge (≤ gap)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minutes: Int) =
+      new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    // session_window merges an event at EXACTLY last+gap (boundary
+    // inclusive — pinned here because the st6 oracle's islands must
+    // split with strict >, same rule as e2); 31' past the last event
+    // starts a new session
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 1.0),
+      (2L, ts(29), 7L, "click", 2.0),
+      (3L, ts(59), 7L, "buy", 10.0),  // 29 + 30 exactly → merges
+      (4L, ts(91), 7L, "view", 4.0),  // 59 + 32 → new session
+      (5L, ts(0), 8L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Streaming.sessionWindows(events, gap = "30 minutes")
+      .orderBy(col("user_id"), col("session_start"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (7L, ts(0), 3L, 13.0),
+      (7L, ts(91), 1L, 4.0),
+      (8L, ts(0), 1L, 5.0)))
+  }
+
   test("streaming: gap sessionization groups events per user") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
