@@ -28,7 +28,8 @@ object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
     val n1 = sys.env.getOrElse("SPARK_GRAFT_PROBE_N1", "100000").toLong
     val n2 = sys.env.getOrElse("SPARK_GRAFT_PROBE_N2", "1000000").toLong
-    val ops = sys.env.getOrElse("SPARK_GRAFT_PROBE_OPS", "d2,d3,d4,s2,s5")
+    val ops = sys.env.getOrElse("SPARK_GRAFT_PROBE_OPS",
+        "d2,d3,d4,d6,t9,s2,s5")
       .split(",").map(_.trim).toSet
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,7 +82,8 @@ object DedupScaleProbe {
 
     val times = scala.collection.mutable.Map.empty[(String, Long), Double]
     for (n <- Seq(n1, n2)) {
-      if (ops("d2") || ops("d3") || ops("d4") || ops("cc") || ops("t7")) {
+      if (ops("d2") || ops("d3") || ops("d4") || ops("cc") || ops("t7") ||
+          ops("d6") || ops("t9")) {
         val d = docs(n).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         d.count()
@@ -106,6 +108,12 @@ object DedupScaleProbe {
           Dedup.contaminatedAgainst(d, d.filter(col("doc_id") % 100 === 0),
             "doc_id", "text", k = 4)
             .filter(col("is_contaminated")).count()
+        }
+        if (ops("d6")) times(("d6", n)) = time(s"d6 passage dedup   n=$n") {
+          Dedup.passageDedup(d, "doc_id", "text", k = 8).count()
+        }
+        if (ops("t9")) times(("t9", n)) = time(s"t9 bigram lm nll   n=$n") {
+          operators.LanguageModel.bigramNll(d, "doc_id", "text").count()
         }
         if (ops("d4")) {
           val toks = Dedup.tokenize(d, "doc_id", "text")
@@ -146,7 +154,8 @@ object DedupScaleProbe {
       e.unpersist()
       }
     }
-    for (op <- Seq("d2", "d3", "cc", "t7", "d4", "s2", "s5") if ops(op))
+    for (op <- Seq("d2", "d3", "cc", "t7", "d4", "d6", "t9", "s2", "s5")
+        if ops(op))
       exponent(op, times((op, n1)), times((op, n2)))
 
     // t5: DOC-LENGTH scaling of the Gopher repetition metrics. The RLE
