@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * are VOCABULARY-sized, not corpus-sized, but can still be large at
   * 100 TB — scoring re-attaches them with ordinary shuffle equi-joins
   * keyed on the n-gram (never a driver collect or a blind broadcast).
-  * The corpus-level constant (vocabulary size) is a 1-row aggregate
-  * cross-joined back, the same pattern as BM25's corpus stats.
+  * The corpus-level constant (vocabulary size) rides along the unigram
+  * table via an unpartitioned window over the POST-AGGREGATE frame —
+  * only vocabulary-sized rows funnel through the single partition, the
+  * corpus is scanned once, and no cross join (= BroadcastNestedLoop
+  * plan) ever appears; the same pattern as Sketches.heavyHitters.
   */
 object LanguageModel {
 
@@ -38,10 +41,13 @@ object LanguageModel {
       alpha: Double = 1.0): DataFrame = {
     val toks = df.select(col(idCol).cast(LongType).as("doc_id"),
       TextOps.tokens(col(textCol)).as("__toks"))
-    // one exploded-token frame feeds both count tables
+    // one exploded-token frame feeds both count tables; the vocabulary
+    // size V rides along as an unpartitioned window over the already-
+    // aggregated (vocabulary-sized) unigram frame
     val unigrams = toks.select(explode(col("__toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-    val vocab = unigrams.agg(count(lit(1)).as("v"))
+      .withColumn("v", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val docBigrams = toks
       .select(col("doc_id"),
         explode(Dedup.shinglesOfTokens(col("__toks"), 2)).as("bg"))
@@ -50,7 +56,6 @@ object LanguageModel {
     docBigrams
       .join(bigrams, "bg")
       .join(unigrams, "w1")
-      .crossJoin(broadcast(vocab))
       .withColumn("lnp",
         round(log((col("cb") + alpha) / (col("cu") + col("v") * alpha)), 9)
           .cast(DecimalType(20, 9)))

@@ -42,11 +42,15 @@ class ScaleSpec extends SparkSpec {
       graft.operators.Dedup.contaminatedAgainst(
         docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
         k = 4).count()
+      graft.operators.Dedup.passageDedup(docs, "doc_id", "text",
+        k = 8).count()
+      graft.operators.LanguageModel.bigramNll(docs, "doc_id",
+        "text").count()
       // listener callbacks are delivered asynchronously
       val deadline = System.currentTimeMillis() + 10000
-      while (captured.size() < 6 && System.currentTimeMillis() < deadline)
+      while (captured.size() < 8 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
-      assert(captured.size() >= 6, "listener captured too few plans")
+      assert(captured.size() >= 8, "listener captured too few plans")
       captured.forEach { plan =>
         assert(!plan.contains("CartesianProduct"),
           s"executed plan contains CartesianProduct:\n${plan.take(2000)}")
