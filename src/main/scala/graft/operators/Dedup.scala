@@ -408,6 +408,33 @@ object Dedup {
         coalesce(col("is_contaminated"), lit(false)))
   }
 
+  /** Two-tier fuzzy dedup: cheap set-similarity CANDIDATES (the PPJoin
+    * prefix-filter join at a loose Jaccard floor) verified by bounded
+    * edit distance on the normalized text — the classic fuzzy-match
+    * shape where the expensive per-pair comparison only ever runs on
+    * the candidate set, never all pairs.
+    *
+    * Scale notes: texts join back for candidate pairs ONLY (the
+    * candidate join itself moves 8-byte ids); the verify uses Spark's
+    * threshold-bounded levenshtein, which early-exits past `maxEdit`
+    * (O(L·maxEdit) per pair, not O(L²)). Output: (i, j, edit_dist)
+    * with i < j and edit_dist ≤ maxEdit. */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, jaccardFloor: Double = 0.6,
+      maxEdit: Int = 6): DataFrame = {
+    val cands = ngramJaccardPairs(df, idCol, textCol, k, jaccardFloor)
+      .select(col("i"), col("j"))
+    val norm = df.select(col(idCol).cast(LongType).as("__nid"),
+      TextOps.normalize(col(textCol)).as("__txt"))
+    cands
+      .join(norm.select(col("__nid").as("i"), col("__txt").as("__ti")), "i")
+      .join(norm.select(col("__nid").as("j"), col("__txt").as("__tj")), "j")
+      .withColumn("edit_dist",
+        levenshtein(col("__ti"), col("__tj"), maxEdit))
+      .filter(col("edit_dist") >= 0) // -1 = threshold exceeded
+      .select(col("i"), col("j"), col("edit_dist"))
+  }
+
   /** Passage-level exact dedup (the aligned-chunk approximation of
     * Lee et al. 2022 "Deduplicating Training Data Makes Language
     * Models Better" — substring dedup at passage granularity): split

@@ -79,6 +79,16 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // two-tier fuzzy dedup: PPJoin candidates at a loose Jaccard floor
+    // (0.6), verified by threshold-bounded edit distance (≤ 6) on the
+    // normalized text — candidates the verify rejects prove the tiers
+    // do different work
+    "d7_edit_verified" -> ((s, dir) => {
+      Dedup.editVerifiedPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", k = 3, jaccardFloor = 0.6, maxEdit = 6)
+        .orderBy(col("i"), col("j"))
+    }),
+
     // passage-level exact dedup: aligned 8-token chunks, first corpus
     // occurrence wins, survivors reassembled in document order
     "d6_passage_dedup" -> ((s, dir) => {
@@ -171,6 +181,31 @@ object DedupQueries {
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d7_edit_verified" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM inter
+        |  JOIN sizes sa ON sa.doc_id = i
+        |  JOIN sizes sb ON sb.doc_id = j
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6),
+        |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt
+        |  FROM documents)
+        |SELECT p.i, p.j, levenshtein(a.txt, b.txt) AS edit_dist
+        |FROM pairs p JOIN n a ON a.doc_id = p.i JOIN n b ON b.doc_id = p.j
+        |WHERE levenshtein(a.txt, b.txt) <= 6
+        |ORDER BY p.i, p.j""".stripMargin,
 
     "d6_passage_dedup" ->
       """WITH t AS (SELECT doc_id,

@@ -139,6 +139,30 @@ class DedupSimSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("edit-verified pairs: candidates pass only under the edit bound") {
+    import spark.implicits._
+    // docs 0/1 differ by one word ("sky"→"sea": 2 edits, high Jaccard);
+    // docs 0/2 share most 3-grams but diverge by a long tail (over the
+    // edit bound) — candidates at the Jaccard floor, killed by verify
+    val base = "the quick brown fox jumps over the lazy dog near the sky"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("sky", "sea")),
+      (2L, base + " while twelve zebras parade wildly outside"),
+      (3L, "completely different text with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+        k = 3, jaccardFloor = 0.3, maxEdit = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((0L, 1L, 2)))
+    // sanity: the loose candidate tier DID propose (0,2) — the edit
+    // verify is what rejected it
+    val cands = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSet.contains((0L, 2L)))
+  }
+
   test("passage dedup: first occurrence wins, reassembly in order") {
     import spark.implicits._
     // k=2 chunks: doc 0 = [a b][c d][e f]; doc 1 repeats [c d] at

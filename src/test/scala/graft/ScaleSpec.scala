@@ -109,6 +109,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join on bucketed tables plans ZERO exchanges") {
+    import spark.implicits._
+    // the headline scale claim of the native operator: with both sides
+    // bucketed by the entity key, ClusteredDistribution is already
+    // satisfied and the as-of join runs exchange-free — the union-tag
+    // window form can never do this (union destroys partitioning)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val epoch = java.sql.Date.valueOf("2020-01-01").toLocalDate
+      val l = (1 to 2000).map(i => (i.toLong % 50,
+        java.sql.Date.valueOf(epoch.plusDays(i % 300)))).distinct
+        .toDF("entity", "d")
+      val r = (1 to 500).map(i => (i.toLong % 50,
+        java.sql.Date.valueOf(epoch.plusDays((i * 3) % 300)), i * 1.0))
+        .distinct.toDF("entity", "d", "v")
+        .groupBy("entity", "d").agg(org.apache.spark.sql.functions.max("v").as("v"))
+      graft.sources.IO.writeBucketed(l, "asof_l", Seq("entity"), 4)
+      graft.sources.IO.writeBucketed(r, "asof_r", Seq("entity"), 4)
+      val out = graft.operators.AsOfJoin.mergeAsOfNative(
+        spark.table("asof_l"), spark.table("asof_r"), "d", Seq("entity"))
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan)
+      assert(!plan.contains("Exchange"), s"exchange survived:\n$plan")
+      // and the result still matches the window implementation
+      val window = graft.operators.AsOfJoin.mergeAsOf(
+        spark.table("asof_l"), spark.table("asof_r"), "d", Seq("entity"))
+      assert(out.orderBy("entity", "d").collect().map(_.toSeq).toSeq ==
+        window.orderBy("entity", "d").collect().map(_.toSeq).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS asof_l")
+      spark.sql("DROP TABLE IF EXISTS asof_r")
+    }
+  }
+
   test("query results are invariant to shuffle partition count") {
     for (parts <- Seq("3", "17")) {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
