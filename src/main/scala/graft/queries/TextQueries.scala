@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -113,6 +114,29 @@ object TextQueries {
       graft.operators.Sketches.quotaSelect(scored, "lang",
           Seq(col("quality").desc, col("doc_id").asc), mixQuotas)
         .select(col("doc_id"), col("lang"), col("stratum_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style head/middle/tail selection, composed end-to-end from
+    // library operators: detect language (t3's heuristic) → score with
+    // the corpus bigram LM (t9) → per-language ntile(3) perplexity
+    // buckets → keep head+middle. ntile on (rounded nll, doc_id) keeps
+    // the bucketing integer-exact across engines. At extreme scale the
+    // per-language sort swaps for approxQuantilesByGroup thresholds
+    // (a12's path); the semantics gate stays this exact form.
+    "c5_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val scored = graft.operators.LanguageModel.bigramNll(
+        docs, "doc_id", "text")
+      val withLang = docs.select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_detected"))
+      val w = Window.partitionBy(col("lang_detected"))
+        .orderBy(col("nll"), col("doc_id"))
+      scored.join(withLang, "doc_id")
+        .withColumn("bucket", ntile(3).over(w))
+        .filter(col("bucket") <= 2)
+        .select(col("doc_id"), col("lang_detected"), col("bucket"),
+          col("nll"))
         .orderBy(col("doc_id"))
     }),
 
@@ -295,6 +319,42 @@ object TextQueries {
         |  round(-CAST(sum(CAST(round(ln((cb + 1.0) / (cu + 1.0 * v)), 9) AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS nll
         |FROM f JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "c5_ccnet_buckets" ->
+      (s"""WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  ${langScoreSql(TextOps.langProfiles(0)._2)} AS s_de,
+        |  ${langScoreSql(TextOps.langProfiles(1)._2)} AS s_en,
+        |  ${langScoreSql(TextOps.langProfiles(2)._2)} AS s_es,
+        |  ${langScoreSql(TextOps.langProfiles(3)._2)} AS s_fr
+        |  FROM t),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+        |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |    ELSE 'fr' END AS lang_detected
+        |  FROM sc),
+        |bi AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> struct_pack(w1 := toks[i], bg := toks[i] || ' ' || toks[i+1]))
+        |    ELSE [] END) AS b
+        |  FROM t),
+        |f AS (SELECT doc_id, b.w1 AS w1, b.bg AS bg FROM bi),
+        |cb AS (SELECT bg, count(*) AS cb FROM f GROUP BY 1),
+        |u AS (SELECT unnest(toks) AS w1 FROM t),
+        |cu AS (SELECT w1, count(*) AS cu FROM u GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM cu),
+        |nll AS (SELECT doc_id,
+        |    round(-CAST(sum(CAST(round(ln((cb + 1.0) / (cu + 1.0 * v)), 9) AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS nll
+        |  FROM f JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id),
+        |r AS (SELECT n.doc_id, l.lang_detected, n.nll,
+        |    ntile(3) OVER (PARTITION BY l.lang_detected ORDER BY n.nll, n.doc_id) AS bucket
+        |  FROM nll n JOIN lang l ON n.doc_id = l.doc_id)
+        |SELECT doc_id, lang_detected, bucket, nll FROM r
+        |WHERE bucket <= 2 ORDER BY doc_id""").stripMargin,
 
     "c4_domain_mix" -> {
       val quotaCase = mixQuotas.toSeq.sortBy(_._1).map { case (l, q) =>
