@@ -209,6 +209,34 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A13: rollup with grouping flags — multi-level subtotals in ONE
+    // pass (partial-aggregated per level; the OLAP report shape that
+    // would otherwise be 3 scans + a union)
+    "a13_rollup" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+          count(lit(1)).as("n"),
+          // grouping() is only legal inside the rollup aggregation
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // A14: pivot — status counts per return flag spread into columns
+    // (values pinned so the plan needs no discovery pass; absent
+    // combinations filled 0 to match the conditional-agg oracle)
+    "a14_pivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Scalar function families: dates + strings + row-sum
     // (SURVEY.md §2.8; reference transform.py:106-112, rar_dataset.py:137-144)
     "f_scalar_dates" -> ((s, dir) => {
@@ -351,6 +379,21 @@ object CoreQueries {
     "a9_dist_count" ->
       """SELECT o_orderpriority, count(*) AS count FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a13_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n,
+        |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "a14_pivot" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f_scalar_dates" ->
       """SELECT o_orderkey,
