@@ -283,6 +283,38 @@ object ProductQuantization {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("adist"))
   }
 
+  /** Two-stage serving: ADC SHORTLIST of k·expand candidates per query,
+    * then exact squared-L2 re-rank of the shortlist against the TRUE
+    * vectors — the FAISS refine stage. The exact computation touches
+    * only nq·k·expand (query, corpus) pairs, so full float vectors are
+    * joined back for the shortlist alone, never scanned corpus-wide;
+    * raising `expand` trades that bounded join volume for recall.
+    * Output: (query_id, rank, corpus_id, dist), rank 1 = nearest by
+    * exact distance. */
+  def pqTopKRefined(codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, model: PqModel,
+      k: Int, expand: Int = 4): DataFrame = {
+    val shortlist = pqTopK(codes, queries, idCol, vecCol, model, k * expand)
+      .select(col("query_id"), col("corpus_id"))
+    val corp = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__cv"))
+    val qs = broadcast(queries.select(
+      col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__qv")))
+    val sqDist = aggregate(
+      zip_with(col("__qv"), col("__cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("corpus_id").asc)
+    shortlist
+      .join(corp, "corpus_id")
+      .join(qs, "query_id")
+      .withColumn("dist", sqDist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("dist"))
+  }
+
   /** ADC top-k: approximate squared-L2 distance of each query to every
     * coded corpus vector via table lookups (exact query-subvector →
     * centroid distances, summed over the m code entries). Queries are

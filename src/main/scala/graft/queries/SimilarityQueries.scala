@@ -113,6 +113,22 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ shortlist + exact refine (rows-only; recall-dominance spec in
+    // ScalaTest): ADC proposes k·4 candidates, true vectors re-rank
+    // them exactly — the FAISS refine serving shape; the exact join
+    // touches shortlist rows only
+    "s8_pq_refined" -> ((s, dir) => {
+      import graft.operators.ProductQuantization
+      val emb = Tables(s, dir, "embeddings")
+      val model = pqModel(s, dir)
+      val codes = ProductQuantization.pqEncode(emb, "vec_id", "embedding",
+        model)
+      ProductQuantization.pqTopKRefined(codes, emb,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", model,
+          k = 5, expand = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF+PQ top-5 (rows-only; recall in ScalaTest): coarse cells bound
     // the scan (nprobe/nlist of the corpus per query), PQ codes bound
     // the bytes — the full FAISS-IVFPQ serving shape; both the

@@ -247,6 +247,17 @@ class DedupSimSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfpqRecall = (bf & ivfpq).size.toDouble / bf.size
     assert(ivfpqRecall >= 0.3, s"IVFPQ recall $ivfpqRecall too low")
+
+    // refine: exact re-rank of the ADC shortlist must dominate raw ADC
+    // recall (its top-k is the exact-best of a superset of ADC's top-k)
+    val refined = ProductQuantization.pqTopKRefined(codes, normed,
+        queries, "vec_id", "embedding", model, k = 5, expand = 4)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refinedRecall = (bf & refined).size.toDouble / bf.size
+    assert(refinedRecall >= recall,
+      s"refine recall $refinedRecall < ADC recall $recall")
+    assert(refinedRecall >= 0.7, s"refine recall $refinedRecall too low")
     codes.unpersist()
   }
 
