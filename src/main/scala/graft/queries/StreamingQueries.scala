@@ -108,6 +108,30 @@ object StreamingQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // stream-stream LEFT OUTER interval join: clicks with no view in
+    // the following 30' emit a null row once the watermark passes
+    // their join window (outer state eviction — the capability inner
+    // st3 can't show). Zero-delay watermark makes the closure rule
+    // exact: an unmatched click emits iff ts + 30' precedes the final
+    // watermark (= global max event time)
+    "st7_stream_outer_join" -> ((s, dir) => {
+      val stream = eventsStream(s, dir)
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = stream().filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val joined = Streaming.intervalJoin(clicks, views, "user_id", "ts",
+        windowMs = 30L * 60 * 1000, watermark = "0 seconds",
+        joinType = "leftOuter")
+      val name = s"st7_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, joined, name, outputMode = "append",
+          statePartitions = Some(8))
+        .groupBy(col("l_user_id").as("user_id"))
+        .agg(count(col("r_event_id")).as("n_matched"),
+          count(when(col("r_event_id").isNull, 1)).as("n_unmatched"))
+        .orderBy(col("user_id"))
+    }),
+
     // event-time sessionization over the stream via the native
     // session_window generator (30' gap, zero-delay watermark, append
     // mode): emitted sessions are exactly those whose end (last event
@@ -167,6 +191,28 @@ object StreamingQueries {
         |SELECT user_id, session_start, n_events, total_value
         |FROM agg, mx WHERE session_last + 1800000000 <= max_us
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // closure rule mirrors the engine exactly (pinned by checking the
+    // per-click emissions): matches always emit; an unmatched click
+    // emits iff its join window end precedes the final GLOBAL
+    // watermark, which is the MINIMUM across the two watermarked
+    // sources — min(max click ts, max view ts) — not the corpus max
+    "st7_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'view'),
+        |mx AS (SELECT least((SELECT max(tus) FROM c),
+        |    (SELECT max(tus) FROM v)) AS mus),
+        |j AS (SELECT c.user_id, c.event_id AS cid, c.tus AS ctus,
+        |    v.event_id AS vid
+        |  FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |    AND v.tus >= c.tus AND v.tus <= c.tus + 1800000000),
+        |f AS (SELECT user_id, cid, vid FROM j, mx
+        |  WHERE vid IS NOT NULL OR ctus + 1800000000 < mus)
+        |SELECT user_id, count(vid) AS n_matched,
+        |  count(*) FILTER (WHERE vid IS NULL) AS n_unmatched
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st1_stream_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,

@@ -142,7 +142,8 @@ object Streaming {
     * `r_`. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, windowMs: Long,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     def prefix(df: DataFrame, p: String): DataFrame =
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
     val l = prefix(
@@ -151,13 +152,17 @@ object Streaming {
     val r = prefix(
       if (right.isStreaming) right.withWatermark(tsCol, watermark) else right,
       "r_")
+    // joinType "leftOuter": unmatched left rows emit with nulls once
+    // the watermark passes their join window (l_ts + windowMs) — the
+    // state-eviction point; matches emit as they are found
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") &&
         col(s"r_$tsCol") <=
           // millisecond granularity: SECONDS via integer division floors
           // any sub-second window to INTERVAL 0, dropping all matches
-          col(s"l_$tsCol") + expr(s"INTERVAL $windowMs MILLISECOND"))
+          col(s"l_$tsCol") + expr(s"INTERVAL $windowMs MILLISECOND"),
+      joinType)
   }
 
   /** Drive a streaming query over a parquet directory with a memory
