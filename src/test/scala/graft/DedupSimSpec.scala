@@ -186,6 +186,34 @@ class DedupSimSpec extends SparkSpec {
     assert(g2.getLong(1) === 2L && g2.getString(2) === "p q r")
   }
 
+  test("passage dedup matches a naive reference on random corpora") {
+    import spark.implicits._
+    val k = 3
+    for (caseIdx <- 0 until 5) {
+      val rnd = new scala.util.Random(caseIdx * 7919 + 5)
+      // small vocabulary forces plenty of cross-document chunk dups
+      val docs = (0L until 40L).map { id =>
+        val words = Seq.fill(rnd.nextInt(20) + 1)("w" + rnd.nextInt(6))
+        (id, words.mkString(" "))
+      }
+      // naive: first occurrence per chunk in (doc_id, chunk_idx) order
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val chunks = toks.grouped(k).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter(c => seen.add(c))
+        if (kept.isEmpty) None
+        else Some((id, kept.size.toLong, kept.mkString(" ")))
+      }
+      val got = Dedup.passageDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.toSeq === expected,
+        s"case $caseIdx: got=${got.toSeq.take(3)} want=${expected.take(3)}")
+    }
+  }
+
   test("d3/d4 harness queries stay non-vacuous on the fixture") {
     // the d3/d4 rows-only driver checks prove nothing if a fixture regen
     // quietly drops the planted near-duplicates — pin non-emptiness here
