@@ -287,6 +287,40 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join: composite by-keys match the window form") {
+    val schemaL = StructType(Seq(
+      StructField("e", LongType), StructField("g", StringType),
+      StructField("d", DateType)))
+    val schemaR = StructType(Seq(
+      StructField("e", LongType), StructField("g", StringType),
+      StructField("d", DateType), StructField("v", DoubleType)))
+    val rnd = new scala.util.Random(42)
+    val epoch = d("2020-01-01").toLocalDate
+    val lRows = (0 until 200).map { _ =>
+      Row(rnd.nextInt(4).toLong, "g" + rnd.nextInt(3),
+        Date.valueOf(epoch.plusDays(rnd.nextInt(60))))
+    }.distinct
+    val rRows = (0 until 80).map { _ =>
+      (rnd.nextInt(4).toLong, "g" + rnd.nextInt(3), rnd.nextInt(60))
+    }.distinct.map { case (e, g, day) =>
+      Row(e, g, Date.valueOf(epoch.plusDays(day)), day.toDouble)
+    }
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(lRows, 3), schemaL)
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(rRows, 3), schemaR)
+    for (dir <- Seq("backward", "forward")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(x => (x.getLong(0), x.getString(1),
+          x.getDate(2).toString, Option(x.get(3)))).toSet
+      val w = rows(AsOfJoin.mergeAsOf(l, r, "d", Seq("e", "g"),
+        Some(14), dir))
+      val n = rows(AsOfJoin.mergeAsOfNative(l, r, "d", Seq("e", "g"),
+        Some(14), dir))
+      assert(n == w, s"direction $dir: missing=${w -- n} extra=${n -- w}")
+    }
+  }
+
   test("native as-of join: right null-on rows never match, left null-on gets null") {
     val schemaL = StructType(Seq(
       StructField("e", LongType), StructField("d", DateType)))
