@@ -321,6 +321,28 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join: global (no by-keys) as-of matches the window form") {
+    // leftBy empty → AllTuples distribution (single partition both
+    // sides); the degenerate-but-legal global as-of
+    val schemaL = StructType(Seq(StructField("d", DateType)))
+    val schemaR = StructType(Seq(
+      StructField("d", DateType), StructField("v", DoubleType)))
+    val epoch = d("2020-01-01").toLocalDate
+    val l = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 50).map(i => Row(Date.valueOf(epoch.plusDays(i)))), 3),
+      schemaL)
+    val r = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(0, 7, 23, 40).map(i =>
+        Row(Date.valueOf(epoch.plusDays(i)), i.toDouble)), 2), schemaR)
+    for (dir <- Seq("backward", "forward")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(x => (x.getDate(0).toString, Option(x.get(1)))).toSet
+      val w = rows(AsOfJoin.mergeAsOf(l, r, "d", Seq.empty, None, dir))
+      val n = rows(AsOfJoin.mergeAsOfNative(l, r, "d", Seq.empty, None, dir))
+      assert(n == w, s"direction $dir: missing=${w -- n} extra=${n -- w}")
+    }
+  }
+
   test("native as-of join: right null-on rows never match, left null-on gets null") {
     val schemaL = StructType(Seq(
       StructField("e", LongType), StructField("d", DateType)))
