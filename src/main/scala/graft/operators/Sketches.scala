@@ -57,13 +57,54 @@ object Sketches {
     *
     * `fraction` is quantized to basis points (1/10000). Vary `salt` to
     * draw independent samples from the same keys. */
+  /** md5-derived uniform bucket in [0, 10000) — the shared predicate
+    * behind [[hashSample]] and [[temperatureSample]]. */
+  def hashBucket(keyCol: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(keyCol.cast("string"), lit(salt))),
+      1, 15), 16, 10).cast("long") % 10000
+
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
       salt: String = ""): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
     val bps = math.round(fraction * 10000).toInt
-    val h = conv(substring(md5(concat(keyCol.cast("string"), lit(salt))),
-      1, 15), 16, 10).cast("long")
-    df.filter(h % 10000 < bps)
+    df.filter(hashBucket(keyCol, salt) < bps)
+  }
+
+  /** Temperature-smoothed mixture sampling — the data-mixing baseline
+    * (sample stratum s with weight ∝ n_s^alpha; alpha < 1 flattens the
+    * natural distribution toward uniform, up-weighting rare
+    * languages/domains): choose per-stratum Bernoulli fractions so the
+    * expected total is `budgetRows` split ∝ n_s^alpha, then select
+    * rows with the deterministic [[hashBucket]] predicate — the whole
+    * draw is a pure function of the row keys, reproducible across
+    * re-runs, partitionings, and engines.
+    *
+    * Determinism recipe (the oracle replays it bit-for-bit): per-
+    * stratum sqrt at alpha = 0.5 (IEEE-correctly-rounded in every
+    * engine, unlike pow) rounded to 9 decimals, summed exactly as
+    * decimals, fractions floored to basis points. Stratum counts
+    * collect to the driver — O(#strata) scalars, the classCounts
+    * precedent. */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: Column,
+      budgetRows: Long, alpha: Double = 0.5,
+      salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    def weight(n: Long): BigDecimal = BigDecimal(
+        if (alpha == 0.5) math.sqrt(n.toDouble)
+        else math.pow(n.toDouble, alpha))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val wSum = counts.values.map(weight).sum.toDouble
+    val bps: Map[String, Int] = counts.map { case (s, n) =>
+      s -> math.min(10000,
+        math.floor(10000.0 * budgetRows * weight(n).toDouble / wSum / n)
+          .toInt)
+    }
+    val bpsCol = bps.foldLeft(lit(0)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, b).otherwise(acc)
+    }
+    df.filter(hashBucket(keyCol, salt) < bpsCol)
   }
 
   /** Quota selection per stratum (the static data-MIXING primitive:

@@ -117,6 +117,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-smoothed mixture sampling (weight ∝ n^0.5 flattens
+    // the language distribution toward uniform): ~150 expected rows
+    // split across languages by smoothed share, drawn with the
+    // deterministic md5 predicate — reproducible on any engine
+    "c6_temperature_mix" -> ((s, dir) => {
+      graft.operators.Sketches.temperatureSample(
+          Tables(s, dir, "documents"), "lang", col("doc_id"),
+          budgetRows = 150, alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style head/middle/tail selection, composed end-to-end from
     // library operators: detect language (t3's heuristic) → score with
     // the corpus bigram LM (t9) → per-language ntile(3) perplexity
@@ -319,6 +331,20 @@ object TextQueries {
         |  round(-CAST(sum(CAST(round(ln((cb + 1.0) / (cu + 1.0 * v)), 9) AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS nll
         |FROM f JOIN cb USING (bg) JOIN cu USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replays the engine's determinism recipe bit-for-bit: sqrt
+    // (IEEE-correctly-rounded in both engines) rounded to 9 decimals,
+    // exact decimal sum, fractions floored to basis points, md5 draw
+    "c6_temperature_mix" ->
+      """WITH cnt AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT s, n, CAST(round(sqrt(n), 9) AS DECIMAL(20,9)) AS w FROM cnt),
+        |tot AS (SELECT CAST(sum(w) AS DOUBLE) AS wsum FROM w),
+        |bps AS (SELECT s, n,
+        |    LEAST(10000, CAST(floor(10000.0 * 150 * CAST(w AS DOUBLE) / wsum / n) AS BIGINT)) AS b
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN bps ON d.lang = bps.s
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < bps.b
+        |ORDER BY d.doc_id""".stripMargin,
 
     "c5_ccnet_buckets" ->
       (s"""WITH t AS (SELECT doc_id,

@@ -100,6 +100,40 @@ class SketchesSpec extends SparkSpec {
     assert(again === a, "re-run must select identical rows")
   }
 
+  test("temperature sampling flattens the stratum distribution") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val natural = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = natural.values.sum
+    val sampled = Sketches.temperatureSample(docs, "lang", col("doc_id"),
+        budgetRows = 150, alpha = 0.5)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expectation per stratum ∝ sqrt(n); Bernoulli noise bounded ±50%
+    val wSum = natural.values.map(n => math.sqrt(n.toDouble)).sum
+    natural.foreach { case (s, n) =>
+      val expected = 150.0 * math.sqrt(n.toDouble) / wSum
+      assert(math.abs(sampled.getOrElse(s, 0L) - expected) <=
+        math.max(8.0, expected * 0.5),
+        s"stratum $s: ${sampled.get(s)} vs ~$expected")
+    }
+    // smoothing: the rarest stratum's sampled SHARE must exceed its
+    // natural share (alpha < 1 up-weights the tail)
+    val rarest = natural.minBy(_._2)._1
+    val sampledTotal = sampled.values.sum
+    assert(sampled(rarest).toDouble / sampledTotal >
+      natural(rarest).toDouble / total,
+      s"rarest stratum $rarest not up-weighted")
+    // deterministic: identical draw on re-run
+    val again = Sketches.temperatureSample(docs, "lang", col("doc_id"),
+        budgetRows = 150, alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sketches.temperatureSample(docs, "lang", col("doc_id"),
+        budgetRows = 150, alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === first)
+  }
+
   test("quota select: per-stratum quotas and ordering respected") {
     val rows = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6),
