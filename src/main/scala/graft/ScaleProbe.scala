@@ -95,6 +95,31 @@ object ScaleProbe {
       AsOfJoin.mergeAsOfNative(leftClustered, snapsClustered, "d",
         Seq("entity"), Some(92), "backward").count()
     }
+    // SKEW regime, FORWARD direction: one entity owns ~everything.
+    // Measured outcome (recorded in NOTES_ROUND): WindowExec handles
+    // BOTH directions near-linearly even on a 5M-row group — running
+    // frames stream, and the unbounded-following buffer stays in
+    // memory at this node's budget — so the codegen'd window wins
+    // every regime reachable on a 128 GiB single node. The native
+    // exec's advantages that remain are plan-structural: exchange
+    // elision on clustered inputs (measured above), no union of the
+    // left table through the shuffle, and an O(1)-memory GUARANTEE
+    // independent of group size (vs a buffer that must fit or spill).
+    val skewLeft = spark.range(rows / 2).select(
+      lit(0L).as("entity"),
+      timestamp_micros(col("id") * 1000000L).as("d"))
+    val skewSnaps = spark.range(rows / 200).select(
+      lit(0L).as("entity"),
+      timestamp_micros(col("id") * 200000000L).as("d"),
+      (col("id") % 100).cast("double").as("snap"))
+    time("as-of fwd SKEWED (1 hot entity), union-tag") {
+      AsOfJoin.mergeAsOf(skewLeft, skewSnaps, "d", Seq("entity"),
+        None, "forward").count()
+    }
+    time("as-of fwd SKEWED (1 hot entity), native") {
+      AsOfJoin.mergeAsOfNative(skewLeft, skewSnaps, "d", Seq("entity"),
+        None, "forward").count()
+    }
 
     // 3. interval explosion: sequence+explode vs range-join on a spine
     val intervals = events.limit(2000000)
