@@ -139,4 +139,54 @@ class RunnerSpec extends SparkSpec {
     assert(result.metrics("Area under ROC curve") > 0.8,
       result.metrics.toString)
   }
+
+  test("RunPipeline CLI: config + overrides → panel → outputs on disk") {
+    import graft.ml.PipelineConfig.ConfigOps
+    // same verbatim-ported standard.json; the panel mirrors the
+    // config-path test's shape
+    val cfg = PipelineConfig.fromFile(
+      "src/test/resources/reference_standard.json")
+    val scalerFeatures = cfg.featuresTransformers.collect {
+      case (f, ts) if ts.lastOption.contains("StandardScaler") => f
+    }.toSeq.sorted
+    val rng = new Random(23)
+    val months = (0 until 26).map(m =>
+      java.sql.Date.valueOf(f"${2018 + m / 12}-${m % 12 + 1}%02d-01"))
+    val rows = (0 until 120).flatMap { i =>
+      val siren = f"$i%09d"
+      val failing = rng.nextDouble() < 0.3
+      months.map { period =>
+        val base = if (failing) 60.0 + rng.nextDouble() * 60
+          else rng.nextDouble() * 40
+        Row.fromSeq(Seq(siren, period, if (failing) 1 else 0,
+          rng.nextDouble() * 120 - 10) ++
+          scalerFeatures.map(_ => base + rng.nextDouble() * 10))
+      }
+    }
+    val schema = StructType(
+      Seq(StructField("siren", StringType),
+        StructField("période", DateType),
+        StructField("failure", IntegerType),
+        StructField("paydex", DoubleType)) ++
+      scalerFeatures.map(StructField(_, DoubleType)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_runpipeline").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 8), schema)
+      .write.mode("overwrite").parquet(s"$tmp/panel.parquet")
+
+    RunPipeline.run(spark, "src/test/resources/reference_standard.json",
+      s"$tmp/panel.parquet", s"$tmp/out",
+      Map("train_dates" -> Seq("2018-01-01", "2019-05-31"),
+        "prediction_date" -> "2020-02-01"))
+
+    val preds = spark.read.parquet(s"$tmp/out/predictions.parquet")
+    assert(preds.count() > 0)
+    assert(preds.columns.contains("probability_1"))
+    val docs = spark.read.json(s"$tmp/out/frontend.json")
+    assert(docs.count() === preds.count())
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/out/metrics.json")), "UTF-8")
+    assert(metrics.contains("threshold_f05") &&
+      metrics.contains("Area under ROC curve"), metrics)
+  }
 }
