@@ -67,13 +67,42 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Column pruning THROUGH the custom node: Catalyst's ColumnPruning
+  * doesn't know [[AsOfJoinNode]], so without this rule a Project above
+  * the as-of join never shrinks the right side — every right value
+  * column rides the exchange and the scan reads it. When a Project
+  * references only a subset of the right values, shrink `rightValues`
+  * AND insert the matching Project over the right child, so physical
+  * planning (PhysicalOperation over the file relation) prunes the scan
+  * even when this rule runs in the late user-rule batch. A
+  * strictly-shrinking guard keeps the rule a fixed point. */
+object PruneAsOfJoinValues
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, a: AsOfJoinNode)
+        if a.rightValues.exists(v => !p.references.contains(v)) =>
+      val keep = a.rightValues.filter(p.references.contains)
+      val neededRefs = (a.rightBy ++ Seq(a.rightOn)).flatMap(_.references)
+      val needed = a.right.output.filter(attr =>
+        neededRefs.exists(_.exprId == attr.exprId) ||
+          keep.exists(_.exprId == attr.exprId))
+      p.copy(child = a.copy(
+        right = Project(needed, a.right), rightValues = keep))
+  }
+}
+
 object AsOfJoinPlan {
-  /** Idempotently add the strategy to a session (for sessions built
-    * without `spark.sql.extensions=graft.GraftExtensions`). */
+  /** Idempotently add the strategy + optimizer rule to a session (for
+    * sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions`). */
   def register(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PruneAsOfJoinValues))
+      spark.experimental.extraOptimizations = opts :+ PruneAsOfJoinValues
   }
 }
 

@@ -362,6 +362,43 @@ class AsOfJoinSpec extends SparkSpec {
       (None, None)))                   // null-on left row: no match
   }
 
+  test("optimizer rule prunes unused right values through the as-of node") {
+    // right side has 3 value columns on parquet; the query selects only
+    // one — PruneAsOfJoinValues must shrink the node and let physical
+    // planning narrow the right scan's ReadSchema
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_asof_prune").toString
+    val epoch = d("2020-01-01").toLocalDate
+    spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until 100).map(i =>
+          Row(i.toLong % 5, Date.valueOf(epoch.plusDays(i)),
+            i.toDouble, i * 2.0, s"x$i"))),
+        StructType(Seq(
+          StructField("e", LongType), StructField("d", DateType),
+          StructField("v1", DoubleType), StructField("v2", DoubleType),
+          StructField("v3", StringType))))
+      .write.mode("overwrite").parquet(s"$tmp/right.parquet")
+    val l = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 60).map(i => Row(i.toLong % 5,
+        Date.valueOf(epoch.plusDays(i + 3))))),
+      StructType(Seq(
+        StructField("e", LongType), StructField("d", DateType))))
+    val r = spark.read.parquet(s"$tmp/right.parquet")
+    val out = AsOfJoin.mergeAsOfNative(l, r, "d", Seq("e"))
+      .select("e", "d", "v2")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val readSchemas = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(readSchemas.exists(s =>
+      s.contains("v2") && !s.contains("v1") && !s.contains("v3")),
+      s"right scan not pruned:\n$plan")
+    // and the pruned plan still computes the right answer
+    val window = AsOfJoin.mergeAsOf(l, r, "d", Seq("e"))
+      .select("e", "d", "v2")
+    assert(out.collect().map(_.toSeq).toSet ==
+      window.collect().map(_.toSeq).toSet)
+  }
+
   test("native as-of join plans one exchange per side and no window/union") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
