@@ -156,23 +156,26 @@ case class AsOfJoinExec(
     val lOut = left.output
     val rOut = right.output
     val lByE = leftBy; val rByE = rightBy
-    val lOnE = Seq(leftOn); val rOnE = Seq(rightOn)
+    val lOnExpr = leftOn; val rOnExpr = rightOn
     val rValE: Seq[Expression] = rightValues
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
-      val lByProj = UnsafeProjection.create(lByE, lOut)
-      val rByProj = UnsafeProjection.create(rByE, rOut)
-      val lOnProj = UnsafeProjection.create(lOnE, lOut)
-      val rOnProj = UnsafeProjection.create(rOnE, rOut)
+      // ONE fused (by..., on) projection per side per row: the
+      // generated by-ordering only touches ordinals 0..|by|-1, so it
+      // compares the fused rows' prefix directly, and the on value
+      // reads at ordinal |by|
+      val nBy = lByE.length
+      val lKeyProj = UnsafeProjection.create(lByE :+ lOnExpr, lOut)
+      val rKeyProj = UnsafeProjection.create(rByE :+ rOnExpr, rOut)
       val valProj = UnsafeProjection.create(rValE, rOut)
       val byOrd = RowOrdering.createNaturalAscendingOrdering(byTypes)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullValues = new GenericInternalRow(nValues)
       def onVal(r: InternalRow): Long = onType match {
-        case DateType | IntegerType => r.getInt(0).toLong
-        case _ => r.getLong(0) // TimestampType / TimestampNTZType / LongType
+        case DateType | IntegerType => r.getInt(nBy).toLong
+        case _ => r.getLong(nBy) // Timestamp(NTZ) / LongType
       }
       val rBuf = rIter0.buffered
       val tolMax = tol.getOrElse(Long.MaxValue)
@@ -183,22 +186,20 @@ case class AsOfJoinExec(
       // cached — so in steady state a left row pays one group-boundary
       // compare and its own projections, nothing else.
       var headValid = false
-      var hBy: UnsafeRow = null
+      var hKey: UnsafeRow = null
       var hOnNull = false
       var hOnV = 0L
-      var headCmp = 0 // byOrd.compare(hBy, current left group)
+      var headCmp = 0 // byOrd.compare(hKey, current left group)
       var headCmpValid = false
       def loadHead(): Unit = {
-        val h = rBuf.head
-        hBy = rByProj(h)
-        val o = rOnProj(h)
-        hOnNull = o.isNullAt(0)
-        hOnV = if (hOnNull) 0L else onVal(o)
+        hKey = rKeyProj(rBuf.head)
+        hOnNull = hKey.isNullAt(nBy)
+        hOnV = if (hOnNull) 0L else onVal(hKey)
         headValid = true
         headCmpValid = false
       }
       def popHead(): Unit = { rBuf.next(); headValid = false }
-      var prevLBy: UnsafeRow = null // copy; marks the current left group
+      var prevLKey: UnsafeRow = null // copy; marks the current left group
 
       if (backward) {
         // one-candidate state: the latest right row at (by, on) ≤ left
@@ -206,19 +207,18 @@ case class AsOfJoinExec(
         var candVal: UnsafeRow = null
         var groupCand = false // candidate belongs to the current group
         lIter.map { lRow =>
-          val lBy = lByProj(lRow)
-          if (prevLBy == null || byOrd.compare(prevLBy, lBy) != 0) {
-            prevLBy = lBy.copy(); groupCand = false; headCmpValid = false
+          val lKey = lKeyProj(lRow)
+          if (prevLKey == null || byOrd.compare(prevLKey, lKey) != 0) {
+            prevLKey = lKey.copy(); groupCand = false; headCmpValid = false
           }
-          val lOnRow = lOnProj(lRow)
           var matched: InternalRow = nullValues
-          if (!lOnRow.isNullAt(0)) {
-            val lOnV = onVal(lOnRow)
+          if (!lKey.isNullAt(nBy)) {
+            val lOnV = onVal(lKey)
             var advance = true
             while (advance && rBuf.hasNext) {
               if (!headValid) loadHead()
               if (!headCmpValid) {
-                headCmp = byOrd.compare(hBy, lBy); headCmpValid = true
+                headCmp = byOrd.compare(hKey, lKey); headCmpValid = true
               }
               if (headCmp < 0) popHead() // stale group — discard
               else if (headCmp == 0) {
@@ -239,19 +239,18 @@ case class AsOfJoinExec(
         // forward: the match is the right HEAD once strictly-behind
         // rows are discarded — peek, never consume a potential match
         lIter.map { lRow =>
-          val lBy = lByProj(lRow)
-          if (prevLBy == null || byOrd.compare(prevLBy, lBy) != 0) {
-            prevLBy = lBy.copy(); headCmpValid = false
+          val lKey = lKeyProj(lRow)
+          if (prevLKey == null || byOrd.compare(prevLKey, lKey) != 0) {
+            prevLKey = lKey.copy(); headCmpValid = false
           }
-          val lOnRow = lOnProj(lRow)
           var matched: InternalRow = nullValues
-          if (!lOnRow.isNullAt(0)) {
-            val lOnV = onVal(lOnRow)
+          if (!lKey.isNullAt(nBy)) {
+            val lOnV = onVal(lKey)
             var advance = true
             while (advance && rBuf.hasNext) {
               if (!headValid) loadHead()
               if (!headCmpValid) {
-                headCmp = byOrd.compare(hBy, lBy); headCmpValid = true
+                headCmp = byOrd.compare(hKey, lKey); headCmpValid = true
               }
               if (headCmp < 0) popHead()
               else if (headCmp == 0 && (hOnNull || hOnV < lOnV)) popHead()
