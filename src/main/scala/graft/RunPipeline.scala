@@ -27,9 +27,12 @@ object RunPipeline {
     require(args.length >= 3,
       "usage: RunPipeline <config.json> <panel.parquet> <outDir> [k=v ...]")
     val overrides: Map[String, Any] = args.drop(3).map { a =>
-      val Array(k, v) = a.split("=", 2)
-      if (v.contains(",")) k -> v.split(",").toSeq
-      else k -> (v: Any)
+      a.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => k -> (v: Any)
+        case _ => sys.error(
+          s"bad override '$a': expected key=value " +
+            "(list values comma-separated, e.g. train_dates=a,b)")
+      }
     }.toMap
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
@@ -43,12 +46,30 @@ object RunPipeline {
     finally spark.stop()
   }
 
+  /** Coerce CLI string overrides by the CONFIG key's expected type
+    * (Seq-typed keys split on comma; numeric/boolean keys parse; all
+    * else stays a string) — so a scalar value containing a comma is
+    * representable, and a typo'd numeric fails loudly. Values already
+    * typed (spec-passed) pass through untouched. */
+  private[graft] def coerce(cfg: graft.ml.PipelineConfig,
+      overrides: Map[String, Any]): Map[String, Any] =
+    overrides.map {
+      case (k, v: String) => k -> (cfg.raw.get(k) match {
+        case Some(_: Seq[_]) => v.split(",").toSeq
+        case Some(_: Boolean) => v.toBoolean
+        case Some(_: Int) | Some(_: Long) | Some(_: BigInt) => v.toLong
+        case Some(_: Double) | Some(_: Float) => v.toDouble
+        case _ => v
+      })
+      case kv => kv
+    }
+
   /** The CLI body, callable with an existing session (spec-gated). */
   def run(spark: SparkSession, cfgPath: String, panelPath: String,
       outDir: String, overrides: Map[String, Any]): Unit = {
     import graft.ml.PipelineConfig.ConfigOps
-    val cfg = graft.ml.PipelineConfig.fromFile(cfgPath)
-      .withOverrides(overrides)
+    val cfg0 = graft.ml.PipelineConfig.fromFile(cfgPath)
+    val cfg = cfg0.withOverrides(coerce(cfg0, overrides))
     val panel = spark.read.parquet(panelPath)
     val res = graft.ml.Runner.run(spark, panel, cfg)
 

@@ -73,6 +73,15 @@ object Aggregates {
   def globalCumSum(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
       valueCol: org.apache.spark.sql.Column, outCol: String,
       numPartitions: Option[Int] = None): DataFrame = {
+    // The broadcast offsets are integral; a fractional value column
+    // would be silently floored by the LongType cast below. Fail loudly
+    // instead — scale fractional values to integers first.
+    val vType = df.select(valueCol).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType).contains(vType),
+      s"globalCumSum requires an integral value column (token counts, " +
+        s"sizes); got $vType — scale fractional values to integers first")
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     // localCheckpoint, NOT persist: the per-partition totals and the

@@ -136,6 +136,16 @@ object AsOfJoin {
     val leftOn = att(lPlan.output, on); val rightOn = att(rOut, on)
     require(leftOn.dataType == rightOn.dataType,
       s"'$on' types differ: ${leftOn.dataType} vs ${rightOn.dataType}")
+    // The physical merge scan reads `on` as a raw int/long word
+    // (AsOfJoinExec.onVal) — any other type would compare garbage, so
+    // reject it HERE, unconditionally (not just on the tolerance path).
+    leftOn.dataType match {
+      case DateType | TimestampType | TimestampNTZType |
+           IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"mergeAsOfNative supports on-types Date/Timestamp/TimestampNTZ/" +
+          s"Int/Long; got $t — use mergeAsOf for other orderable types")
+    }
     val valueAttrs = rOut.filterNot(a => a.name == on || by.contains(a.name))
     require(valueAttrs.nonEmpty, "right side has no value columns")
     val tol: Option[Long] = toleranceDays.map { d =>

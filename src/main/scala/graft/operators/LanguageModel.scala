@@ -15,11 +15,11 @@ import org.apache.spark.sql.types._
   * are VOCABULARY-sized, not corpus-sized, but can still be large at
   * 100 TB — scoring re-attaches them with ordinary shuffle equi-joins
   * keyed on the n-gram (never a driver collect or a blind broadcast).
-  * The corpus-level constant (vocabulary size) rides along the unigram
-  * table via an unpartitioned window over the POST-AGGREGATE frame —
-  * only vocabulary-sized rows funnel through the single partition, the
-  * corpus is scanned once, and no cross join (= BroadcastNestedLoop
-  * plan) ever appears; the same pattern as Sketches.heavyHitters.
+  * The corpus-level constant (vocabulary size) is a driver scalar
+  * reduced from the materialized unigram aggregate and inlined as a
+  * literal — never an unpartitioned window (one task holding the whole
+  * vocab) and never a cross join (= BroadcastNestedLoop plan); the
+  * same pattern as Sketches.heavyHitters.
   */
 object LanguageModel {
 
@@ -41,13 +41,15 @@ object LanguageModel {
       alpha: Double = 1.0): DataFrame = {
     val toks = df.select(col(idCol).cast(LongType).as("doc_id"),
       TextOps.tokens(col(textCol)).as("__toks"))
-    // one exploded-token frame feeds both count tables; the vocabulary
-    // size V rides along as an unpartitioned window over the already-
-    // aggregated (vocabulary-sized) unigram frame
-    val unigrams = toks.select(explode(col("__toks")).as("w1"))
+    // The unigram table is materialized ONCE (eager localCheckpoint);
+    // the vocabulary size V = its row count reduces to a driver scalar
+    // from the checkpoint (never re-running the corpus explode) and
+    // rides into the scoring expression as a literal — no unpartitioned
+    // window (one task holding a web-scale vocab), no cross join.
+    val unigramCounts = toks.select(explode(col("__toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-      .withColumn("v", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .localCheckpoint()
+    val unigrams = unigramCounts.withColumn("v", lit(unigramCounts.count()))
     val docBigrams = toks
       .select(col("doc_id"),
         explode(Dedup.shinglesOfTokens(col("__toks"), 2)).as("bg"))

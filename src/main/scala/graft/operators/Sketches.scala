@@ -82,25 +82,55 @@ object Sketches {
     * Determinism recipe (the oracle replays it bit-for-bit): per-
     * stratum sqrt at alpha = 0.5 (IEEE-correctly-rounded in every
     * engine, unlike pow) rounded to 9 decimals, summed exactly as
-    * decimals, fractions floored to basis points. Stratum counts
-    * collect to the driver — O(#strata) scalars, the classCounts
-    * precedent. */
+    * decimals, fractions floored to basis points, then WATER-FILLED
+    * over saturated strata in exactly [[WaterFillPasses]] fixed passes:
+    * a stratum whose quota exceeds its size caps at 10000 bps
+    * (contributing all its rows) and its excess budget re-splits
+    * ∝ weight among the unsaturated rest — so the expected total stays
+    * `budgetRows` even when rare strata saturate, instead of silently
+    * under-filling. Extra passes are idempotent once no new stratum
+    * saturates, which is what makes a FIXED unroll replayable in SQL.
+    * Saturation cascades deeper than three levels (each pass must
+    * newly saturate a stratum to matter) are accepted as residual
+    * under-fill. Rows with a NULL stratum are dropped (they draw 0
+    * bps). Stratum counts collect to the driver — O(#strata) scalars,
+    * the classCounts precedent. */
+  val WaterFillPasses = 3
+
   def temperatureSample(df: DataFrame, stratumCol: String, keyCol: Column,
       budgetRows: Long, alpha: Double = 0.5,
       salt: String = ""): DataFrame = {
     val counts = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      .flatMap(r => Option(r.get(0)).map(_.toString -> r.getLong(1))).toMap
     def weight(n: Long): BigDecimal = BigDecimal(
         if (alpha == 0.5) math.sqrt(n.toDouble)
         else math.pow(n.toDouble, alpha))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    val wSum = counts.values.map(weight).sum.toDouble
-    val bps: Map[String, Int] = counts.map { case (s, n) =>
-      s -> math.min(10000,
-        math.floor(10000.0 * budgetRows * weight(n).toDouble / wSum / n)
-          .toInt)
+    // Water-filling: `sat` strata are pinned at 10000 bps; each pass
+    // re-splits the remaining budget over the rest. BigDecimal sums are
+    // exact, so iteration order never changes a digit.
+    var sat = Set.empty[String]
+    var raw = Map.empty[String, Int]
+    var pass = 0
+    var changed = true
+    while (pass < WaterFillPasses && changed && sat.size < counts.size) {
+      val remBudget = budgetRows - sat.iterator.map(counts).sum
+      val unsat = counts.keySet diff sat
+      val wSum = unsat.iterator.map(s => weight(counts(s))).sum.toDouble
+      raw = unsat.iterator.map { s =>
+        s -> math.floor(
+          10000.0 * remBudget * weight(counts(s)).toDouble / wSum /
+            counts(s)).toInt
+      }.toMap
+      val newlySat = raw.filter(_._2 >= 10000).keySet
+      changed = newlySat.nonEmpty
+      sat ++= newlySat
+      pass += 1
     }
+    val bps: Map[String, Int] = counts.keysIterator.map(s =>
+      s -> (if (sat(s)) 10000
+            else math.max(0, math.min(10000, raw.getOrElse(s, 0))))).toMap
     val bpsCol = bps.foldLeft(lit(0)) { case (acc, (s, b)) =>
       when(col(stratumCol) === s, b).otherwise(acc)
     }
@@ -111,19 +141,82 @@ object Sketches {
     * "N_s best documents from each source/language"): rank rows inside
     * each stratum by `orderCols` and keep the top `quotas(stratum)`.
     *
-    * Scale note: the rank is a per-stratum sort — fine while each
-    * stratum fits a task's spill budget (strata are sources/languages,
-    * so usually yes). For pathologically hot strata, pre-filter with an
-    * `approxQuantilesByGroup` score threshold at quota/|stratum| rank,
-    * then exact-rank only the survivors. */
+    * Scale: the rank is a per-stratum sort — fine while each stratum
+    * fits a task's spill budget (strata are sources/languages, so
+    * usually yes). Strata larger than `hotStratumThreshold` take the
+    * TWO-PHASE path automatically: an ε-approximate percentile
+    * threshold on the primary order column at rank quota+2εn (one
+    * shuffle-free complete-mode aggregate, O(#hot) driver scalars)
+    * pre-filters the stratum, then the exact `row_number` ranks only
+    * the ~quota survivors — the hottest task sorts O(quota + εn) rows
+    * instead of the whole stratum. The GK sketch's rank error is a
+    * HARD ε·n bound (not probabilistic), and the kept set is closed
+    * under the full sort order (ties at the threshold survive, null
+    * scores survive), so two-phase output is EXACTLY the direct
+    * output — parity spec-gated. Falls back to the direct path when
+    * the primary order column is non-numeric. */
   def quotaSelect(df: DataFrame, stratumCol: String,
-      orderCols: Seq[Column], quotas: Map[String, Int]): DataFrame = {
+      orderCols: Seq[Column], quotas: Map[String, Int],
+      hotStratumThreshold: Long = 5000000L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlAccess
+    import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder => CatSortOrder}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(orderCols: _*)
     val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (s, q)) =>
       when(col(stratumCol) === s, q).otherwise(acc)
     }
-    df.withColumn("stratum_rank", row_number().over(w))
+    val (primaryExpr, primaryDesc) =
+      GraftSqlAccess.expression(orderCols.head) match {
+        case CatSortOrder(child, dir, _, _) => (child, dir == Descending)
+        case e => (e, false)
+      }
+    val primary = GraftSqlAccess.column(primaryExpr)
+    val numericPrimary = primaryExpr.resolved &&
+      primaryExpr.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
+    // (total, non-null-score) row counts per stratum. The percentile
+    // sketch only sees non-null scores, so the frac must target the
+    // rank among THOSE — with nulls-last descending order, an n-based
+    // frac would drop non-null rows the direct path keeps when a
+    // stratum is null-rich.
+    val counts: Map[String, (Long, Long)] =
+      if (!numericPrimary) Map.empty
+      else df.groupBy(col(stratumCol))
+        .agg(count(lit(1)).as("n"), count(primary).as("nn")).collect()
+        .flatMap(r => Option(r.get(0)).map(
+          _.toString -> (r.getLong(1), r.getLong(2)))).toMap
+    // a stratum whose quota covers its (non-null, for desc) rows needs
+    // no pre-filter — keep it on the direct path
+    val hot = counts.filter { case (s, (n, nn)) =>
+      n > hotStratumThreshold && nn > 0 &&
+        quotas.getOrElse(s, 0) < (if (primaryDesc) nn else n)
+    }.keys.toSeq.sorted
+
+    val base =
+      if (hot.isEmpty) df
+      else {
+        val acc = 10000 // ε = 1/acc of stratum rank
+        val fracs = hot.map { s =>
+          val nn = counts(s)._2.toDouble
+          val q = quotas.getOrElse(s, 0).toDouble
+          val slack = 2.0 / acc + 1.0 / nn // 2εnn + 1 ranks of safety
+          s -> (if (primaryDesc) math.max(0.0, 1.0 - q / nn - slack)
+                else math.min(1.0, q / nn + slack))
+        }
+        // all hot-stratum thresholds in ONE complete-mode aggregate
+        val thrRow = df.select(fracs.map { case (s, f) =>
+          percentile_approx(when(col(stratumCol) === s, primary),
+            lit(f), lit(acc)).as(s) }: _*).collect()(0)
+        val thrCol = hot.indices.foldLeft(lit(null).cast("double")) {
+          (c, i) => when(col(stratumCol) === hot(i),
+            lit(if (thrRow.isNullAt(i)) null else thrRow.get(i))).otherwise(c)
+        }
+        val keep = // non-hot stratum, null score/threshold, or past it
+          thrCol.isNull || primary.isNull ||
+            (if (primaryDesc) primary >= thrCol else primary <= thrCol)
+        df.filter(keep)
+      }
+    base.withColumn("stratum_rank", row_number().over(w))
       .filter(col("stratum_rank") <= quotaCol)
   }
 
@@ -136,17 +229,18 @@ object Sketches {
     * tokens exact wins.) */
   def heavyHitters(df: DataFrame, textCol: String,
       minFrac: Double): DataFrame = {
+    // The vocabulary-sized aggregate is materialized ONCE (eager
+    // localCheckpoint — the corpus explode+count lineage never
+    // re-executes), the global total reduces from the checkpoint to a
+    // single driver scalar, and the filter compares against a literal:
+    // no unpartitioned window (which funnels the vocab through one
+    // task — 10⁸-10⁹ rows for a web-scale unigram table), no join.
     val counts = df
       .select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    // global total via an unpartitioned window over the POST-AGGREGATE
-    // frame: only vocabulary-sized rows funnel through the single
-    // partition, and the corpus is scanned once (re-aggregating counts
-    // for the total would rebuild the whole explode+count lineage)
-    counts
-      .withColumn("total", sum(col("n"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .filter(col("n") > col("total") * minFrac)
+      .localCheckpoint()
+    val total = counts.agg(sum(col("n"))).collect()(0).getLong(0)
+    counts.filter(col("n") > lit(total) * minFrac)
       .select(col("token"), col("n"))
   }
 }

@@ -78,17 +78,29 @@ object AsOfJoinStrategy extends SparkStrategy {
   * strictly-shrinking guard keeps the rule a fixed point. */
 object PruneAsOfJoinValues
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  private def prune(a: AsOfJoinNode, refs: AttributeSet): AsOfJoinNode = {
+    val keep = a.rightValues.filter(refs.contains)
+    val neededRefs = (a.rightBy ++ Seq(a.rightOn)).flatMap(_.references)
+    val needed = a.right.output.filter(attr =>
+      neededRefs.exists(_.exprId == attr.exprId) ||
+        keep.exists(_.exprId == attr.exprId))
+    a.copy(right = Project(needed, a.right), rightValues = keep)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(_, a: AsOfJoinNode)
         if a.rightValues.exists(v => !p.references.contains(v)) =>
-      val keep = a.rightValues.filter(p.references.contains)
-      val neededRefs = (a.rightBy ++ Seq(a.rightOn)).flatMap(_.references)
-      val needed = a.right.output.filter(attr =>
-        neededRefs.exists(_.exprId == attr.exprId) ||
-          keep.exists(_.exprId == attr.exprId))
-      p.copy(child = a.copy(
-        right = Project(needed, a.right), rightValues = keep))
+      p.copy(child = prune(a, p.references))
+    // A Filter between the Project and the as-of node (the common
+    // `asOf(...).filter(...).select(...)` shape) must not defeat
+    // pruning: keep what either the projection or the predicate reads.
+    case p @ Project(_, f @ Filter(cond, a: AsOfJoinNode))
+        if a.rightValues.exists(v =>
+          !p.references.contains(v) && !cond.references.contains(v)) =>
+      p.copy(child = f.copy(child =
+        prune(a, p.references ++ cond.references)))
   }
 }
 

@@ -334,14 +334,31 @@ object TextQueries {
 
     // replays the engine's determinism recipe bit-for-bit: sqrt
     // (IEEE-correctly-rounded in both engines) rounded to 9 decimals,
-    // exact decimal sum, fractions floored to basis points, md5 draw
+    // exact decimal sum, fractions floored to basis points, then the
+    // FIXED 3-pass water-fill (Sketches.WaterFillPasses) unrolled as
+    // chained CTEs — passes are idempotent once no new stratum
+    // saturates, so the unroll equals the engine's early-exit loop
     "c6_temperature_mix" ->
-      """WITH cnt AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1),
+      """WITH cnt AS (SELECT lang AS s, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
         |w AS (SELECT s, n, CAST(round(sqrt(n), 9) AS DECIMAL(20,9)) AS w FROM cnt),
-        |tot AS (SELECT CAST(sum(w) AS DOUBLE) AS wsum FROM w),
-        |bps AS (SELECT s, n,
-        |    LEAST(10000, CAST(floor(10000.0 * 150 * CAST(w AS DOUBLE) / wsum / n) AS BIGINT)) AS b
-        |  FROM w, tot)
+        |t1 AS (SELECT CAST(sum(w) AS DOUBLE) AS wsum, CAST(150 AS BIGINT) AS rem FROM w),
+        |r1 AS (SELECT s, n, w,
+        |    CAST(floor(10000.0 * rem * CAST(w AS DOUBLE) / wsum / n) AS BIGINT) AS b
+        |  FROM w, t1),
+        |t2 AS (SELECT CAST(sum(CASE WHEN b < 10000 THEN w END) AS DOUBLE) AS wsum,
+        |    150 - COALESCE(sum(CASE WHEN b >= 10000 THEN n END), 0) AS rem FROM r1),
+        |r2 AS (SELECT s, n, w, b >= 10000 AS sat,
+        |    CASE WHEN b >= 10000 THEN CAST(10000 AS BIGINT)
+        |      ELSE CAST(floor(10000.0 * t2.rem * CAST(w AS DOUBLE) / t2.wsum / n) AS BIGINT) END AS b2
+        |  FROM r1, t2),
+        |t3 AS (SELECT CAST(sum(CASE WHEN NOT sat AND b2 < 10000 THEN w END) AS DOUBLE) AS wsum,
+        |    150 - COALESCE(sum(CASE WHEN sat OR b2 >= 10000 THEN n END), 0) AS rem FROM r2),
+        |bps AS (SELECT s,
+        |    CASE WHEN sat OR b2 >= 10000 THEN CAST(10000 AS BIGINT)
+        |      ELSE GREATEST(0, LEAST(10000,
+        |        CAST(floor(10000.0 * t3.rem * CAST(w AS DOUBLE) / t3.wsum / n) AS BIGINT))) END AS b
+        |  FROM r2, t3)
         |SELECT d.doc_id, d.lang FROM documents d JOIN bps ON d.lang = bps.s
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < bps.b
         |ORDER BY d.doc_id""".stripMargin,

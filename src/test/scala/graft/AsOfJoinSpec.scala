@@ -399,6 +399,70 @@ class AsOfJoinSpec extends SparkSpec {
       window.collect().map(_.toSeq).toSet)
   }
 
+  test("native as-of rejects unsupported on-types loudly") {
+    import spark.implicits._
+    // the physical merge scan reads `on` as a raw int/long word; any
+    // other type must be rejected at construction, tolerance or not
+    val l = Seq(("a", "2020-01-01", 1.0)).toDF("e", "d", "x")
+    val r = Seq(("a", "2020-01-01", 2.0)).toDF("e", "d", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.mergeAsOfNative(l, r, "d", Seq("e"))
+    }
+    assert(e.getMessage.contains("on-type"))
+  }
+
+  test("prune rule reaches through a Filter between Project and as-of") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_asof_prune_filter").toString
+    val epoch = d("2020-01-01").toLocalDate
+    spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until 100).map(i =>
+          Row(i.toLong % 5, Date.valueOf(epoch.plusDays(i)),
+            i.toDouble, i * 2.0, s"x$i"))),
+        StructType(Seq(
+          StructField("e", LongType), StructField("d", DateType),
+          StructField("v1", DoubleType), StructField("v2", DoubleType),
+          StructField("v3", StringType))))
+      .write.mode("overwrite").parquet(s"$tmp/right.parquet")
+    val l = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 60).map(i => Row(i.toLong % 5,
+        Date.valueOf(epoch.plusDays(i + 3))))),
+      StructType(Seq(
+        StructField("e", LongType), StructField("d", DateType))))
+    val r = spark.read.parquet(s"$tmp/right.parquet")
+    // filter on a LEFT column: the rule must still shrink the right
+    // scan to the one selected value column
+    val out = AsOfJoin.mergeAsOfNative(l, r, "d", Seq("e"))
+      .filter(col("e") =!= 99L)
+      .select("e", "d", "v2")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val readSchemas = plan.split("\n").filter(_.contains("ReadSchema"))
+    assert(readSchemas.exists(s =>
+      s.contains("v2") && !s.contains("v1") && !s.contains("v3")),
+      s"right scan not pruned through Filter:\n$plan")
+    // filter on a RIGHT value column: that column must survive pruning
+    val out2 = AsOfJoin.mergeAsOfNative(l, r, "d", Seq("e"))
+      .filter(col("v1") > 10.0)
+      .select("e", "d", "v2")
+    out2.collect()
+    val plan2 = out2.queryExecution.executedPlan.toString
+    val readSchemas2 = plan2.split("\n").filter(_.contains("ReadSchema"))
+    assert(readSchemas2.exists(s =>
+      s.contains("v1") && s.contains("v2") && !s.contains("v3")),
+      s"predicate column dropped by pruning:\n$plan2")
+    // and both pruned plans still compute the right answers
+    val w1 = AsOfJoin.mergeAsOf(l, r, "d", Seq("e"))
+      .filter(col("e") =!= 99L).select("e", "d", "v2")
+    assert(out.collect().map(_.toSeq).toSet ==
+      w1.collect().map(_.toSeq).toSet)
+    val w2 = AsOfJoin.mergeAsOf(l, r, "d", Seq("e"))
+      .filter(col("v1") > 10.0).select("e", "d", "v2")
+    assert(out2.collect().map(_.toSeq).toSet ==
+      w2.collect().map(_.toSeq).toSet)
+  }
+
   test("native as-of join plans one exchange per side and no window/union") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

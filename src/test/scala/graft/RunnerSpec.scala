@@ -189,4 +189,22 @@ class RunnerSpec extends SparkSpec {
     assert(metrics.contains("threshold_f05") &&
       metrics.contains("Area under ROC curve"), metrics)
   }
+
+  test("RunPipeline override coercion follows the config key's type") {
+    val cfg = PipelineConfig.fromJson(
+      """{"a": ["x","y"], "b": 3, "c": 0.5, "d": true, "e": "plain"}""")
+    val coerced = RunPipeline.coerce(cfg, Map(
+      "a" -> "p,q", "b" -> "7", "c" -> "0.25", "d" -> "false",
+      "e" -> "has,comma", "new_key" -> "1,2"))
+    assert(coerced("a") === Seq("p", "q"))
+    assert(coerced("b") === 7L)
+    assert(coerced("c") === 0.25)
+    assert(coerced("d") === false)
+    // a SCALAR key's value may legitimately contain a comma
+    assert(coerced("e") === "has,comma")
+    // unknown keys stay strings (no type to coerce toward)
+    assert(coerced("new_key") === "1,2")
+    // already-typed values (spec-passed) pass through untouched
+    assert(RunPipeline.coerce(cfg, Map("a" -> Seq("z")))("a") === Seq("z"))
+  }
 }

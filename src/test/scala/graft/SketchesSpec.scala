@@ -148,6 +148,67 @@ class SketchesSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 5L, 1)))
   }
 
+  test("temperature sampling water-fills saturated strata to the budget") {
+    // 'tiny' saturates (its smoothed quota of ~454 exceeds its 100
+    // rows); the excess budget must re-split into 'big' so the expected
+    // total stays ~budgetRows. Pre-water-fill big bps =
+    // floor(10000·5000·100/110/10000) = 4545 → expected total ≈ 4645;
+    // water-filled big bps = 4900 → expected total = 5000. The md5 draw
+    // is deterministic, so the assertion is not flaky.
+    val rows = (1 to 10000).map(i => ("big", i.toLong)) ++
+      (1 to 100).map(i => ("tiny", 100000L + i))
+    val df = rows.toDF("s", "id")
+    val got = Sketches.temperatureSample(df, "s", col("id"),
+        budgetRows = 5000, alpha = 0.5)
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("tiny") === 100L, "saturated stratum must keep all rows")
+    val total = got.values.sum
+    assert(math.abs(total - 5000L) <= 150,
+      s"total $total not water-filled to ~5000")
+  }
+
+  test("temperature sampling drops null strata without NPE") {
+    val df = Seq((Option("en"), 1L), (Option.empty[String], 2L),
+      (Option("en"), 3L), (Option.empty[String], 4L)).toDF("s", "id")
+    val got = Sketches.temperatureSample(df, "s", col("id"),
+      budgetRows = 4, alpha = 0.5).collect()
+    assert(got.nonEmpty && got.forall(_.getString(0) == "en"),
+      "null strata must be dropped, non-null kept")
+  }
+
+  test("quota select: two-phase hot-stratum path equals the direct path") {
+    // 100×-skewed fixture with heavy score ties and nulls; forcing the
+    // two-phase path with a tiny threshold must reproduce the direct
+    // output EXACTLY (same rows, same stratum_rank), both directions
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20000).map(i => ("hot", i.toLong,
+        if (i % 37 == 0) Option.empty[Double]
+        else Some((i % 1000) / 1000.0))) ++
+      (1 to 200).map(i => ("cold", 50000L + i, Some(rnd.nextDouble())))
+    val df = rows.toDF("s", "id", "q")
+    val quotas = Map("hot" -> 50, "cold" -> 10)
+    for (order <- Seq(Seq(col("q").desc, col("id").asc),
+                      Seq(col("q").asc, col("id").asc))) {
+      val direct = Sketches.quotaSelect(df, "s", order, quotas)
+        .select("s", "id", "stratum_rank").collect().map(_.toSeq).toSet
+      val twoPhase = Sketches.quotaSelect(df, "s", order, quotas,
+          hotStratumThreshold = 1000L)
+        .select("s", "id", "stratum_rank").collect().map(_.toSeq).toSet
+      assert(twoPhase === direct,
+        s"two-phase diverged for ${order.head}")
+    }
+  }
+
+  test("global cumsum rejects fractional value columns loudly") {
+    import graft.operators.Aggregates
+    val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Aggregates.globalCumSum(df, Seq(col("id").asc), col("v"), "cum")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("distributed global cumsum equals the single-window cumsum") {
     import graft.operators.Aggregates
     // shuffled input, duplicate sort values (the id tiebreak decides),
