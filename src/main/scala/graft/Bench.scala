@@ -49,7 +49,14 @@ object Bench {
     // failure-honest: a broken query records an "err" entry instead of
     // silently benching as fast with rc 0; a failing query is not
     // retried (its first error is the signal)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated allowlist for targeted local timing runs
+    // (SPARK_GRAFT_BENCH_ONLY=j6_asof_native,j6_asof_backward); the
+    // driver never sets it, so the full-surface contract is unchanged
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var i = 0

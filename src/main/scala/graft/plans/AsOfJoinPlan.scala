@@ -4,9 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types._
 
 /** Native as-of join as a first-class Catalyst operator: a custom
@@ -129,6 +131,19 @@ object AsOfJoinPlan {
   * buffer, no hash table — so executor memory is independent of group
   * size, and output preserves the left child's partitioning and order.
   */
+/** Serializable factories the generated whole-stage code calls once
+  * per partition to build its non-serializable kernels (the generated
+  * projections/orderings compile lazily on the executor, hitting the
+  * codegen cache) — generated UnsafeProjection instances themselves
+  * can't ride the `references` array. */
+case class AsOfProjFactory(exprs: Seq[Expression]) {
+  def create(): UnsafeProjection = UnsafeProjection.create(exprs)
+}
+case class AsOfOrdFactory(types: Seq[DataType]) {
+  def create(): BaseOrdering =
+    RowOrdering.createNaturalAscendingOrdering(types)
+}
+
 case class AsOfJoinExec(
     leftBy: Seq[Expression],
     rightBy: Seq[Expression],
@@ -138,7 +153,8 @@ case class AsOfJoinExec(
     direction: String,
     tolerance: Option[Long],
     left: SparkPlan,
-    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    right: SparkPlan)
+  extends SparkPlan with BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -276,5 +292,178 @@ case class AsOfJoinExec(
         }
       }
     }
+  }
+
+  // ---------------------------------------------------------------- codegen
+  //
+  // Whole-stage codegen in the SortMergeJoinExec shape: this node is a
+  // PRODUCE root — it does not fuse its children (they feed through the
+  // stage's two input iterators, exactly like SMJ's streamed/buffered
+  // sides) but generates the merge loop itself and hands its output
+  // VARIABLES to consume(), so every parent project/filter in the stage
+  // reads columns directly — no JoinedRow, no result projection, no
+  // per-row iterator dispatch between this operator and its parents.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // exactly one output row per left row, emitted then immediately
+  // consumed (shouldStop checked per iteration) — no buffer sharing
+  // across emitted rows, so parents need not copy
+  override def needCopyResult: Boolean = false
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val nBy = leftBy.length
+    val backward = direction == "backward"
+    val tolMax = tolerance.getOrElse(Long.MaxValue)
+    val onIsInt = leftOn.dataType match {
+      case DateType | IntegerType => true
+      case _ => false // Timestamp(NTZ) / LongType
+    }
+    def onGet(row: String): String =
+      if (onIsInt) s"(long) $row.getInt($nBy)" else s"$row.getLong($nBy)"
+
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+
+    val projCls = classOf[UnsafeProjection].getName
+    val ordCls = classOf[BaseOrdering].getName
+    val rowCls = classOf[InternalRow].getName
+    val uRowCls = classOf[UnsafeRow].getName
+
+    val lKeyFac = ctx.addReferenceObj("lKeyFactory",
+      AsOfProjFactory(BindReferences.bindReferences(
+        leftBy :+ leftOn, left.output)),
+      classOf[AsOfProjFactory].getName)
+    val rKeyFac = ctx.addReferenceObj("rKeyFactory",
+      AsOfProjFactory(BindReferences.bindReferences(
+        rightBy :+ rightOn, right.output)),
+      classOf[AsOfProjFactory].getName)
+    val valFac = ctx.addReferenceObj("valFactory",
+      AsOfProjFactory(BindReferences.bindReferences(
+        rightValues: Seq[Expression], right.output)),
+      classOf[AsOfProjFactory].getName)
+    val ordFac = ctx.addReferenceObj("ordFactory",
+      AsOfOrdFactory(leftBy.map(_.dataType)), classOf[AsOfOrdFactory].getName)
+
+    val lKeyProj = ctx.addMutableState(projCls, "asofLKeyProj",
+      v => s"$v = $lKeyFac.create();")
+    val rKeyProj = ctx.addMutableState(projCls, "asofRKeyProj",
+      v => s"$v = $rKeyFac.create();")
+    val valProj = ctx.addMutableState(projCls, "asofValProj",
+      v => s"$v = $valFac.create();")
+    val byOrd = ctx.addMutableState(ordCls, "asofByOrd",
+      v => s"$v = $ordFac.create();")
+
+    // amortized right-head state (mirrors doExecute: projections happen
+    // only on head advance, the by-compare is cached per left group)
+    val rHead = ctx.addMutableState(rowCls, "asofRHead")
+    val rHeadKey = ctx.addMutableState(uRowCls, "asofRHeadKey")
+    val rHeadOnNull = ctx.addMutableState("boolean", "asofRHeadOnNull")
+    val rHeadOnV = ctx.addMutableState("long", "asofRHeadOnV")
+    val headCmp = ctx.addMutableState("int", "asofHeadCmp")
+    val headCmpValid = ctx.addMutableState("boolean", "asofHeadCmpValid")
+    val prevLKey = ctx.addMutableState(uRowCls, "asofPrevLKey")
+    val candOn = ctx.addMutableState("long", "asofCandOn")
+    val candVal = ctx.addMutableState(uRowCls, "asofCandVal")
+    val groupCand = ctx.addMutableState("boolean", "asofGroupCand")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val lKey = ctx.freshName("asofLKey")
+    val lOnV = ctx.freshName("asofLOnV")
+    val advance = ctx.freshName("asofAdvance")
+    val matched = ctx.freshName("asofMatched")
+    val rv = ctx.freshName("asofRV")
+
+    val loadHead =
+      s"""if ($rHead == null) {
+         |  $rHead = ($rowCls) $rightInput.next();
+         |  $rHeadKey = $rKeyProj.apply($rHead);
+         |  $rHeadOnNull = $rHeadKey.isNullAt($nBy);
+         |  $rHeadOnV = $rHeadOnNull ? 0L : ${onGet(rHeadKey)};
+         |  $headCmpValid = false;
+         |}
+         |if (!$headCmpValid) {
+         |  $headCmp = $byOrd.compare($rHeadKey, $lKey);
+         |  $headCmpValid = true;
+         |}""".stripMargin
+
+    val matchBlock = if (backward) {
+      s"""if (!$lKey.isNullAt($nBy)) {
+         |  long $lOnV = ${onGet(lKey)};
+         |  boolean $advance = true;
+         |  while ($advance && ($rHead != null || $rightInput.hasNext())) {
+         |    $loadHead
+         |    if ($headCmp < 0) { $rHead = null; }
+         |    else if ($headCmp == 0) {
+         |      if ($rHeadOnNull) { $rHead = null; }
+         |      else if ($rHeadOnV <= $lOnV) {
+         |        $candOn = $rHeadOnV;
+         |        $candVal = $valProj.apply($rHead).copy();
+         |        $groupCand = true;
+         |        $rHead = null;
+         |      } else { $advance = false; }
+         |    } else { $advance = false; }
+         |  }
+         |  if ($groupCand && $lOnV - $candOn <= ${tolMax}L) {
+         |    $matched = true;
+         |  }
+         |}
+         |$uRowCls $rv = $matched ? $candVal : null;""".stripMargin
+    } else {
+      s"""if (!$lKey.isNullAt($nBy)) {
+         |  long $lOnV = ${onGet(lKey)};
+         |  boolean $advance = true;
+         |  while ($advance && ($rHead != null || $rightInput.hasNext())) {
+         |    $loadHead
+         |    if ($headCmp < 0) { $rHead = null; }
+         |    else if ($headCmp == 0 && ($rHeadOnNull || $rHeadOnV < $lOnV)) {
+         |      $rHead = null;
+         |    } else { $advance = false; }
+         |  }
+         |  if ($rHead != null && $headCmp == 0 && !$rHeadOnNull &&
+         |      $rHeadOnV - $lOnV <= ${tolMax}L) {
+         |    $matched = true;
+         |  }
+         |}
+         |$uRowCls $rv = $matched ? $valProj.apply($rHead) : null;""".stripMargin
+    }
+
+    // output variables: left columns read straight off the left row,
+    // right values off the (possibly null) matched values row
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val rightVars = rightValues.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val dv = CodeGenerator.defaultValue(a.dataType)
+      val getV = CodeGenerator.getValue(rv, a.dataType, i.toString)
+      val decl =
+        s"boolean $isNull = ($rv == null) || $rv.isNullAt($i);\n" +
+          s"$jt $value = $isNull ? $dv : ($getV);"
+      ExprCode(code"$decl",
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+
+    s"""while ($leftInput.hasNext()) {
+       |  $rowCls $leftRow = ($rowCls) $leftInput.next();
+       |  $uRowCls $lKey = $lKeyProj.apply($leftRow);
+       |  if ($prevLKey == null || $byOrd.compare($prevLKey, $lKey) != 0) {
+       |    $prevLKey = $lKey.copy();
+       |    $groupCand = false;
+       |    $headCmpValid = false;
+       |  }
+       |  boolean $matched = false;
+       |  $matchBlock
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}""".stripMargin
   }
 }

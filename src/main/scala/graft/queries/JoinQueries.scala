@@ -96,10 +96,13 @@ object JoinQueries {
     "j6_asof_forward" -> ((s, dir) => asofQuery(s, dir, "forward")),
 
     // J6c: the same backward as-of join through the NATIVE Catalyst
-    // operator (custom LogicalPlan → strategy → sort-merge exec) —
-    // same oracle, different physical plan
+    // operator (custom LogicalPlan → strategy → whole-stage-codegen'd
+    // sort-merge exec) — same oracle, different physical plan: the
+    // co-partitioned input shape collapses everything after one
+    // entity-key shuffle into a single codegen stage
     "j6_asof_native" -> ((s, dir) =>
-      asofQuery(s, dir, "backward", AsOfJoin.mergeAsOfNative)),
+      asofQuery(s, dir, "backward", AsOfJoin.mergeAsOfNative,
+        coPartition = true)),
 
     // J7: self-join on aggregate → expressed as a window sum
     // (reference rar_dataset.py:147-153)
@@ -136,8 +139,22 @@ object JoinQueries {
   private def asofQuery(s: SparkSession, dir: String,
       direction: String,
       impl: (DataFrame, DataFrame, String, Seq[String], Option[Int],
-        String) => DataFrame = AsOfJoin.mergeAsOf): DataFrame = {
-    val o = Tables(s, dir, "orders")
+        String) => DataFrame = AsOfJoin.mergeAsOf,
+      coPartition: Boolean = false): DataFrame = {
+    // coPartition = the NATIVE operator's intended input shape: one
+    // explicit repartition on the entity key makes hash(custkey)
+    // satisfy both aggregates' ClusteredDistribution((custkey, x)) AND
+    // the as-of exec's ClusteredDistribution(custkey), so the final
+    // aggs, both sorts, and the merge fuse into ONE codegen stage with
+    // ZERO as-of exchanges (plan-gated in ScaleSpec). The union-tag
+    // window form cannot express this — union discards partitioning —
+    // which is exactly the structural reason the native operator
+    // exists.
+    val o0 = Tables(s, dir, "orders")
+    val o = if (coPartition)
+      o0.select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .repartition(col("o_custkey"))
+    else o0
     val panel = o.groupBy(col("o_custkey").as("custkey"),
         date_trunc("month", col("o_orderdate")).cast(DateType).as("mois"))
       .agg(count(lit(1)).as("n_orders"))

@@ -399,6 +399,24 @@ class AsOfJoinSpec extends SparkSpec {
       window.collect().map(_.toSeq).toSet)
   }
 
+  test("native as-of participates in whole-stage codegen") {
+    // regression gate for the doProduce path: the executed plan must
+    // show the exec INSIDE a codegen stage (starred), not interpreted
+    val l = spark.range(100).selectExpr("id % 5 as e", "id as t",
+      "id * 2 as x")
+    val r = spark.range(50).selectExpr("id % 5 as e", "id * 2 as t",
+      "id * 3 as v")
+    val out = AsOfJoin.mergeAsOfNative(l, r, "t", Seq("e"))
+    out.collect()
+    val planStr = out.queryExecution.executedPlan.toString
+    // the AQE plan string prints the final plan (executed, starred when
+    // codegen'd) AND the initial plan (never starred) — gate the final
+    val finalSection = planStr.split("== Initial Plan ==")(0)
+    val asofLines = finalSection.split("\n").filter(_.contains("AsOfJoin "))
+    assert(asofLines.nonEmpty && asofLines.forall(_.contains("*(")),
+      s"AsOfJoinExec not codegen'd:\n$planStr")
+  }
+
   test("native as-of rejects unsupported on-types loudly") {
     import spark.implicits._
     // the physical merge scan reads `on` as a raw int/long word; any
