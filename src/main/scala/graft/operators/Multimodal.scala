@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, partitioning, batch iteration,
   * output shape — is real and tested. Image payloads (PNG/JPEG/GIF/BMP —
   * whatever the JDK's `javax.imageio` registry reads) decode to REAL
-  * pixel statistics (`imageDecode`); payloads no installed reader
-  * understands (audio/video — no codec ships in the JDK) fall back to a
-  * clearly-marked DETERMINISTIC FAKE (`fakeDecode`) that derives stable
-  * pseudo-features from a hash of the bytes, keeping the plumbing fully
-  * exercisable. Swapping in an av codec is a one-function change inside
-  * `decodeBatch`.
+  * pixel statistics (`imageDecode`); audio payloads (WAV/AIFF/AU —
+  * whatever the JDK's `javax.sound.sampled` providers read) decode to
+  * REAL amplitude statistics (`audioDecode`); payloads no installed
+  * reader understands (video — no codec ships in the JDK; garbage
+  * bytes) fall back to a clearly-marked DETERMINISTIC FAKE
+  * (`fakeDecode`) that derives stable pseudo-features from a hash of
+  * the bytes, keeping the plumbing fully exercisable. Swapping in an
+  * av codec is a one-function change inside `decodeBatch`.
   */
 object Multimodal {
 
@@ -157,15 +159,117 @@ object Multimodal {
     Some((out, w, h))
   }
 
-  /** Codec dispatch: real image decode when a JDK reader accepts the
-    * bytes, deterministic fake features otherwise. Returns the decoded
-    * dimensions when real (None/None for the fake path — an honest
-    * "unknown", never invented). */
-  private[graft] def decode(payload: Array[Byte],
-      dim: Int): (Array[Float], Option[Int], Option[Int]) =
+  /** Decompression-bomb guard for audio: cap total decoded samples
+    * (frames × channels; 64 M samples ≈ 128 MB of 16-bit PCM) — a tiny
+    * payload can declare an enormous frame count. Checked against the
+    * HEADER-declared length before any sample is read, and enforced
+    * again while streaming (headers lie). */
+  private[graft] val MaxDecodeSamples: Long = 64L * 1024 * 1024
+
+  /** Header-only audio probe via `javax.sound.sampled` — reads
+    * (sampleRate, channels, frames, durationMs) from the file header
+    * WITHOUT decoding samples. None when no installed provider
+    * understands the bytes or the header is unbounded. */
+  private[graft] def probeAudio(
+      payload: Array[Byte]): Option[(Float, Int, Long, Long)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val rate = fmt.getFrameRate
+      if (frames < 0 || rate <= 0 || fmt.getChannels <= 0) None
+      else Some((fmt.getSampleRate, fmt.getChannels, frames,
+        math.round(frames.toDouble * 1000.0 / rate)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (no external
+    * dependency; WAV/AIFF/AU — whatever the installed providers read):
+    * probes the header first (bomb guard — payloads declaring more than
+    * [[MaxDecodeSamples]] samples are rejected before any allocation),
+    * converts to signed 16-bit PCM, streams the samples once, and
+    * extracts a `dim`-length feature vector of actual amplitude
+    * statistics —
+    *   [0]      RMS amplitude in [0, 1]
+    *   [1]      mean |amplitude| in [0, 1]
+    *   [2]      peak |amplitude| in [0, 1]
+    *   [3..dim) normalized |amplitude| histogram (`dim - 3` equal-width
+    *            bins over [0, 32768))
+    * Returns (features, sampleRateHz, durationMs); None when no
+    * provider understands the bytes (then callers fall back to
+    * `fakeDecode`). */
+  private[graft] def audioDecode(payload: Array[Byte],
+      dim: Int): Option[(Array[Float], Int, Long)] = {
+    val (srcRate, channels, frames, durationMs) = probeAudio(payload) match {
+      case None => return None
+      case Some((_, ch, fr, _)) if fr * ch > MaxDecodeSamples => return None
+      case Some(h) => h
+    }
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val pcm =
+          if (src.matches(target)) in
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        try {
+          val buf = new Array[Byte](8192)
+          val bins = math.max(dim - 3, 0)
+          val hist = new Array[Long](math.max(bins, 1))
+          var sumAbs = 0.0; var sumSq = 0.0; var peak = 0L; var n = 0L
+          var read = pcm.read(buf)
+          while (read > 0 && n <= MaxDecodeSamples) {
+            var i = 0
+            while (i + 1 < read) {
+              // little-endian signed 16-bit
+              val s = ((buf(i + 1).toInt << 8) | (buf(i) & 0xFF)).toShort.toInt
+              val a = math.abs(s).toLong
+              sumAbs += a; sumSq += s.toDouble * s
+              if (a > peak) peak = a
+              if (bins > 0)
+                hist(math.min(bins - 1, (a * bins / 32768L).toInt)) += 1L
+              n += 1
+              i += 2
+            }
+            read = if (n > MaxDecodeSamples) -1 else pcm.read(buf)
+          }
+          if (n == 0) return None
+          val out = new Array[Float](dim)
+          if (dim > 0) out(0) = (math.sqrt(sumSq / n) / 32768.0).toFloat
+          if (dim > 1) out(1) = (sumAbs / n / 32768.0).toFloat
+          if (dim > 2) out(2) = (peak.toDouble / 32768.0).toFloat
+          var j = 0
+          while (j < bins) {
+            out(j + 3) = (hist(j).toDouble / n).toFloat
+            j += 1
+          }
+          Some((out, math.round(srcRate), durationMs))
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Codec dispatch: real image decode when a JDK image reader accepts
+    * the bytes, real audio decode when a JDK sound provider does,
+    * deterministic fake features otherwise. Dimensions / sample rate /
+    * duration are populated only by the REAL paths — an honest
+    * "unknown" (null), never invented. */
+  private[graft] def decode(payload: Array[Byte], dim: Int):
+      (Array[Float], Option[Int], Option[Int], Option[Int], Option[Long]) =
     imageDecode(payload, dim) match {
-      case Some((f, w, h)) => (f, Some(w), Some(h))
-      case None => (fakeDecode(payload, dim), None, None)
+      case Some((f, w, h)) => (f, Some(w), Some(h), None, None)
+      case None => audioDecode(payload, dim) match {
+        case Some((f, rate, durMs)) =>
+          (f, None, None, Some(rate), Some(durMs))
+        case None => (fakeDecode(payload, dim), None, None, None, None)
+      }
     }
 
   // MediaFeatures / FrameFeatures are top-level (end of file): nested
@@ -175,10 +279,11 @@ object Multimodal {
   /** Batched per-partition decode + feature extraction: the Scala
     * analogue of a pandas `mapInPandas` decode — rows stream through the
     * partition iterator, the codec runs once per payload (real pixels
-    * for image formats, hash-fake otherwise), output is (media_id,
-    * feature array, n_bytes, width, height) with REAL decoded
-    * dimensions (null for non-image payloads). No shuffle; scales
-    * linearly with input splits. */
+    * for image formats, real amplitudes for JDK audio formats,
+    * hash-fake otherwise), output is (media_id, feature array, n_bytes,
+    * width, height, sample_rate, duration_ms) with REAL decoded values
+    * (null where the payload's modality doesn't define them). No
+    * shuffle; scales linearly with input splits. */
   def decodeBatch(media: DataFrame, dim: Int = 16): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val contentIdx = media.schema.fieldIndex("content")
@@ -189,17 +294,18 @@ object Multimodal {
           case b: Array[Byte] => b
           case _ => null
         }
-        val (feature, w, h) = decode(payload, dim)
+        val (feature, w, h, rate, durMs) = decode(payload, dim)
         MediaFeatures(r.getLong(idIdx), feature,
-          if (payload == null) 0 else payload.length, w, h)
+          if (payload == null) 0 else payload.length, w, h, rate, durMs)
       }
     }.toDF()
   }
 
-  /** Populate `meta.width`/`meta.height` from the payload's ACTUAL
-    * header dimensions (header-only probe — no pixel decode, so this is
-    * safe to run over arbitrary untrusted media at any size). Existing
-    * meta values are kept when the payload isn't a readable image. */
+  /** Populate `meta.width`/`meta.height` (images) or `meta.duration_ms`
+    * (audio) from the payload's ACTUAL header values (header-only
+    * probes — no pixel/sample decode, so this is safe to run over
+    * arbitrary untrusted media at any size). Existing meta values are
+    * kept when no installed reader understands the payload. */
   def withDecodedMeta(media: DataFrame): DataFrame = {
     val schema = media.schema
     val contentIdx = schema.fieldIndex("content")
@@ -211,15 +317,24 @@ object Multimodal {
           case b: Array[Byte] => b
           case _ => null
         }
+        val meta = r.getStruct(metaIdx)
         probeDims(payload) match {
           case Some((w, h)) =>
-            val meta = r.getStruct(metaIdx)
             val newMeta = Row(
               if (meta == null) null else meta.get(0), // mime
               w, h,
               if (meta == null) null else meta.get(3)) // duration_ms
             Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
-          case None => r
+          case None => probeAudio(payload) match {
+            case Some((_, _, _, durMs)) =>
+              val newMeta = Row(
+                if (meta == null) null else meta.get(0), // mime
+                if (meta == null) null else meta.get(1), // width
+                if (meta == null) null else meta.get(2), // height
+                durMs)
+              Row.fromSeq(r.toSeq.updated(metaIdx, newMeta))
+            case None => r
+          }
         }
       }
     }
@@ -265,7 +380,8 @@ object Multimodal {
 
 /** Row shape of [[Multimodal.decodeBatch]]. */
 case class MediaFeatures(media_id: Long, feature: Array[Float],
-  n_bytes: Int, width: Option[Int], height: Option[Int])
+  n_bytes: Int, width: Option[Int], height: Option[Int],
+  sample_rate: Option[Int], duration_ms: Option[Long])
 
 /** Row shape of [[Multimodal.sampleFrames]]. */
 case class FrameFeatures(media_id: Long, frame_ms: Long,

@@ -122,6 +122,54 @@ class MultimodalStreamingSpec extends SparkSpec {
       .contains((4, 4)))
   }
 
+  test("multimodal: real WAV decodes to actual amplitude statistics") {
+    import spark.implicits._
+    // 440 Hz sine at amplitude 0.5, 8000 Hz mono, 0.5 s = 4000 frames,
+    // written with the same javax.sound.sampled the codec reads with
+    def wav(): Array[Byte] = {
+      val rate = 8000f; val frames = 4000
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val s = math.round(0.5 * 32767.0 *
+          math.sin(2 * math.Pi * 440.0 * i / rate)).toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val garbage = "not-audio".getBytes("UTF-8")
+    val media = Multimodal.asMedia(
+      Seq((1L, wav()), (2L, garbage)).toDF("id", "bytes"),
+      "id", "bytes", "audio/wav")
+    val rows = Multimodal.decodeBatch(media, dim = 8)
+      .orderBy("media_id").collect()
+    val f = rows(0).getAs[scala.collection.Seq[Float]]("feature")
+    // RMS of a 0.5-amplitude sine = 0.5/√2 ≈ 0.3536; mean |x| = amp·2/π
+    assert(math.abs(f(0) - 0.35355) < 0.01, s"rms ${f(0)}")
+    assert(math.abs(f(1) - 0.31831) < 0.01, s"mean|x| ${f(1)}")
+    assert(math.abs(f(2) - 0.5) < 0.01, s"peak ${f(2)}")
+    assert(rows(0).getAs[Int]("sample_rate") == 8000)
+    assert(rows(0).getAs[Long]("duration_ms") == 500L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("width")))
+    // garbage payload: fake path, no invented audio metadata
+    assert(rows(1).isNullAt(rows(1).fieldIndex("sample_rate")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("duration_ms")))
+    // header-only meta probe fills duration_ms, keeps width/height null
+    val described = Multimodal.withDecodedMeta(media)
+      .orderBy("media_id").collect()
+    val meta0 = described(0).getStruct(described(0).fieldIndex("meta"))
+    assert(meta0.getLong(3) == 500L)
+    assert(meta0.isNullAt(1) && meta0.isNullAt(2))
+  }
+
   test("multimodal: frame sampling emits one row per sampled frame") {
     import spark.implicits._
     val media = Multimodal.asMedia(
