@@ -242,6 +242,138 @@ class EtlSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("cotisation") == 100.0)
   }
 
+  test("CLI twins: join_datasets → post_join_processing → RunPipeline " +
+      "end-to-end over fixture files") {
+    import graft.etl.{JoinDatasets, PostJoinProcessing}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val rng = new scala.util.Random(11)
+    val months = (0 until 14).map(m =>
+      d(f"${2018 + m / 12}%04d-${m % 12 + 1}%02d-01"))
+    val sirens = (1 to 40).map(i => f"$i%09d")
+    def failing(i: Int): Boolean = i % 3 == 0
+
+    def df(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    def dateF(n: String, nullable: Boolean = true) =
+      StructField(n, DateType, nullable)
+    def strF(n: String) = StructField(n, StringType, nullable = true)
+    def dblF(n: String) = StructField(n, DoubleType, nullable = true)
+
+    // prepared ORC datasets (the join_datasets.py inputs)
+    val cot = df(
+      for ((s, i) <- sirens.zipWithIndex; p <- months) yield Row(s, p,
+        (if (failing(i + 1)) 20.0 else 100.0) + rng.nextDouble() * 10),
+      StructType(Seq(strF("siren"), dateF("période"), dblF("cotisation"))))
+    val deb = df(
+      for ((s, i) <- sirens.zipWithIndex; p <- months) yield Row(s, p,
+        (if (failing(i + 1)) 60.0 else 4.0) + rng.nextDouble(),
+        (if (failing(i + 1)) 40.0 else 2.0) + rng.nextDouble()),
+      StructType(Seq(strF("siren"), dateF("période"),
+        dblF("dette_sociale_ouvrière"), dblF("dette_sociale_patronale"))))
+    val ap = df(
+      for ((s, i) <- sirens.zipWithIndex; p <- months; if i % 4 == 0)
+        yield Row(s, p, 8.0),
+      StructType(Seq(strF("siren"), dateF("période"),
+        dblF("ap_heures_consommées"))))
+    val jud = df(
+      sirens.zipWithIndex.collect { case (s, i) if failing(i + 1) =>
+        Row(s, d("2018-10-15")) },
+      StructType(Seq(strF("siren"), dateF("date_jugement"))))
+    val alt = df(
+      for ((s, _) <- sirens.zipWithIndex.take(10); p <- months)
+        yield Row(s, p, 70.0),
+      StructType(Seq(strF("siren"), dateF("période"),
+        dblF("paydex"))))
+    // two yearly snapshots so the 365-day as-of tolerance covers the
+    // 2019 prediction months too
+    val dgfip = df(
+      for (s <- sirens; i = sirens.indexOf(s) + 1;
+           y <- Seq("2017-12-31", "2018-12-31")) yield
+        Row(s, d(y), if (failing(i)) -0.2 else 0.3),
+      StructType(Seq(strF("siren"), dateF("période"), dblF("ebe_sur_ca"))))
+    graft.sources.IO.writeOrc(cot, s"$tmp/cot.orc")
+    graft.sources.IO.writeOrc(deb, s"$tmp/deb.orc")
+    graft.sources.IO.writeOrc(ap, s"$tmp/ap.orc")
+    graft.sources.IO.writeOrc(jud, s"$tmp/jud.orc")
+    graft.sources.IO.writeOrc(alt, s"$tmp/alt.orc")
+    graft.sources.IO.writeOrc(dgfip, s"$tmp/dgfip.orc")
+
+    // headered CSV files (the reference reads these with explicit
+    // schemas) — one low-workforce siren exercises the ≥ 10 filter
+    val eff = df(
+      (for ((s, i) <- sirens.zipWithIndex; p <- months)
+        yield Row(s, p, Integer.valueOf(12 + i % 20))) ++
+        months.map(p => Row("999999999", p, Integer.valueOf(3))),
+      JoinDatasets.effectifSchema)
+    val cat = df(
+      sirens.map(s => Row(s, s + "00011", "75101", "6420Z", "11", "5710")),
+      JoinDatasets.sireneCategoriesSchema)
+    val dates = df(
+      sirens.map(s => Row(s, null, d("2010-01-01"))),
+      JoinDatasets.sireneDatesSchema)
+    graft.sources.IO.writeCsv(eff, s"$tmp/effectif.csv")
+    graft.sources.IO.writeCsv(cat, s"$tmp/categories.csv")
+    graft.sources.IO.writeCsv(dates, s"$tmp/dates.csv")
+
+    // 1. join_datasets twin
+    JoinDatasets.run(spark, Map(
+      "urssaf_cotisation" -> s"$tmp/cot.orc",
+      "urssaf_debit" -> s"$tmp/deb.orc",
+      "ap" -> s"$tmp/ap.orc",
+      "dgfip_yearly" -> s"$tmp/dgfip.orc",
+      "judgments" -> s"$tmp/jud.orc",
+      "altares" -> s"$tmp/alt.orc",
+      "effectif" -> s"$tmp/effectif.csv",
+      "sirene_categories" -> s"$tmp/categories.csv",
+      "sirene_dates" -> s"$tmp/dates.csv",
+      "output_path" -> s"$tmp/joined.orc"))
+    val joined = graft.sources.IO.readOrc(spark, s"$tmp/joined.orc")
+    assert(joined.count() === 40L * 14,
+      "40 kept sirens × 14 months (999999999 dropped by workforce filter)")
+    assert(!joined.select("siren").distinct().collect()
+      .map(_.getString(0)).contains("999999999"))
+
+    // 2. post_join_processing twin (config shared with RunPipeline)
+    val cfgJson =
+      """{
+        |  "fill_default_values": {"cotisation": 0.0},
+        |  "time_aggregation": {"lag": {"cotisation": [1]},
+        |    "mean": {"cotisation": [2]}},
+        |  "target": {"class_col": "failure", "n_months": 2,
+        |    "judgment_date_col": "date_jugement",
+        |    "target_resampling_ratio": 0.4,
+        |    "resampling_method": "oversampling"},
+        |  "features_transformers": {
+        |    "cotisation": ["StandardScaler"],
+        |    "dette_par_effectif": ["StandardScaler"],
+        |    "ebe_sur_ca": ["StandardScaler"]},
+        |  "train_dates": ["2018-01-01", "2018-12-01"],
+        |  "prediction_date": "2019-02-01"
+        |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "cfg.json"),
+      cfgJson.getBytes("UTF-8"))
+    PostJoinProcessing.run(spark, Map(
+      "input" -> s"$tmp/joined.orc",
+      "configuration" -> s"$tmp/cfg.json",
+      "output" -> s"$tmp/panel.parquet",
+      "output_format" -> "parquet"))
+    val panel = spark.read.parquet(s"$tmp/panel.parquet")
+    assert(panel.columns.contains("failure") &&
+      panel.columns.contains("dette_par_effectif") &&
+      panel.columns.contains("cotisation_lag1m"))
+    // failing sirens labeled 1 from août 2018 (jugement - 2 months)
+    assert(panel.filter(col("failure") === 1).count() > 0)
+
+    // 3. the trained-model lifecycle over the CLI-produced panel
+    RunPipeline.run(spark, s"$tmp/cfg.json", s"$tmp/panel.parquet",
+      s"$tmp/out", Map.empty)
+    val preds = spark.read.parquet(s"$tmp/out/predictions.parquet")
+    assert(preds.count() === 40L, "one scored row per siren")
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/out/metrics.json")), "UTF-8")
+    assert(metrics.contains("Area under ROC curve"), metrics)
+  }
+
   test("postJoin: target + fills + configured time aggregates") {
     val cfg = graft.ml.PipelineConfig.fromJson(
       """{
