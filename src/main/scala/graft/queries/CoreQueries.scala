@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -237,6 +238,54 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // W11: the ranking-window family beyond row_number — rank /
+    // dense_rank / percent_rank over a TIED key (well-defined under
+    // ties: functions of key equality only) and ntile over a total
+    // order (position-dependent, so the unique tiebreak is part of the
+    // ordering for cross-engine determinism). percent_rank is an exact
+    // IEEE ratio of two integers — identical in both engines — rounded
+    // to 9 decimals anyway for hash stability. Scale note: one window
+    // sort per partition key; pathologically hot keys take the same
+    // two-phase pre-filter story as Sketches.quotaSelect.
+    "w11_ranking" -> ((s, dir) => {
+      val month = date_trunc("month", col("o_orderdate")).cast(DateType)
+      val byMonth = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("mois"))
+      val total = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("mois"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("mois", month)
+        .withColumn("rnk", rank().over(byMonth))
+        .withColumn("drnk", dense_rank().over(byMonth))
+        .withColumn("prank", round(percent_rank().over(byMonth), 9))
+        .withColumn("tile", ntile(4).over(total))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("mois"),
+          col("rnk"), col("drnk"), col("prank"), col("tile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // W12: offset/frame window family — lead (the forward twin of W1's
+    // lag), first_value over the running frame, last_value over the
+    // whole partition (explicit unbounded frame — the default frame
+    // stops at CURRENT ROW, a classic silent-wrong-answer), nth_value
+    // over the running frame. Ordering is total (ship date + line id),
+    // so every value is engine-independent.
+    "w12_offset_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "lineitem")
+        .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+        .withColumn("first_qty", first(col("l_quantity")).over(w))
+        .withColumn("last_qty", last(col("l_quantity")).over(whole))
+        .withColumn("second_qty", nth_value(col("l_quantity"), 2).over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("next_qty"), col("first_qty"), col("last_qty"),
+          col("second_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Scalar function families: dates + strings + row-sum
     // (SURVEY.md §2.8; reference transform.py:106-112, rar_dataset.py:137-144)
     "f_scalar_dates" -> ((s, dir) => {
@@ -394,6 +443,34 @@ object CoreQueries {
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
         |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w11_ranking" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mois,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 9) AS prank,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE),
+        |      o_orderkey) AS INT) AS tile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "w12_offset_frames" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+        |  lead(l_quantity, 1) OVER w AS next_qty,
+        |  first_value(l_quantity) OVER w AS first_qty,
+        |  last_value(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_qty,
+        |  nth_value(l_quantity, 2) OVER w AS second_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "f_scalar_dates" ->
       """SELECT o_orderkey,
