@@ -68,11 +68,25 @@ object DedupScaleProbe {
       spark.range(n).select(col("id").as("vec_id"), v.as("embedding"))
     }
 
+    // MEDIANS like Bench: single-run probe timings at these sizes swing
+    // ±50% with scheduler/GC noise, which smeared the reported s2
+    // exponent across sessions (r4 recorded 0.48-0.82); 3-run medians
+    // pin it
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
     def time(name: String)(f: => Long): Double = {
-      val t0 = System.nanoTime(); val rows = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE $name%-34s $s%8.2f s  rows=$rows")
-      s
+      // one untimed pass first: the initial execution pays codegen +
+      // classload, which median-of-N cannot remove when all N samples
+      // share the same cold JVM (r5 run 6 logged 3-5× inflated 100k
+      // cells for exactly the first ops in program order)
+      f
+      val samples = (1 to runsPer).map { _ =>
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val med = samples.map(_._1).sorted.apply(samples.size / 2)
+      println(f"PROBE $name%-34s $med%8.2f s  rows=${samples.head._2} " +
+        f"(median of $runsPer)")
+      med
     }
 
     def exponent(label: String, t1: Double, t2: Double): Unit =

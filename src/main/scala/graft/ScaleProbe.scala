@@ -23,6 +23,10 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // report the file sort order of single-file-per-bucket tables so
+      // the bucketed as-of case can elide its sorts (off by default
+      // since Spark 3.0)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -69,17 +73,20 @@ object ScaleProbe {
     val snaps = events.filter(col("amount") > 99.0)
       .groupBy(col("entity"), col("mois").as("d"))
       .agg(max(col("amount")).as("snap"))
+    // consume matched rows (snap IS NOT NULL), not a bare count: column
+    // pruning would otherwise delete the window/value computation from
+    // the union-tag plan and time only its union+filter skeleton
     time("as-of join, union-tag (1 shuffle)") {
       AsOfJoin.mergeAsOf(left, snaps, "d", Seq("entity"),
-        Some(92), "backward").count()
+        Some(92), "backward").filter(col("snap").isNotNull).count()
     }
     time("as-of join, join-back (reference shape)") {
       AsOfJoin.mergeAsOfJoinBack(left, snaps, "d", Seq("entity"),
-        Some(92), "backward").count()
+        Some(92), "backward").filter(col("snap").isNotNull).count()
     }
     time("as-of join, native exec (merge scan)") {
       AsOfJoin.mergeAsOfNative(left, snaps, "d", Seq("entity"),
-        Some(92), "backward").count()
+        Some(92), "backward").filter(col("snap").isNotNull).count()
     }
     // pre-clustered inputs (stand-in for bucketed tables): the native
     // exec's ClusteredDistribution is already satisfied → ZERO
@@ -89,37 +96,91 @@ object ScaleProbe {
     val snapsClustered = snaps.repartition(col("entity")).localCheckpoint()
     time("as-of pre-clustered, union-tag") {
       AsOfJoin.mergeAsOf(leftClustered, snapsClustered, "d", Seq("entity"),
-        Some(92), "backward").count()
+        Some(92), "backward").filter(col("snap").isNotNull).count()
     }
     time("as-of pre-clustered, native (0 exchanges)") {
       AsOfJoin.mergeAsOfNative(leftClustered, snapsClustered, "d",
-        Seq("entity"), Some(92), "backward").count()
+        Seq("entity"), Some(92), "backward")
+        .filter(col("snap").isNotNull).count()
     }
-    // SKEW regime, FORWARD direction: one entity owns ~everything.
-    // Measured outcome (recorded in NOTES_ROUND): WindowExec handles
-    // BOTH directions near-linearly even on a 5M-row group — running
-    // frames stream, and the unbounded-following buffer stays in
-    // memory at this node's budget — so the codegen'd window wins
-    // every regime reachable on a 128 GiB single node. The native
-    // exec's advantages that remain are plan-structural: exchange
-    // elision on clustered inputs (measured above), no union of the
-    // left table through the shuffle, and an O(1)-memory GUARANTEE
-    // independent of group size (vs a buffer that must fit or spill).
-    val skewLeft = spark.range(rows / 2).select(
-      lit(0L).as("entity"),
-      timestamp_micros(col("id") * 1000000L).as("d"))
-    val skewSnaps = spark.range(rows / 200).select(
-      lit(0L).as("entity"),
-      timestamp_micros(col("id") * 200000000L).as("d"),
-      (col("id") % 100).cast("double").as("snap"))
-    time("as-of fwd SKEWED (1 hot entity), union-tag") {
-      AsOfJoin.mergeAsOf(skewLeft, skewSnaps, "d", Seq("entity"),
-        None, "forward").count()
+    // TRUE disk-bucketed + SORTED tables (bucketBy + sortBy(entity, d),
+    // one file per bucket via the pre-repartition): both the
+    // distribution AND the per-partition ordering come from the files,
+    // so the native exec should run with zero exchanges and zero sorts;
+    // the union-tag window must still union both tables, re-shuffle the
+    // union, and sort it (union discards both properties). The plan's
+    // exchange/sort counts are printed for the record, honest either
+    // way.
+    spark.sql("DROP TABLE IF EXISTS probe_asof_left")
+    spark.sql("DROP TABLE IF EXISTS probe_asof_snaps")
+    graft.sources.IO.writeBucketed(
+      left.repartition(32, col("entity")), "probe_asof_left",
+      Seq("entity"), 32, Seq("entity", "d"))
+    graft.sources.IO.writeBucketed(
+      snaps.repartition(32, col("entity")), "probe_asof_snaps",
+      Seq("entity"), 32, Seq("entity", "d"))
+    val leftB = spark.table("probe_asof_left")
+    val snapsB = spark.table("probe_asof_snaps")
+    time("as-of BUCKETED+sorted, union-tag") {
+      AsOfJoin.mergeAsOf(leftB, snapsB, "d", Seq("entity"),
+        Some(92), "backward").filter(col("snap").isNotNull).count()
     }
-    time("as-of fwd SKEWED (1 hot entity), native") {
-      AsOfJoin.mergeAsOfNative(skewLeft, skewSnaps, "d", Seq("entity"),
-        None, "forward").count()
+    time("as-of BUCKETED+sorted, native") {
+      AsOfJoin.mergeAsOfNative(leftB, snapsB, "d", Seq("entity"),
+        Some(92), "backward").filter(col("snap").isNotNull).count()
     }
+    locally {
+      val nat = AsOfJoin.mergeAsOfNative(leftB, snapsB, "d",
+        Seq("entity"), Some(92), "backward")
+      nat.collect()
+      val planStr = nat.queryExecution.executedPlan.toString
+      val finalSection = planStr.split("== Initial Plan ==")(0)
+      val nExch = finalSection.split("\n")
+        .count(_.contains("Exchange hashpartitioning"))
+      val nSort = finalSection.split("\n").count(_.trim.matches(".*\\bSort \\[.*"))
+      println(s"PROBE as-of bucketed native plan: exchanges=$nExch sorts=$nSort")
+    }
+    spark.sql("DROP TABLE IF EXISTS probe_asof_left")
+    spark.sql("DROP TABLE IF EXISTS probe_asof_snaps")
+
+    // SKEW regime, FORWARD direction, VALUES CONSUMED — the regime that
+    // genuinely kills the union-tag form. Spark's UnboundedFollowing
+    // window frame RECOMPUTES the aggregate for every row by scanning
+    // from the current row to the partition end: O(n²) on the hot
+    // group. (r4's probe concluded "WindowExec handles both directions
+    // near-linearly" — it was unknowingly timing a column-pruned plan:
+    // a bare count() deletes the window functions entirely. Consuming
+    // the carried value exposes the quadratic.) Two sizes print the
+    // empirical exponent; the hot group is kept SMALL because the
+    // quadratic really is that bad — extrapolate 0.5M rows at your
+    // peril. The native exec's merge scan is O(n) with O(1) state in
+    // every direction.
+    def skewInputs(hot: Long): (DataFrame, DataFrame) = (
+      spark.range(hot).select(lit(0L).as("entity"),
+        timestamp_micros(col("id") * 1000000L).as("d")),
+      spark.range(math.max(hot / 100, 1)).select(lit(0L).as("entity"),
+        timestamp_micros(col("id") * 100000000L).as("d"),
+        (col("id") % 100).cast("double").as("snap")))
+    val skewTimes = scala.collection.mutable.Map.empty[(String, Long), Double]
+    for (hot <- Seq(50000L, 100000L)) {
+      val (sl, ss) = skewInputs(hot)
+      val t0 = System.nanoTime()
+      AsOfJoin.mergeAsOf(sl, ss, "d", Seq("entity"), None, "forward")
+        .filter(col("snap").isNotNull).count()
+      skewTimes(("union", hot)) = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE as-of fwd 1-hot-entity n=$hot%-8d union-tag " +
+        f"${skewTimes(("union", hot))}%8.2f s")
+      val t1 = System.nanoTime()
+      AsOfJoin.mergeAsOfNative(sl, ss, "d", Seq("entity"), None, "forward")
+        .filter(col("snap").isNotNull).count()
+      skewTimes(("native", hot)) = (System.nanoTime() - t1) / 1e9
+      println(f"PROBE as-of fwd 1-hot-entity n=$hot%-8d native    " +
+        f"${skewTimes(("native", hot))}%8.2f s")
+    }
+    for (form <- Seq("union", "native"))
+      println(f"PROBE as-of fwd skew exponent, $form = " +
+        f"${math.log(skewTimes((form, 100000L)) / skewTimes((form, 50000L))) /
+          math.log(2.0)}%.2f (2.0 = quadratic, 1.0 = linear)")
 
     // 3. interval explosion: sequence+explode vs range-join on a spine
     val intervals = events.limit(2000000)

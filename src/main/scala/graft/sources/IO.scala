@@ -90,12 +90,19 @@ object IO {
     * write time so repeated joins on `bucketCols` skip their exchanges
     * entirely — the scale path for repeatedly-joined fact tables. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int): Unit =
+      numBuckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    // sortCols beyond the bucket keys (e.g. the as-of `on` column) let
+    // downstream merge operators skip their per-partition SORT as well
+    // as the exchange — but Spark only reports the file sort order when
+    // each bucket holds ONE file, so pre-repartition on the bucket keys
+    // (same murmur3 hash as the bucketing) before calling this for that
+    val sc = if (sortCols.isEmpty) bucketCols else sortCols
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sc.head, sc.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** CSV→ORC conversion utility (reference io.py:97-113). */
   def csvToOrc(spark: SparkSession, inPath: String, outPath: String,
