@@ -51,6 +51,22 @@ object TextOps {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Collapse runs of consecutive identical tokens to one occurrence
+    * ("batch batch batch" → "batch") — the cheapest repetition-removal
+    * cleanup in a training-data pipeline (Gopher's dup-ngram METRICS
+    * flag such docs; this REPAIRS the degenerate-run subset). Pure
+    * array math in the scan stage: no shuffle, no UDF. */
+  def collapseRepeats(toks: Column): Column =
+    filter(toks, (t, i) => i === 0 || t =!= element_at(toks, i))
+
+  /** URL/email scrub: tokens that look like URLs or emails are removed
+    * outright (C4-style PII/link hygiene; ASCII-conservative patterns
+    * that Java regex and RE2-family engines read identically). */
+  def scrubUrlsEmails(toks: Column): Column =
+    filter(toks, t =>
+      !(t.rlike("^https?://") || t.rlike("^www\\.") ||
+        t.rlike("^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$")))
+
   /** Exact document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 

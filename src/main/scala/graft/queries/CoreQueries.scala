@@ -335,6 +335,32 @@ object CoreQueries {
       val a = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
       val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
       a.intersect(b).orderBy(col("o_custkey"))
+    }),
+
+    // U3: except (distinct set difference) — completes the set-op
+    // family; EXCEPT is a left-anti join on all columns after a
+    // distinct, one shuffle each side
+    "u3_except" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      a.except(b).orderBy(col("o_custkey"))
+    }),
+
+    // A15: cube — all 2^k subtotal combinations in one pass (rollup's
+    // lattice superset; same single-scan partial-agg expansion, so the
+    // marginal cost over a13 is the extra grouping-set rows, not a
+    // second scan)
+    "a15_cube" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
     })
   )
 
@@ -500,6 +526,21 @@ object CoreQueries {
       """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "u3_except" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "a15_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n,
+        |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin
   )
 }

@@ -80,6 +80,31 @@ object EventQueries {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // ordered funnel view→click→purchase: each stage keeps the
+    // earliest event at-or-after the previous stage's timestamp.
+    // Three conditional min-aggregations chained by user_id joins —
+    // the event_type filters prune at the scan, every shuffle is on
+    // the same user_id key (the aggregated sides are quota-sized:
+    // one row per user), and no window buffers the raw event list.
+    "e5_funnel" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_us") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_us") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // JSON property extraction + aggregation (scalar JSON family)
     "e3_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -124,6 +149,23 @@ object EventQueries {
         |SELECT win_start, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e5_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t_click FROM e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us >= t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM e
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us >= t_click GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "e3_json_props" ->
       """SELECT event_type,

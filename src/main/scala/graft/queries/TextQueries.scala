@@ -43,6 +43,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style cleanup: lowercase/tokenize, scrub URL+email tokens,
+    // collapse consecutive-duplicate runs, truncate to 64 tokens —
+    // all scan-stage array math, zero shuffles, zero UDFs
+    "t10_normalize" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("clean_toks",
+          TextOps.collapseRepeats(TextOps.scrubUrlsEmails(col("toks"))))
+        .select(col("doc_id"),
+          array_join(slice(col("clean_toks"), 1, 64), " ").as("clean"),
+          size(col("toks")).as("n_tokens"),
+          size(col("clean_toks")).as("n_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // document fingerprinting: md5 of whitespace-normalized text
     "t4_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -202,6 +217,22 @@ object TextQueries {
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
         |    / len(toks) AS mean_word_len
         |FROM t ORDER BY doc_id""").stripMargin,
+
+    "t10_normalize" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |    list_filter(toks, x -> NOT (regexp_matches(x, '^https?://')
+        |      OR regexp_matches(x, '^www\.')
+        |      OR regexp_matches(x, '^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$'))) AS scrubbed
+        |  FROM tok),
+        |c AS (SELECT doc_id, toks,
+        |    list_filter(scrubbed, (x, i) -> i = 1 OR x != scrubbed[i-1]) AS clean_toks
+        |  FROM s)
+        |SELECT doc_id, array_to_string(clean_toks[1:64], ' ') AS clean,
+        |  len(toks) AS n_tokens, len(clean_toks) AS n_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t3_langid" ->
       (s"""WITH t AS (SELECT doc_id, lang,
