@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZOrder
+
+class ZOrderSpec extends SparkSpec {
+
+  // two independent dimensions so no single-column sort can localize both
+  private def dims(n: Int) = {
+    val s = spark
+    s.range(n).select(
+      col("id"),
+      (col("id") % 317).cast("int").as("x"),
+      pmod(hash(col("id")), lit(511)).cast("int").as("y"))
+  }
+
+  /** mean per-file span of `c`, normalized by the global span. */
+  private def meanFileSpan(path: String, c: String): Double = {
+    val df = spark.read.parquet(path)
+    val global = df.agg((max(col(c)) - min(col(c))).cast("double")).head.getDouble(0)
+    val per = df.groupBy(input_file_name())
+      .agg(((max(col(c)) - min(col(c))).cast("double") / global).as("span"))
+    per.agg(avg(col("span"))).head.getDouble(0)
+  }
+
+  test("z-ordered files localize BOTH dimensions; plain sort only one") {
+    val n = 100000
+    val base = Files.createTempDirectory("zorder").toString
+    val zPath = s"$base/z"
+    val sortedPath = s"$base/sorted"
+
+    ZOrder.writeZOrdered(dims(n), zPath, Seq("x", "y"), numFiles = 16)
+
+    // the one-dimensional alternative: range-partition + sort on x only
+    dims(n).repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(sortedPath)
+
+    // content is a re-layout, never a rewrite
+    assert(spark.read.parquet(zPath).count() === n)
+    assert(spark.read.parquet(zPath).agg(sum(col("id"))).head.getLong(0) ===
+      dims(n).agg(sum(col("id"))).head.getLong(0))
+
+    val zx = meanFileSpan(zPath, "x")
+    val zy = meanFileSpan(zPath, "y")
+    val sx = meanFileSpan(sortedPath, "x")
+    val sy = meanFileSpan(sortedPath, "y")
+
+    // 16 files over a 2-D z-curve: each file covers ~1/4 of each axis
+    assert(zx < 0.6, s"z-order x span $zx")
+    assert(zy < 0.6, s"z-order y span $zy")
+    // x-sort localizes x tightly but leaves y at (nearly) full span
+    assert(sx < 0.2, s"x-sorted x span $sx")
+    assert(sy > 0.8, s"x-sorted y span $sy")
+    // and the z layout beats the 1-D layout on the neglected dimension
+    assert(zy < sy * 0.7, s"zy=$zy vs sy=$sy")
+  }
+
+  test("zValue interleaves bits and maps nulls/degenerate dims to 0") {
+    import spark.implicits._
+    val df = Seq((0, 0), (65535, 65535), (65535, 0)).toDF("a", "b")
+    val z = df.select(ZOrder.zValue(Seq(col("a"), col("b")),
+      Seq((0.0, 65535.0), (0.0, 65535.0))).as("z")).collect().map(_.getLong(0))
+    assert(z(0) === 0L)
+    assert(z(1) === (1L << 32) - 1) // all 32 low bits set
+    // a occupies even bit positions: 0b0101...01
+    assert(z(2) === java.lang.Long.parseLong("0101" * 8, 2))
+    // degenerate bounds: dimension contributes nothing
+    val zd = df.select(ZOrder.zValue(Seq(col("a"), col("b")),
+      Seq((5.0, 5.0), (0.0, 65535.0))).as("z")).head.getLong(0)
+    assert((zd & 0x5555555555555555L) === 0L)
+  }
+}
