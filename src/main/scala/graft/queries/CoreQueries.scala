@@ -361,8 +361,58 @@ object CoreQueries {
         .orderBy(col("g_rf"), col("g_ls"),
           col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
+    }),
+
+    // SQL1: the pricing-summary report (TPC-H Q1 shape) submitted as
+    // SQL TEXT through spark.sql — the query-surface twin of the
+    // DataFrame forms above. ONE dialect-shared statement serves as
+    // both the Spark query and the DuckDB oracle: decimal-cast factor
+    // products keep the revenue sums bit-exact across engines.
+    "sql1_pricing_summary" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(SqlText.pricingSummary)
+    }),
+
+    // SQL3: customer-segment revenue top-k (TPC-H Q3 shape) as SQL
+    // text — 3-table join + agg + deterministic-tiebreak LIMIT.
+    // Catalyst plans it like the DataFrame form: filters pushed to
+    // all three scans, the two joins shuffle on their keys, TakeOrdered
+    // replaces a global sort.
+    "sql3_segment_topk" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(SqlText.segmentTopK)
     })
   )
+
+  /** Dialect-shared SQL texts (run verbatim by Spark AND DuckDB). */
+  object SqlText {
+    val pricingSummary: String =
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+    val segmentTopK: String =
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "a1_agg_named" ->
@@ -533,6 +583,11 @@ object CoreQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+
+    // the SQL-text queries are their own oracle: ONE dialect-shared
+    // statement runs verbatim in both engines
+    "sql1_pricing_summary" -> SqlText.pricingSummary,
+    "sql3_segment_topk" -> SqlText.segmentTopK,
 
     "a15_cube" ->
       """SELECT l_returnflag, l_linestatus,
