@@ -105,6 +105,34 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // E6/A16: per-type z-score outlier flags — the numeric data-quality
+    // scan of a curation pipeline. Group stats come from EXACT decimal
+    // sums (order-independent, so Spark's parallel agg and the oracle's
+    // sequential one agree bit-for-bit), are converted to double ONCE,
+    // and every later double op appears in the same order in both
+    // engines. The O(#types)-row stats frame broadcasts; the filter
+    // compares squared deviation against 4*variance (no sqrt on the
+    // decision path), so the flag set is deterministic.
+    "e6_outlier_flags" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dec = col("value").cast(DecimalType(18, 2))
+      val stats = e.groupBy(col("event_type"))
+        .agg(sum(dec).as("sxd"), sum(dec * dec).as("sxxd"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          (col("sxd").cast(DoubleType) / col("n")).as("mean_v"),
+          ((col("sxxd").cast(DoubleType) -
+            col("sxd").cast(DoubleType) * col("sxd").cast(DoubleType) / col("n"))
+            / (col("n") - 1)).as("var_v"))
+      val dev = col("value") - col("mean_v")
+      e.join(broadcast(stats), "event_type")
+        .filter(dev * dev > lit(4.0) * col("var_v"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(dev / sqrt(col("var_v")), 6).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // JSON property extraction + aggregation (scalar JSON family)
     "e3_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -166,6 +194,21 @@ object EventQueries {
         |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "e6_outlier_flags" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) *
+        |      CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, sx / n AS mean_v,
+        |    (sxx - sx * sx / n) / (n - 1) AS var_v FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - mean_v) / sqrt(var_v), 6) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE (e.value - mean_v) * (e.value - mean_v) > 4 * var_v
+        |ORDER BY event_id""".stripMargin,
 
     "e3_json_props" ->
       """SELECT event_type,
