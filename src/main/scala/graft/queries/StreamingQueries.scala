@@ -71,6 +71,35 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // windowed anomaly scoring against a batch-trained profile: the
+    // streaming twin of e6_outlier_flags. The per-type (mean, var)
+    // profile comes from exact decimal sums over the batch table,
+    // broadcast-joins the raw stream (stateless), and every tumbling
+    // window's mean is z-tested against it — squared-deviation
+    // decision path, so the flags replay float-exact in the oracle
+    "st8_stream_anomaly" -> ((s, dir) => {
+      val stream = eventsStream(s, dir) // also sets nanosAsLong
+      val dec = col("value").cast(DecimalType(18, 2))
+      val profile = Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(dec).as("sxd"), sum(dec * dec).as("sxxd"),
+          count(lit(1)).as("np"))
+        .select(col("event_type"),
+          (col("sxd").cast(DoubleType) / col("np")).as("mean_v"),
+          ((col("sxxd").cast(DoubleType) -
+            col("sxd").cast(DoubleType) * col("sxd").cast(DoubleType) / col("np"))
+            / (col("np") - 1)).as("var_v"))
+      val agg = Streaming.windowedAnomaly(stream(), profile)
+      val name = s"st8_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, agg, name, outputMode = "complete",
+          statePartitions = Some(8))
+        .select(col("window_start").cast(DateType).as("d"),
+          hour(col("window_start")).as("h"),
+          col("event_type"), col("n"),
+          round(col("win_mean"), 6).as("win_mean"), col("anomaly"))
+        .orderBy(col("d"), col("h"), col("event_type"))
+    }),
+
     // stream-stream interval join: each click paired with the same
     // user's views in the following 30 minutes, as an actual
     // watermarked two-sided streaming join (append mode); the per-user
@@ -223,6 +252,27 @@ object StreamingQueries {
     "st2_stream_dedup" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st8_stream_anomaly" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) *
+        |      CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    count(*) AS np
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, sx / np AS mean_v,
+        |    (sxx - sx * sx / np) / (np - 1) AS var_v FROM st),
+        |w AS (SELECT CAST(date_trunc('hour', ts) AS DATE) AS d,
+        |    hour(date_trunc('hour', ts)) AS h, event_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT w.d, w.h, w.event_type, w.n,
+        |  round(w.sx / w.n, 6) AS win_mean,
+        |  (w.sx / w.n - mean_v) * (w.sx / w.n - mean_v)
+        |    > 4 * var_v / w.n AS anomaly
+        |FROM w JOIN m USING (event_type)
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "st3_stream_join" ->
       """SELECT a.user_id, count(*) AS n_pairs

@@ -43,6 +43,38 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Windowed anomaly scoring against a STATIC profile — the
+    * production monitoring shape: train (mean, var) per key in batch,
+    * score the stream one tumbling window at a time with a z-test of
+    * the window mean against the profile (|z| > 2 ⇔ squared deviation
+    * > 4·var/n, no sqrt on the decision path so the flag is
+    * float-deterministic).
+    *
+    * Streaming constraints drive the plan shape: aggregation-then-join
+    * is unsupported, so the profile broadcast-joins the RAW stream
+    * (stateless, per micro-batch) and rides through the window groupBy
+    * as functionally-dependent grouping keys. Window state is the only
+    * state; the profile is O(#keys).
+    *
+    * `profile` must carry (keyCol, mean_v, var_v). */
+  def windowedAnomaly(events: DataFrame, profile: DataFrame,
+      keyCol: String = "event_type", windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val winMean = col("sxd").cast(DoubleType) / col("n")
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(profile), keyCol)
+      .groupBy(window(col("ts"), windowLength), col(keyCol),
+        col("mean_v"), col("var_v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sxd"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), winMean.as("win_mean"),
+        ((winMean - col("mean_v")) * (winMean - col("mean_v")) >
+          lit(4.0) * col("var_v") / col("n")).as("anomaly"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
   case class Session(user_id: Long, session_start: Timestamp,

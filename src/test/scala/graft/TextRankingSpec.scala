@@ -183,4 +183,21 @@ class TextRankingSpec extends SparkSpec {
     assert(flags.toSeq === Seq((0L, true), (1L, true), (2L, false),
       (3L, true)))
   }
+
+  test("collapseRepeats removes runs, scrubUrlsEmails drops link/email tokens") {
+    val df = Seq(
+      "go go go stop go",                       // run collapses, later dup survives
+      "See https://x.org/a www.b.com a.b@c.io plain",
+      "a A a",                                  // case-folded by tokens() first
+      "").toDF("text")
+    val out = df.select(
+        concat_ws(" ",
+          TextOps.collapseRepeats(
+            TextOps.scrubUrlsEmails(TextOps.tokens(col("text"))))).as("clean"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "go stop go")
+    assert(out(1) === "see plain")
+    assert(out(2) === "a")
+    assert(out(3) === "")
+  }
 }
