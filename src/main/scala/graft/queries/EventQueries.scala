@@ -86,6 +86,10 @@ object EventQueries {
     // the event_type filters prune at the scan, every shuffle is on
     // the same user_id key (the aggregated sides are quota-sized:
     // one row per user), and no window buffers the raw event list.
+    // Catalyst re-derives the staged aggregates in the final 3-way
+    // join (the standard SQL funnel multi-pass, same as the oracle's
+    // CTEs); at 100 TB persist v/c after each stage so the fact table
+    // is scanned once per event type, not once per reference.
     "e5_funnel" -> ((s, dir) => {
       val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
         .select(col("user_id"), col("event_type"), col("ts_us"))

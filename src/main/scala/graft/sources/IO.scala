@@ -104,6 +104,39 @@ object IO {
       .saveAsTable(table)
   }
 
+  /** Compact a parquet directory to ~`targetFileBytes` files — the
+    * small-file remedy for long-lived tables at scale (a 100 TB table
+    * accreted from per-batch appends ends up with millions of KB-sized
+    * files; listing + per-file open costs then dominate every scan).
+    * File count is sized from the directory's actual on-disk bytes
+    * (driver-side listing, O(#files) names — bounded), and the rewrite
+    * is one round-robin repartition: no shuffle key, so it cannot skew,
+    * and parquet re-encodes at full row groups. Pass `sortCols` to
+    * restore clustering (repartitionByRange — keeps range pruning on
+    * the sort key after compaction). */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long,
+      sortCols: Seq[String] = Nil): Int = {
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles,
+            sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(
+            sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    // write beside, then swap — never leaves the table half-rewritten
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    laid.write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(hPath, true)
+    fs.rename(new Path(tmp), hPath)
+    nFiles
+  }
+
   /** CSV→ORC conversion utility (reference io.py:97-113). */
   def csvToOrc(spark: SparkSession, inPath: String, outPath: String,
       sep: String = ","): Unit =

@@ -138,4 +138,29 @@ class DatasetsSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") &&
       scan.contains("lang"), scan.take(1500))
   }
+
+  test("io: compact rewrites a many-file table to the target file count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("iocompact").toString
+    val path = s"$dir/t"
+    // accrete 16 tiny files (the per-batch-append pathology)
+    spark.range(4000).select(col("id"), (col("id") % 7).as("k"))
+      .repartition(16).write.parquet(path)
+    def files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length())
+    assert(files.length == 16)
+    val total = files.sum
+    // target ~= half the table -> 2 files
+    val n = IO.compact(spark, path, targetFileBytes = total / 2 + 1,
+      sortCols = Seq("id"))
+    assert(n == 2 && files.length == 2)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 4000)
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 4000L * 3999 / 2)
+    // range layout restored: the two files cover disjoint id ranges
+    val spans = back.groupBy(input_file_name())
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.length == 2 && spans(0)._2 < spans(1)._1)
+  }
 }
