@@ -373,6 +373,15 @@ object CoreQueries {
       s.sql(SqlText.pricingSummary)
     }),
 
+    // SQL2: asymmetric GROUPING SETS — subtotals by returnflag and,
+    // separately, by linestatus from ONE scan (the lattice shape
+    // rollup/cube can't express; DataFrame API has no grouping-sets
+    // builder, so SQL text is the native way to say this in Spark too)
+    "sql2_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(SqlText.groupingSets)
+    }),
+
     // SQL3: customer-segment revenue top-k (TPC-H Q3 shape) as SQL
     // text — 3-table join + agg + deterministic-tiebreak LIMIT.
     // Catalyst plans it like the DataFrame form: filters pushed to
@@ -399,6 +408,15 @@ object CoreQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+    val groupingSets: String =
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n,
+        |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin
 
     val segmentTopK: String =
       """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
@@ -587,6 +605,7 @@ object CoreQueries {
     // the SQL-text queries are their own oracle: ONE dialect-shared
     // statement runs verbatim in both engines
     "sql1_pricing_summary" -> SqlText.pricingSummary,
+    "sql2_grouping_sets" -> SqlText.groupingSets,
     "sql3_segment_topk" -> SqlText.segmentTopK,
 
     "a15_cube" ->

@@ -58,6 +58,15 @@ class ZOrderSpec extends SparkSpec {
     assert(zy < sy * 0.7, s"zy=$zy vs sy=$sy")
   }
 
+  test("zOrderBy accepts timestamp dimensions (unix_micros normalization)") {
+    val df = spark.range(1000).selectExpr("id",
+      "timestamp_micros(id * 1000000) AS ts",
+      "CAST(id % 13 AS INT) AS k")
+    val out = ZOrder.zOrderBy(df, Seq("ts", "k"), numFiles = 4)
+    assert(out.count() === 1000)
+    assert(out.columns.toSeq === Seq("id", "ts", "k")) // helper col dropped
+  }
+
   test("zValue interleaves bits and maps nulls/degenerate dims to 0") {
     import spark.implicits._
     val df = Seq((0, 0), (65535, 65535), (65535, 0)).toDF("a", "b")
