@@ -125,6 +125,29 @@ object DedupQueries {
         .filter(!col("is_contaminated"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the pretraining-mix pipeline: token-count quality floor →
+    // corpus-level passage dedup (first occurrence wins) →
+    // deterministic 50% hash sample → per-language doc/token budget
+    // report. Every stage is an already-oracled operator, and the
+    // whole composition replays as ONE chained-CTE DuckDB statement —
+    // the "assemble a training mix end-to-end" demo next to c1's
+    // cleaning demo. Scale shape: the only wide ops are d6's 8-byte
+    // chunk-hash agg/join and the final per-language agg; the sample
+    // is a scan-stage predicate.
+    "c7_pretraining_mix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val quality = docs.filter(TextOps.tokenCount(col("text")) >= 30)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val deduped = Dedup.passageDedup(quality, "doc_id", "text", k = 8)
+      val sampled = graft.operators.Sketches.hashSample(
+        deduped, col("doc_id"), fraction = 0.5)
+      sampled.join(quality.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text_clean"))).as("n_tokens"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -288,6 +311,32 @@ object DedupQueries {
         |  FROM reps),
         |hits AS (SELECT DISTINCT rg.doc_id FROM rg JOIN bg USING (s))
         |SELECT r.doc_id FROM reps r LEFT JOIN hits h ON r.doc_id = h.doc_id
-        |WHERE h.doc_id IS NULL ORDER BY r.doc_id""".stripMargin
+        |WHERE h.doc_id IS NULL ORDER BY r.doc_id""".stripMargin,
+
+    "c7_pretraining_mix" ->
+      """WITH q AS (SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS nt
+        |    FROM documents) WHERE nt >= 30),
+        |t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM q),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT)),
+        |    i -> struct_pack(chunk_idx := i, chunk := list_aggregate(toks[(i*8+1):(i*8+8)], 'string_agg', ' ')))) AS c
+        |  FROM t WHERE len(toks) > 0),
+        |f AS (SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk FROM ch),
+        |own AS (SELECT chunk, min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS o
+        |  FROM f GROUP BY 1),
+        |kept AS (SELECT f.doc_id, f.chunk_idx, f.chunk
+        |  FROM f JOIN own ON f.chunk = own.chunk
+        |  WHERE f.doc_id = (own.o).doc_id AND f.chunk_idx = (own.o).chunk_idx),
+        |dd AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+        |  FROM kept GROUP BY doc_id),
+        |samp AS (SELECT doc_id, text_clean FROM dd
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 5000)
+        |SELECT q.lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(lower(text_clean), '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |FROM samp JOIN q USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
