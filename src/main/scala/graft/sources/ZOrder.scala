@@ -89,4 +89,57 @@ object ZOrder {
       numFiles: Int): Unit =
     zOrderBy(df, zCols, numFiles)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Skew-robust variant: dimensions are quantile-bucketized before
+    * interleaving instead of min-max scaled. Min-max normalization
+    * collapses under outliers — one row at 10¹² stretches the scale so
+    * the bulk of the data lands in a handful of buckets and the curve
+    * degenerates to a 1-D sort on the surviving dimensions. Equi-depth
+    * buckets from `approxQuantile` (one pass, `buckets`+1 scalars per
+    * dimension to the driver — bounded collect) give every dimension
+    * its full 2^bits resolution over the data that actually exists.
+    *
+    * The per-row bucket lookup runs through `ml.feature.Bucketizer`
+    * (public Spark API, binary-search over the splits). It is not
+    * whole-stage-codegen'd — acceptable on a WRITE path executed once,
+    * in exchange for a layout that keeps pruning under skew. */
+  def zOrderByQuantiles(df: DataFrame, zCols: Seq[String], numFiles: Int,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << Bits),
+      s"buckets must be in [2, ${1 << Bits}]")
+    val numd = zCols.map { n =>
+      val c = df.schema(n).dataType match {
+        case _: NumericType => col(n)
+        case DateType => unix_date(col(n))
+        case TimestampType | TimestampNTZType => unix_micros(col(n))
+        case other => throw new IllegalArgumentException(
+          s"z-order column $n has unsupported type $other")
+      }
+      c.cast(DoubleType).as(s"__zq_$n")
+    }
+    val probs = (0 to buckets).map(_.toDouble / buckets).toArray
+    val staged = df.select(col("*") +: numd: _*)
+    val quantiles = staged.stat.approxQuantile(
+      zCols.map(n => s"__zq_$n").toArray, probs, 0.001)
+    // strictly-increasing splits with open ends (ties collapse under
+    // skew: a hot value occupies several quantiles — dedupe keeps the
+    // bucket count honest rather than failing)
+    val splitsPerCol = quantiles.map { qs =>
+      val inner = qs.distinct.sorted
+      (Double.NegativeInfinity +: inner :+ Double.PositiveInfinity).distinct
+    }
+    val bucketizer = new org.apache.spark.ml.feature.Bucketizer()
+      .setInputCols(zCols.map(n => s"__zq_$n").toArray)
+      .setOutputCols(zCols.map(n => s"__zb_$n").toArray)
+      .setSplitsArray(splitsPerCol)
+      .setHandleInvalid("keep") // nulls → extra top bucket
+    val bucketed = bucketizer.transform(staged)
+    val zin = zCols.map(n => col(s"__zb_$n"))
+    val bounds = splitsPerCol.map(s => (0.0, (s.length - 2).toDouble)).toSeq
+    bucketed
+      .withColumn("__z", zValue(zin, bounds))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop(zCols.flatMap(n => Seq(s"__zq_$n", s"__zb_$n")) :+ "__z": _*)
+  }
 }

@@ -58,6 +58,39 @@ class ZOrderSpec extends SparkSpec {
     assert(zy < sy * 0.7, s"zy=$zy vs sy=$sy")
   }
 
+  test("quantile z-order keeps bulk locality under an outlier; min-max collapses") {
+    val s = spark
+    // x uniform in [0, 10000) plus ONE outlier at 1e12; y uniform
+    val df = s.range(50000).select(
+      when(col("id") === 0, 1000000000000L).otherwise(col("id") % 10000)
+        .as("x"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zskew").toString
+
+    ZOrder.zOrderBy(df, Seq("x", "y"), numFiles = 16)
+      .write.parquet(s"$base/minmax")
+    ZOrder.zOrderByQuantiles(df, Seq("x", "y"), numFiles = 16)
+      .write.parquet(s"$base/quant")
+
+    // per-file x-span over the BULK (outlier excluded from measurement)
+    def bulkSpan(path: String): Double = {
+      val d = s.read.parquet(path).filter(col("x") < 1000000L)
+      d.groupBy(input_file_name())
+        .agg(((max(col("x")) - min(col("x"))) / 10000.0).as("span"))
+        .agg(avg(col("span"))).head.getDouble(0)
+    }
+    val mm = bulkSpan(s"$base/minmax")
+    val qt = bulkSpan(s"$base/quant")
+    // min-max: the outlier stretches the scale so the whole bulk maps
+    // to bucket 0 of x — files span (nearly) the full bulk range
+    assert(mm > 0.8, s"min-max bulk span $mm")
+    // equi-depth buckets ignore the outlier's leverage
+    assert(qt < 0.5, s"quantile bulk span $qt")
+    // same rows either way
+    assert(s.read.parquet(s"$base/quant").count() === 50000)
+    assert(s.read.parquet(s"$base/quant").columns.toSeq === Seq("x", "y"))
+  }
+
   test("zOrderBy accepts timestamp dimensions (unix_micros normalization)") {
     val df = spark.range(1000).selectExpr("id",
       "timestamp_micros(id * 1000000) AS ts",
