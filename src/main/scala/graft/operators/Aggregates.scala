@@ -121,4 +121,38 @@ object Aggregates {
       .withColumn(outCol, sum(valueCol).over(w) + offCol)
       .drop("__part")
   }
+
+  /** Ordered N-step funnel: per entity, stage i keeps the EARLIEST
+    * event of `steps(i)` at-or-after stage i-1's timestamp; entities
+    * enter only by completing step 0. Output: (entityCol, t_0..t_n-1
+    * nullable, stage ∈ [1, n]).
+    *
+    * Scale shape: one conditional min-aggregation per step chained by
+    * entity-key joins — the step-type filters prune at the scan, every
+    * shuffle is on the same entity key, each aggregated side is one
+    * row per entity, and no window ever buffers the raw event list.
+    * Catalyst re-derives the staged aggregates in the final assembly
+    * join (the standard SQL funnel multi-pass); at very large scale
+    * persist each stage so the fact table is scanned once per step. */
+  def funnel(df: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val stage0 = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t_0"))
+    val stages = steps.indices.tail.scanLeft(stage0) { (prev, i) =>
+      df.filter(col(typeCol) === steps(i))
+        .join(prev.select(col(entityCol), col(s"t_${i - 1}")), entityCol)
+        .filter(col(tsCol) >= col(s"t_${i - 1}"))
+        .groupBy(col(entityCol)).agg(min(col(tsCol)).as(s"t_$i"))
+    }
+    val joined = stages.tail.foldLeft(stages.head) { (acc, st) =>
+      acc.join(st.select(col(entityCol), st.columns.filter(_ != entityCol)
+        .map(col).last), Seq(entityCol), "left")
+    }
+    val stageCol = steps.indices.tail
+      .map(i => when(col(s"t_$i").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    joined.withColumn("stage", stageCol)
+  }
 }

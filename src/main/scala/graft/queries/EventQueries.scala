@@ -93,19 +93,12 @@ object EventQueries {
     "e5_funnel" -> ((s, dir) => {
       val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
         .select(col("user_id"), col("event_type"), col("ts_us"))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts_us") >= col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts_us") >= col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"), col("t_view"), col("t_click"),
-          col("t_purchase"),
-          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
-            when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+      graft.operators.Aggregates
+        .funnel(e, "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t_0").as("t_view"),
+          col("t_1").as("t_click"), col("t_2").as("t_purchase"),
+          col("stage"))
         .orderBy(col("user_id"))
     }),
 

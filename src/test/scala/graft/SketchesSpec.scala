@@ -232,4 +232,24 @@ class SketchesSpec extends SparkSpec {
       s"${bad.size} mismatched ids; first 10: " + bad.take(10).map(id =>
         s"id=$id got=${got(id)} want=${want(id)}").mkString(", "))
   }
+
+  test("funnel: ordered N-step stages, out-of-order events excluded") {
+    import graft.operators.Aggregates
+    val events = Seq(
+      // u1 completes all four steps in order
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L), (1L, "d", 40L),
+      // u2: c BEFORE its b -> stalls at stage 2 (b at 25, no c >= 25)
+      (2L, "a", 10L), (2L, "c", 15L), (2L, "b", 25L),
+      // u3: never does step a -> not in the funnel at all, despite b
+      (3L, "b", 5L),
+      // u4: same-timestamp step counts (>= boundary)
+      (4L, "a", 7L), (4L, "b", 7L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = Aggregates.funnel(events, "user_id", "event_type", "ts",
+        Seq("a", "b", "c", "d"))
+      .orderBy(col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("stage"))))
+    assert(out.toSeq === Seq((1L, 4), (2L, 2), (4L, 2)))
+  }
 }
