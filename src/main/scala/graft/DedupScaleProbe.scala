@@ -86,6 +86,17 @@ object DedupScaleProbe {
       val med = samples.map(_._1).sorted.apply(samples.size / 2)
       println(f"PROBE $name%-34s $med%8.2f s  rows=${samples.head._2} " +
         f"(median of $runsPer)")
+      // storage snapshot after each op: the one r5 anomaly (d2 87.7 s
+      // in a full-sequence run, clean in isolation) is suspected
+      // cross-op cache eviction — this line is the evidence a future
+      // reproduction needs (per-RDD cached bytes + total spill to disk)
+      val infos = spark.sparkContext.getRDDStorageInfo
+      if (infos.nonEmpty) {
+        val mem = infos.map(_.memSize).sum / 1e6
+        val disk = infos.map(_.diskSize).sum / 1e6
+        println(f"PROBE-CACHE after $name%-28s blocks=${infos.length}" +
+          f" mem=${mem}%.0fMB disk=${disk}%.0fMB")
+      }
       med
     }
 
