@@ -100,6 +100,25 @@ class ZOrderSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("id", "ts", "k")) // helper col dropped
   }
 
+  test("Optimize CLI re-lays an existing table in place (zorder + compact)") {
+    val s = spark
+    val base = Files.createTempDirectory("optcli").toString
+    val path = s"$base/t"
+    dims(20000).repartition(8).write.parquet(path)
+
+    Optimize.run(s, Array("zorder", path, "4", "x,y"))
+    val zed = s.read.parquet(path)
+    assert(zed.count() === 20000)
+    assert(zed.groupBy(input_file_name()).count().count() === 4)
+
+    val total = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Optimize.run(s, Array("compact", path, (total + 1).toString, "x"))
+    assert(s.read.parquet(path).count() === 20000)
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
+  }
+
   test("zValue interleaves bits and maps nulls/degenerate dims to 0") {
     import spark.implicits._
     val df = Seq((0, 0), (65535, 65535), (65535, 0)).toDF("a", "b")
