@@ -130,6 +130,21 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // monthly active users: exact COUNT(DISTINCT) per group — the
+    // expand-plan aggregate family (Spark rewrites the mixed
+    // distinct/plain agg into Expand + two-phase aggregation; the
+    // distinct key shuffle is (month, type, user), so cardinality is
+    // bounded by actives, not events). a11 is the sketch path for the
+    // same question at 100 TB; this is the exact path.
+    "e7_mau" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("month_id", expr(s"ts div ${30L * 24 * NsPerHour}"))
+        .groupBy(col("month_id"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("mau"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("month_id"), col("event_type"))
+    }),
+
     // JSON property extraction + aggregation (scalar JSON family)
     "e3_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -206,6 +221,11 @@ object EventQueries {
         |FROM events e JOIN m USING (event_type)
         |WHERE (e.value - mean_v) * (e.value - mean_v) > 4 * var_v
         |ORDER BY event_id""".stripMargin,
+
+    "e7_mau" ->
+      """SELECT epoch_ns(ts) // 2592000000000000 AS month_id, event_type,
+        |  count(DISTINCT user_id) AS mau, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e3_json_props" ->
       """SELECT event_type,
