@@ -62,8 +62,7 @@ object Optimize {
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val tmp = path.stripSuffix("/") + "__zorder_tmp"
         laid.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
-        fs.delete(hPath, true)
-        fs.rename(new Path(tmp), hPath)
+        IO.swapInPlace(fs, new Path(tmp), hPath)
         println(s"OPTIMIZE $op $path -> $numFiles files on ${zCols.mkString(",")}")
       case other => sys.error(s"unknown op '$other'\n$usage")
     }

@@ -127,32 +127,97 @@ object Aggregates {
     * enter only by completing step 0. Output: (entityCol, t_0..t_n-1
     * nullable, stage ∈ [1, n]).
     *
-    * Scale shape: one conditional min-aggregation per step chained by
-    * entity-key joins — the step-type filters prune at the scan, every
-    * shuffle is on the same entity key, each aggregated side is one
-    * row per entity, and no window ever buffers the raw event list.
-    * Catalyst re-derives the staged aggregates in the final assembly
-    * join (the standard SQL funnel multi-pass); at very large scale
-    * persist each stage so the fact table is scanned once per step. */
+    * SINGLE-SCAN shape (the r5 multi-pass read the fact table once per
+    * step — N full scans plus N shuffle joins; at 100 TB the scan
+    * multiplier dominates): ONE pass over the events, type filter
+    * pruned at the scan, ONE shuffle on the entity key into a
+    * collect_list aggregate, then the chained earliest-at-or-after
+    * semantics run as a codegen'd `aggregate` fold over the per-entity
+    * (ts, step)-sorted struct array. Sorting by (ts, step) makes
+    * same-timestamp events process in step order, which reproduces the
+    * staged-aggregate semantics exactly (parity-spec-gated against
+    * [[funnelMultiPass]] on goldens and random fixtures, null
+    * timestamps included). Per-entity state is the events of the N
+    * funnel types only — bounded by entity activity, never the corpus;
+    * a pathologically hot entity can be pre-thinned per (entity, type)
+    * upstream if needed. */
   def funnel(df: DataFrame, entityCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(entityCol != "stage" && !steps.indices.exists(i => entityCol == s"t_$i"),
+      s"entityCol '$entityCol' collides with a funnel output column")
+    val n = steps.size
+    val tsType = df.select(col(tsCol)).schema.head.dataType
+    val stepIdx = steps.tail.zipWithIndex.foldLeft(
+      when(col(typeCol) === steps.head, 0)) { case (acc, (s, i)) =>
+        acc.when(col(typeCol) === s, i + 1)
+    }
+    val grouped = df.filter(col(typeCol).isin(steps: _*))
+      .select(col(entityCol),
+        struct(col(tsCol).as("ts"), stepIdx.as("si")).as("ev"))
+      .groupBy(col(entityCol))
+      .agg(sort_array(collect_list(col("ev"))).as("__evs"),
+        // entities enter only via step 0 — even one with a null-ts
+        // step-0 event (it gets t_0 = null, stage 1, like the min()
+        // in the staged form)
+        max(when(col("ev.si") === 0, true)).as("__has0"))
+      .filter(col("__has0"))
+    // fold: acc = array of n stage timestamps (null = not reached);
+    // an event of step i fills acc[i] iff unfilled, ts non-null, and
+    // (i == 0 | acc[i-1] filled with acc[i-1] <= ts). `get` is 0-based
+    // and null-safe at i-1 = -1, so no branch ever indexes out.
+    val folded = aggregate(col("__evs"),
+      array_repeat(lit(null).cast(tsType), n),
+      (acc, e) => {
+        val ts = e.getField("ts"); val si = e.getField("si")
+        transform(acc, (x, i) => {
+          val prev = get(acc, i - lit(1))
+          when(i === si && x.isNull && ts.isNotNull &&
+              (i === 0 || (prev.isNotNull && ts >= prev)), ts)
+            .otherwise(x)
+        })
+      })
+    val withAcc = grouped.withColumn("__acc", folded)
+    val ts = (0 until n).map(i => get(col("__acc"), lit(i)).as(s"t_$i"))
+    val stageCol = (1 until n)
+      .map(i => when(get(col("__acc"), lit(i)).isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    withAcc.select(col(entityCol) +: ts :+ stageCol.as("stage"): _*)
+  }
+
+  /** The staged-aggregate funnel (reference SQL shape): one
+    * conditional min-aggregation per step chained by entity-key joins.
+    * Correct and skew-proof, but each stage re-scans the fact table —
+    * N scans for an N-step funnel — so [[funnel]]'s single-scan fold
+    * supersedes it as the default; kept as the independent
+    * implementation the parity spec checks the fold against.
+    * Internal stage columns are uniquely prefixed so inputs that
+    * already carry `t_i`/`stage` names cannot be captured. */
+  def funnelMultiPass(df: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(entityCol != "stage" && !steps.indices.exists(i => entityCol == s"t_$i"),
+      s"entityCol '$entityCol' collides with a funnel output column")
+    def tc(i: Int) = s"__funnel_t_$i"
     val stage0 = df.filter(col(typeCol) === steps.head)
-      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t_0"))
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as(tc(0)))
     val stages = steps.indices.tail.scanLeft(stage0) { (prev, i) =>
       df.filter(col(typeCol) === steps(i))
-        .join(prev.select(col(entityCol), col(s"t_${i - 1}")), entityCol)
-        .filter(col(tsCol) >= col(s"t_${i - 1}"))
-        .groupBy(col(entityCol)).agg(min(col(tsCol)).as(s"t_$i"))
+        .join(prev.select(col(entityCol), col(tc(i - 1))), entityCol)
+        .filter(col(tsCol) >= col(tc(i - 1)))
+        .groupBy(col(entityCol)).agg(min(col(tsCol)).as(tc(i)))
     }
     val joined = stages.tail.foldLeft(stages.head) { (acc, st) =>
       acc.join(st.select(col(entityCol), st.columns.filter(_ != entityCol)
         .map(col).last), Seq(entityCol), "left")
     }
     val stageCol = steps.indices.tail
-      .map(i => when(col(s"t_$i").isNotNull, 1).otherwise(0))
+      .map(i => when(col(tc(i)).isNotNull, 1).otherwise(0))
       .foldLeft(lit(1))(_ + _)
     joined.withColumn("stage", stageCol)
+      .select(col(entityCol) +:
+        steps.indices.map(i => col(tc(i)).as(s"t_$i")) :+ col("stage"): _*)
   }
 }

@@ -243,12 +243,37 @@ object Dedup {
 
   /** Deterministic 31-bit universal-hash coefficients for permutation i
     * (products stay under 2^62 — safe under Spark 4's default ANSI
-    * overflow checking). */
-  private def permCoeffs(i: Int): (Long, Long) = {
+    * overflow checking). Public so oracle generators can embed the same
+    * coefficients as SQL literals and replay the permutations exactly. */
+  def permCoeffs(i: Int): (Long, Long) = {
     val a = ((2862933555777941757L * (i + 1) + 3037000493L) & 0x7FFFFFFFL) | 1L
     val b = (4354685564936845319L * (i + 1) + 32452843L) & 0x7FFFFFFFL
     (a, b)
   }
+
+  /** md5-derived 60-bit non-negative hash of a string column — the
+    * deterministic ENGINE-PORTABLE hash (the p13/hashSample recipe,
+    * see [[Sketches.hashBucket]]): any engine with `md5` replays it
+    * bit-for-bit, unlike Spark-internal xxhash64. Collisions
+    * ~n²/2⁶¹ — negligible. Used by the *Deterministic dedup variants
+    * whose whole pipeline (signatures, buckets, verification) then
+    * admits an exact cross-engine oracle. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Deterministic shingle sets from a (doc_id, toks) frame: distinct
+    * string k-grams hashed with [[md5Long]]. Engine-portable twin of
+    * [[shingleSetsFromTokens]] (which combines token xxhash64s without
+    * materializing shingle strings and is ~2× faster — prefer it when
+    * no cross-engine replay is needed). Persisted; caller owns the
+    * lifecycle. */
+  def deterministicShingleSets(tokens: DataFrame, k: Int): DataFrame =
+    tokens.select(col("doc_id"),
+        array_distinct(shinglesOfTokens(col("toks"), k)).as("ss"))
+      .select(col("doc_id"),
+        transform(col("ss"), s => md5Long(s)).as("shset"))
+      .filter(size(col("shset")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash signatures per document: explode 31-bit shingle hashes once,
     * then ONE hash aggregate computing all `numHashes` permutation
@@ -293,17 +318,23 @@ object Dedup {
   /** LSH pairs over a pre-built (doc_id, shset) frame (shared persisted
     * shingle pass). */
   def minHashLshPairsFromSets(sets: DataFrame, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, portableBands: Boolean = false): DataFrame = {
     val r = numHashes / bands
     val sig = minHashFromSets(sets, numHashes)
+    // Band bucket key: xxhash64 keeps the self-join shuffle to 8-byte
+    // longs (the scale default); the portable variant keeps the raw
+    // "m1,m2,…" signature string so an external engine reproduces the
+    // identical candidate set (band keys only ever need equality).
+    def bandKey(sl: Column): Column =
+      if (portableBands) concat_ws(",", sl) else xxhash64(concat_ws(",", sl))
     // persisted AND materialized eagerly: self-joined below — an
     // unmaterialized cached plan scanned twice within one job races its
     // own cache fill and runs the signature aggregation once per side.
     // Scoped — unpersisted after the eager pair materialization below.
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws(",",
-          slice(col("sig"), bnd * r + lit(1), lit(r)))))).as(Seq("band", "bh")))
+        bnd => bandKey(slice(col("sig"), bnd * r + lit(1), lit(r)))))
+        .as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.count()
     val a = banded.as("a"); val b = banded.as("b")
@@ -318,6 +349,22 @@ object Dedup {
     val out = verifyJaccard(candidates, nCand, sets, threshold).localCheckpoint()
     banded.unpersist(false)
     candidates.unpersist(false)
+    out
+  }
+
+  /** Fully DETERMINISTIC MinHash+LSH over a (doc_id, toks) frame: md5
+    * shingle hashes + raw-signature band keys, so an external engine
+    * with `md5` replays candidates AND verification bit-for-bit (the
+    * exact-oracle variant of [[minHashLshPairsFromTokens]]; same plan
+    * shape — linear scans, one bucket self-join, candidate-only
+    * verify; the output is localCheckpointed before the scoped persists
+    * release). */
+  def minHashLshPairsDeterministic(tokens: DataFrame, k: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sets = deterministicShingleSets(tokens, k)
+    val out = minHashLshPairsFromSets(sets, numHashes, bands, threshold,
+      portableBands = true)
+    sets.unpersist(false)
     out
   }
 
@@ -518,6 +565,44 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame =
     simHashPairsFromTokens(tokenize(df, idCol, textCol), maxDist)
+
+  /** Deterministic 60-bit SimHash per document: [[md5Long]] token
+    * hashes (engine-portable, 60 usable bits) instead of xxhash64's 64,
+    * same one-aggregate plan. Output: (doc_id, sh bigint, 60 bits). */
+  def simHashesDeterministic(tokens: DataFrame): DataFrame = {
+    val exploded = tokens
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), md5Long(col("t")).as("h"))
+    val sums = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val bits = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    exploded.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
+  /** Fully DETERMINISTIC SimHash near-dup pairs: md5 token hashes and
+    * a 4×15-bit chunk pigeonhole (60 bits / 4 chunks still guarantees
+    * a shared exact chunk at hamming ≤ 3), so an external engine
+    * replays the pair set bit-for-bit — the exact-oracle variant of
+    * [[simHashPairsFromTokens]], same bucket-join plan. */
+  def simHashPairsDeterministic(tokens: DataFrame,
+      maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole only guarantees hamming <= 3")
+    val sh = simHashesDeterministic(tokens)
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 15).bitwiseAND(0x7FFFL)): _*))
+        .as(Seq("chunk", "cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunked.count()
+    val out = simHashCandidatePairs(chunked, maxDist).localCheckpoint()
+    chunked.unpersist(false)
+    out
+  }
 
   /** SimHash pairs over a pre-built (doc_id, toks) frame (shared
     * persisted token pass). */

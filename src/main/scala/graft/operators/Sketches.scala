@@ -207,7 +207,11 @@ object Sketches {
         val thrRow = df.select(fracs.map { case (s, f) =>
           percentile_approx(when(col(stratumCol) === s, primary),
             lit(f), lit(acc)).as(s) }: _*).collect()(0)
-        val thrCol = hot.indices.foldLeft(lit(null).cast("double")) {
+        // seed the fold in the PRIMARY column's own type: a "double"
+        // seed would coerce the whole threshold comparison to
+        // DoubleType, and for LongType keys beyond 2^53 the rounding
+        // could misclassify boundary rows, breaking exact parity
+        val thrCol = hot.indices.foldLeft(lit(null).cast(primaryExpr.dataType)) {
           (c, i) => when(col(stratumCol) === hot(i),
             lit(if (thrRow.isNullAt(i)) null else thrRow.get(i))).otherwise(c)
         }

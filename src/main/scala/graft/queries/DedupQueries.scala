@@ -8,10 +8,11 @@ import graft.operators.{Dedup, TextOps}
 
 /** Deduplication harness queries over the `documents` table.
   *
-  * d1/d2 have exact DuckDB oracles. d3 (MinHash+LSH) and d4 (SimHash)
-  * use engine-specific hash functions (xxhash64) that no portable SQL
-  * reproduces — the driver records rows-only checks; their semantics are
-  * covered by ScalaTest (candidate sets ⊇ true near-dup pairs).
+  * Every query here has an exact DuckDB oracle. d3 (MinHash+LSH) and
+  * d4 (SimHash) run the DETERMINISTIC md5-hash variants so the full
+  * pipelines — signatures, band/chunk buckets, verification — replay
+  * bit-for-bit in SQL; the xxhash64 fast paths (8-byte shuffle keys)
+  * remain the library defaults and keep their ScalaTest recall specs.
   */
 object DedupQueries {
 
@@ -55,17 +56,21 @@ object DedupQueries {
         .orderBy(col("i"), col("j"))
     }),
 
-    // MinHash+LSH near-dup pairs, exact-verified (rows-only check)
+    // MinHash+LSH near-dup pairs, exact-verified — the DETERMINISTIC
+    // md5-hash variant, so the full pipeline (signatures, band buckets,
+    // Jaccard verify) replays bit-for-bit in DuckDB (exact oracle);
+    // shares the persisted token pass with d2/d4
     "d3_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashLshPairsFromSets(sharedSets(s, dir), numHashes = 32,
-          bands = 8, threshold = 0.8)
+      Dedup.minHashLshPairsDeterministic(sharedTokens(s, dir), k = 3,
+          numHashes = 32, bands = 8, threshold = 0.8)
         .orderBy(col("i"), col("j"))
     }),
 
-    // SimHash near-dup pairs, hamming ≤ 3 (rows-only check); shares the
-    // persisted token pass with d2/d3
+    // SimHash near-dup pairs, hamming ≤ 3 — the DETERMINISTIC 60-bit
+    // md5 variant (exact DuckDB oracle); shares the persisted token
+    // pass with d2/d3
     "d4_simhash" -> ((s, dir) => {
-      Dedup.simHashPairsFromTokens(sharedTokens(s, dir), maxDist = 3)
+      Dedup.simHashPairsDeterministic(sharedTokens(s, dir), maxDist = 3)
         .orderBy(col("i"), col("j"))
     }),
 
@@ -151,7 +156,70 @@ object DedupQueries {
     })
   )
 
+  /** The 32 MinHash permutation coefficients as SQL VALUES rows — the
+    * SAME `Dedup.permCoeffs` the Spark side uses, so the oracle replays
+    * the identical permutations. */
+  private val permValues = (0 until 32).map { i =>
+    val (a, b) = Dedup.permCoeffs(i)
+    s"($i, $a, $b)"
+  }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "d3_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS s
+        |  FROM toks),
+        |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+        |perms(pi, pa, pb) AS (VALUES $permValues),
+        |mins AS (SELECT doc_id, pi,
+        |    min((pa * (h % 2147483647) + pb) % 2147483647) AS m
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(m ORDER BY pi) AS sig FROM mins GROUP BY 1),
+        |banded AS (SELECT doc_id, band, sig[(band*4+1):(band*4+4)] AS bh
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) r),
+        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
+        |inter AS (SELECT cd.i AS i, cd.j AS j, count(*) AS c
+        |  FROM cand cd
+        |  JOIN hs x ON x.doc_id = cd.i
+        |  JOIN hs y ON y.doc_id = cd.j AND y.h = x.h
+        |  GROUP BY 1, 2)
+        |SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = i
+        |JOIN sizes sb ON sb.doc_id = j
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        |ORDER BY i, j""".stripMargin,
+
+    "d4_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |ht AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+        |bits AS (SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM ht CROSS JOIN (SELECT unnest(range(0, 60)) AS j) r
+        |  GROUP BY doc_id, j),
+        |shh AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY 1),
+        |ch AS (SELECT doc_id, sh, c AS chunk, (sh >> CAST(c * 15 AS INTEGER)) & 32767 AS cv
+        |  FROM shh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) r)
+        |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS dist
+        |FROM ch a JOIN ch b
+        |  ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY i, j""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS keep_id, count(*) AS n_dups

@@ -132,9 +132,29 @@ object IO {
     // write beside, then swap — never leaves the table half-rewritten
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     laid.write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(hPath, true)
-    fs.rename(new Path(tmp), hPath)
+    swapInPlace(fs, new Path(tmp), hPath)
     nFiles
+  }
+
+  /** Atomic-ish directory swap: `path` → `path__old`, `tmp` → `path`,
+    * delete `path__old`. Hadoop FileSystem signals rename/delete
+    * failure by RETURNING FALSE (not throwing), so every step is
+    * checked and fails loudly; a crash or failure at any step leaves
+    * either the original or the new data live-or-recoverable on disk —
+    * never a window with no table at `path` (the old delete-then-rename
+    * order had exactly that window). */
+  private[graft] def swapInPlace(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, hPath: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val old = new Path(hPath.toString + "__old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      sys.error(s"swap: could not clear stale $old")
+    if (!fs.rename(hPath, old))
+      sys.error(s"swap: rename $hPath -> $old failed (new data intact at $tmp)")
+    if (!fs.rename(tmp, hPath))
+      sys.error(s"swap: rename $tmp -> $hPath failed; ORIGINAL data at $old")
+    if (!fs.delete(old, true))
+      sys.error(s"swap: completed but could not delete backup $old")
   }
 
   /** CSV→ORC conversion utility (reference io.py:97-113). */

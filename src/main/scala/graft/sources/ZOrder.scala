@@ -134,7 +134,13 @@ object ZOrder {
       .setSplitsArray(splitsPerCol)
       .setHandleInvalid("keep") // nulls → extra top bucket
     val bucketed = bucketizer.transform(staged)
-    val zin = zCols.map(n => col(s"__zb_$n"))
+    // handleInvalid("keep") sends null/NaN rows to the EXTRA bucket
+    // index splits.length-1, one past the declared bound — clamp into
+    // the top regular bucket, else norm16 scales them past 2^16-1 and
+    // the overflow bit corrupts another dimension's interleave slot
+    val zin = zCols.zip(splitsPerCol).map { case (n, s) =>
+      least(col(s"__zb_$n"), lit((s.length - 2).toDouble))
+    }
     val bounds = splitsPerCol.map(s => (0.0, (s.length - 2).toDouble)).toSeq
     bucketed
       .withColumn("__z", zValue(zin, bounds))

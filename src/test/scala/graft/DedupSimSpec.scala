@@ -214,6 +214,37 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("deterministic MinHash LSH: full recall at ≥0.9, exact verify, replays") {
+    val toks = Dedup.tokenize(docs, "doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Dedup.minHashLshPairsDeterministic(toks, k = 3,
+        numHashes = 32, bands = 8, threshold = 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val det = run()
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    assert((exact -- det).isEmpty, s"missed: ${exact -- det}")
+    assert((det -- exact).isEmpty, s"false positives: ${det -- exact}")
+    // pure function of the data — identical pair set on re-run
+    assert(run() == det)
+  }
+
+  test("deterministic SimHash pairs are similar and replay identically") {
+    val toks = Dedup.tokenize(docs, "doc_id", "text")
+    def run() = Dedup.simHashPairsDeterministic(toks, maxDist = 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val det = run()
+    assert(det.nonEmpty)
+    assert(run() == det)
+    // every reported pair is a unigram-Jaccard ≥ 0.5 near-dup
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 1, threshold = 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bogus = det -- exact
+    assert(bogus.isEmpty, s"deterministic simhash reported dissimilar: $bogus")
+  }
+
   test("d3/d4 harness queries stay non-vacuous on the fixture") {
     // the d3/d4 rows-only driver checks prove nothing if a fixture regen
     // quietly drops the planted near-duplicates — pin non-emptiness here

@@ -252,4 +252,31 @@ class SketchesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(r.fieldIndex("stage"))))
     assert(out.toSeq === Seq((1L, 4), (2L, 2), (4L, 2)))
   }
+
+  test("funnel: single-scan fold matches multi-pass staged aggregates") {
+    import graft.operators.Aggregates
+    // randomized fixture with ties, repeats, out-of-order steps, null
+    // timestamps and an entity that skips step 0 entirely
+    val rnd = new scala.util.Random(20260813)
+    val types = Seq("a", "b", "c", "d", "x") // x = non-funnel noise
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(60).toLong,
+        types(rnd.nextInt(types.size)),
+        if (rnd.nextInt(40) == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(50).toLong))
+    } :+ ((999L, "b", java.lang.Long.valueOf(1L))) // no step-0 entity
+    val events = rows.toDF("user_id", "event_type", "ts")
+    val steps = Seq("a", "b", "c", "d")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id")).collect().map(_.toSeq).toSeq
+    val fold = canon(Aggregates.funnel(events, "user_id", "event_type", "ts", steps))
+    val multi = canon(Aggregates.funnelMultiPass(events, "user_id", "event_type", "ts", steps))
+    assert(fold === multi)
+    assert(fold.nonEmpty)
+    // collision guard: inputs already carrying output names are refused
+    val clash = events.withColumnRenamed("ts", "t_0")
+    intercept[IllegalArgumentException] {
+      Aggregates.funnel(clash, "stage", "event_type", "t_0", steps)
+    }
+  }
 }
