@@ -27,11 +27,21 @@ object SimilarityQueries {
     ivfCache.filterInPlace { case ((sess, _), _) =>
       !sess.sparkContext.isStopped
     }
-    ivfCache.getOrElseUpdate((s, dir),
+    val cents = ivfCache.getOrElseUpdate((s, dir),
       graft.operators.Similarity.fitIvfCentroids(
         Tables(s, dir, "embeddings"), "embedding", nlist = 16, seed = 42,
         maxIter = 4))
+    lastIvfFit = Some(cents)
+    cents
   }
+
+  /** Most recently served fitted models, captured so [[oracles]] can
+    * render them as SQL literals AFTER the queries run — Verify dumps
+    * oracle_sql.json last, so the oracle replays assignment + ADC math
+    * against exactly the codebooks/centroids the Spark queries used
+    * (the exported-codebook oracle recipe). */
+  @volatile private var lastIvfFit: Option[Array[Array[Double]]] = None
+  @volatile private var lastPqFit: Option[graft.operators.PqModel] = None
 
   /** One fitted PQ codebook per (session, dir) — same serving shape as
     * the IVF quantizer cache. */
@@ -41,9 +51,11 @@ object SimilarityQueries {
     pqCache.filterInPlace { case ((sess, _), _) =>
       !sess.sparkContext.isStopped
     }
-    pqCache.getOrElseUpdate((s, dir),
+    val mdl = pqCache.getOrElseUpdate((s, dir),
       graft.operators.ProductQuantization.fitPq(
         Tables(s, dir, "embeddings"), "embedding", m = 16, kCodes = 16))
+    lastPqFit = Some(mdl)
+    mdl
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -210,7 +222,159 @@ object SimilarityQueries {
       |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
       |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** SQL literal for one double — Scala's shortest round-trip repr,
+    * FORCED into DOUBLE typing with an exponent suffix: a bare decimal
+    * inside a DuckDB list literal types as DECIMAL first, and the
+    * DECIMAL→DOUBLE conversion does not round-trip the bits. */
+  private def dl(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  /** `CAST([…] AS DOUBLE[])` — the explicit cast matters: bare list
+    * literals type as DECIMAL and every downstream fold would lose
+    * bit-exactness with the Spark double math. */
+  private def arrSql(v: Array[Double]): String =
+    v.map(dl).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** `cent(c, cv)` VALUES rows for the IVF coarse centroids. */
+  private def centValues(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (v, c) => s"($c, ${arrSql(v)})" }
+      .mkString(",\n  ")
+
+  /** `cb(s, c, bv)` VALUES rows for the PQ codebooks. */
+  private def cbValues(m: graft.operators.PqModel): String =
+    (for { s <- 0 until m.m; c <- 0 until m.kCodes }
+      yield s"($s, $c, ${arrSql(m.codebooks(s)(c))})").mkString(",\n  ")
+
+  /** Shared CTE fragments: `enc` holds the squared L2 distance of every
+    * vector's subspace-s slice to codebook entry (s, c) — the SAME
+    * sequential fold order as the Spark kernels (left fold, j
+    * ascending), so each distance is bit-identical; `codes` is the
+    * argmin encode (first minimum ⇔ ORDER BY d, c), and a query's ADC
+    * LUT is just `enc` restricted to the query ids. */
+  private def pqEncCte(m: graft.operators.PqModel): String = {
+    val sd = m.subDim
+    s"""corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |enc AS (SELECT corpus.id, cb.s, cb.c,
+       |    list_reduce(list_transform(range(1, ${sd + 1}),
+       |      j -> (v[cb.s*$sd+j]-bv[j])*(v[cb.s*$sd+j]-bv[j])), (a,b) -> a+b) AS d
+       |  FROM corpus CROSS JOIN cb),
+       |codes AS (SELECT id, s, c FROM (SELECT id, s, c,
+       |    row_number() OVER (PARTITION BY id, s ORDER BY d ASC, c ASC) AS rn
+       |  FROM enc) WHERE rn = 1),
+       |lut AS (SELECT id AS qid, s, c, d FROM enc WHERE id < 10)""".stripMargin
+  }
+
+  /** `cd`/`cells`/`probes` CTEs: full-dim squared distance to every
+    * coarse centroid, home-cell argmin, and each query's `nprobe`
+    * nearest cells (ties by centroid index — the stable-sort order the
+    * Spark side uses). */
+  private def ivfCellCte(cents: Array[Array[Double]], nprobe: Int): String = {
+    val dim = cents.head.length
+    s"""cd AS (SELECT corpus.id, cent.c,
+       |    list_reduce(list_transform(range(1, ${dim + 1}),
+       |      j -> (v[j]-cv[j])*(v[j]-cv[j])), (a,b) -> a+b) AS d
+       |  FROM corpus CROSS JOIN cent),
+       |crn AS (SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d ASC, c ASC) AS rn FROM cd),
+       |cells AS (SELECT id, c AS cell FROM crn WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, c AS cell FROM crn WHERE rn <= $nprobe AND id < 10)""".stripMargin
+  }
+
+  private def s4Sql(cents: Array[Array[Double]]): String =
+    s"""WITH cent(c, cv) AS (VALUES
+       |  ${centValues(cents)}),
+       |corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${ivfCellCte(cents, nprobe = 4)},
+       |scored AS (SELECT p.query_id, ce.id AS corpus_id,
+       |    list_dot_product(q.v, b.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM probes p
+       |  JOIN cells ce ON ce.cell = p.cell AND ce.id <> p.query_id
+       |  JOIN corpus q ON q.id = p.query_id
+       |  JOIN corpus b ON b.id = ce.id),
+       |ranked AS (SELECT query_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, cos FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def s5Sql(m: graft.operators.PqModel): String =
+    s"""WITH cb(s, c, bv) AS (VALUES
+       |  ${cbValues(m)}),
+       |${pqEncCte(m)},
+       |ad AS (SELECT l.qid, k.id AS corpus_id,
+       |    list_reduce(list(l.d ORDER BY l.s), (a,b) -> a+b) AS adist
+       |  FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.c AND l.qid <> k.id
+       |  GROUP BY l.qid, k.id),
+       |ranked AS (SELECT qid AS query_id, corpus_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, corpus_id ASC) AS rank
+       |  FROM ad)
+       |SELECT query_id, rank, corpus_id, adist FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def s8Sql(m: graft.operators.PqModel): String = {
+    val dim = m.dim
+    s"""WITH cb(s, c, bv) AS (VALUES
+       |  ${cbValues(m)}),
+       |${pqEncCte(m)},
+       |ad AS (SELECT l.qid, k.id AS corpus_id,
+       |    list_reduce(list(l.d ORDER BY l.s), (a,b) -> a+b) AS adist
+       |  FROM codes k JOIN lut l ON l.s = k.s AND l.c = k.c AND l.qid <> k.id
+       |  GROUP BY l.qid, k.id),
+       |short AS (SELECT qid AS query_id, corpus_id FROM (SELECT qid, corpus_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, corpus_id ASC) AS rank
+       |  FROM ad) WHERE rank <= 20),
+       |ref AS (SELECT sh.query_id, sh.corpus_id,
+       |    list_reduce(list_transform(range(1, ${dim + 1}),
+       |      j -> (q.v[j]-b.v[j])*(q.v[j]-b.v[j])), (a,b) -> a+b) AS dist
+       |  FROM short sh
+       |  JOIN corpus q ON q.id = sh.query_id
+       |  JOIN corpus b ON b.id = sh.corpus_id),
+       |rranked AS (SELECT query_id, corpus_id, dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, corpus_id ASC) AS rank
+       |  FROM ref)
+       |SELECT query_id, rank, corpus_id, dist FROM rranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def s6Sql(m: graft.operators.PqModel,
+      cents: Array[Array[Double]]): String =
+    s"""WITH cb(s, c, bv) AS (VALUES
+       |  ${cbValues(m)}),
+       |cent(c, cv) AS (VALUES
+       |  ${centValues(cents)}),
+       |${pqEncCte(m)},
+       |${ivfCellCte(cents, nprobe = 8)},
+       |ad AS (SELECT p.query_id, k.id AS corpus_id,
+       |    list_reduce(list(l.d ORDER BY l.s), (a,b) -> a+b) AS adist
+       |  FROM probes p
+       |  JOIN cells ce ON ce.cell = p.cell AND ce.id <> p.query_id
+       |  JOIN codes k ON k.id = ce.id
+       |  JOIN lut l ON l.qid = p.query_id AND l.s = k.s AND l.c = k.c
+       |  GROUP BY p.query_id, k.id),
+       |ranked AS (SELECT query_id, corpus_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, corpus_id ASC) AS rank
+       |  FROM ad)
+       |SELECT query_id, rank, corpus_id, adist FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Oracles for the fitted-quantizer family, rendered from the models
+    * the queries actually served (empty until those queries have run —
+    * Verify dumps oracle_sql.json after the query loop, so the full
+    * surface always gets them). */
+  private def fittedOracles: Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    lastIvfFit.foreach { cents => out += ("s4_ivf_topk" -> s4Sql(cents)) }
+    lastPqFit.foreach { m =>
+      out += ("s5_pq_topk" -> s5Sql(m))
+      out += ("s8_pq_refined" -> s8Sql(m))
+      lastIvfFit.foreach { cents => out += ("s6_ivfpq_topk" -> s6Sql(m, cents)) }
+    }
+    out.result()
+  }
+
+  def oracles: Map[String, String] = fittedOracles ++ Map(
     "s1_bruteforce_topk" ->
       (s"""WITH scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
