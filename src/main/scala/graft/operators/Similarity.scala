@@ -61,6 +61,15 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** The deterministic hyperplane matrix as (table, plane, vector)
+    * rows — exported so oracle generators can embed the planes as SQL
+    * literals and replay signatures/buckets exactly (planeValue has no
+    * RNG state). */
+  def lshPlaneRows(dim: Int, planes: Int,
+      tables: Int): Seq[(Int, Int, Array[Double])] =
+    for { t <- 0 until tables; p <- 0 until planes }
+      yield (t, p, Array.tabulate(dim)(d => planeValue(t * 1000 + p, d)))
+
   /** Random-hyperplane LSH signature for one hash table: one bit per
     * plane = sign of the projection (P[same bit] = 1 - angle/π).
     * `table` seeds an independent set of planes. */

@@ -359,6 +359,35 @@ object SimilarityQueries {
        |SELECT query_id, rank, corpus_id, adist FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** s3's hyperplanes are a PURE function of (dim, planes, tables) — no
+    * runtime capture needed: embed them as literals and replay
+    * signature bits, bucket collisions and the cosine rerank exactly. */
+  private lazy val s3Oracle: String = {
+    val planeVals = graft.operators.Similarity.lshPlaneRows(64, 4, 16)
+      .map { case (t, p, v) => s"($t, $p, ${arrSql(v)})" }.mkString(",\n  ")
+    s"""WITH pl(t, p, pv) AS (VALUES
+       |  $planeVals),
+       |corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT corpus.id, pl.t,
+       |    sum(CASE WHEN list_dot_product(v, pv) >= 0
+       |      THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS b
+       |  FROM corpus CROSS JOIN pl GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+       |  FROM sig q JOIN sig c ON q.t = c.t AND q.b = c.b AND q.id <> c.id
+       |  WHERE q.id < 10),
+       |scored AS (SELECT cd.query_id, cd.corpus_id,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM cand cd
+       |  JOIN corpus a ON a.id = cd.query_id
+       |  JOIN corpus b ON b.id = cd.corpus_id),
+       |ranked AS (SELECT query_id, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, corpus_id, cos FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracles for the fitted-quantizer family, rendered from the models
     * the queries actually served (empty until those queries have run —
     * Verify dumps oracle_sql.json after the query loop, so the full
@@ -374,7 +403,8 @@ object SimilarityQueries {
     out.result()
   }
 
-  def oracles: Map[String, String] = fittedOracles ++ Map(
+  def oracles: Map[String, String] = fittedOracles ++
+    Map("s3_lsh_topk" -> s3Oracle) ++ Map(
     "s1_bruteforce_topk" ->
       (s"""WITH scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
