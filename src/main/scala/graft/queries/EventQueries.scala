@@ -145,6 +145,60 @@ object EventQueries {
         .orderBy(col("month_id"), col("event_type"))
     }),
 
+    // retention cohorts: cohort month = each user's first active month;
+    // for every (cohort, activity month) the fraction of the cohort
+    // still active — the classic product-analytics triangle. Scale
+    // shape: one distinct on (user, month) — cardinality bounded by
+    // actives — then a per-user min and user-keyed joins that co-locate
+    // with it; cohort sizes are an O(#months) broadcast. The rate
+    // divides longs as doubles and rounds to 6 places (identical op
+    // order in the oracle, so exact).
+    "e8_retention" -> ((s, dir) => {
+      val monthNs = 30L * 24 * NsPerHour
+      val am = events(s, dir)
+        .withColumn("month_id", expr(s"ts div $monthNs"))
+        .select(col("user_id"), col("month_id")).distinct()
+      val cohort = am.groupBy(col("user_id"))
+        .agg(min(col("month_id")).as("cohort_month"))
+      val sizes = cohort.groupBy(col("cohort_month"))
+        .agg(count(lit(1)).as("cohort_size"))
+      am.join(cohort, "user_id")
+        .groupBy(col("cohort_month"), col("month_id"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(broadcast(sizes), "cohort_month")
+        .select(col("cohort_month"),
+          (col("month_id") - col("cohort_month")).as("months_since"),
+          col("active_users"), col("cohort_size"),
+          round(col("active_users").cast(DoubleType) / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_month"), col("months_since"))
+    }),
+
+    // top-3 spenders per event type via the AGGREGATE top-k shape
+    // (max_by-array): totals are pre-reduced per (type, user) — exact
+    // decimal sums — so the collect_list state is bounded by distinct
+    // users per type, not raw events; the per-group sorted slice then
+    // replaces a second full-sort window. Ties break on user_id asc in
+    // both engines.
+    "e9_top_spenders" -> ((s, dir) => {
+      val totals = events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("total"))
+      totals.groupBy(col("event_type"))
+        .agg(slice(array_sort(
+          collect_list(struct(col("total"), col("user_id"))),
+          (a, b) => when(a("total") > b("total"), -1)
+            .when(a("total") < b("total"), 1)
+            .when(a("user_id") < b("user_id"), -1)
+            .when(a("user_id") > b("user_id"), 1)
+            .otherwise(0)), 1, 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("r", "e")))
+        .select(col("event_type"), (col("r") + 1).cast(LongType).as("rank"),
+          col("e.user_id").as("user_id"),
+          col("e.total").cast(DoubleType).as("total"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // JSON property extraction + aggregation (scalar JSON family)
     "e3_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -226,6 +280,32 @@ object EventQueries {
       """SELECT epoch_ns(ts) // 2592000000000000 AS month_id, event_type,
         |  count(DISTINCT user_id) AS mau, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e8_retention" ->
+      """WITH am AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 2592000000000000 AS month_id FROM events),
+        |cohort AS (SELECT user_id, min(month_id) AS cohort_month
+        |  FROM am GROUP BY 1),
+        |sizes AS (SELECT cohort_month, count(*) AS cohort_size
+        |  FROM cohort GROUP BY 1),
+        |act AS (SELECT cohort_month, month_id, count(*) AS active_users
+        |  FROM am JOIN cohort USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_month, month_id - cohort_month AS months_since,
+        |  active_users, cohort_size,
+        |  round(CAST(active_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM act JOIN sizes USING (cohort_month)
+        |ORDER BY cohort_month, months_since""".stripMargin,
+
+    "e9_top_spenders" ->
+      """WITH totals AS (SELECT event_type, user_id,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, CAST(total AS DOUBLE) AS total,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY total DESC, user_id ASC) AS rank
+        |  FROM totals)
+        |SELECT event_type, rank, user_id, total FROM r
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "e3_json_props" ->
       """SELECT event_type,
