@@ -304,8 +304,27 @@ case class AsOfJoinExec(
   // reads columns directly — no JoinedRow, no result projection, no
   // per-row iterator dispatch between this operator and its parents.
 
+  /** CollapseCodegenStages only gives SMJ/SHJ children their own
+    * codegen stages (it inserts InputAdapter for exactly those nodes);
+    * any other produce-root's codegen-capable children are left inside
+    * the stage but never actually produce — they'd execute through
+    * their un-fused iterator paths (for the default harness shape that
+    * is BOTH per-side sort + two-phase hash-aggregate chains losing
+    * whole-stage compilation). Restore the SMJ shape at runtime: wrap
+    * each codegen-capable child in its own WholeStageCodegenExec before
+    * executing it. Invisible to plan-shape checks (no plan rewrite) and
+    * falls back to interpreted execution on codegen failure exactly
+    * like Spark's own stages. */
+  private def ownStage(child: SparkPlan): SparkPlan = child match {
+    case _: org.apache.spark.sql.execution.InputAdapter => child
+    case c: CodegenSupport if c.supportCodegen =>
+      org.apache.spark.sql.execution.WholeStageCodegenExec(c)(
+        codegenStageId = 0)
+    case _ => child
+  }
+
   override def inputRDDs(): Seq[RDD[InternalRow]] =
-    left.execute() :: right.execute() :: Nil
+    ownStage(left).execute() :: ownStage(right).execute() :: Nil
 
   // exactly one output row per left row, emitted then immediately
   // consumed (shouldStop checked per iteration) — no buffer sharing
