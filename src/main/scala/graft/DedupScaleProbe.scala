@@ -40,6 +40,68 @@ object DedupScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_PROBE_PIN_AQE=1 pins the AQE decisions that can flip
+    // between same-session executions (the r5 run-5 d2 anomaly: one
+    // session-persistent plan change at 1M, 87.7 s vs 11-14 s). With
+    // runtime broadcast promotion, skew-join splitting and partition
+    // coalescing pinned off, the executed plan is a pure function of
+    // the query — any residual swing is contention/GC, not planning.
+    if (sys.env.get("SPARK_GRAFT_PROBE_PIN_AQE").contains("1")) {
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      println("PROBE-PIN adaptive broadcast/skew/coalesce pinned off")
+    }
+
+    // Plan-flip capture: one op runs SEVERAL queries per sample
+    // (persist counts, the main count), so executions are keyed by
+    // their normalized OPTIMIZED plan; a flip is the SAME logical query
+    // executing a DIFFERENT physical plan later in the session — the
+    // instrument that names a future d2-style flip (r5 run 5: one
+    // session-persistent change at 1M, 87.7 s vs 11-14 s) instead of
+    // inferring it from timings. AQE stage numbers, codegen ids and
+    // expr ids are normalized away; genuinely different physical
+    // choices (join strategy, partition coalescing) are not.
+    val currentOp = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val firstPlans = scala.collection.mutable.Map.empty[(String, Int), String]
+    def normalize(s: String): String = s
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("(Result|Shuffle|TableCache|Broadcast)QueryStage \\d+",
+        "$1QueryStage x")
+      .replaceAll("\\*\\(\\d+\\)", "*(x)")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val op = currentOp.get
+          if (op.nonEmpty) {
+            val key = (op, normalize(qe.optimizedPlan.toString).hashCode)
+            val norm = normalize(qe.executedPlan.toString)
+            firstPlans.synchronized {
+              firstPlans.get(key) match {
+                case None => firstPlans(key) = norm
+                case Some(prev) if prev != norm =>
+                  println(s"PROBE-PLANFLIP $op: a query re-executed with" +
+                    " a DIFFERENT physical plan:")
+                  prev.linesIterator.toSeq
+                    .zipAll(norm.linesIterator.toSeq, "", "")
+                    .filter { case (a, b) => a != b }.take(12)
+                    .foreach { case (a, b) =>
+                      println(s"  was: ${a.trim.take(150)}")
+                      println(s"  now: ${b.trim.take(150)}")
+                    }
+                case _ =>
+              }
+            }
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
     /** ~40-word docs; doc d with d % 100 == 1 copies doc d-1 except one
       * word. Skewed vocab: index = floor(u² · 2000). */
     def docs(n: Long): DataFrame = {
@@ -74,6 +136,7 @@ object DedupScaleProbe {
     // pin it
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "3").toInt
     def time(name: String)(f: => Long): Double = {
+      currentOp.set(name.trim)
       // one untimed pass first: the initial execution pays codegen +
       // classload, which median-of-N cannot remove when all N samples
       // share the same cold JVM (r5 run 6 logged 3-5× inflated 100k
@@ -97,6 +160,10 @@ object DedupScaleProbe {
         println(f"PROBE-CACHE after $name%-28s blocks=${infos.length}" +
           f" mem=${mem}%.0fMB disk=${disk}%.0fMB")
       }
+      // let the listener bus drain before the op label changes (the
+      // flip capture attributes plans via currentOp)
+      Thread.sleep(200)
+      currentOp.set("")
       med
     }
 
