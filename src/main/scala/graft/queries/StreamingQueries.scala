@@ -30,10 +30,25 @@ object StreamingQueries {
       System.getProperty("java.io.tmpdir"),
       "graft_stream_events_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(staged)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // clear stale stagings first: part-file names are run-unique, so
+    // re-staging a regenerated table would otherwise ACCUMULATE files
+    // and silently double the stream
+    java.nio.file.Files.list(staged).forEach(f =>
+      java.nio.file.Files.deleteIfExists(f))
+    // the source may be a single parquet FILE (driver testdata) or a
+    // multi-file parquet DIRECTORY (GenScale output) — a bare
+    // Files.copy on a directory copies only the empty directory entry
+    // and the stream would read ZERO rows
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    if (java.nio.file.Files.isDirectory(src))
+      java.nio.file.Files.list(src)
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .forEach(f => java.nio.file.Files.copy(f,
+          staged.resolve(f.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    else
+      java.nio.file.Files.copy(src, staged.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     () => s.readStream.schema(batchSchema)
       .parquet(staged.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
