@@ -321,12 +321,17 @@ object Dedup {
       threshold: Double, portableBands: Boolean = false): DataFrame = {
     val r = numHashes / bands
     val sig = minHashFromSets(sets, numHashes)
-    // Band bucket key: xxhash64 keeps the self-join shuffle to 8-byte
-    // longs (the scale default); the portable variant keeps the raw
-    // "m1,m2,…" signature string so an external engine reproduces the
-    // identical candidate set (band keys only ever need equality).
+    // Band bucket key: 8-byte longs either way — xxhash64 for the
+    // scale default, md5-derived for the portable variant (an external
+    // engine replays md5(array_to_string(...)) exactly; band keys only
+    // ever need equality, and an astronomically-rare md5-prefix
+    // collision merely adds a candidate that exact verification
+    // rejects). The r6-interim portable variant shipped the raw
+    // "m1,m2,…" STRING as the key — ~5× the shuffle bytes for zero
+    // correctness gain; don't regress to that.
     def bandKey(sl: Column): Column =
-      if (portableBands) concat_ws(",", sl) else xxhash64(concat_ws(",", sl))
+      if (portableBands) md5Long(concat_ws(",", sl))
+      else xxhash64(concat_ws(",", sl))
     // persisted AND materialized eagerly: self-joined below — an
     // unmaterialized cached plan scanned twice within one job races its
     // own cache fill and runs the signature aggregation once per side.

@@ -181,7 +181,8 @@ object DedupQueries {
         |    min((pa * (h % 2147483647) + pb) % 2147483647) AS m
         |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
         |sig AS (SELECT doc_id, list(m ORDER BY pi) AS sig FROM mins GROUP BY 1),
-        |banded AS (SELECT doc_id, band, sig[(band*4+1):(band*4+4)] AS bh
+        |banded AS (SELECT doc_id, band,
+        |    CAST(('0x' || substr(md5(array_to_string(sig[(band*4+1):(band*4+4)], ',')), 1, 15)) AS BIGINT) AS bh
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) r),
         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
         |  FROM banded a JOIN banded b

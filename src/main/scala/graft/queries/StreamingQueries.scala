@@ -54,6 +54,16 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  // State partitions stay FIXED at 8 for this rig: an r6 experiment
+  // sized them from source volume (~8 MB/partition → 26 at sf10) and
+  // MEASURED it slower (st6 at sf10: 48.7 s at 26 partitions vs
+  // 38.6 s at 8) — in a single local JVM the per-partition state-store
+  // load/commit overhead outweighs the extra parallelism, because all
+  // partitions share the same 32 cores either way. On a real cluster,
+  // where state partitions map to distinct executors, sizing them to
+  // stream volume is still the right rule (see runToMemory's
+  // scaladoc); the harness encodes the measured local optimum.
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 1-hour windows per event type, computed by an actual
     // streaming query over the events parquet
