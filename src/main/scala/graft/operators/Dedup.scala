@@ -501,7 +501,7 @@ object Dedup {
     * source, partitions uniform because h is a hash. (The previous
     * min(struct)-aggregate + join-back form moved the full chunk set
     * through a join AND recomputed the tokenize/chunk stage for the
-    * second reference — measured 1.8× slower at the 100× dataset.)
+    * second reference — measured 13× slower at the 100× dataset: 47.1 s vs 3.5 s.)
     * Reassembly is a groupBy over surviving rows only. No all-pairs
     * stage at any size. A 64-bit hash collision would merge two
     * distinct chunks (probability ~n²/2⁶⁴ — acceptable at this
