@@ -247,4 +247,94 @@ object Sketches {
     counts.filter(col("n") > lit(total) * minFrac)
       .select(col("token"), col("n"))
   }
+
+  /** The uniform 60-bit hash behind the KMV sketch and bottom-k
+    * sampling: md5 of the stringified value (plus `salt`), top 15 hex
+    * digits as a long in [0, 2^60). Same recipe as [[hashBucket]]
+    * minus the mod — a pure function of the value, so any engine with
+    * md5 reproduces it digit-for-digit (DuckDB:
+    * `CAST(('0x' || substr(md5(CAST(v AS VARCHAR) || salt), 1, 15)) AS BIGINT)`). */
+  def kmvHash(valueCol: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(valueCol.cast("string"), lit(salt))),
+      1, 15), 16, 10).cast("long")
+
+  /** KMV (k-minimum-values) distinct sketch per group — the
+    * DETERMINISTIC, ENGINE-PORTABLE counterpart of
+    * [[approxDistinctByGroup]]'s HLL (a11). HLL register contents are
+    * engine-specific (xxhash64 seeds, dense/sparse encodings), so a11
+    * can only ever be gated by an accuracy spec; the KMV sketch's
+    * content is the k smallest distinct [[kmvHash]] values — a pure
+    * function of the VALUE SET, independent of partitioning, merge
+    * order, and engine — so the whole sketch AND the estimate replay
+    * exactly in any SQL engine (the a16 oracle).
+    *
+    * Estimator: with U_(k) = h_(k)/2^60 the k-th smallest of n uniform
+    * draws, E[U_(k)] = k/(n+1), giving n̂ = (k-1)·2^60/h_(k) (the
+    * classic unbiased KMV form; relative standard error ≈ 1/√(k-2)).
+    * Groups with fewer than k distinct hashes report their EXACT
+    * distinct hash count (the sketch holds every value).
+    *
+    * Scale design: one map-side-combined hash aggregate with ≤ k·8
+    * bytes of state per group ([[graft.functions.expressions.BottomKDistinct]]);
+    * the shuffle carries at most k longs per group vs every distinct
+    * value for exact count-distinct — the same plan shape as the HLL
+    * path, with portability instead of HLL's last few % of accuracy
+    * per byte. */
+  def kmvDistinctByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV estimator needs k >= 2")
+    val kmv = graft.functions.expressions.BottomK
+      .bottom_k_distinct(kmvHash(col(valueCol)), k)
+    // (k-1)·2^60 is exact in a double for any sane k (needs log2(k-1)+60
+    // significand bits only in the integer sense — the product is a
+    // small-integer multiple of a power of two), so the single division
+    // below is one correctly-rounded IEEE op: bit-identical on every
+    // engine, which is what lets the oracle hash-match a double column.
+    val scale = (k - 1).toDouble * math.pow(2.0, 60)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kmv.as("kmv"))
+      .withColumn("kmv_distinct",
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(lit(scale) / element_at(col("kmv"), k)))
+      .drop("kmv")
+  }
+
+  /** Deterministic bottom-k-per-stratum sample: keep the rows whose
+    * [[kmvHash]] of `keyCol` is ≤ the stratum's k-th smallest distinct
+    * hash — i.e. (for unique keys) exactly k rows per stratum, chosen
+    * by hash order, reproducible across re-runs, partitionings, and
+    * engines. The deterministic twin of per-stratum reservoir/fraction
+    * sampling (p12) the way [[hashSample]] (p13) twins Bernoulli
+    * `sample()` — and the one whose selection replays as a plain SQL
+    * predicate (the p14 oracle).
+    *
+    * Scale design: thresholds come from ONE map-side-combined
+    * [[graft.functions.expressions.BottomKDistinct]] aggregate (≤ k
+    * longs per stratum — O(#strata·k) total, broadcast back), then one
+    * scan-stage filter. The window-function equivalent
+    * (`row_number() OVER (PARTITION BY stratum ORDER BY hash)`)
+    * shuffles and sorts EVERY row; this shuffles nothing but the
+    * thresholds. Rows with a NULL stratum are dropped (consistent with
+    * [[temperatureSample]]); strata with < k keys keep all their rows.
+    * Duplicate keys sample as a unit (same hash ⇒ same side of the
+    * threshold), the correct semantic for by-key sampling. */
+  def bottomKSample(df: DataFrame, stratumCol: String, keyCol: Column,
+      k: Int, salt: String = ""): DataFrame = {
+    val h = kmvHash(keyCol, salt)
+    val thresholds = df
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.expressions.BottomK
+        .bottom_k_distinct(h, k).as("kmv"))
+      .select(col(stratumCol),
+        // a stratum whose keys are all null has an empty sketch: null
+        // threshold (ANSI element_at would throw at index 0), and the
+        // null-propagating filter below then drops the stratum
+        when(size(col("kmv")) > 0,
+          element_at(col("kmv"), size(col("kmv")))).as("kmv_threshold"))
+    df.filter(col(stratumCol).isNotNull)
+      .join(broadcast(thresholds), Seq(stratumCol))
+      .filter(h <= col("kmv_threshold"))
+      .drop("kmv_threshold")
+  }
 }

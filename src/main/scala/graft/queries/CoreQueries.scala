@@ -210,6 +210,17 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A16: KMV distinct sketch — a11's deterministic engine-portable
+    // twin (sketch content = k smallest distinct md5-derived hashes, a
+    // pure function of the value set), so unlike HLL it has an EXACT
+    // cross-engine oracle; same bounded-state map-side-combined plan
+    "a16_kmv_distinct" -> ((s, dir) => {
+      graft.operators.Sketches.kmvDistinctByGroup(
+          Tables(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey",
+          k = 256)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A13: rollup with grouping flags — multi-level subtotals in ONE
     // pass (partial-aggregated per level; the OLAP report shape that
     // would otherwise be 3 scans + a union)
@@ -522,6 +533,27 @@ object CoreQueries {
     "a9_dist_count" ->
       """SELECT o_orderpriority, count(*) AS count FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays the KMV sketch exactly: same md5-derived 60-bit hash,
+    // k-th smallest DISTINCT hash per group, same estimator constant
+    // (255·2^60 in E-notation so DuckDB types it DOUBLE, not DECIMAL —
+    // one IEEE division each side, bit-identical)
+    "a16_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+        |       ELSE 255 * 1.152921504606846976e18 / hv END AS kmv_distinct
+        |FROM r
+        |WHERE rn = CASE WHEN cnt < 256 THEN cnt ELSE 256 END
+        |ORDER BY l_returnflag""".stripMargin,
 
     "a13_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -89,6 +89,17 @@ object MLQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // P14: deterministic bottom-k-per-stratum sample — p12's
+    // engine-portable twin: exactly k docs per language, chosen by
+    // md5-hash order via ONE bounded-state aggregate (no per-row
+    // shuffle/sort), replayable as a plain SQL predicate
+    "p14_bottomk_sample" -> ((s, dir) => {
+      graft.operators.Sketches.bottomKSample(
+          Tables(s, dir, "documents"), "lang", col("doc_id"), k = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P12: stratified per-language sampling in one scan (rows-only:
     // RNG streams differ per engine; per-stratum ratio asserts live in
     // ScalaTest)
@@ -107,6 +118,24 @@ object MLQueries {
       """SELECT doc_id, source FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 2000
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the bottom-k threshold semantic: k-th smallest DISTINCT
+    // hash per language is the selection threshold, kept rows are
+    // hash ≤ threshold (for unique doc_ids: exactly k per language)
+    "p14_bottomk_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents WHERE lang IS NOT NULL),
+        |thr AS (
+        |  SELECT lang, max(hv) AS t FROM (
+        |    SELECT lang, hv,
+        |      row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        |    FROM (SELECT DISTINCT lang, hv FROM h))
+        |  WHERE rn <= 20 GROUP BY lang)
+        |SELECT h.doc_id, h.lang FROM h JOIN thr USING (lang)
+        |WHERE h.hv <= thr.t
+        |ORDER BY h.doc_id""".stripMargin,
 
     "m11_target" ->
       """WITH panel AS (

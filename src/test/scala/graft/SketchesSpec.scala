@@ -279,4 +279,73 @@ class SketchesSpec extends SparkSpec {
       Aggregates.funnel(clash, "stage", "event_type", "t_0", steps)
     }
   }
+
+  test("bottom_k_distinct: k smallest distinct values, merge-correct") {
+    import graft.functions.expressions.BottomK.bottom_k_distinct
+    // duplicates + nulls + many partitions forces the partial/merge
+    // path and the distinctness contract at once
+    val vals = (1L to 500L).flatMap(v => Seq(v, v)) ++ Seq(7L, 7L, 7L)
+    val df = vals.toDF("v")
+      .select(when(col("v") === 13L, lit(null)).otherwise(col("v")).as("v"))
+      .repartition(23)
+    val got = df.agg(bottom_k_distinct(col("v"), 10).as("bk"))
+      .collect()(0).getSeq[Long](0)
+    // 13 is nulled out, so the 10 smallest distinct are 1..11 minus 13
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+    // fewer distinct values than k: all of them, sorted, never null
+    val small = Seq(5L, 3L, 5L, 9L).toDF("v").repartition(3)
+      .agg(bottom_k_distinct(col("v"), 100).as("bk"))
+      .collect()(0).getSeq[Long](0)
+    assert(small === Seq(3L, 5L, 9L))
+    val empty = Seq.empty[Long].toDF("v")
+      .agg(bottom_k_distinct(col("v"), 4).as("bk"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
+  test("KMV distinct: within estimator error of exact, exact below k") {
+    val est = Sketches.kmvDistinctByGroup(lineitem,
+        Seq("l_returnflag"), "l_partkey", k = 256)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    // KMV relative standard error ≈ 1/√(k-2) ≈ 6.3% at k=256; gate at
+    // 3σ — deterministic (fixed hashes), so this either holds or it
+    // never does
+    exact.foreach { case (g, e) =>
+      assert(math.abs(est(g) - e) / e <= 0.19,
+        s"group $g: kmv ${est(g)} vs exact $e") }
+    // below k the sketch holds every hash: the report is exact
+    val tiny = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 9L))
+      .toDF("g", "v")
+    val tinyEst = Sketches.kmvDistinctByGroup(tiny, Seq("g"), "v", k = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tinyEst === Map("a" -> 2.0, "b" -> 1.0))
+  }
+
+  test("bottom-k sample: exactly k per stratum, deterministic, subset") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 20
+    val sampled = Sketches.bottomKSample(docs, "lang", col("doc_id"), k)
+    val perStratum = sampled.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pop = docs.filter(col("lang").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unique doc_ids: exactly k rows where the stratum has ≥ k, all
+    // rows where it has fewer
+    pop.foreach { case (s, n) =>
+      assert(perStratum(s) === math.min(n, k.toLong), s"stratum $s") }
+    // subset of the input, and partition-invariant (re-run on a
+    // different layout selects identical rows)
+    val ids = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sketches.bottomKSample(docs.repartition(17), "lang",
+        col("doc_id"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === ids, "selection must not depend on partitioning")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(all))
+  }
 }
