@@ -318,6 +318,30 @@ object Sketches {
     * [[temperatureSample]]); strata with < k keys keep all their rows.
     * Duplicate keys sample as a unit (same hash ⇒ same side of the
     * threshold), the correct semantic for by-key sampling. */
+  /** Deterministic sampled quantiles — [[approxQuantilesByGroup]]'s
+    * (a12) ENGINE-PORTABLE twin the way the KMV sketch (a16) twins the
+    * HLL (a11). The GK/KLL summary a12 uses is engine-specific (its
+    * compaction decisions depend on merge order), so a12 can only be
+    * accuracy-gated; here the estimate is the EXACT quantile of a
+    * deterministic [[bottomKSample]] row sample (~k rows per stratum
+    * chosen purely by md5 hash order), so any SQL engine replays the
+    * selection as a plain predicate and the quantile math on the same
+    * rows — an exact cross-engine oracle (a17) for an approximate
+    * statistic. Rank error is the sample's O(1/√k).
+    *
+    * Scale design: the sample selection is one bounded-state
+    * map-side-combined aggregate (≤ k longs per stratum) + a scan-stage
+    * filter; the exact percentile then touches only ~k·#strata rows.
+    * Nothing row-count-sized is ever sorted or shuffled. */
+  def sampledQuantilesByGroup(df: DataFrame, stratumCol: String,
+      valueCol: String, keyCol: Column, k: Int,
+      probs: Seq[Double]): DataFrame = {
+    val sampled = bottomKSample(df, stratumCol, keyCol, k)
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      percentile(col(valueCol), lit(p)).as(s"q_$i") }
+    sampled.groupBy(col(stratumCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def bottomKSample(df: DataFrame, stratumCol: String, keyCol: Column,
       k: Int, salt: String = ""): DataFrame = {
     val h = kmvHash(keyCol, salt)

@@ -221,6 +221,21 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A17: deterministic sampled quantiles — a12's engine-portable twin
+    // (exact percentile of a ~k-per-stratum md5-ordered row sample), so
+    // unlike the GK sketch it has an EXACT cross-engine oracle; sample
+    // selection is one bounded-state aggregate + a scan filter
+    "a17_sampled_quantiles" -> ((s, dir) => {
+      graft.operators.Sketches.sampledQuantilesByGroup(
+          Tables(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          concat_ws("_", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          k = 2048, probs = Seq(0.05, 0.5, 0.95))
+        .withColumnRenamed("q_0", "q05").withColumnRenamed("q_1", "q50")
+        .withColumnRenamed("q_2", "q95")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A13: rollup with grouping flags — multi-level subtotals in ONE
     // pass (partial-aggregated per level; the OLAP report shape that
     // would otherwise be 3 scans + a union)
@@ -554,6 +569,32 @@ object CoreQueries {
         |FROM r
         |WHERE rn = CASE WHEN cnt < 256 THEN cnt ELSE 256 END
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Replays the deterministic sample (k-th smallest DISTINCT row-key
+    // hash per flag is the selection threshold) then takes the same
+    // exact interpolated quantiles over the identical row set
+    "a17_sampled_quantiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS rf, l_quantity AS q,
+        |    CAST(('0x' || substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '_' ||
+        |      CAST(l_linenumber AS VARCHAR) || '_' ||
+        |      CAST(l_partkey AS VARCHAR) || '_' ||
+        |      CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem),
+        |thr AS (
+        |  SELECT rf, max(hv) AS t FROM (
+        |    SELECT rf, hv,
+        |      row_number() OVER (PARTITION BY rf ORDER BY hv) AS rn
+        |    FROM (SELECT DISTINCT rf, hv FROM h))
+        |  WHERE rn <= 2048 GROUP BY rf)
+        |SELECT h.rf AS l_returnflag,
+        |  quantile_cont(q, 0.05) AS q05,
+        |  quantile_cont(q, 0.5) AS q50,
+        |  quantile_cont(q, 0.95) AS q95
+        |FROM h JOIN thr USING (rf)
+        |WHERE h.hv <= thr.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a13_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -348,4 +348,35 @@ class SketchesSpec extends SparkSpec {
     val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(all))
   }
+
+  test("sampled quantiles: near exact, partition-invariant") {
+    val key = concat_ws("_", col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"))
+    val probs = Seq(0.05, 0.5, 0.95)
+    val est = Sketches.sampledQuantilesByGroup(lineitem, "l_returnflag",
+        "l_quantity", key, k = 2048, probs = probs)
+      .collect().map(r => r.getString(0) ->
+        probs.indices.map(i => r.getDouble(i + 1))).toMap
+    // a uniform ~2048-row sample has rank error O(1/√k) ≈ 2.2%; gate
+    // each estimate between the exact quantiles at p ± 0.08 (≈ 3.6σ —
+    // deterministic hashes, so this either holds or never does)
+    val bounds = lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.0, 0.13, 0.42, 0.58, " +
+        "0.87, 1.0))").as("b"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    assert(est.keySet === bounds.keySet)
+    est.foreach { case (g, qs) =>
+      val b = bounds(g)
+      qs.zipWithIndex.foreach { case (q, i) =>
+        assert(q >= b(2 * i) && q <= b(2 * i + 1),
+          s"group $g p=${probs(i)}: sampled $q outside [${b(2 * i)}, " +
+            s"${b(2 * i + 1)}]") } }
+    // partition-invariant: identical output on a different layout
+    val again = Sketches.sampledQuantilesByGroup(lineitem.repartition(17),
+        "l_returnflag", "l_quantity", key, k = 2048, probs = probs)
+      .collect().map(r => r.getString(0) ->
+        probs.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(again === est)
+  }
 }
