@@ -71,18 +71,81 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.8): DataFrame =
     ngramJaccardPairsFromSets(shingleSets(df, idCol, textCol, k), threshold)
 
+  /** How many of the most-frequent shingles the rarity dictionary
+    * holds (16 bytes each → ~4 MB broadcast at the default). Shingles
+    * outside the dictionary order as "rare" — see
+    * [[ngramJaccardPairsFromSets]]'s ordering note. */
+  val RarityDictMaxEntries: Int = 1 << 18
+
   /** PPJoin over a pre-built (doc_id, shset) frame — lets callers share
-    * one persisted shingle pass across several dedup operators. */
+    * one persisted shingle pass across several dedup operators.
+    *
+    * Ordering note (the 100 TB-decisive design point): prefix filtering
+    * is CORRECT under ANY consistent global shingle order — rare-first
+    * ordering only sharpens it (common shingles must not land in
+    * prefixes). The exact-df order costs two full shuffles of the
+    * exploded token table (join df on, then re-group to arrays); here
+    * the frequency aggregate (map-side combined, vocabulary-sized
+    * output) instead feeds a BOUNDED dictionary of the
+    * [[RarityDictMaxEntries]] most frequent shingles (df ≥ 2,
+    * deterministic (df desc, s) cut), broadcast to a per-partition sort
+    * kernel: dictionary shingles order by exact (df, s) rank AFTER all
+    * others, which order among themselves by hash. The token table is
+    * never shuffled before the prefix join. Degradation is graceful and
+    * bounded: a genuinely common shingle missing from a full dictionary
+    * can sit in prefixes and cost candidates (never correctness) — but
+    * every non-dictionary shingle's document frequency is at most the
+    * dictionary's minimum df, so the per-token join fan-out stays
+    * capped at that df. Measured at 100× harness scale (sf10): 37 s →
+    * see NOTES_ROUND round 6. */
   def ngramJaccardPairsFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
     val tokens = sets.select(col("doc_id"), explode(col("shset")).as("s"))
     val freq = tokens.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // per-doc shingles in rare-first global order
-    val ordered = tokens.join(freq, Seq("s"))
-      .groupBy(col("doc_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("df"), col("s")))),
-        x => x("s")).as("ordered"))
+    // bounded driver collect (≤ RarityDictMaxEntries rows, ~4 MB — the
+    // PQ/IVF-fit class of justified collects), deterministic at the cut
+    val dictRows = freq.filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("s"))
+      .limit(RarityDictMaxEntries)
+      .as[(Long, Long)].collect()
+    // rank = position in (df asc, s asc) order — sorting dictionary
+    // members by rank alone reproduces the exact-df order among them;
+    // lookup arrays are (keys sorted by shingle, aligned rank)
+    val byRarity = dictRows.sortBy { case (s, df) => (df, s) }
+    val rankOf = new java.util.HashMap[Long, Int](byRarity.length * 2)
+    var i = 0
+    while (i < byRarity.length) { rankOf.put(byRarity(i)._1, i); i += 1 }
+    val bcRank = spark.sparkContext.broadcast(rankOf)
+    val ordered = sets.select(col("doc_id"), col("shset"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val rank = bcRank.value
+        it.map { case (docId, sh) =>
+          var nNon = 0
+          val non = new Array[Long](sh.length)
+          val hv = new Array[Long](sh.length) // packed (rank << 32 | idx)
+          var nHv = 0
+          var j = 0
+          while (j < sh.length) {
+            val r = rank.get(sh(j))
+            if (r == null) { non(nNon) = sh(j); nNon += 1 }
+            else { hv(nHv) = (r.toLong << 32) | (j & 0xFFFFFFFFL); nHv += 1 }
+            j += 1
+          }
+          java.util.Arrays.sort(non, 0, nNon)
+          java.util.Arrays.sort(hv, 0, nHv)
+          val out = new Array[Long](sh.length)
+          System.arraycopy(non, 0, out, 0, nNon)
+          j = 0
+          while (j < nHv) {
+            out(nNon + j) = sh((hv(j) & 0xFFFFFFFFL).toInt); j += 1
+          }
+          (docId, out)
+        }
+      }
+      .toDF("doc_id", "ordered")
       .withColumn("n", size(col("ordered")))
       .withColumn("prefix_len",
         col("n") - ceil(col("n") * threshold - lit(1e-9)).cast(IntegerType)
