@@ -299,6 +299,47 @@ object Sketches {
       .drop("kmv")
   }
 
+  /** KMV set-overlap estimate between two keyed row sets (audience
+    * overlap: |A∩B|, |A∪B|, Jaccard) — the theta-sketch idiom on the
+    * deterministic [[kmvHash]]. Distinct-intersection at 100 TB is
+    * otherwise a full shuffle of both key sets; this shuffles ≤ k longs
+    * per side: ONE map-side-combined aggregate over the tagged union of
+    * the two scans (no join anywhere), then scalar array math on the
+    * 1-row result. θ = k-th smallest hash of the sketch union; every
+    * union/intersection member ≤ θ is guaranteed present in both
+    * sketches (θ never exceeds either sketch's max), so c/k' is an
+    * unbiased Jaccard estimate and |A∩B| ≈ Ĵ·|A∪B|. Below k the
+    * sketches are complete and every figure is exact. Deterministic —
+    * the whole estimate replays in SQL (the a18 oracle). */
+  def kmvOverlap(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV overlap needs k >= 2")
+    import graft.functions.expressions.BottomK.bottom_k_distinct
+    val nulL = lit(null).cast("long")
+    val tagged = a.select(kmvHash(aKey).as("ha"), nulL.as("hb"))
+      .unionAll(b.select(nulL.as("ha"), kmvHash(bKey).as("hb")))
+    val scale = (k - 1).toDouble * math.pow(2.0, 60)
+    tagged
+      .agg(bottom_k_distinct(col("ha"), k).as("ka"),
+        bottom_k_distinct(col("hb"), k).as("kb"))
+      .withColumn("ku_arr",
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .withColumn("ku", size(col("ku_arr")))
+      // ANSI element_at throws at index 0: an empty union (both inputs
+      // all-null/empty) leaves theta null and the ku<k branches report 0
+      .withColumn("theta",
+        when(col("ku") > 0, element_at(col("ku_arr"), col("ku"))))
+      .withColumn("c", size(filter(array_intersect(col("ka"), col("kb")),
+        h => h <= col("theta"))))
+      .select(
+        when(col("ku") < k, col("ku").cast("double"))
+          .otherwise(lit(scale) / col("theta")).as("est_union"),
+        when(col("ku") < k, col("c").cast("double"))
+          .otherwise((col("c").cast("double") / col("ku"))
+            * (lit(scale) / col("theta"))).as("est_intersection"),
+        (col("c").cast("double") / col("ku")).as("est_jaccard"))
+  }
+
   /** Deterministic bottom-k-per-stratum sample: keep the rows whose
     * [[kmvHash]] of `keyCol` is ≤ the stratum's k-th smallest distinct
     * hash — i.e. (for unique keys) exactly k rows per stratum, chosen

@@ -205,6 +205,35 @@ object TimeOps {
       .filter(col(revisionCol) === col("__maxrev")).drop("__maxrev")
   }
 
+  /** Build a type-2 slowly-changing dimension from a revision stream:
+    * collapse consecutive same-state revisions per key, then assign each
+    * surviving state change its validity interval — `valid_from` = the
+    * change's order value, `valid_to` = the NEXT change's (null while
+    * current), plus an `is_current` flag. The warehouse-standard SCD2
+    * derivation (detect-changes + interval assignment), composed from
+    * W1's lag-compare and a lead over the change rows.
+    *
+    * State comparison is null-safe (`<=>` on a struct of `stateCols`), so
+    * a null→value transition counts as a change. `tieBreakCol` must make
+    * (key, orderCol, tieBreak) unique or the change detection is
+    * nondeterministic. Scale: one shuffle on the key; both window passes
+    * reuse that partitioning (the second runs over the filtered — much
+    * smaller — change rows). */
+  def scd2(df: DataFrame, keyCols: Seq[String], stateCols: Seq[String],
+      orderCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol), col(tieBreakCol))
+    val state = struct(stateCols.map(col): _*)
+    val changed = df
+      .withColumn("__prev", lag(state, 1).over(w))
+      .filter(not(state <=> col("__prev")))
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Running sum + count per group ordered by `orderCols`
     * (reference W9, rar_dataset.py:36-76). Appends `{c}_cumsum` and
     * `n_cum`. */

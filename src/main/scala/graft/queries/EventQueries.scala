@@ -199,6 +199,21 @@ object EventQueries {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // e10: audience-overlap estimate (viewers ∩ purchasers) via the KMV
+    // theta-sketch idiom — distinct-intersection without shuffling
+    // either key set (≤ k longs per side through one map-side-combined
+    // aggregate, no join); deterministic md5 hashes give it an exact
+    // SQL oracle despite being an approximation
+    "e10_kmv_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.Sketches.kmvOverlap(
+        ev.filter(col("event_type") === "view").select(col("user_id")),
+        col("user_id"),
+        ev.filter(col("event_type") === "purchase").select(col("user_id")),
+        col("user_id"),
+        k = 256)
+    }),
+
     // JSON property extraction + aggregation (scalar JSON family)
     "e3_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -306,6 +321,32 @@ object EventQueries {
         |  FROM totals)
         |SELECT event_type, rank, user_id, total FROM r
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    // Replays the theta-sketch estimate: bottom-256 distinct hashes per
+    // side, θ = 256th smallest of their union, c = intersection members
+    // ≤ θ; the estimator arithmetic repeats the Spark op order exactly
+    // (two divisions then a product — 2^60 in E-notation so DuckDB
+    // types it DOUBLE)
+    "e10_kmv_overlap" ->
+      """WITH ka AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE event_type = 'view' ORDER BY hv LIMIT 256),
+        |kb AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE event_type = 'purchase' ORDER BY hv LIMIT 256),
+        |u AS (SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+        |  ORDER BY hv LIMIT 256),
+        |s AS (SELECT count(*) AS ku, max(hv) AS theta FROM u),
+        |cx AS (SELECT count(*) AS c FROM ka, kb, s
+        |  WHERE ka.hv = kb.hv AND ka.hv <= s.theta)
+        |SELECT
+        |  CASE WHEN s.ku < 256 THEN CAST(s.ku AS DOUBLE)
+        |       ELSE 255 * 1.152921504606846976e18 / s.theta END AS est_union,
+        |  CASE WHEN s.ku < 256 THEN CAST(cx.c AS DOUBLE)
+        |       ELSE (CAST(cx.c AS DOUBLE) / s.ku)
+        |         * (255 * 1.152921504606846976e18 / s.theta) END AS est_intersection,
+        |  CAST(cx.c AS DOUBLE) / s.ku AS est_jaccard
+        |FROM s, cx""".stripMargin,
 
     "e3_json_props" ->
       """SELECT event_type,

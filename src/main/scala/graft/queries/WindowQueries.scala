@@ -168,6 +168,23 @@ object WindowQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("cum_amount"),
           col("n_cum"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // W13: type-2 slowly-changing dimension build — consecutive
+    // same-priority orders collapse, each surviving change gets its
+    // [valid_from, valid_to) interval + is_current flag. One shuffle on
+    // the key; the lead pass reuses it over the (smaller) change rows
+    "w13_scd2" -> ((s, dir) => {
+      graft.operators.TimeOps.scd2(
+          Tables(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderpriority"),
+              col("o_orderdate").cast(DateType).as("odate"),
+              col("o_orderkey")),
+          keyCols = Seq("o_custkey"), stateCols = Seq("o_orderpriority"),
+          orderCol = "odate", tieBreakCol = "o_orderkey")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
     })
   )
 
@@ -321,6 +338,24 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w13_scd2" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    CAST(o_orderdate AS DATE) AS odate, o_orderkey
+        |  FROM orders),
+        |chg AS (
+        |  SELECT o_custkey, o_orderpriority, odate, o_orderkey FROM (
+        |    SELECT *, lag(o_orderpriority) OVER
+        |      (PARTITION BY o_custkey ORDER BY odate, o_orderkey) AS prev
+        |    FROM src)
+        |  WHERE prev IS DISTINCT FROM o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, odate AS valid_from,
+        |  lead(odate) OVER w AS valid_to,
+        |  lead(odate) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
 
     "flagship_panel" -> (denseSql +
       """,

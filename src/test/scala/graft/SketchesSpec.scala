@@ -379,4 +379,31 @@ class SketchesSpec extends SparkSpec {
         probs.indices.map(i => r.getDouble(i + 1))).toMap
     assert(again === est)
   }
+
+  test("KMV overlap: estimator error bounded, exact below k, invariant") {
+    // |A| = 3000, |B| = 3001, |A∩B| = 1001, |A∪B| = 5000, J ≈ 0.2
+    val a = spark.range(1, 3001).toDF("id")
+    val b = spark.range(2000, 5001).toDF("id")
+    val est = Sketches.kmvOverlap(a, col("id"), b, col("id"), k = 256)
+      .collect()(0)
+    // KMV RSE ≈ 1/√(k-2) ≈ 6.3%; gate at 3σ for the union and a
+    // compounded 4σ for the intersection product (deterministic
+    // hashes — holds or never does)
+    assert(math.abs(est.getDouble(0) - 5000) / 5000 <= 0.19,
+      s"union ${est.getDouble(0)}")
+    assert(math.abs(est.getDouble(1) - 1001) / 1001 <= 0.25,
+      s"intersection ${est.getDouble(1)}")
+    assert(math.abs(est.getDouble(2) - 1001.0 / 5000) / (1001.0 / 5000) <= 0.25,
+      s"jaccard ${est.getDouble(2)}")
+    // partition-invariant
+    val again = Sketches.kmvOverlap(a.repartition(17), col("id"),
+      b.repartition(5), col("id"), k = 256).collect()(0)
+    assert(again === est)
+    // below k both sketches are complete: every figure exact
+    val tiny = Sketches.kmvOverlap(
+      Seq(1L, 2L, 3L).toDF("id"), col("id"),
+      Seq(2L, 3L, 4L).toDF("id"), col("id"), k = 16).collect()(0)
+    assert(tiny.getDouble(0) === 4.0 && tiny.getDouble(1) === 2.0 &&
+      tiny.getDouble(2) === 0.5)
+  }
 }

@@ -192,4 +192,42 @@ class TransformSpec extends SparkSpec {
       .transform(df).orderBy("siren", "période").collect()
     assert(out.map(_.getAs[Int]("failure")).toSeq == Seq(0, 1, 0))
   }
+
+  test("scd2: collapses runs, assigns validity intervals, flags current") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        // key 1: A A B B A — three islands
+        Row(1L, d("2020-01-01"), 1L, "A"), Row(1L, d("2020-02-01"), 2L, "A"),
+        Row(1L, d("2020-03-01"), 3L, "B"), Row(1L, d("2020-04-01"), 4L, "B"),
+        Row(1L, d("2020-05-01"), 5L, "A"),
+        // key 2: single revision — current from day one
+        Row(2L, d("2020-01-01"), 6L, "X"),
+        // key 3: null state then a value — null→C is a change
+        Row(3L, d("2020-01-01"), 7L, null),
+        Row(3L, d("2020-02-01"), 8L, "C"),
+        // key 4: same-date tie broken by the tiebreak column
+        Row(4L, d("2020-01-01"), 9L, "A"), Row(4L, d("2020-01-01"), 10L, "B"))),
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("dt", DateType, nullable = false),
+        StructField("rev", LongType, nullable = false),
+        StructField("st", StringType, nullable = true))))
+    val out = graft.operators.TimeOps.scd2(df, Seq("k"), Seq("st"), "dt", "rev")
+      .orderBy("k", "valid_from", "rev")
+      .select("k", "st", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getDate(2)).map(_.toString).orNull,
+        Option(r.getDate(3)).map(_.toString).orNull, r.getBoolean(4)))
+      .toSeq
+    assert(out === Seq(
+      (1L, "A", "2020-01-01", "2020-03-01", false),
+      (1L, "B", "2020-03-01", "2020-05-01", false),
+      (1L, "A", "2020-05-01", null, true),
+      (2L, "X", "2020-01-01", null, true),
+      (3L, null, "2020-01-01", "2020-02-01", false),
+      (3L, "C", "2020-02-01", null, true),
+      (4L, "A", "2020-01-01", "2020-01-01", false),
+      (4L, "B", "2020-01-01", null, true)))
+  }
 }
