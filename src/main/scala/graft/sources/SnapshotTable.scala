@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned snapshot table: an append-only manifest log over
+  * immutable parquet files — the transactional half of a lakehouse
+  * table format (BASELINE.json's "Parquet/Delta" storage line; no
+  * Delta jar ships in this environment, so the snapshot/time-travel
+  * semantics are built directly on the public Hadoop FileSystem
+  * contract).
+  *
+  * Layout:
+  * {{{
+  *   path/_graft_log/v00000012.manifest   one text manifest per version
+  *   path/files/<uuid>.parquet            immutable data files
+  * }}}
+  *
+  * A manifest lists the data files visible at its version (relative
+  * paths, one per line). Commit protocol — optimistic concurrency on
+  * the manifest name:
+  *
+  *  1. writers stage fully-written parquet files into `files/` FIRST
+  *     (uuid names — never overwritten, never referenced until commit);
+  *  2. the commit is ONE `FileSystem.create(manifest, overwrite=false)`
+  *     — create-exclusive, so of two racers for version N exactly one
+  *     wins; the loser re-reads the new latest manifest and retries on
+  *     top of it (its staged files are still unreferenced, so a retry
+  *     re-commits metadata only, never data).
+  *
+  * Readers list the log, pick the highest version (or any requested
+  * one — time travel), and read exactly that file set: no reader ever
+  * observes a half-written version, and layout maintenance
+  * ([[optimize]] = the compact/z-order pass publishing a NEW version)
+  * cannot disturb a concurrent reader of an older one. This subsumes
+  * the rename-swap in [[IO.compact]]: the swap window disappears
+  * because visibility is a metadata flip, not a directory move.
+  *
+  * Scale notes: the log is O(#commits) tiny text files and every read
+  * lists one directory — at real deployment cadence (layout passes +
+  * batch appends, not per-row commits) that listing is trivial;
+  * [[vacuum]] bounds both the log and the orphaned-file set.
+  * `create(overwrite=false)` is atomic-exclusive on HDFS and object
+  * stores with conditional create; on the local filesystem the
+  * check-then-create window is microscopic and irrelevant to the
+  * harness.
+  */
+object SnapshotTable {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def logDir(path: String) = new Path(path, "_graft_log")
+  private def filesDir(path: String) = new Path(path, "files")
+  private def manifestName(v: Int) = f"v$v%08d.manifest"
+
+  /** Committed versions, ascending (empty = no table). */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val fs = fsOf(spark, logDir(path))
+    if (!fs.exists(logDir(path))) Seq.empty
+    else fs.listStatus(logDir(path)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+      .sorted
+  }
+
+  private def readManifest(fs: FileSystem, path: String, v: Int): Seq[String] = {
+    val in = fs.open(new Path(logDir(path), manifestName(v)))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  /** Stage `df` as immutable uuid-named parquet files under `files/`;
+    * returns their manifest-relative paths. Nothing references them
+    * until a manifest commits. */
+  private def stage(df: DataFrame, path: String): Seq[String] = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, new Path(path))
+    val tmp = new Path(path, s"__stage_${UUID.randomUUID()}")
+    df.write.parquet(tmp.toString)
+    fs.mkdirs(filesDir(path))
+    val staged = fs.listStatus(tmp).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { f =>
+        val dest = new Path(filesDir(path), s"${UUID.randomUUID()}.parquet")
+        if (!fs.rename(f.getPath, dest))
+          sys.error(s"snapshot stage: rename ${f.getPath} -> $dest failed")
+        s"files/${dest.getName}"
+      }
+    if (!fs.delete(tmp, true))
+      sys.error(s"snapshot stage: could not clear $tmp")
+    staged
+  }
+
+  /** Create-exclusive manifest commit with optimistic retry. `base`
+    * recomputes the inherited file list against the CURRENT latest
+    * version on every attempt (append semantics survive losing a
+    * race). Returns the committed version number. */
+  private def commit(spark: SparkSession, path: String,
+      staged: Seq[String], base: Int => Seq[String]): Int = {
+    val fs = fsOf(spark, logDir(path))
+    fs.mkdirs(logDir(path))
+    var attempts = 0
+    while (attempts < 50) {
+      val vs = versions(spark, path)
+      val next = if (vs.isEmpty) 0 else vs.max + 1
+      val content = (base(next) ++ staged).mkString("\n")
+      val target = new Path(logDir(path), manifestName(next))
+      try {
+        val out = fs.create(target, false) // exclusive: one winner per version
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        return next
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race; retry
+      }
+    }
+    sys.error(s"snapshot commit: gave up after $attempts conflicts")
+  }
+
+  /** Commit `df` as version 0. Fails if the table already exists. */
+  def create(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    require(versions(spark, path).isEmpty,
+      s"snapshot table already exists at $path — use append/overwrite")
+    commit(spark, path, stage(df, path), _ => Seq.empty)
+  }
+
+  /** Commit `df`'s rows on top of the latest version (its files plus
+    * the staged ones). Requires an existing table. */
+  def append(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    require(versions(spark, path).nonEmpty, s"no snapshot table at $path")
+    val staged = stage(df, path)
+    commit(spark, path, staged,
+      next => readManifest(fsOf(spark, logDir(path)), path, next - 1))
+  }
+
+  /** Commit `df` as a full replacement (new version referencing only
+    * the staged files; prior versions stay readable until vacuum). */
+  def overwrite(df: DataFrame, path: String): Int =
+    commit(df.sparkSession, path, stage(df, path), _ => Seq.empty)
+
+  /** Read a version (default: latest). Time travel = pass any
+    * committed version number. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val files = readManifest(fsOf(spark, logDir(path)), path, v)
+      .map(rel => new Path(path, rel).toString)
+    require(files.nonEmpty, s"version $v references no data files " +
+      "(committed from an empty write with no parts)")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Layout maintenance as a snapshot commit: rewrite the latest
+    * version into ~`targetFileBytes` files (optionally range-sorted for
+    * clustering), published as a NEW version — concurrent readers of
+    * any prior version are untouched, unlike an in-place swap. */
+  def optimize(spark: SparkSession, path: String, targetFileBytes: Long,
+      sortCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, new Path(path))
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val files = readManifest(fs, path, vs.max)
+      .map(rel => new Path(path, rel))
+    val totalBytes = files.map(f => fs.getFileStatus(f).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = read(spark, path)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    overwrite(laid, path)
+  }
+
+  /** Drop all but the newest `keep` versions and delete every data
+    * file no kept version references. Bounds the log and storage;
+    * time travel to vacuumed versions is gone (that is the point).
+    * Returns the number of data files deleted. */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 2): Int = {
+    require(keep >= 1, "vacuum must keep at least the latest version")
+    val fs = fsOf(spark, new Path(path))
+    val vs = versions(spark, path)
+    val kept = vs.takeRight(keep)
+    val referenced = kept.flatMap(v => readManifest(fs, path, v)).toSet
+      .map((rel: String) => new Path(path, rel).getName)
+    val dropped = fs.listStatus(filesDir(path)).toSeq
+      .filterNot(f => referenced.contains(f.getPath.getName))
+    dropped.foreach { f =>
+      if (!fs.delete(f.getPath, false))
+        sys.error(s"vacuum: could not delete ${f.getPath}")
+    }
+    vs.dropRight(keep).foreach { v =>
+      val m = new Path(logDir(path), manifestName(v))
+      if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")
+    }
+    dropped.size
+  }
+}
