@@ -10,17 +10,16 @@ import graft.Tables
 /** Queries over the `events` stream table (batch forms of the streaming
   * surface — tumbling windows, sessionization, JSON props).
   *
-  * The events parquet stores nanosecond timestamps, which Spark's
-  * vectorized reader rejects by default; we read them as raw ns longs
-  * (spark.sql.legacy.parquet.nanosAsLong) and do exact integer
-  * arithmetic on them — DuckDB mirrors via epoch_ns().
+  * `Tables` normalizes `ts` to an epoch-NANOSECOND long whatever the
+  * parquet physically stored (the generator has shipped both int64-ns
+  * and timestamp[us] across regenerations), so every query below does
+  * exact integer arithmetic on ns longs — DuckDB mirrors via the
+  * equally encoding-polymorphic epoch_ns()/epoch_us().
   */
 object EventQueries {
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def events(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
-  }
 
   private val NsPerHour = 3600L * 1000000000L
   private val SessionGapNs = 30L * 60L * 1000000000L

@@ -21,8 +21,10 @@ object StreamingQueries {
   /** Stage `events.parquet` into a per-sf temp directory (the streaming
     * file source only monitors directories) and return a thunk making
     * fresh streaming readers over it — several queries need the same
-    * stream twice (self-union, two-sided join). Timestamps arrive as
-    * ns-longs and convert to µs timestamps for watermarks/windows. */
+    * stream twice (self-union, two-sided join). `ts` converts to a
+    * µs-resolution instant for watermarks/windows whatever physical
+    * type the parquet stored — ns-long or timestamp[us]
+    * (Tables.withEventTimestamp dispatches on the source schema). */
   private def eventsStream(s: SparkSession, dir: String): () => DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -49,9 +51,8 @@ object StreamingQueries {
     else
       java.nio.file.Files.copy(src, staged.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    () => s.readStream.schema(batchSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    () => Tables.withEventTimestamp(
+      s.readStream.schema(batchSchema).parquet(staged.toString), "ts")
   }
 
   // State partitions stay FIXED at 8 for this rig: an r6 experiment
