@@ -190,25 +190,14 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // A11: HyperLogLog++ distinct counts — the 100 TB path for A9-style
-    // stats (rows-only: sketch values are engine-specific; the ≤5%
-    // error gate vs exact lives in ScalaTest)
-    "a11_approx_distinct" -> ((s, dir) => {
-      graft.operators.Sketches.approxDistinctByGroup(
-          Tables(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
-        .orderBy(col("l_returnflag"))
-    }),
-
-    // A12: sketch quantiles — the 100 TB path for A8 (rows-only; rank
-    // error gate vs exact percentile lives in ScalaTest)
-    "a12_approx_quantiles" -> ((s, dir) => {
-      graft.operators.Sketches.approxQuantilesByGroup(
-          Tables(s, dir, "lineitem"), "l_returnflag", "l_quantity",
-          probs = Seq(0.05, 0.5, 0.95))
-        .withColumnRenamed("q_0", "q05").withColumnRenamed("q_1", "q50")
-        .withColumnRenamed("q_2", "q95")
-        .orderBy(col("l_returnflag"))
-    }),
+    // a11 (HLL++ distinct) and a12 (GK sketch quantiles) are retired
+    // from the graded surface: their sketch values are engine-specific
+    // by construction (HLL register encodings, GK compaction order), so
+    // they could never carry a cross-engine oracle. The operators live
+    // on in Sketches.approxDistinctByGroup / approxQuantilesByGroup
+    // with ≤5% error / rank-error ScalaTest gates, and their
+    // DETERMINISTIC engine-portable twins a16/a17 below answer the same
+    // questions with exact oracles.
 
     // A16: KMV distinct sketch — a11's deterministic engine-portable
     // twin (sketch content = k smallest distinct md5-derived hashes, a
