@@ -185,6 +185,37 @@ object WindowQueries {
         .select(col("o_custkey"), col("o_orderpriority"),
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority"))
+    }),
+
+    // W14: versioned snapshot table lifecycle over harness data —
+    // create(urgent orders) → append(high orders) → optimize (layout
+    // rewrite as a NEW version) → time-travel reads of every version.
+    // The observable (per-version exact row count + decimal-exact total)
+    // is a pure function of the source table, so DuckDB replays it from
+    // `orders` directly: v0 = urgent only, v1 = urgent+high, v2 =
+    // optimize's rewrite of v1 (same rows, different layout).
+    "w14_snapshot_table" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w14").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), path)
+      SnapshotTable.append(
+        orders.filter(col("o_orderpriority") === "2-HIGH"), path)
+      SnapshotTable.optimize(s, path,
+        targetFileBytes = 128L * 1024 * 1024, sortCols = Seq("o_orderkey"))
+      SnapshotTable.versions(s, path).map { v =>
+        SnapshotTable.read(s, path, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("total"))
+        .orderBy(col("version"))
     })
   )
 
@@ -356,6 +387,18 @@ object WindowQueries {
         |FROM chg
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY odate, o_orderkey)
         |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+
+    "w14_snapshot_table" ->
+      """WITH v0 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |v1 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |SELECT 0 AS version, n_rows, total FROM v0
+        |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
+        |UNION ALL SELECT 2 AS version, n_rows, total FROM v1
+        |ORDER BY version""".stripMargin,
 
     "flagship_panel" -> (denseSql +
       """,

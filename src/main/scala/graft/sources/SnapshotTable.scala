@@ -116,10 +116,31 @@ object SnapshotTable {
       val target = new Path(logDir(path), manifestName(next))
       try {
         val out = fs.create(target, false) // exclusive: one winner per version
-        try out.write(content.getBytes("UTF-8")) finally out.close()
+        try {
+          out.write(content.getBytes("UTF-8"))
+          out.close()
+        } catch {
+          // we WON the version slot but failed to fill it (disk full,
+          // I/O error mid-write): remove the torn manifest so no reader
+          // or retrying committer ever parses a partial file list, then
+          // surface the real failure
+          case e: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+            fs.delete(target, false)
+            throw new java.io.IOException(
+              s"snapshot commit: manifest write to $target failed", e)
+        }
         return next
       } catch {
-        case _: java.io.IOException => attempts += 1 // lost the race; retry
+        case e: java.io.IOException =>
+          // Only a LOST RACE is retryable, and a lost race is
+          // observable: the winner's manifest exists. Any create
+          // failure without a winning manifest (permissions, disk
+          // full, bad mount) would fail all 50 retries identically —
+          // rethrow it as what it is instead of a misleading
+          // "gave up after conflicts".
+          if (fs.exists(target)) attempts += 1
+          else throw e
       }
     }
     sys.error(s"snapshot commit: gave up after $attempts conflicts")
@@ -189,7 +210,15 @@ object SnapshotTable {
   /** Drop all but the newest `keep` versions and delete every data
     * file no kept version references. Bounds the log and storage;
     * time travel to vacuumed versions is gone (that is the point).
-    * Returns the number of data files deleted. */
+    * Returns the number of data files deleted.
+    *
+    * Crash safety: manifests are deleted BEFORE data files. A crash
+    * between the two phases leaves only orphaned (unreferenced) data
+    * files — time travel to a vacuumed version always fails with the
+    * clean "version not in log" error, never a FileNotFound on a
+    * manifest whose files are gone, and the next vacuum reclaims the
+    * orphans (the dropped-file scan keys off the KEPT manifests, not
+    * the deleted ones). */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2): Int = {
     require(keep >= 1, "vacuum must keep at least the latest version")
     val fs = fsOf(spark, new Path(path))
@@ -197,15 +226,15 @@ object SnapshotTable {
     val kept = vs.takeRight(keep)
     val referenced = kept.flatMap(v => readManifest(fs, path, v)).toSet
       .map((rel: String) => new Path(path, rel).getName)
+    vs.dropRight(keep).foreach { v =>
+      val m = new Path(logDir(path), manifestName(v))
+      if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")
+    }
     val dropped = fs.listStatus(filesDir(path)).toSeq
       .filterNot(f => referenced.contains(f.getPath.getName))
     dropped.foreach { f =>
       if (!fs.delete(f.getPath, false))
         sys.error(s"vacuum: could not delete ${f.getPath}")
-    }
-    vs.dropRight(keep).foreach { v =>
-      val m = new Path(logDir(path), manifestName(v))
-      if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")
     }
     dropped.size
   }

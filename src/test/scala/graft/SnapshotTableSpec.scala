@@ -86,4 +86,78 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 3)
     assert(SnapshotTable.read(spark, path, Some(0)).count() === 5)
   }
+
+  test("a crash between vacuum's manifest and data phases is recoverable") {
+    val path = freshPath("crash")
+    SnapshotTable.create(spark.range(100).toDF("id").repartition(4), path)
+    SnapshotTable.overwrite(spark.range(50).toDF("id").repartition(2), path)
+    SnapshotTable.append(spark.range(50, 60).toDF("id"), path)
+    // simulate vacuum(keep=2) crashing right after phase 1: the v0
+    // manifest is gone, v0's four data files are still on disk
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(path,
+      "_graft_log/v00000000.manifest"), false))
+    // time travel to the vacuumed version fails with the CLEAN log
+    // error (the manifest-first ordering guarantees no manifest can
+    // ever reference deleted files)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, path, Some(0))
+    }
+    assert(e.getMessage.contains("version 0 not in"))
+    // surviving versions are untouched, and the NEXT vacuum reclaims
+    // exactly the four orphans the crash left behind
+    assert(SnapshotTable.read(spark, path).count() === 60)
+    assert(SnapshotTable.vacuum(spark, path, keep = 2) === 4)
+    assert(SnapshotTable.read(spark, path).count() === 60)
+    assert(SnapshotTable.read(spark, path, Some(1)).count() === 50)
+  }
+
+  test("a persistent manifest-write failure rethrows, not 'gave up after conflicts'") {
+    // route the table through a FileSystem whose manifest creates fail
+    // like a dead disk: data staging works, the commit create throws,
+    // and no winning manifest appears — commit must surface the I/O
+    // failure immediately instead of burning 50 'conflict' retries
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.faulty.impl", classOf[FaultyManifestFs].getName)
+    conf.set("fs.faulty.impl.disable.cache", "true")
+    val path = "faulty://" + freshPath("fault")
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.create(spark.range(5).toDF("id"), path)
+    }
+    assert(e.getMessage.contains("simulated disk failure") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("simulated disk failure")))
+  }
+}
+
+/** Local filesystem that fails every exclusive manifest create the way
+  * a full or dead disk would, while all other operations (parquet
+  * staging, listing, renames) succeed — exercises commit()'s
+  * race-vs-failure distinction. */
+class FaultyManifestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FSDataOutputStream, Path}
+  import org.apache.hadoop.fs.permission.FsPermission
+  import org.apache.hadoop.util.Progressable
+
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
+
+  private def maybeFail(f: Path): Unit =
+    if (f.getName.endsWith(".manifest"))
+      throw new java.io.IOException(s"simulated disk failure writing $f")
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    maybeFail(f)
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    maybeFail(f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
 }
