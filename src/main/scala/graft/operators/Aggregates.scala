@@ -138,11 +138,25 @@ object Aggregates {
     * staged-aggregate semantics exactly (parity-spec-gated against
     * [[funnelMultiPass]] on goldens and random fixtures, null
     * timestamps included). Per-entity state is the events of the N
-    * funnel types only — bounded by entity activity, never the corpus;
-    * a pathologically hot entity can be pre-thinned per (entity, type)
-    * upstream if needed. */
+    * funnel types only — bounded by entity activity, never the corpus.
+    *
+    * HOT-ENTITY GUARD (opt-in): `preThinPerEntityType = Some(k)` caps
+    * the per-entity state at n·k events by pre-thinning each
+    * (entity, type) group to its k EARLIEST DISTINCT timestamps with a
+    * bounded [[graft.functions.expressions.BottomKDistinct]] aggregate
+    * — map-side combined, so a 10M-event bot entity contributes ≤ k
+    * longs per map task to the exchange instead of 10M structs to one
+    * reducer. Requires a long `tsCol`. Semantics: duplicate
+    * (entity, type, ts) events are interchangeable to the fold, so
+    * thinning is EXACT whenever no (entity, type) exceeds k distinct
+    * timestamps; past the cap, degradation is one-sided and monotone —
+    * a stage can only resolve later or be missed, never earlier or
+    * spuriously (dropping events only removes candidates). Null-ts
+    * events are preserved via a per-group marker (they gate step-0
+    * entry but never fill a stage). */
   def funnel(df: DataFrame, entityCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      preThinPerEntityType: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(entityCol != "stage" && !steps.indices.exists(i => entityCol == s"t_$i"),
@@ -153,7 +167,24 @@ object Aggregates {
       when(col(typeCol) === steps.head, 0)) { case (acc, (s, i)) =>
         acc.when(col(typeCol) === s, i + 1)
     }
-    val grouped = df.filter(col(typeCol).isin(steps: _*))
+    val ofSteps = df.filter(col(typeCol).isin(steps: _*))
+    val thinned = preThinPerEntityType match {
+      case None => ofSteps
+      case Some(k) =>
+        require(k >= 1, "preThinPerEntityType must keep at least one event")
+        require(tsType == LongType,
+          s"preThinPerEntityType needs a bigint $tsCol, got ${tsType.catalogString}")
+        import graft.functions.expressions.BottomK.bottom_k_distinct
+        ofSteps
+          .groupBy(col(entityCol), col(typeCol))
+          .agg(bottom_k_distinct(col(tsCol), k).as("__ts"),
+            max(col(tsCol).isNull).as("__hasnull"))
+          .select(col(entityCol), col(typeCol),
+            explode(when(col("__hasnull"),
+                concat(col("__ts"), array(lit(null).cast(LongType))))
+              .otherwise(col("__ts"))).as(tsCol))
+    }
+    val grouped = thinned
       .select(col(entityCol),
         struct(col(tsCol).as("ts"), stepIdx.as("si")).as("ev"))
       .groupBy(col(entityCol))

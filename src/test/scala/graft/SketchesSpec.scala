@@ -280,6 +280,48 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("funnel: hot-entity pre-thinning is exact under the cap, one-sided past it") {
+    import graft.operators.Aggregates
+    // same adversarial fixture as the parity test: ties, repeats, nulls,
+    // a no-step-0 entity — at k >= the max distinct-ts group size the
+    // thinned funnel must match the unthinned one EXACTLY
+    val rnd = new scala.util.Random(20260813)
+    val types = Seq("a", "b", "c", "d", "x")
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(60).toLong,
+        types(rnd.nextInt(types.size)),
+        if (rnd.nextInt(40) == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(50).toLong))
+    } :+ ((999L, "b", java.lang.Long.valueOf(1L)))
+    val events = rows.toDF("user_id", "event_type", "ts")
+    val steps = Seq("a", "b", "c", "d")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id")).collect().map(_.toSeq).toSeq
+    val exact = canon(Aggregates.funnel(events, "user_id", "event_type", "ts", steps))
+    val thinnedBig = canon(Aggregates.funnel(events, "user_id", "event_type",
+      "ts", steps, preThinPerEntityType = Some(1000)))
+    assert(thinnedBig === exact)
+    // a hot entity: u1's step-b candidates are thinned to its 2 earliest
+    // distinct timestamps, both BEFORE its step-a time — degradation is
+    // one-sided (stage missed), never a spurious or earlier fill
+    val hot = (Seq((1L, "a", 30L)) ++ (1L to 50L).map(t => (1L, "b", t)))
+      .toDF("user_id", "event_type", "ts")
+    val un = Aggregates.funnel(hot, "user_id", "event_type", "ts", Seq("a", "b"))
+      .collect().head
+    assert(un.getInt(un.fieldIndex("stage")) === 2) // b at 30 exists unthinned
+    val th = Aggregates.funnel(hot, "user_id", "event_type", "ts", Seq("a", "b"),
+        preThinPerEntityType = Some(2)).collect().head
+    assert(th.getInt(th.fieldIndex("stage")) === 1) // kept b∈{1,2} all < 30
+    assert(th.isNullAt(th.fieldIndex("t_1")))
+    // an entity entering via a null-ts step-0 event survives thinning
+    val nullEntry = Seq((7L, "a", null.asInstanceOf[java.lang.Long]),
+      (7L, "b", java.lang.Long.valueOf(5L)))
+      .toDF("user_id", "event_type", "ts")
+    val ne = Aggregates.funnel(nullEntry, "user_id", "event_type", "ts",
+      Seq("a", "b"), preThinPerEntityType = Some(4)).collect()
+    assert(ne.length === 1 && ne.head.getInt(ne.head.fieldIndex("stage")) === 1)
+  }
+
   test("bottom_k_distinct: k smallest distinct values, merge-correct") {
     import graft.functions.expressions.BottomK.bottom_k_distinct
     // duplicates + nulls + many partitions forces the partial/merge
