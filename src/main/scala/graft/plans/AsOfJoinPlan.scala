@@ -179,14 +179,12 @@ case class AsOfJoinExec(
     val backward = direction == "backward"
     val byTypes = leftBy.map(_.dataType)
     val onType = leftOn.dataType
-    val nValues = rightValues.size
     val tol = tolerance
     val lOut = left.output
     val rOut = right.output
     val lByE = leftBy; val rByE = rightBy
     val lOnExpr = leftOn; val rOnExpr = rightOn
     val rValE: Seq[Expression] = rightValues
-    val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
       // ONE fused (by..., on) projection per side per row: the
@@ -198,15 +196,29 @@ case class AsOfJoinExec(
       val rKeyProj = UnsafeProjection.create(rByE :+ rOnExpr, rOut)
       val valProj = UnsafeProjection.create(rValE, rOut)
       val byOrd = RowOrdering.createNaturalAscendingOrdering(byTypes)
-      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val joined = new JoinedRow
-      val nullValues = new GenericInternalRow(nValues)
       def onVal(r: InternalRow): Long = onType match {
         case DateType | IntegerType => r.getInt(nBy).toLong
         case _ => r.getLong(nBy) // Timestamp(NTZ) / LongType
       }
       val rBuf = rIter0.buffered
       val tolMax = tol.getOrElse(Long.MaxValue)
+      // Output assembly: bytewise UnsafeRow concatenation (two memcpys
+      // + bitmap merge via GenerateUnsafeRowJoiner) instead of a
+      // field-by-field null-checked reprojection of all output columns
+      // — the per-row cost is independent of column COUNT, only bytes.
+      // Children hand us UnsafeRows (every exec's output contract via
+      // UnsafeProjection/sort); the match arm re-projects defensively
+      // if an interpreted parent ever feeds a non-unsafe row.
+      val joinerSchemaL = StructType(lOut.map(a =>
+        StructField(a.name, a.dataType, a.nullable)))
+      val joinerSchemaR = StructType(rValE.map(e =>
+        StructField("v", e.dataType, nullable = true)))
+      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(joinerSchemaL, joinerSchemaR)
+      val toUnsafeL = UnsafeProjection.create(lOut, lOut)
+      val nullRight = UnsafeProjection.create(
+          rValE.map(e => Literal.create(null, e.dataType)): Seq[Expression])
+        .apply(InternalRow.empty).copy()
 
       // Amortized per-row state. The right head's projections stay
       // valid until the NEXT rByProj/rOnProj call (only on head
@@ -239,7 +251,7 @@ case class AsOfJoinExec(
           if (prevLKey == null || byOrd.compare(prevLKey, lKey) != 0) {
             prevLKey = lKey.copy(); groupCand = false; headCmpValid = false
           }
-          var matched: InternalRow = nullValues
+          var matched: UnsafeRow = nullRight
           if (!lKey.isNullAt(nBy)) {
             val lOnV = onVal(lKey)
             var advance = true
@@ -261,7 +273,10 @@ case class AsOfJoinExec(
             if (groupCand && lOnV - candOn <= tolMax)
               matched = candVal
           }
-          resultProj(joined(lRow, matched))
+          joiner.join(lRow match {
+            case u: UnsafeRow => u
+            case r => toUnsafeL(r)
+          }, matched)
         }
       } else {
         // forward: the match is the right HEAD once strictly-behind
@@ -271,7 +286,7 @@ case class AsOfJoinExec(
           if (prevLKey == null || byOrd.compare(prevLKey, lKey) != 0) {
             prevLKey = lKey.copy(); headCmpValid = false
           }
-          var matched: InternalRow = nullValues
+          var matched: UnsafeRow = nullRight
           if (!lKey.isNullAt(nBy)) {
             val lOnV = onVal(lKey)
             var advance = true
@@ -288,7 +303,10 @@ case class AsOfJoinExec(
                 hOnV - lOnV <= tolMax)
               matched = valProj(rBuf.head)
           }
-          resultProj(joined(lRow, matched))
+          joiner.join(lRow match {
+            case u: UnsafeRow => u
+            case r => toUnsafeL(r)
+          }, matched)
         }
       }
     }

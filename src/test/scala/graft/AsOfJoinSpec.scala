@@ -417,6 +417,32 @@ class AsOfJoinSpec extends SparkSpec {
       s"AsOfJoinExec not codegen'd:\n$planStr")
   }
 
+  test("native as-of interpreted path (codegen off) matches the window form") {
+    // pins doExecute's UnsafeRowJoiner output assembly: wide right side
+    // with fixed- AND variable-length (string) values, null-producing
+    // unmatched lefts, both directions, with tolerance
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val l = spark.range(200).selectExpr("id % 7 as e", "id as t",
+        "id * 2 as x")
+      val r = spark.range(60).selectExpr("id % 7 as e", "id * 3 as t",
+        "id * 5 as v", "concat('s', id) as s", "cast(id as double) as w")
+      for (dir <- Seq("backward", "forward")) {
+        val native = AsOfJoin.mergeAsOfNative(l, r, "t", Seq("e"),
+          direction = dir)
+        val window = AsOfJoin.mergeAsOf(l, r, "t", Seq("e"),
+          direction = dir)
+        val planStr = native.queryExecution.executedPlan.toString
+        assert(!planStr.contains("*("), s"expected interpreted plan:\n$planStr")
+        assert(native.collect().map(_.toSeq).toSet ===
+          window.collect().map(_.toSeq).toSet, s"direction $dir diverged")
+        assert(native.filter(native("s").isNull).count() > 0,
+          "fixture never exercised the null-right (unmatched) arm")
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("native as-of rejects unsupported on-types loudly") {
     import spark.implicits._
     // the physical merge scan reads `on` as a raw int/long word; any
