@@ -216,6 +216,38 @@ object WindowQueries {
       }.reduce(_ unionByName _)
         .select(col("version"), col("n_rows"), col("total"))
         .orderBy(col("version"))
+    }),
+
+    // W15: copy-on-write row-level MERGE on the snapshot table —
+    // create(urgent orders) → merge(updates = urgent finished orders
+    // with doubled price [replacements] + high-priority orders
+    // [inserts]) → per-version exact count + decimal-exact total.
+    // DuckDB replays the merge relationally: v1 = urgent non-F
+    // original ∪ urgent F doubled ∪ high original.
+    "w15_snapshot_merge" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w15").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), path)
+      val updates = orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2) unionByName
+        orders.filter(col("o_orderpriority") === "2-HIGH")
+      SnapshotTable.merge(updates, path, Seq("o_orderkey"))
+      SnapshotTable.versions(s, path).map { v =>
+        SnapshotTable.read(s, path, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("total"))
+        .orderBy(col("version"))
     })
   )
 
@@ -398,6 +430,25 @@ object WindowQueries {
         |SELECT 0 AS version, n_rows, total FROM v0
         |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
         |UNION ALL SELECT 2 AS version, n_rows, total FROM v1
+        |ORDER BY version""".stripMargin,
+
+    "w15_snapshot_merge" ->
+      """WITH v0 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |merged AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders
+        |    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS p FROM orders
+        |    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders
+        |    WHERE o_orderpriority = '2-HIGH'),
+        |v1 AS (SELECT count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS total
+        |  FROM merged)
+        |SELECT 0 AS version, n_rows, total FROM v0
+        |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
         |ORDER BY version""".stripMargin,
 
     "flagship_panel" -> (denseSql +

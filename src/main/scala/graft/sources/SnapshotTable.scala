@@ -169,6 +169,102 @@ object SnapshotTable {
   def overwrite(df: DataFrame, path: String): Int =
     commit(df.sparkSession, path, stage(df, path), _ => Seq.empty)
 
+  /** Row-level MERGE (upsert) as a copy-on-write commit: rows of
+    * `updates` REPLACE every current row sharing their `keyCols`
+    * values; update rows with unmatched keys are inserts. Returns the
+    * committed version.
+    *
+    * Scale design — the point is what does NOT get rewritten:
+    *
+    *  1. file pruning is a distributed LEFT SEMI join of the current
+    *     snapshot (tagged with `_metadata.file_path`) against the
+    *     distinct update keys — only file NAMES come back to the
+    *     driver (O(#affected files), never rows). A key-clustered
+    *     layout ([[optimize]] with sortCols = keys) concentrates
+    *     matches in few files, so a point-update rewrites a sliver of
+    *     the table while every untouched file carries over by
+    *     reference;
+    *  2. only affected files are re-read: survivors (left-anti on the
+    *     update keys) union the update rows, staged as fresh immutable
+    *     files; unaffected manifest entries are copied verbatim;
+    *  3. the commit is pinned to the version the merge READ
+    *     (create-exclusive on exactly `readVersion + 1`): if any
+    *     writer committed in between, this merge's survivor set may be
+    *     stale, so it fails with `ConcurrentModificationException`
+    *     instead of silently dropping the racer's rows — optimistic
+    *     concurrency with write-write conflict DETECTION, not blind
+    *     retry (appends can retry safely; merges must re-run on the
+    *     new snapshot).
+    *
+    * Duplicate keys inside `updates` are allowed: all matched current
+    * rows are replaced and ALL update rows land (the caller owns
+    * dedup if one-row-per-key matters). */
+  def merge(updates: DataFrame, path: String, keyCols: Seq[String]): Int = {
+    val spark = updates.sparkSession
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val readV = vs.max
+    val fs = fsOf(spark, new Path(path))
+    val manifest = readManifest(fs, path, readV)
+    val current = read(spark, path, Some(readV))
+    require(current.columns.toSeq == updates.columns.toSeq,
+      s"merge schema mismatch: table has [${current.columns.mkString(",")}]" +
+        s", updates have [${updates.columns.mkString(",")}]")
+    require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
+      s"merge keys [${keyCols.mkString(",")}] must be update columns")
+    import org.apache.spark.sql.functions.col
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val affectedNames = spark.read
+      .parquet(manifest.map(rel => new Path(path, rel).toString): _*)
+      .select(col("_metadata.file_path").as("__fp") +: keyCols.map(col): _*)
+      .join(keys, keyCols, "left_semi")
+      .select(col("__fp")).distinct()
+      .collect().map(r => fileOf(r.getString(0))).toSet
+    val (affected, untouched) =
+      manifest.partition(rel => affectedNames.contains(fileOf(rel)))
+    val rewritten =
+      if (affected.isEmpty) updates
+      else spark.read
+        .parquet(affected.map(rel => new Path(path, rel).toString): _*)
+        .join(keys, keyCols, "left_anti")
+        .unionByName(updates)
+    val staged = stage(rewritten, path)
+    commitPinned(spark, path, untouched ++ staged, readV + 1)
+  }
+
+  /** Create-exclusive commit of exactly `version` — no retry: losing
+    * the slot means the snapshot this commit was derived from is no
+    * longer latest, which the CALLER must resolve (re-run the merge).
+    * Same torn-manifest cleanup as [[commit]]. */
+  private def commitPinned(spark: SparkSession, path: String,
+      files: Seq[String], version: Int): Int = {
+    val fs = fsOf(spark, logDir(path))
+    fs.mkdirs(logDir(path))
+    val target = new Path(logDir(path), manifestName(version))
+    try {
+      val out = fs.create(target, false)
+      try {
+        out.write(files.mkString("\n").getBytes("UTF-8"))
+        out.close()
+      } catch {
+        case e: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          fs.delete(target, false)
+          throw new java.io.IOException(
+            s"snapshot merge: manifest write to $target failed", e)
+      }
+      version
+    } catch {
+      case e: java.io.IOException =>
+        if (fs.exists(target))
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot table at $path advanced past version ${version - 1} " +
+              "while this merge ran — re-run the merge on the new snapshot")
+        else throw e
+    }
+  }
+
   /** Read a version (default: latest). Time travel = pass any
     * committed version number. */
   def read(spark: SparkSession, path: String,

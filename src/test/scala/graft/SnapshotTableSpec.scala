@@ -113,6 +113,93 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path, Some(1)).count() === 50)
   }
 
+  test("merge: updates replace matched keys, inserts append, old versions frozen") {
+    import spark.implicits._
+    val path = freshPath("merge")
+    SnapshotTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"), path)
+    // 10 updates (existing keys, new payloads) + 5 inserts (new keys)
+    val updates = ((1L to 10L).map(i => (i, s"UPD$i")) ++
+      (101L to 105L).map(i => (i, s"NEW$i"))).toDF("id", "payload")
+    val v = SnapshotTable.merge(updates, path, Seq("id"))
+    assert(v === 1)
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 105)
+    assert((1L to 10L).forall(i => got(i) == s"UPD$i"))
+    assert((11L to 100L).forall(i => got(i) == s"v$i"))
+    assert((101L to 105L).forall(i => got(i) == s"NEW$i"))
+    // time travel still sees the pre-merge table
+    val v0 = SnapshotTable.read(spark, path, Some(0)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v0.size === 100 && v0(1L) == "v1")
+    // schema mismatch is refused loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(updates.withColumnRenamed("payload", "p2"),
+        path, Seq("id"))
+    }
+  }
+
+  test("merge: only files containing matched keys are rewritten") {
+    import spark.implicits._
+    val path = freshPath("mergeprune")
+    // key-clustered layout: 8 range-partitioned files over id 1..800
+    SnapshotTable.create(
+      (1L to 800L).map(i => (i, i * 2.0)).toDF("id", "x")
+        .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifest(v: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path,
+        f"_graft_log/v$v%08d.manifest"))
+      try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    }
+    val before = manifest(0)
+    assert(before.size === 8)
+    // touch keys living in ONE range partition
+    SnapshotTable.merge(Seq((3L, -1.0), (5L, -2.0)).toDF("id", "x"),
+      path, Seq("id"))
+    val after = manifest(1)
+    // at most one data file was rewritten: >= 7 of the 8 original
+    // entries carry over BY NAME (zero data movement for them)
+    assert(after.toSet.intersect(before.toSet).size >= 7,
+      s"expected >=7 untouched files, before=$before after=$after")
+    assert(SnapshotTable.read(spark, path)
+      .filter(col("id") === 3L).collect().head.getDouble(1) === -1.0)
+    assert(SnapshotTable.read(spark, path).count() === 800)
+  }
+
+  test("merge: a concurrent commit fails the merge instead of dropping rows") {
+    import spark.implicits._
+    val path = freshPath("mergerace")
+    SnapshotTable.create(
+      (1L to 10L).map(i => (i, i.toString)).toDF("id", "s"), path)
+    // the racer commits BETWEEN merge's version read and its pinned
+    // commit: a side-effecting UDF inside the updates frame steals
+    // version 1 the first time the update rows are evaluated (during
+    // merge's own file-pruning join / staging — i.e. mid-merge),
+    // which is exactly the window blind-retry would silently lose
+    val stolenPath = s"$path/_graft_log/v00000001.manifest"
+    val steal = udf { (i: Long) =>
+      try {
+        val p = java.nio.file.Paths.get(stolenPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.createFile(p) // idempotent enough: throws if present
+      } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      i
+    }
+    val updates = Seq((1L, "upd")).toDF("id", "s")
+      .withColumn("id", steal(col("id")))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.merge(updates, path, Seq("id"))
+    }
+    // the racer's version is the log's latest; the merge left only
+    // unreferenced staged files behind (vacuum fodder), no manifest
+    assert(SnapshotTable.versions(spark, path) === Seq(0, 1))
+  }
+
   test("a persistent manifest-write failure rethrows, not 'gave up after conflicts'") {
     // route the table through a FileSystem whose manifest creates fail
     // like a dead disk: data staging works, the commit create throws,
