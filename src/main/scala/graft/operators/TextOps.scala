@@ -67,6 +67,40 @@ object TextOps {
       !(t.rlike("^https?://") || t.rlike("^www\\.") ||
         t.rlike("^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$")))
 
+  /** PII redaction patterns for a pretraining privacy pass, applied in
+    * THIS fixed order (emails first so their digits can't phone-match;
+    * card-length digit runs before phones so the more specific tag
+    * wins). Each entry: (category, RE2-compatible pattern — no
+    * lookarounds, so Java regex and DuckDB replay identically,
+    * placeholder). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("card", "\\b\\d{13,19}\\b", "<CARD>"),
+    ("phone", "\\+\\d{1,3}[ .-]?\\d{2,4}[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b",
+      "<PHONE>"))
+
+  /** Redact all [[PiiPatterns]] categories with typed placeholders —
+    * one codegen'd regexp_replace chain, no UDF, no shuffle. */
+  def piiScrub(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, p, tag)) =>
+      regexp_replace(acc, p, tag)
+    }
+
+  /** Per-category PII match counts with REPLACE-consistent semantics:
+    * category i is counted on the text already scrubbed of categories
+    * < i (so an email's digits never also count as a phone), exactly
+    * mirroring [[piiScrub]]'s chain. Returns (category → count
+    * Column). */
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    val scrubbedBefore = PiiPatterns.scanLeft(c) { case (acc, (_, p, tag)) =>
+      regexp_replace(acc, p, tag)
+    }
+    PiiPatterns.zip(scrubbedBefore).map { case ((name, p, _), input) =>
+      name -> size(regexp_extract_all(input, lit(p), lit(0)))
+    }
+  }
+
   /** Exact document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 

@@ -25,6 +25,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII redaction: emails / IPv4 / card-length digit runs / intl
+    // phone numbers → typed placeholders, one codegen'd regexp chain,
+    // counts with replace-consistent semantics. The corpus text gets
+    // deterministic synthetic PII appended (built from doc_id in BOTH
+    // engines) so the pass is provably non-vacuous on every row.
+    "t11_pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+        lit(" card 4111111111111111 tel +33 1 2345 6789"))
+      val counts = TextOps.piiCounts(col("aug"))
+        .map { case (name, c) => c.as(s"n_$name") }
+      Tables(s, dir, "documents")
+        .withColumn("aug", aug)
+        .select(col("doc_id") +: counts :+
+          md5(TextOps.piiScrub(col("aug"))).as("scrub_fp"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // quality signals: punct ratio, stopword ratio, mean word length
     "t2_quality" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -198,6 +217,33 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t11_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |      '@ex.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.7 card 4111111111111111 tel +33 1 2345 6789' AS a
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    len(regexp_extract_all(a,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS a FROM aug),
+        |s2 AS (SELECT doc_id, n_email,
+        |    len(regexp_extract_all(a,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |    regexp_replace(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |      '<IP>', 'g') AS a FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_ip,
+        |    len(regexp_extract_all(a, '\b\d{13,19}\b')) AS n_card,
+        |    regexp_replace(a, '\b\d{13,19}\b', '<CARD>', 'g') AS a FROM s2),
+        |s4 AS (SELECT doc_id, n_email, n_ip, n_card,
+        |    len(regexp_extract_all(a,
+        |      '\+\d{1,3}[ .-]?\d{2,4}[ .-]?\d{3,4}[ .-]?\d{3,4}\b')) AS n_phone,
+        |    regexp_replace(a, '\+\d{1,3}[ .-]?\d{2,4}[ .-]?\d{3,4}[ .-]?\d{3,4}\b',
+        |      '<PHONE>', 'g') AS a FROM s3)
+        |SELECT doc_id, n_email, n_ip, n_card, n_phone, md5(a) AS scrub_fp
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
     "t1_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS n_tokens,

@@ -248,6 +248,32 @@ object WindowQueries {
       }.reduce(_ unionByName _)
         .select(col("version"), col("n_rows"), col("total"))
         .orderBy(col("version"))
+    }),
+
+    // W16: row-level change feed (CDC) between snapshot versions —
+    // same create→merge lifecycle as w15, then changes(0, 1) reads
+    // ONLY the rewritten files and emits exact insert/delete row
+    // images (an update = one of each; survivors copied during the
+    // rewrite cancel in the multiset diff). DuckDB replays the
+    // expected feed relationally: deletes = original urgent finished
+    // orders, inserts = their doubled twins ∪ the high-priority rows.
+    "w16_snapshot_changes" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w16").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), path)
+      val updates = orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2) unionByName
+        orders.filter(col("o_orderpriority") === "2-HIGH")
+      SnapshotTable.merge(updates, path, Seq("o_orderkey"))
+      SnapshotTable.changes(s, path, 0, Some(1))
+        .orderBy(col("change_type"), col("o_orderkey"))
     })
   )
 
@@ -450,6 +476,22 @@ object WindowQueries {
         |SELECT 0 AS version, n_rows, total FROM v0
         |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
         |ORDER BY version""".stripMargin,
+
+    "w16_snapshot_changes" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  o_totalprice * 2 AS o_totalprice, 'insert' AS change_type
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  o_totalprice, 'insert' AS change_type
+        |FROM orders WHERE o_orderpriority = '2-HIGH'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  o_totalprice, 'delete' AS change_type
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |ORDER BY change_type, o_orderkey""".stripMargin,
 
     "flagship_panel" -> (denseSql +
       """,

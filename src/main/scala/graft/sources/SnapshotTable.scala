@@ -233,6 +233,39 @@ object SnapshotTable {
     commitPinned(spark, path, untouched ++ staged, readV + 1)
   }
 
+  /** Row-level change feed between two committed versions — CDC over
+    * the copy-on-write log without any per-row bookkeeping: only files
+    * REWRITTEN between the versions are read (manifest set difference;
+    * untouched files can contribute no change), and the row-level diff
+    * is a multiset EXCEPT ALL in each direction over just those files.
+    * Survivor rows copied into rewritten files cancel out; what
+    * remains is exactly the inserted and deleted row images, each
+    * tagged in `change_type` ('insert' | 'delete' — an update is one
+    * of each). Cost scales with CHURN (rewritten bytes), never table
+    * size. */
+  def changes(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val toV = toVersion.getOrElse(vs.max)
+    require(vs.contains(fromVersion) && vs.contains(toV) && fromVersion <= toV,
+      s"changes needs committed versions from<=to, got $fromVersion..$toV " +
+        s"of ${vs.mkString(",")}")
+    val fs = fsOf(spark, logDir(path))
+    val mFrom = readManifest(fs, path, fromVersion)
+    val mTo = readManifest(fs, path, toV)
+    val empty = read(spark, path, Some(toV)).filter(lit(false))
+    def readFiles(rels: Seq[String]): DataFrame =
+      if (rels.isEmpty) empty
+      else spark.read.parquet(rels.map(rel => new Path(path, rel).toString): _*)
+    val old = readFiles(mFrom.diff(mTo))
+    val neu = readFiles(mTo.diff(mFrom))
+    neu.exceptAll(old).withColumn("change_type", lit("insert"))
+      .unionByName(
+        old.exceptAll(neu).withColumn("change_type", lit("delete")))
+  }
+
   /** Create-exclusive commit of exactly `version` — no retry: losing
     * the slot means the snapshot this commit was derived from is no
     * longer latest, which the CALLER must resolve (re-run the merge).

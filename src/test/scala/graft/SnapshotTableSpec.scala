@@ -133,6 +133,17 @@ class SnapshotTableSpec extends SparkSpec {
     val v0 = SnapshotTable.read(spark, path, Some(0)).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v0.size === 100 && v0(1L) == "v1")
+    // the change feed between the versions is exactly the merge's
+    // row-level effect: one delete + one insert per updated key, one
+    // bare insert per new key — survivors cancel
+    val feed = SnapshotTable.changes(spark, path, 0, Some(1)).collect()
+      .map(r => (r.getString(r.fieldIndex("change_type")), r.getLong(0),
+        r.getString(1))).toSet
+    val wantFeed =
+      (1L to 10L).map(i => ("delete", i, s"v$i")).toSet ++
+        (1L to 10L).map(i => ("insert", i, s"UPD$i")) ++
+        (101L to 105L).map(i => ("insert", i, s"NEW$i"))
+    assert(feed === wantFeed)
     // schema mismatch is refused loudly
     intercept[IllegalArgumentException] {
       SnapshotTable.merge(updates.withColumnRenamed("payload", "p2"),
