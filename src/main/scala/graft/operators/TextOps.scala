@@ -101,6 +101,29 @@ object TextOps {
     }
   }
 
+  /** Fixed-size token chunking with overlap — the training-data
+    * windowing shape (context-length chunks advancing by `stride` <
+    * `chunk` tokens ⇒ overlapping windows). Returns an array of
+    * (chunk_idx, chunk, n_chunk_tokens) structs: window i covers
+    * tokens [i·stride, i·stride + chunk); every document yields ≥ 1
+    * chunk (the last may be short). Pure scan-stage array math —
+    * sequence/transform/slice, no shuffle, no UDF; the explode in the
+    * consuming query is the only row multiplier. */
+  def chunkTokens(c: Column, chunk: Int, stride: Int): Column = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"chunking needs 1 <= stride <= chunk, got chunk=$chunk stride=$stride")
+    val toks = tokens(c)
+    val n = size(toks)
+    // 1 + ceil((n - chunk) / stride) windows once n exceeds one chunk
+    val nChunks = when(n <= chunk, lit(1)).otherwise(
+      (lit(1) + (n - chunk + (stride - 1)) / lit(stride)).cast("int"))
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("chunk_idx"),
+        array_join(slice(toks, i * stride + 1, lit(chunk)), " ").as("chunk"),
+        greatest(least(lit(chunk), n - i * stride), lit(0))
+          .as("n_chunk_tokens")))
+  }
+
   /** Exact document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 

@@ -44,6 +44,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // context-length chunking: 64-token windows advancing by 48 (25%
+    // overlap) — the training-data windowing pass; chunks are emitted
+    // as md5 fingerprints (exact content check, bounded row width)
+    "t12_chunking" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.chunkTokens(col("text"), chunk = 64, stride = 48))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          md5(col("c.chunk")).as("chunk_fp"),
+          col("c.n_chunk_tokens").as("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // quality signals: punct ratio, stopword ratio, mean word length
     "t2_quality" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -203,6 +217,28 @@ object TextQueries {
         .filter(col("cum_tokens") <= 10000)
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // deterministic sequence packing: docs assigned IN ORDER to
+    // consecutive 512-token bins per source via an exclusive prefix
+    // sum (bin = excl_cum div budget — streaming first-fit; a bin may
+    // overrun by at most one document's tail). One window per source
+    // partition: the partition key IS the corpus stratification key,
+    // so the shuffle is the mix's natural layout; a pathologically hot
+    // source falls back to Aggregates.globalCumSum's two-pass offsets
+    "c8_sequence_packing" -> ((s, dir) => {
+      val budget = 512L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("bin",
+          ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget))
+            .cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
     })
   )
 
@@ -217,6 +253,38 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "c8_sequence_packing" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS excum
+        |  FROM t)
+        |SELECT source, excum // 512 AS bin, count(*) AS n_docs,
+        |  sum(n_tokens) AS bin_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t12_chunking" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+        |c AS (SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc
+        |  FROM n),
+        |e AS (SELECT doc_id, toks, n,
+        |    unnest(range(nc)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  md5(array_to_string(
+        |    list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+        |    AS chunk_fp,
+        |  greatest(least(64, n - chunk_idx * 48), 0) AS n_chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "t11_pii_scrub" ->
       """WITH aug AS (SELECT doc_id,
         |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
