@@ -213,6 +213,30 @@ object EventQueries {
         k = 256)
     }),
 
+    // E11: last-touch attribution — every purchase attributed to the
+    // same user's most recent non-purchase event within 30 minutes,
+    // via the NATIVE as-of operator (one co-partitioning exchange per
+    // side, merge scan with O(1) state — never a window buffering the
+    // user's event list). The touch side pre-aggregates to one row per
+    // (user, ts) with a deterministic arg-max tie-break, making the
+    // as-of right side unique per (by, on) as the operator requires;
+    // DuckDB replays with its own ASOF LEFT JOIN.
+    "e11_attribution" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(expr("max_by(event_type, event_id)").as("src_type"))
+      graft.operators.AsOfJoin.mergeAsOfNative(purchases, touches,
+          "ts_us", Seq("user_id"),
+          toleranceDays = Some(1800000000), // raw µs for long on-cols
+          direction = "backward")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("src_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // JSON property extraction + aggregation (scalar JSON family)
     "e3_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -225,6 +249,21 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e11_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT event_id, user_id, value, ts_us FROM e
+        |  WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts_us,
+        |    arg_max(event_type, event_id) AS src_type
+        |  FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.value,
+        |  CASE WHEN s.ts_us IS NOT NULL AND p.ts_us - s.ts_us <= 1800000000
+        |    THEN s.src_type END AS src_type
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "e1_hourly_windows" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
         |  event_type, count(*) AS n,

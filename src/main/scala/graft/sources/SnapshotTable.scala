@@ -176,14 +176,16 @@ object SnapshotTable {
     *
     * Scale design — the point is what does NOT get rewritten:
     *
-    *  1. file pruning is a distributed LEFT SEMI join of the current
-    *     snapshot (tagged with `_metadata.file_path`) against the
-    *     distinct update keys — only file NAMES come back to the
-    *     driver (O(#affected files), never rows). A key-clustered
-    *     layout ([[optimize]] with sortCols = keys) concentrates
-    *     matches in few files, so a point-update rewrites a sliver of
-    *     the table while every untouched file carries over by
-    *     reference;
+    *  1. file pruning is two-level: parquet footer min/max statistics
+    *     of the first key column eliminate every file whose key range
+    *     can't intersect the update range WITHOUT reading a row
+    *     (O(#files) footer reads — the manifest-cached-stats upgrade
+    *     would make this pure metadata; on a key-clustered layout
+    *     ([[optimize]] with sortCols = keys) it leaves only the files
+    *     straddling the update range), then a distributed LEFT SEMI
+    *     join of the surviving candidates (key columns only) against
+    *     the distinct update keys decides exactly — only file NAMES
+    *     come back to the driver, never rows;
     *  2. only affected files are re-read: survivors (left-anti on the
     *     update keys) union the update rows, staged as fresh immutable
     *     files; unaffected manifest entries are copied verbatim;
@@ -212,25 +214,90 @@ object SnapshotTable {
         s", updates have [${updates.columns.mkString(",")}]")
     require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
       s"merge keys [${keyCols.mkString(",")}] must be update columns")
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, max, min}
     val keys = updates.select(keyCols.map(col): _*).distinct()
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
-    val affectedNames = spark.read
-      .parquet(manifest.map(rel => new Path(path, rel).toString): _*)
-      .select(col("_metadata.file_path").as("__fp") +: keyCols.map(col): _*)
-      .join(keys, keyCols, "left_semi")
-      .select(col("__fp")).distinct()
-      .collect().map(r => fileOf(r.getString(0))).toSet
+    // Level-1 pruning, NO data scan: parquet footer min/max of the
+    // first key column vs the update keys' overall range — a file
+    // whose key range can't intersect the update range can't contain
+    // a matched row. On a key-clustered layout (optimize with
+    // sortCols = keys) this shrinks the candidate set to the files
+    // actually straddling the update range before any row is read.
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+    val candidates: Seq[String] = updates.schema(keyCols.head).dataType match {
+      case IntegerType | LongType | DateType =>
+        val mm = keys.agg(min(col(keyCols.head)), max(col(keyCols.head)))
+          .collect()(0)
+        if (mm.isNullAt(0)) Seq.empty // all-null keys match nothing
+        else {
+          val asLong: Any => Long = {
+            case i: java.lang.Integer => i.toLong
+            case l: java.lang.Long => l
+            case d: java.sql.Date => d.toLocalDate.toEpochDay
+          }
+          val (lo, hi) = (asLong(mm.get(0)), asLong(mm.get(1)))
+          manifest.filter(rel => fileKeyRangeMayOverlap(
+            spark, new Path(path, rel), keyCols.head, lo, hi))
+        }
+      case _ => manifest
+    }
+    // Level-2 pruning, exact: a distributed LEFT SEMI join of the
+    // candidate files' rows (key columns only) against the distinct
+    // update keys — only matched file NAMES reach the driver.
+    val affectedNames =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read
+        .parquet(candidates.map(rel => new Path(path, rel).toString): _*)
+        .select(col("_metadata.file_path").as("__fp") +: keyCols.map(col): _*)
+        .join(keys, keyCols, "left_semi")
+        .select(col("__fp")).distinct()
+        .collect().map(r => fileOf(r.getString(0))).toSet
     val (affected, untouched) =
       manifest.partition(rel => affectedNames.contains(fileOf(rel)))
+    // stage ~one output file per rewritten input file (+1 for the
+    // updates), not one per shuffle partition — a 1-file point update
+    // must not shatter into 32 slivers
     val rewritten =
       if (affected.isEmpty) updates
       else spark.read
         .parquet(affected.map(rel => new Path(path, rel).toString): _*)
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
-    val staged = stage(rewritten, path)
+    val staged = stage(rewritten.coalesce(affected.size + 1), path)
     commitPinned(spark, path, untouched ++ staged, readV + 1)
+  }
+
+  /** Parquet-footer key-range test: true iff `file` MAY contain a key
+    * in [lo, hi] per its row-group statistics for `keyCol` (missing or
+    * unreadable stats → true, never false-negative). Int32/Int64/date
+    * physical stats only — callers gate on the logical type. */
+  private def fileKeyRangeMayOverlap(spark: SparkSession, file: Path,
+      keyCol: String, lo: Long, hi: Long): Boolean = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala.find(
+              _.getPath.toDotString == keyCol) match {
+            case Some(chunk) =>
+              val st = chunk.getStatistics
+              if (st == null) true // no stats: keep file
+              else if (!st.hasNonNullValue) false // all-null chunk: no match
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Number, mx: java.lang.Number) =>
+                  mn.longValue() <= hi && mx.longValue() >= lo
+                case _ => true // non-numeric physical stats: keep file
+              }
+            case None => true // key column absent from footer: keep file
+          }
+        }
+      } finally reader.close()
+    } catch {
+      case _: Exception => true // unreadable footer: keep file
+    }
   }
 
   /** Row-level change feed between two committed versions — CDC over
