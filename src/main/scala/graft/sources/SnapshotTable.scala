@@ -18,9 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   path/files/<uuid>.parquet            immutable data files
   * }}}
   *
-  * A manifest lists the data files visible at its version (relative
-  * paths, one per line). Commit protocol — optimistic concurrency on
-  * the manifest name:
+  * A manifest lists the data files visible at its version (one per
+  * line: relative path, plus optional TAB-separated per-column key
+  * ranges harvested from the parquet footers at stage time — the
+  * pure-metadata pruning index [[merge]] consults). Commit protocol —
+  * optimistic concurrency on the manifest name:
   *
   *  1. writers stage fully-written parquet files into `files/` FIRST
   *     (uuid names — never overwritten, never referenced until commit);
@@ -66,6 +68,30 @@ object SnapshotTable {
       .sorted
   }
 
+  /** Manifest line format: `rel-path` optionally followed by a TAB and
+    * cached per-column key ranges (`col=min:max;col2=min:max`, long
+    * values; dates as epoch days). The path part is authoritative;
+    * unknown or malformed stats parse to "no stats" — old manifests
+    * without the TAB section remain fully readable. */
+  private def entryPath(line: String): String = line.split("\t", 2)(0)
+
+  private def entryStats(line: String): Map[String, (Long, Long)] =
+    line.split("\t", 2) match {
+      case Array(_, st) =>
+        st.split(";").iterator.flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(c, range) => range.split(":", 2) match {
+              case Array(lo, hi) =>
+                try Some(c -> (lo.toLong, hi.toLong))
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+
   private def readManifest(fs: FileSystem, path: String, v: Int): Seq[String] = {
     val in = fs.open(new Path(logDir(path), manifestName(v)))
     try {
@@ -78,12 +104,24 @@ object SnapshotTable {
     } finally in.close()
   }
 
+  private def manifestPaths(fs: FileSystem, path: String, v: Int): Seq[String] =
+    readManifest(fs, path, v).map(entryPath)
+
   /** Stage `df` as immutable uuid-named parquet files under `files/`;
-    * returns their manifest-relative paths. Nothing references them
-    * until a manifest commits. */
+    * returns their manifest ENTRIES (relative path + cached key-range
+    * stats for every integral/date top-level column, harvested from
+    * the just-written parquet footers — one local footer read per
+    * staged file at WRITE time buys pure-metadata pruning on every
+    * later [[merge]]). Nothing references the files until a manifest
+    * commits. */
   private def stage(df: DataFrame, path: String): Seq[String] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
     val spark = df.sparkSession
     val fs = fsOf(spark, new Path(path))
+    val statCols = df.schema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == DateType => f.name
+    }.toSeq
     val tmp = new Path(path, s"__stage_${UUID.randomUUID()}")
     df.write.parquet(tmp.toString)
     fs.mkdirs(filesDir(path))
@@ -93,11 +131,48 @@ object SnapshotTable {
         val dest = new Path(filesDir(path), s"${UUID.randomUUID()}.parquet")
         if (!fs.rename(f.getPath, dest))
           sys.error(s"snapshot stage: rename ${f.getPath} -> $dest failed")
-        s"files/${dest.getName}"
+        val stats = footerRanges(spark, dest, statCols)
+        if (stats.isEmpty) s"files/${dest.getName}"
+        else s"files/${dest.getName}\t" + stats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
       }
     if (!fs.delete(tmp, true))
       sys.error(s"snapshot stage: could not clear $tmp")
     staged
+  }
+
+  /** Footer-harvested [min, max] long ranges for `cols` in one parquet
+    * file; a column is omitted unless EVERY row group has numeric
+    * non-null stats for it (omission = "unknown", never wrong). */
+  private def footerRanges(spark: SparkSession, file: Path,
+      cols: Seq[String]): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    if (cols.isEmpty) return Map.empty
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        cols.flatMap { c =>
+          val perBlock = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .filter(st => st != null && st.hasNonNullValue)
+              .flatMap(st => (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Number, mx: java.lang.Number) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case _ => None
+              })
+          }
+          if (perBlock.exists(_.isEmpty)) None
+          else {
+            val rs = perBlock.flatten
+            Some(c -> (rs.map(_._1).min, rs.map(_._2).max))
+          }
+        }.toMap
+      } finally reader.close()
+    } catch { case _: Exception => Map.empty }
   }
 
   /** Create-exclusive manifest commit with optimistic retry. `base`
@@ -217,12 +292,14 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{col, max, min}
     val keys = updates.select(keyCols.map(col): _*).distinct()
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
-    // Level-1 pruning, NO data scan: parquet footer min/max of the
-    // first key column vs the update keys' overall range — a file
-    // whose key range can't intersect the update range can't contain
-    // a matched row. On a key-clustered layout (optimize with
-    // sortCols = keys) this shrinks the candidate set to the files
-    // actually straddling the update range before any row is read.
+    // Level-1 pruning, NO data scan: the update keys' overall range
+    // vs each file's cached key range from its MANIFEST entry (pure
+    // metadata, written once at stage time); entries that predate the
+    // stats format fall back to one parquet footer read. A file whose
+    // key range can't intersect the update range can't contain a
+    // matched row — on a key-clustered layout (optimize with
+    // sortCols = keys) only the files straddling the update range
+    // survive, before any row is read.
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
     val candidates: Seq[String] = updates.schema(keyCols.head).dataType match {
       case IntegerType | LongType | DateType =>
@@ -236,8 +313,13 @@ object SnapshotTable {
             case d: java.sql.Date => d.toLocalDate.toEpochDay
           }
           val (lo, hi) = (asLong(mm.get(0)), asLong(mm.get(1)))
-          manifest.filter(rel => fileKeyRangeMayOverlap(
-            spark, new Path(path, rel), keyCols.head, lo, hi))
+          manifest.filter { entry =>
+            entryStats(entry).get(keyCols.head) match {
+              case Some((mn, mx)) => mn <= hi && mx >= lo
+              case None => fileKeyRangeMayOverlap(spark,
+                new Path(path, entryPath(entry)), keyCols.head, lo, hi)
+            }
+          }
         }
       case _ => manifest
     }
@@ -247,20 +329,20 @@ object SnapshotTable {
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
       else spark.read
-        .parquet(candidates.map(rel => new Path(path, rel).toString): _*)
+        .parquet(candidates.map(e => new Path(path, entryPath(e)).toString): _*)
         .select(col("_metadata.file_path").as("__fp") +: keyCols.map(col): _*)
         .join(keys, keyCols, "left_semi")
         .select(col("__fp")).distinct()
         .collect().map(r => fileOf(r.getString(0))).toSet
     val (affected, untouched) =
-      manifest.partition(rel => affectedNames.contains(fileOf(rel)))
+      manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
     // stage ~one output file per rewritten input file (+1 for the
     // updates), not one per shuffle partition — a 1-file point update
     // must not shatter into 32 slivers
     val rewritten =
       if (affected.isEmpty) updates
       else spark.read
-        .parquet(affected.map(rel => new Path(path, rel).toString): _*)
+        .parquet(affected.map(e => new Path(path, entryPath(e)).toString): _*)
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
     val staged = stage(rewritten.coalesce(affected.size + 1), path)
@@ -320,8 +402,10 @@ object SnapshotTable {
       s"changes needs committed versions from<=to, got $fromVersion..$toV " +
         s"of ${vs.mkString(",")}")
     val fs = fsOf(spark, logDir(path))
-    val mFrom = readManifest(fs, path, fromVersion)
-    val mTo = readManifest(fs, path, toV)
+    // diff by PATH, not raw line — stats are a per-file constant, but
+    // paths are what names a file across manifests
+    val mFrom = manifestPaths(fs, path, fromVersion)
+    val mTo = manifestPaths(fs, path, toV)
     val empty = read(spark, path, Some(toV)).filter(lit(false))
     def readFiles(rels: Seq[String]): DataFrame =
       if (rels.isEmpty) empty
@@ -373,7 +457,7 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
-    val files = readManifest(fsOf(spark, logDir(path)), path, v)
+    val files = manifestPaths(fsOf(spark, logDir(path)), path, v)
       .map(rel => new Path(path, rel).toString)
     require(files.nonEmpty, s"version $v references no data files " +
       "(committed from an empty write with no parts)")
@@ -390,7 +474,7 @@ object SnapshotTable {
     val fs = fsOf(spark, new Path(path))
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    val files = readManifest(fs, path, vs.max)
+    val files = manifestPaths(fs, path, vs.max)
       .map(rel => new Path(path, rel))
     val totalBytes = files.map(f => fs.getFileStatus(f).getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -420,7 +504,7 @@ object SnapshotTable {
     val fs = fsOf(spark, new Path(path))
     val vs = versions(spark, path)
     val kept = vs.takeRight(keep)
-    val referenced = kept.flatMap(v => readManifest(fs, path, v)).toSet
+    val referenced = kept.flatMap(v => manifestPaths(fs, path, v)).toSet
       .map((rel: String) => new Path(path, rel).getName)
     vs.dropRight(keep).foreach { v =>
       val m = new Path(logDir(path), manifestName(v))

@@ -169,6 +169,10 @@ class SnapshotTableSpec extends SparkSpec {
     }
     val before = manifest(0)
     assert(before.size === 8)
+    // every entry carries the footer-harvested key-range index the
+    // merge's level-1 pruning reads (pure metadata, no footer I/O)
+    assert(before.forall(_.matches("""files/.*\.parquet\t.*\bid=-?\d+:-?\d+.*""")),
+      s"manifest entries missing id range stats: $before")
     // touch keys living in ONE range partition
     SnapshotTable.merge(Seq((3L, -1.0), (5L, -2.0)).toDF("id", "x"),
       path, Seq("id"))
