@@ -92,7 +92,7 @@ object SnapshotTable {
       case _ => Map.empty
     }
 
-  private def readManifest(fs: FileSystem, path: String, v: Int): Seq[String] = {
+  private def manifestLines(fs: FileSystem, path: String, v: Int): Seq[String] = {
     val in = fs.open(new Path(logDir(path), manifestName(v)))
     try {
       val bytes = new java.io.ByteArrayOutputStream()
@@ -103,6 +103,20 @@ object SnapshotTable {
         .map(_.trim).filter(_.nonEmpty)
     } finally in.close()
   }
+
+  /** Data-file entries of a manifest (metadata `#key=value` lines,
+    * e.g. the streaming batch marker, are per-commit and excluded). */
+  private def readManifest(fs: FileSystem, path: String, v: Int): Seq[String] =
+    manifestLines(fs, path, v).filterNot(_.startsWith("#"))
+
+  /** Per-commit metadata of a manifest (`#key=value` header lines). */
+  private def readMeta(fs: FileSystem, path: String, v: Int): Map[String, String] =
+    manifestLines(fs, path, v).filter(_.startsWith("#")).flatMap { l =>
+      l.drop(1).split("=", 2) match {
+        case Array(k, v2) => Some(k -> v2)
+        case _ => None
+      }
+    }.toMap
 
   private def manifestPaths(fs: FileSystem, path: String, v: Int): Seq[String] =
     readManifest(fs, path, v).map(entryPath)
@@ -180,14 +194,16 @@ object SnapshotTable {
     * version on every attempt (append semantics survive losing a
     * race). Returns the committed version number. */
   private def commit(spark: SparkSession, path: String,
-      staged: Seq[String], base: Int => Seq[String]): Int = {
+      staged: Seq[String], base: Int => Seq[String],
+      meta: Map[String, String] = Map.empty): Int = {
     val fs = fsOf(spark, logDir(path))
     fs.mkdirs(logDir(path))
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     var attempts = 0
     while (attempts < 50) {
       val vs = versions(spark, path)
       val next = if (vs.isEmpty) 0 else vs.max + 1
-      val content = (base(next) ++ staged).mkString("\n")
+      val content = (metaLines ++ base(next) ++ staged).mkString("\n")
       val target = new Path(logDir(path), manifestName(next))
       try {
         val out = fs.create(target, false) // exclusive: one winner per version
@@ -243,6 +259,41 @@ object SnapshotTable {
     * the staged files; prior versions stay readable until vacuum). */
   def overwrite(df: DataFrame, path: String): Int =
     commit(df.sparkSession, path, stage(df, path), _ => Seq.empty)
+
+  /** EXACTLY-ONCE idempotent append for a streaming micro-batch: the
+    * batch id rides inside the atomic manifest commit as a
+    * `#streamBatch=<id>` metadata line, so the data and its delivery
+    * marker become visible in the same create-exclusive file
+    * operation — there is no crash window where one exists without
+    * the other. A replayed batch (restart from checkpoint) is
+    * recognized by scanning the log head for the newest marker and
+    * skipped, returning None. Creates the table on the first batch.
+    *
+    * Single stream writer per table (markers are unscoped, like a
+    * one-writer Delta txn) — concurrent batch appends/merges are fine,
+    * a SECOND stream would collide on batch ids. */
+  def appendStreamBatch(df: DataFrame, path: String,
+      batchId: Long): Option[Int] = {
+    val spark = df.sparkSession
+    if (committedStreamBatch(spark, path).exists(_ >= batchId)) None
+    else {
+      val staged = stage(df, path)
+      Some(commit(spark, path, staged,
+        next => if (next == 0) Seq.empty
+          else readManifest(fsOf(spark, logDir(path)), path, next - 1),
+        meta = Map("streamBatch" -> batchId.toString)))
+    }
+  }
+
+  /** Newest streaming batch id committed to this table, scanning the
+    * log newest-first (non-stream commits in between are skipped;
+    * bounded by the vacuum-trimmed log length). */
+  def committedStreamBatch(spark: SparkSession, path: String): Option[Long] = {
+    val fs = fsOf(spark, logDir(path))
+    versions(spark, path).reverseIterator
+      .map(v => readMeta(fs, path, v).get("streamBatch"))
+      .collectFirst { case Some(b) => b.toLong }
+  }
 
   /** Row-level MERGE (upsert) as a copy-on-write commit: rows of
     * `updates` REPLACE every current row sharing their `keyCols`

@@ -225,4 +225,28 @@ object Streaming {
     }
     spark.table(queryName)
   }
+
+  /** Stream → snapshot-table ingestion with EXACTLY-ONCE batch
+    * commits: each micro-batch appends through
+    * [[graft.sources.SnapshotTable.appendStreamBatch]], whose batch-id
+    * marker rides inside the same atomic manifest commit as the data —
+    * a batch replayed after crash/restart (same checkpoint) is
+    * recognized and skipped, so the table never holds duplicates. Runs
+    * the stream to completion of the currently-available input and
+    * returns the final committed version. One logical stream per
+    * table (see appendStreamBatch). */
+  def runToSnapshot(spark: SparkSession, streamed: DataFrame,
+      tablePath: String, checkpoint: String): Int = {
+    val q = streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.SnapshotTable.appendStreamBatch(batch, tablePath, id)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.sources.SnapshotTable.versions(spark, tablePath).max
+  }
 }

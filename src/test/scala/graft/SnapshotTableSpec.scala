@@ -215,6 +215,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, path) === Seq(0, 1))
   }
 
+  test("appendStreamBatch: exactly-once under batch replay, markers survive other commits") {
+    import spark.implicits._
+    val path = freshPath("stream")
+    // batch 0 creates the table; batch 1 appends
+    assert(SnapshotTable.appendStreamBatch(
+      (1L to 10L).toDF("id"), path, 0L).contains(0))
+    assert(SnapshotTable.appendStreamBatch(
+      (11L to 20L).toDF("id"), path, 1L).contains(1))
+    assert(SnapshotTable.read(spark, path).count() === 20)
+    // replay of an already-committed batch (crash/restart) is a no-op
+    assert(SnapshotTable.appendStreamBatch(
+      (11L to 20L).toDF("id"), path, 1L).isEmpty)
+    assert(SnapshotTable.appendStreamBatch(
+      (1L to 10L).toDF("id"), path, 0L).isEmpty)
+    assert(SnapshotTable.read(spark, path).count() === 20)
+    // an interleaved NON-stream commit doesn't erase the marker: the
+    // newest-first log scan still finds batch 1 and skips its replay
+    SnapshotTable.append((100L to 102L).toDF("id"), path)
+    assert(SnapshotTable.appendStreamBatch(
+      (11L to 20L).toDF("id"), path, 1L).isEmpty)
+    // and the next NEW batch commits normally
+    assert(SnapshotTable.appendStreamBatch(
+      (21L to 25L).toDF("id"), path, 2L).isDefined)
+    assert(SnapshotTable.read(spark, path).count() === 28)
+    assert(SnapshotTable.committedStreamBatch(spark, path).contains(2L))
+  }
+
+  test("runToSnapshot ingests a file stream into a snapshot table, batch per file") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("snapsrc").toString +
+      "/events"
+    (1L to 300L).toDF("id").repartition(3).write.parquet(src)
+    val path = freshPath("ingest")
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.streaming.Streaming.runToSnapshot(spark, stream, path,
+      java.nio.file.Files.createTempDirectory("snapckpt").toString)
+    assert(SnapshotTable.read(spark, path).count() === 300)
+    assert(SnapshotTable.read(spark, path).agg(sum(col("id")))
+      .collect()(0).getLong(0) === (1L to 300L).sum)
+    // one commit per micro-batch, each carrying its marker
+    assert(SnapshotTable.committedStreamBatch(spark, path).exists(_ >= 1L))
+  }
+
   test("a persistent manifest-write failure rethrows, not 'gave up after conflicts'") {
     // route the table through a FileSystem whose manifest creates fail
     // like a dead disk: data staging works, the commit create throws,
