@@ -205,6 +205,25 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // stream → snapshot-table ingestion with exactly-once batch
+    // commits (the lakehouse landing path): the events stream is
+    // written through runToSnapshot/appendStreamBatch, then the TABLE
+    // is aggregated — equality with the plain batch aggregate proves
+    // every event landed exactly once through the micro-batch commits
+    "st9_stream_ingest" -> ((s, dir) => {
+      val stream = eventsStream(s, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st9").toString
+      graft.streaming.Streaming.runToSnapshot(s, stream(),
+        s"$base/t", s"$base/ckpt")
+      graft.sources.SnapshotTable.read(s, s"$base/t")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // sliding 1-hour windows every 30 minutes over the stream — the
     // streaming twin of batch e4 (same oracle math: each event lands in
     // exactly window/slide = 2 windows, keyed by start in epoch µs)
@@ -277,6 +296,11 @@ object StreamingQueries {
 
     "st2_stream_dedup" ->
       """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st9_stream_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st8_stream_anomaly" ->
