@@ -198,11 +198,18 @@ object SnapshotTable {
       meta: Map[String, String] = Map.empty): Int = {
     val fs = fsOf(spark, logDir(path))
     fs.mkdirs(logDir(path))
-    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     var attempts = 0
     while (attempts < 50) {
       val vs = versions(spark, path)
       val next = if (vs.isEmpty) 0 else vs.max + 1
+      // metadata is INHERITED commit-over-commit (this commit's keys
+      // win): markers like the streaming batch id stay on the log head
+      // forever, so vacuuming old manifests can never drop them
+      val mergedMeta =
+        (if (vs.isEmpty) Map.empty[String, String]
+         else readMeta(fs, path, vs.max)) ++ meta
+      val metaLines = mergedMeta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"#$k=$v" }
       val content = (metaLines ++ base(next) ++ staged).mkString("\n")
       val target = new Path(logDir(path), manifestName(next))
       try {
@@ -476,11 +483,15 @@ object SnapshotTable {
       files: Seq[String], version: Int): Int = {
     val fs = fsOf(spark, logDir(path))
     fs.mkdirs(logDir(path))
+    // inherit the read version's metadata (streaming markers etc.) —
+    // same rule as commit()
+    val metaLines = readMeta(fs, path, version - 1).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"#$k=$v" }
     val target = new Path(logDir(path), manifestName(version))
     try {
       val out = fs.create(target, false)
       try {
-        out.write(files.mkString("\n").getBytes("UTF-8"))
+        out.write((metaLines ++ files).mkString("\n").getBytes("UTF-8"))
         out.close()
       } catch {
         case e: Throwable =>

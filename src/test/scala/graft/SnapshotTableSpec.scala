@@ -240,6 +240,14 @@ class SnapshotTableSpec extends SparkSpec {
       (21L to 25L).toDF("id"), path, 2L).isDefined)
     assert(SnapshotTable.read(spark, path).count() === 28)
     assert(SnapshotTable.committedStreamBatch(spark, path).contains(2L))
+    // markers are inherited commit-over-commit, so even vacuuming the
+    // log down to ONE version cannot reopen the replay window
+    SnapshotTable.append((200L to 201L).toDF("id"), path)
+    SnapshotTable.vacuum(spark, path, keep = 1)
+    assert(SnapshotTable.committedStreamBatch(spark, path).contains(2L))
+    assert(SnapshotTable.appendStreamBatch(
+      (21L to 25L).toDF("id"), path, 2L).isEmpty)
+    assert(SnapshotTable.read(spark, path).count() === 30)
   }
 
   test("runToSnapshot ingests a file stream into a snapshot table, batch per file") {
