@@ -549,6 +549,40 @@ object SnapshotTable {
     overwrite(laid, path)
   }
 
+  /** Incremental compaction: rewrite ONLY the data files smaller than
+    * `targetFileBytes / 2` into ~target-sized files, carrying every
+    * already-right-sized file by reference — the natural companion to
+    * streaming ingestion, whose per-batch commits accumulate small
+    * files. Cost scales with the small-file backlog, never table
+    * size; published as a new version like [[optimize]] (concurrent
+    * readers of prior versions untouched). Returns the committed
+    * version, or None when fewer than two files qualify (nothing to
+    * gain). */
+  def optimizeIncremental(spark: SparkSession, path: String,
+      targetFileBytes: Long): Option[Int] = {
+    val fs = fsOf(spark, new Path(path))
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val readV = vs.max
+    val manifest = readManifest(fs, path, readV)
+    val (small, kept) = manifest.partition { e =>
+      fs.getFileStatus(new Path(path, entryPath(e))).getLen <
+        targetFileBytes / 2
+    }
+    if (small.size < 2) None
+    else {
+      val totalBytes = small
+        .map(e => fs.getFileStatus(new Path(path, entryPath(e))).getLen).sum
+      val nFiles = math.max(1,
+        math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val compacted = spark.read
+        .parquet(small.map(e => new Path(path, entryPath(e)).toString): _*)
+        .coalesce(nFiles)
+      val staged = stage(compacted, path)
+      Some(commitPinned(spark, path, kept ++ staged, readV + 1))
+    }
+  }
+
   /** Drop all but the newest `keep` versions and delete every data
     * file no kept version references. Bounds the log and storage;
     * time travel to vacuumed versions is gone (that is the point).

@@ -250,6 +250,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 30)
   }
 
+  test("optimizeIncremental compacts only the small-file backlog") {
+    import spark.implicits._
+    val path = freshPath("inc")
+    // one big file + eight tiny per-batch files (the post-ingestion
+    // shape); the big file must stay comfortably above the small-file
+    // threshold (distinct payloads defeat dictionary compression)
+    SnapshotTable.create(
+      spark.range(2000000L).select(col("id"),
+        concat(lit("payload_"), col("id")).as("s")).coalesce(1), path)
+    for (b <- 0 until 8)
+      SnapshotTable.appendStreamBatch(
+        Seq((10000000L + b, "late")).toDF("id", "s"), path, b.toLong)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifest(v: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path,
+        f"_graft_log/v$v%08d.manifest"))
+      try scala.io.Source.fromInputStream(in).getLines().toList
+        .filterNot(_.startsWith("#"))
+      finally in.close()
+    }
+    val before = manifest(8)
+    assert(before.size === 9)
+    val v = SnapshotTable.optimizeIncremental(spark, path,
+      targetFileBytes = 4L * 1024 * 1024)
+    assert(v.contains(9))
+    val after = manifest(9)
+    // the big file carried by reference, the 8 tiny ones became 1
+    assert(after.size === 2)
+    assert(after.toSet.intersect(before.toSet).size === 1)
+    assert(SnapshotTable.read(spark, path).count() === 2000008)
+    // streaming markers survive the compaction commit
+    assert(SnapshotTable.committedStreamBatch(spark, path).contains(7L))
+    // nothing left to compact → no new version
+    assert(SnapshotTable.optimizeIncremental(spark, path,
+      targetFileBytes = 4L * 1024 * 1024).isEmpty)
+  }
+
   test("runToSnapshot ingests a file stream into a snapshot table, batch per file") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("snapsrc").toString +
