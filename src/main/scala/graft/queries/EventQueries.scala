@@ -225,7 +225,12 @@ object EventQueries {
       val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      // one user_id shuffle serves BOTH the (user, ts) aggregate
+      // (hash(user) clusters every finer key) and the as-of join's
+      // ClusteredDistribution(user_id) — without it the aggregate
+      // shuffles on (user, ts) and the join must re-shuffle on user
       val touches = e.filter(col("event_type") =!= "purchase")
+        .repartition(col("user_id"))
         .groupBy(col("user_id"), col("ts_us"))
         .agg(expr("max_by(event_type, event_id)").as("src_type"))
       graft.operators.AsOfJoin.mergeAsOfNative(purchases, touches,
