@@ -49,6 +49,42 @@ object DedupQueries {
         .orderBy(col("fingerprint"))
     }),
 
+    // incremental exact dedup against a PERSISTENT fingerprint store —
+    // the continuous-ingestion shape: day-1 fingerprints land in a
+    // snapshot table; the day-2 batch anti-joins the store (cross-batch
+    // dedup), keeps min doc_id per new fingerprint (within-batch), and
+    // appends what it accepted. The store read is a plain snapshot
+    // scan, the anti-join shuffles fingerprints (16-byte keys), never
+    // document text.
+    "d8_incremental_dedup" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_d8").toString + "/fp"
+      // the corpus has near-dups but zero EXACT dups, so the
+      // cross-batch arm is made provably non-vacuous the t11 way:
+      // every doc_id % 10 == 1 day-2 doc deterministically borrows its
+      // even predecessor's fingerprint (replayed identically in SQL)
+      val raw = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val prev = raw.select((col("doc_id") + 1).as("doc_id"),
+        col("fp").as("fp_prev"))
+      val fp = raw.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1 && col("fp_prev").isNotNull,
+            col("fp_prev")).otherwise(col("fp")).as("fp"))
+      val day1 = fp.filter(col("doc_id") % 2 === 0)
+      val day2 = fp.filter(col("doc_id") % 2 =!= 0)
+      SnapshotTable.create(day1.select(col("fp")).distinct(), store)
+      val accepted = day2
+        .join(SnapshotTable.read(s, store), Seq("fp"), "left_anti")
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      SnapshotTable.append(accepted.select(col("fp")), store)
+      val storeSize = SnapshotTable.read(s, store).distinct().count()
+      accepted.select(col("doc_id"), col("fp"))
+        .withColumn("store_distinct", lit(storeSize))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact 3-gram Jaccard near-dup pairs (PPJoin prefix+positional
     // filtering, ≥ 0.8); shares the persisted shingle pass with d3
     "d2_ngram_jaccard" -> ((s, dir) => {
@@ -225,6 +261,23 @@ object DedupQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d8_incremental_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |fp AS (SELECT a.doc_id,
+        |    CASE WHEN a.doc_id % 10 = 1 AND b.fp IS NOT NULL
+        |      THEN b.fp ELSE a.fp END AS fp
+        |  FROM raw a LEFT JOIN raw b ON a.doc_id = b.doc_id + 1),
+        |day1 AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+        |day2 AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 <> 0),
+        |accepted AS (SELECT fp, min(doc_id) AS doc_id FROM day2
+        |  WHERE fp NOT IN (SELECT fp FROM day1) GROUP BY fp),
+        |store AS (SELECT count(DISTINCT fp) AS n FROM (
+        |  SELECT fp FROM day1 UNION ALL SELECT fp FROM accepted))
+        |SELECT doc_id, fp, (SELECT n FROM store) AS store_distinct
+        |FROM accepted ORDER BY doc_id""".stripMargin,
 
     "d2_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,
