@@ -334,7 +334,8 @@ object SnapshotTable {
     * Duplicate keys inside `updates` are allowed: all matched current
     * rows are replaced and ALL update rows land (the caller owns
     * dedup if one-row-per-key matters). */
-  def merge(updates: DataFrame, path: String, keyCols: Seq[String]): Int = {
+  def merge(updates: DataFrame, path: String, keyCols: Seq[String],
+      meta: Map[String, String] = Map.empty): Int = {
     val spark = updates.sparkSession
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
@@ -404,7 +405,7 @@ object SnapshotTable {
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
     val staged = stage(rewritten.coalesce(affected.size + 1), path)
-    commitPinned(spark, path, untouched ++ staged, readV + 1)
+    commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
   }
 
   /** Parquet-footer key-range test: true iff `file` MAY contain a key
@@ -480,13 +481,14 @@ object SnapshotTable {
     * longer latest, which the CALLER must resolve (re-run the merge).
     * Same torn-manifest cleanup as [[commit]]. */
   private def commitPinned(spark: SparkSession, path: String,
-      files: Seq[String], version: Int): Int = {
+      files: Seq[String], version: Int,
+      meta: Map[String, String] = Map.empty): Int = {
     val fs = fsOf(spark, logDir(path))
     fs.mkdirs(logDir(path))
-    // inherit the read version's metadata (streaming markers etc.) —
-    // same rule as commit()
-    val metaLines = readMeta(fs, path, version - 1).toSeq.sortBy(_._1)
-      .map { case (k, v) => s"#$k=$v" }
+    // inherit the read version's metadata (streaming markers etc.,
+    // this commit's keys winning) — same rule as commit()
+    val metaLines = (readMeta(fs, path, version - 1) ++ meta).toSeq
+      .sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val target = new Path(logDir(path), manifestName(version))
     try {
       val out = fs.create(target, false)

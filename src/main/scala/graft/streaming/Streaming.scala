@@ -249,4 +249,37 @@ object Streaming {
     q.stop()
     graft.sources.SnapshotTable.versions(spark, tablePath).max
   }
+
+  /** Streaming CDC-apply: each micro-batch UPSERTS into the snapshot
+    * table through [[graft.sources.SnapshotTable.merge]] (update rows
+    * replace matched keys, new keys insert), with the same
+    * exactly-once batch marker as [[runToSnapshot]] riding inside the
+    * merge's atomic commit — a replayed batch is skipped, so the
+    * table converges to one row per key regardless of crash/restart
+    * timing. The first batch creates the table. Single stream writer
+    * per table; a concurrent committer fails the batch's merge with
+    * ConcurrentModificationException (surfaced through the stream)
+    * rather than losing rows. */
+  def upsertToSnapshot(spark: SparkSession, streamed: DataFrame,
+      tablePath: String, keyCols: Seq[String], checkpoint: String): Int = {
+    import graft.sources.SnapshotTable
+    val q = streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!SnapshotTable.committedStreamBatch(batch.sparkSession,
+            tablePath).exists(_ >= id)) {
+          if (SnapshotTable.versions(batch.sparkSession, tablePath).isEmpty)
+            SnapshotTable.appendStreamBatch(batch, tablePath, id)
+          else
+            SnapshotTable.merge(batch, tablePath, keyCols,
+              meta = Map("streamBatch" -> id.toString))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    SnapshotTable.versions(spark, tablePath).max
+  }
 }

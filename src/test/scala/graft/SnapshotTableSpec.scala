@@ -306,6 +306,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.committedStreamBatch(spark, path).exists(_ >= 1L))
   }
 
+  test("upsertToSnapshot converges to one row per key across batches") {
+    import spark.implicits._
+    // a CDC-ish source: three files, later files re-key earlier rows
+    val src = java.nio.file.Files.createTempDirectory("upsrc").toString +
+      "/cdc"
+    (1L to 40L).map(i => (i, s"v0_$i")).toDF("id", "s")
+      .coalesce(1).write.parquet(src)
+    (21L to 60L).map(i => (i, s"v1_$i")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(src)
+    (41L to 80L).map(i => (i, s"v2_$i")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(src)
+    val path = freshPath("upsert")
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.streaming.Streaming.upsertToSnapshot(spark, stream, path,
+      Seq("id"), java.nio.file.Files.createTempDirectory("upckpt").toString)
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exactly one row per key; later batches won on overlapping keys.
+    // NOTE: the file-stream batch ORDER over pre-existing files is not
+    // contractual, so assert set convergence (one winner per key, each
+    // value one of the versions written for that key), not which batch
+    // won a contested key
+    assert(got.size === 80)
+    assert((1L to 20L).forall(i => got(i) == s"v0_$i"))
+    assert((61L to 80L).forall(i => got(i) == s"v2_$i"))
+    assert((21L to 40L).forall(i => Set(s"v0_$i", s"v1_$i")(got(i))))
+    assert((41L to 60L).forall(i => Set(s"v1_$i", s"v2_$i")(got(i))))
+    // replaying the whole stream with the SAME table (fresh checkpoint
+    // restarts batch ids at 0) is fully skipped by the markers
+    val vBefore = SnapshotTable.versions(spark, path).max
+    graft.streaming.Streaming.upsertToSnapshot(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src), path, Seq("id"),
+      java.nio.file.Files.createTempDirectory("upckpt2").toString)
+    assert(SnapshotTable.versions(spark, path).max === vBefore)
+    assert(SnapshotTable.read(spark, path).count() === 80)
+  }
+
   test("a persistent manifest-write failure rethrows, not 'gave up after conflicts'") {
     // route the table through a FileSystem whose manifest creates fail
     // like a dead disk: data staging works, the commit create throws,
