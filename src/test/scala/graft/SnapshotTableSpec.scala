@@ -306,6 +306,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.committedStreamBatch(spark, path).exists(_ >= 1L))
   }
 
+  test("property: merge equals the relational model on random tables and updates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    for (caseIdx <- 0 until 8) {
+      val path = freshPath(s"prop$caseIdx")
+      // random base (unique keys, random layout) + random updates with
+      // a mix of matched keys, new keys, and duplicate update keys
+      val n = 50 + rnd.nextInt(150)
+      val base = (1 to n).map(_ => rnd.nextInt(500).toLong).distinct
+        .map(k => (k, s"base_$k"))
+      val nUpd = 1 + rnd.nextInt(40)
+      val updates = (1 to nUpd).map { i =>
+        val k = rnd.nextInt(600).toLong
+        (k, s"upd${i}_$k")
+      }
+      SnapshotTable.create(
+        base.toDF("id", "s").repartition(1 + rnd.nextInt(6)), path)
+      SnapshotTable.merge(updates.toDF("id", "s"), path, Seq("id"))
+      val got = SnapshotTable.read(spark, path).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val updKeys = updates.map(_._1).toSet
+      val want = (base.filterNot(r => updKeys(r._1)) ++ updates)
+        .sorted.toSeq
+      assert(got === want, s"case $caseIdx diverged")
+    }
+  }
+
   test("upsertToSnapshot converges to one row per key across batches") {
     import spark.implicits._
     // a CDC-ish source: three files, later files re-key earlier rows
