@@ -81,14 +81,13 @@ object EventQueries {
 
     // ordered funnel view→click→purchase: each stage keeps the
     // earliest event at-or-after the previous stage's timestamp.
-    // Three conditional min-aggregations chained by user_id joins —
-    // the event_type filters prune at the scan, every shuffle is on
-    // the same user_id key (the aggregated sides are quota-sized:
-    // one row per user), and no window buffers the raw event list.
-    // Catalyst re-derives the staged aggregates in the final 3-way
-    // join (the standard SQL funnel multi-pass, same as the oracle's
-    // CTEs); at 100 TB persist v/c after each stage so the fact table
-    // is scanned once per event type, not once per reference.
+    // SINGLE-SCAN fold (r6): one pass over the events with the type
+    // filter pruned at the scan, ONE user_id shuffle into a per-user
+    // (ts, step)-sorted struct array, chained earliest-at-or-after
+    // semantics as a codegen'd aggregate fold — parity-gated against
+    // the staged multi-pass form the oracle's CTEs replay. A
+    // pathologically hot user can be bounded with the
+    // preThinPerEntityType guard (exact under the cap).
     "e5_funnel" -> ((s, dir) => {
       val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
         .select(col("user_id"), col("event_type"), col("ts_us"))
