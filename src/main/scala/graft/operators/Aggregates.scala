@@ -156,11 +156,13 @@ object Aggregates {
     * entry but never fill a stage). */
   def funnel(df: DataFrame, entityCol: String, typeCol: String,
       tsCol: String, steps: Seq[String],
-      preThinPerEntityType: Option[Int] = None): DataFrame = {
+      preThinPerEntityType: Option[Int] = None,
+      maxStepGap: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(entityCol != "stage" && !steps.indices.exists(i => entityCol == s"t_$i"),
       s"entityCol '$entityCol' collides with a funnel output column")
+    maxStepGap.foreach(g => require(g > 0, "maxStepGap must be positive"))
     val n = steps.size
     val tsType = df.select(col(tsCol)).schema.head.dataType
     val stepIdx = steps.tail.zipWithIndex.foldLeft(
@@ -204,8 +206,12 @@ object Aggregates {
         val ts = e.getField("ts"); val si = e.getField("si")
         transform(acc, (x, i) => {
           val prev = get(acc, i - lit(1))
+          // conversion window: stage i>0 only converts within
+          // maxStepGap of the previous stage's timestamp (ts units)
+          val inWindow = maxStepGap
+            .map(g => ts - prev <= g).getOrElse(lit(true))
           when(i === si && x.isNull && ts.isNotNull &&
-              (i === 0 || (prev.isNotNull && ts >= prev)), ts)
+              (i === 0 || (prev.isNotNull && ts >= prev && inWindow)), ts)
             .otherwise(x)
         })
       })
@@ -226,7 +232,8 @@ object Aggregates {
     * Internal stage columns are uniquely prefixed so inputs that
     * already carry `t_i`/`stage` names cannot be captured. */
   def funnelMultiPass(df: DataFrame, entityCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      maxStepGap: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(entityCol != "stage" && !steps.indices.exists(i => entityCol == s"t_$i"),
@@ -237,7 +244,8 @@ object Aggregates {
     val stages = steps.indices.tail.scanLeft(stage0) { (prev, i) =>
       df.filter(col(typeCol) === steps(i))
         .join(prev.select(col(entityCol), col(tc(i - 1))), entityCol)
-        .filter(col(tsCol) >= col(tc(i - 1)))
+        .filter(col(tsCol) >= col(tc(i - 1)) && maxStepGap
+          .map(g => col(tsCol) <= col(tc(i - 1)) + g).getOrElse(lit(true)))
         .groupBy(col(entityCol)).agg(min(col(tsCol)).as(tc(i)))
     }
     val joined = stages.tail.foldLeft(stages.head) { (acc, st) =>

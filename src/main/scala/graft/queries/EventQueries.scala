@@ -100,6 +100,25 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // E12: the windowed funnel — same single-scan fold as e5 but each
+    // step must convert within 24 hours of the previous step (the
+    // product-analytics conversion-window semantics; 24h yields a
+    // mixed 90/35/25 stage distribution on this corpus — both the
+    // convert and the stall arm provably fire); the oracle replays
+    // the staged CTEs with the same inclusive gap bound
+    "e12_funnel_windowed" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      graft.operators.Aggregates
+        .funnel(e, "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"),
+          maxStepGap = Some(24L * 3600L * 1000000L))
+        .select(col("user_id"), col("t_0").as("t_view"),
+          col("t_1").as("t_click"), col("t_2").as("t_purchase"),
+          col("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // E6/A16: per-type z-score outlier flags — the numeric data-quality
     // scan of a curation pipeline. Group stats come from EXACT decimal
     // sums (order-independent, so Spark's parallel agg and the oracle's
@@ -312,6 +331,25 @@ object EventQueries {
         |p AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM e
         |  JOIN c USING (user_id)
         |  WHERE event_type = 'purchase' AND ts_us >= t_click GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "e12_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t_click FROM e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us >= t_view
+        |    AND ts_us <= t_view + 86400000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM e
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us >= t_click
+        |    AND ts_us <= t_click + 86400000000 GROUP BY 1)
         |SELECT v.user_id, t_view, t_click, t_purchase,
         |  CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
         |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage

@@ -280,6 +280,41 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("funnel: conversion window bounds each step, inclusive at the edge") {
+    import graft.operators.Aggregates
+    // u1 converts exactly AT the window edge (inclusive); u2 converts
+    // one tick past it (stalls); u3's b is in-window but its c is not
+    val events = Seq(
+      (1L, "a", 100L), (1L, "b", 110L), (1L, "c", 120L),
+      (2L, "a", 100L), (2L, "b", 111L),
+      (3L, "a", 100L), (3L, "b", 105L), (3L, "c", 150L),
+      // u4: an early out-of-window b is skipped but a LATER in-window
+      // b... cannot exist (later is farther) — instead: first b out of
+      // window, so the funnel stalls even though another b exists
+      (4L, "a", 100L), (4L, "b", 90L), (4L, "b", 115L)
+    ).toDF("user_id", "event_type", "ts")
+    val out = Aggregates.funnel(events, "user_id", "event_type", "ts",
+        Seq("a", "b", "c"), maxStepGap = Some(10L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("stage")))).toMap
+    assert(out === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1))
+    // randomized parity: windowed fold == windowed multi-pass
+    val rnd = new scala.util.Random(7)
+    val types = Seq("a", "b", "c", "x")
+    val rows = (1 to 1500).map { _ =>
+      (rnd.nextInt(50).toLong, types(rnd.nextInt(types.size)),
+        java.lang.Long.valueOf(rnd.nextInt(40).toLong))
+    }
+    val rdf = rows.toDF("user_id", "event_type", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id")).collect().map(_.toSeq).toSeq
+    assert(
+      canon(Aggregates.funnel(rdf, "user_id", "event_type", "ts",
+        Seq("a", "b", "c"), maxStepGap = Some(5L))) ===
+      canon(Aggregates.funnelMultiPass(rdf, "user_id", "event_type", "ts",
+        Seq("a", "b", "c"), maxStepGap = Some(5L))))
+  }
+
   test("funnel: hot-entity pre-thinning is exact under the cap, one-sided past it") {
     import graft.operators.Aggregates
     // same adversarial fixture as the parity test: ties, repeats, nulls,
