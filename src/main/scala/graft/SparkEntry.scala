@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.MLQueries.queries ++
       graft.queries.EventQueries.queries ++
+      graft.queries.GraphQueries.queries ++
       graft.queries.StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.MLQueries.oracles ++
       graft.queries.EventQueries.oracles ++
+      graft.queries.GraphQueries.oracles ++
       graft.queries.StreamingQueries.oracles
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Gates for the quantized PageRank operator: structural correctness
+  * (symmetry, hub dominance), agreement with a naive float PageRank,
+  * and partition invariance of the integer arithmetic. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String)], iters: Int,
+      parts: Int = 4): Map[String, Long] =
+    Graph.pageRankQuantized(
+        edges.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("symmetric two-node graph: equal ranks; star: hub dominates") {
+    val pair = ranksOf(Seq(("a", "b"), ("b", "a")), iters = 3)
+    assert(pair("a") === pair("b"))
+    // undirected 4-spoke star: the hub collects every spoke's full
+    // contribution, spokes split the hub's four ways
+    val star = Seq("b", "c", "d", "e").flatMap(s =>
+      Seq(("hub", s), (s, "hub")))
+    val r = ranksOf(star, iters = 3)
+    assert(Seq("b", "c", "d", "e").forall(s => r("hub") > 2 * r(s)))
+    assert(r("b") === r("c") && r("c") === r("d") && r("d") === r("e"))
+  }
+
+  test("quantized ranks track a naive float PageRank within quantization error") {
+    val rnd = new scala.util.Random(42)
+    val nodes = (0 until 30).map(i => s"n$i")
+    val base = (0 until 120).map { _ =>
+      (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+    }.filter(e => e._1 != e._2).distinct
+    val edges = (base ++ base.map(_.swap)).distinct // undirected
+    val got = ranksOf(edges, iters = 3)
+    // naive reference in doubles
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = nodes.filter(out.contains).map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        rank(s) / out(s).size
+      }.sum).toMap
+      rank = rank.keys.map(n => n -> (0.15 + 0.85 * inflow.getOrElse(n, 0.0)))
+        .toMap
+    }
+    for ((n, r) <- rank)
+      assert(math.abs(got(n) / 1e6 - r) < 1e-3,
+        s"node $n quantized ${got(n) / 1e6} vs float $r")
+  }
+
+  test("integer arithmetic is partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 200).map { _ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}")
+    }.filter(e => e._1 != e._2).distinct
+    val und = (edges ++ edges.map(_.swap)).distinct
+    assert(ranksOf(und, 3, parts = 1) === ranksOf(und, 3, parts = 13))
+  }
+}
