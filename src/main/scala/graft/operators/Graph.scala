@@ -57,4 +57,35 @@ object Graph {
     }
     ranks
   }
+
+  /** Breadth-first levels: minimum hop distance from any node of
+    * `sources` along DIRECTED edges, up to `maxHops`. Returns
+    * (node, level) for REACHED nodes only (level 0 = a source).
+    * One frontier join + min-aggregate per hop — the standard
+    * iterative-BFS dataflow; each round's frontier is only the
+    * newly-reached nodes, so work per hop is O(edges out of the
+    * frontier), not O(V). */
+  def bfsLevels(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("src"), col("dst"))
+    var reached = sources.select(col("node")).distinct()
+      .withColumn("level", lit(0))
+    var frontier = reached
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("level", lit(hop))
+      // materialize the frontier so the lineage doesn't re-expand the
+      // whole prefix each round (iterative-algorithm hygiene; at scale
+      // checkpoint every few hops instead)
+      frontier = next.localCheckpoint()
+      reached = reached.unionByName(frontier)
+      hop += 1
+    }
+    reached
+  }
 }

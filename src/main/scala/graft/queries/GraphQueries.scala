@@ -34,6 +34,17 @@ object GraphQueries {
     "g1_pagerank" -> ((s, dir) => {
       Graph.pageRankQuantized(tradeEdges(s, dir), iterations = 3)
         .orderBy(col("node"))
+    }),
+
+    // G2: BFS levels — minimum hop distance from supplier s1 over the
+    // trading graph, 3 hops (s1 → its customers → their other
+    // suppliers → those suppliers' customers); frontier-join dataflow,
+    // oracled by unrolled per-hop CTEs taking the min level
+    "g2_bfs" -> ((s, dir) => {
+      import s.implicits._
+      Graph.bfsLevels(tradeEdges(s, dir),
+          Seq("s1").toDF("node"), maxHops = 3)
+        .orderBy(col("level"), col("node"))
     })
   )
 
@@ -66,6 +77,31 @@ object GraphQueries {
         |r3 AS (SELECT n.node,
         |    150000 + (8500 * coalesce(i.inflow, 0)) // 10000 AS rank_units
         |  FROM nodes n LEFT JOIN i3 i USING (node))
-        |SELECT node, rank_units FROM r3 ORDER BY node""".stripMargin
+        |SELECT node, rank_units FROM r3 ORDER BY node""".stripMargin,
+
+    "g2_bfs" ->
+      """WITH pairs AS (SELECT DISTINCT 's' || l_suppkey AS s,
+        |    'c' || o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT s AS src, c AS dst FROM pairs
+        |  UNION SELECT c AS src, s AS dst FROM pairs),
+        |l0 AS (SELECT 's1' AS node),
+        |l1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+        |  JOIN l0 ON e.src = l0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0)),
+        |l2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+        |  JOIN l1 ON e.src = l1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0)
+        |    AND e.dst NOT IN (SELECT node FROM l1)),
+        |l3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+        |  JOIN l2 ON e.src = l2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM l0)
+        |    AND e.dst NOT IN (SELECT node FROM l1)
+        |    AND e.dst NOT IN (SELECT node FROM l2))
+        |SELECT node, 0 AS level FROM l0
+        |UNION ALL SELECT node, 1 FROM l1
+        |UNION ALL SELECT node, 2 FROM l2
+        |UNION ALL SELECT node, 3 FROM l3
+        |ORDER BY level, node""".stripMargin
   )
 }

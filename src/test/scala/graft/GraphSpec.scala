@@ -51,6 +51,21 @@ class GraphSpec extends SparkSpec {
         s"node $n quantized ${got(n) / 1e6} vs float $r")
   }
 
+  test("bfs levels: min hop distance, unreachable nodes excluded") {
+    import graft.operators.Graph
+    // path a→b→c→d→e plus a shortcut a→c and an unreachable island x→y
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("a", "c"), ("x", "y")).toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, Seq("a").toDF("node"), maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // c is 1 hop via the shortcut, d is 2, e is 3; x/y unreachable
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3))
+    // maxHops truncates: e is beyond 2 hops
+    val short = Graph.bfsLevels(edges, Seq("a").toDF("node"), maxHops = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(short === Set("a", "b", "c", "d"))
+  }
+
   test("integer arithmetic is partition-invariant") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 200).map { _ =>
