@@ -35,7 +35,11 @@ object Graph {
   def pageRankQuantized(edges: DataFrame, iterations: Int,
       dampingBp: Int = 8500): DataFrame = {
     require(iterations >= 1 && dampingBp >= 0 && dampingBp <= 10000)
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE: every iteration joins it, and an
+    // un-materialized lineage would re-run the caller's (possibly
+    // expensive) edge derivation per round. On a cluster prefer
+    // persist(DISK_ONLY)/checkpoint for multi-executor reuse.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node")).union(
       e.select(col("dst").as("node"))).distinct()
@@ -68,7 +72,7 @@ object Graph {
   def bfsLevels(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0)
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var reached = sources.select(col("node")).distinct()
       .withColumn("level", lit(0))
     var frontier = reached
