@@ -550,6 +550,29 @@ object Dedup {
       .select(col("i"), col("j"), col("edit_dist"))
   }
 
+  /** Two-tier fuzzy dedup with JARO-WINKLER verification: PPJoin
+    * candidates at a loose Jaccard floor, then the native
+    * [[graft.functions.expressions.JaroWinklerSimilarity]] expression
+    * (codegen'd, O(L·window) per pair, candidate pairs only — never
+    * all pairs) keeps pairs at or above `jwThreshold`. The
+    * prefix-weighted measure catches the same-head/different-tail
+    * near-dups a bounded edit distance rejects. */
+  def jaroVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, jaccardFloor: Double = 0.6,
+      jwThreshold: Double = 0.9): DataFrame = {
+    import graft.functions.expressions.StringSimilarity.jaro_winkler
+    val cands = ngramJaccardPairs(df, idCol, textCol, k, jaccardFloor)
+      .select(col("i"), col("j"))
+    val norm = df.select(col(idCol).cast(LongType).as("__nid"),
+      TextOps.normalize(col(textCol)).as("__txt"))
+    cands
+      .join(norm.select(col("__nid").as("i"), col("__txt").as("__ti")), "i")
+      .join(norm.select(col("__nid").as("j"), col("__txt").as("__tj")), "j")
+      .withColumn("jw", round(jaro_winkler(col("__ti"), col("__tj")), 6))
+      .filter(col("jw") >= jwThreshold)
+      .select(col("i"), col("j"), col("jw"))
+  }
+
   /** Passage-level exact dedup (the aligned-chunk approximation of
     * Lee et al. 2022 "Deduplicating Training Data Makes Language
     * Models Better" — substring dedup at passage granularity): split

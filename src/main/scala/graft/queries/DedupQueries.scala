@@ -130,6 +130,16 @@ object DedupQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // fuzzy pairs verified by the NATIVE Jaro-Winkler expression
+    // (d7's edit-distance twin; prefix-weighted similarity over the
+    // same PPJoin candidate set, rounded to 6 decimals so DuckDB's
+    // jaro_winkler_similarity replays it exactly)
+    "d9_jaro_verified" -> ((s, dir) => {
+      Dedup.jaroVerifiedPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", k = 3, jaccardFloor = 0.6, jwThreshold = 0.9)
+        .orderBy(col("i"), col("j"))
+    }),
+
     // passage-level exact dedup: aligned 8-token chunks, first corpus
     // occurrence wins, survivors reassembled in document order
     "d6_passage_dedup" -> ((s, dir) => {
@@ -350,6 +360,31 @@ object DedupQueries {
         |SELECT p.i, p.j, levenshtein(a.txt, b.txt) AS edit_dist
         |FROM pairs p JOIN n a ON a.doc_id = p.i JOIN n b ON b.doc_id = p.j
         |WHERE levenshtein(a.txt, b.txt) <= 6
+        |ORDER BY p.i, p.j""".stripMargin,
+
+    "d9_jaro_verified" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END)) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM inter
+        |  JOIN sizes sa ON sa.doc_id = i
+        |  JOIN sizes sb ON sb.doc_id = j
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6),
+        |n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS txt
+        |  FROM documents)
+        |SELECT p.i, p.j, round(jaro_winkler_similarity(a.txt, b.txt), 6) AS jw
+        |FROM pairs p JOIN n a ON a.doc_id = p.i JOIN n b ON b.doc_id = p.j
+        |WHERE round(jaro_winkler_similarity(a.txt, b.txt), 6) >= 0.9
         |ORDER BY p.i, p.j""".stripMargin,
 
     "d6_passage_dedup" ->

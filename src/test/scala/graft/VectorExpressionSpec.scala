@@ -1,5 +1,45 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, round => sqlRound}
+
+/** Gates for the native Jaro-Winkler expression: classic golden
+  * values, boundary cases, and whole-stage codegen participation. */
+class StringSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.expressions.StringSimilarity.jaro_winkler
+
+  test("classic golden values and boundaries") {
+    val rows = Seq(
+      ("MARTHA", "MARHTA", 0.961111),
+      ("DIXON", "DICKSONX", 0.813333),
+      ("JELLYFISH", "SMELLYFISH", 0.896296),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("", "", 1.0),
+      ("a", "", 0.0))
+    val got = rows.toDF("a", "b", "want")
+      .select(sqlRound(jaro_winkler(col("a"), col("b")), 6).as("jw"),
+        col("want"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1),
+      s"row $r"))
+    // null propagates
+    val n = Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("participates in whole-stage codegen") {
+    val df = spark.range(100)
+      .selectExpr("concat('doc', id) as a", "concat('dog', id) as b")
+      .select(jaro_winkler(col("a"), col("b")).as("jw"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("*("), s"not codegen'd:\n$plan")
+  }
+}
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.VectorExpressions.{cosine_native, dot_product}
