@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{DotProduct, JaroWinklerSimilarity}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL users and the planner strategy for the native
@@ -28,6 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "graft_dot_product expects exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_jaro_winkler expects exactly 2 arguments")
+        JaroWinklerSimilarity(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinValues)
