@@ -12,10 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * dedup verification. Standard definition: Jaro over matches within
   * a floor(max(|a|,|b|)/2)-1 window with half-transposition counting,
   * Winkler prefix boost p=0.1 over at most 4 common leading
-  * characters — the same algorithm DuckDB's
-  * `jaro_winkler_similarity` implements, so results agree
-  * cross-engine (oracles round to 6 decimals to absorb any last-ulp
-  * ordering difference).
+  * characters gated on jaro > 0.7 (the standard boost_threshold) —
+  * the same algorithm DuckDB's `jaro_winkler_similarity` (rapidfuzz
+  * port) implements, so results agree cross-engine for ALL pairs,
+  * including low-similarity common-prefix ones (oracles round to 6
+  * decimals to absorb any last-ulp ordering difference).
   *
   * Codegen: the generated code is one static call into
   * [[JaroWinklerImpl.compute]] — the same shape Spark's own string
@@ -95,7 +96,11 @@ object JaroWinklerImpl {
     }
     val md = m.toDouble
     val jaro = (md / la + md / lb + (md - t / 2.0) / md) / 3.0
-    // Winkler boost: p = 0.1 over at most 4 common leading chars
+    // Winkler boost: p = 0.1 over at most 4 common leading chars,
+    // applied only when jaro > 0.7 (the standard boost_threshold,
+    // matching DuckDB/rapidfuzz — an unconditional boost diverges for
+    // low-similarity pairs sharing a prefix)
+    if (jaro <= 0.7) return jaro
     var l = 0
     while (l < math.min(4, math.min(la, lb)) &&
       a.charAt(l) == b.charAt(l)) l += 1

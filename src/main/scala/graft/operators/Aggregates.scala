@@ -162,9 +162,18 @@ object Aggregates {
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(entityCol != "stage" && !steps.indices.exists(i => entityCol == s"t_$i"),
       s"entityCol '$entityCol' collides with a funnel output column")
-    maxStepGap.foreach(g => require(g > 0, "maxStepGap must be positive"))
     val n = steps.size
     val tsType = df.select(col(tsCol)).schema.head.dataType
+    maxStepGap.foreach { g =>
+      require(g > 0, "maxStepGap must be positive")
+      // the gap arithmetic (ts - prev <= g) is numeric-only; a
+      // timestamp-typed tsCol would fail analysis with an obscure
+      // interval error deep in the fold — reject it up front, like
+      // the preThinPerEntityType LongType guard
+      require(tsType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"maxStepGap needs a numeric $tsCol (epoch units), got " +
+          tsType.catalogString)
+    }
     val stepIdx = steps.tail.zipWithIndex.foldLeft(
       when(col(typeCol) === steps.head, 0)) { case (acc, (s, i)) =>
         acc.when(col(typeCol) === s, i + 1)

@@ -77,7 +77,8 @@ object GraphQueries {
         |r3 AS (SELECT n.node,
         |    150000 + (8500 * coalesce(i.inflow, 0)) // 10000 AS rank_units
         |  FROM nodes n LEFT JOIN i3 i USING (node))
-        |SELECT node, rank_units FROM r3 ORDER BY node""".stripMargin,
+        |SELECT node, CAST(rank_units AS BIGINT) AS rank_units
+        |FROM r3 ORDER BY node""".stripMargin,
 
     "g2_bfs" ->
       """WITH pairs AS (SELECT DISTINCT 's' || l_suppkey AS s,

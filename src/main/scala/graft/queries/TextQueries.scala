@@ -233,9 +233,9 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("bin",
-          ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget))
-            .cast("long"))
+        .withColumn("excum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin", expr(s"excum div $budget"))
+        .drop("excum")
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
         .orderBy(col("source"), col("bin"))
@@ -263,8 +263,9 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      - n_tokens AS excum
         |  FROM t)
-        |SELECT source, excum // 512 AS bin, count(*) AS n_docs,
-        |  sum(n_tokens) AS bin_tokens
+        |SELECT source, CAST(excum // 512 AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t12_chunking" ->

@@ -224,7 +224,14 @@ object SnapshotTable {
           // surface the real failure
           case e: Throwable =>
             try out.close() catch { case _: Throwable => () }
-            fs.delete(target, false)
+            // the delete MUST succeed: if the torn manifest lingers, a
+            // retrying committer would classify it as a lost race and
+            // inherit its partial file list — fail hard instead
+            if (fs.exists(target) && !fs.delete(target, false))
+              sys.error(s"snapshot commit: manifest write to $target " +
+                s"failed AND the torn manifest could not be removed — " +
+                s"manual cleanup required before any further commit " +
+                s"(cause: $e)")
             throw new java.io.IOException(
               s"snapshot commit: manifest write to $target failed", e)
         }
@@ -498,7 +505,13 @@ object SnapshotTable {
       } catch {
         case e: Throwable =>
           try out.close() catch { case _: Throwable => () }
-          fs.delete(target, false)
+          // same rule as commit(): a lingering torn manifest would be
+          // mistaken for a concurrent winner — fail hard if unremovable
+          if (fs.exists(target) && !fs.delete(target, false))
+            sys.error(s"snapshot merge: manifest write to $target " +
+              s"failed AND the torn manifest could not be removed — " +
+              s"manual cleanup required before any further commit " +
+              s"(cause: $e)")
           throw new java.io.IOException(
             s"snapshot merge: manifest write to $target failed", e)
       }
@@ -596,8 +609,16 @@ object SnapshotTable {
     * clean "version not in log" error, never a FileNotFound on a
     * manifest whose files are gone, and the next vacuum reclaims the
     * orphans (the dropped-file scan keys off the KEPT manifests, not
-    * the deleted ones). */
-  def vacuum(spark: SparkSession, path: String, keep: Int = 2): Int = {
+    * the deleted ones).
+    *
+    * Concurrent writers: the commit protocol stages data files BEFORE
+    * the manifest commit, so an unreferenced file may belong to an
+    * in-flight writer, not garbage. `graceMs` (default 10 min, the
+    * same idea as Delta's tombstone retention) keeps any unreferenced
+    * file younger than the grace window; pass 0 only when no writer
+    * can be in flight (single-operator maintenance window). */
+  def vacuum(spark: SparkSession, path: String, keep: Int = 2,
+      graceMs: Long = 10 * 60 * 1000L): Int = {
     require(keep >= 1, "vacuum must keep at least the latest version")
     val fs = fsOf(spark, new Path(path))
     val vs = versions(spark, path)
@@ -608,8 +629,10 @@ object SnapshotTable {
       val m = new Path(logDir(path), manifestName(v))
       if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")
     }
+    val cutoff = System.currentTimeMillis() - graceMs
     val dropped = fs.listStatus(filesDir(path)).toSeq
       .filterNot(f => referenced.contains(f.getPath.getName))
+      .filter(f => f.getModificationTime <= cutoff)
     dropped.foreach { f =>
       if (!fs.delete(f.getPath, false))
         sys.error(s"vacuum: could not delete ${f.getPath}")

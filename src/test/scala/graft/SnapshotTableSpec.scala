@@ -58,7 +58,8 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.create(spark.range(100).toDF("id").repartition(4), path)
     SnapshotTable.overwrite(spark.range(50).toDF("id").repartition(2), path)
     SnapshotTable.append(spark.range(50, 60).toDF("id"), path)
-    val deleted = SnapshotTable.vacuum(spark, path, keep = 2)
+    // graceMs=0: single-writer test scenario, no in-flight staging
+    val deleted = SnapshotTable.vacuum(spark, path, keep = 2, graceMs = 0)
     assert(deleted === 4) // exactly v0's four files are unreferenced
     assert(SnapshotTable.versions(spark, path) === Seq(1, 2))
     assert(SnapshotTable.read(spark, path).count() === 60)
@@ -108,7 +109,7 @@ class SnapshotTableSpec extends SparkSpec {
     // surviving versions are untouched, and the NEXT vacuum reclaims
     // exactly the four orphans the crash left behind
     assert(SnapshotTable.read(spark, path).count() === 60)
-    assert(SnapshotTable.vacuum(spark, path, keep = 2) === 4)
+    assert(SnapshotTable.vacuum(spark, path, keep = 2, graceMs = 0) === 4)
     assert(SnapshotTable.read(spark, path).count() === 60)
     assert(SnapshotTable.read(spark, path, Some(1)).count() === 50)
   }

@@ -13,6 +13,10 @@ class StringSimilaritySpec extends SparkSpec {
       ("MARTHA", "MARHTA", 0.961111),
       ("DIXON", "DICKSONX", 0.813333),
       ("JELLYFISH", "SMELLYFISH", 0.896296),
+      // boost_threshold: jaro <= 0.7 gets NO Winkler boost even with a
+      // common prefix (DuckDB/rapidfuzz agreement, verified 0.5 / 0.6)
+      ("abcdefgh", "abxxxxxx", 0.5),
+      ("abfoo", "abbar", 0.6),
       ("abc", "abc", 1.0),
       ("abc", "xyz", 0.0),
       ("", "", 1.0),

@@ -3,6 +3,7 @@
 parquet dumps against the DuckDB oracle SQL, column-name-sorted,
 row-sorted, exact values. Usage: check.py <sfDir> <outDir>"""
 import json, sys, math
+import decimal
 import duckdb
 import pyarrow.parquet as pq
 import pathlib
@@ -20,6 +21,11 @@ def canon(rows):
                     r.append("NaN")
                 else:
                     r.append(repr(v))
+            elif isinstance(v, decimal.Decimal):
+                # keep the type tag: the driver's value-canonical hash
+                # distinguishes decimal128 from int64 even when the
+                # numeric value is identical (the r7 c8/g1 failure mode)
+                r.append(f"Decimal:{v}")
             else:
                 r.append(str(v))
         out.append(tuple(r))
@@ -50,17 +56,20 @@ def main(sf_dir, out_dir):
             n_noora += 1
             continue
         try:
-            res = con.execute(oracle[name])
-            names = [d[0] for d in res.description]
-            data = res.fetchall()
+            # fetch via Arrow so type rendering matches the driver's
+            # canonicalization: DuckDB HUGEINT arrives as
+            # decimal128(38,0) (Decimal in pylist), not a Python int —
+            # fetchall() would mask exactly that class of mismatch.
+            dtbl = con.execute(oracle[name]).fetch_arrow_table()
+            names = dtbl.column_names
         except Exception as e:
             print(f"FAIL  {name}: oracle error {e}")
             n_fail += 1
             continue
-        order = sorted(range(len(names)), key=lambda i: names[i])
-        duck_rows = canon([tuple(row[i] for i in order) for row in data])
-        if sorted(names) != cols:
-            print(f"FAIL  {name}: columns spark={cols} duck={sorted(names)}")
+        dcols = sorted(names)
+        duck_rows = canon(zip(*[dtbl.column(c).to_pylist() for c in dcols])) if dtbl.num_rows else []
+        if dcols != cols:
+            print(f"FAIL  {name}: columns spark={cols} duck={dcols}")
             n_fail += 1
         elif spark_rows == duck_rows:
             print(f"PASS  {name}: {len(spark_rows)} rows")
