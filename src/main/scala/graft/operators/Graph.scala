@@ -62,6 +62,62 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts over an UNDIRECTED graph (`src`, `dst`
+    * string columns; direction and duplicates are ignored, self-loops
+    * dropped). Returns (node, triangles) for nodes in ≥1 triangle.
+    *
+    * Scale shape: edges are oriented low-degree-rank → high-degree-rank
+    * first (rank = (degree, node) total order), so every triangle is
+    * enumerated exactly once from its minimum-rank apex and — the
+    * classical compact-forward bound — each node's out-degree under
+    * this orientation is O(√E), which caps the wedge join's output at
+    * O(E^1.5) even on power-law graphs where a lexicographic
+    * orientation lets one hub node generate deg² wedges. Three
+    * node-keyed hash joins + one aggregate; no driver-side adjacency. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: a < b, deduped, no self-loops
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge from the endpoint with the smaller (deg, node)
+    // pair — a total order, so orientation is acyclic; carry the
+    // destination's rank so wedges can be ordered by the SAME order
+    // (a lexicographic wedge order would miss triangles whose closing
+    // edge is oriented against it)
+    val oriented = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        struct(col("e.dv").as("d"), col("e.v").as("n")).as("rv"))
+      .localCheckpoint()
+    // wedges from each apex u: (u→v, u→w) with rank(v) < rank(w);
+    // close with the oriented edge v→w, which exists iff the triangle
+    // does (struct comparison = the orientation's (deg, node) order)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
+      .join(oriented.as("e3"),
+        col("e1.v") === col("e3.u") && col("e2.v") === col("e3.v"),
+        "left_semi")
+      .select(col("e1.u").as("x"), col("e1.v").as("y"),
+        col("e2.v").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** Breadth-first levels: minimum hop distance from any node of
     * `sources` along DIRECTED edges, up to `maxHops`. Returns
     * (node, level) for REACHED nodes only (level 0 = a source).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Graph
+import graft.operators.{Dedup, Graph}
 
 /** Graph-analytics harness queries (quantized PageRank; near-dup
   * clustering's connected components live with the dedup family). */
@@ -45,8 +45,51 @@ object GraphQueries {
       Graph.bfsLevels(tradeEdges(s, dir),
           Seq("s1").toDF("node"), maxHops = 3)
         .orderBy(col("level"), col("node"))
+    }),
+
+    // G3: connected components of the REPEAT-BUSINESS trading graph
+    // (supplier↔customer pairs with ≥4 distinct orders — the filter
+    // fragments the hub-dominated bipartite graph into real
+    // components). Reuses the dedup family's min-label propagation
+    // (Dedup.scala connectedComponents) on graph data; oracle is the
+    // d5-style recursive-CTE transitive closure
+    "g3_components" -> ((s, dir) => {
+      val pairs = repeatPairs(s, dir)
+      val nodes = pairs.select(col("i").as("node"))
+        .union(pairs.select(col("j").as("node"))).distinct()
+      Dedup.connectedComponents(nodes, "node", pairs)
+        .orderBy(col("node"))
+    }),
+
+    // G4: per-node triangle counts on the co-supply graph (suppliers
+    // linked when they ship the same part) — degree-ordered
+    // compact-forward enumeration, each triangle counted once from its
+    // minimum-rank apex; oracle replays it as a lexicographic ordered
+    // 3-join (orientation strategy doesn't change the counts)
+    "g4_triangles" -> ((s, dir) => {
+      val ps = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          concat(lit("s"), col("l_suppkey")).as("sk"))
+        .distinct()
+      val edges = ps.as("x").join(ps.as("y"),
+          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+        .distinct()
+      Graph.triangleCounts(edges).orderBy(col("node"))
     })
   )
+
+  /** Supplier↔customer pairs with at least 4 distinct orders, as
+    * (i, j) string-node pairs for the components query. */
+  private def repeatPairs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("s"), col("l_suppkey")).as("i"),
+        concat(lit("c"), col("o_custkey")).as("j"))
+      .agg(countDistinct(col("o_orderkey")).as("n"))
+      .filter(col("n") >= 4)
+      .select(col("i"), col("j"))
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank" ->
@@ -103,6 +146,34 @@ object GraphQueries {
         |UNION ALL SELECT node, 1 FROM l1
         |UNION ALL SELECT node, 2 FROM l2
         |UNION ALL SELECT node, 3 FROM l3
-        |ORDER BY level, node""".stripMargin
+        |ORDER BY level, node""".stripMargin,
+
+    "g3_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT 's' || l_suppkey AS i, 'c' || o_custkey AS j
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 4),
+        |nodes AS (SELECT DISTINCT i AS node FROM pairs
+        |  UNION SELECT DISTINCT j FROM pairs),
+        |edges AS (SELECT i AS src, j AS dst FROM pairs
+        |  UNION ALL SELECT j, i FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS node, min(label) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g4_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, 's' || l_suppkey AS sk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |  FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, count(*) AS triangles
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -239,6 +239,36 @@ object TextQueries {
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
         .orderBy(col("source"), col("bin"))
+    }),
+
+    // pipeline-grade packing: c8's first-fit prefix-sum over OVERFLOW-
+    // SPLIT units — long documents are first chunked into ≤128-token
+    // pieces (t12's chunker, stride = chunk ⇒ non-overlapping), so a
+    // 10k-token document spills across bins instead of blowing one bin
+    // out; the pack then runs per source over (doc_id, chunk_idx)
+    // order. The chunk step is pure scan-stage array math; the pack
+    // adds exactly c8's one window shuffle — composing the two
+    // operators costs no extra exchange
+    "c9_packed_chunks" -> ((s, dir) => {
+      val budget = 512L
+      val cap = 128
+      val units = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(TextOps.chunkTokens(col("text"), cap, cap)).as("ch"))
+        .select(col("source"), col("doc_id"),
+          col("ch.chunk_idx").as("chunk_idx"),
+          col("ch.n_chunk_tokens").cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      units
+        .withColumn("excum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin", expr(s"excum div $budget"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
     })
   )
 
@@ -267,6 +297,32 @@ object TextQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c9_packed_chunks" ->
+      """WITH tok AS (SELECT source, doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT source, doc_id, len(toks) AS n FROM tok),
+        |c AS (SELECT source, doc_id, n,
+        |    CASE WHEN n <= 128 THEN 1
+        |      ELSE 1 + (n - 128 + 127) // 128 END AS nc
+        |  FROM n),
+        |e AS (SELECT source, doc_id, n,
+        |    unnest(range(nc)) AS chunk_idx FROM c),
+        |u AS (SELECT source, doc_id, chunk_idx,
+        |    greatest(least(128, n - chunk_idx * 128), 0) AS n_tokens
+        |  FROM e),
+        |cum AS (SELECT source, doc_id, chunk_idx, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS excum
+        |  FROM u)
+        |SELECT source, CAST(excum // 512 AS BIGINT) AS bin,
+        |  count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t12_chunking" ->
       """WITH tok AS (SELECT doc_id,

@@ -66,6 +66,44 @@ class GraphSpec extends SparkSpec {
     assert(short === Set("a", "b", "c", "d"))
   }
 
+  test("triangle counts: goldens and naive-enumeration parity") {
+    def counts(edges: Seq[(String, String)]): Map[String, Long] =
+      Graph.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4: every node is in C(3,2)=3 triangles; direction/dup/self noise
+    // must be ignored
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a != b
+    } yield (a, b)) ++ Seq(("a", "a"), ("a", "b"))
+    assert(counts(k4) === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // triangle + pendant: pendant node is in no triangle → absent
+    assert(counts(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "p")))
+      === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // bipartite graphs have no triangles
+    assert(counts(Seq(("s1", "c1"), ("s1", "c2"), ("s2", "c1"),
+      ("s2", "c2"))) === Map.empty)
+    // random graph (hub-heavy so degree ordering differs from
+    // lexicographic): parity against naive O(n^3) enumeration
+    val rnd = new scala.util.Random(11)
+    val es = ((0 until 150).map { _ =>
+      (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}")
+    } ++ (0 until 24).map(i => ("n0", s"n${i + 1}"))) // n0 is a hub
+      .filter(e => e._1 != e._2)
+    val und = es.map(e =>
+      if (e._1 < e._2) e else e.swap).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val naive = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      i <- nodes; j <- nodes if i < j && adj(i)(j)
+      k <- nodes if j < k && adj(i)(k) && adj(j)(k)
+    } Seq(i, j, k).foreach(n =>
+      naive(n) = naive.getOrElse(n, 0L) + 1L)
+    assert(counts(es) === naive.toMap)
+  }
+
   test("integer arithmetic is partition-invariant") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 200).map { _ =>

@@ -251,6 +251,92 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 30)
   }
 
+  test("two committers racing merge: loser retries, both key sets land") {
+    import spark.implicits._
+    val path = freshPath("mergerace")
+    SnapshotTable.create(
+      (1L to 50L).map(i => (i, "base")).toDF("id", "payload"), path)
+    // A updates keys 1-10, B inserts keys 101-110 — disjoint, so any
+    // serialization of the two merges must preserve BOTH effects
+    val dfA = (1L to 10L).map(i => (i, s"A$i")).toDF("id", "payload")
+    val dfB = (101L to 110L).map(i => (i, s"B$i")).toDF("id", "payload")
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var failure: Option[Throwable] = None
+    def runner(df: org.apache.spark.sql.DataFrame): Thread = new Thread(() =>
+      try {
+        latch.countDown(); latch.await()
+        var done = false
+        var attempts = 0
+        while (!done) {
+          try { SnapshotTable.merge(df, path, Seq("id")); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              // the documented contract: the loser re-runs on the NEW
+              // snapshot — bounded retry, never silent drop
+              conflicts.incrementAndGet()
+              attempts += 1
+              assert(attempts < 10, "merge retry did not converge")
+          }
+        }
+      } catch { case t: Throwable => failure = Some(t) })
+    val (ta, tb) = (runner(dfA), runner(dfB))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    failure.foreach(throw _)
+    val fin = SnapshotTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin.size === 60) // 50 base + 10 inserts, no lost update
+    assert((1L to 10L).forall(i => fin(i) === s"A$i"))
+    assert((101L to 110L).forall(i => fin(i) === s"B$i"))
+    assert((11L to 50L).forall(i => fin(i) === "base"))
+    // both merges committed: two new versions on the log
+    assert(SnapshotTable.versions(spark, path) === Seq(0, 1, 2))
+  }
+
+  test("a crash between stage and commit leaves only invisible orphans") {
+    import spark.implicits._
+    val path = freshPath("mergecrash")
+    SnapshotTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a committer dying AFTER staging, BEFORE its manifest
+    // commit: a staged parquet sits under files/ with no manifest
+    // referencing it (the protocol's only crash window)
+    def stageOrphan(): String = {
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        s"__crash_${java.util.UUID.randomUUID()}")
+      (9000L to 9004L).map(i => (i, "PHANTOM")).toDF("id", "payload")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new org.apache.hadoop.fs.Path(s"$path/files",
+        s"${java.util.UUID.randomUUID()}.parquet")
+      assert(fs.rename(part, dest))
+      fs.delete(tmp, true)
+      dest.getName
+    }
+    val orphan = stageOrphan()
+    // no reader ever sees phantom rows — visibility IS the manifest
+    assert(SnapshotTable.read(spark, path).count() === 100)
+    // the re-run of the crashed job merges cleanly on top
+    SnapshotTable.merge(
+      (1L to 5L).map(i => (i, s"UPD$i")).toDF("id", "payload"),
+      path, Seq("id"))
+    val fin = SnapshotTable.read(spark, path)
+    assert(fin.count() === 100)
+    assert(fin.filter(col("payload") === "PHANTOM").count() === 0)
+    // vacuum (no in-flight writers → graceMs=0) reclaims the orphan
+    SnapshotTable.vacuum(spark, path, keep = 1, graceMs = 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/files", orphan)))
+    assert(SnapshotTable.read(spark, path).count() === 100)
+    // and the DEFAULT grace window protects a fresh in-flight stage:
+    // a just-staged file survives vacuum even though unreferenced
+    val inflight = stageOrphan()
+    SnapshotTable.vacuum(spark, path, keep = 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/files", inflight)))
+  }
+
   test("optimizeIncremental compacts only the small-file backlog") {
     import spark.implicits._
     val path = freshPath("inc")
