@@ -175,7 +175,7 @@ object DedupScaleProbe {
     val times = scala.collection.mutable.Map.empty[(String, Long), Double]
     for (n <- Seq(n1, n2)) {
       if (ops("d2") || ops("d3") || ops("d4") || ops("cc") || ops("t7") ||
-          ops("d6") || ops("t9")) {
+          ops("d6") || ops("t9") || ops("d9")) {
         val d = docs(n).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         d.count()
@@ -200,6 +200,37 @@ object DedupScaleProbe {
           Dedup.contaminatedAgainst(d, d.filter(col("doc_id") % 100 === 0),
             "doc_id", "text", k = 4)
             .filter(col("is_contaminated")).count()
+        }
+        if (ops("d9")) {
+          // prefiltered (the shipped path: length-ratio + char-multiset
+          // upper bound before the exact O(L·window) JW scan)
+          times(("d9", n)) = time(s"d9 jw verified     n=$n") {
+            Dedup.jaroVerifiedPairs(d, "doc_id", "text", k = 3,
+              jaccardFloor = 0.6, jwThreshold = 0.9).count()
+          }
+          // no-prefilter baseline: identical candidates, exact JW on all
+          times(("d9raw", n)) = time(s"d9 jw no-prefilter n=$n") {
+            import graft.functions.expressions.StringSimilarity.jaro_winkler
+            val cands = Dedup.ngramJaccardPairsFromSets(sets, 0.6)
+              .select(col("i"), col("j"))
+            val norm = d.select(col("doc_id").cast(LongType).as("__nid"),
+              operators.TextOps.normalize(col("text")).as("__txt"))
+            cands
+              .join(norm.select(col("__nid").as("i"),
+                col("__txt").as("__ti")), "i")
+              .join(norm.select(col("__nid").as("j"),
+                col("__txt").as("__tj")), "j")
+              .withColumn("jw",
+                round(jaro_winkler(col("__ti"), col("__tj")), 6))
+              .filter(col("jw") >= 0.9)
+              .count()
+          }
+          // prune-rate evidence for the NOTES table
+          val nCands = Dedup.ngramJaccardPairsFromSets(sets, 0.6).count()
+          val nKept = times.get(("d9", n)).map(_ =>
+            Dedup.jaroVerifiedPairs(d, "doc_id", "text", k = 3,
+              jaccardFloor = 0.6, jwThreshold = 0.9).count()).getOrElse(0L)
+          println(s"PROBE d9 candidates n=$n: $nCands -> verified $nKept")
         }
         if (ops("d6")) times(("d6", n)) = time(s"d6 passage dedup   n=$n") {
           Dedup.passageDedup(d, "doc_id", "text", k = 8).count()
@@ -249,6 +280,13 @@ object DedupScaleProbe {
     for (op <- Seq("d2", "d3", "cc", "t7", "d4", "d6", "t9", "s2", "s5")
         if ops(op))
       exponent(op, times((op, n1)), times((op, n2)))
+    if (ops("d9")) {
+      exponent("d9", times(("d9", n1)), times(("d9", n2)))
+      exponent("d9raw", times(("d9raw", n1)), times(("d9raw", n2)))
+      for (n <- Seq(n1, n2))
+        println(f"PROBE d9 prefilter speedup n=$n: " +
+          f"${times(("d9raw", n)) / times(("d9", n))}%.2fx")
+    }
 
     // t5: DOC-LENGTH scaling of the Gopher repetition metrics. The RLE
     // fold is O(L log L) per document; the occurrences() shape it

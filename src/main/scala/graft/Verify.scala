@@ -27,6 +27,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.getStackTrace.take(12).foreach(f =>
+          System.err.println(s"[verify]    at $f"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -54,6 +54,46 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 }
 
+/** Cheap O(|a|+|b|) UPPER BOUND on [[JaroWinklerSimilarity]] — the
+  * verify-stage prefilter for high-threshold fuzzy matching: Jaro
+  * matches are a one-to-one pairing of equal characters, so
+  * m ≤ the character-multiset intersection c, and
+  * jaro ≤ (c/|a| + c/|b| + 1)/3; the Winkler boost (l ≤ 4, p = 0.1)
+  * lifts any jaro to at most 0.6·jaro + 0.4. Counting is done in 256
+  * hash buckets (char & 0xFF) — collisions only INCREASE c, so the
+  * bound stays an upper bound at O(1) memory. Computing this before
+  * the exact O(|a|·window) scan prunes most non-matches at a fraction
+  * of the cost (the same shape as levenshtein's threshold early-exit). */
+case class JaroWinklerUpperBound(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"jaro_winkler_upper_bound expects (string, " +
+        s"string), got ${left.dataType.catalogString} / " +
+        s"${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerImpl.upperBound(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.JaroWinklerImpl" +
+        s".upperBound($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerUpperBound =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaro_winkler_upper_bound"
+}
+
 object JaroWinklerImpl {
   /** Static kernel the generated code calls (public, stable name). */
   def compute(ua: UTF8String, ub: UTF8String): Double = {
@@ -106,11 +146,45 @@ object JaroWinklerImpl {
       a.charAt(l) == b.charAt(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
+
+  /** Upper bound on compute(a, b): see [[JaroWinklerUpperBound]]. */
+  def upperBound(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    // 256-bucket char histograms; intersection of the bucketed
+    // multisets dominates the true character-multiset intersection,
+    // which dominates the Jaro match count m
+    val ca = new Array[Int](256)
+    val cb = new Array[Int](256)
+    var i = 0
+    while (i < la) { ca(a.charAt(i) & 0xFF) += 1; i += 1 }
+    i = 0
+    while (i < lb) { cb(b.charAt(i) & 0xFF) += 1; i += 1 }
+    var c = 0
+    i = 0
+    while (i < 256) { c += math.min(ca(i), cb(i)); i += 1 }
+    if (c == 0) return 0.0
+    val cd = c.toDouble
+    val jaroUpper = (cd / la + cd / lb + 1.0) / 3.0
+    // boost lifts jaro to at most 0.6·jaro + 0.4 (l ≤ 4, p = 0.1);
+    // jaroUpper ≤ 1 because c ≤ min(la, lb)
+    0.6 * jaroUpper + 0.4
+  }
 }
 
 object StringSimilarity {
   /** Column form: `jaro_winkler(a, b)` → double in [0, 1]. */
   def jaro_winkler(a: Column, b: Column): Column =
     GraftSqlAccess.column(JaroWinklerSimilarity(
+      GraftSqlAccess.expression(a), GraftSqlAccess.expression(b)))
+
+  /** Column form: cheap upper bound on `jaro_winkler(a, b)` — use as
+    * `jaro_winkler_upper_bound(a, b) >= t` before the exact measure. */
+  def jaro_winkler_upper_bound(a: Column, b: Column): Column =
+    GraftSqlAccess.column(JaroWinklerUpperBound(
       GraftSqlAccess.expression(a), GraftSqlAccess.expression(b)))
 }

@@ -454,42 +454,37 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .persist(mem)
-    edges.count()
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .persist(mem)
-    labels.count()
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
         .withColumnRenamed("dst", "id")
-      // one join carries both the next labels and the change signal —
-      // the improvement count doubles as the cache materialization
-      val merged = labels.join(neighborMin, Seq("id"), "left").persist(mem)
+      // localCheckpoint BOTH materializes the round (the change count
+      // doubles as the job) and TRUNCATES the logical lineage — the
+      // naive loop's plan contains `labels` twice (directly and inside
+      // neighborMin), so an un-truncated plan DOUBLES per round and the
+      // DRIVER dies rendering exponentially-sized plan trees around
+      // diameter ~15, long before the executors feel anything.
+      // Iterative dataflow rule: per-round driver cost must be O(1) in
+      // round count. (On a cluster, swap for checkpoint() to reliable
+      // storage every few rounds — localCheckpoint blocks don't survive
+      // executor loss.)
+      val merged = labels.join(neighborMin, Seq("id"), "left")
+        .localCheckpoint()
       changed = merged.filter(col("nlabel") < col("label")).count()
-      if (changed > 0) {
-        val next = merged
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label")))
-              .as("label"))
-          .persist(mem)
-        next.count()
-        labels.unpersist(false)
-        labels = next
-      }
-      merged.unpersist(false)
+      if (changed > 0)
+        // cheap projection over the checkpointed round — O(1) plan
+        labels = merged.select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
     }
-    edges.unpersist(false)
-    val out = labels
-      .select(col("id").as(idCol), col("label").as("cluster_id"))
-      .localCheckpoint()
-    labels.unpersist(false)
-    out
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
   /** Benchmark decontamination: flag every corpus document sharing at
@@ -556,18 +551,44 @@ object Dedup {
     * (codegen'd, O(L·window) per pair, candidate pairs only — never
     * all pairs) keeps pairs at or above `jwThreshold`. The
     * prefix-weighted measure catches the same-head/different-tail
-    * near-dups a bounded edit distance rejects. */
+    * near-dups a bounded edit distance rejects.
+    *
+    * Two PROVABLY-LOSSLESS prefilters run before the exact measure
+    * (output is identical with or without them; they only cut verify
+    * cost, sharpening the loose Jaccard-floor candidate set for high
+    * JW thresholds):
+    *  1. length ratio — jw ≥ t forces jaro ≥ (t−0.4)/0.6 (the boost
+    *     lifts jaro to at most 0.6·jaro+0.4), and m ≤ min(|a|,|b|)
+    *     forces jaro ≤ (min/max + 2)/3... i.e.
+    *     min/max ≥ 3·(t−0.4)/0.6 − 2; pure codegen'd `length()` math;
+    *  2. the O(|a|+|b|) char-multiset bound
+    *     [[graft.functions.expressions.JaroWinklerUpperBound]],
+    *     ~L·window/(L) times cheaper than the exact scan. */
   def jaroVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, jaccardFloor: Double = 0.6,
       jwThreshold: Double = 0.9): DataFrame = {
-    import graft.functions.expressions.StringSimilarity.jaro_winkler
+    import graft.functions.expressions.StringSimilarity.{jaro_winkler, jaro_winkler_upper_bound}
     val cands = ngramJaccardPairs(df, idCol, textCol, k, jaccardFloor)
       .select(col("i"), col("j"))
     val norm = df.select(col(idCol).cast(LongType).as("__nid"),
       TextOps.normalize(col(textCol)).as("__txt"))
-    cands
+    // jaro lower bound implied by the threshold (boost ≤ 0.4·(1−jaro));
+    // the 1e-6 slack covers the exact path's round-to-6-decimals: a
+    // true jw just under t can round UP to t, so the prefilters must
+    // keep that band too to stay lossless
+    val jaroMin = (jwThreshold - 1e-6 - 0.4) / 0.6
+    val ratioMin = 3.0 * jaroMin - 2.0 // min/max length ratio bound
+    val joined = cands
       .join(norm.select(col("__nid").as("i"), col("__txt").as("__ti")), "i")
       .join(norm.select(col("__nid").as("j"), col("__txt").as("__tj")), "j")
+    val prefiltered =
+      if (ratioMin <= 0) joined // low thresholds: bounds can't prune
+      else joined
+        .filter(least(length(col("__ti")), length(col("__tj"))) >=
+          lit(ratioMin) * greatest(length(col("__ti")), length(col("__tj"))))
+        .filter(jaro_winkler_upper_bound(col("__ti"), col("__tj")) >=
+          jwThreshold - 1e-6)
+    prefiltered
       .withColumn("jw", round(jaro_winkler(col("__ti"), col("__tj")), 6))
       .filter(col("jw") >= jwThreshold)
       .select(col("i"), col("j"), col("jw"))

@@ -55,6 +55,12 @@ object StreamingQueries {
       s.readStream.schema(batchSchema).parquet(staged.toString), "ts")
   }
 
+  /** State-store partition count for the harness streams — fixed at
+    * the measured local optimum, overridable for floor-probing sweeps
+    * (`SPARK_GRAFT_STATE_PARTS`). */
+  private val stateParts: Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(8)
+
   // State partitions stay FIXED at 8 for this rig: an r6 experiment
   // sized them from source volume (~8 MB/partition → 26 at sf10) and
   // MEASURED it slower (st6 at sf10: 48.7 s at 26 partitions vs
@@ -74,7 +80,7 @@ object StreamingQueries {
         windowLength = "1 hour", watermark = "2 hours")
       val name = s"st1_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, agg, name, outputMode = "complete",
-          statePartitions = Some(8))
+          statePartitions = Some(stateParts))
         .select(col("window_start").cast(DateType).as("d"),
           hour(col("window_start")).as("h"),
           col("event_type"), col("n"))
@@ -93,7 +99,7 @@ object StreamingQueries {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       val name = s"st2_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, deduped, name, outputMode = "complete",
-        statePartitions = Some(8))
+        statePartitions = Some(stateParts))
         .orderBy(col("event_type"))
     }),
 
@@ -118,7 +124,7 @@ object StreamingQueries {
       val agg = Streaming.windowedAnomaly(stream(), profile)
       val name = s"st8_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, agg, name, outputMode = "complete",
-          statePartitions = Some(8))
+          statePartitions = Some(stateParts))
         .select(col("window_start").cast(DateType).as("d"),
           hour(col("window_start")).as("h"),
           col("event_type"), col("n"),
@@ -141,7 +147,7 @@ object StreamingQueries {
         windowMs = 30L * 60 * 1000)
       val name = s"st3_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, joined, name, outputMode = "append",
-        statePartitions = Some(8))
+        statePartitions = Some(stateParts))
         .groupBy(col("l_user_id").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
@@ -159,7 +165,7 @@ object StreamingQueries {
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
       val name = s"st4_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, enriched, name, outputMode = "complete",
-        statePartitions = Some(8))
+        statePartitions = Some(stateParts))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -180,7 +186,7 @@ object StreamingQueries {
         joinType = "leftOuter")
       val name = s"st7_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, joined, name, outputMode = "append",
-          statePartitions = Some(8))
+          statePartitions = Some(stateParts))
         .groupBy(col("l_user_id").as("user_id"))
         .agg(count(col("r_event_id")).as("n_matched"),
           count(when(col("r_event_id").isNull, 1)).as("n_unmatched"))
@@ -198,7 +204,7 @@ object StreamingQueries {
         watermark = "0 seconds")
       val name = s"st6_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, sess, name, outputMode = "append",
-          statePartitions = Some(8))
+          statePartitions = Some(stateParts))
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start"),
           col("n_events"), col("total_value"))
@@ -233,7 +239,7 @@ object StreamingQueries {
         watermark = "2 hours", slide = Some("30 minutes"))
       val name = s"st5_out_${runCounter.incrementAndGet()}"
       Streaming.runToMemory(s, agg, name, outputMode = "complete",
-          statePartitions = Some(8))
+          statePartitions = Some(stateParts))
         .select(unix_micros(col("window_start")).as("win_start"),
           col("event_type"), col("n"))
         .orderBy(col("win_start"), col("event_type"))

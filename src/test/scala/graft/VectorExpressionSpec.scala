@@ -33,6 +33,23 @@ class StringSimilaritySpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("upper bound dominates the exact measure on random pairs") {
+    import graft.functions.expressions.StringSimilarity.jaro_winkler_upper_bound
+    val rnd = new scala.util.Random(5)
+    def randStr(): String =
+      (0 until rnd.nextInt(30)).map(_ => ('a' + rnd.nextInt(6)).toChar)
+        .mkString
+    val pairs = (0 until 300).map(_ => (randStr(), randStr())) ++
+      Seq(("", ""), ("a", ""), ("abc", "abc"), ("MARTHA", "MARHTA"))
+    val rows = pairs.toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b")).as("jw"),
+        jaro_winkler_upper_bound(col("a"), col("b")).as("ub"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getDouble(1) >= r.getDouble(0) - 1e-12,
+        s"bound ${r.getDouble(1)} < exact ${r.getDouble(0)}"))
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.range(100)
       .selectExpr("concat('doc', id) as a", "concat('dog', id) as b")

@@ -39,6 +39,12 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = n_noora = 0
+    # an oracle entry whose query never dumped (crash in Verify) must
+    # fail loudly, not vanish — the driver counts it as a failure too
+    dumped = {d.name for d in out_dir.iterdir() if d.is_dir()}
+    for name in sorted(set(oracle) - dumped):
+        print(f"FAIL  {name}: oracle registered but no output dumped")
+        n_fail += 1
     for qdir in sorted(out_dir.iterdir()):
         if not qdir.is_dir():
             continue
