@@ -518,6 +518,60 @@ object Dedup {
         coalesce(col("is_contaminated"), lit(false)))
   }
 
+  /** Decontamination for the LARGE-benchmark regime: same exact result
+    * as [[contaminatedAgainst]], but the benchmark gram set is assumed
+    * too big to broadcast as strings — the pattern at 100 TB when the
+    * "benchmark" is a whole held-out corpus rather than an MB-scale
+    * eval suite.
+    *
+    * Two-stage plan, both stages exact in combination:
+    *  1. a Bloom filter over `xxhash64(gram)` is built with ONE
+    *     distributed aggregate (Spark's `BloomFilterAggregate`,
+    *     mergeable partial states) and collected to the driver —
+    *     bounded: `numBits/8` bytes regardless of benchmark size —
+    *     then pushed into the corpus scan as a codegen'd
+    *     `BloomFilterMightContain` literal predicate, discarding the
+    *     ~(1-fpp) of corpus grams that cannot match anything;
+    *  2. the survivors (≈ true hits + fpp of the corpus) are verified
+    *     EXACTLY with a shuffle hash semi-join against the distinct
+    *     benchmark grams (deliberately NOT broadcast: this operator
+    *     models the regime where the benchmark side exceeds the
+    *     broadcast budget, so the shuffle is the verify path — and it
+    *     now moves only the bloom survivors, not the whole corpus).
+    *
+    * False positives of stage 1 are removed by stage 2, so output ==
+    * [[contaminatedAgainst]] bit-for-bit: (idCol, is_contaminated) for
+    * every corpus row. `numBits` sizes the filter (default 8 bits/item
+    * at `expectedGrams` ≈ 2% fp — tune to the real benchmark
+    * cardinality at scale). */
+  def contaminatedAgainstBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 5,
+      expectedGrams: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftSqlAccess.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val benchGrams = bench
+      .select(explode(shingles(col(textCol), k)).as("g")).distinct()
+    val bloomAgg = new BloomFilterAggregate(
+      expression(xxhash64(col("g"))), expectedGrams)
+    val bloomBin = benchGrams
+      .select(column(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = column(new BloomFilterMightContain(
+      Literal(bloomBin, BinaryType),
+      expression(xxhash64(col("g")))))
+    val hits = corpus
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("g"))
+      .filter(mightContain)
+      .join(benchGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("is_contaminated", lit(true))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("is_contaminated",
+        coalesce(col("is_contaminated"), lit(false)))
+  }
+
   /** Two-tier fuzzy dedup: cheap set-similarity CANDIDATES (the PPJoin
     * prefix-filter join at a loose Jaccard floor) verified by bounded
     * edit distance on the normalized text — the classic fuzzy-match

@@ -383,6 +383,51 @@ object Sketches {
     sampled.groupBy(col(stratumCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Deterministic WEIGHTED bottom-k sample per stratum: rows with
+    * larger integer weight are more likely kept, selection is a pure
+    * function of (key, weight) — partition-order-independent and
+    * replayable in any SQL engine.
+    *
+    * Priority = `kmvHash(key) div max(weight, 1)` (integer division,
+    * exact in 64-bit on both sides); the k rows with the smallest
+    * priorities win, via the same bounded BottomK threshold aggregate
+    * as [[bottomKSample]] — one map-side-combined aggregate with ≤ k
+    * longs of state per stratum, then a scan-stage filter. No per-row
+    * shuffle or sort.
+    *
+    * Statistics, stated honestly: scaling a uniform 60-bit hash by
+    * 1/w is NOT the exact Efraimidis–Spirakis u^(1/w) PPS-without-
+    * replacement scheme (that exponent needs float `ln`/`pow`, which
+    * is not bit-portable across engines); it is a monotone weighted
+    * priority — inclusion odds strictly increase with weight, a
+    * doubling of weight roughly doubles the odds of beating a given
+    * threshold while selected set stays deterministic. The spec pins
+    * the monotonicity empirically. Priority collisions (division can
+    * collide where raw hashes cannot) keep >k rows exactly like p14's
+    * threshold-tie caveat; the oracle replays the identical predicate
+    * so the gate stays exact. */
+  def weightedBottomKSample(df: DataFrame, stratumCol: String,
+      keyCol: Column, weightCol: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    val prio = org.apache.spark.sql.GraftSqlAccess.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftSqlAccess.expression(kmvHash(keyCol, salt)),
+        org.apache.spark.sql.GraftSqlAccess.expression(
+          greatest(weightCol.cast("long"), lit(1L)))))
+    val thresholds = df
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.expressions.BottomK
+        .bottom_k_distinct(prio, k).as("kmv"))
+      .select(col(stratumCol),
+        when(size(col("kmv")) > 0,
+          element_at(col("kmv"), size(col("kmv")))).as("w_threshold"))
+    df.filter(col(stratumCol).isNotNull)
+      .join(broadcast(thresholds), Seq(stratumCol))
+      .filter(prio <= col("w_threshold"))
+      .drop("w_threshold")
+  }
+
   def bottomKSample(df: DataFrame, stratumCol: String, keyCol: Column,
       k: Int, salt: String = ""): DataFrame = {
     val h = kmvHash(keyCol, salt)

@@ -66,6 +66,18 @@ object GraphQueries {
     // compact-forward enumeration, each triangle counted once from its
     // minimum-rank apex; oracle replays it as a lexicographic ordered
     // 3-join (orientation strategy doesn't change the counts)
+    // G5: 2-core of the ≥2-order trading graph — 5 synchronous peel
+    // rounds (fixpoint within 5 at every harness SF, asserted by
+    // spec), dropping the tree-like tendrils that dominate the
+    // bipartite graph and keeping only nodes on cycles. Oracle unrolls
+    // the same peel rounds as induced-edge CTEs
+    "g5_kcore" -> ((s, dir) => {
+      val pairs = repeatPairs(s, dir, minOrders = 2)
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      Graph.kCore(edges, k = 2, rounds = 5).orderBy(col("node"))
+    }),
+
     "g4_triangles" -> ((s, dir) => {
       val ps = Tables(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),
@@ -79,19 +91,42 @@ object GraphQueries {
     })
   )
 
-  /** Supplier↔customer pairs with at least 4 distinct orders, as
-    * (i, j) string-node pairs for the components query. */
-  private def repeatPairs(s: SparkSession, dir: String): DataFrame =
+  /** Supplier↔customer pairs with at least `minOrders` distinct
+    * orders, as (i, j) string-node pairs (components: ≥4 fragments
+    * the graph; k-core: ≥2 keeps enough cycles for a 2-core). */
+  private def repeatPairs(s: SparkSession, dir: String,
+      minOrders: Int = 4): DataFrame =
     Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(concat(lit("s"), col("l_suppkey")).as("i"),
         concat(lit("c"), col("o_custkey")).as("j"))
       .agg(countDistinct(col("o_orderkey")).as("n"))
-      .filter(col("n") >= 4)
+      .filter(col("n") >= minOrders)
       .select(col("i"), col("j"))
 
+  /** The g5 oracle's 5 unrolled peel rounds: each round keeps nodes
+    * with ≥2 src rows (both edge directions are present, so src count
+    * IS the degree) and induces the edge set on the survivors. */
+  private val kcorePeels: String = (1 to 5).map { r =>
+    s"""k$r AS (SELECT src AS node FROM e${r - 1}
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |e$r AS (SELECT src, dst FROM e${r - 1}
+       |  WHERE src IN (SELECT node FROM k$r)
+       |    AND dst IN (SELECT node FROM k$r))""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "g5_kcore" ->
+      s"""WITH pairs AS (
+         |  SELECT 's' || l_suppkey AS i, 'c' || o_custkey AS j
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+         |e0 AS (SELECT i AS src, j AS dst FROM pairs
+         |  UNION ALL SELECT j, i FROM pairs),
+         |$kcorePeels
+         |SELECT src AS node, count(*) AS core_deg
+         |FROM e5 GROUP BY 1 ORDER BY 1""".stripMargin,
     "g1_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT 's' || l_suppkey AS s,
         |    'c' || o_custkey AS c

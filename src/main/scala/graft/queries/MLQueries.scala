@@ -100,6 +100,20 @@ object MLQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // P15: deterministic WEIGHTED bottom-k sample — longer documents
+    // (n_chars) more likely kept, 10 per source (sf0.01 strata hold
+    // 25 docs — k must cut for the gate to be non-vacuous), a pure
+    // function of (doc_id, n_chars): priority = hash div weight,
+    // k-th-smallest-distinct threshold per stratum from ONE bounded
+    // aggregate (engine-portable twin of PPS-style weighted sampling)
+    "p15_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sketches.weightedBottomKSample(
+          Tables(s, dir, "documents"), "source", col("doc_id"),
+          col("n_chars"), k = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P12: stratified per-language sampling in one scan (rows-only:
     // RNG streams differ per engine; per-stratum ratio asserts live in
     // ScalaTest)
@@ -135,6 +149,25 @@ object MLQueries {
         |  WHERE rn <= 20 GROUP BY lang)
         |SELECT h.doc_id, h.lang FROM h JOIN thr USING (lang)
         |WHERE h.hv <= thr.t
+        |ORDER BY h.doc_id""".stripMargin,
+
+    // Weighted twin of p14: priority = hash // weight (BIGINT // BIGINT
+    // stays BIGINT — no HUGEINT risk), threshold = 10th smallest
+    // DISTINCT priority per source, keep priority <= threshold
+    "p15_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      // greatest(n_chars, 1) AS prio
+        |  FROM documents WHERE source IS NOT NULL),
+        |thr AS (
+        |  SELECT source, max(prio) AS t FROM (
+        |    SELECT source, prio,
+        |      row_number() OVER (PARTITION BY source ORDER BY prio) AS rn
+        |    FROM (SELECT DISTINCT source, prio FROM h))
+        |  WHERE rn <= 10 GROUP BY source)
+        |SELECT h.doc_id, h.source, h.n_chars FROM h JOIN thr USING (source)
+        |WHERE h.prio <= thr.t
         |ORDER BY h.doc_id""".stripMargin,
 
     "m11_target" ->

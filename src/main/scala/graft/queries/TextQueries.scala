@@ -137,6 +137,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // decontamination in the LARGE-benchmark regime: bit-identical
+    // result to t7, but via a bloom-prefiltered shuffle semi-join —
+    // the plan shape for a benchmark set too big to broadcast (the
+    // bloom is the only driver-collected artifact, bounded by numBits)
+    "t13_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.contaminatedAgainstBloom(docs,
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact corpus heavy hitters: tokens above 2% of all occurrences
     "t8_heavy_hitters" -> ((s, dir) => {
       graft.operators.Sketches.heavyHitters(
@@ -620,6 +631,24 @@ object TextQueries {
     },
 
     "t7_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 4
+        |    THEN list_transform(range(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+        |    ELSE [] END)) AS s
+        |  FROM t),
+        |bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 50 = 0),
+        |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (s))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // identical relational semantics to t7 — the bloom prefilter is a
+    // lossy-then-verified physical optimization, invisible to the
+    // result, so the oracle replays the same exact semi-join
+    "t13_bloom_decontaminate" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),

@@ -371,4 +371,29 @@ class DedupSimSpec extends SparkSpec {
     assert(out == Seq(1L, 3L),
       s"expected reps 1,3 after decontamination, got $out")
   }
+
+  test("bloom decontamination is bit-identical to the exact broadcast path") {
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Dedup.contaminatedAgainst(docs, bench,
+        "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val bloom = Dedup.contaminatedAgainstBloom(docs, bench,
+        "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(exact.exists(_._2), "fixture should contain contaminated docs")
+    assert(exact.exists(!_._2), "fixture should contain clean docs")
+    assert(bloom == exact)
+  }
+
+  test("bloom decontamination plan: codegen'd might_contain prefilter + " +
+      "shuffle (not broadcast) verify join") {
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val plan = Dedup.contaminatedAgainstBloom(docs, bench,
+        "doc_id", "text", k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom prefilter should reach the physical plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      "the exact verify must be a shuffle join (large-benchmark regime)")
+  }
 }

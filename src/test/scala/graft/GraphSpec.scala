@@ -112,4 +112,55 @@ class GraphSpec extends SparkSpec {
     val und = (edges ++ edges.map(_.swap)).distinct
     assert(ranksOf(und, 3, parts = 1) === ranksOf(und, 3, parts = 13))
   }
+
+  private def coreOf(edges: Seq[(String, String)], k: Int,
+      rounds: Int): Map[String, Long] = {
+    val und = (edges ++ edges.map(_.swap)).distinct
+    Graph.kCore(und.toDF("src", "dst"), k, rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("2-core peels chains of tendrils, keeps cycles; cascade needs rounds") {
+    // triangle with a 3-node tail: the tail peels off one node per
+    // round (degree-1 end first — the cascade the synchronous rounds
+    // model), the triangle survives with degree 2 everywhere
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "t1"), ("t1", "t2"), ("t2", "t3"))
+    assert(coreOf(g, k = 2, rounds = 4)
+      === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // too few rounds: the cascade is not finished — t1 still present
+    // after round 1 (t2 only lost t3)
+    assert(coreOf(g, k = 2, rounds = 1).contains("t1"))
+    // a pure tree has an empty 2-core
+    assert(coreOf(Seq(("r", "x"), ("r", "y"), ("x", "z")),
+      k = 2, rounds = 3).isEmpty)
+  }
+
+  test("g5 harness graph: 5 rounds reach the k-core fixpoint at sf0.001") {
+    val s = spark
+    val g5 = graft.queries.GraphQueries.queries("g5_kcore")(
+      s, "/root/testdata/sf0.001")
+    val got = g5.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "2-core should be non-empty on the fixture")
+    // fixpoint: every member's degree within the core is >= k — the
+    // defining property of the k-core; if 5 rounds were too few some
+    // node would still sit below k
+    assert(got.values.forall(_ >= 2L),
+      s"nodes below k survived: ${got.filter(_._2 < 2L)}")
+    // and one MORE round changes nothing (true fixpoint, not merely
+    // all-degrees-look-right)
+    import graft.Tables
+    val li = Tables(s, "/root/testdata/sf0.001", "lineitem")
+    val or = Tables(s, "/root/testdata/sf0.001", "orders")
+    val pairs = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("s"), col("l_suppkey")).as("i"),
+        concat(lit("c"), col("o_custkey")).as("j"))
+      .agg(countDistinct(col("o_orderkey")).as("n"))
+      .filter(col("n") >= 2).select(col("i"), col("j"))
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+    val more = Graph.kCore(edges, k = 2, rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(more === got)
+  }
 }

@@ -426,6 +426,44 @@ class SketchesSpec extends SparkSpec {
     assert(ids.subsetOf(all))
   }
 
+  test("weighted bottom-k sample: weight-biased, deterministic, monotone") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 8 // sf0.001 strata hold exactly 25 docs — k must cut
+    val sampled = Sketches.weightedBottomKSample(docs, "source",
+      col("doc_id"), col("n_chars"), k)
+    // kept documents skew long: mean n_chars of the sample exceeds the
+    // population mean (the point of weighting by length)
+    val mS = sampled.agg(avg(col("n_chars"))).head().getDouble(0)
+    val mP = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(mS > mP, s"sample mean $mS should exceed population mean $mP")
+    // deterministic under re-partitioning
+    val ids = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sketches.weightedBottomKSample(docs.repartition(13),
+        "source", col("doc_id"), col("n_chars"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+    // stratum counts: >= k (threshold ties can keep extras), bounded
+    val per = sampled.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(per.forall(n => n >= k && n <= k + 5), per.mkString(","))
+    // monotonicity in weight: scaling EVERY weight by a constant
+    // changes nothing (priorities all scale together)...
+    val scaled = Sketches.weightedBottomKSample(docs, "source",
+        col("doc_id"), col("n_chars") * 7, k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scaled === ids)
+    // ...while raising ONE document's weight to a huge value pulls it
+    // into the sample (priority -> 0)
+    val target = docs.filter(!col("doc_id").isInCollection(ids))
+      .select("doc_id").head().getLong(0)
+    val boosted = Sketches.weightedBottomKSample(docs, "source",
+        col("doc_id"),
+        when(col("doc_id") === target, lit(1000000000L))
+          .otherwise(col("n_chars")), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(boosted.contains(target))
+  }
+
   test("sampled quantiles: near exact, partition-invariant") {
     val key = concat_ws("_", col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"))
