@@ -61,11 +61,6 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
-    // G4: per-node triangle counts on the co-supply graph (suppliers
-    // linked when they ship the same part) — degree-ordered
-    // compact-forward enumeration, each triangle counted once from its
-    // minimum-rank apex; oracle replays it as a lexicographic ordered
-    // 3-join (orientation strategy doesn't change the counts)
     // G5: 2-core of the ≥2-order trading graph — 5 synchronous peel
     // rounds (fixpoint within 5 at every harness SF, asserted by
     // spec), dropping the tree-like tendrils that dominate the
@@ -78,6 +73,20 @@ object GraphQueries {
       Graph.kCore(edges, k = 2, rounds = 5).orderBy(col("node"))
     }),
 
+    // G4: per-node triangle counts on the HASH-SPARSIFIED co-supply
+    // graph. The raw "suppliers who ship a common part" graph is the
+    // COMPLETE graph K_n at sf ≥ 0.01 (~30 suppliers touch every
+    // part, so every supplier pair co-supplies) — C(n,3) triangles is
+    // an enumeration benchmark, not an analytics query (166M result
+    // rows at sf0.1, measured 33 s). Keeping each edge iff the
+    // md5-derived 60-bit hash of the pair ≡ 0 (mod 10) makes it a
+    // deterministic Erdős–Rényi-style subgraph (p = 0.1: degree ~100
+    // and 165k triangles at sf0.1; 149 triangles at the sf0.01 gate)
+    // — engine-portable, the oracle replays the same predicate.
+    // Degree-ordered compact-forward enumeration, each triangle
+    // counted once from its minimum-rank apex; oracle replays a
+    // lexicographic ordered 3-join (orientation strategy doesn't
+    // change the counts)
     "g4_triangles" -> ((s, dir) => {
       val ps = Tables(s, dir, "lineitem")
         .select(col("l_partkey").as("p"),
@@ -87,6 +96,8 @@ object GraphQueries {
           col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
         .select(col("x.sk").as("src"), col("y.sk").as("dst"))
         .distinct()
+        .filter(conv(substring(md5(concat(col("src"), lit("|"),
+            col("dst"))), 1, 15), 16, 10).cast("long") % 10 === 0)
       Graph.triangleCounts(edges).orderBy(col("node"))
     })
   )
@@ -202,8 +213,10 @@ object GraphQueries {
     "g4_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, 's' || l_suppkey AS sk
         |  FROM lineitem),
-        |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |e0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
         |  FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+        |e AS (SELECT a, b FROM e0
+        |  WHERE CAST(('0x' || substr(md5(a || '|' || b), 1, 15)) AS BIGINT) % 10 = 0),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
         |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
