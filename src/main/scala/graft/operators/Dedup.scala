@@ -452,15 +452,21 @@ object Dedup {
     * graphs never get there.) The driver-side loop condition mirrors
     * KMeans-style iterate-until-converged: one scalar count per round.
     */
+  /** Rounds the last [[connectedComponents]] call took — instrumentation
+    * for specs/probes pinning the O(log d) pointer-jump claim. */
+  @volatile var lastComponentRounds: Int = 0
+
   def connectedComponents(nodes: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, pointerJump: Boolean = true): DataFrame = {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
       .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
@@ -478,12 +484,37 @@ object Dedup {
       val merged = labels.join(neighborMin, Seq("id"), "left")
         .localCheckpoint()
       changed = merged.filter(col("nlabel") < col("label")).count()
-      if (changed > 0)
+      if (changed > 0) {
         // cheap projection over the checkpointed round — O(1) plan
-        labels = merged.select(col("id"),
+        val stepped = merged.select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
+        // pointer jumping (path halving): label := min(label,
+        // label(label)). Every label IS a node id in the same
+        // component, so following the pointer one hop stays inside the
+        // component while roughly DOUBLING how far a min label has
+        // propagated — O(log d) rounds on diameter-d graphs instead of
+        // O(d) (measured: 64-chain converges in 5 rounds vs 64; see
+        // GraphSpec + NOTES). Termination still keys on the
+        // neighbor-min pass alone: a labeling is a global fixpoint iff
+        // neighbor-min changes nothing (any non-converged component
+        // has a boundary node with a smaller-labeled neighbor), and
+        // jumping from a neighbor-min fixpoint is a no-op. Cost: one
+        // extra label-keyed join per round — the join key converges
+        // toward few hot labels (component ids), which AQE skew-join
+        // splits locally; at cluster scale broadcast the (distinct)
+        // label→grand side when components are few.
+        labels = if (!pointerJump) stepped else {
+          val parents = stepped.select(col("id").as("__jl"),
+            col("label").as("__grand"))
+          stepped.join(parents, col("label") === col("__jl"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("__grand"), col("label")))
+                .as("label"))
+        }
+      }
     }
+    lastComponentRounds = rounds
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -407,6 +407,20 @@ object CoreQueries {
       Tables(s, dir, "orders").createOrReplaceTempView("orders")
       Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(SqlText.segmentTopK)
+    }),
+
+    // SQL4: TPC-H Q5-shape local-supplier revenue — the 6-way
+    // snowflake join (region→nation→customer→orders→lineitem +
+    // supplier matched on BOTH suppkey and the customer's nation).
+    // The plan Catalyst should pick at any scale: region/nation/
+    // customer/supplier broadcast (dimension side), ONE shuffle pair
+    // on orderkey for the orders⋈lineitem fact join, partial aggs
+    // before the 5-row nation rollup. Shared verbatim with DuckDB
+    "sql4_local_supplier" -> ((s, dir) => {
+      Seq("region", "nation", "customer", "supplier", "orders",
+        "lineitem").foreach(t =>
+        Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlText.localSupplierRevenue)
     })
   )
 
@@ -445,6 +459,24 @@ object CoreQueries {
         |  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
         |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+
+    val localSupplierRevenue: String =
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -669,6 +701,7 @@ object CoreQueries {
     "sql1_pricing_summary" -> SqlText.pricingSummary,
     "sql2_grouping_sets" -> SqlText.groupingSets,
     "sql3_segment_topk" -> SqlText.segmentTopK,
+    "sql4_local_supplier" -> SqlText.localSupplierRevenue,
 
     "a15_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -216,6 +216,57 @@ object StreamingQueries {
     // written through runToSnapshot/appendStreamBatch, then the TABLE
     // is aggregated — equality with the plain batch aggregate proves
     // every event landed exactly once through the micro-batch commits
+    // ST10: streaming CROSS-BATCH dedup ingestion — documents arrive
+    // as 4 doc_id-range micro-batches (one staged file per trigger,
+    // mtime-ordered); each batch anti-joins its md5 fingerprints
+    // against the persistent snapshot store and appends only
+    // first-ever occurrences (exactly-once batch markers). Injected
+    // duplicates (doc_id ≥ qs with doc_id % 10 == 1 borrow the
+    // fingerprint of doc_id % qs — always an earlier batch) make the
+    // cross-batch drop arm provably non-vacuous; the store ends
+    // holding exactly min(doc_id) per distinct fingerprint, which the
+    // oracle replays relationally
+    "st10_stream_dedup_ingest" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val raw = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+      val qs = maxId / 4 + 1
+      val partner = raw.select(col("doc_id").as("pid"),
+        col("fp").as("pfp"))
+      val fp = raw.withColumn("pid", col("doc_id") % qs)
+        .join(partner, Seq("pid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") >= qs && col("doc_id") % 10 === 1
+              && col("pfp").isNotNull, col("pfp"))
+            .otherwise(col("fp")).as("fp"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st10")
+      val staged = base.resolve("in")
+      java.nio.file.Files.createDirectories(staged)
+      for (k <- 0 until 4) {
+        val tmp = base.resolve(s"tmp$k").toString
+        fp.filter(col("doc_id") >= k * qs && col("doc_id") < (k + 1) * qs)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        // distinct, strictly increasing mtimes: the file source orders
+        // batches by modification time, making batch order = doc_id
+        // range order (the determinism the oracle depends on)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 400000L + k * 60000L))
+      }
+      val stream = s.readStream.schema(fp.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      graft.streaming.Streaming.dedupIngestToSnapshot(s, stream,
+        base.resolve("t").toString, base.resolve("ckpt").toString)
+      SnapshotTable.read(s, base.resolve("t").toString)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -247,6 +298,23 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the store converges to min(doc_id) per distinct fingerprint:
+    // borrowed fps always have their original owner in an earlier
+    // doc_id-range batch, so first-occurrence-in-batch-order = global
+    // min doc_id — expressible relationally without replaying batches
+    "st10_stream_dedup_ingest" ->
+      """WITH raw AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |q AS (SELECT max(doc_id) // 4 + 1 AS qs FROM raw),
+        |f AS (SELECT r.doc_id,
+        |    CASE WHEN r.doc_id >= q.qs AND r.doc_id % 10 = 1
+        |        AND p.fp IS NOT NULL THEN p.fp ELSE r.fp END AS fp
+        |  FROM raw r CROSS JOIN q
+        |  LEFT JOIN raw p
+        |    ON r.doc_id >= q.qs AND p.doc_id = r.doc_id % q.qs)
+        |SELECT min(doc_id) AS doc_id, fp FROM f
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
     // session_window semantics (verified by the boundary golden spec):
     // an event at EXACTLY last+gap still merges — split only when the
     // gap is strictly exceeded (same rule as e2's islands); close iff

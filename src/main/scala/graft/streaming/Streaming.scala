@@ -250,6 +250,57 @@ object Streaming {
     graft.sources.SnapshotTable.versions(spark, tablePath).max
   }
 
+  /** Streaming CROSS-BATCH DEDUP ingestion — the streaming twin of the
+    * d8 incremental-dedup shape, and the production pipeline for
+    * continuously-arriving training documents: each micro-batch
+    *  1. anti-joins its `keyCol` (a bounded fingerprint, never the
+    *     text) against the persistent snapshot store — only rows whose
+    *     key was never accepted before survive;
+    *  2. keeps the min-`idCol` row per surviving key (within-batch
+    *     first-occurrence);
+    *  3. appends the accepted (idCol, keyCol) rows through
+    *     [[graft.sources.SnapshotTable.appendStreamBatch]], whose
+    *     batch-id marker rides inside the atomic manifest commit —
+    *     exactly-once under crash/replay, same as [[runToSnapshot]].
+    * The store doubles as the dedup state AND the output: at any point
+    * it holds exactly one row per distinct key ever seen, the first
+    * occurrence in (batch, id) order. State never lives in the
+    * stream's own state store, so it survives checkpoint wipes and is
+    * shared across restarts and even across DIFFERENT streams feeding
+    * one corpus. Scale shape: the per-batch wide ops are one
+    * fingerprint anti-join (16-byte keys) and one key agg — both
+    * proportional to the BATCH, while the store side is a snapshot
+    * scan of keys only (at 100 TB: partition/z-order the store by key
+    * so the anti-join prunes files). */
+  def dedupIngestToSnapshot(spark: SparkSession, streamed: DataFrame,
+      tablePath: String, checkpoint: String, keyCol: String = "fp",
+      idCol: String = "doc_id"): Int = {
+    import graft.sources.SnapshotTable
+    val q = streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ss = batch.sparkSession
+        if (!SnapshotTable.committedStreamBatch(ss, tablePath)
+            .exists(_ >= id)) {
+          val fresh =
+            if (SnapshotTable.versions(ss, tablePath).isEmpty) batch
+            else batch.join(
+              SnapshotTable.read(ss, tablePath).select(col(keyCol)),
+              Seq(keyCol), "left_anti")
+          val accepted = fresh.groupBy(col(keyCol))
+            .agg(min(col(idCol)).as(idCol))
+            .select(col(idCol), col(keyCol))
+          SnapshotTable.appendStreamBatch(accepted, tablePath, id)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    SnapshotTable.versions(spark, tablePath).max
+  }
+
   /** Streaming CDC-apply: each micro-batch UPSERTS into the snapshot
     * table through [[graft.sources.SnapshotTable.merge]] (update rows
     * replace matched keys, new keys insert), with the same

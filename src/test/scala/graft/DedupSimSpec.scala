@@ -372,6 +372,44 @@ class DedupSimSpec extends SparkSpec {
       s"expected reps 1,3 after decontamination, got $out")
   }
 
+  test("pointer-jumping components: O(log d) rounds on a chain, " +
+      "identical labels to plain propagation") {
+    import spark.implicits._
+    // path graph 0-1-2-...-63: diameter 63, single component
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("i", "j")
+    val jumped = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jumpRounds = Dedup.lastComponentRounds
+    assert(jumped.values.toSet === Set(0L), "one component labeled 0")
+    // path halving: propagation distance ~doubles per round — the
+    // 63-hop chain must close in O(log d) rounds, far under diameter
+    assert(jumpRounds <= 10, s"expected O(log d) rounds, got $jumpRounds")
+    val plain = Dedup.connectedComponents(nodes, "doc_id", pairs,
+        pointerJump = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plainRounds = Dedup.lastComponentRounds
+    assert(plain === jumped, "jump must not change the labeling")
+    assert(plainRounds > 2 * jumpRounds,
+      s"plain propagation should need ~diameter rounds " +
+        s"($plainRounds vs $jumpRounds)")
+    // random graph parity (mixed component shapes)
+    val rnd = new scala.util.Random(23)
+    val rPairs = (0 until 150).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("i", "j")
+    val rNodes = (0L until 120L).toDF("doc_id")
+    val a = Dedup.connectedComponents(rNodes, "doc_id", rPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val b = Dedup.connectedComponents(rNodes, "doc_id", rPairs,
+        pointerJump = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(a === b)
+  }
+
   test("bloom decontamination is bit-identical to the exact broadcast path") {
     val bench = docs.filter(col("doc_id") % 50 === 0)
     val exact = Dedup.contaminatedAgainst(docs, bench,
