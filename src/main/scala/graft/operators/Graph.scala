@@ -155,6 +155,55 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Single-source shortest paths with non-negative INTEGER weights:
+    * `rounds` rounds of frontier-limited Bellman-Ford relaxation over
+    * DIRECTED edges (`src`, `dst`, `w` columns; mirror each edge with
+    * the SAME weight for an undirected graph). Returns (node, dist)
+    * for nodes reachable within `rounds` hops, dist = the minimum
+    * path weight over all paths of ≤ `rounds` edges — exactly the
+    * classical Bellman-Ford round-r state, so a fixed round count
+    * replays bit-for-bit in any SQL engine (integer sums, no float
+    * accumulation order to diverge). Relaxing only the nodes improved
+    * last round is an optimization, not a semantic change: a node's
+    * settled distance is offered to its neighbors exactly once, in
+    * the round after it last improved, so the offer multiset — and
+    * its min — matches full re-relaxation round for round.
+    *
+    * Scale shape per round: one join of the (shrinking) frontier to
+    * the edge list on src + one dst-keyed min-aggregate (map-side
+    * combinable) + one full-outer node-keyed merge with the running
+    * distances — all node-keyed shuffles of frontier-proportional
+    * volume; dist/frontier localCheckpointed per round (iterative
+    * lineage hygiene, same as BFS/components). Callers size `rounds`
+    * to the weighted-path hop depth; at scale, loop until the
+    * frontier count is stable instead (one extra count per round). */
+  def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint()
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val offers = e
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val merged = dist.join(offers, Seq("node"), "full")
+        .select(col("node"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("nd"))).as("dist"),
+          (col("dist").isNull || col("nd") < col("dist"))
+            .as("improved"))
+        .localCheckpoint()
+      frontier = merged.filter(col("improved"))
+        .select(col("node"), col("dist"))
+      dist = merged.select(col("node"), col("dist"))
+    }
+    dist
+  }
+
   /** Breadth-first levels: minimum hop distance from any node of
     * `sources` along DIRECTED edges, up to `maxHops`. Returns
     * (node, level) for REACHED nodes only (level 0 = a source).

@@ -421,6 +421,19 @@ object CoreQueries {
         "lineitem").foreach(t =>
         Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(SqlText.localSupplierRevenue)
+    }),
+
+    // SQL5: TPC-H Q18 shape (large-volume orders) — a HAVING-filtered
+    // aggregate subquery gating a 3-way join, then a re-aggregate and
+    // top-100. The IN-subquery plans as a semi-join against the
+    // map-side-combined lineitem aggregate; AQE broadcasts the tiny
+    // qualifying-orderkey set at every harness SF (and would shuffle
+    // it only when "large orders" stops being selective). Text shared
+    // verbatim with the DuckDB oracle.
+    "sql5_large_orders" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(SqlText.largeOrders)
     })
   )
 
@@ -477,6 +490,19 @@ object CoreQueries {
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n.n_name
         |ORDER BY revenue DESC, n_name""".stripMargin
+
+    val largeOrders: String =
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+        |  sum(l.l_quantity) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -702,6 +728,7 @@ object CoreQueries {
     "sql2_grouping_sets" -> SqlText.groupingSets,
     "sql3_segment_topk" -> SqlText.segmentTopK,
     "sql4_local_supplier" -> SqlText.localSupplierRevenue,
+    "sql5_large_orders" -> SqlText.largeOrders,
 
     "a15_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -73,6 +73,29 @@ object GraphQueries {
       Graph.kCore(edges, k = 2, rounds = 5).orderBy(col("node"))
     }),
 
+    // G6: weighted single-source shortest paths from supplier s1 over
+    // the ≥2-order trading graph, 6 Bellman-Ford rounds. Edge weights
+    // are deterministic integers 1–9 from the pair's md5 hash (the g4
+    // recipe — engine-portable, varied, and symmetric because the
+    // weight is drawn on the (i, j) pair row BEFORE mirroring). A
+    // fixed round count makes the result the exact "min path weight
+    // over ≤6-edge paths" recurrence, which the oracle unrolls as
+    // full-relaxation CTEs (frontier-limited relaxation is
+    // round-equivalent; integer sums make it bit-exact)
+    "g6_sssp" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = repeatPairs(s, dir, minOrders = 2)
+        .withColumn("w", lit(1L) +
+          conv(substring(md5(concat(col("i"), lit("|"), col("j"))),
+            1, 15), 16, 10).cast("long") % 9)
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"),
+          col("w"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst"),
+          col("w")))
+      Graph.sssp(edges, Seq("s1").toDF("node"), rounds = 6)
+        .orderBy(col("node"))
+    }),
+
     // G4: per-node triangle counts on the HASH-SPARSIFIED co-supply
     // graph. The raw "suppliers who ship a common part" graph is the
     // COMPLETE graph K_n at sf ≥ 0.01 (~30 suppliers touch every
@@ -127,7 +150,31 @@ object GraphQueries {
        |    AND dst IN (SELECT node FROM k$r))""".stripMargin
   }.mkString(",\n")
 
+  /** The g6 oracle's 6 unrolled full-relaxation rounds: each round's
+    * state is min(previous, best one-more-edge extension). */
+  private val ssspRounds: String = (1 to 6).map { r =>
+    s"""d$r AS (SELECT node, min(dist) AS dist FROM (
+       |  SELECT node, dist FROM d${r - 1}
+       |  UNION ALL
+       |  SELECT e.dst, d.dist + e.w FROM d${r - 1} d
+       |  JOIN e ON e.src = d.node) GROUP BY 1)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "g6_sssp" ->
+      s"""WITH pairs AS (
+         |  SELECT 's' || l_suppkey AS i, 'c' || o_custkey AS j
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+         |pw AS (SELECT i, j,
+         |    1 + CAST(('0x' || substr(md5(i || '|' || j), 1, 15)) AS BIGINT) % 9 AS w
+         |  FROM pairs),
+         |e AS (SELECT i AS src, j AS dst, w FROM pw
+         |  UNION ALL SELECT j, i, w FROM pw),
+         |d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist),
+         |$ssspRounds
+         |SELECT node, CAST(dist AS BIGINT) AS dist
+         |FROM d6 ORDER BY node""".stripMargin,
     "g5_kcore" ->
       s"""WITH pairs AS (
          |  SELECT 's' || l_suppkey AS i, 'c' || o_custkey AS j

@@ -58,6 +58,33 @@ object MLQueries {
         .orderBy(col("threshold"))
     }),
 
+    // M16: calibration / reliability bins over the same fixed
+    // rule-based score as m14 — decile bins of the score, per bin the
+    // count, positive count, exact-decimal mean score and observed
+    // positive rate (the reliability-diagram table; ECE is one more
+    // weighted sum over it). Averages are computed as single
+    // divisions of exact aggregates (decimal price sum, integer
+    // counts), so the doubles are bit-identical across engines —
+    // no float-accumulation order to diverge.
+    "m16_calibration" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+            .as("label"),
+          col("o_totalprice"),
+          least(floor(col("o_totalprice") / 50000.0).cast(LongType),
+            lit(9L)).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("label")).as("pos"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("psum"))
+        .select(col("bin"), col("n"), col("pos"),
+          (col("psum") / 500000.0 / col("n")).as("mean_score"),
+          (col("pos").cast(DoubleType) / col("n")).as("obs_rate"))
+        .orderBy(col("bin"))
+    }),
+
     // P10: seeded sampling (rows-only: RNG streams differ per engine)
     "p10_sample" -> ((s, dir) => {
       Tables(s, dir, "orders")
@@ -198,6 +225,21 @@ object MLQueries {
         |  count(CASE WHEN score < threshold AND label = 1 THEN 1 END) AS fn,
         |  count(CASE WHEN score < threshold AND label = 0 THEN 1 END) AS tn
         |FROM scored CROSS JOIN t
-        |GROUP BY threshold ORDER BY threshold""".stripMargin
+        |GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "m16_calibration" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bin,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+        |    o_totalprice
+        |  FROM orders),
+        |g AS (SELECT bin, count(*) AS n,
+        |    CAST(sum(label) AS BIGINT) AS pos,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS psum
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, pos,
+        |  psum / 500000.0 / n AS mean_score,
+        |  CAST(pos AS DOUBLE) / n AS obs_rate
+        |FROM g ORDER BY bin""".stripMargin
   )
 }

@@ -158,6 +158,35 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN quality harness: recall@5 of the IVF index against the
+    // exact brute-force top-5, per query — the measurement that
+    // decides nprobe/nlist before an index serves traffic. Both
+    // arms are deterministic (exported-centroid IVF + exact cosine
+    // with a fixed tie order), so the recall itself carries a DuckDB
+    // oracle: the intersection count of the two top-5 sets. Queries
+    // whose IVF list misses everything still emit a row (left join
+    // from the exact arm's query ids).
+    "s9_recall_eval" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = Similarity.ivfTopKWithCentroids(emb, "vec_id",
+          "embedding", k = 5, centroids = ivfCentroids(s, dir),
+          nprobe = 4)
+        .filter(col("query_id") < 10)
+        .select(col("query_id"), col("corpus_id"))
+      val hits = exact
+        .join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
     // SemDeDup-style semantic dedup, composed end-to-end: embedding
     // near-dup pairs (banded LSH + exact cosine verify) → connected
     // components → one representative per semantic cluster, with the
@@ -359,6 +388,36 @@ object SimilarityQueries {
        |SELECT query_id, rank, corpus_id, adist FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** s9: IVF top-5 (s4's CTEs) ∩ brute-force top-5, counted per
+    * query — the recall@5 evaluation replayed relationally. */
+  private def s9Sql(cents: Array[Array[Double]]): String =
+    s"""WITH cent(c, cv) AS (VALUES
+       |  ${centValues(cents)}),
+       |corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${ivfCellCte(cents, nprobe = 4)},
+       |iscored AS (SELECT p.query_id, ce.id AS corpus_id,
+       |    list_dot_product(q.v, b.v)
+       |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM probes p
+       |  JOIN cells ce ON ce.cell = p.cell AND ce.id <> p.query_id
+       |  JOIN corpus q ON q.id = p.query_id
+       |  JOIN corpus b ON b.id = ce.id),
+       |ivf AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       |  FROM iscored) WHERE rank <= 5),
+       |bscored AS (SELECT a.id AS query_id, b.id AS corpus_id,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM corpus a JOIN corpus b ON a.id <> b.id
+       |  WHERE a.id < 10),
+       |exact AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       |  FROM bscored) WHERE rank <= 5)
+       |SELECT e.query_id, CAST(count(i.corpus_id) AS BIGINT) AS hits_at_5
+       |FROM exact e LEFT JOIN ivf i
+       |  ON i.query_id = e.query_id AND i.corpus_id = e.corpus_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** s3's hyperplanes are a PURE function of (dim, planes, tables) — no
     * runtime capture needed: embed them as literals and replay
     * signature bits, bucket collisions and the cosine rerank exactly. */
@@ -394,7 +453,10 @@ object SimilarityQueries {
     * surface always gets them). */
   private def fittedOracles: Map[String, String] = {
     val out = Map.newBuilder[String, String]
-    lastIvfFit.foreach { cents => out += ("s4_ivf_topk" -> s4Sql(cents)) }
+    lastIvfFit.foreach { cents =>
+      out += ("s4_ivf_topk" -> s4Sql(cents))
+      out += ("s9_recall_eval" -> s9Sql(cents))
+    }
     lastPqFit.foreach { m =>
       out += ("s5_pq_topk" -> s5Sql(m))
       out += ("s8_pq_refined" -> s8Sql(m))

@@ -274,6 +274,34 @@ object WindowQueries {
       SnapshotTable.merge(updates, path, Seq("o_orderkey"))
       SnapshotTable.changes(s, path, 0, Some(1))
         .orderBy(col("change_type"), col("o_orderkey"))
+    }),
+
+    // W17: predicate DELETE on the snapshot table — create(urgent
+    // orders) → delete(finished) rewrites only the files holding a
+    // finished row; a second no-match delete must commit NOTHING (the
+    // version list stays [0, 1] — an accidental empty commit would
+    // shift the oracle's version column). Per-version exact count +
+    // decimal-exact total; DuckDB replays the delete relationally.
+    "w17_snapshot_delete" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w17").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), path)
+      SnapshotTable.delete(s, path, col("o_orderstatus") === "F")
+      SnapshotTable.delete(s, path, lit(false)) // no-op, no new version
+      SnapshotTable.versions(s, path).map { v =>
+        SnapshotTable.read(s, path, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("total"))
+        .orderBy(col("version"))
     })
   )
 
@@ -492,6 +520,18 @@ object WindowQueries {
         |FROM orders
         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
         |ORDER BY change_type, o_orderkey""".stripMargin,
+
+    "w17_snapshot_delete" ->
+      """WITH v0 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |v1 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F')
+        |SELECT 0 AS version, n_rows, total FROM v0
+        |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
+        |ORDER BY version""".stripMargin,
 
     "flagship_panel" -> (denseSql +
       """,

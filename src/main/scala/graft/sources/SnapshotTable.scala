@@ -3,7 +3,7 @@ package graft.sources
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Minimal versioned snapshot table: an append-only manifest log over
   * immutable parquet files — the transactional half of a lakehouse
@@ -413,6 +413,45 @@ object SnapshotTable {
         .unionByName(updates)
     val staged = stage(rewritten.coalesce(affected.size + 1), path)
     commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
+  }
+
+  /** DELETE FROM the latest version: remove every row where
+    * `predicate` is TRUE (SQL DELETE semantics — NULL keeps the row)
+    * as a new version, rewriting ONLY the files that contain a
+    * matching row. Affected files are found by one column-pruned
+    * distributed scan (Catalyst prunes the read to the predicate's
+    * columns plus the file-path metadata column; only matched file
+    * NAMES reach the driver) — at 100 TB the rewrite cost is
+    * proportional to the files the predicate actually touches, not
+    * the table, and on a layout clustered by the predicate column
+    * (optimize with sortCols) that is the few straddling files.
+    * A predicate matching nothing commits no new version and returns
+    * the current one. Prior versions stay readable until vacuum;
+    * changes() emits the deletes as exact row images. */
+  def delete(spark: SparkSession, path: String, predicate: Column,
+      meta: Map[String, String] = Map.empty): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val readV = vs.max
+    val fs = fsOf(spark, new Path(path))
+    val manifest = readManifest(fs, path, readV)
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val affectedNames = spark.read
+      .parquet(manifest.map(e => new Path(path, entryPath(e)).toString): _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("__fp")).distinct()
+      .collect().map(r => fileOf(r.getString(0))).toSet
+    val (affected, untouched) =
+      manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
+    if (affected.isEmpty) readV
+    else {
+      val kept = spark.read
+        .parquet(affected.map(e => new Path(path, entryPath(e)).toString): _*)
+        .filter(not(coalesce(predicate, lit(false))))
+      val staged = stage(kept.coalesce(affected.size), path)
+      commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
+    }
   }
 
   /** Parquet-footer key-range test: true iff `file` MAY contain a key

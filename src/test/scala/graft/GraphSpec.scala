@@ -163,4 +163,54 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(more === got)
   }
+
+  private def distsOf(edges: Seq[(String, String, Long)], rounds: Int)
+      : Map[String, Long] =
+    Graph.sssp(edges.toDF("src", "dst", "w"),
+        Seq("a").toDF("node"), rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("sssp: cheap long path beats heavy direct edge; hop bound respected") {
+    // a→e direct costs 10; a→b→c→d→e costs 4 but needs 4 hops
+    val g = Seq(("a", "e", 10L), ("a", "b", 1L), ("b", "c", 1L),
+      ("c", "d", 1L), ("d", "e", 1L), ("x", "y", 1L))
+    // round 1: only ≤1-edge paths exist — direct edge wins
+    assert(distsOf(g, rounds = 1) === Map("a" -> 0L, "e" -> 10L, "b" -> 1L))
+    // round 4+: the cheap 4-hop path is found; island unreachable
+    val full = distsOf(g, rounds = 4)
+    assert(full === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L,
+      "e" -> 4L))
+    // fixpoint: extra rounds change nothing
+    assert(distsOf(g, rounds = 6) === full)
+  }
+
+  test("sssp matches a driver-side Dijkstra on a random weighted graph") {
+    val rnd = new scala.util.Random(7)
+    val nodes = ("a" +: (0 until 25).map(i => s"n$i")).toIndexedSeq
+    val base = (0 until 90).map { _ =>
+      (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)),
+        1L + rnd.nextInt(9))
+    }.filter(e => e._1 != e._2).distinctBy(e => (e._1, e._2))
+    val edges = (base ++ base.map(e => (e._2, e._1, e._3)))
+      .distinctBy(e => (e._1, e._2))
+    // reference: plain Dijkstra over the same adjacency
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3))).toMap
+    val dist = scala.collection.mutable.Map("a" -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue(
+      (0L, "a"))(Ordering.by(-_._1))
+    val settled = scala.collection.mutable.Set.empty[String]
+    while (pq.nonEmpty) {
+      val (d, n) = pq.dequeue()
+      if (!settled(n)) {
+        settled += n
+        for ((m, w) <- adj.getOrElse(n, Nil)
+             if dist.get(m).forall(_ > d + w)) {
+          dist(m) = d + w; pq.enqueue((d + w, m))
+        }
+      }
+    }
+    // 26 nodes → any shortest path has < 26 edges: 25 rounds suffice
+    assert(distsOf(edges, rounds = 25) === dist.toMap)
+  }
 }

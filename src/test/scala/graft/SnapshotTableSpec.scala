@@ -187,6 +187,57 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 800)
   }
 
+  test("delete: predicate rows removed, only touched files rewritten, no-op commits nothing") {
+    import spark.implicits._
+    val path = freshPath("delete")
+    // key-clustered layout: 8 range-partitioned files over id 1..800
+    SnapshotTable.create(
+      (1L to 800L).map(i => (i, i * 2.0)).toDF("id", "x")
+        .repartitionByRange(8, col("id")).sortWithinPartitions(col("id")),
+      path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifest(v: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path,
+        f"_graft_log/v$v%08d.manifest"))
+      try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    }
+    val before = manifest(0)
+    assert(before.size === 8)
+    // delete keys living in ONE range partition
+    val v1 = SnapshotTable.delete(spark, path,
+      col("id") >= 10L && col("id") <= 20L)
+    assert(v1 === 1)
+    val after = manifest(1)
+    assert(after.toSet.intersect(before.toSet).size >= 7,
+      s"expected >=7 untouched files, before=$before after=$after")
+    val now = SnapshotTable.read(spark, path)
+    assert(now.count() === 789)
+    assert(now.filter(col("id").between(10L, 20L)).count() === 0)
+    // time travel: version 0 still has every row
+    assert(SnapshotTable.read(spark, path, Some(0)).count() === 800)
+    // no-match delete: same version back, no new manifest
+    assert(SnapshotTable.delete(spark, path, col("id") > 10000L) === 1)
+    assert(SnapshotTable.versions(spark, path) === Seq(0, 1))
+  }
+
+  test("delete: NULL predicate keeps the row (SQL DELETE semantics)") {
+    import spark.implicits._
+    val path = freshPath("deletenull")
+    SnapshotTable.create(
+      Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+        .toDF("id", "x"), path)
+    // x > 2 is NULL for id=2 — that row must survive
+    SnapshotTable.delete(spark, path, col("x") > 2.0)
+    assert(SnapshotTable.read(spark, path).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // delete-all: the table stays readable (schema preserved), empty
+    SnapshotTable.delete(spark, path, lit(true))
+    assert(SnapshotTable.read(spark, path).count() === 0)
+    assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "x"))
+  }
+
   test("merge: a concurrent commit fails the merge instead of dropping rows") {
     import spark.implicits._
     val path = freshPath("mergerace")
