@@ -302,6 +302,35 @@ object WindowQueries {
       }.reduce(_ unionByName _)
         .select(col("version"), col("n_rows"), col("total"))
         .orderBy(col("version"))
+    }),
+
+    // W18: metadata-only schema evolution — create(urgent orders),
+    // then evolve-append the high-priority orders with an extra
+    // price_band column (no urgent file is rewritten; the column
+    // arrives via the log-head schema and pre-evolution rows read it
+    // as NULL). The aggregate proves both arms: urgent rows are all
+    // band-NULL, appended rows carry the computed band. DuckDB
+    // replays the evolved table as a typed UNION ALL.
+    "w18_schema_evolution" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w18").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), path)
+      SnapshotTable.append(
+        orders.filter(col("o_orderpriority") === "2-HIGH")
+          .withColumn("price_band",
+            floor(col("o_totalprice") / 100000.0).cast(LongType)),
+        path, evolveSchema = true)
+      SnapshotTable.read(s, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("price_band").isNull, 1)).as("n_null_band"),
+          coalesce(sum(col("price_band")), lit(0L)).as("band_total"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -532,6 +561,19 @@ object WindowQueries {
         |SELECT 0 AS version, n_rows, total FROM v0
         |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
         |ORDER BY version""".stripMargin,
+
+    "w18_schema_evolution" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, CAST(NULL AS BIGINT) AS band
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS band
+        |  FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT o_orderpriority, count(*) AS n,
+        |  count(CASE WHEN band IS NULL THEN 1 END) AS n_null_band,
+        |  CAST(coalesce(sum(band), 0) AS BIGINT) AS band_total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "flagship_panel" -> (denseSql +
       """,

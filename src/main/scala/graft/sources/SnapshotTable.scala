@@ -4,6 +4,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types
 
 /** Minimal versioned snapshot table: an append-only manifest log over
   * immutable parquet files — the transactional half of a lakehouse
@@ -117,6 +118,32 @@ object SnapshotTable {
         case _ => None
       }
     }.toMap
+
+  /** `#schema=<json>` meta line content: the version's read schema,
+    * nullable-normalized (a file that predates an added column reads
+    * it as null, so every column must admit null). Inherited
+    * commit-over-commit like all meta, so the log head always carries
+    * the current schema — schema reads are pure metadata, zero footer
+    * I/O (the Delta-style reason to keep schema in the log). */
+  private def schemaMeta(st: types.StructType): Map[String, String] =
+    Map("schema" ->
+      types.StructType(st.fields.map(_.copy(nullable = true))).json)
+
+  /** A version's stored schema; None for logs that predate schema
+    * tracking (those read with footer-inferred schema, as before). */
+  private def storedSchema(fs: FileSystem, path: String,
+      v: Int): Option[types.StructType] =
+    readMeta(fs, path, v).get("schema").map(j =>
+      types.DataType.fromJson(j).asInstanceOf[types.StructType])
+
+  /** Read `rels` with the version's stored schema if present: files
+    * written before a column was added yield NULL for it, and column
+    * order is the table's, not any one footer's. */
+  private def readFilesAs(spark: SparkSession, path: String,
+      schema: Option[types.StructType], rels: Seq[String]): DataFrame = {
+    val paths = rels.map(rel => new Path(path, rel).toString)
+    schema.fold(spark.read)(st => spark.read.schema(st)).parquet(paths: _*)
+  }
 
   private def manifestPaths(fs: FileSystem, path: String, v: Int): Seq[String] =
     readManifest(fs, path, v).map(entryPath)
@@ -256,23 +283,63 @@ object SnapshotTable {
     val spark = df.sparkSession
     require(versions(spark, path).isEmpty,
       s"snapshot table already exists at $path — use append/overwrite")
-    commit(spark, path, stage(df, path), _ => Seq.empty)
+    commit(spark, path, stage(df, path), _ => Seq.empty,
+      meta = schemaMeta(df.schema))
   }
 
   /** Commit `df`'s rows on top of the latest version (its files plus
-    * the staged ones). Requires an existing table. */
-  def append(df: DataFrame, path: String): Int = {
+    * the staged ones). Requires an existing table, and `df`'s columns
+    * must match it — unless `evolveSchema` is set, which ADDS any new
+    * columns to the table schema (stored in the commit's meta, so the
+    * change is metadata-only: no old file is rewritten, old rows read
+    * the new columns as NULL; a column common to both sides must keep
+    * its type). Dropping or retyping a column is deliberately not
+    * expressible — that is an overwrite. */
+  def append(df: DataFrame, path: String,
+      evolveSchema: Boolean = false): Int = {
     val spark = df.sparkSession
-    require(versions(spark, path).nonEmpty, s"no snapshot table at $path")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val fs = fsOf(spark, logDir(path))
+    // the table schema is metadata (stored in the log head); fall back
+    // to footer inference for legacy logs, and to "unknown" for a head
+    // that references no files at all (an empty overwrite)
+    val currentOpt: Option[types.StructType] =
+      storedSchema(fs, path, vs.max).orElse {
+        val rels = manifestPaths(fs, path, vs.max)
+        if (rels.isEmpty) None
+        else Some(readFilesAs(spark, path, None, rels).schema)
+      }
+    val added = currentOpt match {
+      case None => Array.empty[types.StructField]
+      case Some(current) =>
+        val byName = current.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach(f => byName.get(f.name).foreach(tf =>
+          require(tf.dataType == f.dataType,
+            s"append: column ${f.name} is ${tf.dataType} in the table " +
+              s"but ${f.dataType} in the appended data")))
+        val add = df.schema.fields.filterNot(f => byName.contains(f.name))
+        require(evolveSchema ||
+          (add.isEmpty &&
+            df.schema.fields.length == current.fields.length),
+          s"append schema [${df.columns.mkString(",")}] differs from " +
+            s"table [${current.fieldNames.mkString(",")}] — pass " +
+            "evolveSchema = true to add columns")
+        add
+    }
+    val evolved = types.StructType(
+      currentOpt.fold(df.schema.fields)(_.fields ++ added))
     val staged = stage(df, path)
     commit(spark, path, staged,
-      next => readManifest(fsOf(spark, logDir(path)), path, next - 1))
+      next => readManifest(fs, path, next - 1),
+      meta = schemaMeta(evolved))
   }
 
   /** Commit `df` as a full replacement (new version referencing only
     * the staged files; prior versions stay readable until vacuum). */
   def overwrite(df: DataFrame, path: String): Int =
-    commit(df.sparkSession, path, stage(df, path), _ => Seq.empty)
+    commit(df.sparkSession, path, stage(df, path), _ => Seq.empty,
+      meta = schemaMeta(df.schema))
 
   /** EXACTLY-ONCE idempotent append for a streaming micro-batch: the
     * batch id rides inside the atomic manifest commit as a
@@ -292,10 +359,15 @@ object SnapshotTable {
     if (committedStreamBatch(spark, path).exists(_ >= batchId)) None
     else {
       val staged = stage(df, path)
+      // first batch creates the table and records its schema; later
+      // batches inherit the stored schema through the meta chain
+      val schemaM =
+        if (versions(spark, path).isEmpty) schemaMeta(df.schema)
+        else Map.empty[String, String]
       Some(commit(spark, path, staged,
         next => if (next == 0) Seq.empty
           else readManifest(fsOf(spark, logDir(path)), path, next - 1),
-        meta = Map("streamBatch" -> batchId.toString)))
+        meta = Map("streamBatch" -> batchId.toString) ++ schemaM))
     }
   }
 
@@ -392,10 +464,13 @@ object SnapshotTable {
     // Level-2 pruning, exact: a distributed LEFT SEMI join of the
     // candidate files' rows (key columns only) against the distinct
     // update keys — only matched file NAMES reach the driver.
+    // reads of SUBSETS of the table's files go through the stored
+    // schema too: a file that predates an added column must read it
+    // as null here exactly as it does in read()
+    val tableSchema = Some(current.schema)
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read
-        .parquet(candidates.map(e => new Path(path, entryPath(e)).toString): _*)
+      else readFilesAs(spark, path, tableSchema, candidates.map(entryPath))
         .select(col("_metadata.file_path").as("__fp") +: keyCols.map(col): _*)
         .join(keys, keyCols, "left_semi")
         .select(col("__fp")).distinct()
@@ -407,8 +482,7 @@ object SnapshotTable {
     // must not shatter into 32 slivers
     val rewritten =
       if (affected.isEmpty) updates
-      else spark.read
-        .parquet(affected.map(e => new Path(path, entryPath(e)).toString): _*)
+      else readFilesAs(spark, path, tableSchema, affected.map(entryPath))
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
     val staged = stage(rewritten.coalesce(affected.size + 1), path)
@@ -437,18 +511,19 @@ object SnapshotTable {
     val manifest = readManifest(fs, path, readV)
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val affectedNames = spark.read
-      .parquet(manifest.map(e => new Path(path, entryPath(e)).toString): _*)
-      .filter(predicate)
-      .select(col("_metadata.file_path").as("__fp")).distinct()
-      .collect().map(r => fileOf(r.getString(0))).toSet
+    val tableSchema = storedSchema(fs, path, readV)
+    val affectedNames =
+      readFilesAs(spark, path, tableSchema, manifest.map(entryPath))
+        .filter(predicate)
+        .select(col("_metadata.file_path").as("__fp")).distinct()
+        .collect().map(r => fileOf(r.getString(0))).toSet
     val (affected, untouched) =
       manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
     if (affected.isEmpty) readV
     else {
-      val kept = spark.read
-        .parquet(affected.map(e => new Path(path, entryPath(e)).toString): _*)
-        .filter(not(coalesce(predicate, lit(false))))
+      val kept =
+        readFilesAs(spark, path, tableSchema, affected.map(entryPath))
+          .filter(not(coalesce(predicate, lit(false))))
       val staged = stage(kept.coalesce(affected.size), path)
       commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
     }
@@ -512,9 +587,13 @@ object SnapshotTable {
     val mFrom = manifestPaths(fs, path, fromVersion)
     val mTo = manifestPaths(fs, path, toV)
     val empty = read(spark, path, Some(toV)).filter(lit(false))
+    // both sides read with the TO version's schema: across a schema
+    // evolution the feed compares on the new schema (old rows' added
+    // columns are null), keeping the diff well-typed
+    val toSchema = storedSchema(fs, path, toV)
     def readFiles(rels: Seq[String]): DataFrame =
       if (rels.isEmpty) empty
-      else spark.read.parquet(rels.map(rel => new Path(path, rel).toString): _*)
+      else readFilesAs(spark, path, toSchema, rels)
     val old = readFiles(mFrom.diff(mTo))
     val neu = readFiles(mTo.diff(mFrom))
     neu.exceptAll(old).withColumn("change_type", lit("insert"))
@@ -573,11 +652,11 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
-    val files = manifestPaths(fsOf(spark, logDir(path)), path, v)
-      .map(rel => new Path(path, rel).toString)
-    require(files.nonEmpty, s"version $v references no data files " +
+    val fs = fsOf(spark, logDir(path))
+    val rels = manifestPaths(fs, path, v)
+    require(rels.nonEmpty, s"version $v references no data files " +
       "(committed from an empty write with no parts)")
-    spark.read.parquet(files: _*)
+    readFilesAs(spark, path, storedSchema(fs, path, v), rels)
   }
 
   /** Layout maintenance as a snapshot commit: rewrite the latest
@@ -629,8 +708,9 @@ object SnapshotTable {
         .map(e => fs.getFileStatus(new Path(path, entryPath(e))).getLen).sum
       val nFiles = math.max(1,
         math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-      val compacted = spark.read
-        .parquet(small.map(e => new Path(path, entryPath(e)).toString): _*)
+      val compacted =
+        readFilesAs(spark, path, storedSchema(fs, path, readV),
+          small.map(entryPath))
         .coalesce(nFiles)
       val staged = stage(compacted, path)
       Some(commitPinned(spark, path, kept ++ staged, readV + 1))

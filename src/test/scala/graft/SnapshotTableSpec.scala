@@ -166,6 +166,7 @@ class SnapshotTableSpec extends SparkSpec {
       val in = fs.open(new org.apache.hadoop.fs.Path(path,
         f"_graft_log/v$v%08d.manifest"))
       try scala.io.Source.fromInputStream(in).getLines().toList
+        .filterNot(_.startsWith("#")) // meta lines (schema etc.)
       finally in.close()
     }
     val before = manifest(0)
@@ -201,6 +202,7 @@ class SnapshotTableSpec extends SparkSpec {
       val in = fs.open(new org.apache.hadoop.fs.Path(path,
         f"_graft_log/v$v%08d.manifest"))
       try scala.io.Source.fromInputStream(in).getLines().toList
+        .filterNot(_.startsWith("#")) // meta lines (schema etc.)
       finally in.close()
     }
     val before = manifest(0)
@@ -220,6 +222,61 @@ class SnapshotTableSpec extends SparkSpec {
     // no-match delete: same version back, no new manifest
     assert(SnapshotTable.delete(spark, path, col("id") > 10000L) === 1)
     assert(SnapshotTable.versions(spark, path) === Seq(0, 1))
+  }
+
+  test("append evolveSchema: metadata-only column add; old rows read NULL; versions keep their schema") {
+    import spark.implicits._
+    val path = freshPath("evolve")
+    SnapshotTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataEntries(v: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path,
+        f"_graft_log/v$v%08d.manifest"))
+      try scala.io.Source.fromInputStream(in).getLines().toList
+        .filterNot(_.startsWith("#"))
+      finally in.close()
+    }
+    val before = dataEntries(0)
+    // a widened append WITHOUT the flag is refused loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(
+        Seq((3L, "c", 30.0)).toDF("id", "name", "score"), path)
+    }
+    // ... and a type conflict is refused even WITH it
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(Seq(("x", "c")).toDF("id", "name"), path,
+        evolveSchema = true)
+    }
+    SnapshotTable.append(
+      Seq((3L, "c", 30.0)).toDF("id", "name", "score"), path,
+      evolveSchema = true)
+    // metadata-only: every v0 data file carried over BY NAME
+    assert(dataEntries(1).toSet.intersect(before.toSet) === before.toSet)
+    val now = SnapshotTable.read(spark, path)
+    assert(now.columns.toSeq === Seq("id", "name", "score"))
+    val rows = now.collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows === Map(1L -> ("a", None), 2L -> ("b", None),
+      3L -> ("c", Some(30.0))))
+    // time travel: version 0 still reads with its OWN schema
+    assert(SnapshotTable.read(spark, path, Some(0)).columns.toSeq ===
+      Seq("id", "name"))
+    // merge on the evolved table: pre-evolution rows survive the
+    // rewrite with their null score intact
+    SnapshotTable.merge(Seq((1L, "a2", 10.0)).toDF("id", "name", "score"),
+      path, Seq("id"))
+    val merged = SnapshotTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(merged === Map(1L -> ("a2", Some(10.0)), 2L -> ("b", None),
+      3L -> ("c", Some(30.0))))
+    // delete by a predicate ON the added column: NULL rows survive
+    SnapshotTable.delete(spark, path, col("score") > 20.0)
+    assert(SnapshotTable.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
   test("delete: NULL predicate keeps the row (SQL DELETE semantics)") {
