@@ -331,6 +331,44 @@ object WindowQueries {
           count(when(col("price_band").isNull, 1)).as("n_null_band"),
           coalesce(sum(col("price_band")), lit(0L)).as("band_total"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // W19: incremental materialized-view maintenance — a per-customer
+    // (count, cents-total) aggregate snapshot kept in sync with its
+    // base table through a MERGE (updates + inserts) and a DELETE
+    // (whole customer groups vanish) purely from the CDC feed:
+    // refresh cost ∝ churned groups, the base is never rescanned,
+    // emptied groups are removed like a recompute would. The oracle
+    // IS the full recompute of the final base state — equality proves
+    // the delta algebra end-to-end.
+    "w19_incremental_view" -> ((s, dir) => {
+      import graft.sources.{IncrementalView, SnapshotTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_snap_w19").toString
+      val basePath = tmp + "/orders_base"
+      val aggPath = tmp + "/orders_agg"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).*(100)
+          .cast(LongType).as("cents"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), basePath)
+      SnapshotTable.create(
+        SnapshotTable.read(s, basePath, Some(0))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total")),
+        aggPath)
+      val updates = orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .withColumn("cents", col("cents") * 2) unionByName
+        orders.filter(col("o_orderpriority") === "2-HIGH")
+      SnapshotTable.merge(updates, basePath, Seq("o_orderkey"))
+      SnapshotTable.delete(s, basePath, col("o_custkey") % 10 === 3)
+      IncrementalView.refreshCountSum(s, basePath, aggPath,
+        "o_custkey", "cents", fromVersion = 0)
+      SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
     })
   )
 
@@ -574,6 +612,23 @@ object WindowQueries {
         |  count(CASE WHEN band IS NULL THEN 1 END) AS n_null_band,
         |  CAST(coalesce(sum(band), 0) AS BIGINT) AS band_total
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w19_incremental_view" ->
+      """WITH cents AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_custkey, c FROM cents
+        |    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_custkey, c * 2 FROM cents
+        |    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_custkey, c FROM cents WHERE o_orderpriority = '2-HIGH'),
+        |fin AS (SELECT * FROM merged WHERE o_custkey % 10 <> 3)
+        |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "flagship_panel" -> (denseSql +
       """,

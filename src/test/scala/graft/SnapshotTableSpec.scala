@@ -295,6 +295,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "x"))
   }
 
+  test("property: incremental count/sum view equals a full recompute under merges and deletes") {
+    import spark.implicits._
+    import graft.sources.IncrementalView
+    val rnd = new scala.util.Random(11)
+    val tmp = java.nio.file.Files.createTempDirectory("snapiv").toString
+    val basePath = tmp + "/base"
+    val aggPath = tmp + "/agg"
+    val base0 = (1L to 300L).map(i =>
+      (i, rnd.nextInt(20).toLong, (1 + rnd.nextInt(100)).toLong))
+    SnapshotTable.create(base0.toDF("id", "grp", "v"), basePath)
+    SnapshotTable.create(
+      SnapshotTable.read(spark, basePath).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total")), aggPath)
+    // churn: value updates on random keys, inserts of new keys, then a
+    // delete that empties ENTIRE groups (grp 3 and 7 vanish)
+    val updates = ((1L to 300L).filter(_ => rnd.nextBoolean()).map(i =>
+      (i, rnd.nextInt(20).toLong, (1 + rnd.nextInt(100)).toLong)) ++
+      (301L to 340L).map(i =>
+        (i, rnd.nextInt(22).toLong, (1 + rnd.nextInt(100)).toLong)))
+      .toDF("id", "grp", "v")
+    SnapshotTable.merge(updates, basePath, Seq("id"))
+    SnapshotTable.delete(spark, basePath,
+      col("grp") === 3L || col("grp") === 7L)
+    IncrementalView.refreshCountSum(spark, basePath, aggPath,
+      "grp", "v", fromVersion = 0)
+    val got = SnapshotTable.read(spark, aggPath).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = SnapshotTable.read(spark, basePath).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+    assert(!got.contains(3L) && !got.contains(7L))
+  }
+
   test("merge: a concurrent commit fails the merge instead of dropping rows") {
     import spark.implicits._
     val path = freshPath("mergerace")
