@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * delta-maintainable under deletes without per-group history.
   *
   * Scale shape: one aggregate over the feed (churn-sized, map-side
-  * combined), one group-keyed join against the view (upsert side),
-  * then [[SnapshotTable.merge]] — whose rewrite cost is the view
-  * files the changed groups touch — plus [[SnapshotTable.delete]]
-  * for emptied groups. Nothing rescans the base table.
+  * combined), one group-keyed join against the view, then ONE
+  * [[SnapshotTable.merge]] carrying both the upserts and the
+  * emptied-group removals (`removeKeys`) — rewrite cost is the view
+  * files the changed groups touch. Nothing rescans the base table,
+  * nothing collects keys to the driver.
   */
 object IncrementalView {
 
@@ -51,18 +52,13 @@ object IncrementalView {
         (coalesce(col("old_n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("old_total"), lit(0L)) + col("dv")).as("total"))
       .localCheckpoint() // two consumers below; compute the join once
-    val emptied = changed.filter(col("n") === 0L)
-      .select(col(groupCol)).collect().map(_.get(0))
-    val upserts = changed.filter(col("n") =!= 0L)
-    val v = SnapshotTable.merge(
-      upserts.select(col(groupCol), col("n"), col("total")),
-      aggPath, Seq(groupCol))
-    if (emptied.isEmpty) v
-    else
-      // bounded by emptied-group count (a subset of churned groups);
-      // at larger churn, stage the emptied keys as a table and model
-      // removal as a keyed anti-merge instead
-      SnapshotTable.delete(spark, aggPath,
-        col(groupCol).isInCollection(emptied.toSeq))
+    // upserts and emptied-group removals ride ONE merge rewrite —
+    // fully distributed, no driver-side key list, no second pass
+    SnapshotTable.merge(
+      changed.filter(col("n") =!= 0L)
+        .select(col(groupCol), col("n"), col("total")),
+      aggPath, Seq(groupCol),
+      removeKeys = Some(changed.filter(col("n") === 0L)
+        .select(col(groupCol))))
   }
 }

@@ -412,9 +412,16 @@ object SnapshotTable {
     *
     * Duplicate keys inside `updates` are allowed: all matched current
     * rows are replaced and ALL update rows land (the caller owns
-    * dedup if one-row-per-key matters). */
+    * dedup if one-row-per-key matters).
+    *
+    * `removeKeys` (columns = exactly `keyCols`) deletes whole keys in
+    * the SAME single rewrite: a removed key is matched but never
+    * re-inserted — the keyed-churn shape (CDC apply: upserts +
+    * deletes) without a second pass over the table or any driver-side
+    * key list. A key in both sets upserts (updates win). */
   def merge(updates: DataFrame, path: String, keyCols: Seq[String],
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty,
+      removeKeys: Option[DataFrame] = None): Int = {
     val spark = updates.sparkSession
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
@@ -427,8 +434,17 @@ object SnapshotTable {
         s", updates have [${updates.columns.mkString(",")}]")
     require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
       s"merge keys [${keyCols.mkString(",")}] must be update columns")
+    removeKeys.foreach(rk => require(rk.columns.toSeq == keyCols,
+      s"removeKeys columns [${rk.columns.mkString(",")}] must be " +
+        s"exactly the merge keys [${keyCols.mkString(",")}]"))
     import org.apache.spark.sql.functions.{col, max, min}
-    val keys = updates.select(keyCols.map(col): _*).distinct()
+    // removeKeys ride the same single rewrite: a removed key is
+    // matched (so its file rewrites) but never re-inserted. A key in
+    // BOTH sets upserts — updates win over removals.
+    val keys = updates.select(keyCols.map(col): _*)
+      .unionByName(removeKeys.getOrElse(
+        updates.select(keyCols.map(col): _*).limit(0)))
+      .distinct()
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
     // Level-1 pruning, NO data scan: the update keys' overall range
     // vs each file's cached key range from its MANIFEST entry (pure

@@ -295,6 +295,31 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id", "x"))
   }
 
+  test("merge removeKeys: upserts and key removals in ONE commit; updates win on overlap") {
+    import spark.implicits._
+    val path = freshPath("mergerm")
+    SnapshotTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"), path)
+    val v = SnapshotTable.merge(
+      Seq((5L, "U5"), (101L, "NEW")).toDF("id", "payload"), path,
+      Seq("id"),
+      removeKeys = Some(Seq(5L, 10L, 11L).toDF("id")))
+    assert(v === 1) // one commit for the whole keyed-churn batch
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 99) // 100 - 2 removed + 1 insert
+    assert(!got.contains(10L) && !got.contains(11L))
+    assert(got(5L) === "U5") // in both sets: the upsert wins
+    assert(got(101L) === "NEW")
+    assert(got(12L) === "v12")
+    // removeKeys columns must be exactly the merge keys
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(
+        Seq((6L, "U6")).toDF("id", "payload"), path, Seq("id"),
+        removeKeys = Some(Seq((7L, "x")).toDF("id", "junk")))
+    }
+  }
+
   test("property: incremental count/sum view equals a full recompute under merges and deletes") {
     import spark.implicits._
     import graft.sources.IncrementalView
