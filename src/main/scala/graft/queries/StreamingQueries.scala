@@ -267,6 +267,70 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ST11: watermark LATE-DATA DROP, observed end to end — three
+    // mtime-ordered micro-batches (first 60% of the timeline, then
+    // 60–80%, then the rest PLUS planted copies of the first two
+    // hours' events with shifted ids). The copies' windows are
+    // EVICTED at the end of batch 2 (watermark ≈ day 18 of a 30-day
+    // span), so batch 3 must DROP them; if the watermark pipeline
+    // mis-accepted them the early windows would re-emit or
+    // double-count and the hash would fail. Lateness is staged a full
+    // batch past eviction deliberately: measured on this Spark, an
+    // append-mode aggregation still ACCEPTS a late row while its
+    // window state is open (eviction lags one batch behind the
+    // watermark), so arrival-after-eviction is the regime where the
+    // drop is guaranteed — the honest contract a pipeline can rely
+    // on (NOTES_ROUND round 8). Append-mode output, post-filtered to
+    // windows ending ≥3 h before the global max event time —
+    // strictly inside the final watermark, so emission boundary
+    // semantics can't wobble the compare. The oracle is the original
+    // events only (no copies), same interior-window filter.
+    "st11_stream_late_drop" -> ((s, dir) => {
+      val raw = Tables.withEventTimestamp(
+        s.read.parquet(s"$dir/events.parquet"), "ts")
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+      val b = raw.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val cut1 = mn + (mx - mn) * 6 / 10
+      val cut2 = mn + (mx - mn) * 8 / 10
+      val hourUs = 3600L * 1000000L
+      val late = raw.filter(unix_micros(col("ts")) <= mn + 2 * hourUs)
+        .withColumn("event_id", col("event_id") + 10000000L)
+      val base = java.nio.file.Files.createTempDirectory("graft_st11")
+      val staged = base.resolve("in")
+      java.nio.file.Files.createDirectories(staged)
+      val tus = unix_micros(col("ts"))
+      val batches = Seq(
+        raw.filter(tus <= cut1),
+        raw.filter(tus > cut1 && tus <= cut2),
+        raw.filter(tus > cut2).unionByName(late))
+      for ((bdf, k) <- batches.zipWithIndex) {
+        val tmp = base.resolve(s"tmp$k").toString
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 400000L + k * 60000L))
+      }
+      val stream = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val agg = Streaming.windowedCounts(stream,
+        windowLength = "1 hour", watermark = "2 hours")
+      val name = s"st11_out_${runCounter.incrementAndGet()}"
+      Streaming.runToMemory(s, agg, name, outputMode = "append",
+          statePartitions = Some(stateParts))
+        .filter(unix_micros(col("window_start")) + hourUs <=
+          lit(mx) - 3 * hourUs)
+        .select(unix_micros(col("window_start")).as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -419,6 +483,20 @@ object StreamingQueries {
         |    event_type
         |  FROM e CROSS JOIN (VALUES (0), (1)) AS t(o))
         |SELECT win_start, event_type, count(*) AS n
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the planted late copies are DROPPED by the watermark, so the
+    // expectation is the ORIGINAL events only, restricted to the same
+    // interior windows (end ≥ 3 h before the max event time)
+    "st11_stream_late_drop" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type
+        |  FROM events),
+        |b AS (SELECT max(tus) AS mx FROM e),
+        |w AS (SELECT (tus // 3600000000) * 3600000000 AS win_start,
+        |    event_type FROM e)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w, b
+        |WHERE win_start + 3600000000 <= mx - 3 * 3600000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
