@@ -187,6 +187,34 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Hybrid retrieval — the RAG serving shape: a BM25 keyword
+    // shortlist (50 docs, one corpus scan + 1-row stats broadcast)
+    // re-ranked by embedding cosine against a query-by-example vector
+    // (vec 0), top-10. The expensive vector math touches ONLY the
+    // shortlist — at 100 TB the keyword stage bounds the vector
+    // stage, which is the point of hybrid. Exact oracle: t6's BM25
+    // CTEs at k=50 composed with the s1 cosine fold.
+    "s10_hybrid_search" -> ((s, dir) => {
+      val shortlist = graft.operators.Ranking.bm25TopK(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        terms = hybridTerms, k = 50)
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      shortlist.join(emb, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(qv))
+        .filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), round(col("score"), 6).as("bm25"),
+          Similarity.cosine(col("v"), col("qv")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("bm25"), col("cos"))
+        .orderBy(col("rank"))
+    }),
+
     // SemDeDup-style semantic dedup, composed end-to-end: embedding
     // near-dup pairs (banded LSH + exact cosine verify) → connected
     // components → one representative per semantic cluster, with the
@@ -388,6 +416,43 @@ object SimilarityQueries {
        |SELECT query_id, rank, corpus_id, adist FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** s10's keyword terms — the t6 query terms (duplicated by value:
+    * TextQueries keeps its own private). */
+  private val hybridTerms = Seq("spark", "vector", "merge", "customer")
+
+  /** s10's oracle: t6's BM25 CTEs at k=50, cosine-reranked. */
+  private val s10Oracle: String = {
+    val score = hybridTerms.indices.map(i =>
+      s"""ln(1 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) * tf_$i * (1.2 + 1)
+         |    / (tf_$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))""".stripMargin)
+      .mkString(" +\n    ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, len(toks) AS dl,
+       |    ${hybridTerms.zipWithIndex.map { case (t, i) =>
+            s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }
+            .mkString(",\n    ")}
+       |  FROM t),
+       |s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+       |    ${hybridTerms.indices.map(i =>
+            s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+            .mkString(",\n    ")}
+       |  FROM p),
+       |short AS (SELECT doc_id, round($score, 6) AS bm25
+       |  FROM p, s ORDER BY $score DESC, doc_id LIMIT 50),
+       |corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM corpus WHERE id = 0),
+       |scored AS (SELECT sh.doc_id, sh.bm25,
+       |    list_dot_product(c.v, q.qv)
+       |      / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |  FROM short sh JOIN corpus c ON c.id = sh.doc_id CROSS JOIN q
+       |  WHERE sh.doc_id <> 0)
+       |SELECT rank, doc_id, bm25, cos FROM (SELECT doc_id, bm25, cos,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   /** s9: IVF top-5 (s4's CTEs) ∩ brute-force top-5, counted per
     * query — the recall@5 evaluation replayed relationally. */
   private def s9Sql(cents: Array[Array[Double]]): String =
@@ -466,7 +531,7 @@ object SimilarityQueries {
   }
 
   def oracles: Map[String, String] = fittedOracles ++
-    Map("s3_lsh_topk" -> s3Oracle) ++ Map(
+    Map("s3_lsh_topk" -> s3Oracle, "s10_hybrid_search" -> s10Oracle) ++ Map(
     "s1_bruteforce_topk" ->
       (s"""WITH scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
