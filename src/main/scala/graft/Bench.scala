@@ -85,6 +85,15 @@ object Bench {
       }
       val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
       val min = if (times.isEmpty) 0.0 else times.min
+      // UNTIMED inter-query reclaim: local-checkpoint and broadcast
+      // blocks are freed by ContextCleaner only after the JVM GCs the
+      // RDD references, and a 96 GiB heap left alone collects far too
+      // rarely — measured on the 140-query pass: without this,
+      // checkpoint-heavy queries inflate 3-10x late in the run from
+      // accumulated old-gen (g2_bfs 36 s vs 3 s solo; NOTES round 8).
+      // Isolated families show no inflation, so this is cross-query
+      // accumulation, not any query's own cost.
+      System.gc()
       (name, median, min, err)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
