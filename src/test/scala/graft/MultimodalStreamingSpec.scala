@@ -283,4 +283,60 @@ class MultimodalStreamingSpec extends SparkSpec {
     val s = sessions.head
     assert(s.user_id == 7L && s.n_events == 2 && s.total_value == 3.0)
   }
+
+  test("watermark drops a late row only AFTER its window's state is evicted (st11 contract)") {
+    import spark.implicits._
+    // Pins the engine behavior st11_stream_late_drop stages around
+    // (measured, NOTES round 8): a late row into a STILL-OPEN window
+    // is accepted (watermark bounds state, not acceptance); the same
+    // lateness one batch after eviction is dropped with no
+    // re-emission. If a Spark upgrade tightens acceptance to strict
+    // watermark filtering, arm 1 flips and st11's staging margin
+    // should be revisited.
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    def run(batches: Seq[Seq[(Long, java.sql.Timestamp)]],
+        name: String): Map[java.sql.Timestamp, Long] = {
+      val base = java.nio.file.Files.createTempDirectory(s"wm$name")
+      val staged = base.resolve("in")
+      java.nio.file.Files.createDirectories(staged)
+      for ((rows, k) <- batches.zipWithIndex) {
+        val tmp = base.resolve(s"tmp$k").toString
+        rows.toDF("event_id", "ts").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(f"b$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 400000L + k * 60000L))
+      }
+      val schema = spark.read.parquet(staged.toString).schema
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val got = Streaming.runToMemory(spark, agg, s"wm_$name", "append")
+      got.collect().map(r => (r.getStruct(0).getTimestamp(0),
+        r.getLong(1))).toMap
+    }
+    val early = ts("2024-01-01 00:10:00")
+    val earlyWin = ts("2024-01-01 00:00:00")
+    // arm 1: late row arrives while its window state is still open
+    // (eviction lags the watermark by one batch) → ACCEPTED, n = 2
+    val open = run(Seq(
+      Seq((1L, early), (2L, ts("2024-01-05 00:10:00"))),
+      Seq((3L, ts("2024-01-06 00:10:00")), (9L, ts("2024-01-01 00:20:00")))),
+      "open")
+    assert(open(earlyWin) === 2L, s"still-open window should accept: $open")
+    // arm 2: same lateness one batch AFTER eviction → DROPPED, n = 1,
+    // and no duplicate emission of the evicted window
+    val evicted = run(Seq(
+      Seq((1L, early), (2L, ts("2024-01-05 00:10:00"))),
+      Seq((3L, ts("2024-01-06 00:10:00"))),
+      Seq((9L, ts("2024-01-01 00:20:00")), (4L, ts("2024-01-07 00:10:00")))),
+      "evicted")
+    assert(evicted(earlyWin) === 1L, s"post-eviction late row must drop: $evicted")
+  }
 }
