@@ -106,6 +106,26 @@ object EventQueries {
     // mixed 90/35/25 stage distribution on this corpus — both the
     // convert and the stall arm provably fire); the oracle replays
     // the staged CTEs with the same inclusive gap bound
+    // E13: time-to-convert distribution — exact percentiles of
+    // (first purchase − first view) over fully-converted funnel
+    // users, from the same single-scan funnel fold as e5. Exact
+    // cross-engine: integer µs delays, interpolated percentile
+    // agrees bit-for-bit with DuckDB quantile_cont (the a8 recipe).
+    "e13_conversion_delay" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      graft.operators.Aggregates
+        .funnel(e, "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"))
+        .filter(col("t_2").isNotNull)
+        .select((col("t_2") - col("t_0")).as("delay_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(delay_us, 0.25)").as("q25"),
+          expr("percentile(delay_us, 0.5)").as("q50"),
+          expr("percentile(delay_us, 0.75)").as("q75"),
+          expr("percentile(delay_us, 0.9)").as("q90"))
+    }),
+
     "e12_funnel_windowed" -> ((s, dir) => {
       val e = events(s, dir).withColumn("ts_us", expr("ts div 1000"))
         .select(col("user_id"), col("event_type"), col("ts_us"))
@@ -336,6 +356,26 @@ object EventQueries {
         |    + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "e13_conversion_delay" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t_click FROM e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us >= t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM e
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us >= t_click GROUP BY 1),
+        |d AS (SELECT t_purchase - t_view AS delay_us
+        |  FROM v JOIN c USING (user_id) JOIN p USING (user_id))
+        |SELECT count(*) AS n_converted,
+        |  quantile_cont(delay_us, 0.25) AS q25,
+        |  quantile_cont(delay_us, 0.5) AS q50,
+        |  quantile_cont(delay_us, 0.75) AS q75,
+        |  quantile_cont(delay_us, 0.9) AS q90
+        |FROM d""".stripMargin,
 
     "e12_funnel_windowed" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
