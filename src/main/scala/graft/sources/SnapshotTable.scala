@@ -58,6 +58,15 @@ object SnapshotTable {
   private def filesDir(path: String) = new Path(path, "files")
   private def manifestName(v: Int) = f"v$v%08d.manifest"
 
+  /** Depth-first file listing via listStatus — portable across
+    * FileSystem implementations (listFiles' built-in recursion assumes
+    * file:// URIs on local-backed filesystems). */
+  private def listRecursive(fs: FileSystem, p: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) listRecursive(fs, st.getPath) else Seq(st)
+    }
+
   /** Committed versions, ascending (empty = no table). */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
     val fs = fsOf(spark, logDir(path))
@@ -138,11 +147,68 @@ object SnapshotTable {
 
   /** Read `rels` with the version's stored schema if present: files
     * written before a column was added yield NULL for it, and column
-    * order is the table's, not any one footer's. */
+    * order is the table's, not any one footer's.
+    *
+    * `basePath` is always `path/files`, so hive-style partition
+    * directories between it and a data file (`files/lang=en/...`)
+    * reconstitute their partition columns exactly as a whole-directory
+    * read would — explicit-file-list reads (time travel, merge
+    * rewrites, change feeds) stay partition-correct. Flat tables have
+    * no such directories and are unaffected. */
   private def readFilesAs(spark: SparkSession, path: String,
       schema: Option[types.StructType], rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val paths = rels.map(rel => new Path(path, rel).toString)
-    schema.fold(spark.read)(st => spark.read.schema(st)).parquet(paths: _*)
+    val raw = schema.fold(spark.read)(st => spark.read.schema(st))
+      .option("basePath", filesDir(path).toString)
+      .parquet(paths: _*)
+    // partition columns come back APPENDED by partition discovery, in
+    // whatever type path inference picked — restore the stored schema's
+    // column order and types (the casts are no-ops on flat tables)
+    schema.fold(raw)(st =>
+      raw.select(st.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*))
+  }
+
+  /** The table's partition columns per the log-head meta (`#partition`,
+    * inherited commit-over-commit like all meta); empty = flat. */
+  def partitioning(spark: SparkSession, path: String): Seq[String] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) Seq.empty
+    else readMeta(fsOf(spark, logDir(path)), path, vs.max)
+      .get("partition").map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Hive-style partition values encoded in a manifest entry's rel
+    * path (`files/lang=en/uuid.parquet` → `lang -> en`); empty for
+    * flat entries. Values are kept in their escaped path form — the
+    * same form [[partitionPathValue]] produces for a literal, so
+    * pruning compares like with like. */
+  private[graft] def entryPartitionValues(rel: String): Map[String, String] =
+    rel.split("/").iterator
+      .filter(seg => seg.contains("=") && !seg.endsWith(".parquet"))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> v
+      }.toMap
+
+  /** A literal rendered exactly as Spark's partitioned writer renders
+    * it in a directory name (Hive `escapePathName` convention: the
+    * characters Hive reserves become `%XX`; null becomes the default
+    * partition marker). */
+  private[graft] def partitionPathValue(v: Any): String = v match {
+    case null => "__HIVE_DEFAULT_PARTITION__"
+    case other =>
+      val s = other.toString
+      val sb = new StringBuilder
+      s.foreach { c =>
+        val escape = (c >= '\u0001' && c <= '\u001F') || c == '\u007F' ||
+          "\"#%'*/:=?\\{[]^".indexOf(c.toInt) >= 0
+        if (escape) sb.append(f"%%${c.toInt}%02X")
+        else sb.append(c)
+      }
+      sb.toString
   }
 
   private def manifestPaths(fs: FileSystem, path: String, v: Int): Seq[String] =
@@ -155,28 +221,65 @@ object SnapshotTable {
     * staged file at WRITE time buys pure-metadata pruning on every
     * later [[merge]]). Nothing references the files until a manifest
     * commits. */
-  private def stage(df: DataFrame, path: String): Seq[String] = {
-    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+  private def stage(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Seq[String] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      TimestampType}
     val spark = df.sparkSession
     val fs = fsOf(spark, new Path(path))
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns [${partitionBy.mkString(",")}] must exist in " +
+        s"[${df.columns.mkString(",")}]")
+    // partition columns live in the directory name, not the footer
     val statCols = df.schema.fields.collect {
-      case f if f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == DateType => f.name
+      case f if !partitionBy.contains(f.name) &&
+        (f.dataType == IntegerType || f.dataType == LongType ||
+          f.dataType == DateType || f.dataType == TimestampType) => f.name
     }.toSeq
     val tmp = new Path(path, s"__stage_${UUID.randomUUID()}")
-    df.write.parquet(tmp.toString)
+    // Spark's default timestamp encoding is legacy INT96, which parquet
+    // writes WITHOUT min/max statistics — the footer harvest (and so
+    // every timestamp range prune in merge/readWhere) would be blind.
+    // Stage writes use TIMESTAMP_MICROS (the modern encoding Spark
+    // itself recommends; INT96 is deprecated). Session-conf toggle
+    // (parquet has no per-write option for it), restored in finally —
+    // concurrent same-session writers during the brief stage window
+    // would also emit MICROS, which every Spark reader handles.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val hasTs = df.schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val oldTs = if (hasTs) Some(spark.conf.get(tsKey)) else None
+    if (hasTs) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      if (partitionBy.isEmpty) df.write.parquet(tmp.toString)
+      else df.write.partitionBy(partitionBy: _*).parquet(tmp.toString)
+    } finally oldTs.foreach(spark.conf.set(tsKey, _))
     fs.mkdirs(filesDir(path))
-    val staged = fs.listStatus(tmp).toSeq
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map { f =>
-        val dest = new Path(filesDir(path), s"${UUID.randomUUID()}.parquet")
-        if (!fs.rename(f.getPath, dest))
-          sys.error(s"snapshot stage: rename ${f.getPath} -> $dest failed")
-        val stats = footerRanges(spark, dest, statCols)
-        if (stats.isEmpty) s"files/${dest.getName}"
-        else s"files/${dest.getName}\t" + stats.toSeq.sortBy(_._1)
-          .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
-      }
+    // recursive walk: partitioned writes nest part files one directory
+    // per partition column (files/lang=en/part-...); the partition
+    // subpath is preserved under files/ so reads reconstruct it.
+    // listStatus-based (listFiles' recursion breaks on wrapped
+    // FileSystem implementations whose scheme isn't file://)
+    val parts = listRecursive(fs, tmp)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+    val tmpUri = tmp.toUri.getPath
+    val staged = parts.toSeq.map { src =>
+      val parentRel = src.getParent.toUri.getPath
+        .stripPrefix(tmpUri).stripPrefix("/")
+      val destDir =
+        if (parentRel.isEmpty) filesDir(path)
+        else new Path(filesDir(path), parentRel)
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
+      if (!fs.rename(src, dest))
+        sys.error(s"snapshot stage: rename $src -> $dest failed")
+      val rel = if (parentRel.isEmpty) s"files/${dest.getName}"
+        else s"files/$parentRel/${dest.getName}"
+      val stats = footerRanges(spark, dest, statCols)
+      if (stats.isEmpty) rel
+      else rel + "\t" + stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+    }
     if (!fs.delete(tmp, true))
       sys.error(s"snapshot stage: could not clear $tmp")
     staged
@@ -278,13 +381,25 @@ object SnapshotTable {
     sys.error(s"snapshot commit: gave up after $attempts conflicts")
   }
 
-  /** Commit `df` as version 0. Fails if the table already exists. */
-  def create(df: DataFrame, path: String): Int = {
+  /** Commit `df` as version 0. Fails if the table already exists.
+    * `partitionBy` makes the table hive-partitioned: data files land
+    * under one directory per partition value (`files/lang=en/…`), the
+    * partitioning is recorded in the log meta (`#partition`, inherited
+    * by every later commit), and every write path — append, merge,
+    * delete, compaction — re-stages with the same layout. Partition
+    * values are pure metadata for [[readWhere]]: an equality or IN
+    * predicate on a partition column prunes whole directories without
+    * touching a footer, the 100 TB first-line defense. */
+  def create(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     require(versions(spark, path).isEmpty,
       s"snapshot table already exists at $path — use append/overwrite")
-    commit(spark, path, stage(df, path), _ => Seq.empty,
-      meta = schemaMeta(df.schema))
+    val partMeta =
+      if (partitionBy.isEmpty) Map.empty[String, String]
+      else Map("partition" -> partitionBy.mkString(","))
+    commit(spark, path, stage(df, path, partitionBy), _ => Seq.empty,
+      meta = schemaMeta(df.schema) ++ partMeta)
   }
 
   /** Commit `df`'s rows on top of the latest version (its files plus
@@ -329,17 +444,21 @@ object SnapshotTable {
     }
     val evolved = types.StructType(
       currentOpt.fold(df.schema.fields)(_.fields ++ added))
-    val staged = stage(df, path)
+    // appends inherit the table's partition layout from the log meta
+    val staged = stage(df, path, partitioning(spark, path))
     commit(spark, path, staged,
       next => readManifest(fs, path, next - 1),
       meta = schemaMeta(evolved))
   }
 
   /** Commit `df` as a full replacement (new version referencing only
-    * the staged files; prior versions stay readable until vacuum). */
-  def overwrite(df: DataFrame, path: String): Int =
-    commit(df.sparkSession, path, stage(df, path), _ => Seq.empty,
-      meta = schemaMeta(df.schema))
+    * the staged files; prior versions stay readable until vacuum).
+    * The table's partition layout is preserved. */
+  def overwrite(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    commit(spark, path, stage(df, path, partitioning(spark, path)),
+      _ => Seq.empty, meta = schemaMeta(df.schema))
+  }
 
   /** EXACTLY-ONCE idempotent append for a streaming micro-batch: the
     * batch id rides inside the atomic manifest commit as a
@@ -358,7 +477,7 @@ object SnapshotTable {
     val spark = df.sparkSession
     if (committedStreamBatch(spark, path).exists(_ >= batchId)) None
     else {
-      val staged = stage(df, path)
+      val staged = stage(df, path, partitioning(spark, path))
       // first batch creates the table and records its schema; later
       // batches inherit the stored schema through the meta chain
       val schemaM =
@@ -501,7 +620,8 @@ object SnapshotTable {
       else readFilesAs(spark, path, tableSchema, affected.map(entryPath))
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
-    val staged = stage(rewritten.coalesce(affected.size + 1), path)
+    val staged = stage(rewritten.coalesce(affected.size + 1), path,
+      partitioning(spark, path))
     commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
   }
 
@@ -540,7 +660,8 @@ object SnapshotTable {
       val kept =
         readFilesAs(spark, path, tableSchema, affected.map(entryPath))
           .filter(not(coalesce(predicate, lit(false))))
-      val staged = stage(kept.coalesce(affected.size), path)
+      val staged = stage(kept.coalesce(affected.size), path,
+        partitioning(spark, path))
       commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
     }
   }
@@ -675,6 +796,187 @@ object SnapshotTable {
     readFilesAs(spark, path, storedSchema(fs, path, v), rels)
   }
 
+  /** Read with manifest-metadata file skipping — the reader-side twin
+    * of [[merge]]'s two-level pruning, generalized to arbitrary
+    * predicates. Every manifest entry carries (a) its hive partition
+    * values (encoded in the rel path) and (b) cached min/max ranges
+    * for integral/date/timestamp columns (harvested from the footer
+    * once, at stage time); a conservative evaluator walks `predicate`
+    * and drops every file the metadata PROVES cannot contain a
+    * matching row. Anything the evaluator cannot reason about —
+    * unknown expression shapes, columns without metadata — keeps the
+    * file, and the full predicate is still applied to the survivors,
+    * so pruning can never change results, only skip I/O.
+    *
+    * At 100 TB this is the difference between "scan the table" and
+    * "scan the partition": a predicate on the partition column or on
+    * the clustered sort key ([[optimize]] with sortCols) resolves
+    * almost entirely in the driver against the manifest, no footer
+    * reads, no tasks for skipped files. */
+  def readWhere(spark: SparkSession, path: String, predicate: Column,
+      version: Option[Int] = None): DataFrame =
+    readWherePruned(spark, path, predicate, version)._1
+
+  /** [[readWhere]] plus pruning evidence: (result, files kept, files
+    * total) — the counters specs and probes assert on. */
+  private[graft] def readWherePruned(spark: SparkSession, path: String,
+      predicate: Column, version: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val fs = fsOf(spark, logDir(path))
+    val manifest = readManifest(fs, path, v)
+    val schema = storedSchema(fs, path, v)
+    val st = schema.getOrElse(read(spark, path, Some(v)).schema)
+    val pred = resolvedPredicate(spark, st, predicate)
+    val kept = manifest.filter(e =>
+      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e)))
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      else readFilesAs(spark, path, schema, kept.map(entryPath))
+        .filter(predicate)
+    (df, kept.size, manifest.size)
+  }
+
+  /** Resolve `predicate` against `schema` through the session's
+    * analyzer (a Filter over an empty relation): Spark 4 Columns carry
+    * connect-style nodes, and only ANALYSIS yields the typed Catalyst
+    * comparisons — correctly-typed literals, implicit casts — the
+    * pruning evaluator reasons over. */
+  private[graft] def resolvedPredicate(spark: SparkSession,
+      schema: types.StructType, predicate: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    org.apache.spark.sql.GraftSqlAccess.analyzed(empty.filter(predicate))
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(sys.error("readWhere: analysis produced no Filter"))
+  }
+
+  /** Conservative may-contain-a-matching-row test for one file's
+    * metadata. Sound by construction: every unknown shape returns
+    * true (keep the file); false only when the partition value or the
+    * cached column range PROVES no row can satisfy the predicate.
+    * Comparison operands are handled as attribute-vs-FOLDABLE — a
+    * `lit("1996-01-01").cast("timestamp")` analyzes to a Cast, not a
+    * Literal, and folding evaluates it to the typed value the range
+    * test needs (timestamps as micros, dates as days). */
+  private[graft] def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      parts: Map[String, String], stats: Map[String, (Long, Long)]): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def attrName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case c: Cast => attrName(c.child)
+      case _ => None
+    }
+    // evaluate a constant side to (value, dataType); None = not
+    // constant or not evaluable here (keep the file)
+    def foldVal(x: Expression): Option[(Any, types.DataType)] =
+      if (!x.foldable) None
+      else scala.util.Try(x.eval(null)).toOption.map(v => (v, x.dataType))
+    def asNum(v: Any): Option[Double] = v match {
+      case i: java.lang.Integer => Some(i.toDouble)
+      case l: java.lang.Long => Some(l.toDouble)
+      case sh: java.lang.Short => Some(sh.toDouble)
+      case b: java.lang.Byte => Some(b.toDouble)
+      case f: java.lang.Float => Some(f.toDouble)
+      case d: java.lang.Double => Some(d)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    // range test against cached [lo, hi]; partition-value test against
+    // the escaped dir string (numeric-aware when both sides parse)
+    def cmp(name: String, op: String, vd: (Any, types.DataType)): Boolean = {
+      val (v, dt) = vd
+      // a comparison with NULL is never TRUE - provably no match,
+      // whatever the column's metadata says
+      if (v == null) return false
+      val byStats = stats.get(name).map { case (lo, hi) =>
+        asNum(v) match {
+          case None => true // non-numeric constant vs numeric range
+          case Some(x) => op match {
+            case "=" => lo.toDouble <= x && x <= hi.toDouble
+            case ">" => hi.toDouble > x
+            case ">=" => hi.toDouble >= x
+            case "<" => lo.toDouble < x
+            case "<=" => lo.toDouble <= x
+          }
+        }
+      }
+      // partition dirs render strings/integrals verbatim; other types
+      // (timestamps as micros, dates as days) would not match the
+      // writer's formatted dir value, so only these are compared
+      val partComparable = dt == types.StringType ||
+        dt == types.IntegerType || dt == types.LongType ||
+        dt == types.ShortType || dt == types.ByteType
+      val byPart = parts.get(name).map { dir =>
+        if (!partComparable) true
+        else {
+          val numPair = asNum(v).flatMap(x =>
+            scala.util.Try(dir.toDouble).toOption.map(d => (d, x)))
+          (op, numPair) match {
+            case ("=", Some((d, x))) => d == x
+            case (">", Some((d, x))) => d > x
+            case (">=", Some((d, x))) => d >= x
+            case ("<", Some((d, x))) => d < x
+            case ("<=", Some((d, x))) => d <= x
+            case ("=", None) => dir == partitionPathValue(v)
+            case _ => true // order comparison on a non-numeric dir
+          }
+        }
+      }
+      (byStats.toSeq ++ byPart.toSeq).forall(identity)
+    }
+    def flip(op: String): String = op match {
+      case ">" => "<"
+      case ">=" => "<="
+      case "<" => ">"
+      case "<=" => ">="
+      case other => other
+    }
+    // attr-vs-constant in either order; anything else keeps the file
+    def sides(l: Expression, r: Expression, op: String): Boolean =
+      (attrName(l), attrName(r)) match {
+        case (Some(n), None) if r.foldable =>
+          foldVal(r).map(cmp(n, op, _)).getOrElse(true)
+        case (None, Some(n)) if l.foldable =>
+          foldVal(l).map(cmp(n, flip(op), _)).getOrElse(true)
+        case _ => true
+      }
+    def go(x: Expression): Boolean = x match {
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+      case EqualTo(l, r) => sides(l, r, "=")
+      case GreaterThan(l, r) => sides(l, r, ">")
+      case GreaterThanOrEqual(l, r) => sides(l, r, ">=")
+      case LessThan(l, r) => sides(l, r, "<")
+      case LessThanOrEqual(l, r) => sides(l, r, "<=")
+      case In(a, ls) if attrName(a).isDefined && ls.forall(_.foldable) =>
+        ls.exists(l => sides(a, l, "="))
+      case InSet(a, vs) if attrName(a).isDefined =>
+        // optimizer form of IN (large literal lists); values are raw
+        vs.exists(v => cmp(attrName(a).get, "=", (v, a.dataType)))
+      case StartsWith(a, pfx) if attrName(a).isDefined && pfx.foldable =>
+        foldVal(pfx) match {
+          case Some((p, _)) if p != null =>
+            parts.get(attrName(a).get)
+              .forall(dir => dir.startsWith(partitionPathValue(p)))
+          case Some((null, _)) => false
+          case _ => true
+        }
+      case _ => true
+    }
+    go(e)
+  }
+
   /** Layout maintenance as a snapshot commit: rewrite the latest
     * version into ~`targetFileBytes` files (optionally range-sorted for
     * clustering), published as a NEW version — concurrent readers of
@@ -728,7 +1030,7 @@ object SnapshotTable {
         readFilesAs(spark, path, storedSchema(fs, path, readV),
           small.map(entryPath))
         .coalesce(nFiles)
-      val staged = stage(compacted, path)
+      val staged = stage(compacted, path, partitioning(spark, path))
       Some(commitPinned(spark, path, kept ++ staged, readV + 1))
     }
   }
@@ -765,7 +1067,9 @@ object SnapshotTable {
       if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")
     }
     val cutoff = System.currentTimeMillis() - graceMs
-    val dropped = fs.listStatus(filesDir(path)).toSeq
+    // recursive: partitioned tables nest data files one directory per
+    // partition value — a flat listing would never see them
+    val dropped = listRecursive(fs, filesDir(path))
       .filterNot(f => referenced.contains(f.getPath.getName))
       .filter(f => f.getModificationTime <= cutoff)
     dropped.foreach { f =>

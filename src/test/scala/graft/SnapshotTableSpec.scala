@@ -627,6 +627,160 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 80)
   }
 
+  test("partitioned create/append round-trip partition values exactly") {
+    val path = freshPath("part")
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "fr", 30L),
+      (4L, "de", 40L), (5L, "fr", 50L)
+    ).toDF("id", "lang", "n")
+    SnapshotTable.create(docs, path, partitionBy = Seq("lang"))
+    assert(SnapshotTable.partitioning(spark, path) === Seq("lang"))
+    // data files nest under one directory per partition value
+    val files = SnapshotTable.read(spark, path).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/lang=")))
+    // partition column reconstitutes with the stored schema's type and
+    // the table's column order
+    val back = SnapshotTable.read(spark, path)
+    assert(back.columns.toSeq === Seq("id", "lang", "n"))
+    assert(back.schema("lang").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "fr", 30L),
+        (4L, "de", 40L), (5L, "fr", 50L)))
+    // append inherits the layout without restating it
+    SnapshotTable.append(Seq((6L, "en", 60L)).toDF("id", "lang", "n"), path)
+    val after = SnapshotTable.read(spark, path)
+    assert(after.count() === 6)
+    assert(after.inputFiles.forall(_.contains("/lang=")))
+    // time travel still sees the version-0 rows only
+    assert(SnapshotTable.read(spark, path, Some(0)).count() === 5)
+  }
+
+  test("readWhere prunes whole partitions from the manifest alone") {
+    val path = freshPath("prune1")
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "fr"
+          else if (i % 4 == 2) "de" else "es", i * 10))
+      .toDF("id", "lang", "n")
+    SnapshotTable.create(docs.repartition(4), path,
+      partitionBy = Seq("lang"))
+    val (df, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("lang") === "en")
+    val enFiles = SnapshotTable.read(spark, path).inputFiles
+      .count(_.contains("/lang=en/"))
+    assert(total > kept, s"expected pruning, kept $kept of $total")
+    assert(kept === enFiles)
+    // pruned result identical to the unpruned filter
+    val expected = SnapshotTable.read(spark, path)
+      .filter(col("lang") === "en").orderBy("id").collect().toSeq
+    assert(df.orderBy("id").collect().toSeq === expected)
+    // IN over two partitions keeps exactly those directories
+    val (df2, kept2, _) = SnapshotTable.readWherePruned(spark, path,
+      col("lang").isin("en", "fr"))
+    val efFiles = SnapshotTable.read(spark, path).inputFiles
+      .count(f => f.contains("/lang=en/") || f.contains("/lang=fr/"))
+    assert(kept2 === efFiles)
+    assert(df2.count() === 200)
+  }
+
+  test("readWhere prunes flat files by cached key ranges (incl. timestamps)") {
+    val path = freshPath("prune2")
+    val rows = (0L until 1000L).map { i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-${1 + (i / 100)}%02d-01 00:00:00"),
+        s"v$i")
+    }.toDF("id", "ts", "s")
+    // range-clustered layout: each staged file covers a narrow id/ts span
+    SnapshotTable.create(
+      rows.repartitionByRange(10, col("id")).sortWithinPartitions("id"),
+      path)
+    val (dfId, keptId, totalId) = SnapshotTable.readWherePruned(spark, path,
+      col("id") >= 950L)
+    assert(totalId === 10 && keptId === 1, s"kept $keptId of $totalId")
+    assert(dfId.count() === 50)
+    // timestamp ranges are cached as micros and prune the same way
+    val (dfTs, keptTs, _) = SnapshotTable.readWherePruned(spark, path,
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-09-15 00:00:00")))
+    assert(keptTs <= 3, s"timestamp skip kept $keptTs files")
+    assert(dfTs.count() ===
+      SnapshotTable.read(spark, path)
+        .filter(col("ts") >= lit(
+          java.sql.Timestamp.valueOf("2024-09-15 00:00:00"))).count())
+    // a predicate the metadata can't reason about keeps everything and
+    // still answers correctly
+    val (dfS, keptS, totalS) = SnapshotTable.readWherePruned(spark, path,
+      col("s").contains("99"))
+    assert(keptS === totalS)
+    assert(dfS.count() ===
+      SnapshotTable.read(spark, path).filter(col("s").contains("99")).count())
+    // a range excluding every file yields an empty, schema-correct frame
+    val (dfNone, keptNone, _) = SnapshotTable.readWherePruned(spark, path,
+      col("id") > 10000L)
+    assert(keptNone === 0 && dfNone.count() === 0)
+    assert(dfNone.columns.toSeq === Seq("id", "ts", "s"))
+  }
+
+  test("merge, delete, and compaction keep a partitioned layout intact") {
+    val path = freshPath("partlife")
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", i)).toDF("id", "lang", "n")
+    SnapshotTable.create(docs, path, partitionBy = Seq("lang"))
+    // merge updates rows in one partition, inserts into another
+    val ups = Seq((2L, "en", 999L), (101L, "fr", 101L))
+      .toDF("id", "lang", "n")
+    SnapshotTable.merge(ups, path, Seq("id"))
+    val m = SnapshotTable.read(spark, path)
+    assert(m.count() === 101)
+    assert(m.filter(col("id") === 2L).select("n").as[Long].head() === 999L)
+    assert(m.inputFiles.forall(_.contains("/lang=")),
+      "merge rewrite must re-stage partitioned")
+    // partition values survive the rewrite byte-exactly
+    assert(m.filter(col("lang").isNull).count() === 0)
+    assert(m.filter(col("lang") === "en").count() === 50)
+    // delete from one partition
+    SnapshotTable.delete(spark, path, col("id") <= 10L && col("lang") === "fr")
+    val d = SnapshotTable.read(spark, path)
+    assert(d.count() === 101 - 5)
+    assert(d.inputFiles.forall(_.contains("/lang=")))
+    // change feed across the delete is well-typed and exact
+    val vs = SnapshotTable.versions(spark, path)
+    val ch = SnapshotTable.changes(spark, path, vs(vs.length - 2))
+    assert(ch.filter(col("change_type") === "delete").count() === 5)
+    // vacuum reclaims superseded partitioned files (recursive listing)
+    val beforeVac = SnapshotTable.read(spark, path).inputFiles.toSet
+    val dropped = SnapshotTable.vacuum(spark, path, keep = 1, graceMs = 0L)
+    assert(dropped > 0, "vacuum must reclaim the rewritten partition files")
+    assert(SnapshotTable.read(spark, path).inputFiles.toSet === beforeVac)
+    assert(SnapshotTable.read(spark, path).count() === 96)
+  }
+
+  test("mayMatch is conservative: unknown shapes keep, proofs drop") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(StructField("id", LongType),
+      StructField("lang", StringType), StructField("other", LongType)))
+    val stats = Map("id" -> (100L, 200L))
+    val parts = Map("lang" -> "en")
+    def may(c: org.apache.spark.sql.Column) =
+      SnapshotTable.mayMatch(
+        SnapshotTable.resolvedPredicate(spark, st, c), parts, stats)
+    assert(may(col("id") === 150L))
+    assert(!may(col("id") === 99L))
+    assert(!may(col("id") > 200L))
+    assert(may(col("id") >= 200L))
+    assert(!may(col("lang") === "fr"))
+    assert(may(col("lang") === "en"))
+    // Or keeps when either side may match; And drops when one side cannot
+    assert(may(col("lang") === "fr" || col("id") === 150L))
+    assert(!may(col("lang") === "fr" && col("id") === 150L))
+    // NULL comparisons are never TRUE -> provably no match
+    assert(!may(col("lang") === lit(null)))
+    // unknown shapes and unknown columns keep the file
+    assert(may(col("other") === 5L))
+    assert(may(abs(col("id")) === 5L))
+    assert(may(col("lang").startsWith("e")))
+    assert(!may(col("lang").startsWith("f")))
+  }
+
   test("a persistent manifest-write failure rethrows, not 'gave up after conflicts'") {
     // route the table through a FileSystem whose manifest creates fail
     // like a dead disk: data staging works, the commit create throws,
