@@ -369,6 +369,62 @@ object WindowQueries {
       IncrementalView.refreshCountSum(s, basePath, aggPath,
         "o_custkey", "cents", fromVersion = 0)
       SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
+    }),
+
+    // W20: hive-partitioned snapshot table + partition-pruned read —
+    // documents partitioned by lang, then readWhere(lang IN (en, fr))
+    // resolves the file set in the DRIVER from the manifest's
+    // partition values (no footer reads, no tasks for the other three
+    // languages; the require() makes the query fail loudly if pruning
+    // ever regresses). At 100 TB this is "scan the partition, not the
+    // table". Oracle: the same filter+aggregate over the raw parquet.
+    "w20_partitioned_read" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w20").toString + "/docs_part"
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      SnapshotTable.create(docs, path, partitionBy = Seq("lang"))
+      val (pruned, kept, total) = SnapshotTable.readWherePruned(s, path,
+        col("lang").isin("en", "fr") && col("n_chars") >= 200L)
+      require(kept < total,
+        s"partition pruning regressed: kept $kept of $total files")
+      pruned.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // W21: manifest data skipping on a flat, range-clustered table —
+    // orders laid out by repartitionByRange(o_orderdate), so each
+    // staged file covers a narrow time span whose min/max micros ride
+    // in its manifest entry; a half-year predicate keeps only the
+    // straddling files (require() guards the prune), again with zero
+    // footer I/O. The timestamp literal folds through the analyzer
+    // exactly as the evaluator expects. Oracle: plain range filter.
+    "w21_data_skipping" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w21").toString + "/orders_clustered"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.repartitionByRange(16, col("o_orderdate"))
+          .sortWithinPartitions(col("o_orderdate")),
+        path)
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1996-07-01 00:00:00"))
+      val (pruned, kept, total) = SnapshotTable.readWherePruned(s, path,
+        col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      require(kept < total,
+        s"key-range skipping regressed: kept $kept of $total files")
+      pruned
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("month"))
     })
   )
 
@@ -629,6 +685,22 @@ object WindowQueries {
         |fin AS (SELECT * FROM merged WHERE o_custkey % 10 <> 3)
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w20_partitioned_read" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE lang IN ('en', 'fr') AND n_chars >= 200
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "w21_data_skipping" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "flagship_panel" -> (denseSql +
       """,

@@ -224,7 +224,7 @@ object SnapshotTable {
   private def stage(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
-      TimestampType}
+      TimestampNTZType, TimestampType}
     val spark = df.sparkSession
     val fs = fsOf(spark, new Path(path))
     require(partitionBy.forall(df.columns.contains),
@@ -234,7 +234,8 @@ object SnapshotTable {
     val statCols = df.schema.fields.collect {
       case f if !partitionBy.contains(f.name) &&
         (f.dataType == IntegerType || f.dataType == LongType ||
-          f.dataType == DateType || f.dataType == TimestampType) => f.name
+          f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType) => f.name
     }.toSeq
     val tmp = new Path(path, s"__stage_${UUID.randomUUID()}")
     // Spark's default timestamp encoding is legacy INT96, which parquet
@@ -878,10 +879,17 @@ object SnapshotTable {
       case _ => None
     }
     // evaluate a constant side to (value, dataType); None = not
-    // constant or not evaluable here (keep the file)
-    def foldVal(x: Expression): Option[(Any, types.DataType)] =
-      if (!x.foldable) None
-      else scala.util.Try(x.eval(null)).toOption.map(v => (v, x.dataType))
+    // constant or not evaluable here (keep the file). Functions like
+    // to_timestamp analyze to RuntimeReplaceable wrappers that refuse
+    // direct eval — fold their replacement instead
+    def foldVal(x: Expression): Option[(Any, types.DataType)] = {
+      val y = x match {
+        case r: RuntimeReplaceable => r.replacement
+        case other => other
+      }
+      if (!y.foldable) None
+      else scala.util.Try(y.eval(null)).toOption.map(v => (v, y.dataType))
+    }
     def asNum(v: Any): Option[Double] = v match {
       case i: java.lang.Integer => Some(i.toDouble)
       case l: java.lang.Long => Some(l.toDouble)
@@ -945,9 +953,9 @@ object SnapshotTable {
     // attr-vs-constant in either order; anything else keeps the file
     def sides(l: Expression, r: Expression, op: String): Boolean =
       (attrName(l), attrName(r)) match {
-        case (Some(n), None) if r.foldable =>
+        case (Some(n), None) =>
           foldVal(r).map(cmp(n, op, _)).getOrElse(true)
-        case (None, Some(n)) if l.foldable =>
+        case (None, Some(n)) =>
           foldVal(l).map(cmp(n, flip(op), _)).getOrElse(true)
         case _ => true
       }
@@ -959,12 +967,14 @@ object SnapshotTable {
       case GreaterThanOrEqual(l, r) => sides(l, r, ">=")
       case LessThan(l, r) => sides(l, r, "<")
       case LessThanOrEqual(l, r) => sides(l, r, "<=")
-      case In(a, ls) if attrName(a).isDefined && ls.forall(_.foldable) =>
-        ls.exists(l => sides(a, l, "="))
+      case In(a, ls) if attrName(a).isDefined =>
+        ls.forall(l => foldVal(l).isDefined) &&
+          ls.exists(l => sides(a, l, "=")) ||
+          ls.exists(l => foldVal(l).isEmpty) // non-constant element: keep
       case InSet(a, vs) if attrName(a).isDefined =>
         // optimizer form of IN (large literal lists); values are raw
         vs.exists(v => cmp(attrName(a).get, "=", (v, a.dataType)))
-      case StartsWith(a, pfx) if attrName(a).isDefined && pfx.foldable =>
+      case StartsWith(a, pfx) if attrName(a).isDefined =>
         foldVal(pfx) match {
           case Some((p, _)) if p != null =>
             parts.get(attrName(a).get)
