@@ -34,6 +34,7 @@ object SparkEntry {
       graft.queries.MLQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.GraphQueries.queries ++
+      graft.queries.MultimodalQueries.queries ++
       graft.queries.StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.MLQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles ++
       graft.queries.StreamingQueries.oracles
 }

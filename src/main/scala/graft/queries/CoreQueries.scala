@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -223,6 +223,28 @@ object CoreQueries {
         .withColumnRenamed("q_0", "q05").withColumnRenamed("q_1", "q50")
         .withColumnRenamed("q_2", "q95")
         .orderBy(col("l_returnflag"))
+    }),
+
+    // A18: skew-safe two-phase aggregation, oracled — the salt +
+    // partial/final split from Skew.twoPhaseAgg over the events table's
+    // skewed event_type key. The result is BY CONSTRUCTION identical
+    // to the direct group-by (counts and integer-cent sums are
+    // salt-associative), which is exactly what the oracle certifies;
+    // the parity spec already pins salted == plain, this pins both to
+    // DuckDB. Plan: two exchanges (salted key, then key) with map-side
+    // partial aggregation in each — the 100 TB hot-key shape.
+    "a18_salted_agg" -> ((s, dir) => {
+      import graft.operators.Skew
+      val ev = Tables(s, dir, "events")
+        .withColumn("qv", floor(col("value") * 100).cast(LongType))
+      Skew.twoPhaseAgg(ev, Seq("event_type"), saltFactor = 16,
+        Map(
+          "n" -> (("event_id", (c: Column) => count(c),
+            (c: Column) => sum(c))),
+          "cents" -> (("qv", (c: Column) => sum(c),
+            (c: Column) => sum(c)))))
+        .select(col("event_type"), col("n"), col("cents"))
+        .orderBy(col("event_type"))
     }),
 
     // A13: rollup with grouping flags — multi-level subtotals in ONE
@@ -616,6 +638,11 @@ object CoreQueries {
         |FROM r
         |WHERE rn = CASE WHEN cnt < 256 THEN cnt ELSE 256 END
         |ORDER BY l_returnflag""".stripMargin,
+
+    "a18_salted_agg" ->
+      """SELECT event_type, count(event_id) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replays the deterministic sample (k-th smallest DISTINCT row-key
     // hash per flag is the selection threshold) then takes the same

@@ -425,6 +425,27 @@ object WindowQueries {
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("total"))
         .orderBy(col("month"))
+    }),
+
+    // W22: exponential-decay smoothing (EWMA, alpha = 1/2) over each
+    // user's event stream — the time-series smoother the panel family
+    // lacked. Exact by construction: the value quantizes to integer
+    // cents (floor — identical in both engines) and the 8-term
+    // truncated decay uses integer weights 128..1, so the whole
+    // recurrence is BIGINT arithmetic with zero float drift
+    // (2^-8 truncation error would be sub-cent anyway). One shuffle on
+    // the entity key; the 8 lags share one window frame.
+    "w22_ewma_decay" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables(s, dir, "events")
+        .withColumn("qv", floor(col("value") * 100).cast(LongType))
+      val decayed = (0 to 7).map(i =>
+        coalesce(lag(col("qv"), i).over(w), lit(0L)) * (1L << (7 - i)))
+        .reduce(_ + _)
+      ev.withColumn("ewma_units", decayed)
+        .select(col("event_id"), col("ewma_units"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -701,6 +722,24 @@ object WindowQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w22_ewma_decay" ->
+      """WITH q AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS qv
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(coalesce(qv, 0) * 128
+        |    + coalesce(lag(qv, 1) OVER w, 0) * 64
+        |    + coalesce(lag(qv, 2) OVER w, 0) * 32
+        |    + coalesce(lag(qv, 3) OVER w, 0) * 16
+        |    + coalesce(lag(qv, 4) OVER w, 0) * 8
+        |    + coalesce(lag(qv, 5) OVER w, 0) * 4
+        |    + coalesce(lag(qv, 6) OVER w, 0) * 2
+        |    + coalesce(lag(qv, 7) OVER w, 0) AS BIGINT) AS ewma_units
+        |FROM q
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "flagship_panel" -> (denseSql +
       """,
