@@ -331,6 +331,51 @@ object StreamingQueries {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // ST12: streaming CDC-apply — a keyed change stream (3 mtime-
+    // ordered time slices, one micro-batch each) folds into a snapshot
+    // table as latest-row-per-user: each batch reduces to its newest
+    // row per key, then MERGEs idempotently (batch marker inside the
+    // atomic commit). Slices partition the timeline in order, so the
+    // final table is exactly "latest event per user" — which the
+    // oracle states relationally, no batch replay. Per-batch cost is
+    // the pruned merge rewrite; no stream state beyond the batch.
+    "st12_stream_cdc_apply" -> ((s, dir) => {
+      val raw = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val b = raw.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val cut1 = mn + (mx - mn) * 4 / 10
+      val cut2 = mn + (mx - mn) * 7 / 10
+      val base = java.nio.file.Files.createTempDirectory("graft_st12")
+      val staged = base.resolve("in")
+      java.nio.file.Files.createDirectories(staged)
+      val batches = Seq(
+        raw.filter(col("ts") <= cut1),
+        raw.filter(col("ts") > cut1 && col("ts") <= cut2),
+        raw.filter(col("ts") > cut2))
+      for ((bdf, k) <- batches.zipWithIndex) {
+        val tmp = base.resolve(s"tmp$k").toString
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 400000L + k * 60000L))
+      }
+      val stream = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      graft.streaming.Streaming.cdcApplyToSnapshot(s, stream,
+        base.resolve("t").toString, keyCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"),
+        checkpoint = base.resolve("ckpt").toString)
+      graft.sources.SnapshotTable.read(s, base.resolve("t").toString)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -435,6 +480,15 @@ object StreamingQueries {
     "st2_stream_dedup" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st12_stream_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "st9_stream_ingest" ->
       """SELECT event_type, count(*) AS n,

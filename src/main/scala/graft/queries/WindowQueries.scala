@@ -427,6 +427,41 @@ object WindowQueries {
         .orderBy(col("month"))
     }),
 
+    // W23: z-order layout × manifest data skipping — orders laid out
+    // along the (o_custkey, o_orderdate) z-curve into 32 snapshot
+    // files, so BOTH dimensions' per-file min/max spans shrink
+    // ~sqrt-wise and a conjunctive predicate on the two columns prunes
+    // multiplicatively from the manifest alone (a 1-D sort would give
+    // all the benefit to the leading key and none to the other). The
+    // require() pins that the 2-D prune actually beats a broad scan.
+    // Oracle: the same filter+aggregate over raw orders.
+    "w23_zorder_skipping" -> ((s, dir) => {
+      import graft.sources.{SnapshotTable, ZOrder}
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w23").toString + "/orders_z"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      SnapshotTable.create(
+        ZOrder.zOrderBy(orders, Seq("o_custkey", "o_orderdate"), 32), path)
+      val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1998-01-01 00:00:00"))
+      val (pruned, kept, total) = SnapshotTable.readWherePruned(s, path,
+        col("o_custkey") <= maxCust / 4 &&
+          col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      require(kept * 2 < total,
+        s"z-order skipping regressed: kept $kept of $total files")
+      pruned
+        .groupBy(date_trunc("year", col("o_orderdate")).cast(DateType)
+          .as("year"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("first_key"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("year"))
+    }),
+
     // W22: exponential-decay smoothing (EWMA, alpha = 1/2) over each
     // user's event stream — the time-series smoother the panel family
     // lacked. Exact by construction: the value quantizes to integer
@@ -721,6 +756,18 @@ object WindowQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w23_zorder_skipping" ->
+      """WITH mc AS (SELECT max(o_custkey) AS m FROM orders)
+        |SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
+        |  count(*) AS n_orders,
+        |  min(o_orderkey) AS first_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders, mc
+        |WHERE o_custkey <= m // 4
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w22_ewma_decay" ->

@@ -61,7 +61,10 @@ object ZOrder {
       dt match {
         case _: NumericType => col(n)
         case DateType => unix_date(col(n))
-        case TimestampType | TimestampNTZType => unix_micros(col(n))
+        case TimestampType => unix_micros(col(n))
+        // NTZ: cast via session TZ (pinned UTC everywhere in graft,
+        // so this is the identity on the stored micros)
+        case TimestampNTZType => unix_micros(col(n).cast(TimestampType))
         case other => throw new IllegalArgumentException(
           s"z-order column $n has unsupported type $other")
       }
@@ -111,7 +114,10 @@ object ZOrder {
       val c = df.schema(n).dataType match {
         case _: NumericType => col(n)
         case DateType => unix_date(col(n))
-        case TimestampType | TimestampNTZType => unix_micros(col(n))
+        case TimestampType => unix_micros(col(n))
+        // NTZ: cast via session TZ (pinned UTC everywhere in graft,
+        // so this is the identity on the stored micros)
+        case TimestampNTZType => unix_micros(col(n).cast(TimestampType))
         case other => throw new IllegalArgumentException(
           s"z-order column $n has unsupported type $other")
       }

@@ -311,6 +311,49 @@ object Streaming {
     * per table; a concurrent committer fails the batch's merge with
     * ConcurrentModificationException (surfaced through the stream)
     * rather than losing rows. */
+  /** Streaming CDC-apply: reduce each micro-batch to its LATEST row per
+    * key (by `orderCols`, descending, ties broken by the later column)
+    * and MERGE that reduction into the snapshot table, idempotently
+    * (batch-id marker inside the same atomic commit — a replayed batch
+    * after checkpoint recovery is recognized and skipped). The 100 TB
+    * shape for keyed change streams: per-batch state is the batch
+    * itself (no unbounded stream state), per-batch write cost is
+    * merge's pruned rewrite (files containing touched keys only).
+    *
+    * Batch-order contract: merges apply batches in arrival order, so
+    * the final table equals "latest row per key" only when the
+    * source's batch order respects `orderCols` across batches (a
+    * time-sliced CDC feed does; an arbitrary shuffle of history does
+    * not — that caller wants upsert-with-version-guard instead). */
+  def cdcApplyToSnapshot(spark: SparkSession, streamed: DataFrame,
+      tablePath: String, keyCols: Seq[String], orderCols: Seq[String],
+      checkpoint: String): Int = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.expressions.Window
+    val q = streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!SnapshotTable.committedStreamBatch(batch.sparkSession,
+            tablePath).exists(_ >= id)) {
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(orderCols.map(c => col(c).desc): _*)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          if (SnapshotTable.versions(batch.sparkSession, tablePath).isEmpty)
+            SnapshotTable.appendStreamBatch(latest, tablePath, id)
+          else
+            SnapshotTable.merge(latest, tablePath, keyCols,
+              meta = Map("streamBatch" -> id.toString))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    SnapshotTable.versions(spark, tablePath).max
+  }
+
   def upsertToSnapshot(spark: SparkSession, streamed: DataFrame,
       tablePath: String, keyCols: Seq[String], checkpoint: String): Int = {
     import graft.sources.SnapshotTable
