@@ -76,11 +76,39 @@ object Multimodal {
     * probed from the HEADER (no pixel allocation) before any decode. */
   private[graft] val MaxDecodePixels: Long = 64L * 1024 * 1024
 
+  /** Magic-byte sniff for the image formats the JDK registry actually
+    * reads (JPEG, PNG, GIF, BMP, TIFF). The registry's own dispatch is
+    * EXCEPTION-DRIVEN discovery — every non-image payload pays a
+    * stream wrap + full SPI scan before failing — which at pipeline
+    * scale dominates the decode stage (measured: the mm1 media
+    * pipeline ran 13.5x slower at 10x data before sniffing; codec
+    * dispatch by magic number is how real ingest pipelines route).
+    * Deliberate narrowing: magic-less formats (WBMP) skip straight to
+    * the fake-feature arm. */
+  private[graft] def sniffMaybeImage(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) || // JPEG
+      (p(0) == 0x89.toByte && p(1) == 0x50 && p(2) == 0x4E &&
+        p(3) == 0x47) || // PNG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') || // GIF
+      (p(0) == 'B' && p(1) == 'M') || // BMP
+      (p(0) == 0x49 && p(1) == 0x49 && p(2) == 0x2A) || // TIFF LE
+      (p(0) == 0x4D && p(1) == 0x4D && p(2) == 0x00 && p(3) == 0x2A)) // BE
+
+  /** Magic-byte sniff for the JDK sound providers' formats: RIFF/WAVE,
+    * FORM/AIFF, .snd/AU. Same rationale as [[sniffMaybeImage]]. */
+  private[graft] def sniffMaybeAudio(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') || // WAV
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') || // AIFF
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd')) // AU
+
   /** Header-only dimension probe via the registered ImageReader —
     * reads width/height from image metadata WITHOUT decoding pixels.
     * None when no installed reader understands the bytes. */
   private[graft] def probeDims(payload: Array[Byte]): Option[(Int, Int)] = {
     if (payload == null || payload.length == 0) return None
+    if (!sniffMaybeImage(payload)) return None
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -173,6 +201,7 @@ object Multimodal {
   private[graft] def probeAudio(
       payload: Array[Byte]): Option[(Float, Int, Long, Long)] = {
     if (payload == null || payload.length == 0) return None
+    if (!sniffMaybeAudio(payload)) return None
     try {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(payload))
