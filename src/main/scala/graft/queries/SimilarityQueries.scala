@@ -187,6 +187,24 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Filtered vector search — the other common serving shape: top-k
+    // cosine restricted to a metadata predicate (label filter),
+    // pre-filter strategy: the predicate prunes the corpus IN THE SCAN
+    // (pushed filter, before any distance math), the query set
+    // broadcasts, and recall is exact by construction — unlike
+    // post-filtering an unfiltered ANN shortlist, which loses matches
+    // when the predicate is selective. At 100 TB the same shape rides
+    // an IVF bucket join instead of the brute product; the exact arm
+    // here is the one with an exact oracle (s1 CTE + the filter).
+    "s11_filtered_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val corpus = emb.filter(col("label") % 3 === 0)
+      graft.operators.Similarity.bruteForceTopK(
+          queries, corpus, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Hybrid retrieval — the RAG serving shape: a BM25 keyword
     // shortlist (50 docs, one corpus scan + 1-row stats broadcast)
     // re-ranked by embedding cosine against a query-by-example vector
@@ -531,7 +549,18 @@ object SimilarityQueries {
   }
 
   def oracles: Map[String, String] = fittedOracles ++
-    Map("s3_lsh_topk" -> s3Oracle, "s10_hybrid_search" -> s10Oracle) ++ Map(
+    Map("s3_lsh_topk" -> s3Oracle, "s10_hybrid_search" -> s10Oracle,
+      "s11_filtered_ann" ->
+        (s"""WITH scored AS (
+          |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+          |    $cosSql AS cos
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          |  WHERE a.vec_id < 10 AND b.label % 3 = 0),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos DESC, corpus_id ASC) AS rank
+          |  FROM scored)
+          |SELECT query_id, rank, corpus_id, cos FROM ranked
+          |WHERE rank <= 5 ORDER BY query_id, rank""").stripMargin) ++ Map(
     "s1_bruteforce_topk" ->
       (s"""WITH scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,

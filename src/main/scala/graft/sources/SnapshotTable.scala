@@ -649,8 +649,19 @@ object SnapshotTable {
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val tableSchema = storedSchema(fs, path, readV)
+    // metadata pre-prune (same evaluator as readWhere): a file whose
+    // partition values or cached ranges PROVE the predicate can't hold
+    // needs neither the affected-scan nor a rewrite — on a layout
+    // clustered/partitioned by the predicate column the scan touches
+    // only the straddling files
+    val schemaForPred =
+      tableSchema.getOrElse(read(spark, path, Some(readV)).schema)
+    val pred = resolvedPredicate(spark, schemaForPred, predicate)
+    val candidates = manifest.filter(e =>
+      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e)))
     val affectedNames =
-      readFilesAs(spark, path, tableSchema, manifest.map(entryPath))
+      if (candidates.isEmpty) Set.empty[String]
+      else readFilesAs(spark, path, tableSchema, candidates.map(entryPath))
         .filter(predicate)
         .select(col("_metadata.file_path").as("__fp")).distinct()
         .collect().map(r => fileOf(r.getString(0))).toSet

@@ -627,6 +627,47 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 80)
   }
 
+  test("cdcApplyToSnapshot folds batches to latest-per-key; replay is skipped") {
+    import spark.implicits._
+    // a versioned change stream: each row carries its version stamp,
+    // later files strictly newer (the CDC batch-order contract)
+    val src = java.nio.file.Files.createTempDirectory("cdcsrc").toString +
+      "/feed"
+    (1L to 40L).map(i => (i, 0L, s"v0_$i")).toDF("id", "ver", "s")
+      .coalesce(1).write.parquet(src)
+    (21L to 60L).map(i => (i, 1L, s"v1_$i")).toDF("id", "ver", "s")
+      .coalesce(1).write.mode("append").parquet(src)
+    // two rows for one key INSIDE a batch: the per-batch reduction must
+    // keep only the newest (ver 3 beats ver 2)
+    (Seq((55L, 2L, "dup_old"), (55L, 3L, "dup_new")) ++
+      (61L to 70L).map(i => (i, 2L, s"v2_$i")))
+      .toDF("id", "ver", "s")
+      .coalesce(1).write.mode("append").parquet(src)
+    val path = freshPath("cdcapply")
+    val schema = spark.read.parquet(src).schema
+    def feed() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.streaming.Streaming.cdcApplyToSnapshot(spark, feed(), path,
+      keyCols = Seq("id"), orderCols = Seq("ver"),
+      checkpoint = java.nio.file.Files.createTempDirectory("cdcck").toString)
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size === 70) // one row per key, ever
+    // within-batch dedup kept the newest version of the contested key
+    assert(got(55L) === ((3L, "dup_new")))
+    // uncontested keys carry their only version
+    assert((1L to 20L).forall(i => got(i) === ((0L, s"v0_$i"))))
+    assert((61L to 70L).forall(i => got(i) === ((2L, s"v2_$i"))))
+    // full replay with a fresh checkpoint (batch ids restart at 0) is
+    // recognized by the in-commit markers and applies nothing
+    val vBefore = SnapshotTable.versions(spark, path).max
+    graft.streaming.Streaming.cdcApplyToSnapshot(spark, feed(), path,
+      keyCols = Seq("id"), orderCols = Seq("ver"),
+      checkpoint = java.nio.file.Files.createTempDirectory("cdcck2").toString)
+    assert(SnapshotTable.versions(spark, path).max === vBefore)
+    assert(SnapshotTable.read(spark, path).count() === 70)
+  }
+
   test("partitioned create/append round-trip partition values exactly") {
     val path = freshPath("part")
     val docs = Seq(
