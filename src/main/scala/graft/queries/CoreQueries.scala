@@ -247,6 +247,27 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
+    // A19: unpivot/melt — the wide->long reshape every metrics
+    // pipeline needs (Spark's native unpivot, the inverse of a14's
+    // pivot): per-flag decimal-exact sums melt into (flag, metric,
+    // value) rows. DuckDB replays it as a typed UNION ALL.
+    "a19_unpivot" -> ((s, dir) => {
+      val wide = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"),
+          sum(col("l_discount").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
     // A13: rollup with grouping flags — multi-level subtotals in ONE
     // pass (partial-aggregated per level; the OLAP report shape that
     // would otherwise be 3 scans + a union)
@@ -638,6 +659,22 @@ object CoreQueries {
         |FROM r
         |WHERE rn = CASE WHEN cnt < 256 THEN cnt ELSE 256 END
         |ORDER BY l_returnflag""".stripMargin,
+
+    "a19_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "a18_salted_agg" ->
       """SELECT event_type, count(event_id) AS n,

@@ -281,6 +281,31 @@ object EventQueries {
     }),
 
     // JSON property extraction + aggregation (scalar JSON family)
+    // E14: schema-first JSON — to_json/from_json round-trip with an
+    // EXPLICIT StructType (the production path when the payload schema
+    // is known: a typed parse the optimizer prunes, vs e3's per-field
+    // get_json_object probing) + array explode. The JSON hop is the
+    // identity on the data, so the oracle states the arithmetic
+    // directly — what the gate pins is that parse+explode neither
+    // loses nor distorts rows. Jackson round-trips doubles exactly.
+    "e14_json_explode" -> ((s, dir) => {
+      val docSchema = StructType(Seq(
+        StructField("u", LongType),
+        StructField("xs", ArrayType(DoubleType))))
+      events(s, dir)
+        .select(col("event_id"), to_json(struct(
+          col("user_id").as("u"),
+          array(col("value"), col("value") * 2, col("value") + 100)
+            .as("xs"))).as("doc"))
+        .withColumn("p", from_json(col("doc"), docSchema))
+        .select(col("p.u").as("user_id"), explode(col("p.xs")).as("x"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("user_id"))
+    }),
+
     "e3_json_props" -> ((s, dir) => {
       events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
@@ -467,6 +492,16 @@ object EventQueries {
         |         * (255 * 1.152921504606846976e18 / s.theta) END AS est_intersection,
         |  CAST(cx.c AS DOUBLE) / s.ku AS est_jaccard
         |FROM s, cx""".stripMargin,
+
+    "e14_json_explode" ->
+      """WITH x AS (
+        |  SELECT user_id, v FROM (
+        |    SELECT user_id, value AS v FROM events
+        |    UNION ALL SELECT user_id, value * 2 FROM events
+        |    UNION ALL SELECT user_id, value + 100 FROM events))
+        |SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e3_json_props" ->
       """SELECT event_type,
