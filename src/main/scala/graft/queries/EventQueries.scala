@@ -281,29 +281,26 @@ object EventQueries {
     }),
 
     // JSON property extraction + aggregation (scalar JSON family)
-    // E14: schema-first JSON — to_json/from_json round-trip with an
-    // EXPLICIT StructType (the production path when the payload schema
-    // is known: a typed parse the optimizer prunes, vs e3's per-field
-    // get_json_object probing) + array explode. The JSON hop is the
-    // identity on the data, so the oracle states the arithmetic
-    // directly — what the gate pins is that parse+explode neither
-    // loses nor distorts rows. Jackson round-trips doubles exactly.
+    // E14: schema-first JSON — from_json over the STORED props column
+    // with an explicit StructType (the production path when the
+    // payload schema is known: ONE typed parse the optimizer prunes,
+    // vs e3's per-field get_json_object probing), then an array
+    // explode over values derived from the parsed field. Built
+    // deliberately on stored JSON: a to_json/from_json round-trip
+    // would be collapsed away by OptimizeJsonExprs and grade nothing
+    // (caught in the plan audit). Integer arithmetic keeps the oracle
+    // exact.
     "e14_json_explode" -> ((s, dir) => {
-      val docSchema = StructType(Seq(
-        StructField("u", LongType),
-        StructField("xs", ArrayType(DoubleType))))
+      val propsSchema = StructType(Seq(StructField("k", IntegerType)))
       events(s, dir)
-        .select(col("event_id"), to_json(struct(
-          col("user_id").as("u"),
-          array(col("value"), col("value") * 2, col("value") + 100)
-            .as("xs"))).as("doc"))
-        .withColumn("p", from_json(col("doc"), docSchema))
-        .select(col("p.u").as("user_id"), explode(col("p.xs")).as("x"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x").cast(DecimalType(18, 2)))
-            .cast(DoubleType).as("total"))
-        .orderBy(col("user_id"))
+        .select(col("event_type"),
+          from_json(col("props"), propsSchema).getField("k")
+            .cast(LongType).as("k"))
+        .select(col("event_type"),
+          explode(array(col("k"), col("k") * 2, col("k") + 100)).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+        .orderBy(col("event_type"))
     }),
 
     "e3_json_props" -> ((s, dir) => {
@@ -494,13 +491,14 @@ object EventQueries {
         |FROM s, cx""".stripMargin,
 
     "e14_json_explode" ->
-      """WITH x AS (
-        |  SELECT user_id, v FROM (
-        |    SELECT user_id, value AS v FROM events
-        |    UNION ALL SELECT user_id, value * 2 FROM events
-        |    UNION ALL SELECT user_id, value + 100 FROM events))
-        |SELECT user_id, count(*) AS n,
-        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+      """WITH k AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |x AS (SELECT event_type, v FROM (
+        |  SELECT event_type, k AS v FROM k
+        |  UNION ALL SELECT event_type, k * 2 FROM k
+        |  UNION ALL SELECT event_type, k + 100 FROM k))
+        |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS total
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e3_json_props" ->
