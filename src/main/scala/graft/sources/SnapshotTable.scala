@@ -566,37 +566,66 @@ object SnapshotTable {
         updates.select(keyCols.map(col): _*).limit(0)))
       .distinct()
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
-    // Level-1 pruning, NO data scan: the update keys' overall range
-    // vs each file's cached key range from its MANIFEST entry (pure
-    // metadata, written once at stage time); entries that predate the
-    // stats format fall back to one parquet footer read. A file whose
-    // key range can't intersect the update range can't contain a
-    // matched row — on a key-clustered layout (optimize with
-    // sortCols = keys) only the files straddling the update range
-    // survive, before any row is read.
+    // Level-1 pruning, NO data scan, two metadata signals per entry:
+    //  (a) range: EVERY integral/date key column's cached [min,max]
+    //      must intersect the update keys' overall range (entries that
+    //      predate the stats format fall back to one footer read, on
+    //      the first key column only);
+    //  (b) partition membership: a key column that is also a PARTITION
+    //      column prunes by exact value-set membership — the distinct
+    //      update values (bounded by the partition count) vs the
+    //      entry's directory value.
+    // Matching is the semi-join's plain equality, so a key column whose
+    // update values are ALL null can match no current row at all.
+    // On a key-clustered or key-partitioned layout only the straddling
+    // files survive, before any row is read.
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
-    val candidates: Seq[String] = updates.schema(keyCols.head).dataType match {
-      case IntegerType | LongType | DateType =>
-        val mm = keys.agg(min(col(keyCols.head)), max(col(keyCols.head)))
+    val rangedKeys = keyCols.filter(k =>
+      updates.schema(k).dataType match {
+        case IntegerType | LongType | DateType => true
+        case _ => false
+      })
+    val partKeyValues: Map[String, Set[String]] =
+      partitioning(spark, path).filter(keyCols.contains).map { k =>
+        k -> keys.select(col(k)).distinct().collect()
+          .map(r => partitionPathValue(r.get(0))).toSet
+      }.toMap
+    val asLong: Any => Long = {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+    }
+    val ranges: Seq[(String, (Long, Long))] =
+      if (rangedKeys.isEmpty) Seq.empty
+      else {
+        val mm = keys.agg(
+          rangedKeys.flatMap(k => Seq(min(col(k)), max(col(k)))).head,
+          rangedKeys.flatMap(k => Seq(min(col(k)), max(col(k)))).tail: _*)
           .collect()(0)
-        if (mm.isNullAt(0)) Seq.empty // all-null keys match nothing
-        else {
-          val asLong: Any => Long = {
-            case i: java.lang.Integer => i.toLong
-            case l: java.lang.Long => l
-            case d: java.sql.Date => d.toLocalDate.toEpochDay
-          }
-          val (lo, hi) = (asLong(mm.get(0)), asLong(mm.get(1)))
-          manifest.filter { entry =>
-            entryStats(entry).get(keyCols.head) match {
-              case Some((mn, mx)) => mn <= hi && mx >= lo
-              case None => fileKeyRangeMayOverlap(spark,
-                new Path(path, entryPath(entry)), keyCols.head, lo, hi)
-            }
+        rangedKeys.zipWithIndex.flatMap { case (k, i) =>
+          if (mm.isNullAt(2 * i)) None
+          else Some(k -> (asLong(mm.get(2 * i)), asLong(mm.get(2 * i + 1))))
+        }
+      }
+    val candidates: Seq[String] =
+      if (ranges.size < rangedKeys.size) Seq.empty // an all-null key col
+      else manifest.filter { entry =>
+        val st = entryStats(entry)
+        val rangeOk = ranges.forall { case (k, (lo, hi)) =>
+          st.get(k) match {
+            case Some((mn, mx)) => mn <= hi && mx >= lo
+            case None if k == rangedKeys.head =>
+              fileKeyRangeMayOverlap(spark,
+                new Path(path, entryPath(entry)), k, lo, hi)
+            case None => true // no cached stats: keep
           }
         }
-      case _ => manifest
-    }
+        val pv = entryPartitionValues(entryPath(entry))
+        val partOk = partKeyValues.forall { case (k, set) =>
+          pv.get(k).forall(set.contains)
+        }
+        rangeOk && partOk
+      }
     // Level-2 pruning, exact: a distributed LEFT SEMI join of the
     // candidate files' rows (key columns only) against the distinct
     // update keys — only matched file NAMES reach the driver.

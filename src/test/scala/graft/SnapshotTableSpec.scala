@@ -795,6 +795,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 96)
   }
 
+  test("composite-key merge on a partitioned table stays exact") {
+    // partition column doubles as a merge key: level-1 pruning uses
+    // BOTH the id range and the partition value set; the result must
+    // be byte-identical to the relational upsert regardless
+    val path = freshPath("partmerge")
+    val rows = (1L to 200L).map(i =>
+      (if (i % 2 == 0) "en" else "fr", i, i * 10)).toDF("lang", "id", "n")
+    SnapshotTable.create(rows.repartition(4), path,
+      partitionBy = Seq("lang"))
+    val ups = Seq(("en", 2L, 999L), ("en", 201L, 201L), ("fr", 7L, 777L))
+      .toDF("lang", "id", "n")
+    SnapshotTable.merge(ups, path, Seq("lang", "id"))
+    val got = SnapshotTable.read(spark, path)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.size === 201)
+    assert(got(("en", 2L)) === 999L && got(("fr", 7L)) === 777L)
+    assert(got(("en", 201L)) === 201L)
+    assert(got(("en", 4L)) === 40L && got(("fr", 1L)) === 10L)
+    // all-null key values match nothing and insert as new rows
+    val nullUp = Seq((null.asInstanceOf[String], null.asInstanceOf[
+      java.lang.Long], java.lang.Long.valueOf(5L))).toDF("lang", "id", "n")
+      .select(col("lang"), col("id").cast("long").as("id"),
+        col("n").cast("long").as("n"))
+    SnapshotTable.merge(nullUp, path, Seq("lang", "id"))
+    assert(SnapshotTable.read(spark, path).count() === 202)
+  }
+
   test("mayMatch is conservative: unknown shapes keep, proofs drop") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(StructField("id", LongType),
