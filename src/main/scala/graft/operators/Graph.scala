@@ -118,6 +118,34 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Local clustering coefficient per node, in exact integer parts
+    * per million: cc_ppm = (2 * triangles * 10^6) div (d * (d - 1))
+    * for nodes of degree >= 2 (below that the coefficient is
+    * undefined and the node is omitted). Integer quantization makes
+    * the whole computation engine-portable (the g1 PageRank recipe) —
+    * the oracle replays the division bit-for-bit. Cost = one degree
+    * aggregate + [[triangleCounts]]'s compact-forward enumeration; the
+    * final join is node-keyed. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(canon.select(col("a").as("src"),
+      col("b").as("dst")))
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("cc_ppm", expr(
+        "(2 * triangles * 1000000) div (degree * (degree - 1))"))
+      .select(col("node"), col("degree"), col("triangles"), col("cc_ppm"))
+  }
+
   /** k-core via synchronous peeling: `rounds` rounds of "drop every
     * node with degree < k, induce the edge set on the survivors".
     * Expects the UNDIRECTED graph as BOTH directed rows per edge

@@ -122,6 +122,26 @@ object GraphQueries {
         .filter(conv(substring(md5(concat(col("src"), lit("|"),
             col("dst"))), 1, 15), 16, 10).cast("long") % 10 === 0)
       Graph.triangleCounts(edges).orderBy(col("node"))
+    }),
+
+    // G7: local clustering coefficient over the same hash-sparsified
+    // co-supply graph as g4 — triangles composed with the degree
+    // aggregate, quantized to integer ppm so the division replays
+    // bit-for-bit in the oracle (the g1 recipe). The per-node cc is
+    // the standard community-structure signal next to raw triangle
+    // counts.
+    "g7_clustering_coeff" -> ((s, dir) => {
+      val ps = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"),
+          concat(lit("s"), col("l_suppkey")).as("sk"))
+        .distinct()
+      val edges = ps.as("x").join(ps.as("y"),
+          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+        .distinct()
+        .filter(conv(substring(md5(concat(col("src"), lit("|"),
+            col("dst"))), 1, 15), 16, 10).cast("long") % 10 === 0)
+      Graph.clusteringCoefficients(edges).orderBy(col("node"))
     })
   )
 
@@ -269,6 +289,29 @@ object GraphQueries {
         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
         |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
         |SELECT node, count(*) AS triangles
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g7_clustering_coeff" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, 's' || l_suppkey AS sk
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |  FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+        |e AS (SELECT a, b FROM e0
+        |  WHERE CAST(('0x' || substr(md5(a || '|' || b), 1, 15)) AS BIGINT) % 10 = 0),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tc AS (SELECT node, count(*) AS triangles FROM (
+        |    SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1)
+        |SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST((2 * coalesce(tc.triangles, 0) * 1000000)
+        |    // (deg.degree * (deg.degree - 1)) AS BIGINT) AS cc_ppm
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |WHERE deg.degree >= 2
+        |ORDER BY deg.node""".stripMargin
   )
 }

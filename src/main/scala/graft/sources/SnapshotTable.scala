@@ -822,6 +822,30 @@ object SnapshotTable {
     }
   }
 
+  /** The newest version committed at or before `tsMillis` (manifest
+    * mtime = the commit's publication instant, since the exclusive
+    * create IS the commit). Fails if the table did not exist yet at
+    * that time, or the version has been vacuumed. */
+  def versionAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): Int = {
+    val fs = fsOf(spark, logDir(path))
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val committed = vs.filter { v =>
+      fs.getFileStatus(new Path(logDir(path), manifestName(v)))
+        .getModificationTime <= tsMillis
+    }
+    require(committed.nonEmpty,
+      s"no version of $path existed at $tsMillis (oldest kept commit " +
+        s"is newer — vacuumed, or the table came later)")
+    committed.max
+  }
+
+  /** Timestamp time travel: the table exactly as a reader at
+    * `tsMillis` would have seen it. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(spark, path, tsMillis)))
+
   /** Read a version (default: latest). Time travel = pass any
     * committed version number. */
   def read(spark: SparkSession, path: String,

@@ -795,6 +795,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 96)
   }
 
+  test("readAsOf resolves commit-time timestamps to versions") {
+    val path = freshPath("asof")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Int) = fs.getFileStatus(new Path(path,
+      f"_graft_log/v$v%08d.manifest")).getModificationTime
+    SnapshotTable.create(spark.range(10).toDF("id"), path)
+    Thread.sleep(30)
+    SnapshotTable.append(spark.range(10, 25).toDF("id"), path)
+    Thread.sleep(30)
+    SnapshotTable.overwrite(spark.range(100, 103).toDF("id"), path)
+    val (t0, t1, t2) = (mtime(0), mtime(1), mtime(2))
+    assert(t0 < t1 && t1 < t2, "commit mtimes must be distinct here")
+    // exactly-at and between-commits instants resolve to the version a
+    // reader at that instant saw
+    assert(SnapshotTable.versionAsOf(spark, path, t0) === 0)
+    assert(SnapshotTable.versionAsOf(spark, path, (t0 + t1) / 2) === 0)
+    assert(SnapshotTable.versionAsOf(spark, path, t1) === 1)
+    assert(SnapshotTable.versionAsOf(spark, path, t2 + 1000) === 2)
+    assert(SnapshotTable.readAsOf(spark, path, t1).count() === 25)
+    assert(SnapshotTable.readAsOf(spark, path, t2).count() === 3)
+    // before the table existed: clean failure
+    intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(spark, path, t0 - 10000)
+    }
+  }
+
   test("composite-key merge on a partitioned table stays exact") {
     // partition column doubles as a merge key: level-1 pruning uses
     // BOTH the id range and the partition value set; the result must
