@@ -462,6 +462,42 @@ object WindowQueries {
         .orderBy(col("year"))
     }),
 
+    // W24: incremental compaction as a graded lifecycle — the
+    // streaming-ingest aftermath: a create plus four one-file appends
+    // accumulate a small-file backlog, optimizeIncremental folds the
+    // backlog into right-sized files as a NEW version (content
+    // byte-identical, require()-pinned file-count drop), and every
+    // version's aggregate stays frozen. Oracle: cumulative priority
+    // slices; the compacted head repeats the last append's totals.
+    "w24_compaction" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w24").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      def slice(p: String) = orders.filter(col("o_orderpriority") === p)
+      SnapshotTable.create(slice("1-URGENT").coalesce(1), path)
+      Seq("2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        .foreach(p => SnapshotTable.append(slice(p).coalesce(1), path))
+      val before = SnapshotTable.read(s, path).inputFiles.length
+      SnapshotTable.optimizeIncremental(s, path,
+          targetFileBytes = 512L * 1024 * 1024)
+        .getOrElse(sys.error("compaction found no backlog"))
+      val after = SnapshotTable.read(s, path).inputFiles.length
+      require(after < before,
+        s"compaction did not shrink the file set: $before -> $after")
+      SnapshotTable.versions(s, path).map { v =>
+        SnapshotTable.read(s, path, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("total"))
+        .orderBy(col("version"))
+    }),
+
     // W22: exponential-decay smoothing (EWMA, alpha = 1/2) over each
     // user's event stream — the time-series smoother the panel family
     // lacked. Exact by construction: the value quantizes to integer
@@ -757,6 +793,22 @@ object WindowQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w24_compaction" ->
+      """WITH p AS (SELECT o_totalprice, CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+        |    WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+        |    ELSE 4 END AS lvl FROM orders),
+        |v AS (SELECT g.version, count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM (SELECT unnest([0, 1, 2, 3, 4]) AS version) g
+        |  JOIN p ON p.lvl <= g.version
+        |  GROUP BY g.version)
+        |SELECT version, n_rows, total FROM v
+        |UNION ALL
+        |SELECT 5 AS version, n_rows, total FROM v WHERE version = 4
+        |ORDER BY version""".stripMargin,
 
     "w23_zorder_skipping" ->
       """WITH mc AS (SELECT max(o_custkey) AS m FROM orders)

@@ -455,10 +455,19 @@ object SnapshotTable {
   /** Commit `df` as a full replacement (new version referencing only
     * the staged files; prior versions stay readable until vacuum).
     * The table's partition layout is preserved. */
-  def overwrite(df: DataFrame, path: String): Int = {
+  def overwrite(df: DataFrame, path: String,
+      repartitionBy: Option[Seq[String]] = None): Int = {
     val spark = df.sparkSession
-    commit(spark, path, stage(df, path, partitioning(spark, path)),
-      _ => Seq.empty, meta = schemaMeta(df.schema))
+    // an overwrite is the one commit allowed to CHANGE the partition
+    // layout (every file is rewritten anyway): None inherits, Some(..)
+    // re-lays the table and records the new layout in the log meta
+    // (Some(Nil) = de-partition). Old versions keep reading their own
+    // layout — partition values live in each entry's path, not the meta.
+    val layout = repartitionBy.getOrElse(partitioning(spark, path))
+    commit(spark, path, stage(df, path, layout),
+      _ => Seq.empty,
+      meta = schemaMeta(df.schema) ++
+        Map("partition" -> layout.mkString(",")))
   }
 
   /** EXACTLY-ONCE idempotent append for a streaming micro-batch: the

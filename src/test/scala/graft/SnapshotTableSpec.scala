@@ -795,6 +795,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 96)
   }
 
+  test("overwrite can change the partition layout; old versions keep theirs") {
+    val path = freshPath("relayout")
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "lang", "src")
+    SnapshotTable.create(rows, path, partitionBy = Seq("lang"))
+    assert(SnapshotTable.partitioning(spark, path) === Seq("lang"))
+    // re-lay by src
+    SnapshotTable.overwrite(rows, path, repartitionBy = Some(Seq("src")))
+    assert(SnapshotTable.partitioning(spark, path) === Seq("src"))
+    val now = SnapshotTable.read(spark, path)
+    assert(now.inputFiles.forall(_.contains("/src=")))
+    assert(now.count() === 60)
+    assert(now.filter(col("lang") === "en").count() === 30)
+    // time travel: version 0 still reads its lang layout correctly
+    val v0 = SnapshotTable.read(spark, path, Some(0))
+    assert(v0.inputFiles.forall(_.contains("/lang=")))
+    assert(v0.filter(col("lang") === "en").count() === 30)
+    // de-partition
+    SnapshotTable.overwrite(rows, path, repartitionBy = Some(Nil))
+    assert(SnapshotTable.partitioning(spark, path) === Nil)
+    assert(SnapshotTable.read(spark, path).count() === 60)
+    // appends after the re-layout follow the new layout
+    SnapshotTable.append(Seq((61L, "de", "c")).toDF("id", "lang", "src"), path)
+    assert(SnapshotTable.read(spark, path).count() === 61)
+  }
+
   test("readAsOf resolves commit-time timestamps to versions") {
     val path = freshPath("asof")
     import org.apache.hadoop.fs.Path
