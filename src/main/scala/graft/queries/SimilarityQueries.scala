@@ -109,6 +109,33 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Persisted ANN index — build/serve separation, the production
+    // shape (fit once, serve many): the fitted IVF centroids persist
+    // as a versioned snapshot-table artifact (cid, centroid), the
+    // serving side RELOADS them (bounded collect: nlist rows) and
+    // answers against the reloaded copy. Parquet round-trips doubles
+    // bit-exactly, so the oracle is the same exported-centroid SQL as
+    // s4 — any drift in persist/reload or in serving from the artifact
+    // goes hash-red.
+    "s12_persisted_index" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      import s.implicits._
+      val cents = ivfCentroids(s, dir) // build
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_s12").toString + "/ivf_index"
+      SnapshotTable.create(
+        cents.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "centroid"),
+        idxPath)
+      val served = SnapshotTable.read(s, idxPath) // serve
+        .orderBy(col("cid")).collect()
+        .map(_.getSeq[Double](1).toArray)
+      Similarity.ivfTopKWithCentroids(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, centroids = served, nprobe = 4)
+        .filter(col("query_id") < 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // product-quantization ADC top-5 (rows-only; recall + determinism
     // in ScalaTest): vectors compressed to 16 code bytes, distances via
     // broadcast per-query lookup tables — the corpus side never ships a
@@ -539,6 +566,8 @@ object SimilarityQueries {
     lastIvfFit.foreach { cents =>
       out += ("s4_ivf_topk" -> s4Sql(cents))
       out += ("s9_recall_eval" -> s9Sql(cents))
+      // the persisted-index serve must equal serving the fit directly
+      out += ("s12_persisted_index" -> s4Sql(cents))
     }
     lastPqFit.foreach { m =>
       out += ("s5_pq_topk" -> s5Sql(m))

@@ -135,8 +135,25 @@ object SnapshotTable {
     * the current schema — schema reads are pure metadata, zero footer
     * I/O (the Delta-style reason to keep schema in the log). */
   private def schemaMeta(st: types.StructType): Map[String, String] =
-    Map("schema" ->
-      types.StructType(st.fields.map(_.copy(nullable = true))).json)
+    Map("schema" -> nullify(st).json)
+
+  /** Recursively nullable-normalize a type: field nullability AND
+    * nested element/value nullability (an array written with
+    * containsNull=false reads back containsNull=true from parquet —
+    * the cast to the stored schema must accept that). */
+  private def nullify(dt: types.DataType): types.StructType =
+    nullifyAny(dt).asInstanceOf[types.StructType]
+
+  private def nullifyAny(dt: types.DataType): types.DataType = dt match {
+    case st: types.StructType => types.StructType(st.fields.map(f =>
+      f.copy(dataType = nullifyAny(f.dataType), nullable = true)))
+    case at: types.ArrayType =>
+      types.ArrayType(nullifyAny(at.elementType), containsNull = true)
+    case mt: types.MapType => types.MapType(
+      nullifyAny(mt.keyType), nullifyAny(mt.valueType),
+      valueContainsNull = true)
+    case other => other
+  }
 
   /** A version's stored schema; None for logs that predate schema
     * tracking (those read with footer-inferred schema, as before). */
@@ -167,7 +184,7 @@ object SnapshotTable {
     // column order and types (the casts are no-ops on flat tables)
     schema.fold(raw)(st =>
       raw.select(st.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*))
+        col(f.name).cast(nullifyAny(f.dataType)).as(f.name)): _*))
   }
 
   /** The table's partition columns per the log-head meta (`#partition`,
