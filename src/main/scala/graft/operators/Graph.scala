@@ -75,16 +75,31 @@ object Graph {
     * orientation lets one hub node generate deg² wedges. Three
     * node-keyed hash joins + one aggregate; no driver-side adjacency. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: a < b, deduped, no self-loops
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    val deg = canon.select(col("a").as("node"))
+    val canon = canonEdges(edges)
+    triangleCountsOf(canon, degreesOf(canon))
+  }
+
+  /** Canonical undirected edge set: a < b, deduped, no self-loops —
+    * materialized once (localCheckpoint) so composed operators never
+    * recompute the distinct. */
+  private def canonEdges(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .filter(col("a") =!= col("b"))
+    .distinct()
+    .localCheckpoint()
+
+  private def degreesOf(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** [[triangleCounts]] body over an already-canonical edge set and
+    * its degree table (shared with [[clusteringCoefficients]], which
+    * needs both — recomputing the canonical distinct doubled that
+    * query's cost before this split). */
+  private def triangleCountsOf(canon: DataFrame,
+      deg: DataFrame): DataFrame = {
     // orient each edge from the endpoint with the smaller (deg, node)
     // pair — a total order, so orientation is acyclic; carry the
     // destination's rank so wedges can be ordered by the SAME order
@@ -123,21 +138,14 @@ object Graph {
     * for nodes of degree >= 2 (below that the coefficient is
     * undefined and the node is omitted). Integer quantization makes
     * the whole computation engine-portable (the g1 PageRank recipe) —
-    * the oracle replays the division bit-for-bit. Cost = one degree
-    * aggregate + [[triangleCounts]]'s compact-forward enumeration; the
-    * final join is node-keyed. */
+    * the oracle replays the division bit-for-bit. Cost = ONE canonical
+    * edge materialization + degree aggregate shared with the triangle
+    * enumeration; the final join is node-keyed. */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    val deg = canon.select(col("a").as("node"))
-      .unionAll(canon.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(canon.select(col("a").as("src"),
-      col("b").as("dst")))
+    val canon = canonEdges(edges)
+    val deg = degreesOf(canon).withColumnRenamed("deg", "degree")
+    val tri = triangleCountsOf(canon,
+      deg.withColumnRenamed("degree", "deg"))
     deg.filter(col("degree") >= 2)
       .join(tri, Seq("node"), "left")
       .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
