@@ -102,6 +102,45 @@ object SnapshotTable {
       case _ => Map.empty
     }
 
+  /** String-stats items in the same TAB section: `col=s!lo!hi` with
+    * %XX-escaped ASCII bounds ([[escStat]]). The numeric parser skips
+    * them (no ':' + toLong failure), so old readers stay compatible. */
+  private[graft] def entryStringStats(line: String)
+      : Map[String, (String, String)] =
+    line.split("\t", 2) match {
+      case Array(_, st) =>
+        st.split(";").iterator.flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(c, v) if v.startsWith("s!") =>
+              v.split("!", -1) match {
+                case Array(_, lo, hi) =>
+                  Some(c -> (unescStat(lo), unescStat(hi)))
+                case _ => None
+              }
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+
+  private def escStat(v: String): String = v.flatMap { c =>
+    if (c == '%' || c == ';' || c == '=' || c == '!' || c == ':' ||
+      c == '\t' || c == '\n') f"%%${c.toInt}%02X"
+    else c.toString
+  }
+
+  private def unescStat(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '%' && i + 3 <= v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   private def manifestLines(fs: FileSystem, path: String, v: Int): Seq[String] = {
     val in = fs.open(new Path(logDir(path), manifestName(v)))
     try {
@@ -254,6 +293,10 @@ object SnapshotTable {
           f.dataType == DateType || f.dataType == TimestampType ||
           f.dataType == TimestampNTZType) => f.name
     }.toSeq
+    val strStatCols = df.schema.fields.collect {
+      case f if !partitionBy.contains(f.name) &&
+        f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
     val tmp = new Path(path, s"__stage_${UUID.randomUUID()}")
     // Spark's default timestamp encoding is legacy INT96, which parquet
     // writes WITHOUT min/max statistics — the footer harvest (and so
@@ -294,9 +337,12 @@ object SnapshotTable {
       val rel = if (parentRel.isEmpty) s"files/${dest.getName}"
         else s"files/$parentRel/${dest.getName}"
       val stats = footerRanges(spark, dest, statCols)
-      if (stats.isEmpty) rel
-      else rel + "\t" + stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+      val strStats = footerStringRanges(spark, dest, strStatCols)
+      val items = stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
+        strStats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=s!${escStat(lo)}!${escStat(hi)}" }
+      if (items.isEmpty) rel else rel + "\t" + items.mkString(";")
     }
     if (!fs.delete(tmp, true))
       sys.error(s"snapshot stage: could not clear $tmp")
@@ -331,6 +377,70 @@ object SnapshotTable {
           else {
             val rs = perBlock.flatten
             Some(c -> (rs.map(_._1).min, rs.map(_._2).max))
+          }
+        }.toMap
+      } finally reader.close()
+    } catch { case _: Exception => Map.empty }
+  }
+
+  /** Footer-harvested ASCII string [min, max] bounds for `cols` in one
+    * parquet file. Sound by construction:
+    *  - a column is omitted unless EVERY row group has binary stats
+    *    whose min AND max are pure printable ASCII (0x20–0x7E) — byte
+    *    order then equals String order, no collation/encoding hazard;
+    *  - values longer than [[StrStatMax]] are bounded, not stored:
+    *    min truncates to a prefix (≤ the true min), max truncates and
+    *    INCREMENTS the last incrementable char (≥ the true max; if no
+    *    char < 0x7E exists the column is omitted — never a wrong
+    *    bound). */
+  private val StrStatMax = 32
+
+  private def asciiOf(b: org.apache.parquet.io.api.Binary): Option[String] = {
+    val bytes = b.getBytes
+    if (bytes.forall(x => x >= 0x20 && x <= 0x7E))
+      Some(new String(bytes, "US-ASCII"))
+    else None
+  }
+
+  private[graft] def boundLo(s: String): String =
+    if (s.length <= StrStatMax) s else s.substring(0, StrStatMax)
+
+  private[graft] def boundHi(s: String): Option[String] =
+    if (s.length <= StrStatMax) Some(s)
+    else {
+      val pfx = s.substring(0, StrStatMax)
+      val i = pfx.lastIndexWhere(_ < 0x7E)
+      if (i < 0) None
+      else Some(pfx.substring(0, i) + (pfx.charAt(i) + 1).toChar)
+    }
+
+  private def footerStringRanges(spark: SparkSession, file: Path,
+      cols: Seq[String]): Map[String, (String, String)] = {
+    import scala.jdk.CollectionConverters._
+    if (cols.isEmpty) return Map.empty
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        cols.flatMap { c =>
+          val perBlock = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .filter(st => st != null && st.hasNonNullValue)
+              .flatMap(st => (st.genericGetMin, st.genericGetMax) match {
+                case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                  for (lo <- asciiOf(mn); hi <- asciiOf(mx)) yield (lo, hi)
+                case _ => None
+              })
+          }
+          if (perBlock.exists(_.isEmpty)) None
+          else {
+            val rs = perBlock.flatten
+            boundHi(rs.map(_._2).max).map(hi =>
+              c -> (boundLo(rs.map(_._1).min), hi))
           }
         }.toMap
       } finally reader.close()
@@ -713,7 +823,8 @@ object SnapshotTable {
       tableSchema.getOrElse(read(spark, path, Some(readV)).schema)
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
     val candidates = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e)))
+      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e),
+        entryStringStats(e)))
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readFilesAs(spark, path, tableSchema, candidates.map(entryPath))
@@ -923,7 +1034,8 @@ object SnapshotTable {
     val st = schema.getOrElse(read(spark, path, Some(v)).schema)
     val pred = resolvedPredicate(spark, st, predicate)
     val kept = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e)))
+      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e),
+        entryStringStats(e)))
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -959,7 +1071,8 @@ object SnapshotTable {
     * Literal, and folding evaluates it to the typed value the range
     * test needs (timestamps as micros, dates as days). */
   private[graft] def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      parts: Map[String, String], stats: Map[String, (Long, Long)]): Boolean = {
+      parts: Map[String, String], stats: Map[String, (Long, Long)],
+      strStats: Map[String, (String, String)] = Map.empty): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     def attrName(x: Expression): Option[String] = x match {
@@ -1009,6 +1122,24 @@ object SnapshotTable {
           }
         }
       }
+      // string bounds: lo <= true min, hi >= true max (prefix /
+      // incremented-truncation, ASCII-only), so every test below is
+      // implied TRUE whenever a matching row can exist — sound
+      val byStr = strStats.get(name).map { case (lo, hi) =>
+        v match {
+          case u: org.apache.spark.unsafe.types.UTF8String
+              if u.toString.forall(c => c >= 0x20 && c <= 0x7E) =>
+            val x = u.toString
+            op match {
+              case "=" => lo <= x && x <= hi
+              case ">" => hi > x
+              case ">=" => hi >= x
+              case "<" => lo < x
+              case "<=" => lo <= x
+            }
+          case _ => true // non-ASCII or non-string constant: keep
+        }
+      }
       // partition dirs render strings/integrals verbatim; other types
       // (timestamps as micros, dates as days) would not match the
       // writer's formatted dir value, so only these are compared
@@ -1031,7 +1162,7 @@ object SnapshotTable {
           }
         }
       }
-      (byStats.toSeq ++ byPart.toSeq).forall(identity)
+      (byStats.toSeq ++ byStr.toSeq ++ byPart.toSeq).forall(identity)
     }
     def flip(op: String): String = op match {
       case ">" => "<"
@@ -1067,8 +1198,21 @@ object SnapshotTable {
       case StartsWith(a, pfx) if attrName(a).isDefined =>
         foldVal(pfx) match {
           case Some((p, _)) if p != null =>
-            parts.get(attrName(a).get)
+            val ps = p.toString
+            val byDir = parts.get(attrName(a).get)
               .forall(dir => dir.startsWith(partitionPathValue(p)))
+            // strings with prefix ps live in [ps, inc(ps)): the file
+            // may hold one iff its bounds overlap that interval
+            val byRange =
+              if (!ps.forall(c => c >= 0x20 && c <= 0x7E)) true
+              else strStats.get(attrName(a).get).forall { case (lo, hi) =>
+                val i = ps.lastIndexWhere(_ < 0x7E)
+                val upperOk = i < 0 ||
+                  lo < ps.substring(0, i) + (ps.charAt(i) + 1).toChar
+                hi >= ps.substring(0, math.min(ps.length, StrStatMax)) &&
+                  upperOk
+              }
+            byDir && byRange
           case Some((null, _)) => false
           case _ => true
         }

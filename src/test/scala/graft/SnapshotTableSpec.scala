@@ -878,6 +878,57 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 202)
   }
 
+  test("string stats prune string-clustered flat files soundly") {
+    val path = freshPath("strstats")
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val rows = (0L until 500L).map(i => (i, langs((i / 100).toInt),
+      s"payload_$i")).toDF("id", "lang", "s")
+    SnapshotTable.create(
+      rows.repartitionByRange(5, col("lang")).sortWithinPartitions("lang"),
+      path)
+    val (df, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("lang") === "en")
+    assert(total === 5 && kept <= 2, s"kept $kept of $total")
+    assert(df.count() === 100)
+    // range predicate on strings
+    val (dfR, keptR, _) = SnapshotTable.readWherePruned(spark, path,
+      col("lang") >= "es")
+    assert(keptR <= 3)
+    assert(dfR.count() === 300)
+    // prefix predicate
+    val (dfP, keptP, _) = SnapshotTable.readWherePruned(spark, path,
+      col("lang").startsWith("e"))
+    assert(keptP <= 3)
+    assert(dfP.count() === 200)
+    // non-ASCII literal: kept conservatively, still correct
+    val (dfU, _, _) = SnapshotTable.readWherePruned(spark, path,
+      col("lang") === "éé")
+    assert(dfU.count() === 0)
+  }
+
+  test("string-stat bounds truncate soundly; non-ASCII columns opt out") {
+    // truncation: lo is a prefix (<= true min), hi increments the last
+    // incrementable char (>= true max)
+    val long = "a" * 40 + "zzz"
+    assert(SnapshotTable.boundLo(long) === "a" * 32)
+    assert(SnapshotTable.boundHi(long).get === "a" * 31 + "b")
+    assert(SnapshotTable.boundHi("short").get === "short")
+    // a string of only 0x7E chars cannot be upper-bounded by truncation
+    assert(SnapshotTable.boundHi("~" * 40).isEmpty)
+    assert(SnapshotTable.boundLo(long) <= long)
+    assert(SnapshotTable.boundHi(long).get >= long)
+    // a table whose string column holds non-ASCII gets NO string stats
+    // and never prunes on it (soundness over power)
+    val path = freshPath("nonascii")
+    val rows = (0L until 100L).map(i =>
+      (i, if (i < 50) "café" else "thé")).toDF("id", "s")
+    SnapshotTable.create(rows.repartitionByRange(2, col("s")), path)
+    val (df, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("s") === "café")
+    assert(kept === total) // no pruning claimed
+    assert(df.count() === 50) // still exact
+  }
+
   test("mayMatch is conservative: unknown shapes keep, proofs drop") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(StructField("id", LongType),
