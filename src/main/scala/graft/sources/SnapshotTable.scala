@@ -743,6 +743,19 @@ object SnapshotTable {
           else Some(k -> (asLong(mm.get(2 * i)), asLong(mm.get(2 * i + 1))))
         }
       }
+    // string keys prune the same way via the cached ASCII bounds
+    val stringKeys = keyCols.filter(k =>
+      updates.schema(k).dataType == org.apache.spark.sql.types.StringType)
+    val strRanges: Seq[(String, (String, String))] = stringKeys.flatMap { k =>
+      val mm = keys.agg(min(col(k)), max(col(k))).collect()(0)
+      if (mm.isNullAt(0)) None
+      else {
+        val (lo, hi) = (mm.getString(0), mm.getString(1))
+        if ((lo + hi).forall(c => c >= 0x20 && c <= 0x7E))
+          Some(k -> (lo, hi))
+        else None // non-ASCII update keys: no string pruning on k
+      }
+    }
     val candidates: Seq[String] =
       if (ranges.size < rangedKeys.size) Seq.empty // an all-null key col
       else manifest.filter { entry =>
@@ -756,11 +769,18 @@ object SnapshotTable {
             case None => true // no cached stats: keep
           }
         }
+        val sst = entryStringStats(entry)
+        val strOk = strRanges.forall { case (k, (lo, hi)) =>
+          sst.get(k) match {
+            case Some((mn, mx)) => mn <= hi && mx >= lo
+            case None => true
+          }
+        }
         val pv = entryPartitionValues(entryPath(entry))
         val partOk = partKeyValues.forall { case (k, set) =>
           pv.get(k).forall(set.contains)
         }
-        rangeOk && partOk
+        rangeOk && strOk && partOk
       }
     // Level-2 pruning, exact: a distributed LEFT SEMI join of the
     // candidate files' rows (key columns only) against the distinct
