@@ -498,6 +498,42 @@ object WindowQueries {
         .orderBy(col("version"))
     }),
 
+    // W25: merge-on-read DELETE via deletion vectors - the same
+    // lifecycle as w17 but no data file is rewritten: each delete
+    // commits a (file, pos) vector that readers anti-join, cumulative
+    // across deletes (require() pins the data-file identity across
+    // both versions). At 100 TB this turns a point delete from an
+    // I/O event into a metadata event; compaction materializes the
+    // mask later. Oracle: the same per-version filters, relationally.
+    "w25_delete_mor" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w25").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .repartitionByRange(4, col("o_orderkey")), path)
+      val dataFiles = SnapshotTable.read(s, path).inputFiles.toSet
+      SnapshotTable.deleteMoR(s, path, col("o_orderstatus") === "F")
+      SnapshotTable.deleteMoR(s, path, col("o_totalprice") > 300000.0)
+      SnapshotTable.deleteMoR(s, path, lit(false)) // no-op, no version
+      val after = SnapshotTable.read(s, path).inputFiles.toSet
+      require(dataFiles.subsetOf(after) &&
+        (after -- dataFiles).size <= 2,
+        "merge-on-read delete rewrote data files")
+      SnapshotTable.versions(s, path).map { v =>
+        SnapshotTable.read(s, path, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("total"))
+        .orderBy(col("version"))
+    }),
+
     // W22: exponential-decay smoothing (EWMA, alpha = 1/2) over each
     // user's event stream — the time-series smoother the panel family
     // lacked. Exact by construction: the value quantizes to integer
@@ -793,6 +829,27 @@ object WindowQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w25_delete_mor" ->
+      """WITH v0 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |v1 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'),
+        |v2 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'
+        |    AND o_totalprice <= 300000.0)
+        |SELECT 0 AS version, n_rows, total FROM v0
+        |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
+        |UNION ALL SELECT 2 AS version, n_rows, total FROM v2
+        |ORDER BY version""".stripMargin,
 
     "w24_compaction" ->
       """WITH p AS (SELECT o_totalprice, CASE o_orderpriority

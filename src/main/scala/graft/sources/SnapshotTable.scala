@@ -212,18 +212,88 @@ object SnapshotTable {
     * rewrites, change feeds) stay partition-correct. Flat tables have
     * no such directories and are unaffected. */
   private def readFilesAs(spark: SparkSession, path: String,
-      schema: Option[types.StructType], rels: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+      schema: Option[types.StructType], rels: Seq[String],
+      withRowId: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
     val paths = rels.map(rel => new Path(path, rel).toString)
     val raw = schema.fold(spark.read)(st => spark.read.schema(st))
       .option("basePath", filesDir(path).toString)
       .parquet(paths: _*)
+    // `withRowId` appends the file identity (uuid basename — stable if
+    // the table moves) and the in-file row position, the coordinates
+    // deletion vectors are keyed on
+    val rowId =
+      if (!withRowId) Seq.empty
+      else Seq(
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
+        col("_metadata.row_index").as("__pos"))
     // partition columns come back APPENDED by partition discovery, in
     // whatever type path inference picked — restore the stored schema's
     // column order and types (the casts are no-ops on flat tables)
-    schema.fold(raw)(st =>
-      raw.select(st.fields.toSeq.map(f =>
-        col(f.name).cast(nullifyAny(f.dataType)).as(f.name)): _*))
+    schema match {
+      case Some(st) =>
+        raw.select(st.fields.toSeq.map(f =>
+          col(f.name).cast(nullifyAny(f.dataType)).as(f.name)) ++ rowId: _*)
+      case None =>
+        if (rowId.isEmpty) raw
+        else raw.select(col("*") +: rowId: _*)
+    }
+  }
+
+  /** The `dv=<rel>` item of an entry's stats section: the deletion
+    * vector (file, pos) parquet masking this data file's deleted rows.
+    * Absent = no deletes pending on the file. */
+  private[graft] def entryDv(line: String): Option[String] =
+    line.split("\t", 2) match {
+      case Array(_, st) =>
+        st.split(";").iterator.collectFirst {
+          case kv if kv.startsWith("dv=") => kv.drop(3)
+        }
+      case _ => None
+    }
+
+  /** `line` with its dv item replaced by (or set to) `dvRel`. */
+  private[graft] def withDv(line: String, dvRel: String): String = {
+    val parts = line.split("\t", 2)
+    val kept = if (parts.length < 2) Seq.empty
+      else parts(1).split(";").toSeq.filterNot(_.startsWith("dv="))
+    parts(0) + "\t" + (kept :+ s"dv=$dvRel").mkString(";")
+  }
+
+  /** Entry identity for change detection: path plus dv reference — a
+    * merge-on-read delete changes an entry's visible ROWS without
+    * touching its data file, and the change feed must see that. */
+  private def entryKey(line: String): String =
+    entryPath(line) + "|" + entryDv(line).getOrElse("")
+
+  /** Central DV-applied reader: read `entries` (full manifest lines)
+    * and mask every row whose (file, pos) appears in a referenced
+    * deletion vector. All internal readers flow through this — a
+    * deleted row must never resurrect through merge rewrites, change
+    * feeds, or compaction. `keepRowId` retains the __file/__pos
+    * columns for callers that need row coordinates (merge's affected
+    * scan, deleteMoR itself). */
+  private def readEntriesDv(spark: SparkSession, path: String,
+      schema: Option[types.StructType], entries: Seq[String],
+      keepRowId: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dvRels = entries.flatMap(entryDv).distinct
+    val needRowId = keepRowId || dvRels.nonEmpty
+    val base = readFilesAs(spark, path, schema, entries.map(entryPath),
+      withRowId = needRowId)
+    val masked =
+      if (dvRels.isEmpty) base
+      else {
+        val dv = spark.read
+          .parquet(dvRels.map(r => new Path(path, r).toString): _*)
+          .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+        base.join(dv,
+          base("__file") === col("__dvf") && base("__pos") === col("__dvp"),
+          "left_anti")
+      }
+    if (keepRowId) masked
+    else if (needRowId) masked.drop("__file", "__pos")
+    else masked
   }
 
   /** The table's partition columns per the log-head meta (`#partition`,
@@ -791,11 +861,12 @@ object SnapshotTable {
     val tableSchema = Some(current.schema)
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
-      else readFilesAs(spark, path, tableSchema, candidates.map(entryPath))
-        .select(col("_metadata.file_path").as("__fp") +: keyCols.map(col): _*)
+      else readEntriesDv(spark, path, tableSchema, candidates,
+          keepRowId = true)
+        .select(col("__file") +: keyCols.map(col): _*)
         .join(keys, keyCols, "left_semi")
-        .select(col("__fp")).distinct()
-        .collect().map(r => fileOf(r.getString(0))).toSet
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
     val (affected, untouched) =
       manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
     // stage ~one output file per rewritten input file (+1 for the
@@ -803,7 +874,7 @@ object SnapshotTable {
     // must not shatter into 32 slivers
     val rewritten =
       if (affected.isEmpty) updates
-      else readFilesAs(spark, path, tableSchema, affected.map(entryPath))
+      else readEntriesDv(spark, path, tableSchema, affected)
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
     val staged = stage(rewritten.coalesce(affected.size + 1), path,
@@ -847,21 +918,84 @@ object SnapshotTable {
         entryStringStats(e)))
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
-      else readFilesAs(spark, path, tableSchema, candidates.map(entryPath))
+      else readEntriesDv(spark, path, tableSchema, candidates,
+          keepRowId = true)
         .filter(predicate)
-        .select(col("_metadata.file_path").as("__fp")).distinct()
-        .collect().map(r => fileOf(r.getString(0))).toSet
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
     val (affected, untouched) =
       manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
     if (affected.isEmpty) readV
     else {
       val kept =
-        readFilesAs(spark, path, tableSchema, affected.map(entryPath))
+        readEntriesDv(spark, path, tableSchema, affected)
           .filter(not(coalesce(predicate, lit(false))))
       val staged = stage(kept.coalesce(affected.size), path,
         partitioning(spark, path))
       commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
     }
+  }
+
+  /** Merge-on-read DELETE: instead of rewriting the files that hold
+    * matching rows (copy-on-write [[delete]]), commit a DELETION
+    * VECTOR — a (file, pos) parquet listing the deleted row
+    * coordinates — and reference it from the affected entries. Zero
+    * data files are rewritten; every reader masks the vector with one
+    * anti-join (churn-sized, broadcast when small). The write cost of
+    * a delete drops from "rewrite the straddling files" to "write the
+    * deleted positions" — at 100 TB that is the difference between a
+    * point delete being an I/O event and a metadata event. The read
+    * tax accumulates with repeated MoR deletes; [[optimize]] /
+    * [[optimizeIncremental]] / any rewrite of an affected file
+    * materializes the mask and clears it.
+    *
+    * Repeated deletes against the same file UNION their coordinates
+    * (the commit's vector is cumulative for the files it covers).
+    * Same pinned-commit concurrency as [[merge]]; TRUE-only semantics
+    * like [[delete]]; no-match predicates commit nothing. */
+  def deleteMoR(spark: SparkSession, path: String, predicate: Column,
+      meta: Map[String, String] = Map.empty): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val readV = vs.max
+    val fs = fsOf(spark, new Path(path))
+    val manifest = readManifest(fs, path, readV)
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    import org.apache.spark.sql.functions.col
+    val tableSchema = storedSchema(fs, path, readV)
+    val schemaForPred =
+      tableSchema.getOrElse(read(spark, path, Some(readV)).schema)
+    val pred = resolvedPredicate(spark, schemaForPred, predicate)
+    val candidates = manifest.filter(e =>
+      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e),
+        entryStringStats(e)))
+    if (candidates.isEmpty) return readV
+    // live matching rows only: already-masked rows never re-enter
+    val hits = readEntriesDv(spark, path, tableSchema, candidates,
+        keepRowId = true)
+      .filter(predicate)
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+      .localCheckpoint()
+    val affectedNames = hits.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedNames.isEmpty) return readV
+    val (affected, untouched) =
+      manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
+    // cumulative vector: prior coordinates of the affected files ride
+    // into the new commit's vector (entries reference ONE dv each)
+    val priorRels = affected.flatMap(entryDv).distinct
+    val dvRows =
+      if (priorRels.isEmpty) hits
+      else hits.unionByName(
+        spark.read.parquet(priorRels.map(r =>
+            new Path(path, r).toString): _*)
+          .select(col("file"), col("pos"))
+          .join(hits.select(col("file")).distinct(), Seq("file"),
+            "left_semi"))
+    val dvRel = entryPath(
+      stage(dvRows.distinct().coalesce(1), path).head)
+    commitPinned(spark, path,
+      untouched ++ affected.map(e => withDv(e, dvRel)), readV + 1, meta)
   }
 
   /** Parquet-footer key-range test: true iff `file` MAY contain a key
@@ -917,20 +1051,24 @@ object SnapshotTable {
       s"changes needs committed versions from<=to, got $fromVersion..$toV " +
         s"of ${vs.mkString(",")}")
     val fs = fsOf(spark, logDir(path))
-    // diff by PATH, not raw line — stats are a per-file constant, but
-    // paths are what names a file across manifests
-    val mFrom = manifestPaths(fs, path, fromVersion)
-    val mTo = manifestPaths(fs, path, toV)
+    // diff by (path, dv) identity — stats are a per-file constant, but
+    // a merge-on-read delete changes an entry's VISIBLE rows without
+    // renaming its file, and the feed must see that; reading each side
+    // with its own entry lines applies each side's own deletion vector
+    val eFrom = readManifest(fs, path, fromVersion)
+    val eTo = readManifest(fs, path, toV)
+    val fromKeys = eFrom.map(entryKey).toSet
+    val toKeys = eTo.map(entryKey).toSet
     val empty = read(spark, path, Some(toV)).filter(lit(false))
     // both sides read with the TO version's schema: across a schema
     // evolution the feed compares on the new schema (old rows' added
     // columns are null), keeping the diff well-typed
     val toSchema = storedSchema(fs, path, toV)
-    def readFiles(rels: Seq[String]): DataFrame =
-      if (rels.isEmpty) empty
-      else readFilesAs(spark, path, toSchema, rels)
-    val old = readFiles(mFrom.diff(mTo))
-    val neu = readFiles(mTo.diff(mFrom))
+    def readE(entries: Seq[String]): DataFrame =
+      if (entries.isEmpty) empty
+      else readEntriesDv(spark, path, toSchema, entries)
+    val old = readE(eFrom.filterNot(e => toKeys(entryKey(e))))
+    val neu = readE(eTo.filterNot(e => fromKeys(entryKey(e))))
     neu.exceptAll(old).withColumn("change_type", lit("insert"))
       .unionByName(
         old.exceptAll(neu).withColumn("change_type", lit("delete")))
@@ -1012,10 +1150,10 @@ object SnapshotTable {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val fs = fsOf(spark, logDir(path))
-    val rels = manifestPaths(fs, path, v)
-    require(rels.nonEmpty, s"version $v references no data files " +
+    val entries = readManifest(fs, path, v)
+    require(entries.nonEmpty, s"version $v references no data files " +
       "(committed from an empty write with no parts)")
-    readFilesAs(spark, path, storedSchema(fs, path, v), rels)
+    readEntriesDv(spark, path, storedSchema(fs, path, v), entries)
   }
 
   /** Read with manifest-metadata file skipping — the reader-side twin
@@ -1060,7 +1198,7 @@ object SnapshotTable {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-      else readFilesAs(spark, path, schema, kept.map(entryPath))
+      else readEntriesDv(spark, path, schema, kept)
         .filter(predicate)
     (df, kept.size, manifest.size)
   }
@@ -1291,8 +1429,7 @@ object SnapshotTable {
       val nFiles = math.max(1,
         math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
       val compacted =
-        readFilesAs(spark, path, storedSchema(fs, path, readV),
-          small.map(entryPath))
+        readEntriesDv(spark, path, storedSchema(fs, path, readV), small)
         .coalesce(nFiles)
       val staged = stage(compacted, path, partitioning(spark, path))
       Some(commitPinned(spark, path, kept ++ staged, readV + 1))
@@ -1324,8 +1461,10 @@ object SnapshotTable {
     val fs = fsOf(spark, new Path(path))
     val vs = versions(spark, path)
     val kept = vs.takeRight(keep)
-    val referenced = kept.flatMap(v => manifestPaths(fs, path, v)).toSet
-      .map((rel: String) => new Path(path, rel).getName)
+    val referenced = kept.flatMap { v =>
+      val es = readManifest(fs, path, v)
+      es.map(entryPath) ++ es.flatMap(entryDv)
+    }.toSet.map((rel: String) => new Path(path, rel).getName)
     vs.dropRight(keep).foreach { v =>
       val m = new Path(logDir(path), manifestName(v))
       if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")

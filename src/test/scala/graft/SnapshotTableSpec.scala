@@ -878,6 +878,90 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 202)
   }
 
+  test("deleteMoR masks rows via deletion vectors; zero data files rewritten") {
+    val path = freshPath("mor")
+    val rows = (0L until 400L).map(i => (i, i % 7, s"p_$i"))
+      .toDF("id", "grp", "s")
+    SnapshotTable.create(
+      rows.repartitionByRange(4, col("id")).sortWithinPartitions("id"), path)
+    val filesV0 = SnapshotTable.read(spark, path).inputFiles.toSet
+    val v1 = SnapshotTable.deleteMoR(spark, path, col("id") < 50L)
+    assert(v1 === 1)
+    // the data file set is IDENTICAL - the only new input is the vector
+    val filesV1 = SnapshotTable.read(spark, path).inputFiles.toSet
+    assert(filesV0.subsetOf(filesV1) && filesV1.size === filesV0.size + 1)
+    assert(SnapshotTable.read(spark, path).count() === 350)
+    assert(SnapshotTable.read(spark, path)
+      .filter(col("id") < 50L).count() === 0)
+    // time travel: v0 still sees everything
+    assert(SnapshotTable.read(spark, path, Some(0)).count() === 400)
+    // second MoR delete on the SAME file accumulates coordinates
+    val v2 = SnapshotTable.deleteMoR(spark, path, col("id") >= 50L &&
+      col("id") < 80L)
+    assert(v2 === 2)
+    assert(SnapshotTable.read(spark, path).count() === 320)
+    assert(SnapshotTable.read(spark, path)
+      .filter(col("id") < 80L).count() === 0)
+    val filesV2 = SnapshotTable.read(spark, path).inputFiles.toSet
+    assert(filesV0.subsetOf(filesV2) && filesV2.size === filesV0.size + 1)
+    // no-match predicate commits nothing
+    assert(SnapshotTable.deleteMoR(spark, path, lit(false)) === 2)
+    // NULL predicate keeps rows (TRUE-only semantics)
+    val vNull = SnapshotTable.deleteMoR(spark, path,
+      when(col("id") < 90L, lit(null).cast("boolean")).otherwise(lit(false)))
+    assert(vNull === 2)
+  }
+
+  test("masked rows never resurrect through merge, compaction, or the feed") {
+    val path = freshPath("morlife")
+    val rows = (0L until 300L).map(i => (i, i * 10)).toDF("id", "n")
+    SnapshotTable.create(
+      rows.repartitionByRange(3, col("id")).sortWithinPartitions("id"), path)
+    SnapshotTable.deleteMoR(spark, path, col("id") < 40L) // v1
+    // change feed across the MoR delete: exact delete row images
+    val ch = SnapshotTable.changes(spark, path, 0, Some(1))
+    assert(ch.filter(col("change_type") === "delete").count() === 40)
+    assert(ch.filter(col("change_type") === "insert").count() === 0)
+    assert(ch.filter(col("change_type") === "delete")
+      .agg(max(col("id"))).head().getLong(0) === 39L)
+    // merge touching a masked file: rewrite applies the vector and
+    // must not resurrect masked rows
+    val ups = Seq((10L, 111L), (50L, 555L)).toDF("id", "n")
+    SnapshotTable.merge(ups, path, Seq("id")) // v2
+    val m = SnapshotTable.read(spark, path)
+    assert(m.count() === 261) // 260 survivors + re-inserted id 10; 50 updates in place
+    assert(m.filter(col("id") === 10L).select("n").as[Long].head() === 111L)
+    assert(m.filter(col("id") === 11L).count() === 0) // still deleted
+    assert(m.filter(col("id") === 50L).select("n").as[Long].head() === 555L)
+    // optimize materializes the mask: content identical, no dv refs
+    SnapshotTable.optimize(spark, path, targetFileBytes = 512L * 1024 * 1024)
+    val o = SnapshotTable.read(spark, path)
+    assert(o.count() === 261)
+    assert(o.filter(col("id") === 11L).count() === 0)
+    // vacuum keeps the table readable and reclaims superseded files
+    val dropped = SnapshotTable.vacuum(spark, path, keep = 1, graceMs = 0L)
+    assert(dropped > 0)
+    assert(SnapshotTable.read(spark, path).count() === 261)
+  }
+
+  test("deletion vectors compose with partition pruning and readWhere") {
+    val path = freshPath("morpart")
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
+    SnapshotTable.create(rows, path, partitionBy = Seq("lang"))
+    SnapshotTable.deleteMoR(spark, path,
+      col("lang") === "en" && col("id") < 100L)
+    assert(SnapshotTable.read(spark, path).count() === 150)
+    val (df, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("lang") === "en")
+    assert(kept < total)
+    assert(df.count() === 50) // 100 en rows minus 50 masked
+    assert(df.filter(col("id") < 100L).count() === 0)
+    // vacuum with everything referenced: the vector must survive
+    SnapshotTable.vacuum(spark, path, keep = 1, graceMs = 0L)
+    assert(SnapshotTable.read(spark, path).count() === 150)
+  }
+
   test("string stats prune string-clustered flat files soundly") {
     val path = freshPath("strstats")
     val langs = Seq("de", "en", "es", "fr", "zh")
