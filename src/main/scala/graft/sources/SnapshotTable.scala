@@ -998,6 +998,70 @@ object SnapshotTable {
       untouched ++ affected.map(e => withDv(e, dvRel)), readV + 1, meta)
   }
 
+  /** Merge-on-read UPDATE: `SET col = expr WHERE predicate` as ONE
+    * commit that rewrites no data file - the matched rows' coordinates
+    * join the deletion vector (masking the old images) and their NEW
+    * images land in a single staged file. The change feed shows the
+    * usual delete+insert pair; any later rewrite materializes both.
+    * Assignment expressions may reference the row's own columns.
+    * Same pinned-commit concurrency and TRUE-only semantics as
+    * [[deleteMoR]]. */
+  def updateMoR(spark: SparkSession, path: String, predicate: Column,
+      assignments: Map[String, Column],
+      meta: Map[String, String] = Map.empty): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val readV = vs.max
+    val fs = fsOf(spark, new Path(path))
+    val manifest = readManifest(fs, path, readV)
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    import org.apache.spark.sql.functions.col
+    val tableSchema = storedSchema(fs, path, readV)
+    val schemaForPred =
+      tableSchema.getOrElse(read(spark, path, Some(readV)).schema)
+    require(assignments.keys.forall(k =>
+      schemaForPred.fieldNames.contains(k)),
+      s"updateMoR assigns unknown columns: " +
+        assignments.keys.filterNot(schemaForPred.fieldNames.contains)
+          .mkString(","))
+    val pred = resolvedPredicate(spark, schemaForPred, predicate)
+    val candidates = manifest.filter(e =>
+      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e),
+        entryStringStats(e)))
+    if (candidates.isEmpty) return readV
+    val matched = readEntriesDv(spark, path, tableSchema, candidates,
+        keepRowId = true)
+      .filter(predicate)
+      .localCheckpoint()
+    val hits = matched.select(col("__file").as("file"),
+      col("__pos").as("pos"))
+    val affectedNames = hits.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedNames.isEmpty) return readV
+    val (affected, untouched) =
+      manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
+    val priorRels = affected.flatMap(entryDv).distinct
+    val dvRows =
+      if (priorRels.isEmpty) hits
+      else hits.unionByName(
+        spark.read.parquet(priorRels.map(r =>
+            new Path(path, r).toString): _*)
+          .select(col("file"), col("pos"))
+          .join(hits.select(col("file")).distinct(), Seq("file"),
+            "left_semi"))
+    val dvRel = entryPath(
+      stage(dvRows.distinct().coalesce(1), path).head)
+    // new images: matched rows with assignments applied, table columns
+    val updated = matched.drop("__file", "__pos")
+      .select(schemaForPred.fieldNames.toSeq.map(n =>
+        assignments.get(n).map(_.as(n)).getOrElse(col(n))): _*)
+    val staged = stage(updated.coalesce(1), path,
+      partitioning(spark, path))
+    commitPinned(spark, path,
+      untouched ++ affected.map(e => withDv(e, dvRel)) ++
+        staged, readV + 1, meta)
+  }
+
   /** Parquet-footer key-range test: true iff `file` MAY contain a key
     * in [lo, hi] per its row-group statistics for `keyCol` (missing or
     * unreadable stats → true, never false-negative). Int32/Int64/date

@@ -944,6 +944,47 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 261)
   }
 
+  test("updateMoR rewrites no data file; old images masked, new appended") {
+    val path = freshPath("updmor")
+    val rows = (0L until 200L).map(i => (i, i, s"v_$i")).toDF("id", "n", "s")
+    SnapshotTable.create(
+      rows.repartitionByRange(4, col("id")).sortWithinPartitions("id"), path)
+    val filesV0 = SnapshotTable.read(spark, path).inputFiles.toSet
+    val v1 = SnapshotTable.updateMoR(spark, path, col("id") < 30L,
+      Map("n" -> (col("n") * 100), "s" -> lit("updated")))
+    assert(v1 === 1)
+    val now = SnapshotTable.read(spark, path)
+    assert(now.count() === 200)
+    assert(now.filter(col("id") === 5L).select("n").as[Long].head() === 500L)
+    assert(now.filter(col("id") === 5L).select("s").as[String].head()
+      === "updated")
+    assert(now.filter(col("id") === 100L).select("n").as[Long].head()
+      === 100L)
+    // original files all still referenced; additions are the vector
+    // and the one new-images file
+    val filesV1 = now.inputFiles.toSet
+    assert(filesV0.subsetOf(filesV1) && filesV1.size === filesV0.size + 2)
+    // v0 frozen
+    assert(SnapshotTable.read(spark, path, Some(0))
+      .filter(col("id") === 5L).select("n").as[Long].head() === 5L)
+    // the feed shows the update as delete+insert pairs
+    val ch = SnapshotTable.changes(spark, path, 0, Some(1))
+    assert(ch.filter(col("change_type") === "delete").count() === 30)
+    assert(ch.filter(col("change_type") === "insert").count() === 30)
+    assert(ch.filter(col("change_type") === "insert" &&
+      col("s") === "updated").count() === 30)
+    // assignments referencing own columns compose with a second update
+    SnapshotTable.updateMoR(spark, path, col("id") < 10L,
+      Map("n" -> (col("n") + 1)))
+    assert(SnapshotTable.read(spark, path)
+      .filter(col("id") === 5L).select("n").as[Long].head() === 501L)
+    assert(SnapshotTable.read(spark, path).count() === 200)
+    // unknown assignment column refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateMoR(spark, path, lit(true), Map("zz" -> lit(1)))
+    }
+  }
+
   test("deletion vectors compose with partition pruning and readWhere") {
     val path = freshPath("morpart")
     val rows = (0L until 200L).map(i =>
