@@ -214,7 +214,7 @@ object SnapshotTable {
   private def readFilesAs(spark: SparkSession, path: String,
       schema: Option[types.StructType], rels: Seq[String],
       withRowId: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+    import org.apache.spark.sql.functions.col
     val paths = rels.map(rel => new Path(path, rel).toString)
     val raw = schema.fold(spark.read)(st => spark.read.schema(st))
       .option("basePath", filesDir(path).toString)
@@ -225,7 +225,7 @@ object SnapshotTable {
     val rowId =
       if (!withRowId) Seq.empty
       else Seq(
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
+        col("_metadata.file_name").as("__file"),
         col("_metadata.row_index").as("__pos"))
     // partition columns come back APPENDED by partition discovery, in
     // whatever type path inference picked — restore the stored schema's
@@ -284,9 +284,12 @@ object SnapshotTable {
     val masked =
       if (dvRels.isEmpty) base
       else {
-        val dv = spark.read
+        // the vector is churn-sized by construction - broadcast it so
+        // the mask is a map-side hash anti-join in the scan stage, not
+        // a 2-sided shuffle+sort of the whole table
+        val dv = org.apache.spark.sql.functions.broadcast(spark.read
           .parquet(dvRels.map(r => new Path(path, r).toString): _*)
-          .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+          .select(col("file").as("__dvf"), col("pos").as("__dvp")))
         base.join(dv,
           base("__file") === col("__dvf") && base("__pos") === col("__dvp"),
           "left_anti")
