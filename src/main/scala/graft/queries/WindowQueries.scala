@@ -534,6 +534,40 @@ object WindowQueries {
         .orderBy(col("version"))
     }),
 
+    // W26: merge-on-read UPDATE then merge-on-read DELETE - SET..WHERE
+    // doubles the finished orders' price via a coordinate vector plus
+    // one new-images file (no data file rewritten), then the delete
+    // masks the now-expensive rows; per-version aggregates replay both
+    // relationally. The require() pins that the original data files
+    // survive both commits untouched.
+    "w26_update_mor" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w26").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .repartitionByRange(4, col("o_orderkey")), path)
+      val dataFiles = SnapshotTable.read(s, path).inputFiles.toSet
+      SnapshotTable.updateMoR(s, path, col("o_orderstatus") === "F",
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      SnapshotTable.deleteMoR(s, path, col("o_totalprice") > 500000.0)
+      val after = SnapshotTable.read(s, path).inputFiles.toSet
+      require(dataFiles.subsetOf(after),
+        "merge-on-read update/delete rewrote original data files")
+      SnapshotTable.versions(s, path).map { v =>
+        SnapshotTable.read(s, path, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("total"))
+        .orderBy(col("version"))
+    }),
+
     // W22: exponential-decay smoothing (EWMA, alpha = 1/2) over each
     // user's event stream — the time-series smoother the panel family
     // lacked. Exact by construction: the value quantizes to integer
@@ -829,6 +863,26 @@ object WindowQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w26_update_mor" ->
+      """WITH u AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |v0 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |v1 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM u),
+        |v2 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM u WHERE p <= 500000.0)
+        |SELECT 0 AS version, n_rows, total FROM v0
+        |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
+        |UNION ALL SELECT 2 AS version, n_rows, total FROM v2
+        |ORDER BY version""".stripMargin,
 
     "w25_delete_mor" ->
       """WITH v0 AS (SELECT count(*) AS n_rows,

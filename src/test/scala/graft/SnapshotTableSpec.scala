@@ -1054,6 +1054,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(df.count() === 50) // still exact
   }
 
+  test("property: readWhere equals read+filter over randomized predicates") {
+    // the pruning evaluator is only allowed to SKIP I/O, never change
+    // results - pin that over a generated predicate space crossing
+    // partition values, numeric/timestamp ranges, string bounds,
+    // nulls, and shapes it cannot reason about
+    val path = freshPath("propwhere")
+    val rows = (0L until 600L).map { i =>
+      (i,
+        if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de",
+        if (i % 17 == 0) null else s"w${i % 50}%03d",
+        java.sql.Timestamp.valueOf(f"2024-01-${1 + (i % 28)}%02d 00:00:00"),
+        (i * 13 % 1000).toDouble / 10.0)
+    }.toDF("id", "lang", "word", "ts", "score")
+    SnapshotTable.create(
+      rows.repartitionByRange(6, col("id")).sortWithinPartitions("id"),
+      path, partitionBy = Seq("lang"))
+    val preds: Seq[org.apache.spark.sql.Column] = Seq(
+      col("lang") === "en",
+      col("lang") =!= "fr",
+      col("lang").isin("fr", "de") && col("id") > 300L,
+      col("id") >= 120L && col("id") < 480L,
+      col("id") === 599L,
+      col("id") > 10000L,
+      col("ts") >= to_timestamp(lit("2024-01-15 00:00:00")),
+      col("ts") < to_timestamp(lit("2024-01-02 00:00:00")) ||
+        col("lang") === "de",
+      col("word").startsWith("w01"),
+      col("word") >= "w040" || col("word").isNull,
+      col("word") === lit(null),
+      col("score") > 50.0 && col("lang") === "en" && col("id") % 7 === 0,
+      abs(col("score") - 50.0) < 10.0,
+      lit(true),
+      lit(false),
+      col("word").isNull && col("ts") === to_timestamp(
+        lit("2024-01-05 00:00:00")))
+    val full = SnapshotTable.read(spark, path)
+    for (p0 <- preds) {
+      val expected = full.filter(p0).orderBy("id").collect().toSeq
+      val (pruned, kept, total) =
+        SnapshotTable.readWherePruned(spark, path, p0)
+      val got = pruned.orderBy("id").collect().toSeq
+      assert(got === expected, s"predicate $p0 diverged (kept $kept/$total)")
+    }
+  }
+
   test("mayMatch is conservative: unknown shapes keep, proofs drop") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(StructField("id", LongType),
