@@ -944,6 +944,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 261)
   }
 
+  test("streaming ingest into a PRE-CREATED partitioned table keeps the layout") {
+    import spark.implicits._
+    // first-batch table creation is unpartitioned by design; a caller
+    // wanting partitioned streaming ingest pre-creates the table and
+    // every batch append inherits the layout from the log meta
+    val src = java.nio.file.Files.createTempDirectory("pstream").toString +
+      "/feed"
+    (1L to 30L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang").coalesce(1).write.parquet(src)
+    (31L to 60L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("id", "lang").coalesce(1).write.mode("append").parquet(src)
+    val path = freshPath("pingest")
+    SnapshotTable.create(
+      Seq.empty[(Long, String)].toDF("id", "lang").coalesce(1),
+      path, partitionBy = Seq("lang"))
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.streaming.Streaming.runToSnapshot(spark, stream, path,
+      java.nio.file.Files.createTempDirectory("pingck").toString)
+    val got = SnapshotTable.read(spark, path)
+    assert(got.count() === 60)
+    // every ingested file landed under a partition directory
+    assert(got.inputFiles.filter(_.contains("files/"))
+      .forall(_.contains("/lang=")))
+    // partition pruning works on the ingested data
+    val (df, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("lang") === "de")
+    assert(kept < total)
+    assert(df.count() === 10)
+  }
+
   test("updateMoR rewrites no data file; old images masked, new appended") {
     val path = freshPath("updmor")
     val rows = (0L until 200L).map(i => (i, i, s"v_$i")).toDF("id", "n", "s")
