@@ -252,12 +252,18 @@ object SnapshotTable {
       case _ => None
     }
 
-  /** `line` with its dv item replaced by (or set to) `dvRel`. */
-  private[graft] def withDv(line: String, dvRel: String): String = {
+  /** All deletion-vector rels of an entry — the `dv=` item holds a
+    * COMMA-list when one commit's cumulative vector is large enough to
+    * span multiple parquet files (uuid rel paths never contain ','). */
+  private[graft] def entryDvs(line: String): Seq[String] =
+    entryDv(line).toSeq.flatMap(_.split(",").toSeq.filter(_.nonEmpty))
+
+  /** `line` with its dv item replaced by (or set to) `dvRels`. */
+  private[graft] def withDv(line: String, dvRels: Seq[String]): String = {
     val parts = line.split("\t", 2)
     val kept = if (parts.length < 2) Seq.empty
       else parts(1).split(";").toSeq.filterNot(_.startsWith("dv="))
-    parts(0) + "\t" + (kept :+ s"dv=$dvRel").mkString(";")
+    parts(0) + "\t" + (kept :+ s"dv=${dvRels.mkString(",")}").mkString(";")
   }
 
   /** Entry identity for change detection: path plus dv reference — a
@@ -277,19 +283,27 @@ object SnapshotTable {
       schema: Option[types.StructType], entries: Seq[String],
       keepRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dvRels = entries.flatMap(entryDv).distinct
+    val dvRels = entries.flatMap(entryDvs).distinct
     val needRowId = keepRowId || dvRels.nonEmpty
     val base = readFilesAs(spark, path, schema, entries.map(entryPath),
       withRowId = needRowId)
     val masked =
       if (dvRels.isEmpty) base
       else {
-        // the vector is churn-sized by construction - broadcast it so
-        // the mask is a map-side hash anti-join in the scan stage, not
-        // a 2-sided shuffle+sort of the whole table
-        val dv = org.apache.spark.sql.functions.broadcast(spark.read
+        // churn-sized vectors broadcast (map-side hash anti-join in
+        // the scan stage, no 2-sided shuffle+sort of the table); but
+        // after large/repeated MoR deletes the cumulative vector can
+        // approach table row count — gate on the on-disk parquet size
+        // and fall back to a shuffled anti-join above the threshold
+        // rather than risk a driver/executor OOM on the broadcast
+        val fs = fsOf(spark, new Path(path))
+        val dvBytes = dvRels.map(r => scala.util.Try(
+          fs.getFileStatus(new Path(path, r)).getLen).getOrElse(0L)).sum
+        val dvRaw = spark.read
           .parquet(dvRels.map(r => new Path(path, r).toString): _*)
-          .select(col("file").as("__dvf"), col("pos").as("__dvp")))
+          .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+        val dv = if (dvBytes <= DvBroadcastMaxBytes)
+          org.apache.spark.sql.functions.broadcast(dvRaw) else dvRaw
         base.join(dv,
           base("__file") === col("__dvf") && base("__pos") === col("__dvp"),
           "left_anti")
@@ -467,6 +481,26 @@ object SnapshotTable {
     *    char < 0x7E exists the column is omitted — never a wrong
     *    bound). */
   private val StrStatMax = 32
+
+  /** Broadcast ceiling for deletion-vector masks in [[readEntriesDv]]
+    * (on-disk parquet bytes); above it the mask joins shuffled. */
+  private val DvBroadcastMaxBytes = 64L << 20
+
+  /** Target (file,pos) coordinates per staged deletion-vector file. */
+  private val DvRowsPerFile = 4L << 20
+
+  /** Distinct-ify and stage a commit's cumulative deletion vector,
+    * sized ~[[DvRowsPerFile]] coordinates per file: a point delete
+    * stays one small file, a vector approaching table row count
+    * parallelizes instead of bottlenecking on one write task. Returns
+    * the staged rels (multi-file vectors become a `dv=` comma-list). */
+  private def stageDv(spark: SparkSession, path: String,
+      dvRows: DataFrame): Seq[String] = {
+    val distinct = dvRows.distinct().localCheckpoint()
+    val nParts = math.min(256L, math.max(1L,
+      (distinct.count() + DvRowsPerFile - 1) / DvRowsPerFile)).toInt
+    stage(distinct.coalesce(nParts), path).map(entryPath)
+  }
 
   private def asciiOf(b: org.apache.parquet.io.api.Binary): Option[String] = {
     val bytes = b.getBytes
@@ -794,8 +828,22 @@ object SnapshotTable {
         case IntegerType | LongType | DateType => true
         case _ => false
       })
+    // same type guard as mayMatch's partComparable: only strings and
+    // integrals render identically between partitionPathValue(v) and
+    // Spark's partitioned-writer directory names. A timestamp key
+    // renders '... 00:00:00.0' via toString but the writer's dir omits
+    // the fraction — membership would always fail, every matching
+    // entry would be pruned, and merge would INSERT DUPLICATE keys
+    // instead of updating. Skipping the prune for such types is merely
+    // less file-skipping; never wrong.
+    val partPrunable: types.DataType => Boolean = {
+      case types.StringType | types.IntegerType | types.LongType |
+          types.ShortType | types.ByteType => true
+      case _ => false
+    }
     val partKeyValues: Map[String, Set[String]] =
-      partitioning(spark, path).filter(keyCols.contains).map { k =>
+      partitioning(spark, path).filter(k => keyCols.contains(k) &&
+          partPrunable(updates.schema(k).dataType)).map { k =>
         k -> keys.select(col(k)).distinct().collect()
           .map(r => partitionPathValue(r.get(0))).toSet
       }.toMap
@@ -986,7 +1034,7 @@ object SnapshotTable {
       manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
     // cumulative vector: prior coordinates of the affected files ride
     // into the new commit's vector (entries reference ONE dv each)
-    val priorRels = affected.flatMap(entryDv).distinct
+    val priorRels = affected.flatMap(entryDvs).distinct
     val dvRows =
       if (priorRels.isEmpty) hits
       else hits.unionByName(
@@ -995,10 +1043,9 @@ object SnapshotTable {
           .select(col("file"), col("pos"))
           .join(hits.select(col("file")).distinct(), Seq("file"),
             "left_semi"))
-    val dvRel = entryPath(
-      stage(dvRows.distinct().coalesce(1), path).head)
+    val dvRels = stageDv(spark, path, dvRows)
     commitPinned(spark, path,
-      untouched ++ affected.map(e => withDv(e, dvRel)), readV + 1, meta)
+      untouched ++ affected.map(e => withDv(e, dvRels)), readV + 1, meta)
   }
 
   /** Merge-on-read UPDATE: `SET col = expr WHERE predicate` as ONE
@@ -1043,7 +1090,7 @@ object SnapshotTable {
     if (affectedNames.isEmpty) return readV
     val (affected, untouched) =
       manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
-    val priorRels = affected.flatMap(entryDv).distinct
+    val priorRels = affected.flatMap(entryDvs).distinct
     val dvRows =
       if (priorRels.isEmpty) hits
       else hits.unionByName(
@@ -1052,16 +1099,17 @@ object SnapshotTable {
           .select(col("file"), col("pos"))
           .join(hits.select(col("file")).distinct(), Seq("file"),
             "left_semi"))
-    val dvRel = entryPath(
-      stage(dvRows.distinct().coalesce(1), path).head)
+    val dvRels = stageDv(spark, path, dvRows)
     // new images: matched rows with assignments applied, table columns
     val updated = matched.drop("__file", "__pos")
       .select(schemaForPred.fieldNames.toSeq.map(n =>
         assignments.get(n).map(_.as(n)).getOrElse(col(n))): _*)
-    val staged = stage(updated.coalesce(1), path,
+    // size the new-image write like the DV: churn-proportional
+    val staged = stage(updated.coalesce(math.max(1,
+        affectedNames.size / 8)), path,
       partitioning(spark, path))
     commitPinned(spark, path,
-      untouched ++ affected.map(e => withDv(e, dvRel)) ++
+      untouched ++ affected.map(e => withDv(e, dvRels)) ++
         staged, readV + 1, meta)
   }
 
@@ -1300,12 +1348,26 @@ object SnapshotTable {
       strStats: Map[String, (String, String)] = Map.empty): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
-    def attrName(x: Expression): Option[String] = x match {
-      case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttribute => Some(u.nameParts.last)
-      case c: Cast => attrName(c.child)
+    // attribute reached through zero or more casts, casts collected
+    // OUTERMOST-first. A cast means the predicate compares the column
+    // in a DIFFERENT domain than the cached stats (which are in the
+    // column's NATIVE units: dates as epoch days, timestamps as
+    // micros), so the folded constant must be converted back down
+    // through every cast before any range test — see [[unconvert]].
+    // Comparing raw would evaluate e.g. `dateCol > timestamp-literal`
+    // (the analyzer inserts Cast(dateCol AS timestamp)) as epoch-day
+    // stats (~1e4) vs a micros constant (~1e15): provably-false for
+    // every file, i.e. ALL files wrongly pruned.
+    def attrThroughCasts(x: Expression, acc: List[Cast])
+        : Option[(String, List[Cast])] = x match {
+      case a: AttributeReference => Some((a.name, acc))
+      case u: UnresolvedAttribute if acc.isEmpty =>
+        Some((u.nameParts.last, Nil))
+      case c: Cast => attrThroughCasts(c.child, acc :+ c)
       case _ => None
     }
+    def attrName(x: Expression): Option[String] =
+      attrThroughCasts(x, Nil).map(_._1)
     // evaluate a constant side to (value, dataType); None = not
     // constant or not evaluable here (keep the file). Functions like
     // to_timestamp analyze to RuntimeReplaceable wrappers that refuse
@@ -1328,6 +1390,134 @@ object SnapshotTable {
       case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
       case _ => None
     }
+    // exact integral view of a constant — Long arithmetic, NOT Double:
+    // above 2^53 distinct longs collapse to one double, and a strict
+    // comparison on the rounded value can FALSELY prune (hi = 2^53+1,
+    // predicate col > 2^53: hi.toDouble > x is false). Snowflake-style
+    // 1e18 ids hit this for real (ulp there is 128).
+    def asLongExact(v: Any): Option[Long] = v match {
+      case i: java.lang.Integer => Some(i.toLong)
+      case l: java.lang.Long => Some(l.longValue)
+      case sh: java.lang.Short => Some(sh.toLong)
+      case b: java.lang.Byte => Some(b.toLong)
+      case _ => None
+    }
+    // step a folded constant from a cast's OUTPUT domain into its
+    // CHILD's native domain (the domain of the cached stats and the
+    // partition directory values). None = traversal not provably
+    // sound — caller keeps the file. Sound cases:
+    //  - widening integral casts (order-preserving value embedding);
+    //  - byte/short/int/float -> double (exact embedding);
+    //  - date -> timestamp[_ntz]: constant micros mapped to the day
+    //    boundary with op-appropriate rounding (via the cast's zone
+    //    for TIMESTAMP; zone-free for NTZ).
+    // Narrowing, long->double, and string casts are NOT traversed:
+    // they are not order-embeddings, so no stats conclusion is sound.
+    def intWidth(dt: types.DataType): Int = dt match {
+      case types.ByteType => 1
+      case types.ShortType => 2
+      case types.IntegerType => 4
+      case types.LongType => 8
+      case _ => 0
+    }
+    val MicrosPerDay = 86400000000L
+    def dayOp(day: Int, exact: Boolean, op: String)
+        : Option[(Any, types.DataType, String)] = {
+      val dv: Any = java.lang.Integer.valueOf(day)
+      op match {
+        // only a midnight instant is any date's image under the cast;
+        // a mid-day "=" could prune ALL files, but None (keep) is the
+        // conservative choice this evaluator promises
+        case "=" => if (exact) Some((dv, types.DateType, "=")) else None
+        case ">" => Some((dv, types.DateType, ">"))
+        case ">=" => Some((dv, types.DateType, if (exact) ">=" else ">"))
+        case "<" => Some((dv, types.DateType, if (exact) "<" else "<="))
+        case "<=" => Some((dv, types.DateType, "<="))
+        case _ => None
+      }
+    }
+    def zidOf(c: Cast): Option[java.time.ZoneId] = c.timeZoneId
+      .flatMap(z => scala.util.Try(java.time.ZoneId.of(z)).toOption)
+    // instant micros -> wall-clock micros at z, and back. TIMESTAMP and
+    // TIMESTAMP_NTZ stats are BOTH stored as their own micros, so a
+    // cast between them shifts the axis by the zone offset: at a
+    // fixed-offset zone (UTC — what graft sessions pin) the conversion
+    // is exact; under DST rules the offset varies with the instant, so
+    // the converted bound gets [[TzSlackMicros]] of one-sided slack
+    // (monotonicity of both conversions makes slackened bounds sound).
+    def instantToLocalMicros(t: Long, z: java.time.ZoneId): Long = {
+      val i = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(t, 1000000L), Math.floorMod(t, 1000000L) * 1000L)
+      val ldt = java.time.LocalDateTime.ofInstant(i, z)
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    }
+    def localToInstantMicros(t: Long, z: java.time.ZoneId): Long = {
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(t, 1000000L),
+        (Math.floorMod(t, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      val i = ldt.atZone(z).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val TzSlackMicros = 48L * 3600L * 1000000L
+    def slackOp(base: Long, s: Long, op: String, dt: types.DataType)
+        : Option[(Any, types.DataType, String)] = op match {
+      case "=" =>
+        if (s == 0L) Some((java.lang.Long.valueOf(base), dt, "="))
+        else None // can't express an overlap window as one bound: keep
+      case ">" => Some((java.lang.Long.valueOf(base - s), dt, ">"))
+      case ">=" => Some((java.lang.Long.valueOf(base - s), dt, ">="))
+      case "<" => Some((java.lang.Long.valueOf(base + s), dt, "<"))
+      case "<=" => Some((java.lang.Long.valueOf(base + s), dt, "<="))
+      case _ => None
+    }
+    def unconvert(c: Cast, v: Any, dt: types.DataType, op: String)
+        : Option[(Any, types.DataType, String)] = {
+      val ct = c.child.dataType
+      if (v == null) return Some((null, ct, op))
+      (ct, dt) match {
+        case (a, b) if intWidth(a) > 0 && intWidth(b) >= intWidth(a) =>
+          Some((v, ct, op))
+        case (types.ByteType | types.ShortType | types.IntegerType |
+            types.FloatType, types.DoubleType) =>
+          Some((v, ct, op))
+        case (types.DateType, types.TimestampNTZType) => v match {
+          case t: java.lang.Long =>
+            val d = Math.floorDiv(t.longValue, MicrosPerDay)
+            dayOp(d.toInt, d * MicrosPerDay == t.longValue, op)
+          case _ => None
+        }
+        case (types.DateType, types.TimestampType) =>
+          (v, zidOf(c)) match {
+            case (t: java.lang.Long, Some(z)) =>
+              import org.apache.spark.sql.catalyst.util.DateTimeUtils
+              val d = DateTimeUtils.microsToDays(t.longValue, z)
+              dayOp(d, DateTimeUtils.daysToMicros(d, z) == t.longValue, op)
+            case _ => None
+          }
+        case (types.TimestampNTZType, types.TimestampType) =>
+          // the analyzer's implicit cast for `ntzCol OP timestamp-lit`
+          // (parquet timestamp[us] columns read as NTZ): convert the
+          // instant constant onto the wall-clock axis of the stats
+          (v, zidOf(c)) match {
+            case (t: java.lang.Long, Some(z)) =>
+              val s = if (z.getRules.isFixedOffset) 0L else TzSlackMicros
+              slackOp(instantToLocalMicros(t.longValue, z), s, op,
+                types.TimestampNTZType)
+            case _ => None
+          }
+        case (types.TimestampType, types.TimestampNTZType) =>
+          (v, zidOf(c)) match {
+            case (t: java.lang.Long, Some(z)) =>
+              val s = if (z.getRules.isFixedOffset) 0L else TzSlackMicros
+              slackOp(localToInstantMicros(t.longValue, z), s, op,
+                types.TimestampType)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
     // range test against cached [lo, hi]; partition-value test against
     // the escaped dir string (numeric-aware when both sides parse)
     def cmp(name: String, op: String, vd: (Any, types.DataType)): Boolean = {
@@ -1336,14 +1526,37 @@ object SnapshotTable {
       // whatever the column's metadata says
       if (v == null) return false
       val byStats = stats.get(name).map { case (lo, hi) =>
-        asNum(v) match {
-          case None => true // non-numeric constant vs numeric range
-          case Some(x) => op match {
-            case "=" => lo.toDouble <= x && x <= hi.toDouble
-            case ">" => hi.toDouble > x
-            case ">=" => hi.toDouble >= x
-            case "<" => lo.toDouble < x
-            case "<=" => lo.toDouble <= x
+        asLongExact(v) match {
+          case Some(x) => op match { // exact Long axis, no 2^53 rounding
+            case "=" => lo <= x && x <= hi
+            case ">" => hi > x
+            case ">=" => hi >= x
+            case "<" => lo < x
+            case "<=" => lo <= x
+            case _ => true
+          }
+          case None => asNum(v) match {
+            case None => true // non-numeric constant vs numeric range
+            case Some(x) if x.isNaN => true
+            case Some(x) if x >= 9.2233720368547e18 =>
+              // beyond Long.Max: every stat is below the constant
+              op == "<" || op == "<="
+            case Some(x) if x <= -9.2233720368547e18 =>
+              op == ">" || op == ">="
+            case Some(x) =>
+              // fractional constant vs exact Long stats: project onto
+              // the Long axis with op-appropriate floor/ceil (hi > 2.5
+              // iff hi >= 3; lo < 2.5 iff lo <= 2) — never lossy
+              val fl = math.floor(x).toLong
+              val cl = math.ceil(x).toLong
+              op match {
+                case "=" => fl == cl && lo <= fl && fl <= hi
+                case ">" => hi >= fl + 1
+                case ">=" => hi >= cl
+                case "<" => lo <= cl - 1
+                case "<=" => lo <= fl
+                case _ => true
+              }
           }
         }
       }
@@ -1374,8 +1587,11 @@ object SnapshotTable {
       val byPart = parts.get(name).map { dir =>
         if (!partComparable) true
         else {
-          val numPair = asNum(v).flatMap(x =>
-            scala.util.Try(dir.toDouble).toOption.map(d => (d, x)))
+          // integral dirs compare in Long (same 2^53 hazard as stats);
+          // anything else falls back to exact rendered equality for
+          // "=" and keep for order comparisons
+          val numPair = asLongExact(v).flatMap(x =>
+            scala.util.Try(dir.toLong).toOption.map(d => (d, x)))
           (op, numPair) match {
             case ("=", Some((d, x))) => d == x
             case (">", Some((d, x))) => d > x
@@ -1396,13 +1612,23 @@ object SnapshotTable {
       case "<=" => ">="
       case other => other
     }
+    // convert a constant down the attribute side's cast chain, then
+    // range-test; an unconvertible cast keeps the file (sound)
+    def cmpThroughCasts(n: String, casts: List[Cast],
+        vd: (Any, types.DataType), op: String): Boolean =
+      casts.foldLeft(Option((vd._1, vd._2, op))) { (acc, c) =>
+        acc.flatMap { case (v, dt, o) => unconvert(c, v, dt, o) }
+      } match {
+        case Some((v, dt, o)) => cmp(n, o, (v, dt))
+        case None => true
+      }
     // attr-vs-constant in either order; anything else keeps the file
     def sides(l: Expression, r: Expression, op: String): Boolean =
-      (attrName(l), attrName(r)) match {
-        case (Some(n), None) =>
-          foldVal(r).map(cmp(n, op, _)).getOrElse(true)
-        case (None, Some(n)) =>
-          foldVal(l).map(cmp(n, flip(op), _)).getOrElse(true)
+      (attrThroughCasts(l, Nil), attrThroughCasts(r, Nil)) match {
+        case (Some((n, cs)), None) =>
+          foldVal(r).map(cmpThroughCasts(n, cs, _, op)).getOrElse(true)
+        case (None, Some((n, cs))) =>
+          foldVal(l).map(cmpThroughCasts(n, cs, _, flip(op))).getOrElse(true)
         case _ => true
       }
     def go(x: Expression): Boolean = x match {
@@ -1418,9 +1644,14 @@ object SnapshotTable {
           ls.exists(l => sides(a, l, "=")) ||
           ls.exists(l => foldVal(l).isEmpty) // non-constant element: keep
       case InSet(a, vs) if attrName(a).isDefined =>
-        // optimizer form of IN (large literal lists); values are raw
-        vs.exists(v => cmp(attrName(a).get, "=", (v, a.dataType)))
-      case StartsWith(a, pfx) if attrName(a).isDefined =>
+        // optimizer form of IN (large literal lists); values are raw,
+        // typed in the (possibly cast) attribute side's OUTPUT domain
+        val (n, cs) = attrThroughCasts(a, Nil).get
+        vs.exists(v => cmpThroughCasts(n, cs, (v, a.dataType), "="))
+      case StartsWith(a, pfx)
+          if attrThroughCasts(a, Nil).exists(_._2.isEmpty) =>
+        // direct string attribute only: through a cast the dir/stat
+        // rendering need not match the cast's, so the file is kept
         foldVal(pfx) match {
           case Some((p, _)) if p != null =>
             val ps = p.toString
@@ -1530,7 +1761,7 @@ object SnapshotTable {
     val kept = vs.takeRight(keep)
     val referenced = kept.flatMap { v =>
       val es = readManifest(fs, path, v)
-      es.map(entryPath) ++ es.flatMap(entryDv)
+      es.map(entryPath) ++ es.flatMap(entryDvs)
     }.toSet.map((rel: String) => new Path(path, rel).getName)
     vs.dropRight(keep).foreach { v =>
       val m = new Path(logDir(path), manifestName(v))

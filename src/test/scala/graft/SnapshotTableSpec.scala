@@ -1158,6 +1158,103 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!may(col("lang").startsWith("f")))
   }
 
+  test("REGRESSION: date column vs timestamp literal prunes soundly, not everything") {
+    val path = freshPath("datecast")
+    val rows = (0 until 60).map { i =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)))
+    }.toDF("id", "d")
+    SnapshotTable.create(
+      rows.repartitionByRange(4, col("d")).sortWithinPartitions("d"), path)
+    // the analyzer inserts Cast(d AS timestamp): cached stats are epoch
+    // DAYS but the folded constant is MICROS — before the unconvert fix
+    // every comparison was provably-false and ALL files were pruned,
+    // so this completely ordinary predicate silently returned empty
+    val p = col("d") >= to_timestamp(lit("2024-01-31 00:00:00"))
+    val (df, kept, total) = SnapshotTable.readWherePruned(spark, path, p)
+    assert(df.count() === 30)
+    assert(kept < total, s"expected real pruning, kept $kept/$total")
+    // mid-day instant: only strictly-later days qualify
+    val p2 = col("d") > to_timestamp(lit("2024-01-31 12:00:00"))
+    assert(SnapshotTable.readWhere(spark, path, p2).count() === 29)
+    val full = SnapshotTable.read(spark, path)
+    for (q <- Seq(p, p2,
+        col("d") === to_timestamp(lit("2024-02-10 00:00:00")),
+        col("d") === to_timestamp(lit("2024-02-10 09:00:00")),
+        col("d") < to_timestamp(lit("2024-01-05 07:30:00")),
+        col("d") <= to_timestamp(lit("2024-01-05 00:00:00"))))
+      assert(SnapshotTable.readWhere(spark, path, q).count() ===
+        full.filter(q).count(), s"predicate $q diverged")
+    // the MoR delete path shares the evaluator: it must actually delete
+    SnapshotTable.deleteMoR(spark, path,
+      col("d") >= to_timestamp(lit("2024-02-25 00:00:00")))
+    assert(SnapshotTable.read(spark, path).count() === 55)
+  }
+
+  test("REGRESSION: Long stats above 2^53 compare exactly, no double rounding") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(StructField("id", LongType)))
+    val big = 1L << 53
+    val stats = Map("id" -> (big - 10, big + 1))
+    def may(c: org.apache.spark.sql.Column) =
+      SnapshotTable.mayMatch(
+        SnapshotTable.resolvedPredicate(spark, st, c), Map.empty, stats)
+    // hi = 2^53+1 rounds to 2^53 as a double; the strict test must
+    // still keep the file that holds the one matching row
+    assert(may(col("id") > big))
+    assert(may(col("id") === big + 1))
+    assert(may(col("id") >= big + 1))
+    assert(!may(col("id") > big + 1))
+    assert(!may(col("id") === big + 2))
+    assert(!may(col("id") < big - 10))
+    assert(may(col("id") <= big - 10))
+    // long->double is not an order-embedding: never traversed, file kept
+    assert(may(col("id").cast("double") > lit(9.3e18)))
+    // widening int->long casts ARE traversed (value-preserving)
+    val st2 = StructType(Seq(StructField("k", IntegerType)))
+    def may2(c: org.apache.spark.sql.Column) =
+      SnapshotTable.mayMatch(
+        SnapshotTable.resolvedPredicate(spark, st2, c),
+        Map.empty, Map("k" -> (1L, 100L)))
+    assert(!may2(col("k") > 5000000000L))
+    assert(may2(col("k") > 50L))
+    assert(!may2(col("k") === 5000000000L))
+  }
+
+  test("REGRESSION: merge on a timestamp-partitioned key updates, never duplicates") {
+    val path = freshPath("tsmerge")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, "a"),
+      (ts("2024-01-02 00:00:00"), 2L, "b"),
+      (ts("2024-01-03 00:00:00"), 3L, "c")).toDF("day", "id", "v")
+    SnapshotTable.create(rows, path, partitionBy = Seq("day"))
+    // java.sql.Timestamp.toString renders '... 00:00:00.0' while the
+    // partitioned writer's dir omits the fraction: partition-membership
+    // pruning on a timestamp key pruned every matching entry, and the
+    // merge INSERTED a duplicate key instead of updating
+    val updates = Seq((ts("2024-01-02 00:00:00"), 2L, "B2"))
+      .toDF("day", "id", "v")
+    SnapshotTable.merge(updates, path, Seq("day", "id"))
+    val got = SnapshotTable.read(spark, path)
+    assert(got.count() === 3)
+    assert(got.filter(col("id") === 2L).select("v")
+      .as[String].collect().toSeq === Seq("B2"))
+  }
+
+  test("multi-file deletion vectors: dv= comma list round-trips") {
+    val line = "files/a.parquet\tid=1:5"
+    val tagged = SnapshotTable.withDv(line,
+      Seq("files/d1.parquet", "files/d2.parquet"))
+    assert(SnapshotTable.entryDvs(tagged) ===
+      Seq("files/d1.parquet", "files/d2.parquet"))
+    assert(SnapshotTable.entryDvs(line) === Seq.empty)
+    // replacing overwrites the dv item; other stat items survive
+    val re = SnapshotTable.withDv(tagged, Seq("files/d3.parquet"))
+    assert(SnapshotTable.entryDvs(re) === Seq("files/d3.parquet"))
+    assert(re.contains("id=1:5"))
+  }
+
   test("a persistent manifest-write failure rethrows, not 'gave up after conflicts'") {
     // route the table through a FileSystem whose manifest creates fail
     // like a dead disk: data staging works, the commit create throws,
