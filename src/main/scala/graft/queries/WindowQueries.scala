@@ -568,6 +568,55 @@ object WindowQueries {
         .orderBy(col("version"))
     }),
 
+    // W27: the full deletion-vector MATERIALIZATION lifecycle — the
+    // operational story of merge-on-read at 100 TB. Two MoR deletes
+    // accumulate (file,pos) masks (no data file rewritten, reads pay
+    // an anti-join tax), then incremental compaction rewrites exactly
+    // the DV'd files: the require()s pin that (a) the post-optimize
+    // manifest references ZERO vectors (read tax gone), (b) the
+    // pre-optimize version still time-travels with its mask applied,
+    // and (c) the original data files were actually replaced. Oracle
+    // replays the four versions relationally (v3 = v2: compaction
+    // never changes visible rows).
+    "w27_dv_materialize" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w27").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .repartitionByRange(4, col("o_orderkey")), path)
+      val before = SnapshotTable.read(s, path).inputFiles.toSet
+      SnapshotTable.deleteMoR(s, path, col("o_orderstatus") === "F")
+      SnapshotTable.deleteMoR(s, path, col("o_totalprice") > 300000.0)
+      require(SnapshotTable.pendingDvEntries(s, path) > 0,
+        "MoR deletes left no pending vectors")
+      val maskedCount = SnapshotTable.read(s, path).count()
+      val preV = SnapshotTable.versions(s, path).max
+      SnapshotTable.optimizeIncremental(s, path,
+          targetFileBytes = 512L * 1024 * 1024)
+        .getOrElse(sys.error("compaction found no DV backlog"))
+      require(SnapshotTable.pendingDvEntries(s, path) == 0,
+        "post-optimize manifest still references deletion vectors")
+      require(SnapshotTable.pendingDvEntries(s, path, Some(preV)) > 0 &&
+        SnapshotTable.read(s, path, Some(preV)).count() == maskedCount,
+        "pre-optimize version no longer time-travels with its mask")
+      val after = SnapshotTable.read(s, path).inputFiles.toSet
+      require(after.intersect(before).isEmpty,
+        "compaction did not rewrite the DV'd data files")
+      SnapshotTable.versions(s, path).map { v =>
+        SnapshotTable.read(s, path, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("total"))
+        .orderBy(col("version"))
+    }),
+
     // W22: exponential-decay smoothing (EWMA, alpha = 1/2) over each
     // user's event stream — the time-series smoother the panel family
     // lacked. Exact by construction: the value quantizes to integer
@@ -882,6 +931,28 @@ object WindowQueries {
         |SELECT 0 AS version, n_rows, total FROM v0
         |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
         |UNION ALL SELECT 2 AS version, n_rows, total FROM v2
+        |ORDER BY version""".stripMargin,
+
+    "w27_dv_materialize" ->
+      """WITH v0 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |v1 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'),
+        |v2 AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'
+        |    AND o_totalprice <= 300000.0)
+        |SELECT 0 AS version, n_rows, total FROM v0
+        |UNION ALL SELECT 1 AS version, n_rows, total FROM v1
+        |UNION ALL SELECT 2 AS version, n_rows, total FROM v2
+        |UNION ALL SELECT 3 AS version, n_rows, total FROM v2
         |ORDER BY version""".stripMargin,
 
     "w25_delete_mor" ->

@@ -266,6 +266,20 @@ object SnapshotTable {
     parts(0) + "\t" + (kept :+ s"dv=${dvRels.mkString(",")}").mkString(";")
   }
 
+  /** Number of manifest entries still referencing a deletion vector
+    * at `version` (latest by default). 0 = every merge-on-read mask
+    * has been materialized (no per-read anti-join tax); the operative
+    * health metric for a deleteMoR/updateMoR-heavy table, and the
+    * signal that [[optimizeIncremental]] has work to do. */
+  def pendingDvEntries(spark: SparkSession, path: String,
+      version: Option[Int] = None): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val v = version.getOrElse(vs.max)
+    readManifest(fsOf(spark, logDir(path)), path, v)
+      .count(e => entryDvs(e).nonEmpty)
+  }
+
   /** Entry identity for change detection: path plus dv reference — a
     * merge-on-read delete changes an entry's visible ROWS without
     * touching its data file, and the change feed must see that. */
@@ -1701,14 +1715,18 @@ object SnapshotTable {
   }
 
   /** Incremental compaction: rewrite ONLY the data files smaller than
-    * `targetFileBytes / 2` into ~target-sized files, carrying every
-    * already-right-sized file by reference — the natural companion to
-    * streaming ingestion, whose per-batch commits accumulate small
-    * files. Cost scales with the small-file backlog, never table
-    * size; published as a new version like [[optimize]] (concurrent
-    * readers of prior versions untouched). Returns the committed
-    * version, or None when fewer than two files qualify (nothing to
-    * gain). */
+    * `targetFileBytes / 2` — plus any file carrying a pending
+    * DELETION VECTOR, whatever its size — into ~target-sized files,
+    * carrying every other right-sized file by reference. The natural
+    * companion to streaming ingestion (per-batch commits accumulate
+    * small files) and to merge-on-read deletes/updates: rewriting a
+    * DV'd file MATERIALIZES the mask, so the new version's entries
+    * reference no vectors and the per-read anti-join tax is gone.
+    * Cost scales with the small-file + pending-DV backlog, never
+    * table size; published as a new version like [[optimize]]
+    * (concurrent readers of prior versions untouched — including the
+    * still-masked pre-compaction version). Returns the committed
+    * version, or None when nothing qualifies. */
   def optimizeIncremental(spark: SparkSession, path: String,
       targetFileBytes: Long): Option[Int] = {
     val fs = fsOf(spark, new Path(path))
@@ -1716,18 +1734,22 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val readV = vs.max
     val manifest = readManifest(fs, path, readV)
-    val (small, kept) = manifest.partition { e =>
-      fs.getFileStatus(new Path(path, entryPath(e))).getLen <
-        targetFileBytes / 2
+    val (rewrite, kept) = manifest.partition { e =>
+      entryDvs(e).nonEmpty ||
+        fs.getFileStatus(new Path(path, entryPath(e))).getLen <
+          targetFileBytes / 2
     }
-    if (small.size < 2) None
+    // two small files compact into one; a single DV'd file still
+    // rewrites (the point is clearing its read tax, not its size)
+    if (rewrite.size < 2 && !rewrite.exists(e => entryDvs(e).nonEmpty))
+      None
     else {
-      val totalBytes = small
+      val totalBytes = rewrite
         .map(e => fs.getFileStatus(new Path(path, entryPath(e))).getLen).sum
       val nFiles = math.max(1,
         math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
       val compacted =
-        readEntriesDv(spark, path, storedSchema(fs, path, readV), small)
+        readEntriesDv(spark, path, storedSchema(fs, path, readV), rewrite)
         .coalesce(nFiles)
       val staged = stage(compacted, path, partitioning(spark, path))
       Some(commitPinned(spark, path, kept ++ staged, readV + 1))

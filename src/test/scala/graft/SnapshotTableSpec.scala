@@ -542,6 +542,33 @@ class SnapshotTableSpec extends SparkSpec {
       targetFileBytes = 4L * 1024 * 1024).isEmpty)
   }
 
+  test("compaction materializes deletion vectors: dv-free manifest, no resurrection") {
+    val path = freshPath("dvmat")
+    val df = (0 until 1000).map(i => (i.toLong, i % 10)).toDF("id", "m")
+    SnapshotTable.create(df.repartition(3), path)
+    SnapshotTable.deleteMoR(spark, path, col("m") === 3)
+    SnapshotTable.deleteMoR(spark, path, col("m") === 7)
+    assert(SnapshotTable.pendingDvEntries(spark, path) > 0)
+    val preV = SnapshotTable.versions(spark, path).max
+    assert(SnapshotTable.optimizeIncremental(spark, path,
+      targetFileBytes = 512L * 1024 * 1024).nonEmpty)
+    // mask materialized: no dv refs, deleted rows do NOT resurrect
+    assert(SnapshotTable.pendingDvEntries(spark, path) === 0)
+    val got = SnapshotTable.read(spark, path)
+    assert(got.count() === 800)
+    assert(got.filter(col("m") === 3 || col("m") === 7).count() === 0)
+    // the pre-optimize version still time-travels WITH its mask
+    assert(SnapshotTable.read(spark, path, Some(preV)).count() === 800)
+    assert(SnapshotTable.pendingDvEntries(spark, path, Some(preV)) > 0)
+    // a single DV'd file rewrites even when no file is "small":
+    // target 1 byte makes nothing small, only the dv backlog qualifies
+    SnapshotTable.deleteMoR(spark, path, col("m") === 5)
+    assert(SnapshotTable.optimizeIncremental(spark, path,
+      targetFileBytes = 1L).nonEmpty)
+    assert(SnapshotTable.pendingDvEntries(spark, path) === 0)
+    assert(SnapshotTable.read(spark, path).count() === 700)
+  }
+
   test("runToSnapshot ingests a file stream into a snapshot table, batch per file") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("snapsrc").toString +
