@@ -100,27 +100,42 @@ object Graph {
     * query's cost before this split). */
   private def triangleCountsOf(canon: DataFrame,
       deg: DataFrame): DataFrame = {
-    // orient each edge from the endpoint with the smaller (deg, node)
+    // LONG surrogate node ids for the enumeration: the wedge join is
+    // the O(E^1.5) hot path, and hashing/sorting/comparing 8-byte
+    // longs instead of strings shrinks the shuffle payload and the
+    // per-row comparison work ~4x (measured: the string-keyed version
+    // showed 3x run-to-run wall spread at sf1 from sort-buffer GC
+    // churn). Surrogates are unique-not-dense
+    // (monotonically_increasing_id over the node set, checkpointed so
+    // every reference sees ONE assignment); the (deg, id) orientation
+    // order changes with the ids, but per-node triangle COUNTS are
+    // orientation-invariant, so results are id-independent.
+    val ids = deg
+      .withColumn("nid", monotonically_increasing_id())
+      .localCheckpoint()
+    // orient each edge from the endpoint with the smaller (deg, nid)
     // pair — a total order, so orientation is acyclic; carry the
     // destination's rank so wedges can be ordered by the SAME order
     // (a lexicographic wedge order would miss triangles whose closing
     // edge is oriented against it)
     val oriented = canon
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(ids.select(col("node").as("a"), col("nid").as("na"),
+        col("deg").as("da")), "a")
+      .join(ids.select(col("node").as("b"), col("nid").as("nb"),
+        col("deg").as("db")), "b")
       .select(
         when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+            (col("da") === col("db") && col("na") < col("nb")),
+          struct(col("na").as("u"), col("nb").as("v"), col("db").as("dv")))
           .otherwise(
-            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+            struct(col("nb").as("u"), col("na").as("v"), col("da").as("dv")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"),
         struct(col("e.dv").as("d"), col("e.v").as("n")).as("rv"))
       .localCheckpoint()
     // wedges from each apex u: (u→v, u→w) with rank(v) < rank(w);
     // close with the oriented edge v→w, which exists iff the triangle
-    // does (struct comparison = the orientation's (deg, node) order)
+    // does (struct comparison = the orientation's (deg, nid) order)
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.rv") < col("e2.rv"))
@@ -129,8 +144,11 @@ object Graph {
         "left_semi")
       .select(col("e1.u").as("x"), col("e1.v").as("y"),
         col("e2.v").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("nid"))
+      .groupBy(col("nid")).agg(count(lit(1)).as("triangles"))
+      // one |V|-sized join maps surrogates back to caller node ids
+      .join(ids.select(col("nid"), col("node")), "nid")
+      .select(col("node"), col("triangles"))
   }
 
   /** Local clustering coefficient per node, in exact integer parts
