@@ -371,6 +371,46 @@ object WindowQueries {
       SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
     }),
 
+    // W28: incremental min/max view maintenance — the delta algebra
+    // w19 can't do. Inserts tighten min/max exactly; the final DELETE
+    // of every top-priced row removes many groups' CURRENT max, which
+    // drives the invalidate-and-recompute arm (only those groups
+    // rescan the base, via a semi-join-restricted read). Oracle: full
+    // recompute of count/sum/min/max over the replayed final state.
+    "w28_incremental_minmax" -> ((s, dir) => {
+      import graft.sources.{IncrementalView, SnapshotTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_snap_w28").toString
+      val basePath = tmp + "/orders_base"
+      val aggPath = tmp + "/orders_agg"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).*(100)
+          .cast(LongType).as("cents"))
+      SnapshotTable.create(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), basePath)
+      SnapshotTable.create(
+        SnapshotTable.read(s, basePath, Some(0))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
+            min(col("cents")).as("mn"), max(col("cents")).as("mx")),
+        aggPath)
+      // churn: double F orders (update = delete+insert of potential
+      // extrema), add the 2-HIGH slice (inserts + brand-new groups),
+      // then delete every top-priced row (max invalidation)
+      val updates = orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .withColumn("cents", col("cents") * 2) unionByName
+        orders.filter(col("o_orderpriority") === "2-HIGH")
+      SnapshotTable.merge(updates, basePath, Seq("o_orderkey"))
+      SnapshotTable.delete(s, basePath, col("cents") > 25000000L)
+      IncrementalView.refreshCountSumMinMax(s, basePath, aggPath,
+        "o_custkey", "cents", fromVersion = 0)
+      SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
+    }),
+
     // W20: hive-partitioned snapshot table + partition-pruned read —
     // documents partitioned by lang, then readWhere(lang IN (en, fr))
     // resolves the file set in the DRIVER from the manifest's
@@ -895,6 +935,24 @@ object WindowQueries {
         |  SELECT o_custkey, c FROM cents WHERE o_orderpriority = '2-HIGH'),
         |fin AS (SELECT * FROM merged WHERE o_custkey % 10 <> 3)
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w28_incremental_minmax" ->
+      """WITH cents AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_custkey, c FROM cents
+        |    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_custkey, c * 2 FROM cents
+        |    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_custkey, c FROM cents WHERE o_orderpriority = '2-HIGH'),
+        |fin AS (SELECT * FROM merged WHERE c <= 25000000)
+        |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total,
+        |  CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w20_partitioned_read" ->

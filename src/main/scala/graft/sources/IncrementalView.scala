@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   * contributions per group yields the group's delta, and
   * new = old + delta. Groups whose count reaches zero are REMOVED
   * (matching a full recompute, where an empty group has no row).
-  * min/max are deliberately out of scope — they are not
-  * delta-maintainable under deletes without per-group history.
+  *
+  * min/max are NOT delta-maintainable under deletes without per-group
+  * history, so [[refreshCountSumMinMax]] uses the standard
+  * invalidate-and-recompute rule: inserts tighten min/max exactly
+  * (new = least/greatest(old, inserted)); a delete only matters when
+  * it may have removed a CURRENT extremum (deleted min <= view min or
+  * deleted max >= view max — without multiplicity history the view
+  * cannot know if a duplicate survives), and exactly those
+  * INVALIDATED groups recompute min/max from the base table via one
+  * semi-join-restricted scan. Cost stays churn-proportional except
+  * for invalidated groups.
   *
   * Scale shape: one aggregate over the feed (churn-sized, map-side
   * combined), one group-keyed join against the view, then ONE
@@ -59,6 +68,76 @@ object IncrementalView {
         .select(col(groupCol), col("n"), col("total")),
       aggPath, Seq(groupCol),
       removeKeys = Some(changed.filter(col("n") === 0L)
+        .select(col(groupCol))))
+  }
+
+  /** Refresh a count/sum/min/max view at `aggPath` (schema: groupCol,
+    * `n`, `total`, `mn`, `mx` — all long) from the base table's
+    * change feed. count/sum maintain by pure deltas as in
+    * [[refreshCountSum]]; min/max by the invalidate-and-recompute
+    * rule in the object scaladoc — only groups whose current extremum
+    * MAY have been deleted rescan (base restricted by a semi-join on
+    * the invalidated keys; everything else never touches the base).
+    * Returns the view's new version. */
+  def refreshCountSumMinMax(spark: SparkSession, basePath: String,
+      aggPath: String, groupCol: String, valueCol: String,
+      fromVersion: Int, toVersion: Option[Int] = None): Int = {
+    val toV = toVersion.getOrElse(
+      SnapshotTable.versions(spark, basePath).max)
+    val feed = SnapshotTable.changes(spark, basePath, fromVersion,
+      Some(toV))
+    val v = col(valueCol).cast("long")
+    val isIns = col("change_type") === "insert"
+    val delta = feed
+      .groupBy(col(groupCol))
+      .agg(sum(when(isIns, lit(1L)).otherwise(lit(-1L))).as("dn"),
+        sum(when(isIns, v).otherwise(-v)).as("dv"),
+        min(when(isIns, v)).as("ins_mn"),
+        max(when(isIns, v)).as("ins_mx"),
+        min(when(!isIns, v)).as("del_mn"),
+        max(when(!isIns, v)).as("del_mx"))
+    val old = SnapshotTable.read(spark, aggPath)
+      .select(col(groupCol), col("n").as("old_n"),
+        col("total").as("old_total"), col("mn").as("old_mn"),
+        col("mx").as("old_mx"))
+    val newN = coalesce(col("old_n"), lit(0L)) + col("dn")
+    // a delete at-or-below the view min (at-or-above the view max)
+    // may have removed the extremum: the view has no multiplicity
+    // history, so those groups are INVALID and rescan. New groups
+    // (old_n null) are always exact: the feed holds their every row.
+    val minInvalid = col("old_n").isNotNull &&
+      col("del_mn").isNotNull && col("del_mn") <= col("old_mn")
+    val maxInvalid = col("old_n").isNotNull &&
+      col("del_mx").isNotNull && col("del_mx") >= col("old_mx")
+    val joined = delta.join(old, Seq(groupCol), "left")
+      .withColumn("n", newN)
+      .withColumn("total", coalesce(col("old_total"), lit(0L)) + col("dv"))
+      .withColumn("invalid",
+        (minInvalid || maxInvalid) && col("n") > 0L)
+      .localCheckpoint() // three consumers; compute the join once
+    val exact = joined.filter(!col("invalid") && col("n") > 0L)
+      .select(col(groupCol), col("n"), col("total"),
+        least(coalesce(col("old_mn"), col("ins_mn")),
+          coalesce(col("ins_mn"), col("old_mn"))).as("mn"),
+        greatest(coalesce(col("old_mx"), col("ins_mx")),
+          coalesce(col("ins_mx"), col("old_mx"))).as("mx"))
+    val invalidated = joined.filter(col("invalid"))
+      .select(col(groupCol), col("n"), col("total"))
+    // count/sum stay delta-exact even for invalidated groups; only
+    // min/max come from the restricted base scan (at the feed's end
+    // version, so a concurrent later commit cannot skew the view)
+    val recomputed = SnapshotTable.read(spark, basePath, Some(toV))
+      .select(col(groupCol), v.as("__v"))
+      .join(invalidated.select(col(groupCol)), Seq(groupCol),
+        "left_semi")
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .join(invalidated, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("total"), col("mn"),
+        col("mx"))
+    SnapshotTable.merge(exact.unionByName(recomputed), aggPath,
+      Seq(groupCol),
+      removeKeys = Some(joined.filter(col("n") === 0L)
         .select(col(groupCol))))
   }
 }

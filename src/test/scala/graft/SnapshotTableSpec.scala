@@ -354,6 +354,61 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(7L))
   }
 
+  test("property: incremental min/max view equals a full recompute under extremum churn") {
+    import spark.implicits._
+    import graft.sources.IncrementalView
+    val rnd = new scala.util.Random(13)
+    val tmp = java.nio.file.Files.createTempDirectory("snapivmm").toString
+    val basePath = tmp + "/base"
+    val aggPath = tmp + "/agg"
+    val base0 = (1L to 300L).map(i =>
+      (i, rnd.nextInt(15).toLong, (1 + rnd.nextInt(100)).toLong))
+    SnapshotTable.create(base0.toDF("id", "grp", "v"), basePath)
+    SnapshotTable.create(
+      SnapshotTable.read(spark, basePath).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+          min(col("v")).as("mn"), max(col("v")).as("mx")), aggPath)
+    // churn engineered to hit every maintenance arm: random value
+    // updates (delete+insert pairs, some of extrema), new keys in new
+    // AND old groups, a delete of every v > 90 (removes many groups'
+    // current max -> invalidate-and-recompute), and a delete emptying
+    // group 5 entirely (removal arm)
+    val updates = ((1L to 300L).filter(_ => rnd.nextBoolean()).map(i =>
+      (i, rnd.nextInt(15).toLong, (1 + rnd.nextInt(100)).toLong)) ++
+      (301L to 340L).map(i =>
+        (i, rnd.nextInt(17).toLong, (1 + rnd.nextInt(100)).toLong)))
+      .toDF("id", "grp", "v")
+    SnapshotTable.merge(updates, basePath, Seq("id"))
+    SnapshotTable.delete(spark, basePath,
+      col("v") > 90L || col("grp") === 5L)
+    IncrementalView.refreshCountSumMinMax(spark, basePath, aggPath,
+      "grp", "v", fromVersion = 0)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = snap(SnapshotTable.read(spark, aggPath)
+      .select("grp", "n", "total", "mn", "mx"))
+    val want = snap(SnapshotTable.read(spark, basePath).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+        min(col("v")).as("mn"), max(col("v")).as("mx")))
+    assert(got === want)
+    assert(!got.contains(5L))
+    // a second refresh round from the new watermark stays in sync
+    // (insert-only: the exact arm, no base rescan needed)
+    val fromV = SnapshotTable.versions(spark, basePath).max
+    SnapshotTable.append(
+      (400L to 420L).map(i => (i, (i % 15).toLong, 200L))
+        .toDF("id", "grp", "v"), basePath)
+    IncrementalView.refreshCountSumMinMax(spark, basePath, aggPath,
+      "grp", "v", fromVersion = fromV)
+    val got2 = snap(SnapshotTable.read(spark, aggPath)
+      .select("grp", "n", "total", "mn", "mx"))
+    val want2 = snap(SnapshotTable.read(spark, basePath).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+        min(col("v")).as("mn"), max(col("v")).as("mx")))
+    assert(got2 === want2)
+  }
+
   test("merge: a concurrent commit fails the merge instead of dropping rows") {
     import spark.implicits._
     val path = freshPath("mergerace")
