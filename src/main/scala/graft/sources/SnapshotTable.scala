@@ -103,10 +103,16 @@ object SnapshotTable {
     }
 
   /** String-stats items in the same TAB section: `col=s!lo!hi` with
-    * %XX-escaped ASCII bounds ([[escStat]]). The numeric parser skips
-    * them (no ':' + toLong failure), so old readers stay compatible. */
+    * %XX-escaped UTF-8 BYTE bounds ([[escStat]]). Bounds are raw byte
+    * sequences (possibly not valid UTF-8 after [[boundHi]]'s byte
+    * increment) compared unsigned-lexicographically — exactly the
+    * order Spark's UTF8String and DuckDB's default collation use, so
+    * the `période`/`café` columns the ASCII opt-out used to skip now
+    * prune soundly. The numeric parser skips these items (no ':' +
+    * toLong failure) and pure-ASCII bounds encode byte-identically to
+    * the old format, so old manifests stay fully readable. */
   private[graft] def entryStringStats(line: String)
-      : Map[String, (String, String)] =
+      : Map[String, (Array[Byte], Array[Byte])] =
     line.split("\t", 2) match {
       case Array(_, st) =>
         st.split(";").iterator.flatMap { kv =>
@@ -123,22 +129,34 @@ object SnapshotTable {
       case _ => Map.empty
     }
 
-  private def escStat(v: String): String = v.flatMap { c =>
-    if (c == '%' || c == ';' || c == '=' || c == '!' || c == ':' ||
-      c == '\t' || c == '\n') f"%%${c.toInt}%02X"
-    else c.toString
+  /** Unsigned byte-lexicographic order — the common string order of
+    * parquet binary stats, Spark's UTF8String, and DuckDB. */
+  private[graft] def bytesLe(a: Array[Byte], b: Array[Byte]): Boolean =
+    java.util.Arrays.compareUnsigned(a, b) <= 0
+  private[graft] def bytesLt(a: Array[Byte], b: Array[Byte]): Boolean =
+    java.util.Arrays.compareUnsigned(a, b) < 0
+
+  private def escStat(v: Array[Byte]): String = {
+    val sb = new StringBuilder
+    v.foreach { b =>
+      val c = b & 0xFF
+      val escape = c < 0x20 || c > 0x7E || c == '%' || c == ';' ||
+        c == '=' || c == '!' || c == ':'
+      if (escape) sb.append(f"%%$c%02X") else sb.append(c.toChar)
+    }
+    sb.toString
   }
 
-  private def unescStat(v: String): String = {
-    val sb = new StringBuilder
+  private def unescStat(v: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(v.length)
     var i = 0
     while (i < v.length) {
       if (v.charAt(i) == '%' && i + 3 <= v.length) {
-        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        out.write(Integer.parseInt(v.substring(i + 1, i + 3), 16))
         i += 3
-      } else { sb.append(v.charAt(i)); i += 1 }
+      } else { out.write(v.charAt(i).toInt); i += 1 }
     }
-    sb.toString
+    out.toByteArray
   }
 
   private def manifestLines(fs: FileSystem, path: String, v: Int): Seq[String] = {
@@ -484,16 +502,20 @@ object SnapshotTable {
     } catch { case _: Exception => Map.empty }
   }
 
-  /** Footer-harvested ASCII string [min, max] bounds for `cols` in one
-    * parquet file. Sound by construction:
-    *  - a column is omitted unless EVERY row group has binary stats
-    *    whose min AND max are pure printable ASCII (0x20–0x7E) — byte
-    *    order then equals String order, no collation/encoding hazard;
-    *  - values longer than [[StrStatMax]] are bounded, not stored:
-    *    min truncates to a prefix (≤ the true min), max truncates and
-    *    INCREMENTS the last incrementable char (≥ the true max; if no
-    *    char < 0x7E exists the column is omitted — never a wrong
-    *    bound). */
+  /** Footer-harvested string [min, max] BYTE bounds for `cols` in one
+    * parquet file (Iceberg-style truncated binary bounds). Sound by
+    * construction:
+    *  - bounds are the raw UTF-8 bytes of the parquet binary stats,
+    *    compared unsigned-lexicographically — the exact order Spark
+    *    compares strings in, so no collation/encoding hazard and no
+    *    ASCII opt-out: non-ASCII columns prune too;
+    *  - values longer than [[StrStatMax]] bytes are bounded, not
+    *    stored: min truncates to a byte prefix (≤ the true min), max
+    *    truncates and INCREMENTS the last non-0xFF byte, dropping the
+    *    tail (≥ the true max, even when the increment lands mid-
+    *    codepoint — comparisons are byte-wise, bounds need not be
+    *    valid UTF-8; an all-0xFF prefix omits the column — never a
+    *    wrong bound). */
   private val StrStatMax = 32
 
   /** Broadcast ceiling for deletion-vector masks in [[readEntriesDv]]
@@ -516,27 +538,20 @@ object SnapshotTable {
     stage(distinct.coalesce(nParts), path).map(entryPath)
   }
 
-  private def asciiOf(b: org.apache.parquet.io.api.Binary): Option[String] = {
-    val bytes = b.getBytes
-    if (bytes.forall(x => x >= 0x20 && x <= 0x7E))
-      Some(new String(bytes, "US-ASCII"))
-    else None
-  }
+  private[graft] def boundLo(s: Array[Byte]): Array[Byte] =
+    if (s.length <= StrStatMax) s else s.take(StrStatMax)
 
-  private[graft] def boundLo(s: String): String =
-    if (s.length <= StrStatMax) s else s.substring(0, StrStatMax)
-
-  private[graft] def boundHi(s: String): Option[String] =
+  private[graft] def boundHi(s: Array[Byte]): Option[Array[Byte]] =
     if (s.length <= StrStatMax) Some(s)
     else {
-      val pfx = s.substring(0, StrStatMax)
-      val i = pfx.lastIndexWhere(_ < 0x7E)
+      val pfx = s.take(StrStatMax)
+      val i = pfx.lastIndexWhere(b => (b & 0xFF) < 0xFF)
       if (i < 0) None
-      else Some(pfx.substring(0, i) + (pfx.charAt(i) + 1).toChar)
+      else Some(pfx.take(i) :+ (pfx(i) + 1).toByte)
     }
 
   private def footerStringRanges(spark: SparkSession, file: Path,
-      cols: Seq[String]): Map[String, (String, String)] = {
+      cols: Seq[String]): Map[String, (Array[Byte], Array[Byte])] = {
     import scala.jdk.CollectionConverters._
     if (cols.isEmpty) return Map.empty
     try {
@@ -553,15 +568,17 @@ object SnapshotTable {
               .flatMap(st => (st.genericGetMin, st.genericGetMax) match {
                 case (mn: org.apache.parquet.io.api.Binary,
                     mx: org.apache.parquet.io.api.Binary) =>
-                  for (lo <- asciiOf(mn); hi <- asciiOf(mx)) yield (lo, hi)
+                  Some((mn.getBytes, mx.getBytes))
                 case _ => None
               })
           }
           if (perBlock.exists(_.isEmpty)) None
           else {
             val rs = perBlock.flatten
-            boundHi(rs.map(_._2).max).map(hi =>
-              c -> (boundLo(rs.map(_._1).min), hi))
+            boundHi(rs.map(_._2).reduce((a, b) =>
+              if (bytesLe(a, b)) b else a)).map(hi =>
+              c -> (boundLo(rs.map(_._1).reduce((a, b) =>
+                if (bytesLe(a, b)) a else b)), hi))
           }
         }.toMap
       } finally reader.close()
@@ -878,19 +895,19 @@ object SnapshotTable {
           else Some(k -> (asLong(mm.get(2 * i)), asLong(mm.get(2 * i + 1))))
         }
       }
-    // string keys prune the same way via the cached ASCII bounds
+    // string keys prune the same way via the cached byte bounds —
+    // Spark's min/max over strings IS the unsigned byte order the
+    // bounds are stored in, so non-ASCII keys prune too
     val stringKeys = keyCols.filter(k =>
       updates.schema(k).dataType == org.apache.spark.sql.types.StringType)
-    val strRanges: Seq[(String, (String, String))] = stringKeys.flatMap { k =>
-      val mm = keys.agg(min(col(k)), max(col(k))).collect()(0)
-      if (mm.isNullAt(0)) None
-      else {
-        val (lo, hi) = (mm.getString(0), mm.getString(1))
-        if ((lo + hi).forall(c => c >= 0x20 && c <= 0x7E))
-          Some(k -> (lo, hi))
-        else None // non-ASCII update keys: no string pruning on k
+    val strRanges: Seq[(String, (Array[Byte], Array[Byte]))] =
+      stringKeys.flatMap { k =>
+        val mm = keys.agg(min(col(k)), max(col(k))).collect()(0)
+        if (mm.isNullAt(0)) None
+        else Some(k -> (
+          mm.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          mm.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
-    }
     val candidates: Seq[String] =
       if (ranges.size < rangedKeys.size) Seq.empty // an all-null key col
       else manifest.filter { entry =>
@@ -907,7 +924,7 @@ object SnapshotTable {
         val sst = entryStringStats(entry)
         val strOk = strRanges.forall { case (k, (lo, hi)) =>
           sst.get(k) match {
-            case Some((mn, mx)) => mn <= hi && mx >= lo
+            case Some((mn, mx)) => bytesLe(mn, hi) && bytesLe(lo, mx)
             case None => true
           }
         }
@@ -1359,7 +1376,8 @@ object SnapshotTable {
     * test needs (timestamps as micros, dates as days). */
   private[graft] def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
       parts: Map[String, String], stats: Map[String, (Long, Long)],
-      strStats: Map[String, (String, String)] = Map.empty): Boolean = {
+      strStats: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
+      : Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     // attribute reached through zero or more casts, casts collected
@@ -1577,19 +1595,23 @@ object SnapshotTable {
       // string bounds: lo <= true min, hi >= true max (prefix /
       // incremented-truncation, ASCII-only), so every test below is
       // implied TRUE whenever a matching row can exist — sound
+      // byte bounds: lo <= true min, hi >= true max in unsigned byte
+      // order — the SAME order Spark compares the column in, so every
+      // test below is implied TRUE whenever a matching row can exist.
+      // No ASCII restriction: 'période'-keyed columns prune too.
       val byStr = strStats.get(name).map { case (lo, hi) =>
         v match {
-          case u: org.apache.spark.unsafe.types.UTF8String
-              if u.toString.forall(c => c >= 0x20 && c <= 0x7E) =>
-            val x = u.toString
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            val x = u.getBytes
             op match {
-              case "=" => lo <= x && x <= hi
-              case ">" => hi > x
-              case ">=" => hi >= x
-              case "<" => lo < x
-              case "<=" => lo <= x
+              case "=" => bytesLe(lo, x) && bytesLe(x, hi)
+              case ">" => bytesLt(x, hi)
+              case ">=" => bytesLe(x, hi)
+              case "<" => bytesLt(lo, x)
+              case "<=" => bytesLe(lo, x)
+              case _ => true
             }
-          case _ => true // non-ASCII or non-string constant: keep
+          case _ => true // non-string constant: keep
         }
       }
       // partition dirs render strings/integrals verbatim; other types
@@ -1668,19 +1690,23 @@ object SnapshotTable {
         // rendering need not match the cast's, so the file is kept
         foldVal(pfx) match {
           case Some((p, _)) if p != null =>
-            val ps = p.toString
             val byDir = parts.get(attrName(a).get)
               .forall(dir => dir.startsWith(partitionPathValue(p)))
-            // strings with prefix ps live in [ps, inc(ps)): the file
-            // may hold one iff its bounds overlap that interval
+            // strings with byte prefix P live in [P, inc(P)): the
+            // file may hold one iff its byte bounds overlap that
+            // interval (all comparisons unsigned byte-lexicographic)
+            val pb = p match {
+              case u: org.apache.spark.unsafe.types.UTF8String =>
+                u.getBytes
+              case other => other.toString.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+            }
             val byRange =
-              if (!ps.forall(c => c >= 0x20 && c <= 0x7E)) true
-              else strStats.get(attrName(a).get).forall { case (lo, hi) =>
-                val i = ps.lastIndexWhere(_ < 0x7E)
+              strStats.get(attrName(a).get).forall { case (lo, hi) =>
+                val i = pb.lastIndexWhere(b => (b & 0xFF) < 0xFF)
                 val upperOk = i < 0 ||
-                  lo < ps.substring(0, i) + (ps.charAt(i) + 1).toChar
-                hi >= ps.substring(0, math.min(ps.length, StrStatMax)) &&
-                  upperOk
+                  bytesLt(lo, pb.take(i) :+ (pb(i) + 1).toByte)
+                bytesLe(pb.take(StrStatMax), hi) && upperOk
               }
             byDir && byRange
           case Some((null, _)) => false

@@ -1145,27 +1145,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(dfU.count() === 0)
   }
 
-  test("string-stat bounds truncate soundly; non-ASCII columns opt out") {
-    // truncation: lo is a prefix (<= true min), hi increments the last
-    // incrementable char (>= true max)
+  test("string-stat byte bounds truncate soundly; non-ASCII columns prune") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def b(s: String) = s.getBytes(UTF_8)
+    // truncation: lo is a byte prefix (<= true min), hi increments the
+    // last non-0xFF byte (>= true max)
     val long = "a" * 40 + "zzz"
-    assert(SnapshotTable.boundLo(long) === "a" * 32)
-    assert(SnapshotTable.boundHi(long).get === "a" * 31 + "b")
-    assert(SnapshotTable.boundHi("short").get === "short")
-    // a string of only 0x7E chars cannot be upper-bounded by truncation
-    assert(SnapshotTable.boundHi("~" * 40).isEmpty)
-    assert(SnapshotTable.boundLo(long) <= long)
-    assert(SnapshotTable.boundHi(long).get >= long)
-    // a table whose string column holds non-ASCII gets NO string stats
-    // and never prunes on it (soundness over power)
+    assert(SnapshotTable.boundLo(b(long)).sameElements(b("a" * 32)))
+    assert(SnapshotTable.boundHi(b(long)).get.sameElements(b("a" * 31 + "b")))
+    assert(SnapshotTable.boundHi(b("short")).get.sameElements(b("short")))
+    // an all-0xFF prefix cannot be upper-bounded by truncation
+    assert(SnapshotTable.boundHi(Array.fill(40)(0xFF.toByte)).isEmpty)
+    assert(SnapshotTable.bytesLe(SnapshotTable.boundLo(b(long)), b(long)))
+    assert(SnapshotTable.bytesLe(b(long), SnapshotTable.boundHi(b(long)).get))
+    // multi-byte truncation may split a codepoint: still a valid bound
+    val uni = "é" * 30 // 60 UTF-8 bytes; byte 32 splits a codepoint
+    assert(SnapshotTable.bytesLe(SnapshotTable.boundLo(b(uni)), b(uni)))
+    assert(SnapshotTable.bytesLe(b(uni), SnapshotTable.boundHi(b(uni)).get))
+    // a non-ASCII string column (the reference's own période/dû
+    // schema shape) now gets byte bounds and PRUNES, exactly
     val path = freshPath("nonascii")
     val rows = (0L until 100L).map(i =>
       (i, if (i < 50) "café" else "thé")).toDF("id", "s")
     SnapshotTable.create(rows.repartitionByRange(2, col("s")), path)
     val (df, kept, total) = SnapshotTable.readWherePruned(spark, path,
       col("s") === "café")
-    assert(kept === total) // no pruning claimed
-    assert(df.count() === 50) // still exact
+    assert(total === 2 && kept === 1, s"kept $kept of $total")
+    assert(df.count() === 50)
+    // range + prefix predicates on the non-ASCII axis stay exact
+    val (dfR, keptR, _) = SnapshotTable.readWherePruned(spark, path,
+      col("s") >= "thé")
+    assert(keptR === 1 && dfR.count() === 50)
+    val (dfP, keptP, _) = SnapshotTable.readWherePruned(spark, path,
+      col("s").startsWith("caf"))
+    assert(keptP === 1 && dfP.count() === 50)
+    // merge on a non-ASCII string key prunes to the matching file
+    SnapshotTable.merge(
+      Seq((7L, "café")).toDF("id", "s"), path, Seq("id", "s"))
+    assert(SnapshotTable.read(spark, path).count() === 100)
   }
 
   test("property: readWhere equals read+filter over randomized predicates") {
