@@ -371,6 +371,45 @@ object WindowQueries {
       SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
     }),
 
+    // W29: column rename/drop through field-stable physical names
+    // (Delta-style column mapping) — both are METADATA-ONLY commits
+    // (require() pins zero file churn), old files serve a renamed
+    // column under its stable physical name, and a dropped-then-
+    // re-added logical name binds a FRESH physical slot so the old
+    // bytes never resurrect (pinned by the custkeys count: only the
+    // post-re-add slice is non-null). Oracle replays the final state.
+    "w29_schema_rename_drop" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w29").toString + "/orders_snap"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).*(100)
+          .cast(LongType).as("cents"))
+      def slice(p: String) = orders
+        .filter(col("o_orderpriority") === p).drop("o_orderpriority")
+      SnapshotTable.create(slice("1-URGENT"), path)
+      val files0 = SnapshotTable.read(s, path).inputFiles.toSet
+      SnapshotTable.renameColumn(s, path, "cents", "price_cents")
+      require(SnapshotTable.read(s, path).inputFiles.toSet == files0,
+        "rename rewrote data files")
+      SnapshotTable.append(
+        slice("2-HIGH").withColumnRenamed("cents", "price_cents"), path)
+      val preDrop = SnapshotTable.read(s, path).inputFiles.toSet
+      SnapshotTable.dropColumn(s, path, "o_custkey")
+      require(SnapshotTable.read(s, path).inputFiles.toSet == preDrop,
+        "drop rewrote data files")
+      SnapshotTable.append(
+        slice("3-MEDIUM").withColumnRenamed("cents", "price_cents")
+          .select(col("o_orderkey"), col("price_cents"),
+            col("o_custkey")),
+        path, evolveSchema = true)
+      SnapshotTable.read(s, path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("total"),
+          count(col("o_custkey")).as("custkeys"))
+    }),
+
     // W28: incremental min/max view maintenance — the delta algebra
     // w19 can't do. Inserts tighten min/max exactly; the final DELETE
     // of every top-priced row removes many groups' CURRENT max, which
@@ -936,6 +975,16 @@ object WindowQueries {
         |fin AS (SELECT * FROM merged WHERE o_custkey % 10 <> 3)
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w29_schema_rename_drop" ->
+      """WITH c AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        |  FROM orders)
+        |SELECT count(*) AS n_rows, CAST(sum(pc) AS BIGINT) AS total,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |             THEN o_custkey END) AS custkeys
+        |FROM c
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')""".stripMargin,
 
     "w28_incremental_minmax" ->
       """WITH cents AS (

@@ -219,6 +219,108 @@ object SnapshotTable {
     readMeta(fs, path, v).get("schema").map(j =>
       types.DataType.fromJson(j).asInstanceOf[types.StructType])
 
+  /** Column mapping (Delta-style): each field's PHYSICAL name — the
+    * name its bytes carry in parquet files and manifest stat keys —
+    * lives in the field metadata under [[PhysKey]]; absent means
+    * physical == logical. [[renameColumn]] changes only the logical
+    * name (old files keep serving the data under the stable physical
+    * name); [[dropColumn]] retires the physical name into the
+    * `#droppedPhys` meta list so a later re-add of the same logical
+    * name gets a FRESH physical name and can never resurrect dropped
+    * bytes from old files. */
+  private val PhysKey = "graft.physical"
+
+  private[graft] def physName(f: types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  private def hasMapping(st: types.StructType): Boolean =
+    st.fields.exists(f => physName(f) != f.name)
+
+  /** `df`'s columns renamed logical → physical per `st`'s mapping —
+    * applied immediately before every data-file write of an evolved
+    * table (identity, and plan-free, when no mapping exists). */
+  private def toPhysical(df: DataFrame,
+      st: Option[types.StructType]): DataFrame = st match {
+    case Some(s) if hasMapping(s) =>
+      import org.apache.spark.sql.functions.col
+      val pm = s.fields.map(f => f.name -> physName(f)).toMap
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(pm.getOrElse(c, c))): _*)
+    case _ => df
+  }
+
+  /** Manifest stat keys are PHYSICAL column names (harvested from the
+    * written footers); predicates reference LOGICAL names — relabel
+    * before pruning. Dropped columns' stats keep their physical key
+    * (no live predicate can reference them). */
+  private def relabelStats[T](m: Map[String, T],
+      st: Option[types.StructType]): Map[String, T] =
+    st.filter(hasMapping) match {
+      case None => m
+      case Some(s) =>
+        val p2l = s.fields.map(f => physName(f) -> f.name).toMap
+        m.map { case (k, v) => p2l.getOrElse(k, k) -> v }
+    }
+
+  private def withPhys(f: types.StructField, phys: String): types.StructField =
+    f.copy(metadata = new types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysKey, phys).build())
+
+  /** Rename a column — METADATA-ONLY: a new version with the same
+    * data files and a schema whose field carries the new logical name
+    * over the unchanged physical name. Old versions time-travel with
+    * their own schema. Partition columns cannot be renamed (their
+    * name is baked into directory paths and layout meta). */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val fs = fsOf(spark, logDir(path))
+    val st = storedSchema(fs, path, vs.max).getOrElse(
+      sys.error(s"renameColumn: $path has no stored schema (legacy log)"))
+    require(st.fieldNames.contains(from), s"no column $from")
+    require(!st.fieldNames.contains(to), s"column $to already exists")
+    require(!partitioning(spark, path).contains(from),
+      s"cannot rename partition column $from")
+    val renamed = types.StructType(st.fields.map(f =>
+      if (f.name == from) withPhys(f, physName(f)).copy(name = to)
+      else f))
+    commit(spark, path, Seq.empty,
+      next => readManifest(fs, path, next - 1),
+      meta = schemaMeta(renamed))
+  }
+
+  /** Drop a column — METADATA-ONLY: the field leaves the schema, its
+    * physical name joins the retired list, no file is rewritten, and
+    * time travel to prior versions still reads it. A later re-added
+    * column with the same logical name gets a fresh physical name, so
+    * the dropped bytes in old files can never resurrect. */
+  def dropColumn(spark: SparkSession, path: String,
+      name: String): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val fs = fsOf(spark, logDir(path))
+    val st = storedSchema(fs, path, vs.max).getOrElse(
+      sys.error(s"dropColumn: $path has no stored schema (legacy log)"))
+    require(st.fieldNames.contains(name), s"no column $name")
+    require(st.fields.length > 1, "cannot drop the only column")
+    require(!partitioning(spark, path).contains(name),
+      s"cannot drop partition column $name")
+    val phys = physName(st.fields.find(_.name == name).get)
+    val dropped = (droppedPhys(fs, path, vs.max) :+ phys).distinct
+    commit(spark, path, Seq.empty,
+      next => readManifest(fs, path, next - 1),
+      meta = schemaMeta(types.StructType(
+        st.fields.filterNot(_.name == name))) +
+        ("droppedPhys" -> dropped.mkString(",")))
+  }
+
+  private def droppedPhys(fs: FileSystem, path: String,
+      v: Int): Seq[String] =
+    readMeta(fs, path, v).get("droppedPhys")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
   /** Read `rels` with the version's stored schema if present: files
     * written before a column was added yield NULL for it, and column
     * order is the table's, not any one footer's.
@@ -234,7 +336,13 @@ object SnapshotTable {
       withRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val paths = rels.map(rel => new Path(path, rel).toString)
-    val raw = schema.fold(spark.read)(st => spark.read.schema(st))
+    // the parquet scan matches columns by PHYSICAL name (files of an
+    // evolved table carry physical names; a just-renamed column keeps
+    // serving its old bytes), then the projection restores the
+    // LOGICAL names and the stored order/types
+    val physSchema = schema.map(st => types.StructType(
+      st.fields.map(f => f.copy(name = physName(f)))))
+    val raw = physSchema.fold(spark.read)(st => spark.read.schema(st))
       .option("basePath", filesDir(path).toString)
       .parquet(paths: _*)
     // `withRowId` appends the file identity (uuid basename — stable if
@@ -251,7 +359,8 @@ object SnapshotTable {
     schema match {
       case Some(st) =>
         raw.select(st.fields.toSeq.map(f =>
-          col(f.name).cast(nullifyAny(f.dataType)).as(f.name)) ++ rowId: _*)
+          col(physName(f)).cast(nullifyAny(f.dataType)).as(f.name))
+          ++ rowId: _*)
       case None =>
         if (rowId.isEmpty) raw
         else raw.select(col("*") +: rowId: _*)
@@ -708,10 +817,21 @@ object SnapshotTable {
             "evolveSchema = true to add columns")
         add
     }
+    // a re-added logical name whose physical slot was ever used (a
+    // live column's physical, or a DROPPED column's retired physical
+    // still present in old files) gets a fresh physical name — old
+    // bytes must never resurrect under a new column
+    val usedPhys = currentOpt.toSeq.flatMap(_.fields.map(physName))
+      .toSet ++ droppedPhys(fs, path, vs.max)
+    val addedMapped = added.map(f =>
+      if (usedPhys.contains(f.name))
+        withPhys(f, "c_" + UUID.randomUUID().toString.take(8))
+      else f)
     val evolved = types.StructType(
-      currentOpt.fold(df.schema.fields)(_.fields ++ added))
+      currentOpt.fold(df.schema.fields)(_.fields ++ addedMapped))
     // appends inherit the table's partition layout from the log meta
-    val staged = stage(df, path, partitioning(spark, path))
+    val staged = stage(toPhysical(df, Some(evolved)), path,
+      partitioning(spark, path))
     commit(spark, path, staged,
       next => readManifest(fs, path, next - 1),
       meta = schemaMeta(evolved))
@@ -729,10 +849,13 @@ object SnapshotTable {
     // (Some(Nil) = de-partition). Old versions keep reading their own
     // layout — partition values live in each entry's path, not the meta.
     val layout = repartitionBy.getOrElse(partitioning(spark, path))
+    // a full rewrite re-baselines the schema: files carry the logical
+    // names again, so the column mapping and retired-physical list
+    // reset (old versions keep their own schema meta)
     commit(spark, path, stage(df, path, layout),
       _ => Seq.empty,
       meta = schemaMeta(df.schema) ++
-        Map("partition" -> layout.mkString(",")))
+        Map("partition" -> layout.mkString(","), "droppedPhys" -> ""))
   }
 
   /** EXACTLY-ONCE idempotent append for a streaming micro-batch: the
@@ -752,7 +875,12 @@ object SnapshotTable {
     val spark = df.sparkSession
     if (committedStreamBatch(spark, path).exists(_ >= batchId)) None
     else {
-      val staged = stage(df, path, partitioning(spark, path))
+      val priorVs = versions(spark, path)
+      val mapped =
+        if (priorVs.isEmpty) None
+        else storedSchema(fsOf(spark, logDir(path)), path, priorVs.max)
+      val staged = stage(toPhysical(df, mapped), path,
+        partitioning(spark, path))
       // first batch creates the table and records its schema; later
       // batches inherit the stored schema through the meta chain
       val schemaM =
@@ -908,20 +1036,26 @@ object SnapshotTable {
           mm.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8),
           mm.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
+    // stored schema carries the column-mapping metadata read() strips;
+    // stats/footers are keyed by PHYSICAL names
+    val storedOpt = storedSchema(fs, path, readV)
+    val log2phys: Map[String, String] = storedOpt.toSeq
+      .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
     val candidates: Seq[String] =
       if (ranges.size < rangedKeys.size) Seq.empty // an all-null key col
       else manifest.filter { entry =>
-        val st = entryStats(entry)
+        val st = relabelStats(entryStats(entry), storedOpt)
         val rangeOk = ranges.forall { case (k, (lo, hi)) =>
           st.get(k) match {
             case Some((mn, mx)) => mn <= hi && mx >= lo
             case None if k == rangedKeys.head =>
               fileKeyRangeMayOverlap(spark,
-                new Path(path, entryPath(entry)), k, lo, hi)
+                new Path(path, entryPath(entry)),
+                log2phys.getOrElse(k, k), lo, hi)
             case None => true // no cached stats: keep
           }
         }
-        val sst = entryStringStats(entry)
+        val sst = relabelStats(entryStringStats(entry), storedOpt)
         val strOk = strRanges.forall { case (k, (lo, hi)) =>
           sst.get(k) match {
             case Some((mn, mx)) => bytesLe(mn, hi) && bytesLe(lo, mx)
@@ -940,7 +1074,7 @@ object SnapshotTable {
     // reads of SUBSETS of the table's files go through the stored
     // schema too: a file that predates an added column must read it
     // as null here exactly as it does in read()
-    val tableSchema = Some(current.schema)
+    val tableSchema = storedOpt.orElse(Some(current.schema))
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readEntriesDv(spark, path, tableSchema, candidates,
@@ -959,8 +1093,9 @@ object SnapshotTable {
       else readEntriesDv(spark, path, tableSchema, affected)
         .join(keys, keyCols, "left_anti")
         .unionByName(updates)
-    val staged = stage(rewritten.coalesce(affected.size + 1), path,
-      partitioning(spark, path))
+    val staged = stage(
+      toPhysical(rewritten.coalesce(affected.size + 1), tableSchema),
+      path, partitioning(spark, path))
     commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
   }
 
@@ -996,8 +1131,9 @@ object SnapshotTable {
       tableSchema.getOrElse(read(spark, path, Some(readV)).schema)
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
     val candidates = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e),
-        entryStringStats(e)))
+      mayMatch(pred, entryPartitionValues(entryPath(e)),
+        relabelStats(entryStats(e), tableSchema),
+        relabelStats(entryStringStats(e), tableSchema)))
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readEntriesDv(spark, path, tableSchema, candidates,
@@ -1012,7 +1148,8 @@ object SnapshotTable {
       val kept =
         readEntriesDv(spark, path, tableSchema, affected)
           .filter(not(coalesce(predicate, lit(false))))
-      val staged = stage(kept.coalesce(affected.size), path,
+      val staged = stage(
+        toPhysical(kept.coalesce(affected.size), tableSchema), path,
         partitioning(spark, path))
       commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
     }
@@ -1049,8 +1186,9 @@ object SnapshotTable {
       tableSchema.getOrElse(read(spark, path, Some(readV)).schema)
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
     val candidates = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e),
-        entryStringStats(e)))
+      mayMatch(pred, entryPartitionValues(entryPath(e)),
+        relabelStats(entryStats(e), tableSchema),
+        relabelStats(entryStringStats(e), tableSchema)))
     if (candidates.isEmpty) return readV
     // live matching rows only: already-masked rows never re-enter
     val hits = readEntriesDv(spark, path, tableSchema, candidates,
@@ -1107,8 +1245,9 @@ object SnapshotTable {
           .mkString(","))
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
     val candidates = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e),
-        entryStringStats(e)))
+      mayMatch(pred, entryPartitionValues(entryPath(e)),
+        relabelStats(entryStats(e), tableSchema),
+        relabelStats(entryStringStats(e), tableSchema)))
     if (candidates.isEmpty) return readV
     val matched = readEntriesDv(spark, path, tableSchema, candidates,
         keepRowId = true)
@@ -1136,8 +1275,9 @@ object SnapshotTable {
       .select(schemaForPred.fieldNames.toSeq.map(n =>
         assignments.get(n).map(_.as(n)).getOrElse(col(n))): _*)
     // size the new-image write like the DV: churn-proportional
-    val staged = stage(updated.coalesce(math.max(1,
-        affectedNames.size / 8)), path,
+    val staged = stage(
+      toPhysical(updated.coalesce(math.max(1,
+        affectedNames.size / 8)), tableSchema), path,
       partitioning(spark, path))
     commitPinned(spark, path,
       untouched ++ affected.map(e => withDv(e, dvRels)) ++
@@ -1338,8 +1478,9 @@ object SnapshotTable {
     val st = schema.getOrElse(read(spark, path, Some(v)).schema)
     val pred = resolvedPredicate(spark, st, predicate)
     val kept = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)), entryStats(e),
-        entryStringStats(e)))
+      mayMatch(pred, entryPartitionValues(entryPath(e)),
+        relabelStats(entryStats(e), schema),
+        relabelStats(entryStringStats(e), schema)))
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -1774,10 +1915,12 @@ object SnapshotTable {
         .map(e => fs.getFileStatus(new Path(path, entryPath(e))).getLen).sum
       val nFiles = math.max(1,
         math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val rewriteSchema = storedSchema(fs, path, readV)
       val compacted =
-        readEntriesDv(spark, path, storedSchema(fs, path, readV), rewrite)
+        readEntriesDv(spark, path, rewriteSchema, rewrite)
         .coalesce(nFiles)
-      val staged = stage(compacted, path, partitioning(spark, path))
+      val staged = stage(toPhysical(compacted, rewriteSchema), path,
+        partitioning(spark, path))
       Some(commitPinned(spark, path, kept ++ staged, readV + 1))
     }
   }

@@ -597,6 +597,63 @@ class SnapshotTableSpec extends SparkSpec {
       targetFileBytes = 4L * 1024 * 1024).isEmpty)
   }
 
+  test("schema evolution: rename/drop are metadata-only; dropped bytes never resurrect") {
+    val path = freshPath("renames")
+    SnapshotTable.create(
+      (1L to 100L).map(i => (i, i * 10, s"p$i")).toDF("id", "v", "tag")
+        .repartitionByRange(4, col("id")), path)
+    val filesV0 = SnapshotTable.read(spark, path).inputFiles.toSet
+    // rename: metadata-only — same files, same bytes, new logical name
+    SnapshotTable.renameColumn(spark, path, "v", "value")
+    val renamed = SnapshotTable.read(spark, path)
+    assert(renamed.columns.toSeq === Seq("id", "value", "tag"))
+    assert(renamed.inputFiles.toSet === filesV0)
+    assert(renamed.agg(sum(col("value"))).head.getLong(0) === 50500L)
+    assert(SnapshotTable.read(spark, path, Some(0)).columns.toSeq ===
+      Seq("id", "v", "tag")) // old version keeps its own schema
+    // writes after the rename land under the stable physical name
+    SnapshotTable.append((101L to 110L).map(i => (i, i * 10, s"p$i"))
+      .toDF("id", "value", "tag"), path)
+    SnapshotTable.merge(Seq((5L, 999L, "P5")).toDF("id", "value", "tag"),
+      path, Seq("id"))
+    val merged = SnapshotTable.read(spark, path)
+    assert(merged.count() === 110)
+    assert(merged.filter(col("id") === 5L).select("value")
+      .head.getLong(0) === 999L)
+    assert(merged.filter(col("id") === 105L).select("value")
+      .head.getLong(0) === 1050L)
+    // stat pruning still works through the rename (stats are physical)
+    val (dfW, keptW, totalW) = SnapshotTable.readWherePruned(spark, path,
+      col("id") <= 10L)
+    assert(dfW.count() === 10 && keptW < totalW)
+    // drop is metadata-only; re-adding the same logical name gets a
+    // FRESH physical slot, so the dropped bytes in old files stay dead
+    val preDropV = SnapshotTable.versions(spark, path).max
+    SnapshotTable.dropColumn(spark, path, "tag")
+    assert(SnapshotTable.read(spark, path).columns.toSeq ===
+      Seq("id", "value"))
+    SnapshotTable.append(Seq((200L, 1L, "fresh")).toDF("id", "value", "tag"),
+      path, evolveSchema = true)
+    val readded = SnapshotTable.read(spark, path)
+    assert(readded.columns.toSeq === Seq("id", "value", "tag"))
+    assert(readded.filter(col("id") === 5L).select("tag").head.isNullAt(0))
+    assert(readded.filter(col("id") === 200L).select("tag")
+      .head.getString(0) === "fresh")
+    // time travel across the whole evolution
+    assert(SnapshotTable.read(spark, path, Some(preDropV))
+      .filter(col("id") === 7L).select("tag").head.getString(0) === "p7")
+    // partition columns are rename/drop-protected
+    val ppath = freshPath("renpart")
+    SnapshotTable.create(Seq((1L, "en"), (2L, "fr")).toDF("id", "lang"),
+      ppath, partitionBy = Seq("lang"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, ppath, "lang", "language")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, ppath, "lang")
+    }
+  }
+
   test("compaction materializes deletion vectors: dv-free manifest, no resurrection") {
     val path = freshPath("dvmat")
     val df = (0 until 1000).map(i => (i.toLong, i % 10)).toDF("id", "m")
