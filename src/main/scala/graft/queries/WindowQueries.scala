@@ -371,6 +371,52 @@ object WindowQueries {
       SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
     }),
 
+    // W30: partition × z-order COMPOSITE layout — the production
+    // lakehouse shape w20 (hive partitions) and w23 (flat z-order)
+    // only covered separately. Orders are hive-partitioned by
+    // priority with (custkey, orderdate) z-clustered within each
+    // partition; a three-way conjunctive predicate then prunes
+    // MULTIPLICATIVELY: partition dirs drop 4/5 of the files in the
+    // driver, and per-file z bounds drop most of the surviving
+    // partition. The require()s pin both levels separately. Oracle:
+    // the same filter+aggregate over raw orders.
+    "w30_partition_zorder" -> ((s, dir) => {
+      import graft.sources.{SnapshotTable, ZOrder}
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w30").toString + "/orders_pz"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        ZOrder.zOrderWithin(orders, Seq("o_orderpriority"),
+          Seq("o_custkey", "o_orderdate"), 40),
+        path, partitionBy = Seq("o_orderpriority"))
+      val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1998-01-01 00:00:00"))
+      // level 1: partition value alone (driver-side dir prune)
+      val (_, keptPart, total) = SnapshotTable.readWherePruned(s, path,
+        col("o_orderpriority") === "1-URGENT")
+      require(keptPart * 3 < total,
+        s"partition pruning regressed: kept $keptPart of $total")
+      // level 2: + z-range predicate prunes WITHIN the partition
+      val (pruned, kept, _) = SnapshotTable.readWherePruned(s, path,
+        col("o_orderpriority") === "1-URGENT" &&
+          col("o_custkey") <= maxCust / 4 &&
+          col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      require(kept * 2 < keptPart && kept * 8 < total,
+        s"composite pruning regressed: kept $kept of $total " +
+          s"($keptPart in partition)")
+      pruned
+        .groupBy(date_trunc("year", col("o_orderdate")).cast(DateType)
+          .as("year"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("first_key"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("year"))
+    }),
+
     // W29: column rename/drop through field-stable physical names
     // (Delta-style column mapping) — both are METADATA-ONLY commits
     // (require() pins zero file churn), old files serve a renamed
@@ -975,6 +1021,19 @@ object WindowQueries {
         |fin AS (SELECT * FROM merged WHERE o_custkey % 10 <> 3)
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w30_partition_zorder" ->
+      """WITH mc AS (SELECT max(o_custkey) AS m FROM orders)
+        |SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
+        |  count(*) AS n_orders,
+        |  min(o_orderkey) AS first_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders, mc
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_custkey <= m // 4
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w29_schema_rename_drop" ->
       """WITH c AS (SELECT o_orderkey, o_custkey, o_orderpriority,

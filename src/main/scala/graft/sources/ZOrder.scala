@@ -55,34 +55,60 @@ object ZOrder {
     * partitions, so each output file covers a compact z-range — every
     * zCol's min/max span per file shrinks ~k-th-root-wise instead of
     * one column taking all the benefit. */
-  def zOrderBy(df: DataFrame, zCols: Seq[String], numFiles: Int): DataFrame = {
-    val asNum = zCols.map { n =>
-      val dt = df.schema(n).dataType
-      dt match {
-        case _: NumericType => col(n)
-        case DateType => unix_date(col(n))
-        case TimestampType => unix_micros(col(n))
-        // NTZ: cast via session TZ (pinned UTC everywhere in graft,
-        // so this is the identity on the stored micros)
-        case TimestampNTZType => unix_micros(col(n).cast(TimestampType))
-        case other => throw new IllegalArgumentException(
-          s"z-order column $n has unsupported type $other")
-      }
+  def zOrderBy(df: DataFrame, zCols: Seq[String], numFiles: Int): DataFrame =
+    df.withColumn("__z", zValueFor(df, zCols))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+
+  private def numericOf(df: DataFrame, n: String): Column =
+    df.schema(n).dataType match {
+      case _: NumericType => col(n)
+      case DateType => unix_date(col(n))
+      case TimestampType => unix_micros(col(n))
+      // NTZ: cast via session TZ (pinned UTC everywhere in graft,
+      // so this is the identity on the stored micros)
+      case TimestampNTZType => unix_micros(col(n).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"z-order column $n has unsupported type $other")
     }
-    // one scan, 2k scalars back to the driver (bounded collect)
+
+  /** Z-order WITHIN partition groups — the production lakehouse
+    * layout (partition by the coarse categorical key, z-cluster the
+    * numeric/time dimensions inside each partition). Rows are
+    * range-partitioned on (partCols..., z) and sorted the same way,
+    * so a partitioned writer emits files that each hold ONE partition
+    * value's compact z-range: a conjunctive predicate on the
+    * partition column AND any z dimension prunes MULTIPLICATIVELY
+    * (partition dirs × per-file z bounds). Same bounded-collect scale
+    * shape as [[zOrderBy]]; z bounds are global, which costs nothing
+    * when partitions share the value space and keeps this one pass. */
+  def zOrderWithin(df: DataFrame, partCols: Seq[String],
+      zCols: Seq[String], numFiles: Int): DataFrame = {
+    require(partCols.nonEmpty, "zOrderWithin needs partition columns")
+    df.withColumn("__z", zValueFor(df, zCols))
+      .repartitionByRange(numFiles,
+        (partCols.map(col) :+ col("__z")): _*)
+      .sortWithinPartitions((partCols.map(col) :+ col("__z")): _*)
+      .drop("__z")
+  }
+
+  /** The z-value column for `df`'s `zCols` with bounds computed from
+    * `df` itself (one scan, 2k driver scalars — bounded collect). */
+  private def zValueFor(df: DataFrame, zCols: Seq[String]): Column = {
+    val asNum = zCols.map(numericOf(df, _))
     val boundsRow = df.select(
       asNum.zipWithIndex.flatMap { case (c, i) =>
         Seq(min(c.cast(DoubleType)).as(s"lo$i"),
           max(c.cast(DoubleType)).as(s"hi$i"))
       }: _*).head()
     val bounds = zCols.indices.map { i =>
-      (Option(boundsRow.get(2 * i)).fold(0.0)(_ => boundsRow.getDouble(2 * i)),
-        Option(boundsRow.get(2 * i + 1)).fold(0.0)(_ => boundsRow.getDouble(2 * i + 1)))
+      (Option(boundsRow.get(2 * i)).fold(0.0)(_ =>
+        boundsRow.getDouble(2 * i)),
+        Option(boundsRow.get(2 * i + 1)).fold(0.0)(_ =>
+          boundsRow.getDouble(2 * i + 1)))
     }
-    df.withColumn("__z", zValue(asNum, bounds))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    zValue(asNum, bounds)
   }
 
   /** Z-ordered parquet sink: `numFiles` files, each covering a compact

@@ -119,6 +119,34 @@ class ZOrderSpec extends SparkSpec {
       .count(_.getName.endsWith(".parquet")) === 1)
   }
 
+  test("zOrderWithin: z-clustering inside hive partitions prunes multiplicatively") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val path = java.nio.file.Files
+      .createTempDirectory("zwithin").toString + "/t"
+    val rnd = new scala.util.Random(7)
+    val cats = Seq("a", "b", "c", "d")
+    val rows = (0 until 20000).map { i =>
+      (i.toLong, cats(rnd.nextInt(4)), rnd.nextInt(10000).toLong,
+        rnd.nextInt(10000).toLong)
+    }.toDF("id", "cat", "x", "y")
+    SnapshotTable.create(
+      graft.sources.ZOrder.zOrderWithin(rows, Seq("cat"),
+        Seq("x", "y"), 32),
+      path, partitionBy = Seq("cat"))
+    // partition prune alone
+    val (_, keptP, total) = SnapshotTable.readWherePruned(spark, path,
+      col("cat") === "b")
+    assert(keptP * 3 < total, s"partition prune: $keptP of $total")
+    // composite: partition value AND both z dimensions
+    val (df, kept, _) = SnapshotTable.readWherePruned(spark, path,
+      col("cat") === "b" && col("x") < 2500L && col("y") < 2500L)
+    assert(kept < keptP, s"z prune within partition: $kept vs $keptP")
+    val expect = rows.filter(col("cat") === "b" && col("x") < 2500L &&
+      col("y") < 2500L).count()
+    assert(df.count() === expect)
+  }
+
   test("zValue interleaves bits and maps nulls/degenerate dims to 0") {
     import spark.implicits._
     val df = Seq((0, 0), (65535, 65535), (65535, 0)).toDF("a", "b")
