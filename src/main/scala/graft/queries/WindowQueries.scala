@@ -371,6 +371,37 @@ object WindowQueries {
       SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
     }),
 
+    // W31: bloom-filter point-lookup skipping — the complement to
+    // min/max ranges, which prune NOTHING on a hash-distributed key
+    // (every file spans the whole value range; the first require()
+    // pins that honestly). indexBloom publishes per-file blooms as a
+    // metadata-only commit; the same equality probe then prunes to
+    // ~1 file from the manifest alone. The probe key is the largest
+    // doc_id <= max/2 — deterministic, mid-range, so no file's range
+    // excludes it. Oracle: the same point lookup over raw parquet.
+    "w31_bloom_skipping" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w31").toString + "/docs_hash"
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      SnapshotTable.create(docs.repartition(16, col("doc_id")), path)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val target = docs.filter(col("doc_id") <= mid)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val (_, keptNo, total) = SnapshotTable.readWherePruned(s, path,
+        col("doc_id") === target)
+      require(keptNo == total,
+        s"ranges should NOT prune a hash layout: kept $keptNo of $total")
+      SnapshotTable.indexBloom(s, path, Seq("doc_id"))
+      val (pruned, kept, total2) = SnapshotTable.readWherePruned(s, path,
+        col("doc_id") === target)
+      require(kept * 4 < total2,
+        s"bloom skipping regressed: kept $kept of $total2")
+      pruned.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))
+    }),
+
     // W30: partition × z-order COMPOSITE layout — the production
     // lakehouse shape w20 (hive partitions) and w23 (flat z-order)
     // only covered separately. Orders are hive-partitioned by
@@ -1021,6 +1052,13 @@ object WindowQueries {
         |fin AS (SELECT * FROM merged WHERE o_custkey % 10 <> 3)
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w31_bloom_skipping" ->
+      """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents),
+        |t AS (SELECT max(doc_id) AS target FROM documents, mid
+        |      WHERE doc_id <= m)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM documents, t WHERE doc_id = target""".stripMargin,
 
     "w30_partition_zorder" ->
       """WITH mc AS (SELECT max(o_custkey) AS m FROM orders)

@@ -129,6 +129,31 @@ object SnapshotTable {
       case _ => Map.empty
     }
 
+  /** Bloom items in the stats section: `col=b!<mBits>!<k>!<base64>`
+    * (base64 without padding — '=' would split the kv parse). Written
+    * by [[indexBloom]], consulted by equality/IN pruning: a point
+    * lookup on a HASH-distributed high-cardinality key is exactly
+    * where min/max ranges prune nothing (every file spans the whole
+    * range) and a one-commit metadata index prunes to ~1 file. */
+  private[graft] def entryBloomStats(line: String)
+      : Map[String, (Int, Int, Array[Byte])] =
+    line.split("\t", 2) match {
+      case Array(_, st) =>
+        st.split(";").iterator.flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(c, v) if v.startsWith("b!") =>
+              v.split("!", -1) match {
+                case Array(_, m, k, b64) =>
+                  scala.util.Try((c, (m.toInt, k.toInt,
+                    java.util.Base64.getDecoder.decode(b64)))).toOption
+                case _ => None
+              }
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+
   /** Unsigned byte-lexicographic order — the common string order of
     * parquet binary stats, Spark's UTF8String, and DuckDB. */
   private[graft] def bytesLe(a: Array[Byte], b: Array[Byte]): Boolean =
@@ -1133,7 +1158,8 @@ object SnapshotTable {
     val candidates = manifest.filter(e =>
       mayMatch(pred, entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
-        relabelStats(entryStringStats(e), tableSchema)))
+        relabelStats(entryStringStats(e), tableSchema),
+        relabelStats(entryBloomStats(e), tableSchema)))
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readEntriesDv(spark, path, tableSchema, candidates,
@@ -1188,7 +1214,8 @@ object SnapshotTable {
     val candidates = manifest.filter(e =>
       mayMatch(pred, entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
-        relabelStats(entryStringStats(e), tableSchema)))
+        relabelStats(entryStringStats(e), tableSchema),
+        relabelStats(entryBloomStats(e), tableSchema)))
     if (candidates.isEmpty) return readV
     // live matching rows only: already-masked rows never re-enter
     val hits = readEntriesDv(spark, path, tableSchema, candidates,
@@ -1247,7 +1274,8 @@ object SnapshotTable {
     val candidates = manifest.filter(e =>
       mayMatch(pred, entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
-        relabelStats(entryStringStats(e), tableSchema)))
+        relabelStats(entryStringStats(e), tableSchema),
+        relabelStats(entryBloomStats(e), tableSchema)))
     if (candidates.isEmpty) return readV
     val matched = readEntriesDv(spark, path, tableSchema, candidates,
         keepRowId = true)
@@ -1480,7 +1508,8 @@ object SnapshotTable {
     val kept = manifest.filter(e =>
       mayMatch(pred, entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), schema),
-        relabelStats(entryStringStats(e), schema)))
+        relabelStats(entryStringStats(e), schema),
+        relabelStats(entryBloomStats(e), schema)))
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -1517,7 +1546,8 @@ object SnapshotTable {
     * test needs (timestamps as micros, dates as days). */
   private[graft] def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
       parts: Map[String, String], stats: Map[String, (Long, Long)],
-      strStats: Map[String, (Array[Byte], Array[Byte])] = Map.empty)
+      strStats: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
+      blooms: Map[String, (Int, Int, Array[Byte])] = Map.empty)
       : Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
@@ -1758,6 +1788,13 @@ object SnapshotTable {
       // partition dirs render strings/integrals verbatim; other types
       // (timestamps as micros, dates as days) would not match the
       // writer's formatted dir value, so only these are compared
+      // bloom point-lookup: only "=" tests (and IN elements, which
+      // arrive here as "=") can use it; any other op keeps the file
+      val byBloom =
+        if (op != "=") None
+        else blooms.get(name).map { case (m, k, filter) =>
+          bloomMayContain(m, k, filter, v, dt)
+        }
       val partComparable = dt == types.StringType ||
         dt == types.IntegerType || dt == types.LongType ||
         dt == types.ShortType || dt == types.ByteType
@@ -1780,7 +1817,8 @@ object SnapshotTable {
           }
         }
       }
-      (byStats.toSeq ++ byStr.toSeq ++ byPart.toSeq).forall(identity)
+      (byStats.toSeq ++ byStr.toSeq ++ byPart.toSeq ++ byBloom.toSeq)
+        .forall(identity)
     }
     def flip(op: String): String = op match {
       case ">" => "<"
@@ -1879,6 +1917,137 @@ object SnapshotTable {
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nFiles)
     overwrite(laid, path)
+  }
+
+  /** Build per-file BLOOM FILTERS for `cols` and publish them as a
+    * metadata-only commit (same data files, entries enriched with
+    * `col=b!bits!k!base64` items). The point-lookup complement to
+    * min/max skipping: on a HASH-distributed high-cardinality key
+    * every file spans the whole value range so ranges prune nothing,
+    * while a bloom prunes an equality/IN probe to the few files that
+    * can hold the key.
+    *
+    * Scale shape: ONE distributed scan of the indexed columns
+    * (explode to `hashes` bit positions per value, distinct, grouped
+    * per file — the driver receives at most #files × `bits` set
+    * positions, bounded by the index size itself, ~#files × bits/8
+    * bytes of manifest growth). Sound under later churn: DV'd rows
+    * stay in the bloom (false positive = keep), files REWRITTEN by
+    * merge/compaction lose their items (no item = keep), so a stale
+    * index can only under-prune, never lie. Re-run after major churn
+    * to restore pruning power. */
+  def indexBloom(spark: SparkSession, path: String, cols: Seq[String],
+      bits: Int = 1 << 16, hashes: Int = 6): Int = {
+    import org.apache.spark.sql.functions.{array, col, collect_list,
+      explode, lit, pmod, shiftrightunsigned, xxhash64}
+    require(bits >= 64 && Integer.bitCount(bits) == 1 && hashes >= 1,
+      s"need power-of-two bits >= 64 and hashes >= 1")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val readV = vs.max
+    val fs = fsOf(spark, logDir(path))
+    val manifest = readManifest(fs, path, readV)
+    val schemaOpt = storedSchema(fs, path, readV)
+    val st = schemaOpt.getOrElse(read(spark, path, Some(readV)).schema)
+    require(cols.nonEmpty && cols.forall(st.fieldNames.contains),
+      s"indexBloom columns [${cols.mkString(",")}] must exist in " +
+        s"[${st.fieldNames.mkString(",")}]")
+    val base = readFilesAs(spark, path, schemaOpt.orElse(Some(st)),
+      manifest.map(entryPath), withRowId = true)
+    // double hashing, shifted into small ranges so h1 + i*h2 can
+    // never overflow under ANSI arithmetic; bloomMayContain replays
+    // the identical math on the folded constant at prune time
+    val perCol = cols.map { c =>
+      val h1 = shiftrightunsigned(xxhash64(col(c)), 20)
+      val h2 = shiftrightunsigned(xxhash64(col(c), lit(1)), 40)
+      val pos = array((0 until hashes).map(i =>
+        pmod(h1 + lit(i.toLong) * h2, lit(bits.toLong))): _*)
+      base.filter(col(c).isNotNull)
+        .select(col("__file"), lit(c).as("__col"),
+          explode(pos).as("__pos"))
+    }
+    val positions = perCol.reduce(_ unionByName _)
+      .distinct()
+      .groupBy(col("__file"), col("__col"))
+      .agg(collect_list(col("__pos")).as("ps"))
+      .collect()
+    val log2phys: Map[String, String] = schemaOpt.toSeq
+      .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
+    val byFile: Map[String, Seq[(String, Array[Byte])]] =
+      positions.groupBy(_.getString(0)).map { case (f, rows) =>
+        f -> rows.toSeq.map { r =>
+          val bs = new Array[Byte](bits / 8)
+          r.getAs[scala.collection.Seq[Long]](2).foreach { p =>
+            val i = p.toInt
+            bs(i >> 3) = (bs(i >> 3) | (1 << (i & 7))).toByte
+          }
+          r.getString(1) -> bs
+        }
+      }
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val enriched = manifest.map { e =>
+      byFile.get(fileOf(entryPath(e))) match {
+        case None => e
+        case Some(colBits) =>
+          val items = colBits.sortBy(_._1).map { case (c, bs) =>
+            s"${log2phys.getOrElse(c, c)}=b!$bits!$hashes!" +
+              java.util.Base64.getEncoder.withoutPadding
+                .encodeToString(bs)
+          }
+          val newKeys = colBits.map { case (c, _) =>
+            log2phys.getOrElse(c, c) }.toSet
+          val parts = e.split("\t", 2)
+          val prior = if (parts.length < 2) Seq.empty
+            else parts(1).split(";").toSeq
+          val keep = prior.filterNot { it =>
+            val kv = it.split("=", 2)
+            kv.length == 2 && kv(1).startsWith("b!") &&
+              newKeys.contains(kv(0))
+          }
+          parts(0) + "\t" + (keep ++ items).mkString(";")
+      }
+    }
+    commitPinned(spark, path, enriched, readV + 1)
+  }
+
+  /** Replays [[indexBloom]]'s hash math on a folded constant: true
+    * iff the file's bloom MAY contain `v`. A type the index never
+    * covers keeps the file; an integral constant outside its declared
+    * type's range provably matches nothing. */
+  private[graft] def bloomMayContain(mBits: Int, k: Int,
+      filter: Array[Byte], v: Any, dt: types.DataType): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val internal: Option[Any] = (dt, v) match {
+      case (types.IntegerType, n: java.lang.Number) =>
+        if (n.longValue != n.longValue.toInt) return false
+        Some(Int.box(n.intValue))
+      case (types.LongType, n: java.lang.Number) => Some(Long.box(n.longValue))
+      case (types.ShortType, n: java.lang.Number) =>
+        if (n.longValue != n.longValue.toShort) return false
+        Some(Short.box(n.shortValue))
+      case (types.ByteType, n: java.lang.Number) =>
+        if (n.longValue != n.longValue.toByte) return false
+        Some(Byte.box(n.byteValue))
+      case (types.StringType,
+          u: org.apache.spark.unsafe.types.UTF8String) => Some(u)
+      case (types.DateType, d: java.lang.Integer) => Some(d)
+      case (types.TimestampType | types.TimestampNTZType,
+          t: java.lang.Long) => Some(t)
+      case _ => None
+    }
+    internal match {
+      case None => true
+      case Some(iv) =>
+        val litv = Literal.create(iv, dt)
+        val h1 = XxHash64(Seq(litv), 42L).eval(null)
+          .asInstanceOf[Long] >>> 20
+        val h2 = XxHash64(Seq(litv, Literal(1)), 42L).eval(null)
+          .asInstanceOf[Long] >>> 40
+        (0 until k).forall { i =>
+          val pos = Math.floorMod(h1 + i * h2, mBits.toLong).toInt
+          (filter(pos >> 3) & (1 << (pos & 7))) != 0
+        }
+    }
   }
 
   /** Incremental compaction: rewrite ONLY the data files smaller than

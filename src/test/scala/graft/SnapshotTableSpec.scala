@@ -597,6 +597,51 @@ class SnapshotTableSpec extends SparkSpec {
       targetFileBytes = 4L * 1024 * 1024).isEmpty)
   }
 
+  test("bloom index prunes point lookups; stays sound under churn") {
+    val path = freshPath("bloom")
+    val rows = (0L until 4000L).map(i =>
+      (i, f"u$i%04d", (i % 7).toLong)).toDF("id", "uid", "grp")
+    // hash layout: every file spans the whole id range
+    SnapshotTable.create(rows.repartition(8, col("id")), path)
+    val (_, keptNo, total) = SnapshotTable.readWherePruned(spark, path,
+      col("id") === 1234L)
+    assert(keptNo === total) // ranges can't prune a hash layout
+    SnapshotTable.indexBloom(spark, path, Seq("id", "uid"))
+    // long key: prunes to the one file that holds it, result exact
+    val (df1, kept1, _) = SnapshotTable.readWherePruned(spark, path,
+      col("id") === 1234L)
+    assert(kept1 <= 2 && df1.count() === 1)
+    // string key through the same index commit
+    val (df2, kept2, _) = SnapshotTable.readWherePruned(spark, path,
+      col("uid") === "u0777")
+    assert(kept2 <= 2 && df2.count() === 1)
+    // IN probes test each element; an absent key can prune to zero
+    val (df3, _, _) = SnapshotTable.readWherePruned(spark, path,
+      col("id").isin(10L, 20L, 999999L))
+    assert(df3.count() === 2)
+    val (df4, kept4, _) = SnapshotTable.readWherePruned(spark, path,
+      col("id") === 999999L)
+    assert(kept4 === 0 && df4.count() === 0)
+    // non-equality ops ignore the bloom; unindexed columns unaffected
+    assert(SnapshotTable.readWherePruned(spark, path,
+      col("id") >= 3990L)._1.count() === 10)
+    assert(SnapshotTable.readWherePruned(spark, path,
+      col("grp") === 3L)._1.count() === rows.filter(col("grp") === 3L)
+        .count())
+    // churn soundness: a MoR delete keeps the bloom (masked rows are
+    // false positives, never false negatives)...
+    SnapshotTable.deleteMoR(spark, path, col("id") === 1234L)
+    assert(SnapshotTable.readWhere(spark, path,
+      col("id") === 1234L).count() === 0)
+    // ...and a merge REWRITE drops the rewritten files' items, so the
+    // moved row is still found (no item = keep)
+    SnapshotTable.merge(Seq((2000L, "u2000", 99L))
+      .toDF("id", "uid", "grp"), path, Seq("id"))
+    val hit = SnapshotTable.readWhere(spark, path, col("id") === 2000L)
+    assert(hit.count() === 1 &&
+      hit.select("grp").head.getLong(0) === 99L)
+  }
+
   test("schema evolution: rename/drop are metadata-only; dropped bytes never resurrect") {
     val path = freshPath("renames")
     SnapshotTable.create(
