@@ -346,6 +346,42 @@ object SnapshotTable {
     readMeta(fs, path, v).get("droppedPhys")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
 
+  /** Widen a column's type — METADATA-ONLY (Spark 4's parquet readers
+    * apply widening promotions at scan time, so old files' narrower
+    * physical values read back widened; no rewrite). Only exact
+    * order-preserving embeddings are allowed: integral → wider
+    * integral, byte/short/int/float → double. The cached manifest
+    * stats are already Long-normalized, so pruning keeps working
+    * across the widening; appends after it must use the new type. */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      to: types.DataType): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val fs = fsOf(spark, logDir(path))
+    val st = storedSchema(fs, path, vs.max).getOrElse(
+      sys.error(s"widenColumn: $path has no stored schema (legacy log)"))
+    val f = st.fields.find(_.name == name)
+      .getOrElse(sys.error(s"no column $name"))
+    require(!partitioning(spark, path).contains(name),
+      s"cannot widen partition column $name")
+    def w(dt: types.DataType): Int = dt match {
+      case types.ByteType => 1
+      case types.ShortType => 2
+      case types.IntegerType => 4
+      case types.LongType => 8
+      case _ => 0
+    }
+    val ok = (w(f.dataType) > 0 && w(to) > w(f.dataType)) ||
+      (to == types.DoubleType && (f.dataType == types.FloatType ||
+        (w(f.dataType) > 0 && w(f.dataType) <= 4)))
+    require(ok, s"widenColumn: ${f.dataType} -> $to is not an exact " +
+      "order-preserving widening")
+    commit(spark, path, Seq.empty,
+      next => readManifest(fs, path, next - 1),
+      meta = schemaMeta(types.StructType(st.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x))))
+  }
+
   /** Read `rels` with the version's stored schema if present: files
     * written before a column was added yield NULL for it, and column
     * order is the table's, not any one footer's.
@@ -1916,6 +1952,31 @@ object SnapshotTable {
         df.repartitionByRange(nFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nFiles)
+    overwrite(laid, path)
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the latest version along the z-curve of
+    * `zCols` as a new snapshot commit (the lakehouse maintenance verb
+    * that turns an append-ordered table into a multi-dimensionally
+    * skippable one). On a hive-partitioned table the z-clustering is
+    * applied WITHIN partitions ([[ZOrder.zOrderWithin]] — the w30
+    * composite layout); flat tables use the plain curve. Prior
+    * versions stay readable until vacuum, like [[optimize]]. */
+  def optimizeZOrder(spark: SparkSession, path: String,
+      zCols: Seq[String], targetFileBytes: Long): Int = {
+    val fs = fsOf(spark, new Path(path))
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val files = manifestPaths(fs, path, vs.max)
+      .map(rel => new Path(path, rel))
+    val totalBytes = files.map(f => fs.getFileStatus(f).getLen).sum
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = read(spark, path)
+    val parts = partitioning(spark, path)
+    val laid =
+      if (parts.isEmpty) ZOrder.zOrderBy(df, zCols, nFiles)
+      else ZOrder.zOrderWithin(df, parts, zCols, nFiles)
     overwrite(laid, path)
   }
 

@@ -597,6 +597,69 @@ class SnapshotTableSpec extends SparkSpec {
       targetFileBytes = 4L * 1024 * 1024).isEmpty)
   }
 
+  test("widenColumn: metadata-only int->long / float->double; appends and pruning follow") {
+    val path = freshPath("widen")
+    val rows = (0 until 200).map(i => (i, i.toFloat / 2, s"r$i"))
+      .toDF("id", "score", "tag")
+    SnapshotTable.create(rows.repartitionByRange(4, col("id")), path)
+    val files0 = SnapshotTable.read(spark, path).inputFiles.toSet
+    SnapshotTable.widenColumn(spark, path, "id",
+      org.apache.spark.sql.types.LongType)
+    SnapshotTable.widenColumn(spark, path, "score",
+      org.apache.spark.sql.types.DoubleType)
+    val widened = SnapshotTable.read(spark, path)
+    assert(widened.inputFiles.toSet === files0) // no rewrite
+    assert(widened.schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(widened.schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(widened.agg(sum(col("id"))).head.getLong(0) === 19900L)
+    // appends carry the NEW types; old + new files read uniformly
+    SnapshotTable.append(Seq((5000000000L, 2.5d, "big"))
+      .toDF("id", "score", "tag"), path)
+    val all = SnapshotTable.read(spark, path)
+    assert(all.count() === 201)
+    assert(all.filter(col("id") > 4000000000L).count() === 1)
+    // stats pruning still works across the widening boundary
+    val (dfP, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("id") <= 20L)
+    assert(dfP.count() === 21 && kept < total)
+    // time travel reads the ORIGINAL narrow type
+    assert(SnapshotTable.read(spark, path, Some(0))
+      .schema("id").dataType === org.apache.spark.sql.types.IntegerType)
+    // narrowing and long->double are refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.widenColumn(spark, path, "id",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.widenColumn(spark, path, "id",
+        org.apache.spark.sql.types.DoubleType)
+    }
+  }
+
+  test("optimizeZOrder re-lays a table for multi-dimensional skipping") {
+    val path = freshPath("optz")
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 20000).map { i =>
+      (i.toLong, rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong)
+    }.toDF("id", "x", "y")
+    // append-ordered: files span the whole (x, y) space
+    SnapshotTable.create(rows.repartition(16), path)
+    val p = col("x") < 2000L && col("y") < 2000L
+    val (_, keptBefore, totalBefore) =
+      SnapshotTable.readWherePruned(spark, path, p)
+    assert(keptBefore === totalBefore) // nothing prunable
+    SnapshotTable.optimizeZOrder(spark, path, Seq("x", "y"),
+      targetFileBytes = 24L * 1024)
+    val (df, kept, total) = SnapshotTable.readWherePruned(spark, path, p)
+    assert(total > 4 && kept * 2 < total,
+      s"z-optimize did not improve pruning: $kept of $total")
+    assert(df.count() === rows.filter(p).count())
+    // the pre-optimize version is still readable
+    assert(SnapshotTable.read(spark, path, Some(0)).count() === 20000)
+  }
+
   test("bloom index prunes point lookups; stays sound under churn") {
     val path = freshPath("bloom")
     val rows = (0L until 4000L).map(i =>
