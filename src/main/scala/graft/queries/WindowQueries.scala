@@ -371,6 +371,56 @@ object WindowQueries {
       SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
     }),
 
+    // W32: Catalyst-integrated manifest pruning — the snapshot
+    // manifest as a Spark FileIndex (Delta's TahoeFileIndex shape),
+    // so SQL WHERE text over a temp view prunes files at PLANNING
+    // time with no explicit predicate argument. The require() reads
+    // the executed scan's numFiles metric: the proof that the filter
+    // reached the manifest through Catalyst, not through readWhere's
+    // front door. Oracle: the same filter+aggregate over raw orders.
+    "w32_catalyst_fileindex" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w32").toString + "/orders_cat"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.repartitionByRange(16, col("o_orderdate"))
+          .sortWithinPartitions(col("o_orderdate")), path)
+      SnapshotTable.readCatalyst(s, path)
+        .createOrReplaceTempView("orders_snap_w32")
+      val q = s.sql(
+        """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          |  count(1) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM orders_snap_w32
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+      q.collect() // execute so the scan metric is populated
+      // under AQE the executed plan nests inside AdaptiveSparkPlanExec
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scans(qs.plan) // stages are leaves
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case other => other.children.flatMap(scans) ++
+            other.subqueries.flatMap(scans)
+        }
+      val numFiles = scans(q.queryExecution.executedPlan).headOption
+        .map(_.metrics("numFiles").value)
+        .getOrElse(sys.error("no FileSourceScanExec under the SQL"))
+      require(numFiles < 16,
+        s"Catalyst-path manifest pruning regressed: scanned $numFiles/16")
+      q
+    }),
+
     // W31: bloom-filter point-lookup skipping — the complement to
     // min/max ranges, which prune NOTHING on a hash-distributed key
     // (every file spans the whole value range; the first require()
@@ -1052,6 +1102,15 @@ object WindowQueries {
         |fin AS (SELECT * FROM merged WHERE o_custkey % 10 <> 3)
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w32_catalyst_fileindex" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w31_bloom_skipping" ->
       """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents),

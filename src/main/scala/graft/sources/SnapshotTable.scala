@@ -1955,6 +1955,50 @@ object SnapshotTable {
     overwrite(laid, path)
   }
 
+  /** Catalyst-integrated read: the version's manifest becomes a
+    * [[GraftFileIndex]], so file skipping happens at PLANNING time
+    * from whatever predicates Catalyst pushes to the scan — `.filter`
+    * chains, SQL `WHERE` on a temp view, filters inferred through
+    * joins — with no explicit predicate argument. [[readWhere]] stays
+    * the right call when the predicate is known up front (it also
+    * returns pruning counters); this is the right SHAPE for ad-hoc
+    * SQL over a snapshot table.
+    *
+    * Scope (v1): flat, mapping-free, DV-free versions — partition
+    * values, renamed physical names, and deletion-vector masks need
+    * the classic reader's wrapping projections, so those tables FALL
+    * BACK to [[read]] (same results, scan-level pruning only). */
+  def readCatalyst(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val fs = fsOf(spark, logDir(path))
+    val manifest = readManifest(fs, path, v)
+    val schemaOpt = storedSchema(fs, path, v)
+    val catalystEligible =
+      partitioning(spark, path).isEmpty &&
+        manifest.forall(e => entryDvs(e).isEmpty) &&
+        schemaOpt.forall(!hasMapping(_)) &&
+        manifest.nonEmpty
+    if (!catalystEligible) return read(spark, path, Some(v))
+    val st = schemaOpt.getOrElse(
+      readFilesAs(spark, path, None, manifest.map(entryPath)).schema)
+    val entries = manifest.map { e =>
+      (fs.getFileStatus(new Path(path, entryPath(e))),
+        entryStats(e), entryStringStats(e), entryBloomStats(e))
+    }
+    val index = new GraftFileIndex(path, entries)
+    val relation = org.apache.spark.sql.execution.datasources
+      .HadoopFsRelation(index, new types.StructType(), nullify(st),
+        None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat(),
+        Map.empty[String, String])(spark)
+    org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
+  }
+
   /** OPTIMIZE ZORDER: rewrite the latest version along the z-curve of
     * `zCols` as a new snapshot commit (the lakehouse maintenance verb
     * that turns an append-ordered table into a multi-dimensionally

@@ -17,4 +17,10 @@ object GraftSqlAccess {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Wrap a BaseRelation (e.g. a HadoopFsRelation over a custom
+    * FileIndex) as a DataFrame via the session's standard path. */
+  def ofRelation(spark: SparkSession,
+      rel: org.apache.spark.sql.sources.BaseRelation): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(rel)
 }

@@ -597,6 +597,47 @@ class SnapshotTableSpec extends SparkSpec {
       targetFileBytes = 4L * 1024 * 1024).isEmpty)
   }
 
+  test("readCatalyst: manifest pruning fires at planning time from pushed filters") {
+    val path = freshPath("catidx")
+    val rows = (0L until 3000L).map(i => (i, s"p$i", (i % 5).toLong))
+      .toDF("id", "tag", "grp")
+    SnapshotTable.create(
+      rows.repartitionByRange(6, col("id")).sortWithinPartitions("id"),
+      path)
+    val df = SnapshotTable.readCatalyst(spark, path)
+    assert(df.count() === 3000)
+    def scanFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.getOrElse(sys.error("no FileSourceScanExec in plan"))
+    }
+    // a plain .filter prunes through Catalyst, no explicit predicate arg
+    val filtered = SnapshotTable.readCatalyst(spark, path)
+      .filter(col("id") < 500L)
+    assert(filtered.count() === 500)
+    assert(scanFiles(SnapshotTable.readCatalyst(spark, path)
+      .filter(col("id") < 500L)) < 6)
+    // SQL WHERE over a temp view prunes the same way
+    SnapshotTable.readCatalyst(spark, path).createOrReplaceTempView("snap_cat")
+    val sqlQ = spark.sql(
+      "SELECT count(*) AS n FROM snap_cat WHERE id >= 2500")
+    assert(sqlQ.head.getLong(0) === 500L)
+    assert(scanFiles(spark.sql(
+      "SELECT id, tag FROM snap_cat WHERE id >= 2500")) < 6)
+    // results equal the classic reader under arbitrary predicates
+    val p = (col("id") % 7 === 0) || col("grp") === 2L
+    assert(SnapshotTable.readCatalyst(spark, path).filter(p).count() ===
+      SnapshotTable.read(spark, path).filter(p).count())
+    // version pinning works; non-eligible tables fall back soundly
+    SnapshotTable.append(rows.limit(10), path)
+    assert(SnapshotTable.readCatalyst(spark, path, Some(0)).count() === 3000)
+    SnapshotTable.deleteMoR(spark, path, col("id") === 7L)
+    // both copies of id 7 (original + appended) are masked: 3010 - 2
+    assert(SnapshotTable.readCatalyst(spark, path).count() === 3008)
+  }
+
   test("widenColumn: metadata-only int->long / float->double; appends and pruning follow") {
     val path = freshPath("widen")
     val rows = (0 until 200).map(i => (i, i.toFloat / 2, s"r$i"))
