@@ -18,6 +18,26 @@ import graft.operators.{AsOfJoin, TimeOps}
   */
 object WindowQueries {
 
+  /** Every FileSourceScanExec in an EXECUTED plan, descending through
+    * AQE wrappers (AdaptiveSparkPlanExec re-plans behind a leaf;
+    * QueryStageExec nodes are leaves wrapping their stage plans) and
+    * subqueries. Used by the skipping/DPP queries' require() pins —
+    * the executed scan's metrics are the proof the prune fired. */
+  private[graft] def executedScans(q: DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => walk(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(walk) ++
+        other.subqueries.flatMap(walk)
+    }
+    walk(q.queryExecution.executedPlan)
+  }
+
   /** Monthly panel: one row per (custkey, month) with exact-decimal
     * amount (A1 aggregation — the base of the reference's join_datasets
     * panel).
@@ -400,24 +420,62 @@ object WindowQueries {
           |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
           |GROUP BY 1 ORDER BY 1""".stripMargin)
       q.collect() // execute so the scan metric is populated
-      // under AQE the executed plan nests inside AdaptiveSparkPlanExec
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-        p match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => scans(a.executedPlan)
-          case qs: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => scans(qs.plan) // stages are leaves
-          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            Seq(f)
-          case other => other.children.flatMap(scans) ++
-            other.subqueries.flatMap(scans)
-        }
-      val numFiles = scans(q.queryExecution.executedPlan).headOption
+      val numFiles = executedScans(q).headOption
         .map(_.metrics("numFiles").value)
         .getOrElse(sys.error("no FileSourceScanExec under the SQL"))
       require(numFiles < 16,
         s"Catalyst-path manifest pruning regressed: scanned $numFiles/16")
+      q
+    }),
+
+    // W33: dynamic partition pruning against the snapshot manifest —
+    // the decisive 100 TB star-join optimization. The fact (documents
+    // partitioned by lang) is served through readCatalyst's
+    // GraftFileIndex with a REAL partition schema, so when it joins a
+    // file-backed dim whose selective filter (hot langs: above-average
+    // doc count — only 'en' at every harness sf) can't be seen
+    // statically, Catalyst inserts a DynamicPruningSubquery, reuses
+    // the dim's broadcast, and the scan drops 4 of 5 lang partitions
+    // at RUNTIME. The require() pins the DPP metrics: staticFilesNum
+    // present (DPP fired) and numFiles strictly below it (it pruned).
+    // Oracle: the same dim CTE + join over raw documents.
+    "w33_dynamic_partition_pruning" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_snap_w33").toString
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      SnapshotTable.create(docs, tmp + "/docs_part",
+        partitionBy = Seq("lang"))
+      // dim must be FILE-backed (PartitionPruning skips LocalRelation
+      // build sides — probed in DppProbe) and its filter must be a
+      // COMPARISON (isLikelySelective rejects a bare boolean column),
+      // so the above-average threshold lands as a literal
+      val total = docs.count()
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .write.parquet(tmp + "/lang_dim")
+      SnapshotTable.readCatalyst(s, tmp + "/docs_part")
+        .createOrReplaceTempView("docs_snap_w33")
+      s.read.parquet(tmp + "/lang_dim")
+        .createOrReplaceTempView("lang_dim_w33")
+      val q = s.sql(
+        s"""SELECT f.lang, count(1) AS n_docs,
+           |  CAST(sum(f.n_chars) AS BIGINT) AS chars
+           |FROM docs_snap_w33 f
+           |JOIN lang_dim_w33 d ON f.lang = d.lang
+           |WHERE d.n_docs > ${total / 5.0}
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      q.collect()
+      val scan = executedScans(q)
+        .find(_.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+        .getOrElse(sys.error("no scan over GraftFileIndex"))
+      require(scan.metrics.contains("staticFilesNum"),
+        "DPP regressed: no DynamicPruningSubquery on the fact scan")
+      require(scan.metrics("numFiles").value <
+        scan.metrics("staticFilesNum").value,
+        s"DPP pruned nothing: ${scan.metrics("numFiles").value} of " +
+          s"${scan.metrics("staticFilesNum").value} files read")
       q
     }),
 
@@ -1102,6 +1160,17 @@ object WindowQueries {
         |fin AS (SELECT * FROM merged WHERE o_custkey % 10 <> 3)
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w33_dynamic_partition_pruning" ->
+      """WITH dim AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    count(*) > (SELECT count(*) FROM documents) / 5.0 AS hot
+        |  FROM documents GROUP BY 1)
+        |SELECT f.lang, count(1) AS n_docs,
+        |  CAST(sum(f.n_chars) AS BIGINT) AS chars
+        |FROM documents f JOIN dim d ON f.lang = d.lang
+        |WHERE d.hot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w32_catalyst_fileindex" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

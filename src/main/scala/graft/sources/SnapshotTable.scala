@@ -542,8 +542,10 @@ object SnapshotTable {
     * it in a directory name (Hive `escapePathName` convention: the
     * characters Hive reserves become `%XX`; null becomes the default
     * partition marker). */
+  private[graft] val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
   private[graft] def partitionPathValue(v: Any): String = v match {
-    case null => "__HIVE_DEFAULT_PARTITION__"
+    case null => HiveDefaultPartition
     case other =>
       val s = other.toString
       val sb = new StringBuilder
@@ -1964,10 +1966,17 @@ object SnapshotTable {
     * returns pruning counters); this is the right SHAPE for ad-hoc
     * SQL over a snapshot table.
     *
-    * Scope (v1): flat, mapping-free, DV-free versions — partition
-    * values, renamed physical names, and deletion-vector masks need
-    * the classic reader's wrapping projections, so those tables FALL
-    * BACK to [[read]] (same results, scan-level pruning only). */
+    * Hive-partitioned versions get a REAL partition schema: per-file
+    * partition values decode from the manifest rel paths into the
+    * index, so Catalyst partition pruning — including runtime dynamic
+    * partition pruning through joins — works against the manifest
+    * with zero listing I/O.
+    *
+    * Scope: mapping-free, DV-free versions — renamed physical names
+    * and deletion-vector masks need the classic reader's wrapping
+    * projections, so those tables FALL BACK to [[read]] (same
+    * results, scan-level pruning only); same for partition-column
+    * types outside [[GraftFileIndex.supportedPartType]]. */
   def readCatalyst(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame = {
     val vs = versions(spark, path)
@@ -1977,26 +1986,37 @@ object SnapshotTable {
     val fs = fsOf(spark, logDir(path))
     val manifest = readManifest(fs, path, v)
     val schemaOpt = storedSchema(fs, path, v)
+    val partCols = partitioning(spark, path)
     val catalystEligible =
-      partitioning(spark, path).isEmpty &&
-        manifest.forall(e => entryDvs(e).isEmpty) &&
+      manifest.forall(e => entryDvs(e).isEmpty) &&
         schemaOpt.forall(!hasMapping(_)) &&
-        manifest.nonEmpty
+        manifest.nonEmpty &&
+        (partCols.isEmpty || (schemaOpt.exists(st =>
+          partCols.forall(c => st.fieldNames.contains(c) &&
+            GraftFileIndex.supportedPartType(st(c).dataType)))))
     if (!catalystEligible) return read(spark, path, Some(v))
     val st = schemaOpt.getOrElse(
       readFilesAs(spark, path, None, manifest.map(entryPath)).schema)
+    val partSchema = nullify(types.StructType(
+      partCols.map(c => st(st.fieldIndex(c)))))
+    val dataSchema = nullify(types.StructType(
+      st.fields.filterNot(f => partCols.contains(f.name))))
     val entries = manifest.map { e =>
       (fs.getFileStatus(new Path(path, entryPath(e))),
+        entryPartitionValues(entryPath(e)),
         entryStats(e), entryStringStats(e), entryBloomStats(e))
     }
-    val index = new GraftFileIndex(path, entries)
+    val index = new GraftFileIndex(path, partSchema, entries)
     val relation = org.apache.spark.sql.execution.datasources
-      .HadoopFsRelation(index, new types.StructType(), nullify(st),
+      .HadoopFsRelation(index, partSchema, dataSchema,
         None,
         new org.apache.spark.sql.execution.datasources.parquet
           .ParquetFileFormat(),
         Map.empty[String, String])(spark)
-    org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
+    val df = org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
+    // partition columns come back appended; restore the stored order
+    if (partCols.isEmpty) df
+    else df.select(st.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** OPTIMIZE ZORDER: rewrite the latest version along the z-curve of

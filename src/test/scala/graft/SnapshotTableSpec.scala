@@ -638,6 +638,73 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.readCatalyst(spark, path).count() === 3008)
   }
 
+  test("readCatalyst: partitioned tables get planning-time partition pruning and DPP") {
+    val path = freshPath("catpart")
+    val rows = (0L until 4000L)
+      .map(i => (i, s"g${i % 8}", i * 3))
+      .toDF("id", "grp", "score")
+    SnapshotTable.create(rows, path, partitionBy = Seq("grp"))
+    val df = SnapshotTable.readCatalyst(spark, path)
+    // schema keeps the stored column order and the partition col type
+    assert(df.columns.toSeq === Seq("id", "grp", "score"))
+    assert(df.count() === 4000)
+    def scan(q: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.execution.FileSourceScanExec = {
+      q.collect()
+      def find(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          find(qs.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(find) ++ other.subqueries.flatMap(find)
+      }
+      find(q.queryExecution.executedPlan)
+        .find(_.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+        .getOrElse(sys.error("no FileSourceScanExec over GraftFileIndex"))
+    }
+    // static partition pruning: an equality on the partition col
+    // keeps 1 of 8 partitions at planning time
+    val eq = SnapshotTable.readCatalyst(spark, path).filter(col("grp") === "g3")
+    assert(eq.count() === 500)
+    val eqScan = scan(SnapshotTable.readCatalyst(spark, path)
+      .filter(col("grp") === "g3").groupBy().count())
+    val total = scan(SnapshotTable.readCatalyst(spark, path)
+      .groupBy().count()).metrics("numFiles").value
+    assert(eqScan.metrics("numFiles").value < total)
+    // parity with the classic reader under a mixed predicate
+    val p = (col("grp") === "g2") || (col("score") > 11000L)
+    assert(SnapshotTable.readCatalyst(spark, path).filter(p)
+      .agg(sum(col("id"))).head.getLong(0) ===
+      SnapshotTable.read(spark, path).filter(p)
+        .agg(sum(col("id"))).head.getLong(0))
+    // dynamic partition pruning: a selective dim join on grp prunes
+    // fact partitions at RUNTIME (numFiles < staticFilesNum)
+    // (the dim must be file-backed: PartitionPruning skips
+    // LocalRelation build sides — probed in DppProbe)
+    SnapshotTable.readCatalyst(spark, path).createOrReplaceTempView("fact_cat")
+    val dimPath = freshPath("catpart_dim")
+    Seq(("g1", 1), ("g5", 1)).toDF("grp", "flag").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dim_cat")
+    val dpp = spark.sql(
+      """SELECT f.grp, count(*) AS n FROM fact_cat f
+        |JOIN dim_cat d ON f.grp = d.grp WHERE d.flag = 1
+        |GROUP BY 1""".stripMargin)
+    assert(dpp.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      .toSeq === Seq(("g1", 500L), ("g5", 500L)))
+    val s = scan(dpp)
+    assert(s.metrics.contains("staticFilesNum"),
+      "DPP did not fire: no staticFilesNum metric on the fact scan")
+    assert(s.metrics("numFiles").value < s.metrics("staticFilesNum").value)
+    // null partition value round-trips through the default marker
+    val withNull = Seq((9000L, null.asInstanceOf[String], 1L))
+      .toDF("id", "grp", "score")
+    SnapshotTable.append(withNull, path)
+    assert(SnapshotTable.readCatalyst(spark, path)
+      .filter(col("grp").isNull).count() === 1)
+  }
+
   test("widenColumn: metadata-only int->long / float->double; appends and pruning follow") {
     val path = freshPath("widen")
     val rows = (0 until 200).map(i => (i, i.toFloat / 2, s"r$i"))
