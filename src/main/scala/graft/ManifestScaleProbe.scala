@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{functions => F, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.sources.{GraftFileIndex, SnapshotTable}
+
+/** Measurement probe for the DRIVER-RESIDENT MANIFEST CEILING — the
+  * open scale question on the snapshot-table design: the manifest
+  * (entry lines, parsed stat maps, optional per-file bloom bitsets)
+  * lives on the driver, and `GraftFileIndex.listFiles` is O(#files)
+  * driver-side expression evaluations per query. This probe
+  * synthesizes manifests of 10k / 100k / 1M entries (realistic item
+  * mix: partition value, two long ranges, one string byte-bound, the
+  * `len=` file meta, and optionally one 2^16-bit bloom), parses them
+  * through the REAL entry parsers, and reports
+  *   - retained driver heap for the parsed entry tuples, and
+  *   - `listFiles` latency per query (pushed range filter, median of
+  *     5 after warmup).
+  * Numbers land in NOTES_ROUND.md; the successor design past the
+  * ceiling is an Iceberg-style manifest tree (split the file list
+  * into manifest files tracked by a manifest list, prune whole
+  * manifests by their aggregated ranges before touching entries).
+  */
+object ManifestScaleProbe {
+
+  private def heapUsed(): Long = {
+    System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(200)
+    Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", LongType),
+      StructField("tag", StringType), StructField("part", StringType)))
+    val partSchema = StructType(Seq(StructField("part", StringType)))
+    // one shared 8 KB bloom payload rendered once; DECODED per entry
+    // (each entry retains its own Array[Byte], as in real parsing)
+    val bloomBytes = {
+      val a = new Array[Byte](8192); new java.util.Random(7).nextBytes(a)
+      java.util.Base64.getEncoder.withoutPadding.encodeToString(a)
+    }
+    def line(i: Long, bloom: Boolean): String = {
+      val items = Seq(
+        s"id=${i * 1000}:${i * 1000 + 999}",
+        s"ts=${1700000000L + i}:${1700000600L + i}",
+        s"tag=s!doc${i}aa!doc${i}zz",
+        s"len=f!134217728!1700000000000") ++
+        (if (bloom) Seq(s"id=b!65536!6!$bloomBytes") else Nil)
+      s"files/part=p${i % 5}/f$i.parquet\t" + items.mkString(";")
+    }
+    println(f"${"entries"}%9s ${"bloom"}%5s ${"parseMs"}%8s " +
+      f"${"heapMB"}%8s ${"listFilesMs"}%12s ${"keptFiles"}%9s")
+    for (n <- Seq(10000, 100000, 1000000); bloom <- Seq(false, true)) {
+      val lines = (0L until n.toLong).map(line(_, bloom))
+      val h0 = heapUsed()
+      val t0 = System.nanoTime()
+      val entries = lines.map { e =>
+        val rel = SnapshotTable.entryPath(e)
+        val (len, mtime) = SnapshotTable.entryFileMeta(e).get
+        (new FileStatus(len, false, 1, 134217728L, mtime,
+          new Path("/probe", rel)),
+          SnapshotTable.entryPartitionValues(rel),
+          SnapshotTable.entryStats(e),
+          SnapshotTable.entryStringStats(e),
+          SnapshotTable.entryBloomStats(e))
+      }.toVector
+      val parseMs = (System.nanoTime() - t0) / 1e6
+      val h1 = heapUsed()
+      val index = new GraftFileIndex("/probe", partSchema, entries)
+      // pushed range filter: selects ~0.1% of entries by cached range
+      val pred = SnapshotTable.resolvedPredicate(spark, schema,
+        F.col("id") >= (n.toLong * 1000 / 2) &&
+          F.col("id") < (n.toLong * 1000 / 2 + n.toLong))
+      var kept = 0
+      val times = (0 until 7).map { _ =>
+        val s = System.nanoTime()
+        kept = index.listFiles(Nil, Seq(pred)).map(_.files.size).sum
+        (System.nanoTime() - s) / 1e6
+      }.drop(2).sorted
+      println(f"$n%9d $bloom%5s $parseMs%8.0f " +
+        f"${(h1 - h0) / 1e6}%8.1f ${times(times.size / 2)}%12.1f $kept%9d")
+    }
+    spark.stop()
+  }
+}

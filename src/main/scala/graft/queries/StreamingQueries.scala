@@ -376,6 +376,65 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ST13: streaming ingest into a bloom-INDEXED table — the graded
+    // proof that pruning power does not decay under continuous
+    // ingestion. indexBloom records its policy in the log meta; each
+    // appendStreamBatch then blooms its OWN new files inside the
+    // batch's commit (one churn-sized scan per batch). Batches are
+    // doc_id % 4 slices, so every file spans the full key range: the
+    // first require() pins that min/max ranges prune NOTHING, the
+    // second that the bloom probe — keyed to land in the LAST streamed
+    // batch — prunes 4×+ from the manifest alone. Oracle: the same
+    // point lookup + total count over raw documents.
+    "st13_stream_bloom_ingest" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st13")
+      val path = base.resolve("t").toString
+      // table pre-exists with a bloom policy; the stream then feeds it
+      SnapshotTable.create(
+        docs.filter(col("doc_id") % 4 === 0L)
+          .repartition(4, col("doc_id")), path)
+      SnapshotTable.indexBloom(s, path, Seq("doc_id"))
+      val staged = base.resolve("in")
+      java.nio.file.Files.createDirectories(staged)
+      for (k <- 1 until 4) {
+        val tmp = base.resolve(s"tmp$k").toString
+        docs.filter(col("doc_id") % 4 === k.toLong)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 400000L + k * 60000L))
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      graft.streaming.Streaming.runToSnapshot(s, stream,
+        path, base.resolve("ckpt").toString)
+      // probe key lands in the last streamed batch (doc_id % 4 == 3)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val target = docs
+        .filter(col("doc_id") <= mid && col("doc_id") % 4 === 3L)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val (_, keptR, totalR) = SnapshotTable.readWherePruned(s, path,
+        col("doc_id") === target)
+      require(totalR >= 7,
+        s"st13 setup: expected 4 create files + 3 batch files, got $totalR")
+      require(keptR * 4 < totalR,
+        s"bloom maintenance decayed under streaming: kept $keptR of " +
+          s"$totalR files on a point probe (ranges cannot prune this " +
+          "layout, so only per-batch bloom upkeep explains a prune)")
+      val looked = SnapshotTable.readWhere(s, path,
+        col("doc_id") === target)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      looked.crossJoin(
+        SnapshotTable.read(s, path).agg(count(lit(1)).as("n_total")))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -407,6 +466,14 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st13_stream_bloom_ingest" ->
+      """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents),
+        |t AS (SELECT max(doc_id) AS target FROM documents, mid
+        |      WHERE doc_id <= m AND doc_id % 4 = 3)
+        |SELECT doc_id, lang, n_chars,
+        |  (SELECT count(*) FROM documents) AS n_total
+        |FROM documents, t WHERE doc_id = target""".stripMargin,
+
     // the store converges to min(doc_id) per distinct fingerprint:
     // borrowed fps always have their original owner in an earlier
     // doc_id-range batch, so first-occurrence-in-batch-order = global

@@ -448,7 +448,7 @@ object WindowQueries {
       SnapshotTable.create(docs, tmp + "/docs_part",
         partitionBy = Seq("lang"))
       // dim must be FILE-backed (PartitionPruning skips LocalRelation
-      // build sides — probed in DppProbe) and its filter must be a
+      // build sides) and its filter must be a
       // COMPARISON (isLikelySelective rejects a bare boolean column),
       // so the above-average threshold lands as a literal
       val total = docs.count()
@@ -476,6 +476,102 @@ object WindowQueries {
         scan.metrics("staticFilesNum").value,
         s"DPP pruned nothing: ${scan.metrics("numFiles").value} of " +
           s"${scan.metrics("staticFilesNum").value} files read")
+      q
+    }),
+
+    // W34: the Catalyst read path COMPOSED with merge-on-read deletes
+    // and column mapping — exactly the tables that most need DPP at
+    // 100 TB (big fact tables taking MoR deletes, tables that have
+    // renamed a column) used to silently fall back to the classic
+    // reader. Here the fact is MoR-deleted (deletion vectors pending —
+    // pinned), a column is renamed (mapping active), and the DPP join
+    // still fires through both wrappers: the anti-join mask and the
+    // physical→logical projection are transparent to Catalyst's
+    // pushdown. Oracle: the same dim CTE + join over raw documents
+    // with the delete predicate replayed.
+    "w34_catalyst_mor_mapping" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_snap_w34").toString
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      SnapshotTable.create(docs, tmp + "/docs_part",
+        partitionBy = Seq("lang"))
+      // MoR delete: zero data files rewritten, vectors pending
+      SnapshotTable.deleteMoR(s, tmp + "/docs_part",
+        col("doc_id") % 7L === 0L)
+      require(SnapshotTable.pendingDvEntries(s, tmp + "/docs_part") > 0,
+        "w34 setup: expected pending deletion vectors")
+      // column mapping: metadata-only rename, old files keep serving
+      // the bytes under the stable physical name
+      SnapshotTable.renameColumn(s, tmp + "/docs_part",
+        "n_chars", "chars_n")
+      val total = docs.count()
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .write.parquet(tmp + "/lang_dim")
+      SnapshotTable.readCatalyst(s, tmp + "/docs_part")
+        .createOrReplaceTempView("docs_snap_w34")
+      s.read.parquet(tmp + "/lang_dim")
+        .createOrReplaceTempView("lang_dim_w34")
+      val q = s.sql(
+        s"""SELECT f.lang, count(1) AS n_docs,
+           |  CAST(sum(f.chars_n) AS BIGINT) AS chars
+           |FROM docs_snap_w34 f
+           |JOIN lang_dim_w34 d ON f.lang = d.lang
+           |WHERE d.n_docs > ${total / 5.0}
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      q.collect()
+      val scan = executedScans(q)
+        .find(_.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+        .getOrElse(sys.error(
+          "w34 fell back to the classic reader: no GraftFileIndex scan"))
+      require(scan.metrics.contains("staticFilesNum"),
+        "DPP regressed through the DV/mapping wrappers")
+      require(scan.metrics("numFiles").value <
+        scan.metrics("staticFilesNum").value,
+        s"DPP pruned nothing: ${scan.metrics("numFiles").value} of " +
+          s"${scan.metrics("staticFilesNum").value} files read")
+      q
+    }),
+
+    // W35: a TIMESTAMP-partitioned table served through the Catalyst
+    // read path — the reference's natural layout key (monthly périodes)
+    // is temporal, and timestamp partition values used to be the one
+    // remaining fallback trigger. The writer renders timestamp dirs in
+    // the session zone; GraftFileIndex decodes them back with the same
+    // zone, so static pruning on the partition column fires at
+    // planning time (pinned via the scan metric). Oracle: the same
+    // year-range filter + monthly aggregate over raw orders.
+    "w35_timestamp_partitions" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w35").toString + "/orders_tsp"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .withColumn("order_year", date_trunc("year", col("o_orderdate")))
+      SnapshotTable.create(orders, path, partitionBy = Seq("order_year"))
+      val nTotal = SnapshotTable.read(s, path).inputFiles.length
+      SnapshotTable.readCatalyst(s, path)
+        .createOrReplaceTempView("orders_tsp_w35")
+      val q = s.sql(
+        """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          |  count(1) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM orders_tsp_w35
+          |WHERE order_year >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND order_year < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+      q.collect()
+      val scan = executedScans(q)
+        .find(_.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+        .getOrElse(sys.error(
+          "w35 fell back to the classic reader: no GraftFileIndex scan"))
+      require(scan.metrics("numFiles").value < nTotal,
+        s"timestamp partition pruning regressed: scanned " +
+          s"${scan.metrics("numFiles").value} of $nTotal files")
       q
     }),
 
@@ -632,6 +728,55 @@ object WindowQueries {
       SnapshotTable.delete(s, basePath, col("cents") > 25000000L)
       IncrementalView.refreshCountSumMinMax(s, basePath, aggPath,
         "o_custkey", "cents", fromVersion = 0)
+      SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
+    }),
+
+    // W36: min/max view maintenance with a MANIFEST-PRUNED invalidate
+    // rescan — w28's scale caveat closed. The base is custkey-
+    // clustered at create time and the churn is LOCALIZED (an append,
+    // plus a delete of top-priced rows in the low fifth of the key
+    // range), so the groups whose max may be gone all live in a narrow
+    // key range: the recompute arm restricts the base scan to manifest
+    // entries intersecting the invalidated [min, max] and the
+    // require() pins files-read < total. (w28 keeps grading the
+    // scattered-invalidation case, where keeping every file is the
+    // only sound answer.) Oracle: full recompute of the final state.
+    "w36_pruned_minmax_rescan" -> ((s, dir) => {
+      import graft.sources.{IncrementalView, SnapshotTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_snap_w36").toString
+      val basePath = tmp + "/orders_base"
+      val aggPath = tmp + "/orders_agg"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).*(100)
+          .cast(LongType).as("cents"))
+      def slice(p: String) =
+        orders.filter(col("o_orderpriority") === p)
+      SnapshotTable.create(
+        slice("1-URGENT").repartitionByRange(12, col("o_custkey"))
+          .sortWithinPartitions(col("o_custkey")),
+        basePath)
+      SnapshotTable.create(
+        SnapshotTable.read(s, basePath, Some(0))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
+            min(col("cents")).as("mn"), max(col("cents")).as("mx")),
+        aggPath)
+      // churn: an append (inserts tighten exactly, no rescan) plus a
+      // LOCALIZED delete — only low-custkey groups can be invalidated
+      SnapshotTable.append(slice("2-HIGH"), basePath)
+      val m = slice("1-URGENT").agg(max(col("o_custkey")))
+        .head().getLong(0)
+      SnapshotTable.delete(s, basePath,
+        col("cents") > 20000000L && col("o_custkey") <= m / 5)
+      val (_, kept, total) = IncrementalView.refreshCountSumMinMaxPruned(
+        s, basePath, aggPath, "o_custkey", "cents", fromVersion = 0)
+      require(kept > 0 && kept < total,
+        s"pruned rescan regressed: read $kept of $total base files " +
+          "(expected a strict subset on a clustered base with " +
+          "localized invalidation)")
       SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
     }),
 
@@ -1172,6 +1317,27 @@ object WindowQueries {
         |WHERE d.hot
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "w34_catalyst_mor_mapping" ->
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        |dim AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    count(*) > (SELECT count(*) FROM documents) / 5.0 AS hot
+        |  FROM documents GROUP BY 1)
+        |SELECT f.lang, count(1) AS n_docs,
+        |  CAST(sum(f.n_chars) AS BIGINT) AS chars
+        |FROM live f JOIN dim d ON f.lang = d.lang
+        |WHERE d.hot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w35_timestamp_partitions" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE date_trunc('year', o_orderdate) >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND date_trunc('year', o_orderdate) < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "w32_catalyst_fileindex" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  count(1) AS n_orders,
@@ -1225,6 +1391,22 @@ object WindowQueries {
         |  UNION ALL
         |  SELECT o_custkey, c FROM cents WHERE o_orderpriority = '2-HIGH'),
         |fin AS (SELECT * FROM merged WHERE c <= 25000000)
+        |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total,
+        |  CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w36_pruned_minmax_rescan" ->
+      """WITH cents AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |mc AS (SELECT max(o_custkey) AS m FROM cents
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |merged AS (
+        |  SELECT o_custkey, c FROM cents
+        |    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |fin AS (SELECT f.* FROM merged f, mc
+        |  WHERE NOT (f.c > 20000000 AND f.o_custkey <= m // 5))
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total,
         |  CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -28,10 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * manifest is already driver-resident by design); at 100 TB the
   * listing cost is O(#files) expression evaluations, zero I/O.
   *
-  * Scope: mapping-free, DV-free versions ([[SnapshotTable
-  * .readCatalyst]] enforces and documents the fallback) — renamed
-  * physical names and deletion-vector masks each need the wrapping
-  * projections of the classic reader.
+  * Composes with deletion vectors and column mapping:
+  * [[SnapshotTable.readCatalyst]] layers the DV anti-join mask and
+  * the physical→logical projection ABOVE the relation this index
+  * serves, and Catalyst pushes predicates through both wrappers down
+  * to [[listFiles]] — verified (with DPP metric pins) by the
+  * compose spec. The index itself therefore always sees PHYSICAL
+  * column names in both its stat keys and the pushed filters.
   */
 private[graft] class GraftFileIndex(
     tablePath: String,
@@ -40,7 +43,8 @@ private[graft] class GraftFileIndex(
       Map[String, String],
       Map[String, (Long, Long)],
       Map[String, (Array[Byte], Array[Byte])],
-      Map[String, (Int, Int, Array[Byte])])])
+      Map[String, (Int, Int, Array[Byte])])],
+    zoneId: java.time.ZoneId = java.time.ZoneOffset.UTC)
   extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
@@ -78,7 +82,7 @@ private[graft] class GraftFileIndex(
       val row = InternalRow.fromSeq(partSchema.fields.toSeq.map(f =>
         GraftFileIndex.partValueToCatalyst(
           pv.getOrElse(f.name, SnapshotTable.HiveDefaultPartition),
-          f.dataType)))
+          f.dataType, zoneId)))
       (row, es)
     }
     val kept = partitionFilters.reduceOption(And) match {
@@ -107,7 +111,7 @@ private[graft] object GraftFileIndex {
     * for layouts outside this set. */
   def supportedPartType(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType |
-         BooleanType | DateType => true
+         BooleanType | DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -128,8 +132,13 @@ private[graft] object GraftFileIndex {
   }
 
   /** A manifest partition-dir value (escaped path form) as the typed
-    * catalyst-internal value of the partition column. */
-  def partValueToCatalyst(raw: String, dt: DataType): Any = {
+    * catalyst-internal value of the partition column. Timestamp dirs
+    * are rendered by Spark's partitioned writer via a cast-to-string
+    * in the SESSION zone ('yyyy-MM-dd HH:mm:ss[.micros]'), so decoding
+    * with the same zone round-trips the instant exactly; NTZ values
+    * are zone-free wall-clock text either way. */
+  def partValueToCatalyst(raw: String, dt: DataType,
+      zoneId: java.time.ZoneId = java.time.ZoneOffset.UTC): Any = {
     if (raw == SnapshotTable.HiveDefaultPartition) return null
     val s = unescapePath(raw)
     dt match {
@@ -141,6 +150,15 @@ private[graft] object GraftFileIndex {
       case BooleanType => s.toBoolean
       case DateType => DateTimeUtils.stringToDate(UTF8String.fromString(s))
         .getOrElse(sys.error(s"unparseable DATE partition value '$s'"))
+      case TimestampType =>
+        DateTimeUtils.stringToTimestamp(UTF8String.fromString(s), zoneId)
+          .getOrElse(sys.error(
+            s"unparseable TIMESTAMP partition value '$s'"))
+      case TimestampNTZType =>
+        DateTimeUtils.stringToTimestampWithoutTimeZone(
+            UTF8String.fromString(s))
+          .getOrElse(sys.error(
+            s"unparseable TIMESTAMP_NTZ partition value '$s'"))
       case other => sys.error(s"unsupported partition type $other")
     }
   }

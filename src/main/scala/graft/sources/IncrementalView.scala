@@ -81,7 +81,24 @@ object IncrementalView {
     * Returns the view's new version. */
   def refreshCountSumMinMax(spark: SparkSession, basePath: String,
       aggPath: String, groupCol: String, valueCol: String,
-      fromVersion: Int, toVersion: Option[Int] = None): Int = {
+      fromVersion: Int, toVersion: Option[Int] = None): Int =
+    refreshCountSumMinMaxPruned(spark, basePath, aggPath, groupCol,
+      valueCol, fromVersion, toVersion)._1
+
+  /** [[refreshCountSumMinMax]] plus the recompute arm's pruning
+    * evidence: (view version, base files read by the rescan, base
+    * files total). The rescan is restricted to the manifest entries
+    * whose cached `groupCol` range intersects the invalidated key
+    * range (readWhere's evaluator) — on a groupCol-clustered base
+    * with localized invalidation that is the few straddling files,
+    * and an EMPTY invalidation set never touches the base at all
+    * (0 files read). Scattered invalidation over an unclustered base
+    * honestly keeps everything (sound; pruning never changes
+    * results). */
+  private[graft] def refreshCountSumMinMaxPruned(spark: SparkSession,
+      basePath: String, aggPath: String, groupCol: String,
+      valueCol: String, fromVersion: Int,
+      toVersion: Option[Int] = None): (Int, Int, Int) = {
     val toV = toVersion.getOrElse(
       SnapshotTable.versions(spark, basePath).max)
     val feed = SnapshotTable.changes(spark, basePath, fromVersion,
@@ -125,19 +142,38 @@ object IncrementalView {
       .select(col(groupCol), col("n"), col("total"))
     // count/sum stay delta-exact even for invalidated groups; only
     // min/max come from the restricted base scan (at the feed's end
-    // version, so a concurrent later commit cannot skew the view)
-    val recomputed = SnapshotTable.read(spark, basePath, Some(toV))
-      .select(col(groupCol), v.as("__v"))
-      .join(invalidated.select(col(groupCol)), Seq(groupCol),
-        "left_semi")
-      .groupBy(col(groupCol))
-      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-      .join(invalidated, Seq(groupCol))
-      .select(col(groupCol), col("n"), col("total"), col("mn"),
-        col("mx"))
-    SnapshotTable.merge(exact.unionByName(recomputed), aggPath,
+    // version, so a concurrent later commit cannot skew the view).
+    // The scan is DOUBLY restricted: manifest entries prune by the
+    // invalidated keys' [min, max] range (one 1-row driver collect —
+    // bounded by construction), and the semi-join keeps exactly the
+    // invalidated groups' rows. No invalidation → no base I/O at all.
+    val invRange = invalidated.agg(min(col(groupCol)),
+      max(col(groupCol))).head()
+    val (recomputed, filesKept, filesTotal) =
+      if (invRange.isNullAt(0))
+        (exact.limit(0), 0,
+          SnapshotTable.fileCount(spark, basePath, Some(toV)))
+      else {
+        val (restricted, kept, total) = SnapshotTable.readWherePruned(
+          spark, basePath,
+          col(groupCol) >= lit(invRange.get(0)) &&
+            col(groupCol) <= lit(invRange.get(1)),
+          Some(toV))
+        val rec = restricted
+          .select(col(groupCol), v.as("__v"))
+          .join(invalidated.select(col(groupCol)), Seq(groupCol),
+            "left_semi")
+          .groupBy(col(groupCol))
+          .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+          .join(invalidated, Seq(groupCol))
+          .select(col(groupCol), col("n"), col("total"), col("mn"),
+            col("mx"))
+        (rec, kept, total)
+      }
+    val ver = SnapshotTable.merge(exact.unionByName(recomputed), aggPath,
       Seq(groupCol),
       removeKeys = Some(joined.filter(col("n") === 0L)
         .select(col(groupCol))))
+    (ver, filesKept, filesTotal)
   }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.UUID
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types
 
@@ -83,9 +83,10 @@ object SnapshotTable {
     * values; dates as epoch days). The path part is authoritative;
     * unknown or malformed stats parse to "no stats" — old manifests
     * without the TAB section remain fully readable. */
-  private def entryPath(line: String): String = line.split("\t", 2)(0)
+  private[graft] def entryPath(line: String): String =
+    line.split("\t", 2)(0)
 
-  private def entryStats(line: String): Map[String, (Long, Long)] =
+  private[graft] def entryStats(line: String): Map[String, (Long, Long)] =
     line.split("\t", 2) match {
       case Array(_, st) =>
         st.split(";").iterator.flatMap { kv =>
@@ -376,11 +377,34 @@ object SnapshotTable {
         (w(f.dataType) > 0 && w(f.dataType) <= 4)))
     require(ok, s"widenColumn: ${f.dataType} -> $to is not an exact " +
       "order-preserving widening")
+    // bloom items do NOT survive a widening: xxhash64 hashes INT and
+    // BIGINT values differently, so a bloom built from the narrow
+    // type's hashes probed with the widened type's hashes yields
+    // near-certain FALSE NEGATIVES — files holding the key would be
+    // wrongly pruned (silent wrong results). Stripping the widened
+    // column's items only costs pruning power (no item = keep file);
+    // other columns' blooms stay valid. Long-normalized min/max stats
+    // carry over unchanged (they are type-agnostic by construction).
+    val phys = physName(f)
     commit(spark, path, Seq.empty,
-      next => readManifest(fs, path, next - 1),
+      next => readManifest(fs, path, next - 1)
+        .map(stripBloomItem(_, phys)),
       meta = schemaMeta(types.StructType(st.fields.map(x =>
         if (x.name == name) x.copy(dataType = to) else x))))
   }
+
+  /** `line` with the `physCol=b!…` bloom item removed (no-op when the
+    * entry carries none). */
+  private[graft] def stripBloomItem(line: String, physCol: String): String =
+    line.split("\t", 2) match {
+      case Array(p, stats) =>
+        val kept = stats.split(";").toSeq.filterNot { it =>
+          val kv = it.split("=", 2)
+          kv.length == 2 && kv(0) == physCol && kv(1).startsWith("b!")
+        }
+        if (kept.isEmpty) p else p + "\t" + kept.mkString(";")
+      case _ => line
+    }
 
   /** Read `rels` with the version's stored schema if present: files
     * written before a column was added yield NULL for it, and column
@@ -440,6 +464,35 @@ object SnapshotTable {
       case _ => None
     }
 
+  /** The `len=f!<bytes>!<mtime>` item of an entry's stats section:
+    * the data file's on-disk length and modification time, recorded
+    * once at STAGE time so planning (FileIndex construction, size
+    * accounting in optimize/compaction) never issues per-file
+    * getFileStatus RPCs — at 100 TB on an object store that is
+    * O(#files) serial round-trips saved per query. The `f!` value
+    * prefix keeps the item unparseable as any column-stat shape, so a
+    * column literally named `len` can never collide; absent on legacy
+    * manifests → callers fall back to one live stat. */
+  private[graft] def entryFileMeta(line: String): Option[(Long, Long)] =
+    line.split("\t", 2) match {
+      case Array(_, st) =>
+        st.split(";").iterator.collectFirst {
+          case kv if kv.startsWith("len=f!") =>
+            kv.stripPrefix("len=f!").split("!", 2) match {
+              case Array(l, m) =>
+                scala.util.Try((l.toLong, m.toLong)).toOption
+              case _ => None
+            }
+        }.flatten
+      case _ => None
+    }
+
+  /** An entry's data-file length: from the manifest when recorded,
+    * else one live getFileStatus (legacy manifests). */
+  private def entryLenOf(fs: FileSystem, path: String, e: String): Long =
+    entryFileMeta(e).map(_._1).getOrElse(
+      fs.getFileStatus(new Path(path, entryPath(e))).getLen)
+
   /** All deletion-vector rels of an entry — the `dv=` item holds a
     * COMMA-list when one commit's cumulative vector is large enough to
     * span multiple parquet files (uuid rel paths never contain ','). */
@@ -491,28 +544,34 @@ object SnapshotTable {
       withRowId = needRowId)
     val masked =
       if (dvRels.isEmpty) base
-      else {
-        // churn-sized vectors broadcast (map-side hash anti-join in
-        // the scan stage, no 2-sided shuffle+sort of the table); but
-        // after large/repeated MoR deletes the cumulative vector can
-        // approach table row count — gate on the on-disk parquet size
-        // and fall back to a shuffled anti-join above the threshold
-        // rather than risk a driver/executor OOM on the broadcast
-        val fs = fsOf(spark, new Path(path))
-        val dvBytes = dvRels.map(r => scala.util.Try(
-          fs.getFileStatus(new Path(path, r)).getLen).getOrElse(0L)).sum
-        val dvRaw = spark.read
-          .parquet(dvRels.map(r => new Path(path, r).toString): _*)
-          .select(col("file").as("__dvf"), col("pos").as("__dvp"))
-        val dv = if (dvBytes <= DvBroadcastMaxBytes)
-          org.apache.spark.sql.functions.broadcast(dvRaw) else dvRaw
-        base.join(dv,
-          base("__file") === col("__dvf") && base("__pos") === col("__dvp"),
-          "left_anti")
-      }
+      else applyDvMask(spark, path, base, dvRels)
     if (keepRowId) masked
     else if (needRowId) masked.drop("__file", "__pos")
     else masked
+  }
+
+  /** Anti-join `df` (which must carry `__file`/`__pos` row
+    * coordinates) against the deletion vectors at `dvRels`.
+    * Churn-sized vectors broadcast (map-side hash anti-join in the
+    * scan stage, no 2-sided shuffle+sort of the table); but after
+    * large/repeated MoR deletes the cumulative vector can approach
+    * table row count — gate on the on-disk parquet size and fall back
+    * to a shuffled anti-join above the threshold rather than risk a
+    * driver/executor OOM on the broadcast. */
+  private def applyDvMask(spark: SparkSession, path: String,
+      df: DataFrame, dvRels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, new Path(path))
+    val dvBytes = dvRels.map(r => scala.util.Try(
+      fs.getFileStatus(new Path(path, r)).getLen).getOrElse(0L)).sum
+    val dvRaw = spark.read
+      .parquet(dvRels.map(r => new Path(path, r).toString): _*)
+      .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+    val dv = if (dvBytes <= DvBroadcastMaxBytes)
+      org.apache.spark.sql.functions.broadcast(dvRaw) else dvRaw
+    df.join(dv,
+      df("__file") === col("__dvf") && df("__pos") === col("__dvp"),
+      "left_anti")
   }
 
   /** The table's partition columns per the log-head meta (`#partition`,
@@ -629,11 +688,16 @@ object SnapshotTable {
         else s"files/$parentRel/${dest.getName}"
       val stats = footerRanges(spark, dest, statCols)
       val strStats = footerStringRanges(spark, dest, strStatCols)
+      // file length + mtime ride in the entry so later planning never
+      // stats the file again (one RPC here, at write time, where the
+      // footer harvest already touches the file anyway)
+      val fst = fs.getFileStatus(dest)
       val items = stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
         strStats.toSeq.sortBy(_._1)
-          .map { case (c, (lo, hi)) => s"$c=s!${escStat(lo)}!${escStat(hi)}" }
-      if (items.isEmpty) rel else rel + "\t" + items.mkString(";")
+          .map { case (c, (lo, hi)) => s"$c=s!${escStat(lo)}!${escStat(hi)}" } ++
+        Seq(s"len=f!${fst.getLen}!${fst.getModificationTime}")
+      rel + "\t" + items.mkString(";")
     }
     if (!fs.delete(tmp, true))
       sys.error(s"snapshot stage: could not clear $tmp")
@@ -939,19 +1003,55 @@ object SnapshotTable {
     if (committedStreamBatch(spark, path).exists(_ >= batchId)) None
     else {
       val priorVs = versions(spark, path)
+      val fs = fsOf(spark, logDir(path))
+      val priorMeta =
+        if (priorVs.isEmpty) Map.empty[String, String]
+        else readMeta(fs, path, priorVs.max)
       val mapped =
         if (priorVs.isEmpty) None
-        else storedSchema(fsOf(spark, logDir(path)), path, priorVs.max)
+        else storedSchema(fs, path, priorVs.max)
       val staged = stage(toPhysical(df, mapped), path,
         partitioning(spark, path))
+      // bloom MAINTENANCE under streaming churn: if the table carries
+      // a bloom policy ([[indexBloom]] meta), bloom this batch's new
+      // files inside the batch's own commit — one churn-sized scan of
+      // the just-staged files, so point-lookup pruning power never
+      // decays as batches accumulate (un-bloomed entries are sound
+      // but un-prunable). Min/max stats are harvested by stage()
+      // unconditionally, as for every write path.
+      val stagedIndexed = (priorMeta.get("bloomCols"),
+          priorMeta.get("bloomBits"), priorMeta.get("bloomHashes")) match {
+        case (Some(cs), Some(b), Some(h)) =>
+          val cols = cs.split(",").toSeq
+            .filter(df.columns.contains)
+          if (cols.isEmpty) staged
+          else {
+            val (bits, hashes) = (b.toInt, h.toInt)
+            val schemaOpt = mapped.orElse(Some(df.schema))
+            val byFile = bloomBitsets(spark, path, schemaOpt,
+              staged.map(entryPath), cols, bits, hashes)
+            val log2phys: Map[String, String] = mapped.toSeq
+              .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
+            val fileOf =
+              (p: String) => p.substring(p.lastIndexOf('/') + 1)
+            staged.map { e =>
+              byFile.get(fileOf(entryPath(e))) match {
+                case None => e
+                case Some(colBits) =>
+                  withBloomItems(e, colBits, log2phys, bits, hashes)
+              }
+            }
+          }
+        case _ => staged
+      }
       // first batch creates the table and records its schema; later
       // batches inherit the stored schema through the meta chain
       val schemaM =
         if (versions(spark, path).isEmpty) schemaMeta(df.schema)
         else Map.empty[String, String]
-      Some(commit(spark, path, staged,
+      Some(commit(spark, path, stagedIndexed,
         next => if (next == 0) Seq.empty
-          else readManifest(fsOf(spark, logDir(path)), path, next - 1),
+          else readManifest(fs, path, next - 1),
         meta = Map("streamBatch" -> batchId.toString) ++ schemaM))
     }
   }
@@ -1013,9 +1113,15 @@ object SnapshotTable {
     val readV = vs.max
     val fs = fsOf(spark, new Path(path))
     val manifest = readManifest(fs, path, readV)
-    val current = read(spark, path, Some(readV))
-    require(current.columns.toSeq == updates.columns.toSeq,
-      s"merge schema mismatch: table has [${current.columns.mkString(",")}]" +
+    // schema check from the stored schema when present — building the
+    // (DV-masked, projected) read plan just to list column names is
+    // wasted planning work on every merge
+    val storedEarly = storedSchema(fs, path, readV)
+    lazy val currentFallback = read(spark, path, Some(readV))
+    val tableCols = storedEarly.map(_.fieldNames.toSeq)
+      .getOrElse(currentFallback.columns.toSeq)
+    require(tableCols == updates.columns.toSeq,
+      s"merge schema mismatch: table has [${tableCols.mkString(",")}]" +
         s", updates have [${updates.columns.mkString(",")}]")
     require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
       s"merge keys [${keyCols.mkString(",")}] must be update columns")
@@ -1026,10 +1132,14 @@ object SnapshotTable {
     // removeKeys ride the same single rewrite: a removed key is
     // matched (so its file rewrites) but never re-inserted. A key in
     // BOTH sets upserts — updates win over removals.
+    // localCheckpoint: the distinct key set feeds THREE consumers
+    // (range agg, level-2 semi-join, survivor anti-join) — without it
+    // each one would re-scan and re-shuffle the update set, which at
+    // CDC scale is the dominant repeated cost of a merge.
     val keys = updates.select(keyCols.map(col): _*)
       .unionByName(removeKeys.getOrElse(
         updates.select(keyCols.map(col): _*).limit(0)))
-      .distinct()
+      .distinct().localCheckpoint()
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
     // Level-1 pruning, NO data scan, two metadata signals per entry:
     //  (a) range: EVERY integral/date key column's cached [min,max]
@@ -1101,7 +1211,7 @@ object SnapshotTable {
       }
     // stored schema carries the column-mapping metadata read() strips;
     // stats/footers are keyed by PHYSICAL names
-    val storedOpt = storedSchema(fs, path, readV)
+    val storedOpt = storedEarly
     val log2phys: Map[String, String] = storedOpt.toSeq
       .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
     val candidates: Seq[String] =
@@ -1137,7 +1247,7 @@ object SnapshotTable {
     // reads of SUBSETS of the table's files go through the stored
     // schema too: a file that predates an added column must read it
     // as null here exactly as it does in read()
-    val tableSchema = storedOpt.orElse(Some(current.schema))
+    val tableSchema = storedOpt.orElse(Some(currentFallback.schema))
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readEntriesDv(spark, path, tableSchema, candidates,
@@ -1506,6 +1616,15 @@ object SnapshotTable {
     require(entries.nonEmpty, s"version $v references no data files " +
       "(committed from an empty write with no parts)")
     readEntriesDv(spark, path, storedSchema(fs, path, v), entries)
+  }
+
+  /** Number of data files a version references (pure metadata). */
+  private[graft] def fileCount(spark: SparkSession, path: String,
+      version: Option[Int] = None): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    readManifest(fsOf(spark, logDir(path)), path,
+      version.getOrElse(vs.max)).size
   }
 
   /** Read with manifest-metadata file skipping — the reader-side twin
@@ -1944,9 +2063,8 @@ object SnapshotTable {
     val fs = fsOf(spark, new Path(path))
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    val files = manifestPaths(fs, path, vs.max)
-      .map(rel => new Path(path, rel))
-    val totalBytes = files.map(f => fs.getFileStatus(f).getLen).sum
+    val totalBytes = readManifest(fs, path, vs.max)
+      .map(e => entryLenOf(fs, path, e)).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = read(spark, path)
     val laid =
@@ -1972,13 +2090,20 @@ object SnapshotTable {
     * partition pruning through joins — works against the manifest
     * with zero listing I/O.
     *
-    * Scope: mapping-free, DV-free versions — renamed physical names
-    * and deletion-vector masks need the classic reader's wrapping
-    * projections, so those tables FALL BACK to [[read]] (same
-    * results, scan-level pruning only); same for partition-column
-    * types outside [[GraftFileIndex.supportedPartType]]. */
+    * COMPOSES with the MoR/evolution features: a version carrying
+    * deletion vectors reads masked (the same size-gated anti-join as
+    * the classic reader, layered above the relation on the scan's
+    * `_metadata` row coordinates), and a column-mapped version scans
+    * under PHYSICAL names with the logical projection restored on
+    * top — Catalyst pushes predicates straight through both wrappers
+    * to the FileIndex, so big fact tables keep planning-time skipping
+    * and DPP across renames and MoR deletes. Falls back to [[read]]
+    * only for partition-column types outside
+    * [[GraftFileIndex.supportedPartType]] (same results, scan-level
+    * pruning only) and for legacy logs without a stored schema. */
   def readCatalyst(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
     val v = version.getOrElse(vs.max)
@@ -1986,37 +2111,66 @@ object SnapshotTable {
     val fs = fsOf(spark, logDir(path))
     val manifest = readManifest(fs, path, v)
     val schemaOpt = storedSchema(fs, path, v)
-    val partCols = partitioning(spark, path)
-    val catalystEligible =
-      manifest.forall(e => entryDvs(e).isEmpty) &&
-        schemaOpt.forall(!hasMapping(_)) &&
-        manifest.nonEmpty &&
-        (partCols.isEmpty || (schemaOpt.exists(st =>
-          partCols.forall(c => st.fieldNames.contains(c) &&
-            GraftFileIndex.supportedPartType(st(c).dataType)))))
+    // the version's OWN partition layout: time travel across an
+    // overwrite that re-partitioned must use the entries' real layout,
+    // not the log head's
+    val partCols = readMeta(fs, path, v).get("partition")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val catalystEligible = manifest.nonEmpty &&
+      (partCols.isEmpty || (schemaOpt.exists(s =>
+        partCols.forall(c => s.fieldNames.contains(c) &&
+          GraftFileIndex.supportedPartType(s(c).dataType)))))
     if (!catalystEligible) return read(spark, path, Some(v))
     val st = schemaOpt.getOrElse(
       readFilesAs(spark, path, None, manifest.map(entryPath)).schema)
     val partSchema = nullify(types.StructType(
       partCols.map(c => st(st.fieldIndex(c)))))
+    // the scan schema is PHYSICAL: evolved tables' files carry stable
+    // physical names (partition columns can't be renamed, so their
+    // dirs keep logical names); the projection below restores the
+    // logical view, and Catalyst pushes predicates through it
     val dataSchema = nullify(types.StructType(
-      st.fields.filterNot(f => partCols.contains(f.name))))
+      st.fields.filterNot(f => partCols.contains(f.name))
+        .map(f => f.copy(name = physName(f)))))
+    val fsD = fsOf(spark, new Path(path))
     val entries = manifest.map { e =>
-      (fs.getFileStatus(new Path(path, entryPath(e))),
-        entryPartitionValues(entryPath(e)),
-        entryStats(e), entryStringStats(e), entryBloomStats(e))
+      val rel = entryPath(e)
+      val p = fsD.makeQualified(new Path(path, rel))
+      // FileStatus from manifest-recorded length/mtime — zero per-file
+      // RPCs at planning time; one live stat only for legacy entries
+      val fst = entryFileMeta(e) match {
+        case Some((len, mtime)) => new FileStatus(len, false, 1,
+          fsD.getDefaultBlockSize(p), mtime, p)
+        case None => fsD.getFileStatus(p)
+      }
+      (fst, entryPartitionValues(rel), entryStats(e),
+        entryStringStats(e), entryBloomStats(e))
     }
-    val index = new GraftFileIndex(path, partSchema, entries)
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    val index = new GraftFileIndex(path, partSchema, entries, zone)
     val relation = org.apache.spark.sql.execution.datasources
       .HadoopFsRelation(index, partSchema, dataSchema,
         None,
         new org.apache.spark.sql.execution.datasources.parquet
           .ParquetFileFormat(),
         Map.empty[String, String])(spark)
-    val df = org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
-    // partition columns come back appended; restore the stored order
-    if (partCols.isEmpty) df
-    else df.select(st.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    val raw = org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
+    // deletion-vector mask: same anti-join as the classic reader,
+    // keyed on the scan's own metadata row coordinates
+    val dvRels = manifest.flatMap(entryDvs).distinct
+    val masked =
+      if (dvRels.isEmpty) raw
+      else applyDvMask(spark, path,
+        raw.select(col("*"),
+          col("_metadata.file_name").as("__file"),
+          col("_metadata.row_index").as("__pos")),
+        dvRels)
+    // restore logical names, stored column order and types (drops the
+    // row-coordinate helper columns; casts are no-ops on unmapped,
+    // unwidened tables and fold away)
+    masked.select(st.fields.toSeq.map(f =>
+      col(physName(f)).cast(nullifyAny(f.dataType)).as(f.name)): _*)
   }
 
   /** OPTIMIZE ZORDER: rewrite the latest version along the z-curve of
@@ -2031,9 +2185,8 @@ object SnapshotTable {
     val fs = fsOf(spark, new Path(path))
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    val files = manifestPaths(fs, path, vs.max)
-      .map(rel => new Path(path, rel))
-    val totalBytes = files.map(f => fs.getFileStatus(f).getLen).sum
+    val totalBytes = readManifest(fs, path, vs.max)
+      .map(e => entryLenOf(fs, path, e)).sum
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = read(spark, path)
@@ -2053,18 +2206,21 @@ object SnapshotTable {
     * can hold the key.
     *
     * Scale shape: ONE distributed scan of the indexed columns
-    * (explode to `hashes` bit positions per value, distinct, grouped
-    * per file — the driver receives at most #files × `bits` set
-    * positions, bounded by the index size itself, ~#files × bits/8
-    * bytes of manifest growth). Sound under later churn: DV'd rows
+    * (explode to `hashes` bit positions per value, packed into one
+    * bitset per (file, column) EXECUTOR-side via typed mapGroups —
+    * the driver receives exactly the finished bitsets, #files ×
+    * #cols × bits/8 bytes, the size of the index itself, never a
+    * row per set bit). Sound under later churn: DV'd rows
     * stay in the bloom (false positive = keep), files REWRITTEN by
     * merge/compaction lose their items (no item = keep), so a stale
     * index can only under-prune, never lie. Re-run after major churn
-    * to restore pruning power. */
+    * to restore pruning power — or let the STREAMING ingest maintain
+    * it: the bloom policy (cols/bits/hashes) is recorded in the log
+    * meta, and [[appendStreamBatch]] blooms each batch's new files
+    * inside the batch's own commit, so pruning power never decays
+    * under continuous ingestion. */
   def indexBloom(spark: SparkSession, path: String, cols: Seq[String],
       bits: Int = 1 << 16, hashes: Int = 6): Int = {
-    import org.apache.spark.sql.functions.{array, col, collect_list,
-      explode, lit, pmod, shiftrightunsigned, xxhash64}
     require(bits >= 64 && Integer.bitCount(bits) == 1 && hashes >= 1,
       s"need power-of-two bits >= 64 and hashes >= 1")
     val vs = versions(spark, path)
@@ -2077,8 +2233,39 @@ object SnapshotTable {
     require(cols.nonEmpty && cols.forall(st.fieldNames.contains),
       s"indexBloom columns [${cols.mkString(",")}] must exist in " +
         s"[${st.fieldNames.mkString(",")}]")
-    val base = readFilesAs(spark, path, schemaOpt.orElse(Some(st)),
-      manifest.map(entryPath), withRowId = true)
+    val byFile = bloomBitsets(spark, path, schemaOpt.orElse(Some(st)),
+      manifest.map(entryPath), cols, bits, hashes)
+    val log2phys: Map[String, String] = schemaOpt.toSeq
+      .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val enriched = manifest.map { e =>
+      byFile.get(fileOf(entryPath(e))) match {
+        case None => e
+        case Some(colBits) =>
+          withBloomItems(e, colBits, log2phys, bits, hashes)
+      }
+    }
+    // the policy rides in the (inherited) commit meta so later
+    // streaming batches can maintain the index for their own files
+    commitPinned(spark, path, enriched, readV + 1,
+      meta = Map("bloomCols" -> cols.mkString(","),
+        "bloomBits" -> bits.toString,
+        "bloomHashes" -> hashes.toString))
+  }
+
+  /** Distributed per-file bloom bitsets for `cols` over the files at
+    * `rels`: one scan of the indexed columns (explode to `hashes` bit
+    * positions per value), packed EXECUTOR-side into one bitset per
+    * (file, column) via typed mapGroups — the driver receives exactly
+    * the finished bitsets, never a row per set bit. Keys are file
+    * NAMES; column names are LOGICAL. */
+  private def bloomBitsets(spark: SparkSession, path: String,
+      schema: Option[types.StructType], rels: Seq[String],
+      cols: Seq[String], bits: Int, hashes: Int)
+      : Map[String, Seq[(String, Array[Byte])]] = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit,
+      pmod, shiftrightunsigned, xxhash64}
+    val base = readFilesAs(spark, path, schema, rels, withRowId = true)
     // double hashing, shifted into small ranges so h1 + i*h2 can
     // never overflow under ANSI arithmetic; bloomMayContain replays
     // the identical math on the folded constant at prune time
@@ -2091,48 +2278,48 @@ object SnapshotTable {
         .select(col("__file"), lit(c).as("__col"),
           explode(pos).as("__pos"))
     }
-    val positions = perCol.reduce(_ unionByName _)
-      .distinct()
-      .groupBy(col("__file"), col("__col"))
-      .agg(collect_list(col("__pos")).as("ps"))
-      .collect()
-    val log2phys: Map[String, String] = schemaOpt.toSeq
-      .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
-    val byFile: Map[String, Seq[(String, Array[Byte])]] =
-      positions.groupBy(_.getString(0)).map { case (f, rows) =>
-        f -> rows.toSeq.map { r =>
+    // no distinct needed: setting a bit twice is idempotent
+    import spark.implicits._
+    val packed: Array[(String, String, Array[Byte])] =
+      perCol.reduce(_ unionByName _)
+        .as[(String, String, Long)]
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key: (String, String),
+            it: Iterator[(String, String, Long)]) =>
           val bs = new Array[Byte](bits / 8)
-          r.getAs[scala.collection.Seq[Long]](2).foreach { p =>
-            val i = p.toInt
+          it.foreach { r =>
+            val i = r._3.toInt
             bs(i >> 3) = (bs(i >> 3) | (1 << (i & 7))).toByte
           }
-          r.getString(1) -> bs
+          (key._1, key._2, bs)
         }
-      }
-    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
-    val enriched = manifest.map { e =>
-      byFile.get(fileOf(entryPath(e))) match {
-        case None => e
-        case Some(colBits) =>
-          val items = colBits.sortBy(_._1).map { case (c, bs) =>
-            s"${log2phys.getOrElse(c, c)}=b!$bits!$hashes!" +
-              java.util.Base64.getEncoder.withoutPadding
-                .encodeToString(bs)
-          }
-          val newKeys = colBits.map { case (c, _) =>
-            log2phys.getOrElse(c, c) }.toSet
-          val parts = e.split("\t", 2)
-          val prior = if (parts.length < 2) Seq.empty
-            else parts(1).split(";").toSeq
-          val keep = prior.filterNot { it =>
-            val kv = it.split("=", 2)
-            kv.length == 2 && kv(1).startsWith("b!") &&
-              newKeys.contains(kv(0))
-          }
-          parts(0) + "\t" + (keep ++ items).mkString(";")
-      }
+        .collect()
+    packed.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.toSeq.map(r => r._2 -> r._3)
     }
-    commitPinned(spark, path, enriched, readV + 1)
+  }
+
+  /** `entry` enriched with `phys=b!bits!k!base64` items for
+    * `colBits` (logical-named), replacing any prior bloom items of
+    * the same columns. */
+  private def withBloomItems(entry: String,
+      colBits: Seq[(String, Array[Byte])],
+      log2phys: Map[String, String], bits: Int, hashes: Int): String = {
+    val items = colBits.sortBy(_._1).map { case (c, bs) =>
+      s"${log2phys.getOrElse(c, c)}=b!$bits!$hashes!" +
+        java.util.Base64.getEncoder.withoutPadding.encodeToString(bs)
+    }
+    val newKeys = colBits.map { case (c, _) =>
+      log2phys.getOrElse(c, c) }.toSet
+    val parts = entry.split("\t", 2)
+    val prior = if (parts.length < 2) Seq.empty
+      else parts(1).split(";").toSeq
+    val keep = prior.filterNot { it =>
+      val kv = it.split("=", 2)
+      kv.length == 2 && kv(1).startsWith("b!") &&
+        newKeys.contains(kv(0))
+    }
+    parts(0) + "\t" + (keep ++ items).mkString(";")
   }
 
   /** Replays [[indexBloom]]'s hash math on a folded constant: true
@@ -2197,16 +2384,14 @@ object SnapshotTable {
     val manifest = readManifest(fs, path, readV)
     val (rewrite, kept) = manifest.partition { e =>
       entryDvs(e).nonEmpty ||
-        fs.getFileStatus(new Path(path, entryPath(e))).getLen <
-          targetFileBytes / 2
+        entryLenOf(fs, path, e) < targetFileBytes / 2
     }
     // two small files compact into one; a single DV'd file still
     // rewrites (the point is clearing its read tax, not its size)
     if (rewrite.size < 2 && !rewrite.exists(e => entryDvs(e).nonEmpty))
       None
     else {
-      val totalBytes = rewrite
-        .map(e => fs.getFileStatus(new Path(path, entryPath(e))).getLen).sum
+      val totalBytes = rewrite.map(e => entryLenOf(fs, path, e)).sum
       val nFiles = math.max(1,
         math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
       val rewriteSchema = storedSchema(fs, path, readV)

@@ -682,7 +682,7 @@ class SnapshotTableSpec extends SparkSpec {
     // dynamic partition pruning: a selective dim join on grp prunes
     // fact partitions at RUNTIME (numFiles < staticFilesNum)
     // (the dim must be file-backed: PartitionPruning skips
-    // LocalRelation build sides — probed in DppProbe)
+    // LocalRelation build sides)
     SnapshotTable.readCatalyst(spark, path).createOrReplaceTempView("fact_cat")
     val dimPath = freshPath("catpart_dim")
     Seq(("g1", 1), ("g5", 1)).toDF("grp", "flag").write.parquet(dimPath)
@@ -703,6 +703,122 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.append(withNull, path)
     assert(SnapshotTable.readCatalyst(spark, path)
       .filter(col("grp").isNull).count() === 1)
+  }
+
+  test("readCatalyst composes with deletion vectors and column mapping (DPP intact)") {
+    val path = freshPath("catcompose")
+    val rows = (0L until 4000L)
+      .map(i => (i, s"g${i % 8}", i * 3))
+      .toDF("id", "grp", "score")
+    SnapshotTable.create(rows, path, partitionBy = Seq("grp"))
+    // MoR-delete a slice (deletion vectors, no file rewritten), then
+    // rename a data column (column mapping): the exact combination
+    // that used to silently fall back to the classic reader
+    SnapshotTable.deleteMoR(spark, path, col("score") % 100L === 0L)
+    SnapshotTable.renameColumn(spark, path, "score", "points")
+    val expected = rows.filter(col("score") % 100L =!= 0L)
+      .withColumnRenamed("score", "points")
+    val df = SnapshotTable.readCatalyst(spark, path)
+    assert(df.columns.toSeq === Seq("id", "grp", "points"))
+    // value parity with the classic reader AND with a from-scratch
+    // recompute: the DV mask and the physical->logical projection
+    // both applied
+    assert(df.count() === expected.count())
+    assert(df.agg(sum(col("points"))).head.getLong(0) ===
+      expected.agg(sum(col("points"))).head.getLong(0))
+    assert(df.filter(col("grp") === "g3").count() ===
+      expected.filter(col("grp") === "g3").count())
+    def scan(q: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.execution.FileSourceScanExec = {
+      q.collect()
+      def find(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          find(qs.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(find) ++ other.subqueries.flatMap(find)
+      }
+      find(q.queryExecution.executedPlan)
+        .find(_.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+        .getOrElse(sys.error("no FileSourceScanExec over GraftFileIndex"))
+    }
+    // static partition pruning still reaches the manifest through the
+    // DV anti-join and the rename projection
+    val eqScan = scan(SnapshotTable.readCatalyst(spark, path)
+      .filter(col("grp") === "g3").groupBy().count())
+    val total = scan(SnapshotTable.readCatalyst(spark, path)
+      .groupBy().count()).metrics("numFiles").value
+    assert(eqScan.metrics("numFiles").value < total)
+    // data-column pruning under the RENAMED name reaches the physical
+    // stats (filter on 'points', stats stored under 'score')
+    SnapshotTable.optimize(spark, path, targetFileBytes = 64L * 1024)
+    SnapshotTable.deleteMoR(spark, path, col("id") === 17L)
+    val afterOpt = SnapshotTable.readCatalyst(spark, path)
+    assert(afterOpt.filter(col("points") < 300L).count() ===
+      expected.filter(col("id") =!= 17L)
+        .filter(col("points") < 300L).count())
+    // DPP: a selective file-backed dim join on the partition column
+    // prunes fact files at RUNTIME even with the DV mask in the plan
+    SnapshotTable.readCatalyst(spark, path)
+      .createOrReplaceTempView("fact_compose")
+    val dimPath = freshPath("catcompose_dim")
+    Seq(("g1", 1), ("g5", 1)).toDF("grp", "flag").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dim_compose")
+    val dpp = spark.sql(
+      """SELECT f.grp, count(*) AS n FROM fact_compose f
+        |JOIN dim_compose d ON f.grp = d.grp WHERE d.flag = 1
+        |GROUP BY 1""".stripMargin)
+    val exp = expected.filter(col("id") =!= 17L)
+      .filter(col("grp").isin("g1", "g5"))
+      .groupBy(col("grp")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(dpp.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sorted.toSeq === exp)
+    val s = scan(dpp)
+    assert(s.metrics.contains("staticFilesNum"),
+      "DPP did not fire through the DV/mapping wrappers")
+    assert(s.metrics("numFiles").value < s.metrics("staticFilesNum").value)
+  }
+
+  test("widenColumn strips the widened column's bloom items (no false-negative pruning)") {
+    val path = freshPath("widenbloom")
+    val rows = (0 until 2000).map(i => (i, s"t$i")).toDF("id", "tag")
+    SnapshotTable.create(rows.repartition(8, col("id")), path)
+    SnapshotTable.indexBloom(spark, path, Seq("id"))
+    // sanity: the bloom prunes an equality probe on the narrow type
+    val (hit0, kept0, total0) = SnapshotTable.readWherePruned(spark, path,
+      col("id") === 1234)
+    assert(hit0.count() === 1 && kept0 < total0)
+    // widening changes the column's xxhash64 domain: INT and BIGINT
+    // hash differently, so carrying the bloom would false-negative on
+    // EVERY probe and silently prune the matching file. The widen
+    // commit must drop exactly that column's items.
+    SnapshotTable.widenColumn(spark, path, "id",
+      org.apache.spark.sql.types.LongType)
+    val (hit1, kept1, total1) = SnapshotTable.readWherePruned(spark, path,
+      col("id") === 1234L)
+    assert(hit1.count() === 1,
+      "row lost: stale narrow-type bloom pruned the matching file")
+    assert(kept1 === total1,
+      "widened column should carry NO bloom items (keep all files)")
+    // deleteWhere-style paths see the row too (the advice's wrong-
+    // results scenario: deleteMoR must not miss the key)
+    SnapshotTable.deleteMoR(spark, path, col("id") === 1234L)
+    assert(SnapshotTable.read(spark, path)
+      .filter(col("id") === 1234L).count() === 0)
+    // blooms on OTHER columns survive a widen of one column
+    val path2 = freshPath("widenbloom2")
+    SnapshotTable.create(rows.toDF("id", "tag")
+      .withColumn("other", col("id") + 1)
+      .repartition(8, col("id")), path2)
+    SnapshotTable.indexBloom(spark, path2, Seq("id", "other"))
+    SnapshotTable.widenColumn(spark, path2, "id",
+      org.apache.spark.sql.types.LongType)
+    val (_, keptO, totalO) = SnapshotTable.readWherePruned(spark, path2,
+      col("other") === 1235)
+    assert(keptO < totalO, "unwidened column's bloom was dropped too")
   }
 
   test("widenColumn: metadata-only int->long / float->double; appends and pruning follow") {
