@@ -731,6 +731,59 @@ object WindowQueries {
       SnapshotTable.read(s, aggPath).orderBy(col("o_custkey"))
     }),
 
+    // W37: SEGMENTED MANIFESTS — the manifest-tree half of the 100 TB
+    // metadata story (the r10 ManifestScaleProbe measured the flat
+    // format's ceiling: an O(#files) manifest rewritten per commit).
+    // Above the segment threshold a version's manifest is a LIST of
+    // immutable entry segments; commits reuse every segment whose
+    // entries survive unchanged. Lifecycle: create (range-clustered,
+    // 4 segments) → append (reuses ALL prior segments — pinned) →
+    // localized delete (rewrites only straddling segments — reuse
+    // pinned). Oracle replays the final state relationally.
+    "w37_segmented_manifest" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w37").toString + "/orders_seg"
+      s.conf.set("spark.graft.manifest.segmentEntries", "6")
+      try {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+        def slice(p: String) =
+          orders.filter(col("o_orderpriority") === p)
+        SnapshotTable.create(
+          slice("1-URGENT").repartitionByRange(24, col("o_orderkey"))
+            .sortWithinPartitions(col("o_orderkey")), path)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        def segRefs(v: Int): Set[String] = {
+          val in = fs.open(new org.apache.hadoop.fs.Path(
+            path + f"/_graft_log/v$v%08d.manifest"))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.startsWith("@seg=")).map(_.split("\t")(0)).toSet
+          finally in.close()
+        }
+        require(segRefs(0).size >= 3,
+          s"w37 setup: expected a segmented create, got ${segRefs(0).size}")
+        SnapshotTable.append(slice("2-HIGH").coalesce(2), path)
+        require(segRefs(0).subsetOf(segRefs(1)),
+          "append rewrote previously-committed segments (reuse regressed)")
+        val k = slice("1-URGENT").agg(max(col("o_orderkey")))
+          .head().getLong(0) / 50
+        SnapshotTable.delete(s, path, col("o_orderkey") <= k)
+        val reused = segRefs(2) intersect segRefs(1)
+        require(reused.size >= 3,
+          s"localized delete reused only ${reused.size} segments of " +
+            s"${segRefs(1).size} — churn-proportional commits regressed")
+        SnapshotTable.read(s, path)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+          .orderBy(col("o_orderpriority"))
+      } finally s.conf.unset("spark.graft.manifest.segmentEntries")
+    }),
+
     // W36: min/max view maintenance with a MANIFEST-PRUNED invalidate
     // rescan — w28's scale caveat closed. The base is custkey-
     // clustered at create time and the churn is LOCALIZED (an append,
@@ -1393,6 +1446,17 @@ object WindowQueries {
         |fin AS (SELECT * FROM merged WHERE c <= 25000000)
         |SELECT o_custkey, count(*) AS n, CAST(sum(c) AS BIGINT) AS total,
         |  CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w37_segmented_manifest" ->
+      """WITH m AS (SELECT max(o_orderkey) // 50 AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |t AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |fin AS (SELECT f.* FROM t f, m WHERE f.o_orderkey > m.k)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w36_pruned_minmax_rescan" ->

@@ -197,10 +197,147 @@ object SnapshotTable {
     } finally in.close()
   }
 
-  /** Data-file entries of a manifest (metadata `#key=value` lines,
-    * e.g. the streaming batch marker, are per-commit and excluded). */
-  private def readManifest(fs: FileSystem, path: String, v: Int): Seq[String] =
+  /** SEGMENTED MANIFESTS (Iceberg manifest-list shape): above the
+    * segment threshold a version's manifest file becomes a LIST whose
+    * body lines are either inline entries (small tables, full
+    * compatibility) or `@seg=<rel>TAB<agg-items>` references to
+    * immutable ENTRY-SEGMENT files under `_graft_log/`. Commits REUSE
+    * every previous segment whose entry set survives unchanged and
+    * write new segments only for changed/new entries — an append to a
+    * 1M-file table writes O(churn) bytes, not an O(#files) manifest
+    * (the measured write-amplification ceiling of the flat format;
+    * see ManifestScaleProbe / NOTES_ROUND r10). The ref's agg items
+    * carry per-column ranges MERGED over the segment's entries
+    * (present only when every entry has the column's stats — absence
+    * = unknown = keep), so [[readWherePruned]] drops whole segments
+    * before parsing a single entry. Segments are staged before the
+    * create-exclusive list commit (same unreferenced-until-commit
+    * crash safety as data files); [[vacuum]] reclaims orphans. */
+  private val SegPrefix = "@seg="
+
+  /** Entries-per-segment target; also the threshold below which a
+    * manifest stays flat (session-configurable so specs can exercise
+    * segmentation on small tables). */
+  private def segmentEntriesConf(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.manifest.segmentEntries")
+      .map(_.toInt).getOrElse(512)
+
+  /** Process-level cache of immutable segment files (uuid-named, so a
+    * path can never be reused with different content). Crudely
+    * bounded: cleared when it exceeds 256 segments. */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def segEntries(fs: FileSystem, path: String,
+      rel: String): Seq[String] = {
+    val key = new Path(path, rel).toString
+    val hit = segCache.get(key)
+    if (hit != null) hit
+    else {
+      val in = fs.open(new Path(path, rel))
+      val lines = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+      if (segCache.size > 256) segCache.clear()
+      segCache.put(key, lines)
+      lines
+    }
+  }
+
+  /** A manifest body line parsed structurally: Left(segment ref) or
+    * Right(inline entry). The ref reuses the entry item grammar after
+    * the prefix (`rel TAB n=<count>;col=lo:hi;col=s!lo!hi`), so the
+    * standard stat parsers read its aggregates directly. */
+  private[graft] def refRel(refLine: String): String =
+    entryPath(refLine.stripPrefix(SegPrefix))
+
+  private[graft] def refCount(refLine: String): Int =
+    refLine.stripPrefix(SegPrefix).split("\t", 2) match {
+      case Array(_, items) =>
+        items.split(";").iterator.collectFirst {
+          case kv if kv.startsWith("n=") =>
+            scala.util.Try(kv.drop(2).toInt).toOption
+        }.flatten.getOrElse(0)
+      case _ => 0
+    }
+
+  private def readManifestRefs(fs: FileSystem, path: String,
+      v: Int): Seq[String] =
     manifestLines(fs, path, v).filterNot(_.startsWith("#"))
+
+  /** Data-file entries of a manifest (metadata `#key=value` lines,
+    * e.g. the streaming batch marker, are per-commit and excluded;
+    * segment references resolve to their entry lines). */
+  private def readManifest(fs: FileSystem, path: String, v: Int): Seq[String] =
+    readManifestRefs(fs, path, v).flatMap { l =>
+      if (l.startsWith(SegPrefix)) segEntries(fs, path, refRel(l))
+      else Seq(l)
+    }
+
+  /** Merged per-column aggregates over a segment's entries, in the
+    * entry item grammar. A column aggregates only when EVERY entry
+    * carries its stats (a stat-less entry makes the segment's range
+    * unknown — absence keeps the segment, sound). */
+  private def segAggItems(entries: Seq[String]): String = {
+    val statMaps = entries.map(entryStats)
+    val strMaps = entries.map(entryStringStats)
+    val numCols = statMaps.map(_.keySet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val strCols = strMaps.map(_.keySet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val numItems = numCols.toSeq.sorted.map { c =>
+      val rs = statMaps.map(_(c))
+      s"$c=${rs.map(_._1).min}:${rs.map(_._2).max}"
+    }
+    val strItems = strCols.toSeq.sorted.map { c =>
+      val rs = strMaps.map(_(c))
+      val lo = rs.map(_._1).reduce((a, b) => if (bytesLe(a, b)) a else b)
+      val hi = rs.map(_._2).reduce((a, b) => if (bytesLe(a, b)) b else a)
+      s"$c=s!${escStat(lo)}!${escStat(hi)}"
+    }
+    (Seq(s"n=${entries.size}") ++ numItems ++ strItems).mkString(";")
+  }
+
+  /** The manifest body for `entries` on top of `prevV`: reuse every
+    * previous segment whose entries all survive verbatim, stage new
+    * segments for the rest. Below the threshold the body stays the
+    * flat entry list. Staged segment files are unreferenced until the
+    * list commits — a lost race or crash leaves only orphans for
+    * vacuum, exactly like staged data files. */
+  private def segmentedBody(spark: SparkSession, fs: FileSystem,
+      path: String, prevV: Option[Int], entries: Seq[String])
+      : Seq[String] = {
+    val target = segmentEntriesConf(spark)
+    if (entries.size <= target) return entries
+    val remaining = new scala.collection.mutable.HashSet[String]
+    remaining ++= entries
+    val keptRefs = prevV.toSeq
+      .flatMap(v => readManifestRefs(fs, path, v))
+      .filter(_.startsWith(SegPrefix))
+      .filter { ref =>
+        val es = segEntries(fs, path, refRel(ref))
+        val reusable = es.nonEmpty && es.forall(remaining.contains)
+        if (reusable) remaining --= es
+        reusable
+      }
+    // duplicates inside `entries` collapse via the set — entries are
+    // full stat-carrying lines of uuid-named files, so two equal
+    // lines denote the same file twice (never two files)
+    val fresh = (entries.filter(remaining.contains)).distinct
+    val newRefs = fresh.grouped(target).map { group =>
+      val rel = s"_graft_log/seg-${UUID.randomUUID()}.entries"
+      val out = fs.create(new Path(path, rel), false)
+      try out.write((group.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      s"$SegPrefix$rel\t${segAggItems(group)}"
+    }.toSeq
+    keptRefs ++ newRefs
+  }
 
   /** Per-commit metadata of a manifest (`#key=value` header lines). */
   private def readMeta(fs: FileSystem, path: String, v: Int): Map[String, String] =
@@ -842,7 +979,9 @@ object SnapshotTable {
          else readMeta(fs, path, vs.max)) ++ meta
       val metaLines = mergedMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" }
-      val content = (metaLines ++ base(next) ++ staged).mkString("\n")
+      val body = segmentedBody(spark, fs, path,
+        if (vs.isEmpty) None else Some(vs.max), base(next) ++ staged)
+      val content = (metaLines ++ body).mkString("\n")
       val target = new Path(logDir(path), manifestName(next))
       try {
         val out = fs.create(target, false) // exclusive: one winner per version
@@ -1549,11 +1688,12 @@ object SnapshotTable {
     // this commit's keys winning) — same rule as commit()
     val metaLines = (readMeta(fs, path, version - 1) ++ meta).toSeq
       .sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val body = segmentedBody(spark, fs, path, Some(version - 1), files)
     val target = new Path(logDir(path), manifestName(version))
     try {
       val out = fs.create(target, false)
       try {
-        out.write((metaLines ++ files).mkString("\n").getBytes("UTF-8"))
+        out.write((metaLines ++ body).mkString("\n").getBytes("UTF-8"))
         out.close()
       } catch {
         case e: Throwable =>
@@ -1658,22 +1798,45 @@ object SnapshotTable {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val fs = fsOf(spark, logDir(path))
-    val manifest = readManifest(fs, path, v)
+    val refs = readManifestRefs(fs, path, v)
     val schema = storedSchema(fs, path, v)
     val st = schema.getOrElse(read(spark, path, Some(v)).schema)
     val pred = resolvedPredicate(spark, st, predicate)
-    val kept = manifest.filter(e =>
+    def entryOk(e: String): Boolean =
       mayMatch(pred, entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), schema),
         relabelStats(entryStringStats(e), schema),
-        relabelStats(entryBloomStats(e), schema)))
+        relabelStats(entryBloomStats(e), schema))
+    // two-level prune on segmented manifests: a segment whose MERGED
+    // ranges refute the predicate drops wholesale — its entries are
+    // never even parsed (the driver-latency half of the manifest-tree
+    // design; the write half is segment reuse in segmentedBody)
+    var total = 0
+    val kept = refs.flatMap { l =>
+      if (!l.startsWith(SegPrefix)) {
+        total += 1
+        if (entryOk(l)) Seq(l) else Nil
+      } else {
+        val n = refCount(l)
+        val agg = l.stripPrefix(SegPrefix)
+        val segOk = mayMatch(pred, Map.empty,
+          relabelStats(entryStats(agg), schema),
+          relabelStats(entryStringStats(agg), schema))
+        if (!segOk) { total += math.max(n, 1); Nil }
+        else {
+          val es = segEntries(fs, path, refRel(l))
+          total += es.size
+          es.filter(entryOk)
+        }
+      }
+    }
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       else readEntriesDv(spark, path, schema, kept)
         .filter(predicate)
-    (df, kept.size, manifest.size)
+    (df, kept.size, total)
   }
 
   /** Resolve `predicate` against `schema` through the session's
@@ -2433,11 +2596,26 @@ object SnapshotTable {
       val es = readManifest(fs, path, v)
       es.map(entryPath) ++ es.flatMap(entryDvs)
     }.toSet.map((rel: String) => new Path(path, rel).getName)
+    // segment files referenced by KEPT manifest lists survive; the
+    // rest (orphans of lost commit races, segments of dropped
+    // versions) reclaim under the same grace window as data files
+    val referencedSegs = kept.flatMap(v =>
+      readManifestRefs(fs, path, v).filter(_.startsWith(SegPrefix))
+        .map(l => new Path(path, refRel(l)).getName)).toSet
     vs.dropRight(keep).foreach { v =>
       val m = new Path(logDir(path), manifestName(v))
       if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")
     }
     val cutoff = System.currentTimeMillis() - graceMs
+    val droppedSegs = fs.listStatus(logDir(path)).toSeq
+      .filter(f => f.getPath.getName.startsWith("seg-") &&
+        f.getPath.getName.endsWith(".entries"))
+      .filterNot(f => referencedSegs.contains(f.getPath.getName))
+      .filter(f => f.getModificationTime <= cutoff)
+    droppedSegs.foreach { f =>
+      if (!fs.delete(f.getPath, false))
+        sys.error(s"vacuum: could not delete ${f.getPath}")
+    }
     // recursive: partitioned tables nest data files one directory per
     // partition value — a flat listing would never see them
     val dropped = listRecursive(fs, filesDir(path))

@@ -705,6 +705,74 @@ class SnapshotTableSpec extends SparkSpec {
       .filter(col("grp").isNull).count() === 1)
   }
 
+  test("segmented manifests: commits reuse unchanged segments, O(churn) writes") {
+    val path = freshPath("segman")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def rawLines(v: Int): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        path + f"/_graft_log/v$v%08d.manifest")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList.filter(_.nonEmpty)
+      finally in.close()
+    }
+    def segRefs(v: Int): Seq[String] =
+      rawLines(v).filter(_.startsWith("@seg="))
+        .map(_.stripPrefix("@seg=").split("\t")(0))
+    spark.conf.set("spark.graft.manifest.segmentEntries", "8")
+    try {
+      val rows = (0L until 640L).map(i => (i, i % 7, s"t$i"))
+        .toDF("id", "grp", "tag")
+      // 40 files, range-clustered on id -> 5 segments of 8
+      SnapshotTable.create(
+        rows.repartitionByRange(40, col("id"))
+          .sortWithinPartitions(col("id")), path)
+      assert(segRefs(0).size === 5)
+      assert(rawLines(0).count(l =>
+        !l.startsWith("#") && !l.startsWith("@seg=")) === 0)
+      // APPEND: every v0 segment reused verbatim, one new segment
+      SnapshotTable.append(
+        Seq((1000L, 1L, "x"), (1001L, 2L, "y")).toDF("id", "grp", "tag"),
+        path)
+      assert(segRefs(1).size === 6)
+      assert(segRefs(0).toSet.subsetOf(segRefs(1).toSet),
+        "append rewrote previously-committed segments")
+      // MERGE touching ONE file: only its segment is replaced
+      SnapshotTable.merge(
+        Seq((3L, 99L, "upd")).toDF("id", "grp", "tag"), path, Seq("id"))
+      val reused = segRefs(2).toSet intersect segRefs(1).toSet
+      assert(reused.size >= 5,
+        s"point merge reused only ${reused.size} of 6 segments")
+      // reads resolve segments transparently; parity with a recompute
+      val expect = (0L until 640L).filterNot(_ == 3L).map(i => (i, i % 7))
+        .toSet + ((3L, 99L)) + ((1000L, 1L)) + ((1001L, 2L))
+      assert(SnapshotTable.read(spark, path)
+        .select(col("id"), col("grp")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === expect)
+      // time travel still sees v0 exactly
+      assert(SnapshotTable.read(spark, path, Some(0)).count() === 640)
+      // segment-level pruning: a narrow id range drops whole segments
+      // (counters see per-FILE totals, segment aggregates prune)
+      val (dfP, keptN, total) = SnapshotTable.readWherePruned(spark, path,
+        col("id") >= 100L && col("id") < 140L)
+      assert(total >= 42 && keptN < 10, s"kept $keptN of $total")
+      assert(dfP.count() === 40)
+      // DELETE: rewrites only straddling files; their segments replaced
+      SnapshotTable.delete(spark, path, col("id") === 200L)
+      assert(SnapshotTable.read(spark, path).count() === 641)
+      // VACUUM: segments of dropped versions reclaim, kept ones survive
+      val liveSegs = segRefs(SnapshotTable.versions(spark, path).max).toSet
+      SnapshotTable.vacuum(spark, path, keep = 1, graceMs = 0L)
+      val onDisk = fs.listStatus(
+        new org.apache.hadoop.fs.Path(path + "/_graft_log")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("seg-")).toSet
+      assert(onDisk === liveSegs.map(r => r.split("/").last),
+        s"vacuum left ${onDisk.size} segments for ${liveSegs.size} live")
+      assert(SnapshotTable.read(spark, path).count() === 641)
+    } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
+  }
+
   test("readCatalyst composes with deletion vectors and column mapping (DPP intact)") {
     val path = freshPath("catcompose")
     val rows = (0L until 4000L)
