@@ -87,6 +87,42 @@ object ManifestScaleProbe {
       println(f"$n%9d $bloom%5s $parseMs%8.0f " +
         f"${(h1 - h0) / 1e6}%8.1f ${times(times.size / 2)}%12.1f $kept%9d")
     }
+    // ---- segmented-manifest write amplification -----------------
+    // The same 1M-entry manifest through segmentedBody: initial
+    // segmentation cost (one-time), then ONE-entry append commits —
+    // bytes written and wall time vs the flat format's full rewrite.
+    println()
+    println("segmented-manifest write path (1M entries, stats, no bloom):")
+    locally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val dir = java.nio.file.Files
+        .createTempDirectory("manifest_probe").toString
+      fs.mkdirs(new Path(dir, "_graft_log"))
+      val n = 1000000
+      val entries = (0L until n.toLong).map(line(_, bloom = false))
+      val flatBytes = entries.map(_.length + 1L).sum
+      val t0 = System.nanoTime()
+      val body0 = SnapshotTable.segmentedBody(spark, fs, dir, None, entries)
+      val initMs = (System.nanoTime() - t0) / 1e6
+      // fake-commit v0 so the append can reuse its segments
+      val m0 = new Path(dir, "_graft_log/v00000000.manifest")
+      val out0 = fs.create(m0, false)
+      out0.write(body0.mkString("\n").getBytes("UTF-8")); out0.close()
+      val segBytes = fs.listStatus(new Path(dir, "_graft_log")).toSeq
+        .map(_.getLen).sum
+      val t1 = System.nanoTime()
+      val body1 = SnapshotTable.segmentedBody(spark, fs, dir, Some(0),
+        entries :+ line(n.toLong + 7, bloom = false))
+      val appendMs = (System.nanoTime() - t1) / 1e6
+      val newSegs = body1.filterNot(body0.toSet.contains)
+      val appendBytes = body1.map(_.length + 1L).sum
+      println(f"  flat manifest rewrite per commit: ${flatBytes / 1e6}%7.1f MB")
+      println(f"  initial segmentation: ${initMs}%7.0f ms, " +
+        f"${segBytes / 1e6}%7.1f MB total, ${body0.size}%d segments")
+      println(f"  1-entry append: ${appendMs}%7.0f ms, list ${appendBytes / 1e3}%6.1f KB, " +
+        f"${newSegs.size}%d new segment(s), ${body0.size - (body1.size - newSegs.size)}%d rewritten")
+    }
     spark.stop()
   }
 }

@@ -228,7 +228,7 @@ object SnapshotTable {
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
-  private def segEntries(fs: FileSystem, path: String,
+  private[graft] def segEntries(fs: FileSystem, path: String,
       rel: String): Seq[String] = {
     val key = new Path(path, rel).toString
     val hit = segCache.get(key)
@@ -309,7 +309,7 @@ object SnapshotTable {
     * flat entry list. Staged segment files are unreferenced until the
     * list commits — a lost race or crash leaves only orphans for
     * vacuum, exactly like staged data files. */
-  private def segmentedBody(spark: SparkSession, fs: FileSystem,
+  private[graft] def segmentedBody(spark: SparkSession, fs: FileSystem,
       path: String, prevV: Option[Int], entries: Seq[String])
       : Seq[String] = {
     val target = segmentEntriesConf(spark)
@@ -1098,7 +1098,12 @@ object SnapshotTable {
     // appends inherit the table's partition layout from the log meta
     val staged = stage(toPhysical(df, Some(evolved)), path,
       partitioning(spark, path))
-    commit(spark, path, staged,
+    // and maintain the bloom index for their own files, like
+    // streaming batches — batch appends must not decay pruning either
+    val stagedIndexed = maintainBlooms(spark, path,
+      readMeta(fs, path, vs.max), Some(evolved), df.columns.toSeq,
+      staged)
+    commit(spark, path, stagedIndexed,
       next => readManifest(fs, path, next - 1),
       meta = schemaMeta(evolved))
   }
@@ -1158,31 +1163,8 @@ object SnapshotTable {
       // decays as batches accumulate (un-bloomed entries are sound
       // but un-prunable). Min/max stats are harvested by stage()
       // unconditionally, as for every write path.
-      val stagedIndexed = (priorMeta.get("bloomCols"),
-          priorMeta.get("bloomBits"), priorMeta.get("bloomHashes")) match {
-        case (Some(cs), Some(b), Some(h)) =>
-          val cols = cs.split(",").toSeq
-            .filter(df.columns.contains)
-          if (cols.isEmpty) staged
-          else {
-            val (bits, hashes) = (b.toInt, h.toInt)
-            val schemaOpt = mapped.orElse(Some(df.schema))
-            val byFile = bloomBitsets(spark, path, schemaOpt,
-              staged.map(entryPath), cols, bits, hashes)
-            val log2phys: Map[String, String] = mapped.toSeq
-              .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
-            val fileOf =
-              (p: String) => p.substring(p.lastIndexOf('/') + 1)
-            staged.map { e =>
-              byFile.get(fileOf(entryPath(e))) match {
-                case None => e
-                case Some(colBits) =>
-                  withBloomItems(e, colBits, log2phys, bits, hashes)
-              }
-            }
-          }
-        case _ => staged
-      }
+      val stagedIndexed = maintainBlooms(spark, path, priorMeta,
+        mapped, df.columns.toSeq, staged)
       // first batch creates the table and records its schema; later
       // batches inherit the stored schema through the meta chain
       val schemaM =
@@ -2415,6 +2397,39 @@ object SnapshotTable {
         "bloomBits" -> bits.toString,
         "bloomHashes" -> hashes.toString))
   }
+
+  /** `staged` entries enriched per the table's recorded bloom policy
+    * (`#bloomCols/#bloomBits/#bloomHashes` meta — no-op when absent):
+    * one churn-sized scan of just the new files, so incremental
+    * writes keep the point-lookup index current instead of decaying
+    * it with un-bloomed entries. Shared by [[append]] and
+    * [[appendStreamBatch]]. */
+  private def maintainBlooms(spark: SparkSession, path: String,
+      priorMeta: Map[String, String], mapped: Option[types.StructType],
+      dfCols: Seq[String], staged: Seq[String]): Seq[String] =
+    (priorMeta.get("bloomCols"), priorMeta.get("bloomBits"),
+        priorMeta.get("bloomHashes")) match {
+      case (Some(cs), Some(b), Some(h)) =>
+        val cols = cs.split(",").toSeq.filter(dfCols.contains)
+        if (cols.isEmpty) staged
+        else {
+          val (bits, hashes) = (b.toInt, h.toInt)
+          val byFile = bloomBitsets(spark, path, mapped,
+            staged.map(entryPath), cols, bits, hashes)
+          val log2phys: Map[String, String] = mapped.toSeq
+            .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
+          val fileOf =
+            (p: String) => p.substring(p.lastIndexOf('/') + 1)
+          staged.map { e =>
+            byFile.get(fileOf(entryPath(e))) match {
+              case None => e
+              case Some(colBits) =>
+                withBloomItems(e, colBits, log2phys, bits, hashes)
+            }
+          }
+        }
+      case _ => staged
+    }
 
   /** Distributed per-file bloom bitsets for `cols` over the files at
     * `rels`: one scan of the indexed columns (explode to `hashes` bit

@@ -850,6 +850,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(s.metrics("numFiles").value < s.metrics("staticFilesNum").value)
   }
 
+  test("batch append maintains the bloom index for its own files") {
+    val path = freshPath("appendbloom")
+    val rows = (0 until 2000).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+    SnapshotTable.create(
+      rows.filter(col("id") < 1000L).repartition(4, col("id")), path)
+    SnapshotTable.indexBloom(spark, path, Seq("id"))
+    // two plain batch appends, each hash-spread over the id range so
+    // min/max ranges cannot prune them
+    SnapshotTable.append(rows.filter(col("id") >= 1000L &&
+      col("id") < 1500L).repartition(2, col("id")), path)
+    SnapshotTable.append(rows.filter(col("id") >= 1500L)
+      .repartition(2, col("id")), path)
+    // probe a key living in the LAST appended slice: only per-append
+    // bloom upkeep can prune the other files
+    val (hit, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("id") === 1777L)
+    assert(hit.count() === 1)
+    assert(total === 8 && kept * 4 < total,
+      s"append decayed the bloom index: kept $kept of $total")
+  }
+
   test("widenColumn strips the widened column's bloom items (no false-negative pruning)") {
     val path = freshPath("widenbloom")
     val rows = (0 until 2000).map(i => (i, s"t$i")).toDF("id", "tag")
