@@ -73,7 +73,8 @@ object ManifestScaleProbe {
       }.toVector
       val parseMs = (System.nanoTime() - t0) / 1e6
       val h1 = heapUsed()
-      val index = new GraftFileIndex("/probe", partSchema, entries)
+      val index = new GraftFileIndex("/probe", partSchema,
+        entries.map(GraftFileIndex.eager))
       // pushed range filter: selects ~0.1% of entries by cached range
       val pred = SnapshotTable.resolvedPredicate(spark, schema,
         F.col("id") >= (n.toLong * 1000 / 2) &&

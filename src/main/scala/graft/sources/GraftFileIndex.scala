@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BasePredicate, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types._
@@ -15,35 +15,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * the explicit argument of [[SnapshotTable.readWhere]]. This is the
   * lakehouse-native architecture (Delta's TahoeFileIndex shape): the
   * planner calls [[listFiles]] with the pushed filters and the same
-  * conservative evaluator that powers readWhere decides per entry
-  * from cached ranges, string byte bounds, and bloom items.
+  * conservative evaluator that powers readWhere decides from cached
+  * ranges, string byte bounds, and bloom items.
+  *
+  * LAZY over SEGMENTED manifests: the index holds [[GraftFileIndex
+  * .Segment]]s — inline entries parse eagerly (count 1), `@seg=`
+  * references carry their MERGED aggregates (ranges, byte bounds, a
+  * uniform partition tuple when the segment is partition-aligned,
+  * total bytes) and parse their entries only on first demand. A
+  * pushed filter that refutes a segment's aggregates — or a
+  * partition filter that refutes its uniform tuple — drops the whole
+  * segment without parsing one entry, so planning latency scales
+  * with SURVIVING metadata, not table size. [[sizeInBytes]] answers
+  * from the `b=` aggregates alone. Dynamic partition pruning
+  * re-invokes [[listFiles]] with the runtime filters, so DPP prunes
+  * segments the same way.
   *
   * Hive-partitioned versions surface a real [[partitionSchema]] with
   * per-file partition values decoded from the manifest rel paths, so
-  * Catalyst's partition pruning — INCLUDING runtime dynamic partition
-  * pruning through joins, the decisive 100 TB star-join optimization —
-  * operates on the manifest with zero listing I/O.
-  *
-  * One row-group of metadata per FILE lives on the driver (the
-  * manifest is already driver-resident by design); at 100 TB the
-  * listing cost is O(#files) expression evaluations, zero I/O.
+  * Catalyst's partition pruning — INCLUDING runtime DPP through
+  * joins, the decisive 100 TB star-join optimization — operates on
+  * the manifest with zero listing I/O.
   *
   * Composes with deletion vectors and column mapping:
   * [[SnapshotTable.readCatalyst]] layers the DV anti-join mask and
   * the physical→logical projection ABOVE the relation this index
   * serves, and Catalyst pushes predicates through both wrappers down
-  * to [[listFiles]] — verified (with DPP metric pins) by the
-  * compose spec. The index itself therefore always sees PHYSICAL
-  * column names in both its stat keys and the pushed filters.
+  * to [[listFiles]] — verified (with DPP metric pins) by the compose
+  * spec. The index therefore always sees PHYSICAL column names in
+  * both its stat keys and the pushed filters.
   */
 private[graft] class GraftFileIndex(
     tablePath: String,
     partSchema: StructType,
-    entries: Seq[(FileStatus,
-      Map[String, String],
-      Map[String, (Long, Long)],
-      Map[String, (Array[Byte], Array[Byte])],
-      Map[String, (Int, Int, Array[Byte])])],
+    segments: Seq[GraftFileIndex.Segment],
     zoneId: java.time.ZoneId = java.time.ZoneOffset.UTC)
   extends FileIndex {
 
@@ -51,52 +56,72 @@ private[graft] class GraftFileIndex(
 
   override def partitionSchema: StructType = partSchema
 
-  override def sizeInBytes: Long = entries.map(_._1.getLen).sum
+  override def sizeInBytes: Long = segments.map(_.bytes).sum
 
   override def inputFiles: Array[String] =
-    entries.map(_._1.getPath.toString).toArray
+    segments.flatMap(_.entries).map(_._1.getPath.toString).toArray
 
   override def refresh(): Unit = ()
 
+  /** Segments whose entries have been parsed — the observable the
+    * laziness spec pins (pruned segments must stay unparsed). */
+  private[graft] def loadedSegmentCount: Int = segments.count(_.isLoaded)
+
+  private[graft] def segmentCount: Int = segments.size
+
+  private def partRow(pv: Map[String, String]): InternalRow =
+    InternalRow.fromSeq(partSchema.fields.toSeq.map(f =>
+      GraftFileIndex.partValueToCatalyst(
+        pv.getOrElse(f.name, SnapshotTable.HiveDefaultPartition),
+        f.dataType, zoneId)))
+
+  private def boundPartPredicate(filters: Seq[Expression])
+      : Option[BasePredicate] =
+    filters.reduceOption(And).map { p =>
+      val bound = p.transform {
+        case a: AttributeReference =>
+          val i = partSchema.fieldNames.indexWhere(_.equalsIgnoreCase(a.name))
+          require(i >= 0, s"partition filter references unknown column ${a.name}")
+          BoundReference(i, partSchema.fields(i).dataType, nullable = true)
+      }
+      val pred = Predicate.create(bound)
+      pred.initialize(0)
+      pred
+    }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // stats/bloom skipping from the data filters; entry partition
-    // values ride along so mixed predicates (part-col OR data-col)
-    // prune too — same conservative evaluator as readWhere
     val dataPred = dataFilters.reduceOption(And)
-    val statKept = dataPred match {
-      case None => entries
-      case Some(p) => entries.filter { case (_, pv, st, ss, bl) =>
-        SnapshotTable.mayMatch(p, pv, st, ss, bl)
+    val partPred = boundPartPredicate(partitionFilters)
+    // SEGMENT-level prune first: typed partition eval on the uniform
+    // tuple, conservative mayMatch on the merged aggregates — a
+    // refuted segment's entries are never parsed
+    val liveSegs = segments.filter { s =>
+      val partOk = (partPred, s.partValues) match {
+        case (Some(pr), Some(pv)) if partSchema.nonEmpty =>
+          pr.eval(partRow(pv))
+        case _ => true
       }
+      partOk && dataPred.forall(p => SnapshotTable.mayMatch(p,
+        s.partValues.getOrElse(Map.empty), s.stats, s.strStats,
+        s.blooms))
     }
+    // then ENTRY-level: same conservative evaluator per parsed entry
+    val statKept = liveSegs.flatMap(_.entries)
+      .filter { case (_, pv, st, ss, bl) =>
+        dataPred.forall(p => SnapshotTable.mayMatch(p, pv, st, ss, bl))
+      }
     if (partSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty,
         statKept.map(_._1).toArray))
-    // group files by partition tuple, decode dir strings to typed
-    // catalyst values, and evaluate the pushed partition filters
-    // directly on the rows (FileSourceScanExec trusts the index for
-    // the static filters; DYNAMIC filters are re-evaluated by the
-    // scan itself over these same rows at execution time)
+    // group surviving files by partition tuple, decode dir strings to
+    // typed catalyst values, evaluate the pushed partition filters
     val dirs = statKept.groupBy(_._2).toSeq.map { case (pv, es) =>
-      val row = InternalRow.fromSeq(partSchema.fields.toSeq.map(f =>
-        GraftFileIndex.partValueToCatalyst(
-          pv.getOrElse(f.name, SnapshotTable.HiveDefaultPartition),
-          f.dataType, zoneId)))
-      (row, es)
+      (partRow(pv), es)
     }
-    val kept = partitionFilters.reduceOption(And) match {
+    val kept = partPred match {
       case None => dirs
-      case Some(p) =>
-        val bound = p.transform {
-          case a: AttributeReference =>
-            val i = partSchema.fieldNames.indexWhere(_.equalsIgnoreCase(a.name))
-            require(i >= 0, s"partition filter references unknown column ${a.name}")
-            BoundReference(i, partSchema.fields(i).dataType, nullable = true)
-        }
-        val pred = Predicate.create(bound)
-        pred.initialize(0)
-        dirs.filter { case (row, _) => pred.eval(row) }
+      case Some(pr) => dirs.filter { case (row, _) => pr.eval(row) }
     }
     kept.map { case (row, es) =>
       PartitionDirectory(row, es.map(_._1).toArray)
@@ -105,6 +130,38 @@ private[graft] class GraftFileIndex(
 }
 
 private[graft] object GraftFileIndex {
+
+  /** One parsed manifest entry: file status, partition values, and
+    * the three stat families the evaluator consumes. */
+  type EntryInfo = (FileStatus,
+    Map[String, String],
+    Map[String, (Long, Long)],
+    Map[String, (Array[Byte], Array[Byte])],
+    Map[String, (Int, Int, Array[Byte])])
+
+  /** A unit of lazily-parsed manifest metadata: an inline entry
+    * (eager, count 1) or a segment reference (aggregates up front,
+    * entries parsed on first demand, memoized). */
+  final class Segment(
+      val partValues: Option[Map[String, String]],
+      val stats: Map[String, (Long, Long)],
+      val strStats: Map[String, (Array[Byte], Array[Byte])],
+      val blooms: Map[String, (Int, Int, Array[Byte])],
+      val count: Int,
+      bytesOpt: Option[Long],
+      loader: () => Seq[EntryInfo]) {
+    @volatile private var loaded: Seq[EntryInfo] = null
+    def isLoaded: Boolean = loaded != null
+    def entries: Seq[EntryInfo] = {
+      if (loaded == null) loaded = loader()
+      loaded
+    }
+    def bytes: Long = bytesOpt.getOrElse(entries.map(_._1.getLen).sum)
+  }
+
+  def eager(info: EntryInfo): Segment =
+    new Segment(Some(info._2), info._3, info._4, info._5, 1,
+      Some(info._1.getLen), () => Seq(info))
 
   /** Partition column types [[partValueToCatalyst]] can decode from a
     * directory string; readCatalyst falls back to the classic reader

@@ -282,14 +282,20 @@ object SnapshotTable {
   /** Merged per-column aggregates over a segment's entries, in the
     * entry item grammar. A column aggregates only when EVERY entry
     * carries its stats (a stat-less entry makes the segment's range
-    * unknown — absence keeps the segment, sound). */
+    * unknown — absence keeps the segment, sound). Reserved item keys
+    * (`n` count, `b` total bytes, `part` uniform partition tuple)
+    * shadow same-named columns' aggregates harmlessly: a column
+    * named `part`/`n`/`b` renders `lo:hi`, which the reserved-item
+    * parsers reject as malformed and treat as absent — keep, sound. */
   private def segAggItems(entries: Seq[String]): String = {
     val statMaps = entries.map(entryStats)
     val strMaps = entries.map(entryStringStats)
     val numCols = statMaps.map(_.keySet)
-      .reduceOption(_ intersect _).getOrElse(Set.empty)
+      .reduceOption(_ intersect _).getOrElse(Set.empty) --
+      Seq("n", "b", "part")
     val strCols = strMaps.map(_.keySet)
-      .reduceOption(_ intersect _).getOrElse(Set.empty)
+      .reduceOption(_ intersect _).getOrElse(Set.empty) --
+      Seq("n", "b", "part")
     val numItems = numCols.toSeq.sorted.map { c =>
       val rs = statMaps.map(_(c))
       s"$c=${rs.map(_._1).min}:${rs.map(_._2).max}"
@@ -300,8 +306,53 @@ object SnapshotTable {
       val hi = rs.map(_._2).reduce((a, b) => if (bytesLe(a, b)) b else a)
       s"$c=s!${escStat(lo)}!${escStat(hi)}"
     }
-    (Seq(s"n=${entries.size}") ++ numItems ++ strItems).mkString(";")
+    // total data bytes (only when every entry recorded its length) —
+    // lets a lazy FileIndex answer sizeInBytes without resolving
+    val lens = entries.map(entryFileMeta)
+    val bItem =
+      if (lens.forall(_.isDefined))
+        Seq(s"b=${lens.flatMap(_.map(_._1)).sum}")
+      else Nil
+    // uniform partition tuple (partition-ALIGNED segments): lets the
+    // lazy FileIndex drop whole segments on partition filters
+    val pvs = entries.map(e => entryPartitionValues(entryPath(e)))
+    val partItem = pvs.headOption
+      .filter(h => h.nonEmpty && pvs.forall(_ == h))
+      .map(h => "part=" + h.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("/"))
+      .toSeq
+    (Seq(s"n=${entries.size}") ++ bItem ++ partItem ++
+      numItems ++ strItems).mkString(";")
   }
+
+  /** A ref's uniform partition tuple, when recorded and well-formed
+    * (malformed — e.g. shadowed by a column named `part` — is None =
+    * unknown, callers keep the segment). */
+  private[graft] def refPartValues(refLine: String)
+      : Option[Map[String, String]] =
+    refLine.stripPrefix(SegPrefix).split("\t", 2) match {
+      case Array(_, items) =>
+        items.split(";").iterator.collectFirst {
+          case kv if kv.startsWith("part=") =>
+            val pairs = kv.drop(5).split("/").toSeq
+              .map(_.split("=", 2))
+            if (pairs.nonEmpty && pairs.forall(_.length == 2))
+              Some(pairs.map(p => p(0) -> p(1)).toMap)
+            else None
+        }.flatten
+      case _ => None
+    }
+
+  /** A ref's total data bytes, when recorded. */
+  private[graft] def refBytes(refLine: String): Option[Long] =
+    refLine.stripPrefix(SegPrefix).split("\t", 2) match {
+      case Array(_, items) =>
+        items.split(";").iterator.collectFirst {
+          case kv if kv.startsWith("b=") =>
+            scala.util.Try(kv.drop(2).toLong).toOption
+        }.flatten
+      case _ => None
+    }
 
   /** The manifest body for `entries` on top of `prevV`: reuse every
     * previous segment whose entries all survive verbatim, stage new
@@ -327,8 +378,14 @@ object SnapshotTable {
       }
     // duplicates inside `entries` collapse via the set — entries are
     // full stat-carrying lines of uuid-named files, so two equal
-    // lines denote the same file twice (never two files)
-    val fresh = (entries.filter(remaining.contains)).distinct
+    // lines denote the same file twice (never two files).
+    // Sorting by rel path PARTITION-ALIGNS the chunks: hive partition
+    // dirs share a path prefix, so each segment covers (at most a
+    // couple of) partition values and gets a uniform `part=` tuple —
+    // the lazy FileIndex then drops whole segments on partition
+    // filters without parsing them.
+    val fresh = entries.filter(remaining.contains).distinct
+      .sortBy(entryPath)
     val newRefs = fresh.grouped(target).map { group =>
       val rel = s"_graft_log/seg-${UUID.randomUUID()}.entries"
       val out = fs.create(new Path(path, rel), false)
@@ -2278,7 +2335,7 @@ object SnapshotTable {
       st.fields.filterNot(f => partCols.contains(f.name))
         .map(f => f.copy(name = physName(f)))))
     val fsD = fsOf(spark, new Path(path))
-    val entries = manifest.map { e =>
+    def entryInfo(e: String): GraftFileIndex.EntryInfo = {
       val rel = entryPath(e)
       val p = fsD.makeQualified(new Path(path, rel))
       // FileStatus from manifest-recorded length/mtime — zero per-file
@@ -2291,9 +2348,20 @@ object SnapshotTable {
       (fst, entryPartitionValues(rel), entryStats(e),
         entryStringStats(e), entryBloomStats(e))
     }
+    // segment refs become LAZY index segments: aggregates up front,
+    // entries parsed only if a pushed filter fails to refute them
+    val segments = readManifestRefs(fs, path, v).map { l =>
+      if (!l.startsWith(SegPrefix)) GraftFileIndex.eager(entryInfo(l))
+      else {
+        val agg = l.stripPrefix(SegPrefix)
+        new GraftFileIndex.Segment(refPartValues(l), entryStats(agg),
+          entryStringStats(agg), Map.empty, refCount(l), refBytes(l),
+          () => segEntries(fs, path, refRel(l)).map(entryInfo))
+      }
+    }
     val zone = java.time.ZoneId.of(
       spark.conf.get("spark.sql.session.timeZone"))
-    val index = new GraftFileIndex(path, partSchema, entries, zone)
+    val index = new GraftFileIndex(path, partSchema, segments, zone)
     val relation = org.apache.spark.sql.execution.datasources
       .HadoopFsRelation(index, partSchema, dataSchema,
         None,

@@ -850,6 +850,70 @@ class SnapshotTableSpec extends SparkSpec {
     assert(s.metrics("numFiles").value < s.metrics("staticFilesNum").value)
   }
 
+  test("lazy FileIndex: pruned segments are never parsed") {
+    val path = freshPath("lazyseg")
+    spark.conf.set("spark.graft.manifest.segmentEntries", "4")
+    try {
+      val rows = (0L until 4000L)
+        .map(i => (i, s"g${i % 5}", i * 3))
+        .toDF("id", "grp", "score")
+      // 5 partitions × 8 files = 40 entries → partition-aligned
+      // segments of ≤4 (rel-path sort groups each lang dir together)
+      SnapshotTable.create(rows.repartition(8, col("id")), path,
+        partitionBy = Seq("grp"))
+      def indexOf(q: org.apache.spark.sql.DataFrame)
+          : graft.sources.GraftFileIndex = {
+        q.collect()
+        def find(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => find(a.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => find(qs.plan)
+            case f: org.apache.spark.sql.execution
+                .FileSourceScanExec => Seq(f)
+            case other => other.children.flatMap(find) ++
+              other.subqueries.flatMap(find)
+          }
+        find(q.queryExecution.executedPlan)
+          .map(_.relation.location)
+          .collectFirst { case g: graft.sources.GraftFileIndex => g }
+          .getOrElse(sys.error("no GraftFileIndex scan"))
+      }
+      // a partition-filtered query parses ONLY the matching
+      // partition's segments — the rest are refuted by their uniform
+      // part= tuple and never load
+      val q1 = SnapshotTable.readCatalyst(spark, path)
+        .filter(col("grp") === "g3")
+        .agg(sum(col("score")))
+      val idx1 = indexOf(q1)
+      assert(idx1.segmentCount >= 8,
+        s"setup: expected a segmented manifest, got ${idx1.segmentCount}")
+      assert(idx1.loadedSegmentCount < idx1.segmentCount,
+        s"partition filter parsed ${idx1.loadedSegmentCount} of " +
+          s"${idx1.segmentCount} segments")
+      assert(q1.head.getLong(0) ===
+        rows.filter(col("grp") === "g3").agg(sum(col("score")))
+          .head.getLong(0))
+      // a data-range filter skips segments by merged id aggregates on
+      // a range-clustered flat table
+      val path2 = freshPath("lazyseg2")
+      SnapshotTable.create(
+        rows.repartitionByRange(8, col("id"))
+          .sortWithinPartitions(col("id")), path2)
+      val q2 = SnapshotTable.readCatalyst(spark, path2)
+        .filter(col("id") < 400L).agg(count(lit(1)))
+      val idx2 = indexOf(q2)
+      assert(idx2.loadedSegmentCount < idx2.segmentCount,
+        s"range filter parsed ${idx2.loadedSegmentCount} of " +
+          s"${idx2.segmentCount} segments")
+      assert(q2.head.getLong(0) === 400L)
+      // unfiltered parity: lazy resolution returns everything
+      assert(SnapshotTable.readCatalyst(spark, path).count() === 4000)
+    } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
+  }
+
   test("batch append maintains the bloom index for its own files") {
     val path = freshPath("appendbloom")
     val rows = (0 until 2000).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
