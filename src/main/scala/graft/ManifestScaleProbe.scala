@@ -55,9 +55,13 @@ object ManifestScaleProbe {
         (if (bloom) Seq(s"id=b!65536!6!$bloomBytes") else Nil)
       s"files/part=p${i % 5}/f$i.parquet\t" + items.mkString(";")
     }
+    // `seg` arg skips the flat-format table (local iteration on the
+    // segmented-path measurements only)
+    val segOnly = args.headOption.contains("seg")
     println(f"${"entries"}%9s ${"bloom"}%5s ${"parseMs"}%8s " +
       f"${"heapMB"}%8s ${"listFilesMs"}%12s ${"keptFiles"}%9s")
-    for (n <- Seq(10000, 100000, 1000000); bloom <- Seq(false, true)) {
+    for (n <- Seq(10000, 100000, 1000000) if !segOnly;
+         bloom <- Seq(false, true)) {
       val lines = (0L until n.toLong).map(line(_, bloom))
       val h0 = heapUsed()
       val t0 = System.nanoTime()
@@ -123,6 +127,57 @@ object ManifestScaleProbe {
         f"${segBytes / 1e6}%7.1f MB total, ${body0.size}%d segments")
       println(f"  1-entry append: ${appendMs}%7.0f ms, list ${appendBytes / 1e3}%6.1f KB, " +
         f"${newSegs.size}%d new segment(s), ${body0.size - (body1.size - newSegs.size)}%d rewritten")
+      // ---- lazy FileIndex over the segmented manifest ------------
+      // planning latency when pushed filters refute most segments:
+      // loaded-segment count is the proof entries never parsed
+      def lazyIndex(): GraftFileIndex = {
+        val segs = body0.map { l =>
+          val agg = l.stripPrefix("@seg=")
+          new GraftFileIndex.Segment(
+            SnapshotTable.refPartValues(l),
+            SnapshotTable.entryStats(agg),
+            SnapshotTable.entryStringStats(agg),
+            Map.empty, SnapshotTable.refCount(l),
+            SnapshotTable.refBytes(l),
+            () => SnapshotTable.segInfoCached(
+                dir + "/" + SnapshotTable.refRel(l))(
+              SnapshotTable.segEntries(fs, dir,
+                  SnapshotTable.refRel(l)).map { e =>
+                val rel = SnapshotTable.entryPath(e)
+                val (len, mt) = SnapshotTable.entryFileMeta(e).get
+                (new FileStatus(len, false, 1, 134217728L, mt,
+                  new Path(dir, rel)),
+                  SnapshotTable.entryPartitionValues(rel),
+                  SnapshotTable.entryStats(e),
+                  SnapshotTable.entryStringStats(e),
+                  SnapshotTable.entryBloomStats(e))
+              }))
+        }
+        new GraftFileIndex(dir, partSchema, segs)
+      }
+      val rangePred = SnapshotTable.resolvedPredicate(spark, schema,
+        F.col("id") >= (n.toLong * 1000 / 2) &&
+          F.col("id") < (n.toLong * 1000 / 2 + n.toLong))
+      val partPred = SnapshotTable.resolvedPredicate(spark,
+        StructType(Seq(StructField("part", StringType))),
+        F.col("part") === "p3")
+      for ((label, pf, df0) <- Seq(
+          ("0.1% id range", Nil, Seq(rangePred)),
+          ("part=p3 partition", Seq(partPred), Seq[
+            org.apache.spark.sql.catalyst.expressions.Expression]()))) {
+        // cold: nothing parsed yet; warm: FRESH index (per-query
+        // construction, as readCatalyst does) over the process cache
+        for (phase <- Seq("cold", "warm")) {
+          val idx = lazyIndex()
+          val t = System.nanoTime()
+          val files = idx.listFiles(pf, df0).map(_.files.size).sum
+          val ms = (System.nanoTime() - t) / 1e6
+          println(f"  lazy listFiles [$label%18s, $phase%4s]: " +
+            f"${ms}%7.1f ms, $files%7d files kept, " +
+            f"${idx.loadedSegmentCount}%5d of ${idx.segmentCount}%d " +
+            "segments parsed")
+        }
+      }
     }
     spark.stop()
   }

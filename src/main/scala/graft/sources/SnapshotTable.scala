@@ -228,6 +228,29 @@ object SnapshotTable {
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** Process-level cache of PARSED segment entries for the lazy
+    * FileIndex (EntryInfo: FileStatus + the four stat maps). Parsing
+    * ~9 ms/segment dominates repeat-query planning latency at 1M
+    * files; with this cache a second query on the same table parses
+    * only segments it has not seen. Same immutability argument as
+    * [[segCache]]; bounded by clear-on-overflow (512 segments ×
+    * ~512 entries ≈ low hundreds of MB worst case). */
+  private val segInfoCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[GraftFileIndex.EntryInfo]]()
+
+  private[graft] def segInfoCached(key: String)
+      (compute: => Seq[GraftFileIndex.EntryInfo])
+      : Seq[GraftFileIndex.EntryInfo] = {
+    val hit = segInfoCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = compute
+      if (segInfoCache.size > 512) segInfoCache.clear()
+      segInfoCache.put(key, v)
+      v
+    }
+  }
+
   private[graft] def segEntries(fs: FileSystem, path: String,
       rel: String): Seq[String] = {
     val key = new Path(path, rel).toString
@@ -379,14 +402,25 @@ object SnapshotTable {
     // duplicates inside `entries` collapse via the set — entries are
     // full stat-carrying lines of uuid-named files, so two equal
     // lines denote the same file twice (never two files).
-    // Sorting by rel path PARTITION-ALIGNS the chunks: hive partition
-    // dirs share a path prefix, so each segment covers (at most a
-    // couple of) partition values and gets a uniform `part=` tuple —
-    // the lazy FileIndex then drops whole segments on partition
-    // filters without parsing them.
+    // STABLE partition-dir grouping PARTITION-ALIGNS the chunks (each
+    // segment covers one partition dir and gets a uniform `part=`
+    // tuple the lazy FileIndex can refute wholesale) while PRESERVING
+    // the caller's entry order WITHIN each dir — stage order follows
+    // the writer's part-file order, so a range-clustered write keeps
+    // its value clustering and the segments' merged ranges stay
+    // tight. (A lexicographic path sort would scramble uuid-named
+    // files and widen every segment's range to ~the full domain.)
     val fresh = entries.filter(remaining.contains).distinct
-      .sortBy(entryPath)
-    val newRefs = fresh.grouped(target).map { group =>
+    val byDir = new scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[String]]
+    fresh.foreach { e =>
+      val rel = entryPath(e)
+      val dir = rel.substring(0, math.max(0, rel.lastIndexOf('/')))
+      byDir.getOrElseUpdate(dir,
+        new scala.collection.mutable.ArrayBuffer[String]) += e
+    }
+    val ordered = byDir.values.flatten.toSeq
+    val newRefs = ordered.grouped(target).map { group =>
       val rel = s"_graft_log/seg-${UUID.randomUUID()}.entries"
       val out = fs.create(new Path(path, rel), false)
       try out.write((group.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -2354,9 +2388,11 @@ object SnapshotTable {
       if (!l.startsWith(SegPrefix)) GraftFileIndex.eager(entryInfo(l))
       else {
         val agg = l.stripPrefix(SegPrefix)
+        val rel = refRel(l)
         new GraftFileIndex.Segment(refPartValues(l), entryStats(agg),
           entryStringStats(agg), Map.empty, refCount(l), refBytes(l),
-          () => segEntries(fs, path, refRel(l)).map(entryInfo))
+          () => segInfoCached(new Path(path, rel).toString)(
+            segEntries(fs, path, rel).map(entryInfo)))
       }
     }
     val zone = java.time.ZoneId.of(
