@@ -88,6 +88,53 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path, Some(0)).count() === 5)
   }
 
+  test("concurrent appends on a SEGMENTED table: loser retries, segments stay sound") {
+    val path = freshPath("segrace")
+    spark.conf.set("spark.graft.manifest.segmentEntries", "4")
+    try {
+      SnapshotTable.create(
+        spark.range(64).toDF("id").repartition(16), path)
+      // two genuinely concurrent appends: one loses the
+      // create-exclusive race, retries on the new latest, and must
+      // inherit the WINNER's segments (not resurrect its own stale
+      // base)
+      val t1 = new Thread(() =>
+        SnapshotTable.append(spark.range(100, 110).toDF("id"), path))
+      val t2 = new Thread(() =>
+        SnapshotTable.append(spark.range(200, 210).toDF("id"), path))
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(SnapshotTable.versions(spark, path) === Seq(0, 1, 2))
+      val ids = SnapshotTable.read(spark, path)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === ((0L until 64L) ++ (100L until 110L) ++
+        (200L until 210L)).toSet,
+        "a lost append race dropped or duplicated rows")
+      // the final list reuses v0's segments (the race cannot force a
+      // full rewrite) and a lost attempt's orphan segments vacuum away
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def segRels(v: Int): Set[String] = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          path + f"/_graft_log/v$v%08d.manifest"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.startsWith("@seg=")).map(_.split("\t")(0)).toSet
+        finally in.close()
+      }
+      assert(segRels(0).subsetOf(segRels(2)),
+        "the racing commits rewrote v0's segments")
+      SnapshotTable.vacuum(spark, path, keep = 3, graceMs = 0)
+      val live = segRels(2).map(_.stripPrefix("@seg=").split("/").last) ++
+        segRels(1).map(_.stripPrefix("@seg=").split("/").last) ++
+        segRels(0).map(_.stripPrefix("@seg=").split("/").last)
+      val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(
+        path + "/_graft_log")).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("seg-")).toSet
+      assert(onDisk === live,
+        s"orphan segments survived vacuum: ${onDisk -- live}")
+      assert(SnapshotTable.read(spark, path).count() === 84)
+    } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
+  }
+
   test("a crash between vacuum's manifest and data phases is recoverable") {
     val path = freshPath("crash")
     SnapshotTable.create(spark.range(100).toDF("id").repartition(4), path)
