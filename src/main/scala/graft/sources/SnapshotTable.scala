@@ -542,7 +542,7 @@ object SnapshotTable {
       else f))
     commit(spark, path, Seq.empty,
       next => readManifest(fs, path, next - 1),
-      meta = schemaMeta(renamed))
+      meta = schemaMeta(renamed) + ("op" -> "RENAME-COLUMN"))
   }
 
   /** Drop a column — METADATA-ONLY: the field leaves the schema, its
@@ -567,7 +567,8 @@ object SnapshotTable {
       next => readManifest(fs, path, next - 1),
       meta = schemaMeta(types.StructType(
         st.fields.filterNot(_.name == name))) +
-        ("droppedPhys" -> dropped.mkString(",")))
+        ("droppedPhys" -> dropped.mkString(",")) +
+        ("op" -> "DROP-COLUMN"))
   }
 
   private def droppedPhys(fs: FileSystem, path: String,
@@ -618,7 +619,8 @@ object SnapshotTable {
       next => readManifest(fs, path, next - 1)
         .map(stripBloomItem(_, phys)),
       meta = schemaMeta(types.StructType(st.fields.map(x =>
-        if (x.name == name) x.copy(dataType = to) else x))))
+        if (x.name == name) x.copy(dataType = to) else x))) +
+        ("op" -> "WIDEN-COLUMN"))
   }
 
   /** `line` with the `physCol=b!…` bloom item removed (no-op when the
@@ -1131,7 +1133,7 @@ object SnapshotTable {
       if (partitionBy.isEmpty) Map.empty[String, String]
       else Map("partition" -> partitionBy.mkString(","))
     commit(spark, path, stage(df, path, partitionBy), _ => Seq.empty,
-      meta = schemaMeta(df.schema) ++ partMeta)
+      meta = schemaMeta(df.schema) ++ partMeta + ("op" -> "CREATE"))
   }
 
   /** Commit `df`'s rows on top of the latest version (its files plus
@@ -1196,7 +1198,7 @@ object SnapshotTable {
       staged)
     commit(spark, path, stagedIndexed,
       next => readManifest(fs, path, next - 1),
-      meta = schemaMeta(evolved))
+      meta = schemaMeta(evolved) + ("op" -> "APPEND"))
   }
 
   /** Commit `df` as a full replacement (new version referencing only
@@ -1217,7 +1219,8 @@ object SnapshotTable {
     commit(spark, path, stage(df, path, layout),
       _ => Seq.empty,
       meta = schemaMeta(df.schema) ++
-        Map("partition" -> layout.mkString(","), "droppedPhys" -> ""))
+        Map("partition" -> layout.mkString(","), "droppedPhys" -> "",
+          "op" -> "OVERWRITE"))
   }
 
   /** EXACTLY-ONCE idempotent append for a streaming micro-batch: the
@@ -1264,7 +1267,8 @@ object SnapshotTable {
       Some(commit(spark, path, stagedIndexed,
         next => if (next == 0) Seq.empty
           else readManifest(fs, path, next - 1),
-        meta = Map("streamBatch" -> batchId.toString) ++ schemaM))
+        meta = Map("streamBatch" -> batchId.toString,
+          "op" -> "STREAM-APPEND") ++ schemaM))
     }
   }
 
@@ -1481,7 +1485,8 @@ object SnapshotTable {
     val staged = stage(
       toPhysical(rewritten.coalesce(affected.size + 1), tableSchema),
       path, partitioning(spark, path))
-    commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
+    commitPinned(spark, path, untouched ++ staged, readV + 1,
+      Map("op" -> "MERGE") ++ meta)
   }
 
   /** DELETE FROM the latest version: remove every row where
@@ -1537,7 +1542,8 @@ object SnapshotTable {
       val staged = stage(
         toPhysical(kept.coalesce(affected.size), tableSchema), path,
         partitioning(spark, path))
-      commitPinned(spark, path, untouched ++ staged, readV + 1, meta)
+      commitPinned(spark, path, untouched ++ staged, readV + 1,
+        Map("op" -> "DELETE") ++ meta)
     }
   }
 
@@ -1601,7 +1607,8 @@ object SnapshotTable {
             "left_semi"))
     val dvRels = stageDv(spark, path, dvRows)
     commitPinned(spark, path,
-      untouched ++ affected.map(e => withDv(e, dvRels)), readV + 1, meta)
+      untouched ++ affected.map(e => withDv(e, dvRels)), readV + 1,
+      Map("op" -> "DELETE-MOR") ++ meta)
   }
 
   /** Merge-on-read UPDATE: `SET col = expr WHERE predicate` as ONE
@@ -1669,7 +1676,7 @@ object SnapshotTable {
       partitioning(spark, path))
     commitPinned(spark, path,
       untouched ++ affected.map(e => withDv(e, dvRels)) ++
-        staged, readV + 1, meta)
+        staged, readV + 1, Map("op" -> "UPDATE-MOR") ++ meta)
   }
 
   /** Parquet-footer key-range test: true iff `file` MAY contain a key
@@ -1829,6 +1836,39 @@ object SnapshotTable {
     require(entries.nonEmpty, s"version $v references no data files " +
       "(committed from an empty write with no parts)")
     readEntriesDv(spark, path, storedSchema(fs, path, v), entries)
+  }
+
+  /** Table history, newest first — the DESCRIBE HISTORY surface:
+    * one row per retained commit with (version, timestamp, operation,
+    * n_files). Operation comes from the `#op` meta every write path
+    * records (commits predating op tracking show null — meta
+    * INHERITANCE is deliberately not trusted for `op`, an inherited
+    * value would mislabel the commit); timestamp is the manifest's
+    * publication mtime (the create-exclusive write IS the commit);
+    * n_files counts entries ref-aware without resolving segments.
+    * Pure metadata: O(log length) driver work, no data I/O. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val fs = fsOf(spark, logDir(path))
+    val rows = vs.sorted.reverse.map { v =>
+      // every write path re-stamps `op` on its own commit (commit()
+      // merges this commit's keys last), so inheritance can never
+      // mislabel a commit with its predecessor's operation
+      val op = readMeta(fs, path, v).get("op").orNull
+      val ts = fs.getFileStatus(
+        new Path(logDir(path), manifestName(v))).getModificationTime
+      val n = readManifestRefs(fs, path, v).map(l =>
+        if (l.startsWith(SegPrefix)) math.max(refCount(l), 1) else 1).sum
+      org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts), op, n)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      types.StructType(Seq(
+        types.StructField("version", types.IntegerType, nullable = false),
+        types.StructField("timestamp", types.TimestampType, nullable = false),
+        types.StructField("operation", types.StringType, nullable = true),
+        types.StructField("n_files", types.IntegerType, nullable = false))))
   }
 
   /** Number of data files a version references (pure metadata). */
@@ -2499,7 +2539,8 @@ object SnapshotTable {
     commitPinned(spark, path, enriched, readV + 1,
       meta = Map("bloomCols" -> cols.mkString(","),
         "bloomBits" -> bits.toString,
-        "bloomHashes" -> hashes.toString))
+        "bloomHashes" -> hashes.toString,
+        "op" -> "INDEX-BLOOM"))
   }
 
   /** `staged` entries enriched per the table's recorded bloom policy
@@ -2682,7 +2723,8 @@ object SnapshotTable {
         .coalesce(nFiles)
       val staged = stage(toPhysical(compacted, rewriteSchema), path,
         partitioning(spark, path))
-      Some(commitPinned(spark, path, kept ++ staged, readV + 1))
+      Some(commitPinned(spark, path, kept ++ staged, readV + 1,
+        meta = Map("op" -> "OPTIMIZE")))
     }
   }
 

@@ -88,6 +88,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path, Some(0)).count() === 5)
   }
 
+  test("history() reports each commit's own operation, never an inherited one") {
+    val path = freshPath("history")
+    val rows = (0 until 200).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+    SnapshotTable.create(rows.repartition(4, col("id")), path)
+    SnapshotTable.append(rows.limit(0)
+      .unionByName(Seq((500L, "x")).toDF("id", "tag")), path)
+    SnapshotTable.merge(Seq((3L, "upd")).toDF("id", "tag"), path,
+      Seq("id"))
+    SnapshotTable.deleteMoR(spark, path, col("id") === 7L)
+    SnapshotTable.renameColumn(spark, path, "tag", "label")
+    SnapshotTable.optimizeIncremental(spark, path,
+      targetFileBytes = 256L * 1024 * 1024)
+    val h = SnapshotTable.history(spark, path).collect()
+    // newest first; every commit labeled with ITS op (the rename
+    // between DELETE-MOR and OPTIMIZE would show the inheritance bug
+    // immediately if ops leaked through the meta chain)
+    assert(h.map(_.getInt(0)).toSeq === Seq(5, 4, 3, 2, 1, 0))
+    assert(h.map(_.getString(2)).toSeq === Seq("OPTIMIZE",
+      "RENAME-COLUMN", "DELETE-MOR", "MERGE", "APPEND", "CREATE"))
+    // timestamps nondecreasing oldest->newest; n_files sane
+    val ts = h.map(_.getTimestamp(1).getTime).toSeq.reverse
+    assert(ts === ts.sorted)
+    assert(h.map(_.getInt(3)).forall(_ >= 1))
+    // history survives vacuum (reports only retained versions)
+    SnapshotTable.vacuum(spark, path, keep = 2, graceMs = 0)
+    assert(SnapshotTable.history(spark, path).collect()
+      .map(_.getInt(0)).toSeq === Seq(5, 4))
+  }
+
   test("concurrent appends on a SEGMENTED table: loser retries, segments stay sound") {
     val path = freshPath("segrace")
     spark.conf.set("spark.graft.manifest.segmentEntries", "4")
