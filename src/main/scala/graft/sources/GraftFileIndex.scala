@@ -156,7 +156,15 @@ private[graft] object GraftFileIndex {
       if (loaded == null) loaded = loader()
       loaded
     }
-    def bytes: Long = bytesOpt.getOrElse(entries.map(_._1.getLen).sum)
+    /** Data bytes from the `b=` aggregate; a legacy ref without one
+      * (pre-`len=` entries) ESTIMATES conservatively high (count ×
+      * 128 MB) instead of resolving — sizeInBytes runs on every plan,
+      * and an overestimate merely disables a broadcast while a
+      * resolve-per-plan would re-read O(#segments) files and defeat
+      * laziness (an already-loaded segment reports exactly). */
+    def bytes: Long = bytesOpt.getOrElse(
+      if (isLoaded) entries.map(_._1.getLen).sum
+      else count.toLong * (128L << 20))
   }
 
   def eager(info: EntryInfo): Segment =

@@ -224,7 +224,9 @@ object SnapshotTable {
 
   /** Process-level cache of immutable segment files (uuid-named, so a
     * path can never be reused with different content). Crudely
-    * bounded: cleared when it exceeds 256 segments. */
+    * bounded: cleared past 2048 segments (~70 KB of lines per
+    * 512-entry segment → ~150 MB ceiling) — enough to keep a
+    * 1M-file table's full list resident across queries. */
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
@@ -233,10 +235,13 @@ object SnapshotTable {
     * ~9 ms/segment dominates repeat-query planning latency at 1M
     * files; with this cache a second query on the same table parses
     * only segments it has not seen. Same immutability argument as
-    * [[segCache]]; bounded by clear-on-overflow (512 segments ×
-    * ~512 entries ≈ low hundreds of MB worst case). */
+    * [[segCache]]; bounded by ESTIMATED RETAINED BYTES (bloom bitsets
+    * dominate when present — 8 KB/col/file at the defaults — so a
+    * segment-count bound alone could retain gigabytes), cleared past
+    * 512 MB. */
   private val segInfoCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[GraftFileIndex.EntryInfo]]()
+  private val segInfoCacheBytes = new java.util.concurrent.atomic.AtomicLong
 
   private[graft] def segInfoCached(key: String)
       (compute: => Seq[GraftFileIndex.EntryInfo])
@@ -245,7 +250,12 @@ object SnapshotTable {
     if (hit != null) hit
     else {
       val v = compute
-      if (segInfoCache.size > 512) segInfoCache.clear()
+      val est = v.map(e => 300L +
+        e._5.valuesIterator.map(_._3.length.toLong).sum).sum
+      if (segInfoCacheBytes.addAndGet(est) > (512L << 20)) {
+        segInfoCache.clear()
+        segInfoCacheBytes.set(est)
+      }
       segInfoCache.put(key, v)
       v
     }
@@ -266,7 +276,7 @@ object SnapshotTable {
         new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
           .map(_.trim).filter(_.nonEmpty)
       } finally in.close()
-      if (segCache.size > 256) segCache.clear()
+      if (segCache.size > 2048) segCache.clear()
       segCache.put(key, lines)
       lines
     }
@@ -337,32 +347,63 @@ object SnapshotTable {
         Seq(s"b=${lens.flatMap(_.map(_._1)).sum}")
       else Nil
     // uniform partition tuple (partition-ALIGNED segments): lets the
-    // lazy FileIndex drop whole segments on partition filters
+    // lazy FileIndex drop whole segments on partition filters.
+    // Keys and values are escStat-escaped: Hive's path escaping does
+    // NOT escape ';' (the agg-item separator) or '!' — an unescaped
+    // 'a;b' partition value would truncate at parse time and the
+    // wrongly-narrowed tuple would prune segments that match (silent
+    // missing rows). escStat escapes ';', '=', '%', '!' and ':';
+    // '/' stays the pair separator (it can never appear in an
+    // escaped-path-form value — Hive escapes it — and a column NAME
+    // containing '/' cannot be a partition path fragment at all).
     val pvs = entries.map(e => entryPartitionValues(entryPath(e)))
+    def escS(s: String): String =
+      escStat(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val partItem = pvs.headOption
       .filter(h => h.nonEmpty && pvs.forall(_ == h))
       .map(h => "part=" + h.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=$v" }.mkString("/"))
+        .map { case (k, v) => s"${escS(k)}=${escS(v)}" }.mkString("/"))
       .toSeq
-    (Seq(s"n=${entries.size}") ++ bItem ++ partItem ++
+    // dv-presence flag: readCatalyst resolves ONLY segments that may
+    // carry deletion vectors (explicitly 0 on the common clean path)
+    val dvItem = Seq(
+      s"hasdv=${if (entries.exists(e => entryDvs(e).nonEmpty)) 1 else 0}")
+    (Seq(s"n=${entries.size}") ++ bItem ++ partItem ++ dvItem ++
       numItems ++ strItems).mkString(";")
   }
 
   /** A ref's uniform partition tuple, when recorded and well-formed
     * (malformed — e.g. shadowed by a column named `part` — is None =
-    * unknown, callers keep the segment). */
+    * unknown, callers keep the segment). Values unescape back to the
+    * escaped-PATH form the per-entry partition values use, so
+    * consumers compare like with like. */
   private[graft] def refPartValues(refLine: String)
       : Option[Map[String, String]] =
     refLine.stripPrefix(SegPrefix).split("\t", 2) match {
       case Array(_, items) =>
+        def unesc(s: String): String = new String(unescStat(s),
+          java.nio.charset.StandardCharsets.UTF_8)
         items.split(";").iterator.collectFirst {
           case kv if kv.startsWith("part=") =>
             val pairs = kv.drop(5).split("/").toSeq
               .map(_.split("=", 2))
             if (pairs.nonEmpty && pairs.forall(_.length == 2))
-              Some(pairs.map(p => p(0) -> p(1)).toMap)
+              Some(pairs.map(p => unesc(p(0)) -> unesc(p(1))).toMap)
             else None
         }.flatten
+      case _ => None
+    }
+
+  /** A ref's dv-presence flag: Some(false) = provably no deletion
+    * vectors in the segment, Some(true) = at least one, None =
+    * legacy ref without the flag (callers must resolve). */
+  private[graft] def refHasDv(refLine: String): Option[Boolean] =
+    refLine.stripPrefix(SegPrefix).split("\t", 2) match {
+      case Array(_, items) =>
+        items.split(";").iterator.collectFirst {
+          case "hasdv=0" => false
+          case "hasdv=1" => true
+        }
       case _ => None
     }
 
@@ -419,8 +460,15 @@ object SnapshotTable {
       byDir.getOrElseUpdate(dir,
         new scala.collection.mutable.ArrayBuffer[String]) += e
     }
-    val ordered = byDir.values.flatten.toSeq
-    val newRefs = ordered.grouped(target).map { group =>
+    // chunk WITHIN each dir group (never across): every segment of a
+    // partitioned table covers exactly one partition value and gets a
+    // uniform part= tuple — a straddling chunk would lose it and be
+    // unprunable on partition filters forever. Tiny partitions yield
+    // segments below target; that dust is bounded by #partitions and
+    // is the price of alignment (Iceberg pays the same).
+    val newRefs = byDir.values.iterator
+      .flatMap(_.grouped(target).map(_.toSeq))
+      .map { group =>
       val rel = s"_graft_log/seg-${UUID.randomUUID()}.entries"
       val out = fs.create(new Path(path, rel), false)
       try out.write((group.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -540,9 +588,17 @@ object SnapshotTable {
     val renamed = types.StructType(st.fields.map(f =>
       if (f.name == from) withPhys(f, physName(f)).copy(name = to)
       else f))
+    // the bloom POLICY tracks logical names — follow the rename, or
+    // maintainBlooms would silently stop blooming new files (its
+    // column filter would never match again) and pruning would decay
+    val bloomM = readMeta(fs, path, vs.max).get("bloomCols")
+      .filter(_.split(",").contains(from))
+      .map(cs => Map("bloomCols" -> cs.split(",").toSeq
+        .map(c => if (c == from) to else c).mkString(",")))
+      .getOrElse(Map.empty)
     commit(spark, path, Seq.empty,
       next => readManifest(fs, path, next - 1),
-      meta = schemaMeta(renamed) + ("op" -> "RENAME-COLUMN"))
+      meta = schemaMeta(renamed) ++ bloomM + ("op" -> "RENAME-COLUMN"))
   }
 
   /** Drop a column — METADATA-ONLY: the field leaves the schema, its
@@ -563,10 +619,18 @@ object SnapshotTable {
       s"cannot drop partition column $name")
     val phys = physName(st.fields.find(_.name == name).get)
     val dropped = (droppedPhys(fs, path, vs.max) :+ phys).distinct
+    // a dropped column leaves the bloom policy too (its logical name
+    // could later be re-bound to a FRESH physical slot — blooming
+    // that new column under the old policy would be an accident)
+    val bloomM = readMeta(fs, path, vs.max).get("bloomCols")
+      .filter(_.split(",").contains(name))
+      .map(cs => Map("bloomCols" -> cs.split(",").toSeq
+        .filterNot(_ == name).mkString(",")))
+      .getOrElse(Map.empty)
     commit(spark, path, Seq.empty,
       next => readManifest(fs, path, next - 1),
       meta = schemaMeta(types.StructType(
-        st.fields.filterNot(_.name == name))) +
+        st.fields.filterNot(_.name == name))) ++ bloomM +
         ("droppedPhys" -> dropped.mkString(",")) +
         ("op" -> "DROP-COLUMN"))
   }
@@ -1871,13 +1935,16 @@ object SnapshotTable {
         types.StructField("n_files", types.IntegerType, nullable = false))))
   }
 
-  /** Number of data files a version references (pure metadata). */
+  /** Number of data files a version references — ref-aware pure
+    * metadata, no segment resolution (the `n=` aggregates carry the
+    * counts). */
   private[graft] def fileCount(spark: SparkSession, path: String,
       version: Option[Int] = None): Int = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    readManifest(fsOf(spark, logDir(path)), path,
-      version.getOrElse(vs.max)).size
+    readManifestRefs(fsOf(spark, logDir(path)), path,
+      version.getOrElse(vs.max)).map(l =>
+      if (l.startsWith(SegPrefix)) math.max(refCount(l), 1) else 1).sum
   }
 
   /** Read with manifest-metadata file skipping — the reader-side twin
@@ -1932,7 +1999,10 @@ object SnapshotTable {
       } else {
         val n = refCount(l)
         val agg = l.stripPrefix(SegPrefix)
-        val segOk = mayMatch(pred, Map.empty,
+        // the uniform partition tuple prunes segments here exactly as
+        // it does in the lazy FileIndex (absent/malformed = unknown)
+        val segOk = mayMatch(pred,
+          refPartValues(l).getOrElse(Map.empty),
           relabelStats(entryStats(agg), schema),
           relabelStats(entryStringStats(agg), schema))
         if (!segOk) { total += math.max(n, 1); Nil }
@@ -2385,20 +2455,26 @@ object SnapshotTable {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val fs = fsOf(spark, logDir(path))
-    val manifest = readManifest(fs, path, v)
+    // planning reads the manifest LIST only — segment refs stay
+    // unresolved unless something below genuinely needs their entries
+    val refs = readManifestRefs(fs, path, v)
     val schemaOpt = storedSchema(fs, path, v)
     // the version's OWN partition layout: time travel across an
     // overwrite that re-partitioned must use the entries' real layout,
     // not the log head's
     val partCols = readMeta(fs, path, v).get("partition")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    val catalystEligible = manifest.nonEmpty &&
+    val catalystEligible = refs.nonEmpty &&
       (partCols.isEmpty || (schemaOpt.exists(s =>
         partCols.forall(c => s.fieldNames.contains(c) &&
           GraftFileIndex.supportedPartType(s(c).dataType)))))
     if (!catalystEligible) return read(spark, path, Some(v))
+    // legacy logs without a stored schema are always FLAT (segmented
+    // manifests postdate schema tracking), so this fallback never
+    // forces segment resolution
     val st = schemaOpt.getOrElse(
-      readFilesAs(spark, path, None, manifest.map(entryPath)).schema)
+      readFilesAs(spark, path, None,
+        readManifest(fs, path, v).map(entryPath)).schema)
     val partSchema = nullify(types.StructType(
       partCols.map(c => st(st.fieldIndex(c)))))
     // the scan schema is PHYSICAL: evolved tables' files carry stable
@@ -2424,7 +2500,7 @@ object SnapshotTable {
     }
     // segment refs become LAZY index segments: aggregates up front,
     // entries parsed only if a pushed filter fails to refute them
-    val segments = readManifestRefs(fs, path, v).map { l =>
+    val segments = refs.map { l =>
       if (!l.startsWith(SegPrefix)) GraftFileIndex.eager(entryInfo(l))
       else {
         val agg = l.stripPrefix(SegPrefix)
@@ -2446,8 +2522,14 @@ object SnapshotTable {
         Map.empty[String, String])(spark)
     val raw = org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
     // deletion-vector mask: same anti-join as the classic reader,
-    // keyed on the scan's own metadata row coordinates
-    val dvRels = manifest.flatMap(entryDvs).distinct
+    // keyed on the scan's own metadata row coordinates. Only segments
+    // whose hasdv flag is true (or absent — legacy) resolve here; the
+    // common clean path stays pure list metadata.
+    val dvRels = refs.flatMap { l =>
+      if (!l.startsWith(SegPrefix)) entryDvs(l)
+      else if (refHasDv(l).contains(false)) Nil
+      else segEntries(fs, path, refRel(l)).flatMap(entryDvs)
+    }.distinct
     val masked =
       if (dvRels.isEmpty) raw
       else applyDvMask(spark, path,
@@ -2526,14 +2608,8 @@ object SnapshotTable {
       manifest.map(entryPath), cols, bits, hashes)
     val log2phys: Map[String, String] = schemaOpt.toSeq
       .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
-    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
-    val enriched = manifest.map { e =>
-      byFile.get(fileOf(entryPath(e))) match {
-        case None => e
-        case Some(colBits) =>
-          withBloomItems(e, colBits, log2phys, bits, hashes)
-      }
-    }
+    val enriched = enrichWithBlooms(manifest, byFile, log2phys,
+      bits, hashes)
     // the policy rides in the (inherited) commit meta so later
     // streaming batches can maintain the index for their own files
     commitPinned(spark, path, enriched, readV + 1,
@@ -2563,18 +2639,26 @@ object SnapshotTable {
             staged.map(entryPath), cols, bits, hashes)
           val log2phys: Map[String, String] = mapped.toSeq
             .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
-          val fileOf =
-            (p: String) => p.substring(p.lastIndexOf('/') + 1)
-          staged.map { e =>
-            byFile.get(fileOf(entryPath(e))) match {
-              case None => e
-              case Some(colBits) =>
-                withBloomItems(e, colBits, log2phys, bits, hashes)
-            }
-          }
+          enrichWithBlooms(staged, byFile, log2phys, bits, hashes)
         }
       case _ => staged
     }
+
+  /** `entries` with each file's bloom items applied from `byFile`
+    * (keyed by file name; absent = entry unchanged). */
+  private def enrichWithBlooms(entries: Seq[String],
+      byFile: Map[String, Seq[(String, Array[Byte])]],
+      log2phys: Map[String, String], bits: Int, hashes: Int)
+      : Seq[String] = {
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    entries.map { e =>
+      byFile.get(fileOf(entryPath(e))) match {
+        case None => e
+        case Some(colBits) =>
+          withBloomItems(e, colBits, log2phys, bits, hashes)
+      }
+    }
+  }
 
   /** Distributed per-file bloom bitsets for `cols` over the files at
     * `rels`: one scan of the indexed columns (explode to `hashes` bit

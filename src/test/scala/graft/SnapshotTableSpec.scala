@@ -88,6 +88,69 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path, Some(0)).count() === 5)
   }
 
+  test("REGRESSION: partition values containing ';' survive segment aggregation") {
+    // Hive path escaping does NOT escape ';' — an unescaped part=
+    // aggregate would truncate at the item separator, and the
+    // wrongly-narrowed tuple would prune matching segments (silent
+    // missing rows through readCatalyst AND readWhere)
+    val path = freshPath("semicolon")
+    spark.conf.set("spark.graft.manifest.segmentEntries", "4")
+    try {
+      val rows = (0L until 400L)
+        .map(i => (i, if (i % 2 == 0) "a;b" else "plain", i * 2))
+        .toDF("id", "cat", "score")
+      SnapshotTable.create(rows.repartition(8, col("id")), path,
+        partitionBy = Seq("cat"))
+      val viaCatalyst = SnapshotTable.readCatalyst(spark, path)
+        .filter(col("cat") === "a;b")
+      assert(viaCatalyst.count() === 200,
+        "segment-level partition pruning dropped the ';' partition")
+      assert(viaCatalyst.agg(sum(col("score"))).head.getLong(0) ===
+        rows.filter(col("cat") === "a;b")
+          .agg(sum(col("score"))).head.getLong(0))
+      val (viaWhere, _, _) = SnapshotTable.readWherePruned(spark, path,
+        col("cat") === "a;b")
+      assert(viaWhere.count() === 200)
+      // the other partition still prunes (the escape didn't break
+      // the positive case)
+      val (_, kept, total) = SnapshotTable.readWherePruned(spark, path,
+        col("cat") === "plain")
+      assert(kept < total)
+    } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
+  }
+
+  test("REGRESSION: bloom policy follows renameColumn (and leaves on dropColumn)") {
+    val path = freshPath("renamebloom")
+    val rows = (0 until 2000).map(i => (i.toLong, s"t$i", i.toLong + 7))
+      .toDF("id", "tag", "aux")
+    SnapshotTable.create(
+      rows.filter(col("id") < 1000L).repartition(4, col("id")), path)
+    SnapshotTable.indexBloom(spark, path, Seq("id", "aux"))
+    SnapshotTable.renameColumn(spark, path, "id", "key")
+    // appends after the rename must keep blooming the renamed column
+    SnapshotTable.append(
+      rows.filter(col("id") >= 1000L)
+        .withColumnRenamed("id", "key")
+        .repartition(4, col("key")), path)
+    val (hit, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("key") === 1777L)
+    assert(hit.count() === 1)
+    assert(total === 8 && kept * 4 < total,
+      s"rename silently stopped bloom upkeep: kept $kept of $total")
+    // dropColumn removes the dropped name from the policy, the rest
+    // keeps maintaining
+    SnapshotTable.dropColumn(spark, path, "tag")
+    SnapshotTable.dropColumn(spark, path, "aux")
+    SnapshotTable.append(
+      Seq((5000L, "late")).toDF("key", "tag"), path,
+      evolveSchema = true)
+    val (hit2, kept2, total2) = SnapshotTable.readWherePruned(spark, path,
+      col("key") === 5000L)
+    assert(hit2.count() === 1)
+    assert(kept2 < total2,
+      s"post-drop append lost key blooming: kept $kept2 of $total2")
+  }
+
   test("history() reports each commit's own operation, never an inherited one") {
     val path = freshPath("history")
     val rows = (0 until 200).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
