@@ -116,6 +116,8 @@ object ManifestScaleProbe {
       out0.write(body0.mkString("\n").getBytes("UTF-8")); out0.close()
       val segBytes = fs.listStatus(new Path(dir, "_graft_log")).toSeq
         .map(_.getLen).sum
+      // r10 shape (reuse check hashes every entry, O(#files)) kept
+      // for comparison against the delta path below
       val t1 = System.nanoTime()
       val body1 = SnapshotTable.segmentedBody(spark, fs, dir, Some(0),
         entries :+ line(n.toLong + 7, bloom = false))
@@ -125,8 +127,20 @@ object ManifestScaleProbe {
       println(f"  flat manifest rewrite per commit: ${flatBytes / 1e6}%7.1f MB")
       println(f"  initial segmentation: ${initMs}%7.0f ms, " +
         f"${segBytes / 1e6}%7.1f MB total, ${body0.size}%d segments")
-      println(f"  1-entry append: ${appendMs}%7.0f ms, list ${appendBytes / 1e3}%6.1f KB, " +
+      println(f"  1-entry append (r10 per-entry reuse scan): ${appendMs}%7.0f ms, " +
+        f"list ${appendBytes / 1e3}%6.1f KB, " +
         f"${newSegs.size}%d new segment(s), ${body0.size - (body1.size - newSegs.size)}%d rewritten")
+      // the REAL append path (r11): previous refs pass through
+      // verbatim, staged entries join the inline tail — O(#segments)
+      val t2 = System.nanoTime()
+      val body2 = SnapshotTable.appendBody(spark, fs, dir, Some(0),
+        Seq(line(n.toLong + 8, bloom = false)))
+      val appendDeltaMs = (System.nanoTime() - t2) / 1e6
+      val inheritedRefs = body2.count(_.startsWith("@seg="))
+      println(f"  1-entry append (delta path): ${appendDeltaMs}%7.1f ms, " +
+        f"list ${body2.map(_.length + 1L).sum / 1e3}%6.1f KB, " +
+        f"$inheritedRefs%d refs inherited, " +
+        f"${body2.size - inheritedRefs}%d inline")
       // ---- lazy FileIndex over the segmented manifest ------------
       // planning latency when pushed filters refute most segments:
       // loaded-segment count is the proof entries never parsed

@@ -106,11 +106,16 @@ private[graft] class GraftFileIndex(
         s.partValues.getOrElse(Map.empty), s.stats, s.strStats,
         s.blooms))
     }
-    // then ENTRY-level: same conservative evaluator per parsed entry
-    val statKept = liveSegs.flatMap(_.entries)
-      .filter { case (_, pv, st, ss, bl) =>
+    // then ENTRY-level: same conservative evaluator per parsed entry.
+    // EAGER (inline) segments skip it — their segment-level test
+    // already ran on the entry's own maps, so re-evaluating would
+    // double the O(#files) driver cost on legacy flat manifests
+    val statKept = liveSegs.flatMap { s =>
+      if (s.eager) s.entries
+      else s.entries.filter { case (_, pv, st, ss, bl) =>
         dataPred.forall(p => SnapshotTable.mayMatch(p, pv, st, ss, bl))
       }
+    }
     if (partSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty,
         statKept.map(_._1).toArray))
@@ -149,7 +154,12 @@ private[graft] object GraftFileIndex {
       val blooms: Map[String, (Int, Int, Array[Byte])],
       val count: Int,
       bytesOpt: Option[Long],
-      loader: () => Seq[EntryInfo]) {
+      loader: () => Seq[EntryInfo],
+      /** true iff this "segment" IS one inline entry whose own stat
+        * maps back the segment-level test — the entry-level pass can
+        * skip it. A lazy 1-entry segment is NOT eager: its ref
+        * aggregates can be weaker than the entry's (no blooms). */
+      val eager: Boolean = false) {
     @volatile private var loaded: Seq[EntryInfo] = null
     def isLoaded: Boolean = loaded != null
     def entries: Seq[EntryInfo] = {
@@ -169,7 +179,7 @@ private[graft] object GraftFileIndex {
 
   def eager(info: EntryInfo): Segment =
     new Segment(Some(info._2), info._3, info._4, info._5, 1,
-      Some(info._1.getLen), () => Seq(info))
+      Some(info._1.getLen), () => Seq(info), eager = true)
 
   /** Partition column types [[partValueToCatalyst]] can decode from a
     * directory string; readCatalyst falls back to the classic reader

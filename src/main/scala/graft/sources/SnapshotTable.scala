@@ -223,12 +223,15 @@ object SnapshotTable {
       .map(_.toInt).getOrElse(512)
 
   /** Process-level cache of immutable segment files (uuid-named, so a
-    * path can never be reused with different content). Crudely
-    * bounded: cleared past 2048 segments (~70 KB of lines per
-    * 512-entry segment → ~150 MB ceiling) — enough to keep a
-    * 1M-file table's full list resident across queries. */
+    * path can never be reused with different content). Bounded by
+    * ESTIMATED RETAINED BYTES (sum of line lengths), like
+    * [[segInfoCache]]: a COUNT bound alone assumed ~70 KB of lines
+    * per segment, but bloom-carrying entry lines run ~10.7 KB of
+    * base64 per indexed column, so 2048 segments could retain
+    * gigabytes. Cleared past 256 MB. */
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val segCacheBytes = new java.util.concurrent.atomic.AtomicLong
 
   /** Process-level cache of PARSED segment entries for the lazy
     * FileIndex (EntryInfo: FileStatus + the four stat maps). Parsing
@@ -276,7 +279,11 @@ object SnapshotTable {
         new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
           .map(_.trim).filter(_.nonEmpty)
       } finally in.close()
-      if (segCache.size > 2048) segCache.clear()
+      val est = lines.iterator.map(_.length.toLong + 40L).sum
+      if (segCacheBytes.addAndGet(est) > (256L << 20)) {
+        segCache.clear()
+        segCacheBytes.set(est)
+      }
       segCache.put(key, lines)
       lines
     }
@@ -310,6 +317,20 @@ object SnapshotTable {
     readManifestRefs(fs, path, v).flatMap { l =>
       if (l.startsWith(SegPrefix)) segEntries(fs, path, refRel(l))
       else Seq(l)
+    }
+
+  /** A manifest flattened WITH provenance: each entry paired with the
+    * rel path of the segment that owns it (None = inline in the list).
+    * Row-level commits use the tag to pass CLEAN segments through by
+    * reference and re-stage only the dirty ones' survivors — the
+    * O(churn) write half of the segmented-manifest design. */
+  private def readManifestTagged(fs: FileSystem, path: String,
+      v: Int): Seq[(String, Option[String])] =
+    readManifestRefs(fs, path, v).flatMap { l =>
+      if (l.startsWith(SegPrefix)) {
+        val rel = refRel(l)
+        segEntries(fs, path, rel).map(e => (e, Some(rel)))
+      } else Seq((l, None))
     }
 
   /** Merged per-column aggregates over a segment's entries, in the
@@ -443,15 +464,28 @@ object SnapshotTable {
     // duplicates inside `entries` collapse via the set — entries are
     // full stat-carrying lines of uuid-named files, so two equal
     // lines denote the same file twice (never two files).
-    // STABLE partition-dir grouping PARTITION-ALIGNS the chunks (each
-    // segment covers one partition dir and gets a uniform `part=`
-    // tuple the lazy FileIndex can refute wholesale) while PRESERVING
-    // the caller's entry order WITHIN each dir — stage order follows
-    // the writer's part-file order, so a range-clustered write keeps
-    // its value clustering and the segments' merged ranges stay
-    // tight. (A lexicographic path sort would scramble uuid-named
-    // files and widen every segment's range to ~the full domain.)
     val fresh = entries.filter(remaining.contains).distinct
+    keptRefs ++ writeSegments(spark, fs, path, fresh)
+  }
+
+  /** Chunk `fresh` entry lines into partition-aligned immutable
+    * segment files and return their refs. STABLE partition-dir
+    * grouping PARTITION-ALIGNS the chunks (each segment covers one
+    * partition dir and gets a uniform `part=` tuple the lazy
+    * FileIndex can refute wholesale) while PRESERVING the caller's
+    * entry order WITHIN each dir — stage order follows the writer's
+    * part-file order, so a range-clustered write keeps its value
+    * clustering and the segments' merged ranges stay tight. (A
+    * lexicographic path sort would scramble uuid-named files and
+    * widen every segment's range to ~the full domain.) Chunks never
+    * straddle dir groups: a straddling chunk of a partitioned table
+    * would lose its uniform part= tuple and be unprunable on
+    * partition filters forever. Tiny partitions yield segments below
+    * target; that dust is bounded by #partitions and is the price of
+    * alignment (Iceberg pays the same). */
+  private def writeSegments(spark: SparkSession, fs: FileSystem,
+      path: String, fresh: Seq[String]): Seq[String] = {
+    val target = segmentEntriesConf(spark)
     val byDir = new scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.ArrayBuffer[String]]
     fresh.foreach { e =>
@@ -460,13 +494,7 @@ object SnapshotTable {
       byDir.getOrElseUpdate(dir,
         new scala.collection.mutable.ArrayBuffer[String]) += e
     }
-    // chunk WITHIN each dir group (never across): every segment of a
-    // partitioned table covers exactly one partition value and gets a
-    // uniform part= tuple — a straddling chunk would lose it and be
-    // unprunable on partition filters forever. Tiny partitions yield
-    // segments below target; that dust is bounded by #partitions and
-    // is the price of alignment (Iceberg pays the same).
-    val newRefs = byDir.values.iterator
+    byDir.values.iterator
       .flatMap(_.grouped(target).map(_.toSeq))
       .map { group =>
       val rel = s"_graft_log/seg-${UUID.randomUUID()}.entries"
@@ -475,7 +503,34 @@ object SnapshotTable {
       finally out.close()
       s"$SegPrefix$rel\t${segAggItems(group)}"
     }.toSeq
-    keptRefs ++ newRefs
+  }
+
+  /** `loose` entry lines as a manifest-body TAIL: inline when at or
+    * below the segment threshold, chunked into segments otherwise.
+    * The inline tail is how small commits stay O(churn): an append
+    * adds its few lines to the list verbatim, and only when the tail
+    * outgrows the threshold does one commit fold it into segments. */
+  private def inlineOrSegment(spark: SparkSession, fs: FileSystem,
+      path: String, loose: Seq[String]): Seq[String] =
+    if (loose.size <= segmentEntriesConf(spark)) loose
+    else writeSegments(spark, fs, path, loose)
+
+  /** Manifest body for an APPEND-shaped commit on top of `prevV`:
+    * previous segment refs pass through VERBATIM — never opened,
+    * never re-verified (a ref IS its segment's identity: segment
+    * files are immutable and uuid-named, so reuse needs no
+    * per-entry comparison at all) — and the staged entries join the
+    * inline tail. O(#segments + churn) per commit, the
+    * content-addressed endgame of the segmented-manifest design
+    * (the r10 probe measured the per-entry reuse scan at 4.3 s per
+    * 1-entry append on a 1M-file table; this path does zero
+    * per-entry work). */
+  private[graft] def appendBody(spark: SparkSession, fs: FileSystem,
+      path: String, prevV: Option[Int], staged: Seq[String])
+      : Seq[String] = {
+    val refs = prevV.toSeq.flatMap(v => readManifestRefs(fs, path, v))
+    val (segRefs, inline) = refs.partition(_.startsWith(SegPrefix))
+    segRefs ++ inlineOrSegment(spark, fs, path, inline ++ staged)
   }
 
   /** Per-commit metadata of a manifest (`#key=value` header lines). */
@@ -596,8 +651,7 @@ object SnapshotTable {
       .map(cs => Map("bloomCols" -> cs.split(",").toSeq
         .map(c => if (c == from) to else c).mkString(",")))
       .getOrElse(Map.empty)
-    commit(spark, path, Seq.empty,
-      next => readManifest(fs, path, next - 1),
+    commit(spark, path, AppendSpec(Seq.empty),
       meta = schemaMeta(renamed) ++ bloomM + ("op" -> "RENAME-COLUMN"))
   }
 
@@ -627,8 +681,7 @@ object SnapshotTable {
       .map(cs => Map("bloomCols" -> cs.split(",").toSeq
         .filterNot(_ == name).mkString(",")))
       .getOrElse(Map.empty)
-    commit(spark, path, Seq.empty,
-      next => readManifest(fs, path, next - 1),
+    commit(spark, path, AppendSpec(Seq.empty),
       meta = schemaMeta(types.StructType(
         st.fields.filterNot(_.name == name))) ++ bloomM +
         ("droppedPhys" -> dropped.mkString(",")) +
@@ -679,9 +732,7 @@ object SnapshotTable {
     // other columns' blooms stay valid. Long-normalized min/max stats
     // carry over unchanged (they are type-agnostic by construction).
     val phys = physName(f)
-    commit(spark, path, Seq.empty,
-      next => readManifest(fs, path, next - 1)
-        .map(stripBloomItem(_, phys)),
+    commit(spark, path, TransformSpec(stripBloomItem(_, phys)),
       meta = schemaMeta(types.StructType(st.fields.map(x =>
         if (x.name == name) x.copy(dataType = to) else x))) +
         ("op" -> "WIDEN-COLUMN"))
@@ -1115,19 +1166,33 @@ object SnapshotTable {
     } catch { case _: Exception => Map.empty }
   }
 
-  /** Create-exclusive manifest commit with optimistic retry. `base`
-    * recomputes the inherited file list against the CURRENT latest
-    * version on every attempt (append semantics survive losing a
-    * race). Returns the committed version number. */
+  /** How a retrying commit derives its manifest body from whatever
+    * version it lands on top of — the write-amplification contract:
+    *  - [[AppendSpec]]: previous body passes through verbatim (see
+    *    [[appendBody]] — O(#segments + churn), never O(#files));
+    *  - [[ReplaceSpec]]: the body is exactly these entries (create /
+    *    overwrite) — nothing inherited, fresh segmentation;
+    *  - [[TransformSpec]]: flatten, map every entry line, re-segment
+    *    with reuse checking (rare metadata DDL — widenColumn's bloom
+    *    strip — where per-entry work is the operation itself). */
+  private sealed trait BodySpec
+  private final case class AppendSpec(staged: Seq[String]) extends BodySpec
+  private final case class ReplaceSpec(entries: Seq[String]) extends BodySpec
+  private final case class TransformSpec(f: String => String) extends BodySpec
+
+  /** Create-exclusive manifest commit with optimistic retry. The body
+    * recomputes against the CURRENT latest version on every attempt
+    * (append semantics survive losing a race). Returns the committed
+    * version number. */
   private def commit(spark: SparkSession, path: String,
-      staged: Seq[String], base: Int => Seq[String],
-      meta: Map[String, String] = Map.empty): Int = {
+      body: BodySpec, meta: Map[String, String] = Map.empty): Int = {
     val fs = fsOf(spark, logDir(path))
     fs.mkdirs(logDir(path))
     var attempts = 0
     while (attempts < 50) {
       val vs = versions(spark, path)
       val next = if (vs.isEmpty) 0 else vs.max + 1
+      val prevV = if (vs.isEmpty) None else Some(vs.max)
       // metadata is INHERITED commit-over-commit (this commit's keys
       // win): markers like the streaming batch id stay on the log head
       // forever, so vacuuming old manifests can never drop them
@@ -1136,9 +1201,18 @@ object SnapshotTable {
          else readMeta(fs, path, vs.max)) ++ meta
       val metaLines = mergedMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" }
-      val body = segmentedBody(spark, fs, path,
-        if (vs.isEmpty) None else Some(vs.max), base(next) ++ staged)
-      val content = (metaLines ++ body).mkString("\n")
+      val bodyLines = body match {
+        case AppendSpec(staged) =>
+          appendBody(spark, fs, path, prevV, staged)
+        case ReplaceSpec(entries) =>
+          // a replacement references no prior file, so no prior
+          // segment can be reusable — skip the reuse scan entirely
+          segmentedBody(spark, fs, path, None, entries)
+        case TransformSpec(f) =>
+          segmentedBody(spark, fs, path, prevV,
+            prevV.toSeq.flatMap(v => readManifest(fs, path, v)).map(f))
+      }
+      val content = (metaLines ++ bodyLines).mkString("\n")
       val target = new Path(logDir(path), manifestName(next))
       try {
         val out = fs.create(target, false) // exclusive: one winner per version
@@ -1196,7 +1270,7 @@ object SnapshotTable {
     val partMeta =
       if (partitionBy.isEmpty) Map.empty[String, String]
       else Map("partition" -> partitionBy.mkString(","))
-    commit(spark, path, stage(df, path, partitionBy), _ => Seq.empty,
+    commit(spark, path, ReplaceSpec(stage(df, path, partitionBy)),
       meta = schemaMeta(df.schema) ++ partMeta + ("op" -> "CREATE"))
   }
 
@@ -1260,8 +1334,7 @@ object SnapshotTable {
     val stagedIndexed = maintainBlooms(spark, path,
       readMeta(fs, path, vs.max), Some(evolved), df.columns.toSeq,
       staged)
-    commit(spark, path, stagedIndexed,
-      next => readManifest(fs, path, next - 1),
+    commit(spark, path, AppendSpec(stagedIndexed),
       meta = schemaMeta(evolved) + ("op" -> "APPEND"))
   }
 
@@ -1269,7 +1342,8 @@ object SnapshotTable {
     * the staged files; prior versions stay readable until vacuum).
     * The table's partition layout is preserved. */
   def overwrite(df: DataFrame, path: String,
-      repartitionBy: Option[Seq[String]] = None): Int = {
+      repartitionBy: Option[Seq[String]] = None,
+      op: String = "OVERWRITE"): Int = {
     val spark = df.sparkSession
     // an overwrite is the one commit allowed to CHANGE the partition
     // layout (every file is rewritten anyway): None inherits, Some(..)
@@ -1280,11 +1354,10 @@ object SnapshotTable {
     // a full rewrite re-baselines the schema: files carry the logical
     // names again, so the column mapping and retired-physical list
     // reset (old versions keep their own schema meta)
-    commit(spark, path, stage(df, path, layout),
-      _ => Seq.empty,
+    commit(spark, path, ReplaceSpec(stage(df, path, layout)),
       meta = schemaMeta(df.schema) ++
         Map("partition" -> layout.mkString(","), "droppedPhys" -> "",
-          "op" -> "OVERWRITE"))
+          "op" -> op))
   }
 
   /** EXACTLY-ONCE idempotent append for a streaming micro-batch: the
@@ -1328,9 +1401,7 @@ object SnapshotTable {
       val schemaM =
         if (versions(spark, path).isEmpty) schemaMeta(df.schema)
         else Map.empty[String, String]
-      Some(commit(spark, path, stagedIndexed,
-        next => if (next == 0) Seq.empty
-          else readManifest(fs, path, next - 1),
+      Some(commit(spark, path, AppendSpec(stagedIndexed),
         meta = Map("streamBatch" -> batchId.toString,
           "op" -> "STREAM-APPEND") ++ schemaM))
     }
@@ -1392,7 +1463,8 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val readV = vs.max
     val fs = fsOf(spark, new Path(path))
-    val manifest = readManifest(fs, path, readV)
+    val tagged = readManifestTagged(fs, path, readV)
+    val manifest = tagged.map(_._1)
     // schema check from the stored schema when present — building the
     // (DV-masked, projected) read plan just to list column names is
     // wasted planning work on every merge
@@ -1494,33 +1566,34 @@ object SnapshotTable {
     val storedOpt = storedEarly
     val log2phys: Map[String, String] = storedOpt.toSeq
       .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
+    def levelOneMayHold(entry: String, footerCheck: Boolean): Boolean = {
+      val st = relabelStats(entryStats(entry), storedOpt)
+      val rangeOk = ranges.forall { case (k, (lo, hi)) =>
+        st.get(k) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None if footerCheck && k == rangedKeys.head =>
+            fileKeyRangeMayOverlap(spark,
+              new Path(path, entryPath(entry)),
+              log2phys.getOrElse(k, k), lo, hi)
+          case None => true // no cached stats: keep
+        }
+      }
+      val sst = relabelStats(entryStringStats(entry), storedOpt)
+      val strOk = strRanges.forall { case (k, (lo, hi)) =>
+        sst.get(k) match {
+          case Some((mn, mx)) => bytesLe(mn, hi) && bytesLe(lo, mx)
+          case None => true
+        }
+      }
+      val pv = entryPartitionValues(entryPath(entry))
+      val partOk = partKeyValues.forall { case (k, set) =>
+        pv.get(k).forall(set.contains)
+      }
+      rangeOk && strOk && partOk
+    }
     val candidates: Seq[String] =
       if (ranges.size < rangedKeys.size) Seq.empty // an all-null key col
-      else manifest.filter { entry =>
-        val st = relabelStats(entryStats(entry), storedOpt)
-        val rangeOk = ranges.forall { case (k, (lo, hi)) =>
-          st.get(k) match {
-            case Some((mn, mx)) => mn <= hi && mx >= lo
-            case None if k == rangedKeys.head =>
-              fileKeyRangeMayOverlap(spark,
-                new Path(path, entryPath(entry)),
-                log2phys.getOrElse(k, k), lo, hi)
-            case None => true // no cached stats: keep
-          }
-        }
-        val sst = relabelStats(entryStringStats(entry), storedOpt)
-        val strOk = strRanges.forall { case (k, (lo, hi)) =>
-          sst.get(k) match {
-            case Some((mn, mx)) => bytesLe(mn, hi) && bytesLe(lo, mx)
-            case None => true
-          }
-        }
-        val pv = entryPartitionValues(entryPath(entry))
-        val partOk = partKeyValues.forall { case (k, set) =>
-          pv.get(k).forall(set.contains)
-        }
-        rangeOk && strOk && partOk
-      }
+      else manifest.filter(levelOneMayHold(_, footerCheck = true))
     // Level-2 pruning, exact: a distributed LEFT SEMI join of the
     // candidate files' rows (key columns only) against the distinct
     // update keys — only matched file NAMES reach the driver.
@@ -1536,8 +1609,17 @@ object SnapshotTable {
         .join(keys, keyCols, "left_semi")
         .select(col("__file")).distinct()
         .collect().map(_.getString(0)).toSet
-    val (affected, untouched) =
-      manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
+    val touched = (e: String) => affectedNames.contains(fileOf(entryPath(e)))
+    val affected = manifest.filter(touched)
+    // clean segments pass through BY REFERENCE (O(churn) commit, no
+    // re-segmentation); only dirty segments' survivors and inline
+    // lines re-enter the list as loose entries
+    val dirtySegs = tagged.iterator.collect {
+      case (e, Some(sr)) if touched(e) => sr }.toSet
+    val keptRefs = readManifestRefs(fs, path, readV).filter(l =>
+      l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
+    val loose = tagged.collect {
+      case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
     // stage ~one output file per rewritten input file (+1 for the
     // updates), not one per shuffle partition — a 1-file point update
     // must not shatter into 32 slivers
@@ -1549,8 +1631,18 @@ object SnapshotTable {
     val staged = stage(
       toPhysical(rewritten.coalesce(affected.size + 1), tableSchema),
       path, partitioning(spark, path))
-    commitPinned(spark, path, untouched ++ staged, readV + 1,
-      Map("op" -> "MERGE") ++ meta)
+    // conflict evidence: racer-added files conflict when the level-1
+    // key test cannot refute them (no footer reads on this path — an
+    // absent stat conservatively aborts); all-null key columns match
+    // no row at all, so nothing a racer adds can conflict
+    val mayConflict: String => Boolean =
+      if (ranges.size < rangedKeys.size) _ => false
+      else levelOneMayHold(_, footerCheck = false)
+    commitPinned(spark, path, keptRefs, loose ++ staged, readV + 1,
+      Map("op" -> "MERGE") ++ meta,
+      resolve = Some(ConflictSpec(readV, manifest.toSet,
+        manifest.iterator.map(entryPath).toSet, affected, staged,
+        mayConflict)))
   }
 
   /** DELETE FROM the latest version: remove every row where
@@ -1572,7 +1664,8 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val readV = vs.max
     val fs = fsOf(spark, new Path(path))
-    val manifest = readManifest(fs, path, readV)
+    val tagged = readManifestTagged(fs, path, readV)
+    val manifest = tagged.map(_._1)
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val tableSchema = storedSchema(fs, path, readV)
@@ -1596,18 +1689,32 @@ object SnapshotTable {
         .filter(predicate)
         .select(col("__file")).distinct()
         .collect().map(_.getString(0)).toSet
-    val (affected, untouched) =
-      manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
+    val touched = (e: String) => affectedNames.contains(fileOf(entryPath(e)))
+    val affected = manifest.filter(touched)
     if (affected.isEmpty) readV
     else {
+      val dirtySegs = tagged.iterator.collect {
+        case (e, Some(sr)) if touched(e) => sr }.toSet
+      val keptRefs = readManifestRefs(fs, path, readV).filter(l =>
+        l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
+      val loose = tagged.collect {
+        case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
       val kept =
         readEntriesDv(spark, path, tableSchema, affected)
           .filter(not(coalesce(predicate, lit(false))))
       val staged = stage(
         toPhysical(kept.coalesce(affected.size), tableSchema), path,
         partitioning(spark, path))
-      commitPinned(spark, path, untouched ++ staged, readV + 1,
-        Map("op" -> "DELETE") ++ meta)
+      // racer-added files conflict when the metadata evaluator cannot
+      // refute this delete's predicate on them (conservative)
+      commitPinned(spark, path, keptRefs, loose ++ staged, readV + 1,
+        Map("op" -> "DELETE") ++ meta,
+        resolve = Some(ConflictSpec(readV, manifest.toSet,
+          manifest.iterator.map(entryPath).toSet, affected, staged,
+          e => mayMatch(pred, entryPartitionValues(entryPath(e)),
+            relabelStats(entryStats(e), tableSchema),
+            relabelStats(entryStringStats(e), tableSchema),
+            relabelStats(entryBloomStats(e), tableSchema)))))
     }
   }
 
@@ -1634,7 +1741,8 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val readV = vs.max
     val fs = fsOf(spark, new Path(path))
-    val manifest = readManifest(fs, path, readV)
+    val tagged = readManifestTagged(fs, path, readV)
+    val manifest = tagged.map(_._1)
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
     import org.apache.spark.sql.functions.col
     val tableSchema = storedSchema(fs, path, readV)
@@ -1656,8 +1764,14 @@ object SnapshotTable {
     val affectedNames = hits.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return readV
-    val (affected, untouched) =
-      manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
+    val touched = (e: String) => affectedNames.contains(fileOf(entryPath(e)))
+    val affected = manifest.filter(touched)
+    val dirtySegs = tagged.iterator.collect {
+      case (e, Some(sr)) if touched(e) => sr }.toSet
+    val keptRefs = readManifestRefs(fs, path, readV).filter(l =>
+      l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
+    val loose = tagged.collect {
+      case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
     // cumulative vector: prior coordinates of the affected files ride
     // into the new commit's vector (entries reference ONE dv each)
     val priorRels = affected.flatMap(entryDvs).distinct
@@ -1670,9 +1784,15 @@ object SnapshotTable {
           .join(hits.select(col("file")).distinct(), Seq("file"),
             "left_semi"))
     val dvRels = stageDv(spark, path, dvRows)
-    commitPinned(spark, path,
-      untouched ++ affected.map(e => withDv(e, dvRels)), readV + 1,
-      Map("op" -> "DELETE-MOR") ++ meta)
+    val masked = affected.map(e => withDv(e, dvRels))
+    commitPinned(spark, path, keptRefs, loose ++ masked, readV + 1,
+      Map("op" -> "DELETE-MOR") ++ meta,
+      resolve = Some(ConflictSpec(readV, manifest.toSet,
+        manifest.iterator.map(entryPath).toSet, affected, masked,
+        e => mayMatch(pred, entryPartitionValues(entryPath(e)),
+          relabelStats(entryStats(e), tableSchema),
+          relabelStats(entryStringStats(e), tableSchema),
+          relabelStats(entryBloomStats(e), tableSchema)))))
   }
 
   /** Merge-on-read UPDATE: `SET col = expr WHERE predicate` as ONE
@@ -1690,7 +1810,8 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val readV = vs.max
     val fs = fsOf(spark, new Path(path))
-    val manifest = readManifest(fs, path, readV)
+    val tagged = readManifestTagged(fs, path, readV)
+    val manifest = tagged.map(_._1)
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
     import org.apache.spark.sql.functions.col
     val tableSchema = storedSchema(fs, path, readV)
@@ -1717,8 +1838,14 @@ object SnapshotTable {
     val affectedNames = hits.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return readV
-    val (affected, untouched) =
-      manifest.partition(e => affectedNames.contains(fileOf(entryPath(e))))
+    val touched = (e: String) => affectedNames.contains(fileOf(entryPath(e)))
+    val affected = manifest.filter(touched)
+    val dirtySegs = tagged.iterator.collect {
+      case (e, Some(sr)) if touched(e) => sr }.toSet
+    val keptRefs = readManifestRefs(fs, path, readV).filter(l =>
+      l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
+    val loose = tagged.collect {
+      case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
     val priorRels = affected.flatMap(entryDvs).distinct
     val dvRows =
       if (priorRels.isEmpty) hits
@@ -1738,9 +1865,15 @@ object SnapshotTable {
       toPhysical(updated.coalesce(math.max(1,
         affectedNames.size / 8)), tableSchema), path,
       partitioning(spark, path))
-    commitPinned(spark, path,
-      untouched ++ affected.map(e => withDv(e, dvRels)) ++
-        staged, readV + 1, Map("op" -> "UPDATE-MOR") ++ meta)
+    val newLines = affected.map(e => withDv(e, dvRels)) ++ staged
+    commitPinned(spark, path, keptRefs, loose ++ newLines, readV + 1,
+      Map("op" -> "UPDATE-MOR") ++ meta,
+      resolve = Some(ConflictSpec(readV, manifest.toSet,
+        manifest.iterator.map(entryPath).toSet, affected, newLines,
+        e => mayMatch(pred, entryPartitionValues(entryPath(e)),
+          relabelStats(entryStats(e), tableSchema),
+          relabelStats(entryStringStats(e), tableSchema),
+          relabelStats(entryBloomStats(e), tableSchema)))))
   }
 
   /** Parquet-footer key-range test: true iff `file` MAY contain a key
@@ -1819,22 +1952,53 @@ object SnapshotTable {
         old.exceptAll(neu).withColumn("change_type", lit("delete")))
   }
 
-  /** Create-exclusive commit of exactly `version` — no retry: losing
-    * the slot means the snapshot this commit was derived from is no
-    * longer latest, which the CALLER must resolve (re-run the merge).
-    * Same torn-manifest cleanup as [[commit]]. */
+  /** Evidence for optimistic conflict RESOLUTION of a pinned
+    * row-level commit (the Delta-style logical conflict check): when
+    * the pinned version slot is lost, the commit REBASES onto the new
+    * latest version and retries — instead of aborting — provided
+    *  1. every entry line this commit consumed (rewrote, re-masked,
+    *     or re-annotated) is still present VERBATIM at the latest
+    *     version — no racer touched the same files; and
+    *  2. no line a racer introduced for a NEW file may hold rows
+    *     matching this commit's read (`mayConflict`, conservative —
+    *     unknown means conflict). Lines racers re-annotated on files
+    *     that already existed at `readV` are exempt: data files are
+    *     immutable and deletion vectors only SHRINK visibility, so a
+    *     surviving file can never grow matching rows.
+    * Anything else still aborts with ConcurrentModificationException.
+    * Abort-only serialized every writer on a hot table; this lets
+    * disjoint row-level commits — merges on different key ranges,
+    * compaction racing an append — all land. */
+  private final case class ConflictSpec(
+      readV: Int,
+      readLines: Set[String],
+      readPaths: Set[String],
+      touched: Seq[String],
+      newLines: Seq[String],
+      mayConflict: String => Boolean)
+
+  /** Create-exclusive commit of exactly `version` (body = `keptRefs`
+    * segment references + the `loose` inline tail, segmented when it
+    * outgrows the threshold). Losing the slot means the snapshot this
+    * commit was derived from is no longer latest: with a
+    * [[ConflictSpec]] the commit rebases and retries when provably
+    * disjoint from the interleaved commits, otherwise (or without
+    * one) it fails with ConcurrentModificationException and the
+    * CALLER must re-run on the new snapshot. Same torn-manifest
+    * cleanup as [[commit]]. */
   private def commitPinned(spark: SparkSession, path: String,
-      files: Seq[String], version: Int,
-      meta: Map[String, String] = Map.empty): Int = {
+      keptRefs: Seq[String], loose: Seq[String], version: Int,
+      meta: Map[String, String] = Map.empty,
+      resolve: Option[ConflictSpec] = None): Int = {
     val fs = fsOf(spark, logDir(path))
     fs.mkdirs(logDir(path))
-    // inherit the read version's metadata (streaming markers etc.,
-    // this commit's keys winning) — same rule as commit()
-    val metaLines = (readMeta(fs, path, version - 1) ++ meta).toSeq
-      .sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-    val body = segmentedBody(spark, fs, path, Some(version - 1), files)
-    val target = new Path(logDir(path), manifestName(version))
-    try {
+    def attempt(v: Int, refs: Seq[String], tail: Seq[String]): Int = {
+      // inherit the prior version's metadata (streaming markers etc.,
+      // this commit's keys winning) — same rule as commit()
+      val metaLines = (readMeta(fs, path, v - 1) ++ meta).toSeq
+        .sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
+      val body = refs ++ inlineOrSegment(spark, fs, path, tail)
+      val target = new Path(logDir(path), manifestName(v))
       val out = fs.create(target, false)
       try {
         out.write((metaLines ++ body).mkString("\n").getBytes("UTF-8"))
@@ -1852,15 +2016,59 @@ object SnapshotTable {
           throw new java.io.IOException(
             s"snapshot merge: manifest write to $target failed", e)
       }
-      version
-    } catch {
-      case e: java.io.IOException =>
-        if (fs.exists(target))
-          throw new java.util.ConcurrentModificationException(
-            s"snapshot table at $path advanced past version ${version - 1} " +
-              "while this merge ran — re-run the merge on the new snapshot")
-        else throw e
+      v
     }
+    def lostRace(v: Int, e: java.io.IOException): Boolean = {
+      val t = new Path(logDir(path), manifestName(v))
+      if (fs.exists(t)) true else throw e
+    }
+    try return attempt(version, keptRefs, loose)
+    catch {
+      case e: java.io.IOException if lostRace(version, e) => ()
+    }
+    val cs = resolve.getOrElse(
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot table at $path advanced past version ${version - 1} " +
+          "while this commit ran — re-run on the new snapshot"))
+    var tries = 0
+    while (tries < 20) {
+      val latest = versions(spark, path).max
+      val refsL = readManifestRefs(fs, path, latest)
+      val taggedL = readManifestTagged(fs, path, latest)
+      val latestLines = taggedL.map(_._1).toSet
+      // (1) our consumed lines must survive verbatim — a racer that
+      // rewrote, re-masked, or dropped any of them is a true overlap
+      if (!cs.touched.forall(latestLines.contains))
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot table at $path: a concurrent commit modified " +
+            "files this commit also rewrites — re-run on the new snapshot")
+      // (2) racer-added files must provably hold no matching rows;
+      // re-annotated survivors of files we read are exempt (their
+      // visible rows only shrink)
+      val added = taggedL.iterator.map(_._1)
+        .filterNot(cs.readLines.contains)
+        .filterNot(l => cs.readPaths.contains(entryPath(l)))
+      if (added.exists(cs.mayConflict))
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot table at $path: a concurrent commit added files " +
+            "that may match this commit's read — re-run on the new snapshot")
+      // rebase: the LATEST body minus our consumed lines, plus our
+      // new lines — clean segments pass through by reference
+      val touchedSet = cs.touched.toSet
+      val dirty = taggedL.iterator.collect {
+        case (e2, Some(sr)) if touchedSet.contains(e2) => sr }.toSet
+      val keptR = refsL.filter(l => l.startsWith(SegPrefix) &&
+        !dirty.contains(refRel(l)))
+      val looseR = taggedL.collect {
+        case (e2, sOpt) if !touchedSet.contains(e2) &&
+          sOpt.forall(dirty.contains) => e2 }
+      try return attempt(latest + 1, keptR, looseR ++ cs.newLines)
+      catch {
+        case e2: java.io.IOException if lostRace(latest + 1, e2) =>
+          tries += 1
+      }
+    }
+    sys.error(s"snapshot commit: gave up after $tries rebase conflicts")
   }
 
   /** The newest version committed at or before `tsMillis` (manifest
@@ -1922,8 +2130,7 @@ object SnapshotTable {
       val op = readMeta(fs, path, v).get("op").orNull
       val ts = fs.getFileStatus(
         new Path(logDir(path), manifestName(v))).getModificationTime
-      val n = readManifestRefs(fs, path, v).map(l =>
-        if (l.startsWith(SegPrefix)) math.max(refCount(l), 1) else 1).sum
+      val n = refAwareCount(fs, path, v)
       org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts), op, n)
     }
     spark.createDataFrame(
@@ -1942,10 +2149,24 @@ object SnapshotTable {
       version: Option[Int] = None): Int = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    readManifestRefs(fsOf(spark, logDir(path)), path,
-      version.getOrElse(vs.max)).map(l =>
-      if (l.startsWith(SegPrefix)) math.max(refCount(l), 1) else 1).sum
+    refAwareCount(fsOf(spark, logDir(path)), path,
+      version.getOrElse(vs.max))
   }
+
+  /** Entry count of a manifest, ref-aware: segment refs answer from
+    * their `n=` aggregate without resolving; a ref whose aggregate is
+    * missing or unparseable (refCount = 0 — a written segment is
+    * never empty) RESOLVES the segment instead of silently reporting
+    * 1 — this count feeds IncrementalView's pruning denominator, and
+    * an understated total would overstate pruning. */
+  private def refAwareCount(fs: FileSystem, path: String, v: Int): Int =
+    readManifestRefs(fs, path, v).map { l =>
+      if (!l.startsWith(SegPrefix)) 1
+      else {
+        val n = refCount(l)
+        if (n > 0) n else segEntries(fs, path, refRel(l)).size
+      }
+    }.sum
 
   /** Read with manifest-metadata file skipping — the reader-side twin
     * of [[merge]]'s two-level pruning, generalized to arbitrary
@@ -2418,7 +2639,7 @@ object SnapshotTable {
         df.repartitionByRange(nFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nFiles)
-    overwrite(laid, path)
+    overwrite(laid, path, op = "OPTIMIZE")
   }
 
   /** Catalyst-integrated read: the version's manifest becomes a
@@ -2565,7 +2786,7 @@ object SnapshotTable {
     val laid =
       if (parts.isEmpty) ZOrder.zOrderBy(df, zCols, nFiles)
       else ZOrder.zOrderWithin(df, parts, zCols, nFiles)
-    overwrite(laid, path)
+    overwrite(laid, path, op = "OPTIMIZE-ZORDER")
   }
 
   /** Build per-file BLOOM FILTERS for `cols` and publish them as a
@@ -2611,12 +2832,18 @@ object SnapshotTable {
     val enriched = enrichWithBlooms(manifest, byFile, log2phys,
       bits, hashes)
     // the policy rides in the (inherited) commit meta so later
-    // streaming batches can maintain the index for their own files
-    commitPinned(spark, path, enriched, readV + 1,
+    // streaming batches can maintain the index for their own files.
+    // Conflict evidence: every entry is re-annotated (touched), but a
+    // racer's pure APPEND never conflicts — its files simply stay
+    // un-bloomed (no item = keep = sound), so the rebase lands both.
+    commitPinned(spark, path, Seq.empty, enriched, readV + 1,
       meta = Map("bloomCols" -> cols.mkString(","),
         "bloomBits" -> bits.toString,
         "bloomHashes" -> hashes.toString,
-        "op" -> "INDEX-BLOOM"))
+        "op" -> "INDEX-BLOOM"),
+      resolve = Some(ConflictSpec(readV, manifest.toSet,
+        manifest.iterator.map(entryPath).toSet, manifest, enriched,
+        _ => false)))
   }
 
   /** `staged` entries enriched per the table's recorded bloom policy
@@ -2788,11 +3015,11 @@ object SnapshotTable {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
     val readV = vs.max
-    val manifest = readManifest(fs, path, readV)
-    val (rewrite, kept) = manifest.partition { e =>
-      entryDvs(e).nonEmpty ||
-        entryLenOf(fs, path, e) < targetFileBytes / 2
-    }
+    val tagged = readManifestTagged(fs, path, readV)
+    val manifest = tagged.map(_._1)
+    val touched = (e: String) => entryDvs(e).nonEmpty ||
+      entryLenOf(fs, path, e) < targetFileBytes / 2
+    val rewrite = manifest.filter(touched)
     // two small files compact into one; a single DV'd file still
     // rewrites (the point is clearing its read tax, not its size)
     if (rewrite.size < 2 && !rewrite.exists(e => entryDvs(e).nonEmpty))
@@ -2807,8 +3034,21 @@ object SnapshotTable {
         .coalesce(nFiles)
       val staged = stage(toPhysical(compacted, rewriteSchema), path,
         partitioning(spark, path))
-      Some(commitPinned(spark, path, kept ++ staged, readV + 1,
-        meta = Map("op" -> "OPTIMIZE")))
+      val dirtySegs = tagged.iterator.collect {
+        case (e, Some(sr)) if touched(e) => sr }.toSet
+      val keptRefs = readManifestRefs(fs, path, readV).filter(l =>
+        l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
+      val loose = tagged.collect {
+        case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
+      // compaction depends on no row content beyond the files it
+      // rewrites: a racer's ADDED files never conflict (they are
+      // merely not compacted this pass), so it composes with
+      // concurrent appends; touching the same files still aborts
+      Some(commitPinned(spark, path, keptRefs, loose ++ staged, readV + 1,
+        meta = Map("op" -> "OPTIMIZE"),
+        resolve = Some(ConflictSpec(readV, manifest.toSet,
+          manifest.iterator.map(entryPath).toSet, rewrite, staged,
+          _ => false))))
     }
   }
 

@@ -870,19 +870,25 @@ class SnapshotTableSpec extends SparkSpec {
       assert(segRefs(0).size === 5)
       assert(rawLines(0).count(l =>
         !l.startsWith("#") && !l.startsWith("@seg=")) === 0)
-      // APPEND: every v0 segment reused verbatim, one new segment
+      // APPEND: every v0 segment passes through VERBATIM and the two
+      // new entries join the INLINE tail — no segment churn at all
+      // (a small append is O(churn) bytes, the delta-commit contract)
       SnapshotTable.append(
         Seq((1000L, 1L, "x"), (1001L, 2L, "y")).toDF("id", "grp", "tag"),
         path)
-      assert(segRefs(1).size === 6)
-      assert(segRefs(0).toSet.subsetOf(segRefs(1).toSet),
+      assert(segRefs(1).toSet === segRefs(0).toSet,
         "append rewrote previously-committed segments")
-      // MERGE touching ONE file: only its segment is replaced
+      assert(rawLines(1).count(l =>
+        !l.startsWith("#") && !l.startsWith("@seg=")) === 2,
+        "appended entries should ride the inline tail")
+      // MERGE touching ONE file: only its segment is replaced; the
+      // dirty segment's survivors + inline tail + staged re-enter as
+      // loose lines (re-chunked only when they outgrow the threshold)
       SnapshotTable.merge(
         Seq((3L, 99L, "upd")).toDF("id", "grp", "tag"), path, Seq("id"))
       val reused = segRefs(2).toSet intersect segRefs(1).toSet
-      assert(reused.size >= 5,
-        s"point merge reused only ${reused.size} of 6 segments")
+      assert(reused.size === 4,
+        s"point merge should reuse exactly 4 of 5 segments, got ${reused.size}")
       // reads resolve segments transparently; parity with a recompute
       val expect = (0L until 640L).filterNot(_ == 3L).map(i => (i, i % 7))
         .toSet + ((3L, 99L)) + ((1000L, 1L)) + ((1001L, 2L))
