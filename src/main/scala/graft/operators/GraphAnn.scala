@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph-based ANN (the HNSW family): per-shard navigable-small-world
+  * graphs with a deterministic two-layer hierarchy, built and served
+  * as DataFrames.
+  *
+  * Shape, and why it scales:
+  *
+  *  - the corpus is hash-SHARDED (`id % nShards`) and each shard's
+  *    graph builds INDEPENDENTLY inside one task (`flatMapGroups`) —
+  *    the FAISS shard model: build is embarrassingly parallel, a
+  *    shard is sized to executor memory by choosing `nShards`, and
+  *    no all-pairs or cross-shard traffic ever happens;
+  *  - search broadcasts the (small, serving-batch-sized) query set
+  *    into every shard task, beam-searches each shard's graph
+  *    sublinearly, and merges the per-shard top-k with one window —
+  *    the only shuffle is nShards × nQueries × k candidate rows;
+  *  - the index IS a DataFrame (shard, id, vector, base-layer
+  *    neighbors, upper-layer flag + neighbors): it persists as plain
+  *    parquet (the s12 persisted-index plumbing) and reloads
+  *    anywhere.
+  *
+  * Hierarchy and determinism: HNSW assigns levels by coin-flip; here
+  * a node is UPPER iff `id % upperEvery == 0`, so builds are
+  * bit-reproducible run-over-run (the property every oracle in this
+  * repo leans on). Search descends greedily on the upper graph to an
+  * entry point, then beam-searches the base layer with `ef`
+  * candidates; all comparisons order by (cosine DESC, id ASC), so
+  * ties never depend on hash iteration order. Insertion follows
+  * Malkov & Yashunin's algorithm: connect each new node to its M
+  * nearest beam results, back-link, and prune any neighbor list past
+  * 2M by keeping the closest.
+  */
+object GraphAnn {
+
+  /** Sequential ascending-index dot fold — the same order the SQL
+    * oracles' list_dot_product uses, so cosines are bit-identical. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  /** Best-first beam search over one adjacency map: the `ef` nearest
+    * reachable nodes from `entry`, ordered (cos DESC, id ASC). */
+  private def beam(vecs: collection.Map[Long, Array[Double]],
+      adj: collection.Map[Long, Array[Long]], entry: Long,
+      q: Array[Double], ef: Int): Vector[(Long, Double)] = {
+    val visited = collection.mutable.HashSet[Long](entry)
+    // candidates: best (highest cos, then smaller id) on top
+    val cand = collection.mutable.PriorityQueue[(Double, Long)]()(
+      Ordering.by(t => (t._1, -t._2)))
+    // results: WORST on top, so exceeding ef pops the worst
+    val res = collection.mutable.PriorityQueue[(Double, Long)]()(
+      Ordering.by(t => (-t._1, t._2)))
+    val c0 = cosine(q, vecs(entry))
+    cand.enqueue((c0, entry))
+    res.enqueue((c0, entry))
+    var done = false
+    while (!done && cand.nonEmpty) {
+      val (c, u) = cand.dequeue()
+      if (res.size >= ef && c < res.head._1) done = true
+      else adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+        if (!visited.contains(v)) {
+          visited += v
+          val cv = cosine(q, vecs(v))
+          if (res.size < ef || cv > res.head._1) {
+            cand.enqueue((cv, v))
+            res.enqueue((cv, v))
+            if (res.size > ef) res.dequeue()
+          }
+        }
+      }
+    }
+    res.toVector.map(t => (t._2, t._1)).sortBy(t => (-t._2, t._1))
+  }
+
+  /** Sequential NSW insertion over `nodes` (ascending id): each node
+    * links to its `m` nearest beam results; back-links prune past
+    * `2m` keeping the closest. Returns the adjacency. */
+  private def buildLayer(nodes: IndexedSeq[(Long, Array[Double])],
+      m: Int, efC: Int): collection.mutable.LinkedHashMap[Long, Array[Long]] = {
+    val vecs = nodes.toMap
+    val adj = collection.mutable.LinkedHashMap[Long, Array[Long]]()
+    var entry = -1L
+    nodes.foreach { case (id, v) =>
+      if (adj.isEmpty) { adj(id) = Array.empty; entry = id }
+      else {
+        val near = beam(vecs, adj, entry, v, efC).take(m)
+        adj(id) = near.map(_._1).toArray
+        near.foreach { case (nb, _) =>
+          val cur = adj(nb) :+ id
+          adj(nb) =
+            if (cur.length <= 2 * m) cur
+            else cur.map(x => (x, cosine(vecs(nb), vecs(x))))
+              .sortBy(t => (-t._2, t._1)).take(2 * m).map(_._1)
+        }
+      }
+    }
+    adj
+  }
+
+  /** Build the sharded two-layer index. Output schema:
+    * (shard INT, id LONG, vec ARRAY&lt;DOUBLE&gt;, nbrs ARRAY&lt;LONG&gt;,
+    * upper BOOLEAN, unbrs ARRAY&lt;LONG&gt;) — persist with plain
+    * `write.parquet`. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nShards: Int = 16, m: Int = 8, efC: Int = 48,
+      upperEvery: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast(LongType),
+        col(vecCol).cast(ArrayType(DoubleType)))
+      .as[(Long, Array[Double])]
+      .groupByKey(r => (math.floorMod(r._1, nShards.toLong)).toInt)
+      .flatMapGroups { (shard, it) =>
+        val nodes = it.toVector.sortBy(_._1)
+        val base = buildLayer(nodes, m, efC)
+        val upperNodes = nodes.filter(n =>
+          math.floorMod(n._1, upperEvery.toLong) == 0L)
+        val upperAdj = buildLayer(upperNodes, m, efC)
+        nodes.iterator.map { case (id, v) =>
+          (shard, id, v, base(id),
+            upperAdj.contains(id),
+            upperAdj.getOrElse(id, Array.empty[Long]))
+        }
+      }
+      .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs")
+  }
+
+  /** Top-k cosine search over a built (or reloaded) index: greedy
+    * descent on the upper layer to an entry, `ef`-beam on the base
+    * layer, per-shard top-k merged globally. Queries are a SMALL
+    * serving batch (collected and shipped in the task closure).
+    * Output: (query_id, rank, corpus_id, cos), self-matches
+    * excluded. */
+  def search(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, ef: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(idCol).cast(LongType),
+        col(vecCol).cast(ArrayType(DoubleType)))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val local = index
+      .select(col("shard"), col("id"), col("vec"), col("nbrs"),
+        col("upper"), col("unbrs"))
+      .as[(Int, Long, Array[Double], Array[Long], Boolean, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toVector.sortBy(_._2)
+        val vecs = rows.iterator.map(r => r._2 -> r._3).toMap
+        val adj = rows.iterator.map(r => r._2 -> r._4).toMap
+        val upAdj = rows.iterator.filter(_._5)
+          .map(r => r._2 -> r._6).toMap
+        val upEntry =
+          if (upAdj.nonEmpty) upAdj.keysIterator.min
+          else rows.head._2
+        qs.iterator.flatMap { case (qid, qv) =>
+          // greedy (ef = 1) on the upper layer picks the entry
+          val entry =
+            if (upAdj.isEmpty) upEntry
+            else beam(vecs, upAdj, upEntry, qv, 1).head._1
+          beam(vecs, adj, entry, qv, ef)
+            .filter(_._1 != qid)
+            .take(k)
+            .map { case (cid, c) => (qid, cid, c) }
+        }
+      }
+      .toDF("query_id", "corpus_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+  }
+}

@@ -42,6 +42,7 @@ object SimilarityQueries {
     * (the exported-codebook oracle recipe). */
   @volatile private var lastIvfFit: Option[Array[Array[Double]]] = None
   @volatile private var lastPqFit: Option[graft.operators.PqModel] = None
+  @volatile private var lastHnswPairs: Option[Seq[(Long, Long)]] = None
 
   /** One fitted PQ codebook per (session, dir) — same serving shape as
     * the IVF quantizer cache. */
@@ -212,6 +213,52 @@ object SimilarityQueries {
         .select(col("query_id"),
           coalesce(col("hits"), lit(0L)).as("hits_at_5"))
         .orderBy(col("query_id"))
+    }),
+
+    // Graph-based ANN (the HNSW family) — the serving-grade index
+    // the IVF/PQ/LSH trio lacked: sharded navigable-small-world
+    // graphs with a deterministic two-layer hierarchy, built
+    // per-shard in parallel, PERSISTED as parquet and served from
+    // the reloaded artifact (the s12 plumbing). The query is the
+    // s9-shaped recall@5 eval against the exact brute-force arm; the
+    // require() pins graph quality (mean recall ≥ 0.8 — at ef=64 it
+    // should be near-perfect), and the oracle replays the exact arm
+    // in DuckDB intersected with the served candidate set exported
+    // as literals (the exported-artifact oracle recipe).
+    "s13_hnsw_recall" -> ((s, dir) => {
+      import graft.operators.GraphAnn
+      val emb = Tables(s, dir, "embeddings")
+      val idx = GraphAnn.build(emb, "vec_id", "embedding",
+        nShards = 4, m = 8, efC = 48)
+      val ipath = java.nio.file.Files
+        .createTempDirectory("graft_hnsw").toString + "/index"
+      idx.write.parquet(ipath)
+      val served = s.read.parquet(ipath)
+      val approx = GraphAnn.search(served,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, ef = 64)
+        .select(col("query_id"), col("corpus_id"))
+      val pairs = approx.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      lastHnswPairs = Some(pairs)
+      import s.implicits._
+      val exact = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approxLit = pairs.toDF("query_id", "corpus_id")
+      val hits = exact
+        .join(approxLit, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val out = exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits_at_5"))
+        .orderBy(col("query_id"))
+      val mean = out.agg(avg(col("hits_at_5"))).head().getDouble(0)
+      require(mean >= 4.0,
+        f"HNSW recall regressed: mean hits@5 = $mean%.2f < 4.0")
+      out
     }),
 
     // Filtered vector search — the other common serving shape: top-k
@@ -557,6 +604,26 @@ object SimilarityQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s13: exact brute-force top-5 (s9's CTEs) ∩ the SERVED HNSW
+    * candidate pairs exported as literals — the recall@5 eval
+    * replayed relationally against the run's own candidates. */
+  private def s13Sql(pairs: Seq[(Long, Long)]): String =
+    s"""WITH approx(query_id, corpus_id) AS (VALUES
+       |  ${pairs.map(p => s"(${p._1}, ${p._2})").mkString(",\n  ")}),
+       |corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bscored AS (SELECT a.id AS query_id, b.id AS corpus_id,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM corpus a JOIN corpus b ON a.id <> b.id
+       |  WHERE a.id < 10),
+       |exact AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       |  FROM bscored) WHERE rank <= 5)
+       |SELECT e.query_id, CAST(count(a.corpus_id) AS BIGINT) AS hits_at_5
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracles for the fitted-quantizer family, rendered from the models
     * the queries actually served (empty until those queries have run —
     * Verify dumps oracle_sql.json after the query loop, so the full
@@ -568,6 +635,9 @@ object SimilarityQueries {
       out += ("s9_recall_eval" -> s9Sql(cents))
       // the persisted-index serve must equal serving the fit directly
       out += ("s12_persisted_index" -> s4Sql(cents))
+    }
+    lastHnswPairs.foreach { p =>
+      out += ("s13_hnsw_recall" -> s13Sql(p))
     }
     lastPqFit.foreach { m =>
       out += ("s5_pq_topk" -> s5Sql(m))

@@ -784,6 +784,103 @@ object WindowQueries {
       } finally s.conf.unset("spark.graft.manifest.segmentEntries")
     }),
 
+    // W38: OPTIMISTIC CONFLICT RESOLUTION — row-level commits no
+    // longer serialize on abort-only: two merges racing from the SAME
+    // snapshot both land when their touched files and key ranges are
+    // provably disjoint (the loser REBASES onto the winner's commit),
+    // while a true overlap still refuses. Lifecycle: create
+    // (key-clustered, 16 files) → mergeAt(v0) doubling the LOW
+    // tenth's cents → mergeAt(v0) tripling the HIGH tenth's cents
+    // (disjoint — rebases onto v1, pinned by the version number) →
+    // an overlapping mergeAt(v0) must throw. Oracle replays both
+    // surviving merges relationally.
+    "w38_concurrent_merge" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w38").toString + "/orders_race"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).*(100)
+          .cast(LongType).as("cents"))
+      SnapshotTable.create(
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")), path)
+      val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val updLow = orders.filter(col("o_orderkey") <= maxK / 10)
+        .withColumn("cents", col("cents") * 2)
+      val updHigh = orders
+        .filter(col("o_orderkey") >= maxK - maxK / 10)
+        .withColumn("cents", col("cents") * 3)
+      require(SnapshotTable.mergeAt(updLow, path,
+        Seq("o_orderkey"), 0) == 1)
+      // SAME snapshot — a genuine write-write race; disjoint files
+      // and key ranges → the loser rebases and commits v2
+      require(SnapshotTable.mergeAt(updHigh, path,
+        Seq("o_orderkey"), 0) == 2,
+        "disjoint concurrent merge failed to rebase")
+      // true overlap (the low files were rewritten by v1) must refuse
+      val refused =
+        try {
+          SnapshotTable.mergeAt(updLow, path, Seq("o_orderkey"), 0)
+          false
+        } catch {
+          case _: java.util.ConcurrentModificationException => true
+        }
+      require(refused, "overlapping concurrent merge was not refused")
+      SnapshotTable.read(s, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // W39: MERGE SCHEMA EVOLUTION — CDC upserts with drifting source
+    // schemas, the ingestion path append-only evolution (w18) could
+    // not serve. Lifecycle: create (o_orderkey, qty INT, cents) on
+    // the URGENT slice → merge the HIGH slice carrying a NEW column
+    // (o_custkey; pre-evolution rows read NULL) → merge the MEDIUM
+    // slice with qty WIDENED int→bigint in the same commit (metadata
+    // only — disjoint keys, zero rewrites) → a retyping merge must
+    // refuse even with evolveSchema. Oracle: typed UNION replay with
+    // NULL backfill.
+    "w39_merge_evolution" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w39").toString + "/orders_evo"
+      val orders = Tables(s, dir, "orders")
+      val cents = col("o_totalprice").cast(DecimalType(18, 2)).*(100)
+        .cast(LongType).as("cents")
+      def slice(p: String) =
+        orders.filter(col("o_orderpriority") === p)
+      SnapshotTable.create(slice("1-URGENT").select(col("o_orderkey"),
+        (col("o_orderkey") % 100).cast(IntegerType).as("qty"), cents),
+        path)
+      SnapshotTable.merge(slice("2-HIGH").select(col("o_orderkey"),
+        (col("o_orderkey") % 100).cast(IntegerType).as("qty"), cents,
+        col("o_custkey")), path, Seq("o_orderkey"),
+        evolveSchema = true)
+      SnapshotTable.merge(slice("3-MEDIUM").select(col("o_orderkey"),
+        (col("o_orderkey") % 100).as("qty"), cents,
+        col("o_custkey")), path, Seq("o_orderkey"),
+        evolveSchema = true)
+      val refused =
+        try {
+          SnapshotTable.merge(slice("3-MEDIUM")
+            .select(col("o_orderkey"),
+              (col("o_orderkey") % 100).as("qty"),
+              cents.cast(StringType).as("cents"), col("o_custkey")),
+            path, Seq("o_orderkey"), evolveSchema = true)
+          false
+        } catch { case _: RuntimeException => true }
+      require(refused, "retyping merge was not refused")
+      val got = SnapshotTable.read(s, path)
+      require(got.schema("qty").dataType == LongType,
+        "merge failed to widen qty int -> bigint")
+      got.agg(count(lit(1)).as("n_rows"),
+        sum(col("qty")).as("qty_total"),
+        sum(col("cents")).as("total"),
+        count(col("o_custkey")).as("with_cust"))
+    }),
+
     // W36: min/max view maintenance with a MANIFEST-PRUNED invalidate
     // rescan — w28's scale caveat closed. The base is custkey-
     // clustered at create time and the churn is LOCALIZED (an append,
@@ -1458,6 +1555,38 @@ object WindowQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w38_concurrent_merge" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |m AS (SELECT max(o_orderkey) AS mk FROM t),
+        |fin AS (SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey <= mk // 10 THEN cents * 2
+        |         WHEN o_orderkey >= mk - mk // 10 THEN cents * 3
+        |         ELSE cents END AS c
+        |  FROM t, m)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS total
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w39_merge_evolution" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority,
+        |    o_orderkey % 100 AS qty,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_custkey
+        |  FROM orders),
+        |fin AS (
+        |  SELECT qty, cents, CAST(NULL AS BIGINT) AS ck FROM t
+        |    WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT qty, cents, o_custkey FROM t
+        |    WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM'))
+        |SELECT count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS qty_total,
+        |  CAST(sum(cents) AS BIGINT) AS total, count(ck) AS with_cust
+        |FROM fin""".stripMargin,
 
     "w36_pruned_minmax_rescan" ->
       """WITH cents AS (

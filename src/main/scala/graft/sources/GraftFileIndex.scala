@@ -109,11 +109,38 @@ private[graft] class GraftFileIndex(
     // then ENTRY-level: same conservative evaluator per parsed entry.
     // EAGER (inline) segments skip it — their segment-level test
     // already ran on the entry's own maps, so re-evaluating would
-    // double the O(#files) driver cost on legacy flat manifests
+    // double the O(#files) driver cost on legacy flat manifests.
+    // Sidecar bloom bitsets load only when an equality probe can use
+    // them (never for range-only predicates), per surviving segment.
+    val needBloom = dataPred.exists(SnapshotTable.predHasEquality)
     val statKept = liveSegs.flatMap { s =>
       if (s.eager) s.entries
-      else s.entries.filter { case (_, pv, st, ss, bl) =>
-        dataPred.forall(p => SnapshotTable.mayMatch(p, pv, st, ss, bl))
+      else {
+        val side =
+          if (needBloom) s.sideBlooms
+          else Map.empty[String, Map[String, (Int, Int, Array[Byte])]]
+        // probe the sidecar BEFORE parsing entries: a point lookup on
+        // a bloom-indexed key refutes whole segments from their
+        // sidecar alone — the entries of a fully-refuted segment are
+        // never parsed (at 1M files this is the difference between
+        // decoding 1 GB of bitsets and ALSO building 1M entry tuples)
+        def fileRefuted(bl: Map[String, (Int, Int, Array[Byte])]) =
+          !dataPred.forall(p => SnapshotTable.mayMatch(p,
+            Map.empty, Map.empty, Map.empty, bl))
+        // common case first, with no per-file Set: every covered file
+        // refuted and every file covered → drop the whole segment
+        if (side.nonEmpty && side.size >= s.count &&
+            side.valuesIterator.forall(fileRefuted)) Nil
+        else {
+          val refuted: Set[String] =
+            if (side.isEmpty) Set.empty
+            else side.iterator.filter(kv => fileRefuted(kv._2))
+              .map(_._1).toSet
+          s.entries.filter { case (fst, pv, st, ss, bl) =>
+            !refuted.contains(fst.getPath.getName) &&
+              dataPred.forall(p => SnapshotTable.mayMatch(p, pv, st, ss, bl))
+          }
+        }
       }
     }
     if (partSchema.isEmpty)
@@ -159,12 +186,23 @@ private[graft] object GraftFileIndex {
         * maps back the segment-level test — the entry-level pass can
         * skip it. A lazy 1-entry segment is NOT eager: its ref
         * aggregates can be weaker than the entry's (no blooms). */
-      val eager: Boolean = false) {
+      val eager: Boolean = false,
+      /** per-file bloom bitsets from the segment's SIDECAR (file
+        * name → column → bloom), loaded on first demand and only
+        * when a pushed equality probe can use them. */
+      bloomLoader: () => Map[String,
+        Map[String, (Int, Int, Array[Byte])]] = () => Map.empty) {
     @volatile private var loaded: Seq[EntryInfo] = null
+    @volatile private var loadedBlooms: Map[String,
+      Map[String, (Int, Int, Array[Byte])]] = null
     def isLoaded: Boolean = loaded != null
     def entries: Seq[EntryInfo] = {
       if (loaded == null) loaded = loader()
       loaded
+    }
+    def sideBlooms: Map[String, Map[String, (Int, Int, Array[Byte])]] = {
+      if (loadedBlooms == null) loadedBlooms = bloomLoader()
+      loadedBlooms
     }
     /** Data bytes from the `b=` aggregate; a legacy ref without one
       * (pre-`len=` entries) ESTIMATES conservatively high (count ×

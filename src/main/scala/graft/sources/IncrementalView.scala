@@ -144,21 +144,34 @@ object IncrementalView {
     // min/max come from the restricted base scan (at the feed's end
     // version, so a concurrent later commit cannot skew the view).
     // The scan is DOUBLY restricted: manifest entries prune by the
-    // invalidated keys' [min, max] range (one 1-row driver collect —
-    // bounded by construction), and the semi-join keeps exactly the
-    // invalidated groups' rows. No invalidation → no base I/O at all.
-    val invRange = invalidated.agg(min(col(groupCol)),
-      max(col(groupCol))).head()
+    // invalidated KEYS — an exact bounded IN-list when the groups are
+    // few (the common localized-churn case: two far-apart invalidated
+    // groups no longer keep every file between them, each IN element
+    // range-tests independently), falling back to the [min, max]
+    // envelope when they are many (a huge IN-list would cost more to
+    // evaluate per file than it prunes) — and the semi-join keeps
+    // exactly the invalidated groups' rows. The gate is one
+    // approx_count_distinct in the same 1-row aggregate, so the
+    // driver collect stays bounded by construction. No invalidation →
+    // no base I/O at all.
+    val invAgg = invalidated.agg(min(col(groupCol)),
+      max(col(groupCol)),
+      approx_count_distinct(col(groupCol))).head()
     val (recomputed, filesKept, filesTotal) =
-      if (invRange.isNullAt(0))
+      if (invAgg.isNullAt(0))
         (exact.limit(0), 0,
           SnapshotTable.fileCount(spark, basePath, Some(toV)))
       else {
+        val restrictPred =
+          if (invAgg.getLong(2) <= 64L) {
+            val ks = invalidated.select(col(groupCol)).distinct()
+              .collect().toSeq.map(_.get(0))
+            col(groupCol).isin(ks: _*)
+          } else
+            col(groupCol) >= lit(invAgg.get(0)) &&
+              col(groupCol) <= lit(invAgg.get(1))
         val (restricted, kept, total) = SnapshotTable.readWherePruned(
-          spark, basePath,
-          col(groupCol) >= lit(invRange.get(0)) &&
-            col(groupCol) <= lit(invRange.get(1)),
-          Some(toV))
+          spark, basePath, restrictPred, Some(toV))
         val rec = restricted
           .select(col(groupCol), v.as("__v"))
           .join(invalidated.select(col(groupCol)), Seq(groupCol),

@@ -185,16 +185,45 @@ object SnapshotTable {
     out.toByteArray
   }
 
+  private def fileNameOf(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  private def escUtf(v: String): String =
+    escStat(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Trailing end-of-transaction marker: `create(overwrite=false)`
+    * makes the manifest NAME visible atomically, but its CONTENT
+    * lands with ordinary writes — a commit loser (or any concurrent
+    * reader) could otherwise read the winner's manifest half-written
+    * and silently inherit a truncated file list. Writers emit this as
+    * the LAST line; [[manifestLines]] refuses (with a short bounded
+    * spin for an in-flight writer) any manifest that does not end
+    * with it. The `#` prefix keeps every existing parser transparent
+    * to the marker. */
+  private val EotLine = "#eot=1"
+
   private def manifestLines(fs: FileSystem, path: String, v: Int): Seq[String] = {
-    val in = fs.open(new Path(logDir(path), manifestName(v)))
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
-        .map(_.trim).filter(_.nonEmpty)
-    } finally in.close()
+    def readOnce(): Seq[String] = {
+      val in = fs.open(new Path(logDir(path), manifestName(v)))
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+    }
+    var tries = 0
+    while (tries < 150) {
+      val lines = readOnce()
+      if (lines.nonEmpty && lines.last == EotLine) return lines.init
+      tries += 1
+      Thread.sleep(20)
+    }
+    sys.error(s"manifest v$v at $path has no end-of-transaction " +
+      "marker after 3s — torn by a failed writer; manual cleanup " +
+      "required")
   }
 
   /** SEGMENTED MANIFESTS (Iceberg manifest-list shape): above the
@@ -378,12 +407,10 @@ object SnapshotTable {
     // escaped-path-form value — Hive escapes it — and a column NAME
     // containing '/' cannot be a partition path fragment at all).
     val pvs = entries.map(e => entryPartitionValues(entryPath(e)))
-    def escS(s: String): String =
-      escStat(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val partItem = pvs.headOption
       .filter(h => h.nonEmpty && pvs.forall(_ == h))
       .map(h => "part=" + h.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${escS(k)}=${escS(v)}" }.mkString("/"))
+        .map { case (k, v) => s"${escUtf(k)}=${escUtf(v)}" }.mkString("/"))
       .toSeq
     // dv-presence flag: readCatalyst resolves ONLY segments that may
     // carry deletion vectors (explicitly 0 on the common clean path)
@@ -438,6 +465,124 @@ object SnapshotTable {
         }.flatten
       case _ => None
     }
+
+  /** A ref's bloom SIDECAR rel path (`bl=f!<rel>` item): the
+    * lazily-loaded per-segment file holding the per-file bloom
+    * bitsets that used to ride inline in entry lines — at 1M files ×
+    * 8 KB/col they made the driver-resident manifest gigabytes and
+    * its parse minutes (r10 probe: 9.5 GB heap, 339 s at 2^16 bits).
+    * Sidecars load only when an EQUALITY probe actually consults
+    * them, through a byte-bounded process cache. The `f!` value
+    * prefix keeps a column literally named `bl` from colliding. */
+  private[graft] def refBloomRel(refLine: String): Option[String] =
+    refLine.stripPrefix(SegPrefix).split("\t", 2) match {
+      case Array(_, items) =>
+        items.split(";").iterator.collectFirst {
+          case kv if kv.startsWith("bl=f!") => kv.stripPrefix("bl=f!")
+        }
+      case _ => None
+    }
+
+  /** The sidecar's indexed PHYSICAL column names (`blcols=` item,
+    * '/'-separated escStat values); None = unknown (callers must
+    * load the sidecar to know). */
+  private[graft] def refBloomCols(refLine: String): Option[Seq[String]] =
+    refLine.stripPrefix(SegPrefix).split("\t", 2) match {
+      case Array(_, items) =>
+        items.split(";").iterator.collectFirst {
+          case kv if kv.startsWith("blcols=") =>
+            kv.drop(7).split("/").toSeq.filter(_.nonEmpty)
+              .map(c => new String(unescStat(c),
+                java.nio.charset.StandardCharsets.UTF_8))
+        }
+      case _ => None
+    }
+
+  /** Process-level cache of decoded bloom sidecars (immutable,
+    * uuid-named like segments), keyed by absolute path, bounded by
+    * decoded bitset bytes. At 1M files the full index is ~1-8 GB;
+    * the cache retains the hot slice and planning never holds more. */
+  private val bloomSideCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Map[String, (Int, Int, Array[Byte])]]]()
+  private val bloomSideCacheBytes =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Load (or hit) a bloom sidecar: file name → column → bloom. Each
+    * line reuses the entry grammar (`name TAB col=b!m!k!b64;…`), so
+    * [[entryBloomStats]] parses it directly. */
+  private[graft] def segBloomSidecar(fs: FileSystem, path: String,
+      rel: String): Map[String, Map[String, (Int, Int, Array[Byte])]] = {
+    val key = new Path(path, rel).toString
+    val hit = bloomSideCache.get(key)
+    if (hit != null) hit
+    else {
+      val in = fs.open(new Path(path, rel))
+      val lines = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+      val m = lines.map(l => entryPath(l) -> entryBloomStats(l)).toMap
+      val est = m.valuesIterator
+        .map(_.valuesIterator.map(_._3.length.toLong + 64L).sum + 64L).sum
+      if (bloomSideCacheBytes.addAndGet(est) > (1280L << 20)) {
+        bloomSideCache.clear()
+        bloomSideCacheBytes.set(est)
+      }
+      bloomSideCache.put(key, m)
+      m
+    }
+  }
+
+  /** Write a bloom sidecar for `byFile` (file name → column → bloom);
+    * returns the ref items referencing it (empty when nothing to
+    * index). Staged before the list commit like segments — orphans of
+    * lost races vacuum away. */
+  private def writeBloomSidecar(fs: FileSystem, path: String,
+      byFile: Seq[(String, Map[String, (Int, Int, Array[Byte])])])
+      : Seq[String] = {
+    val nonEmpty = byFile.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) return Nil
+    val rel = s"_graft_log/seg-${UUID.randomUUID()}.blooms"
+    val content = nonEmpty.map { case (name, bl) =>
+      name + "\t" + bl.toSeq.sortBy(_._1).map { case (c, (m, k, bits)) =>
+        s"$c=b!$m!$k!" + java.util.Base64.getEncoder.withoutPadding
+          .encodeToString(bits)
+      }.mkString(";")
+    }.mkString("\n") + "\n"
+    val out = fs.create(new Path(path, rel), false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val cols = nonEmpty.flatMap(_._2.keys).distinct.sorted
+    Seq(s"bl=f!$rel", "blcols=" + cols.map(escUtf).mkString("/"))
+  }
+
+  /** `line` with EVERY bloom item removed (segment entry lines carry
+    * none — their bitsets live in the sidecar). */
+  private[graft] def stripAllBloomItems(line: String): String =
+    line.split("\t", 2) match {
+      case Array(p, stats) =>
+        val kept = stats.split(";").toSeq.filterNot { it =>
+          val kv = it.split("=", 2)
+          kv.length == 2 && kv(1).startsWith("b!")
+        }
+        if (kept.isEmpty) p else p + "\t" + kept.mkString(";")
+      case _ => line
+    }
+
+  /** True iff the evaluator could use a bloom on `e` — an equality or
+    * IN comparison somewhere in the tree. Gates sidecar loading:
+    * range-only predicates never touch bloom bytes. */
+  private[graft] def predHasEquality(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.exists {
+      case _: EqualTo | _: EqualNullSafe | _: In | _: InSet => true
+      case _ => false
+    }
+  }
 
   /** The manifest body for `entries` on top of `prevV`: reuse every
     * previous segment whose entries all survive verbatim, stage new
@@ -497,11 +642,21 @@ object SnapshotTable {
     byDir.values.iterator
       .flatMap(_.grouped(target).map(_.toSeq))
       .map { group =>
+      // bloom items leave the entry lines for a lazily-loaded SIDECAR:
+      // segments parse slim (the r10 probe measured inline bitsets at
+      // 9.5 GB driver heap / 339 s parse at 1M files), and the bitsets
+      // load only when an equality probe actually consults them
+      val perFile = group.map(e =>
+        fileNameOf(entryPath(e)) -> entryBloomStats(e))
+      val blItems = writeBloomSidecar(fs, path, perFile)
+      val lines =
+        if (blItems.isEmpty) group else group.map(stripAllBloomItems)
       val rel = s"_graft_log/seg-${UUID.randomUUID()}.entries"
       val out = fs.create(new Path(path, rel), false)
-      try out.write((group.mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      s"$SegPrefix$rel\t${segAggItems(group)}"
+      (Seq(s"$SegPrefix$rel\t${segAggItems(lines)}") ++ blItems)
+        .mkString(";")
     }.toSeq
   }
 
@@ -711,17 +866,8 @@ object SnapshotTable {
       .getOrElse(sys.error(s"no column $name"))
     require(!partitioning(spark, path).contains(name),
       s"cannot widen partition column $name")
-    def w(dt: types.DataType): Int = dt match {
-      case types.ByteType => 1
-      case types.ShortType => 2
-      case types.IntegerType => 4
-      case types.LongType => 8
-      case _ => 0
-    }
-    val ok = (w(f.dataType) > 0 && w(to) > w(f.dataType)) ||
-      (to == types.DoubleType && (f.dataType == types.FloatType ||
-        (w(f.dataType) > 0 && w(f.dataType) <= 4)))
-    require(ok, s"widenColumn: ${f.dataType} -> $to is not an exact " +
+    require(isExactWidening(f.dataType, to),
+      s"widenColumn: ${f.dataType} -> $to is not an exact " +
       "order-preserving widening")
     // bloom items do NOT survive a widening: xxhash64 hashes INT and
     // BIGINT values differently, so a bloom built from the narrow
@@ -732,10 +878,65 @@ object SnapshotTable {
     // other columns' blooms stay valid. Long-normalized min/max stats
     // carry over unchanged (they are type-agnostic by construction).
     val phys = physName(f)
-    commit(spark, path, TransformSpec(stripBloomItem(_, phys)),
+    commit(spark, path, RefTransformSpec(
+      stripBloomItem(_, phys),
+      ref => stripSidecarBloom(fs, path, ref, phys)),
       meta = schemaMeta(types.StructType(st.fields.map(x =>
         if (x.name == name) x.copy(dataType = to) else x))) +
         ("op" -> "WIDEN-COLUMN"))
+  }
+
+  /** `refLine` with `physCol`'s blooms removed from its SIDECAR: when
+    * the `blcols` aggregate proves the column is not indexed the ref
+    * passes through untouched; otherwise the sidecar is rewritten
+    * without that column (a new immutable file — the segment's
+    * ENTRIES never rewrite) and the ref's bl/blcols items swap to it.
+    * Same false-negative hazard as [[stripBloomItem]]: a bloom built
+    * from the narrow type's hashes would wrongly prune the widened
+    * probes. */
+  private def stripSidecarBloom(fs: FileSystem, path: String,
+      refLine: String, physCol: String): String =
+    refBloomRel(refLine) match {
+      case None => refLine
+      case Some(rel) =>
+        if (refBloomCols(refLine).exists(cs => !cs.contains(physCol)))
+          refLine // provably not indexed here
+        else {
+          val side = segBloomSidecar(fs, path, rel)
+          if (!side.valuesIterator.exists(_.contains(physCol))) refLine
+          else {
+            val stripped = side.toSeq.map { case (f2, m) =>
+              f2 -> (m - physCol) }
+            val newItems = writeBloomSidecar(fs, path, stripped)
+            val Array(head, items) =
+              refLine.split("	", 2) match {
+                case Array(h, it) => Array(h, it)
+                case Array(h) => Array(h, "")
+              }
+            val keptItems = items.split(";").toSeq.filter(_.nonEmpty)
+              .filterNot(it => it.startsWith("bl=f!") ||
+                it.startsWith("blcols="))
+            head + "	" + (keptItems ++ newItems).mkString(";")
+          }
+        }
+    }
+
+  /** True iff `from` → `to` is an exact order-preserving type
+    * embedding Spark's parquet readers apply at scan time (so the
+    * widening is metadata-only): integral → wider integral, or
+    * byte/short/int/float → double. */
+  private[graft] def isExactWidening(from: types.DataType,
+      to: types.DataType): Boolean = {
+    def w(dt: types.DataType): Int = dt match {
+      case types.ByteType => 1
+      case types.ShortType => 2
+      case types.IntegerType => 4
+      case types.LongType => 8
+      case _ => 0
+    }
+    (w(from) > 0 && w(to) > w(from)) ||
+      (to == types.DoubleType && (from == types.FloatType ||
+        (w(from) > 0 && w(from) <= 4)))
   }
 
   /** `line` with the `physCol=b!…` bloom item removed (no-op when the
@@ -1019,7 +1220,7 @@ object SnapshotTable {
     val parts = listRecursive(fs, tmp)
       .map(_.getPath).filter(_.getName.startsWith("part-"))
     val tmpUri = tmp.toUri.getPath
-    val staged = parts.toSeq.map { src =>
+    val staged = parts.toSeq.flatMap { src =>
       val parentRel = src.getParent.toUri.getPath
         .stripPrefix(tmpUri).stripPrefix("/")
       val destDir =
@@ -1029,6 +1230,15 @@ object SnapshotTable {
       val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
       if (!fs.rename(src, dest))
         sys.error(s"snapshot stage: rename $src -> $dest failed")
+      // a ZERO-ROW part (coalesce/repartition of a small rewrite can
+      // emit one) contributes nothing and carries no footer stats —
+      // referencing it would defeat every stats-based decision made
+      // about the commit (pruning, conflict refutation). Drop it.
+      if (footerRowCount(spark, dest).contains(0L)) {
+        fs.delete(dest, false)
+        None
+      } else Some((dest, parentRel))
+    }.map { case (dest, parentRel) =>
       val rel = if (parentRel.isEmpty) s"files/${dest.getName}"
         else s"files/$parentRel/${dest.getName}"
       val stats = footerRanges(spark, dest, statCols)
@@ -1047,6 +1257,20 @@ object SnapshotTable {
     if (!fs.delete(tmp, true))
       sys.error(s"snapshot stage: could not clear $tmp")
     staged
+  }
+
+  /** Total row count from a parquet footer; None when unreadable. */
+  private def footerRowCount(spark: SparkSession,
+      file: Path): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        file, spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(reader.getFooter.getBlocks.asScala
+        .map(_.getRowCount).sum)
+      finally reader.close()
+    } catch { case _: Exception => None }
   }
 
   /** Footer-harvested [min, max] long ranges for `cols` in one parquet
@@ -1172,13 +1396,16 @@ object SnapshotTable {
     *    [[appendBody]] — O(#segments + churn), never O(#files));
     *  - [[ReplaceSpec]]: the body is exactly these entries (create /
     *    overwrite) — nothing inherited, fresh segmentation;
-    *  - [[TransformSpec]]: flatten, map every entry line, re-segment
-    *    with reuse checking (rare metadata DDL — widenColumn's bloom
-    *    strip — where per-entry work is the operation itself). */
+    *  - [[RefTransformSpec]]: per-LINE metadata rewrite (rare DDL —
+    *    widenColumn's bloom strip): inline entries map through
+    *    `entry`, segment refs through `ref` — O(#refs), and a ref
+    *    transform that must touch its sidecar rewrites one small
+    *    sidecar file, never the segment's entries. */
   private sealed trait BodySpec
   private final case class AppendSpec(staged: Seq[String]) extends BodySpec
   private final case class ReplaceSpec(entries: Seq[String]) extends BodySpec
-  private final case class TransformSpec(f: String => String) extends BodySpec
+  private final case class RefTransformSpec(entry: String => String,
+      ref: String => String) extends BodySpec
 
   /** Create-exclusive manifest commit with optimistic retry. The body
     * recomputes against the CURRENT latest version on every attempt
@@ -1197,8 +1424,8 @@ object SnapshotTable {
       // win): markers like the streaming batch id stay on the log head
       // forever, so vacuuming old manifests can never drop them
       val mergedMeta =
-        (if (vs.isEmpty) Map.empty[String, String]
-         else readMeta(fs, path, vs.max)) ++ meta
+        ((if (vs.isEmpty) Map.empty[String, String]
+          else readMeta(fs, path, vs.max)) ++ meta) - "eot"
       val metaLines = mergedMeta.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#$k=$v" }
       val bodyLines = body match {
@@ -1208,11 +1435,12 @@ object SnapshotTable {
           // a replacement references no prior file, so no prior
           // segment can be reusable — skip the reuse scan entirely
           segmentedBody(spark, fs, path, None, entries)
-        case TransformSpec(f) =>
-          segmentedBody(spark, fs, path, prevV,
-            prevV.toSeq.flatMap(v => readManifest(fs, path, v)).map(f))
+        case RefTransformSpec(f, g) =>
+          prevV.toSeq.flatMap(v => readManifestRefs(fs, path, v)).map(l =>
+            if (l.startsWith(SegPrefix)) g(l) else f(l))
       }
-      val content = (metaLines ++ bodyLines).mkString("\n")
+      val content = (metaLines ++ bodyLines ++ Seq(EotLine))
+        .mkString("\n")
       val target = new Path(logDir(path), manifestName(next))
       try {
         val out = fs.create(target, false) // exclusive: one winner per version
@@ -1454,14 +1682,38 @@ object SnapshotTable {
     * the SAME single rewrite: a removed key is matched but never
     * re-inserted — the keyed-churn shape (CDC apply: upserts +
     * deletes) without a second pass over the table or any driver-side
-    * key list. A key in both sets upserts (updates win). */
+    * key list. A key in both sets upserts (updates win).
+    *
+    * `evolveSchema` extends the MERGE to drifting CDC sources (the
+    * common upsert-ingestion path): update columns ABSENT from the
+    * table are ADDED (metadata-only — pre-evolution files read them
+    * as NULL), and a common column whose update type is an exact
+    * order-preserving WIDENING of the table type (widenColumn's rule)
+    * widens in the same commit (survivor rows cast up at rewrite; the
+    * widened column's bloom items strip, as in widenColumn). Anything
+    * else — narrowing, retyping, a table column missing from the
+    * updates — still refuses. */
   def merge(updates: DataFrame, path: String, keyCols: Seq[String],
       meta: Map[String, String] = Map.empty,
-      removeKeys: Option[DataFrame] = None): Int = {
-    val spark = updates.sparkSession
-    val vs = versions(spark, path)
+      removeKeys: Option[DataFrame] = None,
+      evolveSchema: Boolean = false): Int = {
+    val vs = versions(updates.sparkSession, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    val readV = vs.max
+    mergeAt(updates, path, keyCols, vs.max, meta, removeKeys,
+      evolveSchema)
+  }
+
+  /** [[merge]] reading a PINNED snapshot version — the testable shape
+    * of the optimistic-concurrency contract: two mergeAt calls on the
+    * same version ARE a write-write race, and the second one rebases
+    * (disjoint files and key ranges) or aborts (true overlap) per the
+    * [[ConflictSpec]] rules. */
+  private[graft] def mergeAt(updates: DataFrame, path: String,
+      keyCols: Seq[String], readV: Int,
+      meta: Map[String, String] = Map.empty,
+      removeKeys: Option[DataFrame] = None,
+      evolveSchema: Boolean = false): Int = {
+    val spark = updates.sparkSession
     val fs = fsOf(spark, new Path(path))
     val tagged = readManifestTagged(fs, path, readV)
     val manifest = tagged.map(_._1)
@@ -1472,9 +1724,46 @@ object SnapshotTable {
     lazy val currentFallback = read(spark, path, Some(readV))
     val tableCols = storedEarly.map(_.fieldNames.toSeq)
       .getOrElse(currentFallback.columns.toSeq)
-    require(tableCols == updates.columns.toSeq,
-      s"merge schema mismatch: table has [${tableCols.mkString(",")}]" +
-        s", updates have [${updates.columns.mkString(",")}]")
+    if (!evolveSchema)
+      require(tableCols == updates.columns.toSeq,
+        s"merge schema mismatch: table has [${tableCols.mkString(",")}]" +
+          s", updates have [${updates.columns.mkString(",")}] — pass " +
+          "evolveSchema = true to add or widen columns")
+    else
+      require(tableCols.forall(updates.columns.contains),
+        s"merge evolveSchema: updates must carry every table column; " +
+          s"missing [${tableCols.filterNot(updates.columns.contains)
+            .mkString(",")}]")
+    val baseSt: types.StructType =
+      storedEarly.getOrElse(currentFallback.schema)
+    // evolved schema: widen common columns where the updates are
+    // exactly wider; append genuinely new columns (fresh physical
+    // names when the logical name's slot was ever used)
+    val (evolvedSt, widenedCols): (types.StructType, Seq[String]) =
+      if (!evolveSchema) (baseSt, Nil)
+      else {
+        val widened = scala.collection.mutable.ArrayBuffer[String]()
+        val fields = baseSt.fields.map { f =>
+          val ut = updates.schema(f.name).dataType
+          if (ut == f.dataType) f
+          else if (isExactWidening(f.dataType, ut)) {
+            require(!partitioning(spark, path).contains(f.name),
+              s"cannot widen partition column ${f.name} via merge")
+            widened += f.name
+            f.copy(dataType = ut)
+          } else sys.error(s"merge evolveSchema: column ${f.name} is " +
+            s"${f.dataType} in the table but $ut in the updates — " +
+            "not an exact order-preserving widening")
+        }
+        val usedPhys = baseSt.fields.map(physName).toSet ++
+          droppedPhys(fs, path, readV)
+        val added = updates.schema.fields
+          .filterNot(f => baseSt.fieldNames.contains(f.name))
+          .map(f => if (usedPhys.contains(f.name))
+            withPhys(f, "c_" + UUID.randomUUID().toString.take(8))
+          else f)
+        (types.StructType(fields ++ added), widened.toSeq)
+      }
     require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
       s"merge keys [${keyCols.mkString(",")}] must be update columns")
     removeKeys.foreach(rk => require(rk.columns.toSeq == keyCols,
@@ -1616,33 +1905,63 @@ object SnapshotTable {
     // lines re-enter the list as loose entries
     val dirtySegs = tagged.iterator.collect {
       case (e, Some(sr)) if touched(e) => sr }.toSet
-    val keptRefs = readManifestRefs(fs, path, readV).filter(l =>
+    val keptRefs0 = readManifestRefs(fs, path, readV).filter(l =>
       l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
-    val loose = tagged.collect {
+    val loose0 = tagged.collect {
       case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
+    // a widened column's blooms were hashed from the NARROW type —
+    // carrying them would false-negative on widened probes (same
+    // hazard as widenColumn); strip from untouched lines and sidecars
+    val physWidened = widenedCols.map(n =>
+      physName(baseSt(baseSt.fieldIndex(n))))
+    val keptRefs =
+      if (physWidened.isEmpty) keptRefs0
+      else keptRefs0.map(r => physWidened.foldLeft(r)(
+        (acc, p2) => stripSidecarBloom(fs, path, acc, p2)))
+    val loose =
+      if (physWidened.isEmpty) loose0
+      else loose0.map(l => physWidened.foldLeft(l)(
+        (acc, p2) => stripBloomItem(acc, p2)))
+    // survivors read with the OLD schema (their files carry the old
+    // physical names and narrow types), then project up to the
+    // evolved one: widened columns cast, added columns null-backfill
+    import org.apache.spark.sql.functions.lit
+    def toEvolved(df: DataFrame): DataFrame = df.select(
+      evolvedSt.fields.toSeq.map(f =>
+        (if (baseSt.fieldNames.contains(f.name)) col(f.name)
+         else lit(null)).cast(nullifyAny(f.dataType)).as(f.name)): _*)
+    val updatesAligned = updates.select(evolvedSt.fields.toSeq.map(f =>
+      col(f.name).cast(nullifyAny(f.dataType)).as(f.name)): _*)
     // stage ~one output file per rewritten input file (+1 for the
     // updates), not one per shuffle partition — a 1-file point update
     // must not shatter into 32 slivers
     val rewritten =
-      if (affected.isEmpty) updates
-      else readEntriesDv(spark, path, tableSchema, affected)
-        .join(keys, keyCols, "left_anti")
-        .unionByName(updates)
+      if (affected.isEmpty) updatesAligned
+      else toEvolved(readEntriesDv(spark, path, tableSchema, affected)
+        .join(keys, keyCols, "left_anti"))
+        .unionByName(updatesAligned)
     val staged = stage(
-      toPhysical(rewritten.coalesce(affected.size + 1), tableSchema),
+      toPhysical(rewritten.coalesce(affected.size + 1), Some(evolvedSt)),
       path, partitioning(spark, path))
     // conflict evidence: racer-added files conflict when the level-1
     // key test cannot refute them (no footer reads on this path — an
     // absent stat conservatively aborts); all-null key columns match
-    // no row at all, so nothing a racer adds can conflict
+    // no row at all, so nothing a racer adds can conflict. A
+    // schema-evolving merge stays abort-only: a rebase would rebuild
+    // its untouched lines from the latest manifest and lose the
+    // widened column's bloom strip.
     val mayConflict: String => Boolean =
       if (ranges.size < rangedKeys.size) _ => false
       else levelOneMayHold(_, footerCheck = false)
+    val evolveMeta =
+      if (evolveSchema) schemaMeta(evolvedSt)
+      else Map.empty[String, String]
     commitPinned(spark, path, keptRefs, loose ++ staged, readV + 1,
-      Map("op" -> "MERGE") ++ meta,
-      resolve = Some(ConflictSpec(readV, manifest.toSet,
-        manifest.iterator.map(entryPath).toSet, affected, staged,
-        mayConflict)))
+      Map("op" -> "MERGE") ++ evolveMeta ++ meta,
+      resolve = if (evolveSchema) None
+        else Some(ConflictSpec(readV, manifest.toSet,
+          manifest.iterator.map(entryPath).toSet, affected, staged,
+          mayConflict)))
   }
 
   /** DELETE FROM the latest version: remove every row where
@@ -1995,9 +2314,10 @@ object SnapshotTable {
     def attempt(v: Int, refs: Seq[String], tail: Seq[String]): Int = {
       // inherit the prior version's metadata (streaming markers etc.,
       // this commit's keys winning) — same rule as commit()
-      val metaLines = (readMeta(fs, path, v - 1) ++ meta).toSeq
-        .sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
-      val body = refs ++ inlineOrSegment(spark, fs, path, tail)
+      val metaLines = ((readMeta(fs, path, v - 1) ++ meta) - "eot")
+        .toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
+      val body = refs ++ inlineOrSegment(spark, fs, path, tail) ++
+        Seq(EotLine)
       val target = new Path(logDir(path), manifestName(v))
       val out = fs.create(target, false)
       try {
@@ -2105,8 +2425,17 @@ object SnapshotTable {
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val fs = fsOf(spark, logDir(path))
     val entries = readManifest(fs, path, v)
-    require(entries.nonEmpty, s"version $v references no data files " +
-      "(committed from an empty write with no parts)")
+    if (entries.isEmpty) {
+      // a version may legally reference no files (every row deleted,
+      // or an empty write): readable as the empty table when the log
+      // carries its schema
+      val st = storedSchema(fs, path, v).getOrElse(sys.error(
+        s"version $v references no data files and no stored schema " +
+          "(legacy empty commit)"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        nullify(st))
+    }
     readEntriesDv(spark, path, storedSchema(fs, path, v), entries)
   }
 
@@ -2203,11 +2532,14 @@ object SnapshotTable {
     val schema = storedSchema(fs, path, v)
     val st = schema.getOrElse(read(spark, path, Some(v)).schema)
     val pred = resolvedPredicate(spark, st, predicate)
-    def entryOk(e: String): Boolean =
+    val needBloom = predHasEquality(pred)
+    def entryOk(e: String,
+        side: Map[String, Map[String, (Int, Int, Array[Byte])]]): Boolean =
       mayMatch(pred, entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), schema),
         relabelStats(entryStringStats(e), schema),
-        relabelStats(entryBloomStats(e), schema))
+        relabelStats(entryBloomStats(e) ++
+          side.getOrElse(fileNameOf(entryPath(e)), Map.empty), schema))
     // two-level prune on segmented manifests: a segment whose MERGED
     // ranges refute the predicate drops wholesale — its entries are
     // never even parsed (the driver-latency half of the manifest-tree
@@ -2216,7 +2548,7 @@ object SnapshotTable {
     val kept = refs.flatMap { l =>
       if (!l.startsWith(SegPrefix)) {
         total += 1
-        if (entryOk(l)) Seq(l) else Nil
+        if (entryOk(l, Map.empty)) Seq(l) else Nil
       } else {
         val n = refCount(l)
         val agg = l.stripPrefix(SegPrefix)
@@ -2228,9 +2560,30 @@ object SnapshotTable {
           relabelStats(entryStringStats(agg), schema))
         if (!segOk) { total += math.max(n, 1); Nil }
         else {
-          val es = segEntries(fs, path, refRel(l))
-          total += es.size
-          es.filter(entryOk)
+          // sidecar bitsets load only for equality probes that reach
+          // a surviving segment — range scans never pay for them.
+          // They load BEFORE the entries parse: a segment whose every
+          // file the bloom refutes contributes its count and nothing
+          // else.
+          val side =
+            if (!needBloom) Map.empty[String,
+              Map[String, (Int, Int, Array[Byte])]]
+            else refBloomRel(l).map(segBloomSidecar(fs, path, _))
+              .getOrElse(Map.empty)
+          val refuted: Set[String] =
+            if (side.isEmpty) Set.empty
+            else side.iterator.filter { case (_, bl) =>
+              !mayMatch(pred, Map.empty, Map.empty, Map.empty,
+                relabelStats(bl, schema))
+            }.map(_._1).toSet
+          if (side.nonEmpty && n > 0 && refuted.size >= n) {
+            total += n; Nil
+          } else {
+            val es = segEntries(fs, path, refRel(l))
+            total += es.size
+            es.filter(e => !refuted.contains(fileNameOf(entryPath(e))) &&
+              entryOk(e, side))
+          }
         }
       }
     }
@@ -2729,7 +3082,9 @@ object SnapshotTable {
         new GraftFileIndex.Segment(refPartValues(l), entryStats(agg),
           entryStringStats(agg), Map.empty, refCount(l), refBytes(l),
           () => segInfoCached(new Path(path, rel).toString)(
-            segEntries(fs, path, rel).map(entryInfo)))
+            segEntries(fs, path, rel).map(entryInfo)),
+          bloomLoader = () => refBloomRel(l)
+            .map(segBloomSidecar(fs, path, _)).getOrElse(Map.empty))
       }
     }
     val zone = java.time.ZoneId.of(
@@ -2812,25 +3167,37 @@ object SnapshotTable {
     * inside the batch's own commit, so pruning power never decays
     * under continuous ingestion. */
   def indexBloom(spark: SparkSession, path: String, cols: Seq[String],
-      bits: Int = 1 << 16, hashes: Int = 6): Int = {
-    require(bits >= 64 && Integer.bitCount(bits) == 1 && hashes >= 1,
-      s"need power-of-two bits >= 64 and hashes >= 1")
+      bits: Int = 0, hashes: Int = 6): Int = {
+    require(bits == 0 || (bits >= 64 && Integer.bitCount(bits) == 1),
+      s"need power-of-two bits >= 64 (or 0 = auto) and hashes >= 1")
+    require(hashes >= 1, "need hashes >= 1")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
     val readV = vs.max
     val fs = fsOf(spark, logDir(path))
     val manifest = readManifest(fs, path, readV)
+    // bits = 0 AUTO-SIZES by file count: cap the whole index near
+    // 2^33 bits (~1 GB decoded) per column, clamped to [2^13, 2^16]
+    // — at 16 files that is the classic 2^16 (8 KB/file), at 1M
+    // files 2^13 (1 KB/file, ~1 GB/col total) instead of the 8 GB/col
+    // a fixed 2^16 would cost. Fewer bits = more false positives =
+    // weaker pruning, never wrong.
+    val bitsEff =
+      if (bits != 0) bits
+      else java.lang.Long.highestOneBit(math.min(math.max(
+        (1L << 33) / math.max(1, manifest.size), 1L << 13),
+        1L << 16)).toInt
     val schemaOpt = storedSchema(fs, path, readV)
     val st = schemaOpt.getOrElse(read(spark, path, Some(readV)).schema)
     require(cols.nonEmpty && cols.forall(st.fieldNames.contains),
       s"indexBloom columns [${cols.mkString(",")}] must exist in " +
         s"[${st.fieldNames.mkString(",")}]")
     val byFile = bloomBitsets(spark, path, schemaOpt.orElse(Some(st)),
-      manifest.map(entryPath), cols, bits, hashes)
+      manifest.map(entryPath), cols, bitsEff, hashes)
     val log2phys: Map[String, String] = schemaOpt.toSeq
       .flatMap(_.fields.map(f => f.name -> physName(f))).toMap
     val enriched = enrichWithBlooms(manifest, byFile, log2phys,
-      bits, hashes)
+      bitsEff, hashes)
     // the policy rides in the (inherited) commit meta so later
     // streaming batches can maintain the index for their own files.
     // Conflict evidence: every entry is re-annotated (touched), but a
@@ -2838,7 +3205,7 @@ object SnapshotTable {
     // un-bloomed (no item = keep = sound), so the rebase lands both.
     commitPinned(spark, path, Seq.empty, enriched, readV + 1,
       meta = Map("bloomCols" -> cols.mkString(","),
-        "bloomBits" -> bits.toString,
+        "bloomBits" -> bitsEff.toString,
         "bloomHashes" -> hashes.toString,
         "op" -> "INDEX-BLOOM"),
       resolve = Some(ConflictSpec(readV, manifest.toSet,
@@ -2960,6 +3327,22 @@ object SnapshotTable {
     * iff the file's bloom MAY contain `v`. A type the index never
     * covers keeps the file; an integral constant outside its declared
     * type's range provably matches nothing. */
+  /** Per-thread memo of a probe constant's two bloom hashes: a point
+    * lookup over a 1M-file index calls [[bloomMayContain]] once per
+    * file with the SAME constant — building Literal/XxHash64 trees
+    * per file dominated the probe loop (measured ~2× of warm
+    * planning); the hashes depend only on (value, type). */
+  private val bloomHashMemo = new ThreadLocal[
+      java.util.LinkedHashMap[(Any, types.DataType), (Long, Long)]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[(Any, types.DataType), (Long, Long)](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Any, types.DataType), (Long, Long)])
+            : Boolean = size > 8
+      }
+  }
+
   private[graft] def bloomMayContain(mBits: Int, k: Int,
       filter: Array[Byte], v: Any, dt: types.DataType): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
@@ -2984,15 +3367,25 @@ object SnapshotTable {
     internal match {
       case None => true
       case Some(iv) =>
-        val litv = Literal.create(iv, dt)
-        val h1 = XxHash64(Seq(litv), 42L).eval(null)
-          .asInstanceOf[Long] >>> 20
-        val h2 = XxHash64(Seq(litv, Literal(1)), 42L).eval(null)
-          .asInstanceOf[Long] >>> 40
-        (0 until k).forall { i =>
-          val pos = Math.floorMod(h1 + i * h2, mBits.toLong).toInt
-          (filter(pos >> 3) & (1 << (pos & 7))) != 0
+        val memo = bloomHashMemo.get()
+        val key = (iv, dt)
+        var hs = memo.get(key)
+        if (hs == null) {
+          val litv = Literal.create(iv, dt)
+          hs = (XxHash64(Seq(litv), 42L).eval(null)
+              .asInstanceOf[Long] >>> 20,
+            XxHash64(Seq(litv, Literal(1)), 42L).eval(null)
+              .asInstanceOf[Long] >>> 40)
+          memo.put(key, hs)
         }
+        val (h1, h2) = hs
+        var i = 0
+        while (i < k) {
+          val pos = Math.floorMod(h1 + i * h2, mBits.toLong).toInt
+          if ((filter(pos >> 3) & (1 << (pos & 7))) == 0) return false
+          i += 1
+        }
+        true
     }
   }
 
@@ -3086,7 +3479,8 @@ object SnapshotTable {
     // versions) reclaim under the same grace window as data files
     val referencedSegs = kept.flatMap(v =>
       readManifestRefs(fs, path, v).filter(_.startsWith(SegPrefix))
-        .map(l => new Path(path, refRel(l)).getName)).toSet
+        .flatMap(l => Seq(new Path(path, refRel(l)).getName) ++
+          refBloomRel(l).map(r => new Path(path, r).getName))).toSet
     vs.dropRight(keep).foreach { v =>
       val m = new Path(logDir(path), manifestName(v))
       if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")
@@ -3094,7 +3488,8 @@ object SnapshotTable {
     val cutoff = System.currentTimeMillis() - graceMs
     val droppedSegs = fs.listStatus(logDir(path)).toSeq
       .filter(f => f.getPath.getName.startsWith("seg-") &&
-        f.getPath.getName.endsWith(".entries"))
+        (f.getPath.getName.endsWith(".entries") ||
+          f.getPath.getName.endsWith(".blooms")))
       .filterNot(f => referencedSegs.contains(f.getPath.getName))
       .filter(f => f.getModificationTime <= cutoff)
     droppedSegs.foreach { f =>

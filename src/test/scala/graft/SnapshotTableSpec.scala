@@ -78,8 +78,11 @@ class SnapshotTableSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stolen = new org.apache.hadoop.fs.Path(path,
       "_graft_log/v00000001.manifest")
+    // a real racer's manifest ends with the end-of-transaction
+    // marker — without it the loser correctly refuses to inherit a
+    // possibly-torn file list (gated by its own test below)
     val out = fs.create(stolen, false)
-    out.write("".getBytes("UTF-8")); out.close()
+    out.write("#eot=1\n".getBytes("UTF-8")); out.close()
     // append must lose against v1, retry, and land on v2 — still on
     // top of the CURRENT latest manifest's files (v1's empty list)
     val v = SnapshotTable.append(spark.range(5, 8).toDF("id"), path)
@@ -548,6 +551,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got2 === want2)
   }
 
+  test("invalidate rescan prunes by IN-list: far-apart groups keep no span") {
+    import spark.implicits._
+    import graft.sources.IncrementalView
+    val tmp = java.nio.file.Files.createTempDirectory("snapivin").toString
+    val basePath = tmp + "/base"
+    val aggPath = tmp + "/agg"
+    // 1000 groups × 5 rows, CLUSTERED by group over 20 files; each
+    // group's max is v = grp*1000 + 4
+    val base0 = (0L until 1000L).flatMap(g =>
+      (0L to 4L).map(j => (g * 10 + j, g, g * 1000 + j)))
+    SnapshotTable.create(base0.toDF("id", "grp", "v")
+      .repartitionByRange(20, col("grp"))
+      .sortWithinPartitions(col("grp")), basePath)
+    SnapshotTable.create(
+      SnapshotTable.read(spark, basePath).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+          min(col("v")).as("mn"), max(col("v")).as("mx")), aggPath)
+    // delete the MAX of exactly two FAR-APART groups (5 and 995):
+    // their [min,max] envelope spans nearly every file, but the
+    // IN-list restriction keeps only the two straddling files
+    SnapshotTable.delete(spark, basePath,
+      (col("grp") === 5L || col("grp") === 995L) &&
+        col("v") % 1000L === 4L)
+    val (_, kept, total) = IncrementalView.refreshCountSumMinMaxPruned(
+      spark, basePath, aggPath, "grp", "v", fromVersion = 0)
+    assert(total >= 20, s"setup: expected >=20 base files, got $total")
+    assert(kept <= 4,
+      s"far-apart invalidation kept $kept of $total files — the " +
+        "[min,max] envelope is back")
+    // and the view is exact
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(snap(SnapshotTable.read(spark, aggPath)
+      .select("grp", "n", "total", "mn", "mx")) ===
+      snap(SnapshotTable.read(spark, basePath).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))))
+  }
+
   test("merge: a concurrent commit fails the merge instead of dropping rows") {
     import spark.implicits._
     val path = freshPath("mergerace")
@@ -563,7 +606,10 @@ class SnapshotTableSpec extends SparkSpec {
       try {
         val p = java.nio.file.Paths.get(stolenPath)
         java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.createFile(p) // idempotent enough: throws if present
+        // a complete (marker-terminated) empty overwrite — the racer
+        // a loser can legally observe
+        java.nio.file.Files.write(p, "#eot=1\n".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
       } catch { case _: java.nio.file.FileAlreadyExistsException => () }
       i
     }
@@ -1225,6 +1271,109 @@ class SnapshotTableSpec extends SparkSpec {
     val hit = SnapshotTable.readWhere(spark, path, col("id") === 2000L)
     assert(hit.count() === 1 &&
       hit.select("grp").head.getLong(0) === 99L)
+  }
+
+  test("bloom SIDECARS: segmented tables keep bitsets off the manifest parse") {
+    val path = freshPath("bloomside")
+    spark.conf.set("spark.graft.manifest.segmentEntries", "4")
+    try {
+      val rows = (0L until 4000L).map(i => (i, (i * 2).toInt, (i % 7).toLong))
+        .toDF("id", "aux", "grp")
+      // 16 files, hash layout on id → 4 segments; ranges prune nothing
+      SnapshotTable.create(rows.repartition(16, col("id")), path)
+      SnapshotTable.indexBloom(spark, path, Seq("id", "aux"))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def rawLines(v: Int): Seq[String] = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          path + f"/_graft_log/v$v%08d.manifest"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .toList.filter(_.nonEmpty)
+        finally in.close()
+      }
+      val refs = rawLines(1).filter(_.startsWith("@seg="))
+      assert(refs.nonEmpty && refs.forall(_.contains("bl=f!")),
+        "segment refs should reference a bloom sidecar")
+      // entry LINES are slim: no inline bitset survives segmentation
+      refs.foreach { r =>
+        val rel = r.stripPrefix("@seg=").split("\t")(0)
+        val in = fs.open(new org.apache.hadoop.fs.Path(path, rel))
+        val ls = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        assert(ls.forall(!_.contains("=b!")),
+          s"segment $rel still carries inline bloom bitsets")
+      }
+      // point lookups prune through the sidecar — both indexed columns
+      val (df1, kept1, total1) = SnapshotTable.readWherePruned(spark,
+        path, col("id") === 1234L)
+      assert(total1 === 16 && kept1 <= 2 && df1.count() === 1,
+        s"sidecar bloom pruning regressed: kept $kept1 of $total1")
+      val (df2, kept2, _) = SnapshotTable.readWherePruned(spark, path,
+        col("aux") === 2468)
+      assert(kept2 <= 2 && df2.count() === 1)
+      // the Catalyst read prunes through the same sidecars
+      val q = SnapshotTable.readCatalyst(spark, path)
+        .filter(col("id") === 1234L)
+      assert(q.count() === 1)
+      // widening strips ONLY the widened column's sidecar blooms:
+      // aux loses its false-negative hazard, id keeps pruning
+      SnapshotTable.widenColumn(spark, path,
+        "aux", org.apache.spark.sql.types.LongType)
+      val (df3, kept3, total3) = SnapshotTable.readWherePruned(spark,
+        path, col("aux") === 2468L)
+      assert(kept3 === total3 && df3.count() === 1,
+        "widened column should keep all files (no stale bloom)")
+      val (df4, kept4, _) = SnapshotTable.readWherePruned(spark, path,
+        col("id") === 1234L)
+      assert(kept4 <= 2 && df4.count() === 1,
+        "unwidened column lost its sidecar bloom")
+      // vacuum keeps referenced sidecars, reclaims orphaned ones
+      SnapshotTable.vacuum(spark, path, keep = 1, graceMs = 0L)
+      val (df5, kept5, _) = SnapshotTable.readWherePruned(spark, path,
+        col("id") === 1234L)
+      assert(kept5 <= 2 && df5.count() === 1,
+        "vacuum reclaimed a live bloom sidecar")
+    } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
+  }
+
+  test("merge evolveSchema: survivors null-backfill added columns and widen in place") {
+    val path = freshPath("mergeevo")
+    val base = (1L to 100L).map(i => (i, (i % 10).toInt, i * 3))
+      .toDF("id", "q", "v")
+    SnapshotTable.create(base.repartitionByRange(4, col("id"))
+      .sortWithinPartitions(col("id")), path)
+    SnapshotTable.indexBloom(spark, path, Seq("q"))
+    // overlapping keys (40-60) + a NEW string column + q widened
+    // int→bigint: survivors of the straddling files rewrite with NULL
+    // tag and widened q; untouched files serve q via scan-time
+    // widening and lose their stale q blooms
+    val upd = (40L to 60L).map(i => (i, i % 10, i * 7, s"t$i"))
+      .toDF("id", "q", "v", "tag")
+    SnapshotTable.merge(upd, path, Seq("id"), evolveSchema = true)
+    val got = SnapshotTable.read(spark, path)
+    assert(got.schema("q").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(got.count() === 100)
+    assert(got.filter(col("id") === 50L).select("v", "tag").head ===
+      org.apache.spark.sql.Row(350L, "t50"))
+    assert(got.filter(col("id") === 10L).select("v", "tag").head ===
+      org.apache.spark.sql.Row(30L, null))
+    assert(got.filter(col("tag").isNotNull).count() === 21)
+    assert(got.agg(sum(col("q"))).head.getLong(0) ===
+      (1L to 100L).map(_ % 10).sum)
+    // the widened column's narrow-type blooms are gone: an equality
+    // probe keeps every file (no false-negative prune) and still hits
+    val (df1, kept1, total1) = SnapshotTable.readWherePruned(spark,
+      path, col("q") === 7L)
+    assert(kept1 === total1,
+      s"stale narrow-type bloom survived the widening merge: " +
+        s"$kept1 of $total1")
+    assert(df1.count() === 10)
+    // a table column missing from the updates still refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge((1L to 3L).map(i => (i, i)).toDF("id", "q"),
+        path, Seq("id"), evolveSchema = true)
+    }
   }
 
   test("schema evolution: rename/drop are metadata-only; dropped bytes never resurrect") {
