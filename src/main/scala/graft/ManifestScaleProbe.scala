@@ -110,10 +110,12 @@ object ManifestScaleProbe {
       val t0 = System.nanoTime()
       val body0 = SnapshotTable.segmentedBody(spark, fs, dir, None, entries)
       val initMs = (System.nanoTime() - t0) / 1e6
-      // fake-commit v0 so the append can reuse its segments
+      // fake-commit v0 (with the end-of-transaction marker real
+      // commits write) so the append can reuse its segments
       val m0 = new Path(dir, "_graft_log/v00000000.manifest")
       val out0 = fs.create(m0, false)
-      out0.write(body0.mkString("\n").getBytes("UTF-8")); out0.close()
+      out0.write((body0.mkString("\n") + "\n#eot=1\n").getBytes("UTF-8"))
+      out0.close()
       val segBytes = fs.listStatus(new Path(dir, "_graft_log")).toSeq
         .map(_.getLen).sum
       // r10 shape (reuse check hashes every entry, O(#files)) kept
@@ -190,6 +192,35 @@ object ManifestScaleProbe {
             f"${ms}%7.1f ms, $files%7d files kept, " +
             f"${idx.loadedSegmentCount}%5d of ${idx.segmentCount}%d " +
             "segments parsed")
+        }
+      }
+      // ---- DISTRIBUTED planning: the same prunes as a Spark job ---
+      // (the past-the-driver path for 10M+-file tables: driver keeps
+      // segment-level refutation, surviving segments parse in tasks)
+      for ((label, pr) <- Seq(("0.1% id range", rangePred),
+          ("unprunable ts point", SnapshotTable.resolvedPredicate(
+            spark, schema, F.col("ts") === 1700000300L)))) {
+        for (phase <- Seq("cold", "warm")) {
+          val t = System.nanoTime()
+          val (kept, tot) = SnapshotTable.distributedPrunedEntries(
+            spark, dir, body0, pr, None)
+          val ms = (System.nanoTime() - t) / 1e6
+          println(f"  distributed prune [$label%19s, $phase%4s]: " +
+            f"${ms}%8.1f ms, ${kept.size}%7d of $tot%d files kept")
+        }
+      }
+      // full-parse worst case: segment aggregates stripped (n= only),
+      // so NO segment refutes and the job must parse all 1M entries —
+      // the driver-path equivalent is the 'part=p3 cold' shape above
+      locally {
+        val bare = body0.map(l => l.split("\t")(0) + "\tn=512")
+        for (phase <- Seq("cold", "warm")) {
+          val t = System.nanoTime()
+          val (kept, tot) = SnapshotTable.distributedPrunedEntries(
+            spark, dir, bare, rangePred, None)
+          val ms = (System.nanoTime() - t) / 1e6
+          println(f"  distributed prune [  full 1M-entry parse, $phase%4s]: " +
+            f"${ms}%8.1f ms, ${kept.size}%7d of $tot%d files kept")
         }
       }
       // ---- bloom SIDECARS: point lookup on a range-unprunable key --

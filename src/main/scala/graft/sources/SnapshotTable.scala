@@ -2540,6 +2540,31 @@ object SnapshotTable {
         relabelStats(entryStringStats(e), schema),
         relabelStats(entryBloomStats(e) ++
           side.getOrElse(fileNameOf(entryPath(e)), Map.empty), schema))
+    // DISTRIBUTED planning past the driver (Iceberg's metadata-as-a-
+    // table move): above the threshold, the driver still refutes
+    // whole segments from their list aggregates (pure O(#segments)
+    // metadata), but the SURVIVING segments' entry parsing and
+    // per-entry pruning run as a Spark job — the manifest tier is,
+    // after all, just more data. Bloom sidecars are not consulted on
+    // this path (sound: a kept file is never wrong); selective point
+    // lookups should ride the driver path's sidecar probing, which
+    // is why the threshold gates on FILE COUNT, not query shape.
+    val distMin = spark.conf.getOption(
+      "spark.graft.manifest.distributedPlanning.minFiles")
+      .map(_.toLong).getOrElse(4000000L)
+    val quickCount = refs.iterator.map(l =>
+      if (l.startsWith(SegPrefix)) math.max(refCount(l), 1) else 1).sum
+    if (quickCount >= distMin && refs.exists(_.startsWith(SegPrefix))) {
+      val (kept, total) =
+        distributedPrunedEntries(spark, path, refs, pred, schema)
+      val df =
+        if (kept.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        else readEntriesDv(spark, path, schema, kept)
+          .filter(predicate)
+      return (df, kept.size, total)
+    }
     // two-level prune on segmented manifests: a segment whose MERGED
     // ranges refute the predicate drops wholesale — its entries are
     // never even parsed (the driver-latency half of the manifest-tree
@@ -2594,6 +2619,66 @@ object SnapshotTable {
       else readEntriesDv(spark, path, schema, kept)
         .filter(predicate)
     (df, kept.size, total)
+  }
+
+  /** The distributed half of [[readWherePruned]]: driver-side
+    * segment-level refutation from list aggregates, then one Spark
+    * job parses the surviving segments' entry lines and applies the
+    * SAME conservative evaluator per entry (the resolved predicate
+    * Expression ships in the task closure — Catalyst trees are plain
+    * serializable case classes, and [[mayMatch]] only folds constants
+    * and compares, never touching session state). Returns (kept entry
+    * lines, total files). Planning cost: O(#segments) driver +
+    * O(surviving entries / parallelism) per executor — flat in table
+    * size for a fixed cluster-to-metadata ratio. */
+  private[graft] def distributedPrunedEntries(spark: SparkSession,
+      path: String, refs: Seq[String],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: Option[types.StructType]): (Seq[String], Int) = {
+    var total = 0
+    val inlineKept = scala.collection.mutable.ArrayBuffer[String]()
+    val livePaths = scala.collection.mutable.ArrayBuffer[String]()
+    refs.foreach { l =>
+      if (!l.startsWith(SegPrefix)) {
+        total += 1
+        if (mayMatch(pred, entryPartitionValues(entryPath(l)),
+            relabelStats(entryStats(l), schema),
+            relabelStats(entryStringStats(l), schema),
+            relabelStats(entryBloomStats(l), schema)))
+          inlineKept += l
+      } else {
+        val n = math.max(refCount(l), 1)
+        total += n
+        val agg = l.stripPrefix(SegPrefix)
+        if (mayMatch(pred, refPartValues(l).getOrElse(Map.empty),
+            relabelStats(entryStats(agg), schema),
+            relabelStats(entryStringStats(agg), schema)))
+          livePaths += new Path(path, refRel(l)).toString
+      }
+    }
+    val segKept: Seq[String] =
+      if (livePaths.isEmpty) Nil
+      else {
+        import spark.implicits._
+        // physical→logical relabel map is tiny and serializable; the
+        // closure captures only it and the predicate tree
+        val p2l: Map[String, String] = schema.toSeq
+          .flatMap(_.fields.map(f => physName(f) -> f.name)).toMap
+        val predSer = pred
+        spark.read.textFile(livePaths.toSeq: _*)
+          .filter { raw =>
+            val line = raw.trim
+            line.nonEmpty && {
+              def rl[T](m: Map[String, T]): Map[String, T] =
+                if (p2l.isEmpty) m
+                else m.map { case (k2, v2) => p2l.getOrElse(k2, k2) -> v2 }
+              mayMatch(predSer, entryPartitionValues(entryPath(line)),
+                rl(entryStats(line)), rl(entryStringStats(line)))
+            }
+          }
+          .collect().toSeq.map(_.trim)
+      }
+    (inlineKept.toSeq ++ segKept, total)
   }
 
   /** Resolve `predicate` against `schema` through the session's

@@ -1273,6 +1273,34 @@ class SnapshotTableSpec extends SparkSpec {
       hit.select("grp").head.getLong(0) === 99L)
   }
 
+  test("distributed manifest planning matches the driver path exactly") {
+    val path = freshPath("distplan")
+    spark.conf.set("spark.graft.manifest.segmentEntries", "4")
+    try {
+      val rows = (0L until 4000L).map(i => (i, s"g${i % 5}", i * 3))
+        .toDF("id", "grp", "score")
+      SnapshotTable.create(rows.repartitionByRange(16, col("id"))
+        .sortWithinPartitions(col("id")), path)
+      val preds = Seq(
+        col("id") >= 100L && col("id") < 500L, // range: prunes segments
+        col("grp") === "g3", // string equality: unprunable here
+        col("id") < 0L) // empty result
+      preds.foreach { pr =>
+        val (d1, k1, t1) = SnapshotTable.readWherePruned(spark, path, pr)
+        val r1 = d1.collect().map(_.toString).sorted.toSeq
+        spark.conf.set(
+          "spark.graft.manifest.distributedPlanning.minFiles", "1")
+        val (d2, k2, t2) =
+          try SnapshotTable.readWherePruned(spark, path, pr)
+          finally spark.conf.unset(
+            "spark.graft.manifest.distributedPlanning.minFiles")
+        assert((k2, t2) === ((k1, t1)),
+          s"distributed planning diverged on $pr: kept $k2/$t2 vs $k1/$t1")
+        assert(d2.collect().map(_.toString).sorted.toSeq === r1)
+      }
+    } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
+  }
+
   test("bloom SIDECARS: segmented tables keep bitsets off the manifest parse") {
     val path = freshPath("bloomside")
     spark.conf.set("spark.graft.manifest.segmentEntries", "4")
