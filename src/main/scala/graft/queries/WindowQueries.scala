@@ -768,9 +768,12 @@ object WindowQueries {
         SnapshotTable.append(slice("2-HIGH").coalesce(2), path)
         require(segRefs(0).subsetOf(segRefs(1)),
           "append rewrote previously-committed segments (reuse regressed)")
-        val k = slice("1-URGENT").agg(max(col("o_orderkey")))
-          .head().getLong(0) / 50
-        SnapshotTable.delete(s, path, col("o_orderkey") <= k)
+        // delete the TOP 2% of the key range — localized at the tail
+        // under any key distribution (a bottom-anchored cut wipes a
+        // whole remapped copy band in the GenScale sf1 data)
+        val mx = slice("1-URGENT").agg(max(col("o_orderkey")))
+          .head().getLong(0)
+        SnapshotTable.delete(s, path, col("o_orderkey") >= mx - mx / 50)
         val reused = segRefs(2) intersect segRefs(1)
         require(reused.size >= 3,
           s"localized delete reused only ${reused.size} segments of " +
@@ -1546,11 +1549,12 @@ object WindowQueries {
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w37_segmented_manifest" ->
-      """WITH m AS (SELECT max(o_orderkey) // 50 AS k FROM orders
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders
         |  WHERE o_orderpriority = '1-URGENT'),
         |t AS (SELECT o_orderkey, o_orderpriority, o_totalprice
         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
-        |fin AS (SELECT f.* FROM t f, m WHERE f.o_orderkey > m.k)
+        |fin AS (SELECT f.* FROM t f, m
+        |  WHERE f.o_orderkey < m.mx - m.mx // 50)
         |SELECT o_orderpriority, count(*) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total

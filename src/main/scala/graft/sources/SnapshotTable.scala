@@ -1217,8 +1217,16 @@ object SnapshotTable {
     // subpath is preserved under files/ so reads reconstruct it.
     // listStatus-based (listFiles' recursion breaks on wrapped
     // FileSystem implementations whose scheme isn't file://)
+    // SORTED by path: listStatus order is directory order, which on a
+    // parallel write is task-COMPLETION order — nondeterministic and
+    // scrambled at scale. part-NNNNN names carry the writer's
+    // partition ids, and repartitionByRange assigns ascending ranges
+    // to ascending ids, so the name sort is exactly what preserves a
+    // range-clustered write's value clustering through segmentation
+    // (tight per-segment ranges are the whole segment-pruning story).
     val parts = listRecursive(fs, tmp)
       .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .sortBy(_.toString)
     val tmpUri = tmp.toUri.getPath
     val staged = parts.toSeq.flatMap { src =>
       val parentRel = src.getParent.toUri.getPath
