@@ -884,6 +884,37 @@ object WindowQueries {
         count(col("o_custkey")).as("with_cust"))
     }),
 
+    // W40: the snapshot table as a REGISTERED SPARK DATA SOURCE —
+    // spark.read/write.format("graft") with V1 filter + projection
+    // pushdown riding the manifest machinery (readWhere underneath),
+    // partitioned create via writer option, append mode, and
+    // versionAsOf time travel. The require() pins time travel; the
+    // graded output reads back through the format with a pushed
+    // filter. Oracle replays the two written slices relationally.
+    "w40_datasource_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w40").toString + "/orders_ds"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).*(100)
+          .cast(LongType).as("cents"))
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .write.format("graft")
+        .option("partitionBy", "o_orderpriority").save(path)
+      orders.filter(col("o_orderpriority") === "2-HIGH")
+        .write.format("graft").mode("append").save(path)
+      val v0 = s.read.format("graft").option("versionAsOf", "0")
+        .load(path).count()
+      require(v0 == orders
+        .filter(col("o_orderpriority") === "1-URGENT").count(),
+        "versionAsOf time travel through the data source regressed")
+      s.read.format("graft").load(path)
+        .filter(col("cents") > 10000000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // W36: min/max view maintenance with a MANIFEST-PRUNED invalidate
     // rescan — w28's scale caveat closed. The base is custkey-
     // clustered at create time and the churn is LOCALIZED (an append,
@@ -1559,6 +1590,17 @@ object WindowQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w40_datasource_roundtrip" ->
+      """WITH t AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total
+        |FROM t WHERE cents > 10000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w38_concurrent_merge" ->
       """WITH t AS (SELECT o_orderkey, o_orderpriority,

@@ -1822,11 +1822,19 @@ object SnapshotTable {
           types.ShortType | types.ByteType => true
       case _ => false
     }
+    // the distinct-value collect is gated by approx_count_distinct:
+    // an update spanning ~10^6 partition values would otherwise bloat
+    // the driver, and a membership set that large prunes nothing a
+    // range test doesn't — skip the prune (sound: keep more files)
     val partKeyValues: Map[String, Set[String]] =
       partitioning(spark, path).filter(k => keyCols.contains(k) &&
-          partPrunable(updates.schema(k).dataType)).map { k =>
-        k -> keys.select(col(k)).distinct().collect()
-          .map(r => partitionPathValue(r.get(0))).toSet
+          partPrunable(updates.schema(k).dataType)).flatMap { k =>
+        import org.apache.spark.sql.functions.approx_count_distinct
+        val approx = keys.agg(approx_count_distinct(col(k)))
+          .head().getLong(0)
+        if (approx > 10000L) None
+        else Some(k -> keys.select(col(k)).distinct().collect()
+          .map(r => partitionPathValue(r.get(0))).toSet)
       }.toMap
     val asLong: Any => Long = {
       case i: java.lang.Integer => i.toLong

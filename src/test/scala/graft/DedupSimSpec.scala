@@ -423,6 +423,33 @@ class DedupSimSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("GraphAnn: bit-reproducible builds, recall floor vs brute force") {
+    import graft.operators.GraphAnn
+    // the s13 oracle verifies against the RUN'S OWN exported
+    // candidates, so determinism needs its own pin: two independent
+    // builds + searches must produce identical (query, corpus, rank)
+    def run(): Seq[(Long, Long, Int)] =
+      GraphAnn.search(
+          GraphAnn.build(emb, "vec_id", "embedding",
+            nShards = 4, m = 8, efC = 48),
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 5, ef = 64)
+        .select("query_id", "corpus_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val a = run()
+    assert(a === run(), "HNSW build/search is not deterministic")
+    assert(a.size === 100) // 20 queries x top-5
+    // recall floor vs the exact arm (high ef on a small corpus
+    // should be near-perfect)
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = a.count { case (q, c, _) => exact.contains((q, c)) }
+    assert(hits >= 90, s"HNSW recall@5 regressed: $hits/100")
+  }
+
   test("bloom decontamination plan: codegen'd might_contain prefilter + " +
       "shuffle (not broadcast) verify join") {
     val bench = docs.filter(col("doc_id") % 50 === 0)

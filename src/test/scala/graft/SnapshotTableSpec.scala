@@ -1273,6 +1273,54 @@ class SnapshotTableSpec extends SparkSpec {
       hit.select("grp").head.getLong(0) === 99L)
   }
 
+  test("format(\"graft\") data source: round trip, pushdown, time travel, DV masking") {
+    import spark.implicits._
+    val path = freshPath("dsv1")
+    val rows = (0L until 1000L).map(i => (i, s"g${i % 4}", i * 2))
+      .toDF("id", "grp", "v")
+    rows.write.format("graft").option("partitionBy", "grp").save(path)
+    (1000L until 1100L).map(i => (i, s"g${i % 4}", i * 2))
+      .toDF("id", "grp", "v")
+      .write.format("graft").mode("append").save(path)
+    val df = spark.read.format("graft").load(path)
+    assert(df.count() === 1100)
+    // pushed partition + range filters ride the manifest machinery
+    assert(df.filter(col("grp") === "g1" && col("id") < 100L)
+      .count() === 25)
+    // projection pushdown: a narrow select stays correct
+    assert(df.select("v").agg(sum(col("v"))).head.getLong(0) ===
+      (0L until 1100L).map(_ * 2).sum)
+    // time travel via options
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(path).count() === 1000)
+    // deletion vectors mask through the format
+    SnapshotTable.deleteMoR(spark, path, col("id") === 7L)
+    assert(spark.read.format("graft").load(path)
+      .filter(col("id") === 7L).count() === 0)
+    // overwrite + errorIfExists modes
+    rows.limit(10).write.format("graft").mode("overwrite").save(path)
+    assert(spark.read.format("graft").load(path).count() === 10)
+    intercept[IllegalArgumentException] {
+      rows.write.format("graft").save(path)
+    }
+    // mergeSchema append evolves additively
+    (0L until 5L).map(i => (i + 5000L, s"g0", i, s"t$i"))
+      .toDF("id", "grp", "v", "tag")
+      .write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(path)
+    val evolved = spark.read.format("graft").load(path)
+    assert(evolved.columns.toSeq === Seq("id", "grp", "v", "tag"))
+    assert(evolved.filter(col("tag").isNotNull).count() === 5)
+    // plain SQL DDL binds the source too: USING graft + OPTIONS(path)
+    spark.sql(s"CREATE TABLE graft_ds_spec USING graft " +
+      s"OPTIONS (path '$path')")
+    try {
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_ds_spec WHERE tag IS NOT NULL")
+        .head.getLong(0) === 5)
+    } finally spark.sql("DROP TABLE graft_ds_spec")
+  }
+
   test("distributed manifest planning matches the driver path exactly") {
     val path = freshPath("distplan")
     spark.conf.set("spark.graft.manifest.segmentEntries", "4")
