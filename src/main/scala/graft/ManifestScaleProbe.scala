@@ -161,12 +161,11 @@ object ManifestScaleProbe {
                   SnapshotTable.refRel(l)).map { e =>
                 val rel = SnapshotTable.entryPath(e)
                 val (len, mt) = SnapshotTable.entryFileMeta(e).get
+                val (num, str, bl) = SnapshotTable.parseEntryStats(e)
                 (new FileStatus(len, false, 1, 134217728L, mt,
                   new Path(dir, rel)),
                   SnapshotTable.entryPartitionValues(rel),
-                  SnapshotTable.entryStats(e),
-                  SnapshotTable.entryStringStats(e),
-                  SnapshotTable.entryBloomStats(e))
+                  num, str, bl)
               }))
         }
         new GraftFileIndex(dir, partSchema, segs)
@@ -275,11 +274,11 @@ object ManifestScaleProbe {
                 SnapshotTable.segEntries(fs, dir, rel).map { e =>
                   val rel2 = SnapshotTable.entryPath(e)
                   val (len, mt) = SnapshotTable.entryFileMeta(e).get
+                  val (num, str, _) = SnapshotTable.parseEntryStats(e)
                   (new FileStatus(len, false, 1, 134217728L, mt,
                     new Path(dir, rel2)),
                     SnapshotTable.entryPartitionValues(rel2),
-                    SnapshotTable.entryStats(e),
-                    SnapshotTable.entryStringStats(e),
+                    num, str,
                     Map.empty[String, (Int, Int, Array[Byte])])
                 }),
               bloomLoader = () =>

@@ -155,6 +155,52 @@ object SnapshotTable {
       case _ => Map.empty
     }
 
+  /** ONE-pass parse of an entry's stats section into the three stat
+    * families (numeric ranges, string byte bounds, bloom items). The
+    * hot planning loops — FileIndex segment loaders, the distributed
+    * planning job — call this instead of three independent
+    * split-and-scan passes over the same line; dispatch is by value
+    * shape, byte-identical to [[entryStats]]/[[entryStringStats]]/
+    * [[entryBloomStats]] (which remain the behavioral spec,
+    * property-tested equal on randomized and real lines). */
+  private[graft] def parseEntryStats(line: String)
+      : (Map[String, (Long, Long)],
+         Map[String, (Array[Byte], Array[Byte])],
+         Map[String, (Int, Int, Array[Byte])]) =
+    line.split("\t", 2) match {
+      case Array(_, st) =>
+        val num = Map.newBuilder[String, (Long, Long)]
+        val str = Map.newBuilder[String, (Array[Byte], Array[Byte])]
+        val bl = Map.newBuilder[String, (Int, Int, Array[Byte])]
+        st.split(";").foreach { kv =>
+          val i = kv.indexOf('=')
+          if (i > 0) {
+            val c = kv.substring(0, i)
+            val v = kv.substring(i + 1)
+            if (v.startsWith("s!")) v.split("!", -1) match {
+              case Array(_, lo, hi) =>
+                str += c -> (unescStat(lo), unescStat(hi))
+              case _ => ()
+            }
+            else if (v.startsWith("b!")) v.split("!", -1) match {
+              case Array(_, m, k, b64) =>
+                scala.util.Try((m.toInt, k.toInt,
+                  java.util.Base64.getDecoder.decode(b64)))
+                  .foreach(bl += c -> _)
+              case _ => ()
+            }
+            else v.split(":", 2) match {
+              case Array(lo, hi) =>
+                try num += c -> ((lo.toLong, hi.toLong))
+                catch { case _: NumberFormatException => () }
+              case _ => ()
+            }
+          }
+        }
+        (num.result(), str.result(), bl.result())
+      case _ => (Map.empty, Map.empty, Map.empty)
+    }
+
   /** Unsigned byte-lexicographic order — the common string order of
     * parquet binary stats, Spark's UTF8String, and DuckDB. */
   private[graft] def bytesLe(a: Array[Byte], b: Array[Byte]): Boolean =
@@ -2688,8 +2734,9 @@ object SnapshotTable {
               def rl[T](m: Map[String, T]): Map[String, T] =
                 if (p2l.isEmpty) m
                 else m.map { case (k2, v2) => p2l.getOrElse(k2, k2) -> v2 }
+              val (num, str, _) = parseEntryStats(line)
               mayMatch(predSer, entryPartitionValues(entryPath(line)),
-                rl(entryStats(line)), rl(entryStringStats(line)))
+                rl(num), rl(str))
             }
           }
           .collect().toSeq.map(_.trim)
@@ -3170,8 +3217,8 @@ object SnapshotTable {
           fsD.getDefaultBlockSize(p), mtime, p)
         case None => fsD.getFileStatus(p)
       }
-      (fst, entryPartitionValues(rel), entryStats(e),
-        entryStringStats(e), entryBloomStats(e))
+      val (num, str, bl) = parseEntryStats(e)
+      (fst, entryPartitionValues(rel), num, str, bl)
     }
     // segment refs become LAZY index segments: aggregates up front,
     // entries parsed only if a pushed filter fails to refute them

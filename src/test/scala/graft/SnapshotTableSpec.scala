@@ -700,6 +700,60 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, path) === Seq(0, 1, 2))
   }
 
+  test("stress: concurrent disjoint merges, appends and compaction all land") {
+    import spark.implicits._
+    val path = freshPath("mergestress")
+    // keys 0..999 clustered over 8 files: each merge's key band maps
+    // to its own files, so the REBASE path (not abort) should carry
+    // most of the traffic
+    SnapshotTable.create(
+      (0L until 1000L).map(i => (i, "base")).toDF("id", "payload")
+        .repartitionByRange(8, col("id"))
+        .sortWithinPartitions(col("id")), path)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var failure: Option[Throwable] = None
+    def retrying(body: => Unit): Thread = new Thread(() =>
+      try {
+        var done = false
+        var n = 0
+        while (!done) {
+          try { body; done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              conflicts.incrementAndGet(); n += 1
+              assert(n < 20, "retry did not converge")
+          }
+        }
+      } catch { case t: Throwable => failure = Some(t) })
+    val mergers = (0 until 4).map { t =>
+      retrying(SnapshotTable.merge(
+        (t * 250L until t * 250L + 250L).map(i => (i, s"T$t"))
+          .toDF("id", "payload"), path, Seq("id")))
+    }
+    val appender = retrying(SnapshotTable.append(
+      (2000L until 2050L).map(i => (i, "NEW")).toDF("id", "payload"),
+      path))
+    val compactor = retrying {
+      SnapshotTable.optimizeIncremental(spark, path, 1L << 20)
+      ()
+    }
+    val threads = mergers :+ appender :+ compactor
+    threads.foreach(_.start()); threads.foreach(_.join())
+    failure.foreach(throw _)
+    val fin = SnapshotTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin.size === 1050, s"row loss/dup: ${fin.size}")
+    (0 until 4).foreach(t => (t * 250L until t * 250L + 250L).foreach(i =>
+      assert(fin(i) === s"T$t", s"key $i lost merge T$t (got ${fin(i)})")))
+    (2000L until 2050L).foreach(i => assert(fin(i) === "NEW"))
+    // every data writer committed exactly once (create + 4 merges +
+    // append; the compactor may legally no-op on a retry if racers
+    // left a single right-sized file)
+    val nv = SnapshotTable.versions(spark, path).size
+    assert(nv === 6 || nv === 7,
+      s"expected 6-7 versions, got ${SnapshotTable.versions(spark, path)}")
+  }
+
   test("a crash between stage and commit leaves only invisible orphans") {
     import spark.implicits._
     val path = freshPath("mergecrash")
@@ -2139,6 +2193,53 @@ class SnapshotTableSpec extends SparkSpec {
         SnapshotTable.readWherePruned(spark, path, p0)
       val got = pruned.orderBy("id").collect().toSeq
       assert(got === expected, s"predicate $p0 diverged (kept $kept/$total)")
+    }
+  }
+
+  test("property: parseEntryStats equals the three individual parsers") {
+    val rnd = new scala.util.Random(37)
+    def randName() = "c" + rnd.nextInt(5)
+    def randItem(): String = rnd.nextInt(6) match {
+      case 0 => s"${randName()}=${rnd.nextInt(1000) - 500}:${rnd.nextInt(1000)}"
+      case 1 => s"${randName()}=s!p${rnd.nextInt(10)}!q${rnd.nextInt(10)}%3B%21"
+      case 2 =>
+        val bs = new Array[Byte](8); rnd.nextBytes(bs)
+        s"${randName()}=b!64!3!" + java.util.Base64.getEncoder
+          .withoutPadding.encodeToString(bs)
+      case 3 => s"len=f!${rnd.nextInt(100000)}!${rnd.nextInt(1 << 30)}"
+      case 4 => s"dv=files/x${rnd.nextInt(10)}.parquet"
+      case 5 => s"${randName()}=junk${rnd.nextInt(10)}" // malformed
+    }
+    (0 until 500).foreach { _ =>
+      val line = s"files/part=${rnd.nextInt(3)}/f.parquet\t" +
+        Seq.fill(1 + rnd.nextInt(8))(randItem()).mkString(";")
+      val (num, str, bl) = SnapshotTable.parseEntryStats(line)
+      assert(num === SnapshotTable.entryStats(line), line)
+      assert(str.view.mapValues(v => (v._1.toSeq, v._2.toSeq)).toMap ===
+        SnapshotTable.entryStringStats(line)
+          .view.mapValues(v => (v._1.toSeq, v._2.toSeq)).toMap, line)
+      assert(bl.view.mapValues(v => (v._1, v._2, v._3.toSeq)).toMap ===
+        SnapshotTable.entryBloomStats(line)
+          .view.mapValues(v => (v._1, v._2, v._3.toSeq)).toMap, line)
+    }
+    // and on REAL staged lines (footer-harvested stats + len item)
+    val path = freshPath("parseprop")
+    SnapshotTable.create(
+      spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s",
+        "id * 2 AS v").repartition(4), path)
+    SnapshotTable.indexBloom(spark, path, Seq("id"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      path + "/_graft_log/v00000001.manifest"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList.filterNot(_.startsWith("#")) finally in.close()
+    assert(lines.nonEmpty)
+    lines.foreach { l =>
+      val (num, str, bl) = SnapshotTable.parseEntryStats(l)
+      assert(num === SnapshotTable.entryStats(l))
+      assert(str.keySet === SnapshotTable.entryStringStats(l).keySet)
+      assert(bl.keySet === SnapshotTable.entryBloomStats(l).keySet)
     }
   }
 
