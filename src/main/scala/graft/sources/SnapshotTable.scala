@@ -2607,10 +2607,10 @@ object SnapshotTable {
     // whole segments from their list aggregates (pure O(#segments)
     // metadata), but the SURVIVING segments' entry parsing and
     // per-entry pruning run as a Spark job — the manifest tier is,
-    // after all, just more data. Bloom sidecars are not consulted on
-    // this path (sound: a kept file is never wrong); selective point
-    // lookups should ride the driver path's sidecar probing, which
-    // is why the threshold gates on FILE COUNT, not query shape.
+    // after all, just more data. Equality probes join the bloom
+    // SIDECARS in the same job (keyed by file name), so huge-table
+    // point lookups get distributed parsing and bloom pruning
+    // together.
     val distMin = spark.conf.getOption(
       "spark.graft.manifest.distributedPlanning.minFiles")
       .map(_.toLong).getOrElse(4000000L)
@@ -2697,9 +2697,13 @@ object SnapshotTable {
       path: String, refs: Seq[String],
       pred: org.apache.spark.sql.catalyst.expressions.Expression,
       schema: Option[types.StructType]): (Seq[String], Int) = {
+    // (kept entry lines, total files); see the call site for the
+    // design rationale
     var total = 0
     val inlineKept = scala.collection.mutable.ArrayBuffer[String]()
     val livePaths = scala.collection.mutable.ArrayBuffer[String]()
+    val sidePaths = scala.collection.mutable.ArrayBuffer[String]()
+    val needBloom = predHasEquality(pred)
     refs.foreach { l =>
       if (!l.startsWith(SegPrefix)) {
         total += 1
@@ -2714,8 +2718,12 @@ object SnapshotTable {
         val agg = l.stripPrefix(SegPrefix)
         if (mayMatch(pred, refPartValues(l).getOrElse(Map.empty),
             relabelStats(entryStats(agg), schema),
-            relabelStats(entryStringStats(agg), schema)))
+            relabelStats(entryStringStats(agg), schema))) {
           livePaths += new Path(path, refRel(l)).toString
+          if (needBloom)
+            refBloomRel(l).foreach(r =>
+              sidePaths += new Path(path, r).toString)
+        }
       }
     }
     val segKept: Seq[String] =
@@ -2727,19 +2735,44 @@ object SnapshotTable {
         val p2l: Map[String, String] = schema.toSeq
           .flatMap(_.fields.map(f => physName(f) -> f.name)).toMap
         val predSer = pred
-        spark.read.textFile(livePaths.toSeq: _*)
-          .filter { raw =>
-            val line = raw.trim
-            line.nonEmpty && {
-              def rl[T](m: Map[String, T]): Map[String, T] =
-                if (p2l.isEmpty) m
-                else m.map { case (k2, v2) => p2l.getOrElse(k2, k2) -> v2 }
-              val (num, str, _) = parseEntryStats(line)
+        def rlFor[T](m: Map[String, T]): Map[String, T] =
+          if (p2l.isEmpty) m
+          else m.map { case (k2, v2) => p2l.getOrElse(k2, k2) -> v2 }
+        val entriesDs = spark.read.textFile(livePaths.toSeq: _*)
+          .map(_.trim).filter(_.nonEmpty)
+        if (sidePaths.isEmpty) {
+          val kept = entriesDs.filter { line =>
+            val (num, str, bl) = parseEntryStats(line)
+            mayMatch(predSer, entryPartitionValues(entryPath(line)),
+              rlFor(num), rlFor(str), rlFor(bl))
+          }.collect().toSeq
+          kept
+        } else {
+          // equality probes join the SIDECAR bitsets in the same job
+          // (keyed by file name — sidecar lines reuse the entry
+          // grammar), so huge-table point lookups get distributed
+          // parsing AND bloom pruning together
+          val keyed = entriesDs
+            .map(l => (fileNameOf(entryPath(l)), l))
+            .toDF("fn", "line")
+          val sides = spark.read.textFile(sidePaths.toSeq: _*)
+            .map(_.trim).filter(_.nonEmpty)
+            .map(l => (entryPath(l), l))
+            .toDF("fn", "bline")
+          keyed.join(sides, Seq("fn"), "left")
+            .select("line", "bline")
+            .as[(String, String)]
+            .filter { case (line, bline) =>
+              val (num, str, bl) = parseEntryStats(line)
+              val side =
+                if (bline == null)
+                  Map.empty[String, (Int, Int, Array[Byte])]
+                else entryBloomStats(bline)
               mayMatch(predSer, entryPartitionValues(entryPath(line)),
-                rl(num), rl(str))
+                rlFor(num), rlFor(str), rlFor(bl ++ side))
             }
-          }
-          .collect().toSeq.map(_.trim)
+            .map(_._1).collect().toSeq
+        }
       }
     (inlineKept.toSeq ++ segKept, total)
   }

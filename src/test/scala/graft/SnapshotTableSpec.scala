@@ -1387,7 +1387,7 @@ class SnapshotTableSpec extends SparkSpec {
         col("id") >= 100L && col("id") < 500L, // range: prunes segments
         col("grp") === "g3", // string equality: unprunable here
         col("id") < 0L) // empty result
-      preds.foreach { pr =>
+      def parity(pr: org.apache.spark.sql.Column): (Int, Int) = {
         val (d1, k1, t1) = SnapshotTable.readWherePruned(spark, path, pr)
         val r1 = d1.collect().map(_.toString).sorted.toSeq
         spark.conf.set(
@@ -1399,7 +1399,31 @@ class SnapshotTableSpec extends SparkSpec {
         assert((k2, t2) === ((k1, t1)),
           s"distributed planning diverged on $pr: kept $k2/$t2 vs $k1/$t1")
         assert(d2.collect().map(_.toString).sorted.toSeq === r1)
+        (k1, t1)
       }
+      preds.foreach(parity)
+      // bloom SIDECARS join the distributed job: a hash-layout point
+      // lookup prunes identically to the driver path's sidecar probe
+      val path2 = freshPath("distplanbloom")
+      SnapshotTable.create(rows.repartition(16, col("id")), path2)
+      SnapshotTable.indexBloom(spark, path2, Seq("id"))
+      def parity2(pr: org.apache.spark.sql.Column): (Int, Int) = {
+        val (d1, k1, t1) = SnapshotTable.readWherePruned(spark, path2, pr)
+        val r1 = d1.collect().map(_.toString).sorted.toSeq
+        spark.conf.set(
+          "spark.graft.manifest.distributedPlanning.minFiles", "1")
+        val (d2, k2, t2) =
+          try SnapshotTable.readWherePruned(spark, path2, pr)
+          finally spark.conf.unset(
+            "spark.graft.manifest.distributedPlanning.minFiles")
+        assert((k2, t2) === ((k1, t1)),
+          s"distributed+bloom diverged on $pr: kept $k2/$t2 vs $k1/$t1")
+        assert(d2.collect().map(_.toString).sorted.toSeq === r1)
+        (k1, t1)
+      }
+      val (keptB, totalB) = parity2(col("id") === 1234L)
+      assert(keptB * 4 < totalB,
+        s"distributed bloom pruning ineffective: kept $keptB of $totalB")
     } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
   }
 
