@@ -83,9 +83,27 @@ object GraphAnn {
     res.toVector.map(t => (t._2, t._1)).sortBy(t => (-t._2, t._1))
   }
 
+  /** Link ONE node into an existing layer (Malkov & Yashunin's insert
+    * step): connect to the `m` nearest beam results from `entry`,
+    * back-link, prune any neighbor list past `2m` keeping the
+    * closest. Shared by the from-scratch build and [[insert]]. */
+  private def insertNode(vecs: collection.Map[Long, Array[Double]],
+      adj: collection.mutable.LinkedHashMap[Long, Array[Long]],
+      entry: Long, m: Int, efC: Int, id: Long, v: Array[Double]): Unit = {
+    val near = beam(vecs, adj, entry, v, efC).take(m)
+    adj(id) = near.map(_._1).toArray
+    near.foreach { case (nb, _) =>
+      val cur = adj(nb) :+ id
+      adj(nb) =
+        if (cur.length <= 2 * m) cur
+        else cur.map(x => (x, cosine(vecs(nb), vecs(x))))
+          .sortBy(t => (-t._2, t._1)).take(2 * m).map(_._1)
+    }
+  }
+
   /** Sequential NSW insertion over `nodes` (ascending id): each node
-    * links to its `m` nearest beam results; back-links prune past
-    * `2m` keeping the closest. Returns the adjacency. */
+    * rides [[insertNode]]; the first node is the layer's permanent
+    * entry point. Returns the adjacency. */
   private def buildLayer(nodes: IndexedSeq[(Long, Array[Double])],
       m: Int, efC: Int): collection.mutable.LinkedHashMap[Long, Array[Long]] = {
     val vecs = nodes.toMap
@@ -93,17 +111,7 @@ object GraphAnn {
     var entry = -1L
     nodes.foreach { case (id, v) =>
       if (adj.isEmpty) { adj(id) = Array.empty; entry = id }
-      else {
-        val near = beam(vecs, adj, entry, v, efC).take(m)
-        adj(id) = near.map(_._1).toArray
-        near.foreach { case (nb, _) =>
-          val cur = adj(nb) :+ id
-          adj(nb) =
-            if (cur.length <= 2 * m) cur
-            else cur.map(x => (x, cosine(vecs(nb), vecs(x))))
-              .sortBy(t => (-t._2, t._1)).take(2 * m).map(_._1)
-        }
-      }
+      else insertNode(vecs, adj, entry, m, efC, id, v)
     }
     adj
   }
@@ -133,6 +141,80 @@ object GraphAnn {
             upperAdj.getOrElse(id, Array.empty[Long]))
         }
       }
+      .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs")
+  }
+
+  /** INCREMENTAL insert: link a vector batch into a built (or
+    * reloaded) index without rebuilding it. Each new id lands in its
+    * hash shard; only TOUCHED shards re-link (their rows are
+    * re-emitted — back-links from existing nodes to new ones change),
+    * every other shard's rows pass through VERBATIM, so a
+    * `partitionBy("shard")` parquet layout re-persists only the
+    * touched partitions (dynamic partition overwrite). The insertion
+    * replays [[insertNode]] over the existing adjacency in ascending
+    * new-id order — deterministic given (index, batch); note an
+    * inserted index is a VALID NSW graph but not byte-identical to a
+    * from-scratch build of the union (HNSW graphs are
+    * insertion-order-dependent by nature; search quality is what the
+    * recall pins gate). `nShards`/`m`/`efC`/`upperEvery` must match
+    * the build (the shard congruence is checked against the index's
+    * own rows). Batch size is an ingest micro-batch (the touched
+    * shard SET is a bounded driver collect; the batch rows ship in
+    * the group join, never through the driver). */
+  def insert(index: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, nShards: Int = 16, m: Int = 8, efC: Int = 48,
+      upperEvery: Int = 16): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val newRows = batch.select(col(idCol).cast(LongType),
+        col(vecCol).cast(ArrayType(DoubleType)))
+      .as[(Long, Array[Double])]
+    val touched = newRows
+      .map(r => math.floorMod(r._1, nShards.toLong).toInt)
+      .distinct().collect().toSeq
+    val idxTyped = index
+      .select(col("shard"), col("id"), col("vec"), col("nbrs"),
+        col("upper"), col("unbrs"))
+      .as[(Int, Long, Array[Double], Array[Long], Boolean, Array[Long])]
+    val untouched = idxTyped.filter(!col("shard").isin(touched: _*))
+    val existing = idxTyped.filter(col("shard").isin(touched: _*))
+    val fresh = newRows
+      .map(r => (math.floorMod(r._1, nShards.toLong).toInt, r._1, r._2))
+    val relinked = existing.groupByKey(_._1)
+      .cogroup(fresh.groupByKey(_._1)) { (shard, exIt, newIt) =>
+        val ex = exIt.toVector.sortBy(_._2)
+        val adds = newIt.toVector.sortBy(_._2)
+        require(ex.headOption.forall(r =>
+          math.floorMod(r._2, nShards.toLong) == shard),
+          s"insert: nShards=$nShards does not match the index's " +
+            "shard layout")
+        val vecs = collection.mutable.HashMap[Long, Array[Double]]()
+        ex.foreach(r => vecs(r._2) = r._3)
+        adds.foreach(a => vecs(a._2) = a._3)
+        // reconstruct both layers in ORIGINAL insertion order
+        // (ascending id — the order build and prior inserts used), so
+        // entry points match what the graph was grown from
+        val adj = collection.mutable.LinkedHashMap[Long, Array[Long]]()
+        ex.foreach(r => adj(r._2) = r._4)
+        val upAdj = collection.mutable.LinkedHashMap[Long, Array[Long]]()
+        ex.iterator.filter(_._5).foreach(r => upAdj(r._2) = r._6)
+        var entry = if (adj.nonEmpty) adj.head._1 else -1L
+        var upEntry = if (upAdj.nonEmpty) upAdj.head._1 else -1L
+        adds.foreach { case (_, id, v) =>
+          require(!adj.contains(id), s"insert: id $id already indexed")
+          if (adj.isEmpty) { adj(id) = Array.empty; entry = id }
+          else insertNode(vecs, adj, entry, m, efC, id, v)
+          if (math.floorMod(id, upperEvery.toLong) == 0L) {
+            if (upAdj.isEmpty) { upAdj(id) = Array.empty; upEntry = id }
+            else insertNode(vecs, upAdj, upEntry, m, efC, id, v)
+          }
+        }
+        adj.keysIterator.map { id =>
+          (shard, id, vecs(id), adj(id),
+            upAdj.contains(id), upAdj.getOrElse(id, Array.empty[Long]))
+        }
+      }
+    untouched.union(relinked)
       .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs")
   }
 

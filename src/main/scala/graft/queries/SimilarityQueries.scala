@@ -43,6 +43,7 @@ object SimilarityQueries {
   @volatile private var lastIvfFit: Option[Array[Array[Double]]] = None
   @volatile private var lastPqFit: Option[graft.operators.PqModel] = None
   @volatile private var lastHnswPairs: Option[Seq[(Long, Long)]] = None
+  @volatile private var lastHnswInsertPairs: Option[Seq[(Long, Long)]] = None
 
   /** One fitted PQ codebook per (session, dir) — same serving shape as
     * the IVF quantizer cache. */
@@ -258,6 +259,58 @@ object SimilarityQueries {
       val mean = out.agg(avg(col("hits_at_5"))).head().getDouble(0)
       require(mean >= 4.0,
         f"HNSW recall regressed: mean hits@5 = $mean%.2f < 4.0")
+      out
+    }),
+
+    // Incremental HNSW ingest — the streaming-corpus shape s13 lacked:
+    // the index builds WITHOUT one tenth of the corpus, the holdout
+    // arrives as an ingest batch through GraphAnn.insert (only its
+    // hash shards re-link; untouched shards pass through verbatim, so
+    // a shard-partitioned parquet layout re-persists only touched
+    // partitions), and the same s9-shaped recall@5 eval runs against
+    // the POST-INSERT index served from parquet. The require() pins
+    // both graph quality after insertion AND that inserted ids are
+    // reachable (they appear among served candidates); the oracle is
+    // the s13 exported-candidates recipe with this run's pairs.
+    "s14_hnsw_insert" -> ((s, dir) => {
+      import graft.operators.GraphAnn
+      val emb = Tables(s, dir, "embeddings")
+      val base = GraphAnn.build(emb.filter(col("vec_id") % 10 =!= 3),
+        "vec_id", "embedding", nShards = 4, m = 8, efC = 48)
+      val upd = GraphAnn.insert(base,
+        emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+        nShards = 4, m = 8, efC = 48)
+      val ipath = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_ins").toString + "/index"
+      upd.write.partitionBy("shard").parquet(ipath)
+      val served = s.read.parquet(ipath)
+      val approx = GraphAnn.search(served,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, ef = 64)
+        .select(col("query_id"), col("corpus_id"))
+      val pairs = approx.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      lastHnswInsertPairs = Some(pairs)
+      require(pairs.exists(_._2 % 10 == 3),
+        "no inserted vector was served — insert() left the batch " +
+          "unreachable")
+      import s.implicits._
+      val exact = graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approxLit = pairs.toDF("query_id", "corpus_id")
+      val hits = exact
+        .join(approxLit, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val out = exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits_at_5"))
+        .orderBy(col("query_id"))
+      val mean = out.agg(avg(col("hits_at_5"))).head().getDouble(0)
+      require(mean >= 4.0,
+        f"post-insert HNSW recall regressed: mean hits@5 = $mean%.2f")
       out
     }),
 
@@ -638,6 +691,11 @@ object SimilarityQueries {
     }
     lastHnswPairs.foreach { p =>
       out += ("s13_hnsw_recall" -> s13Sql(p))
+    }
+    lastHnswInsertPairs.foreach { p =>
+      // same exported-candidates recipe: the exact arm is identical,
+      // only the served pairs differ (post-insert index)
+      out += ("s14_hnsw_insert" -> s13Sql(p))
     }
     lastPqFit.foreach { m =>
       out += ("s5_pq_topk" -> s5Sql(m))

@@ -13,16 +13,18 @@ import org.apache.spark.sql.types.StructType
   * requiring the [[SnapshotTable]] API.
   *
   * Read options: `versionAsOf` (int), `timestampAsOf` (epoch millis
-  * or `yyyy-MM-dd HH:mm:ss`). The relation implements
-  * [[PrunedFilteredScan]]: pushed filters translate to a Column
-  * predicate and ride [[SnapshotTable.readWhere]] — i.e. the full
-  * manifest machinery (partition values, cached ranges, byte bounds,
-  * bloom sidecars, segment-level refutation, the distributed planning
-  * path) prunes files before any task launches; untranslatable
+  * or `yyyy-MM-dd HH:mm:ss`). Clean versions (no deletion vectors, no
+  * column mapping) resolve to the [[GraftFileIndex]]-backed
+  * HadoopFsRelation directly ([[SnapshotTable.frontDoorRelation]]):
+  * Spark plans a native columnar parquet scan — vectorized reader,
+  * whole-stage codegen, manifest-metadata file skipping, partition
+  * pruning and DPP at planning time. DV'd or column-mapped versions
+  * fall back to a [[PrunedFilteredScan]] relation whose pushed
+  * filters translate to a Column predicate and ride
+  * [[SnapshotTable.readWhere]]'s manifest machinery; untranslatable
   * filters are simply not pushed (Spark re-applies every filter above
-  * a V1 source, so partial pushdown is always sound). Deletion
-  * vectors, column mapping and schema evolution all apply — the scan
-  * delegates to the library's own readers.
+  * a V1 source, so positive-polarity partial pushdown is sound — see
+  * toColumn's exactness rule for Not).
   *
   * Write modes: ErrorIfExists/Ignore → create (`partitionBy` option:
   * comma-separated columns), Append → append (`mergeSchema=true` for
@@ -47,6 +49,11 @@ class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    val vs = SnapshotTable.versions(spark, path)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft: no snapshot table at $path — no _graft_log manifest " +
+          "found (create one with df.write.format(\"graft\").save(path))")
     val version = opt(parameters, "versionAsOf").map(_.toInt)
       .orElse(opt(parameters, "timestampAsOf").map { ts =>
         val millis =
@@ -54,8 +61,17 @@ class GraftDataSource extends RelationProvider
           else java.sql.Timestamp.valueOf(ts).getTime
         SnapshotTable.versionAsOf(spark, path, millis)
       })
-      .getOrElse(SnapshotTable.versions(spark, path).max)
-    new GraftRelation(sqlContext, path, version)
+      .getOrElse(vs.max)
+    // FAST PATH: when the version needs no projection above the scan
+    // (no deletion vectors, no column mapping), hand Spark the
+    // GraftFileIndex-backed HadoopFsRelation itself — FileSourceStrategy
+    // plans it as a native columnar parquet scan (vectorized reader,
+    // whole-stage codegen, manifest pruning + DPP at planning time),
+    // the same front-door shape as Delta's DeltaLog.createRelation.
+    // The V1 row-translating relation remains the always-correct
+    // fallback for DV'd or column-mapped versions.
+    SnapshotTable.frontDoorRelation(spark, path, version)
+      .getOrElse(new GraftRelation(sqlContext, path, version))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -81,14 +97,19 @@ class GraftDataSource extends RelationProvider
         if (!exists) SnapshotTable.create(data, path, partitionBy)
         else SnapshotTable.overwrite(data, path)
     }
+    // strip BOTH time-travel pins: the relation handed back to the
+    // writer must reflect the version just committed, not a version
+    // the caller happened to pin for an earlier read
     createRelation(sqlContext,
-      parameters.filterNot(_._1.equalsIgnoreCase("versionAsOf")))
+      parameters.filterNot(p => p._1.equalsIgnoreCase("versionAsOf") ||
+        p._1.equalsIgnoreCase("timestampAsOf")))
   }
 }
 
 /** The snapshot table as a V1 relation: filters and projections push
   * into [[SnapshotTable.readWhere]]'s metadata pruning. */
-private class GraftRelation(ctx: SQLContext, path: String, version: Int)
+private[graft] class GraftRelation(ctx: SQLContext, path: String,
+    version: Int)
   extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = ctx
@@ -96,35 +117,46 @@ private class GraftRelation(ctx: SQLContext, path: String, version: Int)
   override val schema: StructType =
     SnapshotTable.read(ctx.sparkSession, path, Some(version)).schema
 
-  /** Exact Column translation of a V1 filter; None = cannot push
+  /** Translate a V1 filter to (Column, exact). None = cannot push
     * (sound — Spark re-applies every filter above a V1 scan). An And
-    * may push one translated side (a superset of matching rows);
-    * Or/Not require complete, exact translations of their children. */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
-    case And(l, r) => (toColumn(l), toColumn(r)) match {
-      case (Some(a), Some(b)) => Some(a && b)
-      case (one, other) => one.orElse(other)
+    * may push one translated side — a SUPERSET of the matching rows,
+    * sound only in POSITIVE polarity — so that result is marked
+    * inexact, and Not refuses any inexact child: negating a superset
+    * yields a SUBSET, and a pushed subset prunes files whose rows the
+    * re-filter above the scan can never resurrect (silent missing
+    * rows). Same polarity rule as Spark's own translateFilter
+    * (`canPartialPushDown`). Or propagates the weaker flag: a
+    * superset arm keeps Or itself a sound superset positively, but
+    * disqualifies it under Not. */
+  private[graft] def toColumn(f: Filter): Option[(Column, Boolean)] =
+    f match {
+      case EqualTo(a, v) => Some((col(a) === lit(v), true))
+      case EqualNullSafe(a, v) => Some((col(a) <=> lit(v), true))
+      case GreaterThan(a, v) => Some((col(a) > lit(v), true))
+      case GreaterThanOrEqual(a, v) => Some((col(a) >= lit(v), true))
+      case LessThan(a, v) => Some((col(a) < lit(v), true))
+      case LessThanOrEqual(a, v) => Some((col(a) <= lit(v), true))
+      case In(a, vs) => Some((col(a).isin(vs.toSeq: _*), true))
+      case IsNull(a) => Some((col(a).isNull, true))
+      case IsNotNull(a) => Some((col(a).isNotNull, true))
+      case StringStartsWith(a, p) => Some((col(a).startsWith(p), true))
+      case And(l, r) => (toColumn(l), toColumn(r)) match {
+        case (Some((a, ea)), Some((b, eb))) => Some((a && b, ea && eb))
+        case (one, other) =>
+          one.orElse(other).map { case (c, _) => (c, false) }
+      }
+      case Or(l, r) => for { (a, ea) <- toColumn(l)
+                             (b, eb) <- toColumn(r) }
+        yield (a || b, ea && eb)
+      case Not(c) => toColumn(c).collect { case (cc, true) => (!cc, true) }
+      case _ => None
     }
-    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) }
-      yield a || b
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val spark = ctx.sparkSession
-    val pred = filters.flatMap(toColumn).reduceOption(_ && _)
+    val pred = filters.flatMap(f => toColumn(f).map(_._1))
+      .reduceOption(_ && _)
     val base = pred match {
       case Some(p) =>
         SnapshotTable.readWhere(spark, path, p, Some(version))

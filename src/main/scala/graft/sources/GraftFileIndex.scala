@@ -92,17 +92,21 @@ private[graft] class GraftFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val dataPred = dataFilters.reduceOption(And)
+    // the pushed predicate compiles ONCE per listFiles call; the
+    // per-segment and per-entry loops below evaluate the compiled
+    // form (plain map lookups), never re-walking the Expression tree
+    val dataCp = dataPred.map(SnapshotTable.compilePred)
     val partPred = boundPartPredicate(partitionFilters)
     // SEGMENT-level prune first: typed partition eval on the uniform
-    // tuple, conservative mayMatch on the merged aggregates — a
-    // refuted segment's entries are never parsed
+    // tuple, conservative compiled evaluator on the merged
+    // aggregates — a refuted segment's entries are never parsed
     val liveSegs = segments.filter { s =>
       val partOk = (partPred, s.partValues) match {
         case (Some(pr), Some(pv)) if partSchema.nonEmpty =>
           pr.eval(partRow(pv))
         case _ => true
       }
-      partOk && dataPred.forall(p => SnapshotTable.mayMatch(p,
+      partOk && dataCp.forall(_.eval(
         s.partValues.getOrElse(Map.empty), s.stats, s.strStats,
         s.blooms))
     }
@@ -125,8 +129,7 @@ private[graft] class GraftFileIndex(
         // never parsed (at 1M files this is the difference between
         // decoding 1 GB of bitsets and ALSO building 1M entry tuples)
         def fileRefuted(bl: Map[String, (Int, Int, Array[Byte])]) =
-          !dataPred.forall(p => SnapshotTable.mayMatch(p,
-            Map.empty, Map.empty, Map.empty, bl))
+          !dataCp.forall(_.eval(Map.empty, Map.empty, Map.empty, bl))
         // common case first, with no per-file Set: every covered file
         // refuted and every file covered → drop the whole segment
         if (side.nonEmpty && side.size >= s.count &&
@@ -138,7 +141,7 @@ private[graft] class GraftFileIndex(
               .map(_._1).toSet
           s.entries.filter { case (fst, pv, st, ss, bl) =>
             !refuted.contains(fst.getPath.getName) &&
-              dataPred.forall(p => SnapshotTable.mayMatch(p, pv, st, ss, bl))
+              dataCp.forall(_.eval(pv, st, ss, bl))
           }
         }
       }

@@ -248,6 +248,19 @@ object SnapshotTable {
     * to the marker. */
   private val EotLine = "#eot=1"
 
+  /** Writer-version witness — the FIRST line of every modern
+    * manifest. It distinguishes "torn by a failed writer" (witness
+    * visible, end marker absent → refuse) from "written by a library
+    * version predating the end-of-transaction marker" (neither
+    * present → accept verbatim, so legacy tables stay readable
+    * instead of failing every read). First line deliberately: the
+    * smallest visible prefix of an in-flight modern write already
+    * carries the witness, so the legacy branch cannot swallow a torn
+    * modern manifest unless the tear landed inside the first six
+    * bytes — the same (far larger) exposure the pre-marker format
+    * accepted for its whole body. */
+  private val WvLine = "#wv=2"
+
   private def manifestLines(fs: FileSystem, path: String, v: Int): Seq[String] = {
     def readOnce(): Seq[String] = {
       val in = fs.open(new Path(logDir(path), manifestName(v)))
@@ -264,6 +277,11 @@ object SnapshotTable {
     while (tries < 150) {
       val lines = readOnce()
       if (lines.nonEmpty && lines.last == EotLine) return lines.init
+      // pre-witness manifests never carry the end marker and never
+      // will: accept them (legacy readability) instead of spinning
+      // into a refusal. A modern in-flight/torn write is recognizable
+      // by its leading witness line and keeps the bounded spin.
+      if (!lines.exists(_.startsWith("#wv="))) return lines
       tries += 1
       Thread.sleep(20)
     }
@@ -1284,81 +1302,103 @@ object SnapshotTable {
       val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
       if (!fs.rename(src, dest))
         sys.error(s"snapshot stage: rename $src -> $dest failed")
+      // ONE footer open per staged file harvests row count AND both
+      // stat families together (opening the footer once per family
+      // doubled per-file driver I/O on every commit)
+      val (rowCount, stats, strStats) =
+        footerHarvest(spark, dest, statCols, strStatCols)
       // a ZERO-ROW part (coalesce/repartition of a small rewrite can
       // emit one) contributes nothing and carries no footer stats —
       // referencing it would defeat every stats-based decision made
       // about the commit (pruning, conflict refutation). Drop it.
-      if (footerRowCount(spark, dest).contains(0L)) {
+      if (rowCount.contains(0L)) {
         fs.delete(dest, false)
         None
-      } else Some((dest, parentRel))
-    }.map { case (dest, parentRel) =>
-      val rel = if (parentRel.isEmpty) s"files/${dest.getName}"
-        else s"files/$parentRel/${dest.getName}"
-      val stats = footerRanges(spark, dest, statCols)
-      val strStats = footerStringRanges(spark, dest, strStatCols)
-      // file length + mtime ride in the entry so later planning never
-      // stats the file again (one RPC here, at write time, where the
-      // footer harvest already touches the file anyway)
-      val fst = fs.getFileStatus(dest)
-      val items = stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
-        strStats.toSeq.sortBy(_._1)
-          .map { case (c, (lo, hi)) => s"$c=s!${escStat(lo)}!${escStat(hi)}" } ++
-        Seq(s"len=f!${fst.getLen}!${fst.getModificationTime}")
-      rel + "\t" + items.mkString(";")
+      } else {
+        val rel = if (parentRel.isEmpty) s"files/${dest.getName}"
+          else s"files/$parentRel/${dest.getName}"
+        // file length + mtime ride in the entry so later planning never
+        // stats the file again (one RPC here, at write time, where the
+        // footer harvest already touches the file anyway)
+        val fst = fs.getFileStatus(dest)
+        val items = stats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
+          strStats.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"$c=s!${escStat(lo)}!${escStat(hi)}" } ++
+          Seq(s"len=f!${fst.getLen}!${fst.getModificationTime}")
+        Some(rel + "\t" + items.mkString(";"))
+      }
     }
     if (!fs.delete(tmp, true))
       sys.error(s"snapshot stage: could not clear $tmp")
     staged
   }
 
-  /** Total row count from a parquet footer; None when unreadable. */
-  private def footerRowCount(spark: SparkSession,
-      file: Path): Option[Long] = {
+  /** ONE footer open per staged file: total row count, the [min, max]
+    * long ranges for `cols` (a column is omitted unless EVERY row
+    * group has numeric non-null stats for it — omission = "unknown",
+    * never wrong), and the truncated string byte bounds for
+    * `strCols` (see [[boundLo]]/[[boundHi]]). An unreadable footer
+    * yields (None, empty, empty) — caller keeps the file with no
+    * stats, conservative as ever. */
+  private def footerHarvest(spark: SparkSession, file: Path,
+      cols: Seq[String], strCols: Seq[String])
+      : (Option[Long], Map[String, (Long, Long)],
+         Map[String, (Array[Byte], Array[Byte])]) = {
     import scala.jdk.CollectionConverters._
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        file, spark.sparkContext.hadoopConfiguration)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try Some(reader.getFooter.getBlocks.asScala
-        .map(_.getRowCount).sum)
-      finally reader.close()
-    } catch { case _: Exception => None }
-  }
-
-  /** Footer-harvested [min, max] long ranges for `cols` in one parquet
-    * file; a column is omitted unless EVERY row group has numeric
-    * non-null stats for it (omission = "unknown", never wrong). */
-  private def footerRanges(spark: SparkSession, file: Path,
-      cols: Seq[String]): Map[String, (Long, Long)] = {
-    import scala.jdk.CollectionConverters._
-    if (cols.isEmpty) return Map.empty
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         file, spark.sparkContext.hadoopConfiguration)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        cols.flatMap { c =>
-          val perBlock = blocks.map { b =>
-            b.getColumns.asScala.find(_.getPath.toDotString == c)
-              .map(_.getStatistics)
-              .filter(st => st != null && st.hasNonNullValue)
-              .flatMap(st => (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Number, mx: java.lang.Number) =>
-                  Some((mn.longValue(), mx.longValue()))
-                case _ => None
-              })
-          }
-          if (perBlock.exists(_.isEmpty)) None
+        val rows = Some(blocks.map(_.getRowCount).sum)
+        // a zero-row file has NO row groups: the stat folds below
+        // would throw empty.min inside this try and be swallowed as
+        // "unreadable footer" — masking exactly the (Some(0), ...)
+        // answer the caller's drop-empty-parts check needs (this bit
+        // w38's conflict refutation: a kept stat-less empty part
+        // aborts every concurrent rebase). Short-circuit it.
+        if (blocks.isEmpty || !rows.exists(_ > 0L))
+          return (rows, Map.empty, Map.empty)
+        def colStats(c: String) = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+            .filter(st => st != null && st.hasNonNullValue)
+        }
+        val num = cols.flatMap { c =>
+          val perBlock = colStats(c).map(_.flatMap(st =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number) =>
+                Some((mn.longValue(), mx.longValue()))
+              case _ => None
+            }))
+          if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
           else {
             val rs = perBlock.flatten
             Some(c -> (rs.map(_._1).min, rs.map(_._2).max))
           }
         }.toMap
+        val str = strCols.flatMap { c =>
+          val perBlock = colStats(c).map(_.flatMap(st =>
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+                Some((mn.getBytes, mx.getBytes))
+              case _ => None
+            }))
+          if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+          else {
+            val rs = perBlock.flatten
+            boundHi(rs.map(_._2).reduce((a, b) =>
+              if (bytesLe(a, b)) b else a)).map(hi =>
+              c -> (boundLo(rs.map(_._1).reduce((a, b) =>
+                if (bytesLe(a, b)) a else b)), hi))
+          }
+        }.toMap
+        (rows, num, str)
       } finally reader.close()
-    } catch { case _: Exception => Map.empty }
+    } catch { case _: Exception => (None, Map.empty, Map.empty) }
   }
 
   /** Footer-harvested string [min, max] BYTE bounds for `cols` in one
@@ -1409,41 +1449,6 @@ object SnapshotTable {
       else Some(pfx.take(i) :+ (pfx(i) + 1).toByte)
     }
 
-  private def footerStringRanges(spark: SparkSession, file: Path,
-      cols: Seq[String]): Map[String, (Array[Byte], Array[Byte])] = {
-    import scala.jdk.CollectionConverters._
-    if (cols.isEmpty) return Map.empty
-    try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        file, spark.sparkContext.hadoopConfiguration)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        cols.flatMap { c =>
-          val perBlock = blocks.map { b =>
-            b.getColumns.asScala.find(_.getPath.toDotString == c)
-              .map(_.getStatistics)
-              .filter(st => st != null && st.hasNonNullValue)
-              .flatMap(st => (st.genericGetMin, st.genericGetMax) match {
-                case (mn: org.apache.parquet.io.api.Binary,
-                    mx: org.apache.parquet.io.api.Binary) =>
-                  Some((mn.getBytes, mx.getBytes))
-                case _ => None
-              })
-          }
-          if (perBlock.exists(_.isEmpty)) None
-          else {
-            val rs = perBlock.flatten
-            boundHi(rs.map(_._2).reduce((a, b) =>
-              if (bytesLe(a, b)) b else a)).map(hi =>
-              c -> (boundLo(rs.map(_._1).reduce((a, b) =>
-                if (bytesLe(a, b)) a else b)), hi))
-          }
-        }.toMap
-      } finally reader.close()
-    } catch { case _: Exception => Map.empty }
-  }
-
   /** How a retrying commit derives its manifest body from whatever
     * version it lands on top of — the write-amplification contract:
     *  - [[AppendSpec]]: previous body passes through verbatim (see
@@ -1479,9 +1484,16 @@ object SnapshotTable {
       // forever, so vacuuming old manifests can never drop them
       val mergedMeta =
         ((if (vs.isEmpty) Map.empty[String, String]
-          else readMeta(fs, path, vs.max)) ++ meta) - "eot"
-      val metaLines = mergedMeta.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"#$k=$v" }
+          else readMeta(fs, path, vs.max)) ++ meta) - "eot" - "wv" - "ts"
+      // witness FIRST (see WvLine), then this commit's OWN publication
+      // instant — `ts`/`wv` are deliberately never inherited: an
+      // inherited instant would backdate the commit, and versionAsOf/
+      // history prefer this value over filesystem mtimes (which a
+      // backup/restore round-trip silently rewrites)
+      val metaLines = Seq(WvLine,
+        s"#ts=${System.currentTimeMillis}") ++
+        mergedMeta.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"#$k=$v" }
       val bodyLines = body match {
         case AppendSpec(staged) =>
           appendBody(spark, fs, path, prevV, staged)
@@ -1496,41 +1508,13 @@ object SnapshotTable {
       val content = (metaLines ++ bodyLines ++ Seq(EotLine))
         .mkString("\n")
       val target = new Path(logDir(path), manifestName(next))
-      try {
-        val out = fs.create(target, false) // exclusive: one winner per version
-        try {
-          out.write(content.getBytes("UTF-8"))
-          out.close()
-        } catch {
-          // we WON the version slot but failed to fill it (disk full,
-          // I/O error mid-write): remove the torn manifest so no reader
-          // or retrying committer ever parses a partial file list, then
-          // surface the real failure
-          case e: Throwable =>
-            try out.close() catch { case _: Throwable => () }
-            // the delete MUST succeed: if the torn manifest lingers, a
-            // retrying committer would classify it as a lost race and
-            // inherit its partial file list — fail hard instead
-            if (fs.exists(target) && !fs.delete(target, false))
-              sys.error(s"snapshot commit: manifest write to $target " +
-                s"failed AND the torn manifest could not be removed — " +
-                s"manual cleanup required before any further commit " +
-                s"(cause: $e)")
-            throw new java.io.IOException(
-              s"snapshot commit: manifest write to $target failed", e)
-        }
+      // the atomicity primitive is PLUGGABLE (object stores need a
+      // conditional PUT or a lock — see GraftLogStore's contract);
+      // a false is a lost race, anything unrecoverable throws inside
+      if (GraftLogStore.forSession(spark)
+          .createAtomic(fs, target, content.getBytes("UTF-8")))
         return next
-      } catch {
-        case e: java.io.IOException =>
-          // Only a LOST RACE is retryable, and a lost race is
-          // observable: the winner's manifest exists. Any create
-          // failure without a winning manifest (permissions, disk
-          // full, bad mount) would fail all 50 retries identically —
-          // rethrow it as what it is instead of a misleading
-          // "gave up after conflicts".
-          if (fs.exists(target)) attempts += 1
-          else throw e
-      }
+      attempts += 1
     }
     sys.error(s"snapshot commit: gave up after $attempts conflicts")
   }
@@ -2058,8 +2042,9 @@ object SnapshotTable {
     val schemaForPred =
       tableSchema.getOrElse(read(spark, path, Some(readV)).schema)
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
+    val cp = compilePred(pred)
     val candidates = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)),
+      cp.eval(entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
         relabelStats(entryStringStats(e), tableSchema),
         relabelStats(entryBloomStats(e), tableSchema)))
@@ -2092,7 +2077,7 @@ object SnapshotTable {
         Map("op" -> "DELETE") ++ meta,
         resolve = Some(ConflictSpec(readV, manifest.toSet,
           manifest.iterator.map(entryPath).toSet, affected, staged,
-          e => mayMatch(pred, entryPartitionValues(entryPath(e)),
+          e => cp.eval(entryPartitionValues(entryPath(e)),
             relabelStats(entryStats(e), tableSchema),
             relabelStats(entryStringStats(e), tableSchema),
             relabelStats(entryBloomStats(e), tableSchema)))))
@@ -2130,8 +2115,9 @@ object SnapshotTable {
     val schemaForPred =
       tableSchema.getOrElse(read(spark, path, Some(readV)).schema)
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
+    val cp = compilePred(pred)
     val candidates = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)),
+      cp.eval(entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
         relabelStats(entryStringStats(e), tableSchema),
         relabelStats(entryBloomStats(e), tableSchema)))
@@ -2170,7 +2156,7 @@ object SnapshotTable {
       Map("op" -> "DELETE-MOR") ++ meta,
       resolve = Some(ConflictSpec(readV, manifest.toSet,
         manifest.iterator.map(entryPath).toSet, affected, masked,
-        e => mayMatch(pred, entryPartitionValues(entryPath(e)),
+        e => cp.eval(entryPartitionValues(entryPath(e)),
           relabelStats(entryStats(e), tableSchema),
           relabelStats(entryStringStats(e), tableSchema),
           relabelStats(entryBloomStats(e), tableSchema)))))
@@ -2204,8 +2190,9 @@ object SnapshotTable {
         assignments.keys.filterNot(schemaForPred.fieldNames.contains)
           .mkString(","))
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
+    val cp = compilePred(pred)
     val candidates = manifest.filter(e =>
-      mayMatch(pred, entryPartitionValues(entryPath(e)),
+      cp.eval(entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
         relabelStats(entryStringStats(e), tableSchema),
         relabelStats(entryBloomStats(e), tableSchema)))
@@ -2251,7 +2238,7 @@ object SnapshotTable {
       Map("op" -> "UPDATE-MOR") ++ meta,
       resolve = Some(ConflictSpec(readV, manifest.toSet,
         manifest.iterator.map(entryPath).toSet, affected, newLines,
-        e => mayMatch(pred, entryPartitionValues(entryPath(e)),
+        e => cp.eval(entryPartitionValues(entryPath(e)),
           relabelStats(entryStats(e), tableSchema),
           relabelStats(entryStringStats(e), tableSchema),
           relabelStats(entryBloomStats(e), tableSchema)))))
@@ -2373,41 +2360,24 @@ object SnapshotTable {
       resolve: Option[ConflictSpec] = None): Int = {
     val fs = fsOf(spark, logDir(path))
     fs.mkdirs(logDir(path))
-    def attempt(v: Int, refs: Seq[String], tail: Seq[String]): Int = {
+    // true = committed v; false = LOST THE RACE for v (the pluggable
+    // store's atomic create refused the name); unrecoverable write
+    // failures throw inside the store
+    def attempt(v: Int, refs: Seq[String], tail: Seq[String]): Boolean = {
       // inherit the prior version's metadata (streaming markers etc.,
-      // this commit's keys winning) — same rule as commit()
-      val metaLines = ((readMeta(fs, path, v - 1) ++ meta) - "eot")
-        .toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
+      // this commit's keys winning) — same rule as commit(), witness
+      // first and a fresh publication instant, never inherited
+      val metaLines = Seq(WvLine,
+        s"#ts=${System.currentTimeMillis}") ++
+        ((readMeta(fs, path, v - 1) ++ meta) - "eot" - "wv" - "ts")
+          .toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
       val body = refs ++ inlineOrSegment(spark, fs, path, tail) ++
         Seq(EotLine)
       val target = new Path(logDir(path), manifestName(v))
-      val out = fs.create(target, false)
-      try {
-        out.write((metaLines ++ body).mkString("\n").getBytes("UTF-8"))
-        out.close()
-      } catch {
-        case e: Throwable =>
-          try out.close() catch { case _: Throwable => () }
-          // same rule as commit(): a lingering torn manifest would be
-          // mistaken for a concurrent winner — fail hard if unremovable
-          if (fs.exists(target) && !fs.delete(target, false))
-            sys.error(s"snapshot merge: manifest write to $target " +
-              s"failed AND the torn manifest could not be removed — " +
-              s"manual cleanup required before any further commit " +
-              s"(cause: $e)")
-          throw new java.io.IOException(
-            s"snapshot merge: manifest write to $target failed", e)
-      }
-      v
+      GraftLogStore.forSession(spark).createAtomic(fs, target,
+        (metaLines ++ body).mkString("\n").getBytes("UTF-8"))
     }
-    def lostRace(v: Int, e: java.io.IOException): Boolean = {
-      val t = new Path(logDir(path), manifestName(v))
-      if (fs.exists(t)) true else throw e
-    }
-    try return attempt(version, keptRefs, loose)
-    catch {
-      case e: java.io.IOException if lostRace(version, e) => ()
-    }
+    if (attempt(version, keptRefs, loose)) return version
     val cs = resolve.getOrElse(
       throw new java.util.ConcurrentModificationException(
         s"snapshot table at $path advanced past version ${version - 1} " +
@@ -2444,28 +2414,35 @@ object SnapshotTable {
       val looseR = taggedL.collect {
         case (e2, sOpt) if !touchedSet.contains(e2) &&
           sOpt.forall(dirty.contains) => e2 }
-      try return attempt(latest + 1, keptR, looseR ++ cs.newLines)
-      catch {
-        case e2: java.io.IOException if lostRace(latest + 1, e2) =>
-          tries += 1
-      }
+      if (attempt(latest + 1, keptR, looseR ++ cs.newLines))
+        return latest + 1
+      tries += 1
     }
     sys.error(s"snapshot commit: gave up after $tries rebase conflicts")
   }
 
-  /** The newest version committed at or before `tsMillis` (manifest
-    * mtime = the commit's publication instant, since the exclusive
-    * create IS the commit). Fails if the table did not exist yet at
+  /** A commit's publication instant: the `#ts=` meta every modern
+    * writer stamps INTO the manifest — durable across backup/restore
+    * round-trips that rewrite filesystem mtimes (Delta stores the
+    * timestamp in the commit for the same reason). Legacy manifests
+    * without the meta fall back to the manifest's mtime (the
+    * exclusive create WAS the commit). */
+  private def commitInstant(fs: FileSystem, path: String, v: Int): Long =
+    readMeta(fs, path, v).get("ts")
+      .flatMap(t => scala.util.Try(t.toLong).toOption)
+      .getOrElse(fs.getFileStatus(
+        new Path(logDir(path), manifestName(v))).getModificationTime)
+
+  /** The newest version committed at or before `tsMillis` (per
+    * [[commitInstant]] — in-manifest timestamps, mtime only for
+    * legacy commits). Fails if the table did not exist yet at
     * that time, or the version has been vacuumed. */
   def versionAsOf(spark: SparkSession, path: String,
       tsMillis: Long): Int = {
     val fs = fsOf(spark, logDir(path))
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    val committed = vs.filter { v =>
-      fs.getFileStatus(new Path(logDir(path), manifestName(v)))
-        .getModificationTime <= tsMillis
-    }
+    val committed = vs.filter(v => commitInstant(fs, path, v) <= tsMillis)
     require(committed.nonEmpty,
       s"no version of $path existed at $tsMillis (oldest kept commit " +
         s"is newer — vacuumed, or the table came later)")
@@ -2509,7 +2486,9 @@ object SnapshotTable {
     * value would mislabel the commit); timestamp is the manifest's
     * publication mtime (the create-exclusive write IS the commit);
     * n_files counts entries ref-aware without resolving segments.
-    * Pure metadata: O(log length) driver work, no data I/O. */
+    * Timestamp is [[commitInstant]] — the `#ts=` meta modern commits
+    * carry, mtime only for legacy manifests. Pure metadata: O(log
+    * length) driver work, no data I/O. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
@@ -2519,8 +2498,7 @@ object SnapshotTable {
       // merges this commit's keys last), so inheritance can never
       // mislabel a commit with its predecessor's operation
       val op = readMeta(fs, path, v).get("op").orNull
-      val ts = fs.getFileStatus(
-        new Path(logDir(path), manifestName(v))).getModificationTime
+      val ts = commitInstant(fs, path, v)
       val n = refAwareCount(fs, path, v)
       org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts), op, n)
     }
@@ -2594,10 +2572,13 @@ object SnapshotTable {
     val schema = storedSchema(fs, path, v)
     val st = schema.getOrElse(read(spark, path, Some(v)).schema)
     val pred = resolvedPredicate(spark, st, predicate)
+    // compiled ONCE; evaluated per entry (the Expression walk was
+    // ~40% of full-parse planning cost at 1M entries — r11 probe)
+    val cp = compilePred(pred)
     val needBloom = predHasEquality(pred)
     def entryOk(e: String,
         side: Map[String, Map[String, (Int, Int, Array[Byte])]]): Boolean =
-      mayMatch(pred, entryPartitionValues(entryPath(e)),
+      cp.eval(entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), schema),
         relabelStats(entryStringStats(e), schema),
         relabelStats(entryBloomStats(e) ++
@@ -2641,10 +2622,10 @@ object SnapshotTable {
         val agg = l.stripPrefix(SegPrefix)
         // the uniform partition tuple prunes segments here exactly as
         // it does in the lazy FileIndex (absent/malformed = unknown)
-        val segOk = mayMatch(pred,
+        val segOk = cp.eval(
           refPartValues(l).getOrElse(Map.empty),
           relabelStats(entryStats(agg), schema),
-          relabelStats(entryStringStats(agg), schema))
+          relabelStats(entryStringStats(agg), schema), Map.empty)
         if (!segOk) { total += math.max(n, 1); Nil }
         else {
           // sidecar bitsets load only for equality probes that reach
@@ -2660,7 +2641,7 @@ object SnapshotTable {
           val refuted: Set[String] =
             if (side.isEmpty) Set.empty
             else side.iterator.filter { case (_, bl) =>
-              !mayMatch(pred, Map.empty, Map.empty, Map.empty,
+              !cp.eval(Map.empty, Map.empty, Map.empty,
                 relabelStats(bl, schema))
             }.map(_._1).toSet
           if (side.nonEmpty && n > 0 && refuted.size >= n) {
@@ -2686,10 +2667,11 @@ object SnapshotTable {
   /** The distributed half of [[readWherePruned]]: driver-side
     * segment-level refutation from list aggregates, then one Spark
     * job parses the surviving segments' entry lines and applies the
-    * SAME conservative evaluator per entry (the resolved predicate
-    * Expression ships in the task closure — Catalyst trees are plain
-    * serializable case classes, and [[mayMatch]] only folds constants
-    * and compares, never touching session state). Returns (kept entry
+    * SAME conservative evaluator per entry (the predicate is
+    * [[compilePred]]-compiled ONCE on the driver and the COMPILED
+    * form ships in the task closure — plain serializable case
+    * classes holding pre-folded constants, smaller and cheaper than
+    * the Expression tree, never touching session state). Returns (kept entry
     * lines, total files). Planning cost: O(#segments) driver +
     * O(surviving entries / parallelism) per executor — flat in table
     * size for a fixed cluster-to-metadata ratio. */
@@ -2704,10 +2686,13 @@ object SnapshotTable {
     val livePaths = scala.collection.mutable.ArrayBuffer[String]()
     val sidePaths = scala.collection.mutable.ArrayBuffer[String]()
     val needBloom = predHasEquality(pred)
+    // compiled ONCE on the driver; the job ships the compiled form
+    // (plain serializable case classes, smaller than the Expression)
+    val cp = compilePred(pred)
     refs.foreach { l =>
       if (!l.startsWith(SegPrefix)) {
         total += 1
-        if (mayMatch(pred, entryPartitionValues(entryPath(l)),
+        if (cp.eval(entryPartitionValues(entryPath(l)),
             relabelStats(entryStats(l), schema),
             relabelStats(entryStringStats(l), schema),
             relabelStats(entryBloomStats(l), schema)))
@@ -2716,9 +2701,9 @@ object SnapshotTable {
         val n = math.max(refCount(l), 1)
         total += n
         val agg = l.stripPrefix(SegPrefix)
-        if (mayMatch(pred, refPartValues(l).getOrElse(Map.empty),
+        if (cp.eval(refPartValues(l).getOrElse(Map.empty),
             relabelStats(entryStats(agg), schema),
-            relabelStats(entryStringStats(agg), schema))) {
+            relabelStats(entryStringStats(agg), schema), Map.empty)) {
           livePaths += new Path(path, refRel(l)).toString
           if (needBloom)
             refBloomRel(l).foreach(r =>
@@ -2734,7 +2719,7 @@ object SnapshotTable {
         // closure captures only it and the predicate tree
         val p2l: Map[String, String] = schema.toSeq
           .flatMap(_.fields.map(f => physName(f) -> f.name)).toMap
-        val predSer = pred
+        val cpSer = cp
         def rlFor[T](m: Map[String, T]): Map[String, T] =
           if (p2l.isEmpty) m
           else m.map { case (k2, v2) => p2l.getOrElse(k2, k2) -> v2 }
@@ -2743,7 +2728,7 @@ object SnapshotTable {
         if (sidePaths.isEmpty) {
           val kept = entriesDs.filter { line =>
             val (num, str, bl) = parseEntryStats(line)
-            mayMatch(predSer, entryPartitionValues(entryPath(line)),
+            cpSer.eval(entryPartitionValues(entryPath(line)),
               rlFor(num), rlFor(str), rlFor(bl))
           }.collect().toSeq
           kept
@@ -2768,7 +2753,7 @@ object SnapshotTable {
                 if (bline == null)
                   Map.empty[String, (Int, Int, Array[Byte])]
                 else entryBloomStats(bline)
-              mayMatch(predSer, entryPartitionValues(entryPath(line)),
+              cpSer.eval(entryPartitionValues(entryPath(line)),
                 rlFor(num), rlFor(str), rlFor(bl ++ side))
             }
             .map(_._1).collect().toSeq
@@ -2795,18 +2780,101 @@ object SnapshotTable {
   }
 
   /** Conservative may-contain-a-matching-row test for one file's
-    * metadata. Sound by construction: every unknown shape returns
-    * true (keep the file); false only when the partition value or the
-    * cached column range PROVES no row can satisfy the predicate.
-    * Comparison operands are handled as attribute-vs-FOLDABLE — a
-    * `lit("1996-01-01").cast("timestamp")` analyzes to a Cast, not a
-    * Literal, and folding evaluates it to the typed value the range
-    * test needs (timestamps as micros, dates as days). */
+    * metadata — the one-shot convenience over [[compilePred]]. Hot
+    * loops (per-entry planning) must compile ONCE and evaluate the
+    * [[CPred]] per entry instead: the r11 close-of-round probe put
+    * interpreted Expression re-walking at ~40% of full-parse planning
+    * cost at 1M entries. */
   private[graft] def mayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
       parts: Map[String, String], stats: Map[String, (Long, Long)],
       strStats: Map[String, (Array[Byte], Array[Byte])] = Map.empty,
       blooms: Map[String, (Int, Int, Array[Byte])] = Map.empty)
-      : Boolean = {
+      : Boolean = compilePred(e).eval(parts, stats, strStats, blooms)
+
+  /** A pruning predicate COMPILED from the resolved Catalyst tree:
+    * may-contain-a-matching-row evaluation against one file's
+    * metadata, with all tree walking, constant folding and cast
+    * conversion paid once at compile time — per-entry evaluation is
+    * plain map lookups and comparisons. Nodes are serializable case
+    * classes, so the distributed planning job ships the compiled form
+    * (smaller and cheaper than the Expression it came from). */
+  private[graft] sealed trait CPred extends Serializable {
+    def eval(parts: Map[String, String],
+        stats: Map[String, (Long, Long)],
+        strStats: Map[String, (Array[Byte], Array[Byte])],
+        blooms: Map[String, (Int, Int, Array[Byte])]): Boolean
+  }
+  /** Unknown shape / unprovable — always keep the file (sound). */
+  private[graft] case object CKeep extends CPred {
+    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])]): Boolean = true
+  }
+  /** Provably no match for ANY file (e.g. comparison with NULL). */
+  private[graft] case object CDrop extends CPred {
+    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])]): Boolean = false
+  }
+  private[graft] final case class CAnd(l: CPred, r: CPred) extends CPred {
+    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
+      l.eval(p, s, ss, b) && r.eval(p, s, ss, b)
+  }
+  private[graft] final case class COr(l: CPred, r: CPred) extends CPred {
+    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
+      l.eval(p, s, ss, b) || r.eval(p, s, ss, b)
+  }
+  /** IN / InSet: any element may match (flat vector, no tree depth on
+    * thousand-element lists). */
+  private[graft] final case class CAny(leaves: Vector[CPred]) extends CPred {
+    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
+      leaves.exists(_.eval(p, s, ss, b))
+  }
+  /** One attr-vs-constant comparison, the constant already folded AND
+    * converted down the attribute's cast chain into the native domain
+    * of the cached stats (op rewritten by the conversion where
+    * required — see the compile-time `unconvert`). `v` is never null
+    * (null comparisons compile to [[CDrop]]). */
+  private[graft] final case class CCmp(name: String, op: String,
+      v: Any, dt: types.DataType) extends CPred {
+    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
+      cmpMeta(name, op, v, dt, p, s, ss, b)
+  }
+  /** startsWith on a direct string attribute: `dirPrefix` is the
+    * partition-dir rendering of the prefix; `pbLow`/`pbUpper` bound
+    * the byte interval [P, inc(P)) against cached string stats
+    * (`pbUpper` null = prefix all-0xFF, upper bound unbounded). */
+  private[graft] final case class CStarts(name: String, dirPrefix: String,
+      pbLow: Array[Byte], pbUpper: Array[Byte]) extends CPred {
+    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])]): Boolean = {
+      val byDir = p.get(name).forall(_.startsWith(dirPrefix))
+      val byRange = ss.get(name).forall { case (lo, hi) =>
+        bytesLe(pbLow, hi) && (pbUpper == null || bytesLt(lo, pbUpper))
+      }
+      byDir && byRange
+    }
+  }
+
+  /** Compile a resolved predicate into a [[CPred]]. Sound by
+    * construction, exactly as the interpreted evaluator it replaces:
+    * every unknown shape compiles to keep-the-file; a provably-false
+    * comparison (NULL operand) compiles to drop. Comparison operands
+    * are handled as attribute-vs-FOLDABLE — a
+    * `lit("1996-01-01").cast("timestamp")` analyzes to a Cast, not a
+    * Literal, and folding evaluates it to the typed value the range
+    * test needs (timestamps as micros, dates as days). */
+  private[graft] def compilePred(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): CPred = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     // attribute reached through zero or more casts, casts collected
@@ -2840,28 +2908,6 @@ object SnapshotTable {
       }
       if (!y.foldable) None
       else scala.util.Try(y.eval(null)).toOption.map(v => (v, y.dataType))
-    }
-    def asNum(v: Any): Option[Double] = v match {
-      case i: java.lang.Integer => Some(i.toDouble)
-      case l: java.lang.Long => Some(l.toDouble)
-      case sh: java.lang.Short => Some(sh.toDouble)
-      case b: java.lang.Byte => Some(b.toDouble)
-      case f: java.lang.Float => Some(f.toDouble)
-      case d: java.lang.Double => Some(d)
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-      case _ => None
-    }
-    // exact integral view of a constant — Long arithmetic, NOT Double:
-    // above 2^53 distinct longs collapse to one double, and a strict
-    // comparison on the rounded value can FALSELY prune (hi = 2^53+1,
-    // predicate col > 2^53: hi.toDouble > x is false). Snowflake-style
-    // 1e18 ids hit this for real (ulp there is 128).
-    def asLongExact(v: Any): Option[Long] = v match {
-      case i: java.lang.Integer => Some(i.toLong)
-      case l: java.lang.Long => Some(l.longValue)
-      case sh: java.lang.Short => Some(sh.toLong)
-      case b: java.lang.Byte => Some(b.toLong)
-      case _ => None
     }
     // step a folded constant from a cast's OUTPUT domain into its
     // CHILD's native domain (the domain of the cached stats and the
@@ -2979,14 +3025,141 @@ object SnapshotTable {
         case _ => None
       }
     }
-    // range test against cached [lo, hi]; partition-value test against
-    // the escaped dir string (numeric-aware when both sides parse)
-    def cmp(name: String, op: String, vd: (Any, types.DataType)): Boolean = {
-      val (v, dt) = vd
-      // a comparison with NULL is never TRUE - provably no match,
-      // whatever the column's metadata says
-      if (v == null) return false
-      val byStats = stats.get(name).map { case (lo, hi) =>
+    // simplifying connectives: compile-time CKeep/CDrop absorption
+    // keeps eval trees minimal (And(keep, x) = x, Or(keep, _) = keep)
+    def cand(a: CPred, b: CPred): CPred = (a, b) match {
+      case (CKeep, x) => x
+      case (x, CKeep) => x
+      case (CDrop, _) => CDrop
+      case (_, CDrop) => CDrop
+      case _ => CAnd(a, b)
+    }
+    def cor(a: CPred, b: CPred): CPred = (a, b) match {
+      case (CKeep, _) => CKeep
+      case (_, CKeep) => CKeep
+      case (CDrop, x) => x
+      case (x, CDrop) => x
+      case _ => COr(a, b)
+    }
+    def cany(leaves: Seq[CPred]): CPred =
+      if (leaves.contains(CKeep)) CKeep
+      else {
+        val live = leaves.filterNot(_ == CDrop).toVector
+        if (live.isEmpty) CDrop
+        else if (live.size == 1) live.head
+        else CAny(live)
+      }
+    def flip(op: String): String = op match {
+      case ">" => "<"
+      case ">=" => "<="
+      case "<" => ">"
+      case "<=" => ">="
+      case other => other
+    }
+    // convert a constant down the attribute side's cast chain at
+    // COMPILE time; an unconvertible cast keeps the file (sound), a
+    // NULL constant is provably no-match for every file
+    def mkLeaf(n: String, casts: List[Cast], vd: (Any, types.DataType),
+        op: String): CPred =
+      casts.foldLeft(Option((vd._1, vd._2, op))) { (acc, c) =>
+        acc.flatMap { case (v, dt, o) => unconvert(c, v, dt, o) }
+      } match {
+        case Some((null, _, _)) => CDrop
+        case Some((v, dt, o)) => CCmp(n, o, v, dt)
+        case None => CKeep
+      }
+    // attr-vs-constant in either order; anything else keeps the file
+    def leafSides(l: Expression, r: Expression, op: String): CPred =
+      (attrThroughCasts(l, Nil), attrThroughCasts(r, Nil)) match {
+        case (Some((n, cs)), None) =>
+          foldVal(r).map(mkLeaf(n, cs, _, op)).getOrElse(CKeep)
+        case (None, Some((n, cs))) =>
+          foldVal(l).map(mkLeaf(n, cs, _, flip(op))).getOrElse(CKeep)
+        case _ => CKeep
+      }
+    def go(x: Expression): CPred = x match {
+      case And(l, r) => cand(go(l), go(r))
+      case Or(l, r) => cor(go(l), go(r))
+      case EqualTo(l, r) => leafSides(l, r, "=")
+      case GreaterThan(l, r) => leafSides(l, r, ">")
+      case GreaterThanOrEqual(l, r) => leafSides(l, r, ">=")
+      case LessThan(l, r) => leafSides(l, r, "<")
+      case LessThanOrEqual(l, r) => leafSides(l, r, "<=")
+      case In(a, ls) if attrName(a).isDefined =>
+        if (ls.exists(l => foldVal(l).isEmpty)) CKeep // non-constant: keep
+        else cany(ls.map(l => leafSides(a, l, "=")))
+      case InSet(a, vs) if attrName(a).isDefined =>
+        // optimizer form of IN (large literal lists); values are raw,
+        // typed in the (possibly cast) attribute side's OUTPUT domain
+        val (n, cs) = attrThroughCasts(a, Nil).get
+        cany(vs.toSeq.map(v => mkLeaf(n, cs, (v, a.dataType), "=")))
+      case StartsWith(a, pfx)
+          if attrThroughCasts(a, Nil).exists(_._2.isEmpty) =>
+        // direct string attribute only: through a cast the dir/stat
+        // rendering need not match the cast's, so the file is kept
+        foldVal(pfx) match {
+          case Some((p, _)) if p != null =>
+            // strings with byte prefix P live in [P, inc(P)): the
+            // file may hold one iff its byte bounds overlap that
+            // interval (all comparisons unsigned byte-lexicographic)
+            val pb = p match {
+              case u: org.apache.spark.unsafe.types.UTF8String =>
+                u.getBytes
+              case other => other.toString.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+            }
+            val i = pb.lastIndexWhere(b => (b & 0xFF) < 0xFF)
+            val upper =
+              if (i < 0) null
+              else pb.take(i) :+ (pb(i) + 1).toByte
+            CStarts(attrName(a).get, partitionPathValue(p),
+              pb.take(StrStatMax), upper)
+          case Some((null, _)) => CDrop
+          case _ => CKeep
+        }
+      case _ => CKeep
+    }
+    go(e)
+  }
+
+  private def asNum(v: Any): Option[Double] = v match {
+    case i: java.lang.Integer => Some(i.toDouble)
+    case l: java.lang.Long => Some(l.toDouble)
+    case sh: java.lang.Short => Some(sh.toDouble)
+    case b: java.lang.Byte => Some(b.toDouble)
+    case f: java.lang.Float => Some(f.toDouble)
+    case d: java.lang.Double => Some(d)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+  // exact integral view of a constant — Long arithmetic, NOT Double:
+  // above 2^53 distinct longs collapse to one double, and a strict
+  // comparison on the rounded value can FALSELY prune (hi = 2^53+1,
+  // predicate col > 2^53: hi.toDouble > x is false). Snowflake-style
+  // 1e18 ids hit this for real (ulp there is 128).
+  private def asLongExact(v: Any): Option[Long] = v match {
+    case i: java.lang.Integer => Some(i.toLong)
+    case l: java.lang.Long => Some(l.longValue)
+    case sh: java.lang.Short => Some(sh.toLong)
+    case b: java.lang.Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** [[CCmp]]'s runtime: range test against cached [lo, hi];
+    * partition-value test against the escaped dir string
+    * (numeric-aware when both sides parse); bloom point-lookup for
+    * equality. The constant arrives pre-folded and pre-converted into
+    * the stats' native domain. */
+  private def cmpMeta(name: String, op: String, v: Any,
+      dt: types.DataType, parts: Map[String, String],
+      stats: Map[String, (Long, Long)],
+      strStats: Map[String, (Array[Byte], Array[Byte])],
+      blooms: Map[String, (Int, Int, Array[Byte])]): Boolean = {
+    // a comparison with NULL is never TRUE - provably no match,
+    // whatever the column's metadata says (compiled to CDrop, this
+    // guard is belt-and-braces)
+    if (v == null) return false
+    val byStats = stats.get(name).map { case (lo, hi) =>
         asLongExact(v) match {
           case Some(x) => op match { // exact Long axis, no 2^53 rounding
             case "=" => lo <= x && x <= hi
@@ -3075,83 +3248,8 @@ object SnapshotTable {
           }
         }
       }
-      (byStats.toSeq ++ byStr.toSeq ++ byPart.toSeq ++ byBloom.toSeq)
-        .forall(identity)
-    }
-    def flip(op: String): String = op match {
-      case ">" => "<"
-      case ">=" => "<="
-      case "<" => ">"
-      case "<=" => ">="
-      case other => other
-    }
-    // convert a constant down the attribute side's cast chain, then
-    // range-test; an unconvertible cast keeps the file (sound)
-    def cmpThroughCasts(n: String, casts: List[Cast],
-        vd: (Any, types.DataType), op: String): Boolean =
-      casts.foldLeft(Option((vd._1, vd._2, op))) { (acc, c) =>
-        acc.flatMap { case (v, dt, o) => unconvert(c, v, dt, o) }
-      } match {
-        case Some((v, dt, o)) => cmp(n, o, (v, dt))
-        case None => true
-      }
-    // attr-vs-constant in either order; anything else keeps the file
-    def sides(l: Expression, r: Expression, op: String): Boolean =
-      (attrThroughCasts(l, Nil), attrThroughCasts(r, Nil)) match {
-        case (Some((n, cs)), None) =>
-          foldVal(r).map(cmpThroughCasts(n, cs, _, op)).getOrElse(true)
-        case (None, Some((n, cs))) =>
-          foldVal(l).map(cmpThroughCasts(n, cs, _, flip(op))).getOrElse(true)
-        case _ => true
-      }
-    def go(x: Expression): Boolean = x match {
-      case And(l, r) => go(l) && go(r)
-      case Or(l, r) => go(l) || go(r)
-      case EqualTo(l, r) => sides(l, r, "=")
-      case GreaterThan(l, r) => sides(l, r, ">")
-      case GreaterThanOrEqual(l, r) => sides(l, r, ">=")
-      case LessThan(l, r) => sides(l, r, "<")
-      case LessThanOrEqual(l, r) => sides(l, r, "<=")
-      case In(a, ls) if attrName(a).isDefined =>
-        ls.forall(l => foldVal(l).isDefined) &&
-          ls.exists(l => sides(a, l, "=")) ||
-          ls.exists(l => foldVal(l).isEmpty) // non-constant element: keep
-      case InSet(a, vs) if attrName(a).isDefined =>
-        // optimizer form of IN (large literal lists); values are raw,
-        // typed in the (possibly cast) attribute side's OUTPUT domain
-        val (n, cs) = attrThroughCasts(a, Nil).get
-        vs.exists(v => cmpThroughCasts(n, cs, (v, a.dataType), "="))
-      case StartsWith(a, pfx)
-          if attrThroughCasts(a, Nil).exists(_._2.isEmpty) =>
-        // direct string attribute only: through a cast the dir/stat
-        // rendering need not match the cast's, so the file is kept
-        foldVal(pfx) match {
-          case Some((p, _)) if p != null =>
-            val byDir = parts.get(attrName(a).get)
-              .forall(dir => dir.startsWith(partitionPathValue(p)))
-            // strings with byte prefix P live in [P, inc(P)): the
-            // file may hold one iff its byte bounds overlap that
-            // interval (all comparisons unsigned byte-lexicographic)
-            val pb = p match {
-              case u: org.apache.spark.unsafe.types.UTF8String =>
-                u.getBytes
-              case other => other.toString.getBytes(
-                java.nio.charset.StandardCharsets.UTF_8)
-            }
-            val byRange =
-              strStats.get(attrName(a).get).forall { case (lo, hi) =>
-                val i = pb.lastIndexWhere(b => (b & 0xFF) < 0xFF)
-                val upperOk = i < 0 ||
-                  bytesLt(lo, pb.take(i) :+ (pb(i) + 1).toByte)
-                bytesLe(pb.take(StrStatMax), hi) && upperOk
-              }
-            byDir && byRange
-          case Some((null, _)) => false
-          case _ => true
-        }
-      case _ => true
-    }
-    go(e)
+    (byStats.toSeq ++ byStr.toSeq ++ byPart.toSeq ++ byBloom.toSeq)
+      .forall(identity)
   }
 
   /** Layout maintenance as a snapshot commit: rewrite the latest
@@ -3209,6 +3307,46 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    catalystRelationParts(spark, path, v) match {
+      case None => read(spark, path, Some(v))
+      case Some((relation, dvRels, st)) =>
+        val raw =
+          org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
+        // deletion-vector mask: same anti-join as the classic reader,
+        // keyed on the scan's own metadata row coordinates
+        val masked =
+          if (dvRels.isEmpty) raw
+          else applyDvMask(spark, path,
+            raw.select(col("*"),
+              col("_metadata.file_name").as("__file"),
+              col("_metadata.row_index").as("__pos")),
+            dvRels)
+        // restore logical names, stored column order and types (drops
+        // the row-coordinate helper columns; casts are no-ops on
+        // unmapped, unwidened tables and fold away)
+        masked.select(st.fields.toSeq.map(f =>
+          col(physName(f)).cast(nullifyAny(f.dataType)).as(f.name)): _*)
+    }
+  }
+
+  /** The Catalyst-integrated pieces of a version: its files as a
+    * [[GraftFileIndex]]-backed HadoopFsRelation, the deletion-vector
+    * rels the caller must mask, and the stored schema. None = version
+    * not expressible as a plain-files relation (empty manifest,
+    * unsupported partition type) — callers fall back to [[read]].
+    *
+    * The relation's dataSchema keeps partition fields IN PLACE under
+    * their logical names: HadoopFsRelation's overlapped-partition-
+    * column rule sources their values from the index's directory
+    * metadata while the merged schema preserves the STORED column
+    * order — so the relation is usable directly as a front-door
+    * BaseRelation, not only under [[readCatalyst]]'s reordering
+    * projection. Non-partition fields scan under PHYSICAL names
+    * (evolved tables' files carry stable physical names; partition
+    * columns can't be renamed). */
+  private[graft] def catalystRelationParts(spark: SparkSession,
+      path: String, v: Int): Option[(org.apache.spark.sql.execution
+        .datasources.HadoopFsRelation, Seq[String], types.StructType)] = {
     val fs = fsOf(spark, logDir(path))
     // planning reads the manifest LIST only — segment refs stay
     // unresolved unless something below genuinely needs their entries
@@ -3223,7 +3361,7 @@ object SnapshotTable {
       (partCols.isEmpty || (schemaOpt.exists(s =>
         partCols.forall(c => s.fieldNames.contains(c) &&
           GraftFileIndex.supportedPartType(s(c).dataType)))))
-    if (!catalystEligible) return read(spark, path, Some(v))
+    if (!catalystEligible) return None
     // legacy logs without a stored schema are always FLAT (segmented
     // manifests postdate schema tracking), so this fallback never
     // forces segment resolution
@@ -3232,13 +3370,10 @@ object SnapshotTable {
         readManifest(fs, path, v).map(entryPath)).schema)
     val partSchema = nullify(types.StructType(
       partCols.map(c => st(st.fieldIndex(c)))))
-    // the scan schema is PHYSICAL: evolved tables' files carry stable
-    // physical names (partition columns can't be renamed, so their
-    // dirs keep logical names); the projection below restores the
-    // logical view, and Catalyst pushes predicates through it
     val dataSchema = nullify(types.StructType(
-      st.fields.filterNot(f => partCols.contains(f.name))
-        .map(f => f.copy(name = physName(f)))))
+      st.fields.map(f =>
+        if (partCols.contains(f.name)) f
+        else f.copy(name = physName(f)))))
     val fsD = fsOf(spark, new Path(path))
     def entryInfo(e: String): GraftFileIndex.EntryInfo = {
       val rel = entryPath(e)
@@ -3277,29 +3412,37 @@ object SnapshotTable {
         new org.apache.spark.sql.execution.datasources.parquet
           .ParquetFileFormat(),
         Map.empty[String, String])(spark)
-    val raw = org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
-    // deletion-vector mask: same anti-join as the classic reader,
-    // keyed on the scan's own metadata row coordinates. Only segments
-    // whose hasdv flag is true (or absent — legacy) resolve here; the
+    // deletion-vector rels the caller must mask. Only segments whose
+    // hasdv flag is true (or absent — legacy) resolve here; the
     // common clean path stays pure list metadata.
     val dvRels = refs.flatMap { l =>
       if (!l.startsWith(SegPrefix)) entryDvs(l)
       else if (refHasDv(l).contains(false)) Nil
       else segEntries(fs, path, refRel(l)).flatMap(entryDvs)
     }.distinct
-    val masked =
-      if (dvRels.isEmpty) raw
-      else applyDvMask(spark, path,
-        raw.select(col("*"),
-          col("_metadata.file_name").as("__file"),
-          col("_metadata.row_index").as("__pos")),
-        dvRels)
-    // restore logical names, stored column order and types (drops the
-    // row-coordinate helper columns; casts are no-ops on unmapped,
-    // unwidened tables and fold away)
-    masked.select(st.fields.toSeq.map(f =>
-      col(physName(f)).cast(nullifyAny(f.dataType)).as(f.name)): _*)
+    Some((relation, dvRels, st))
   }
+
+  /** The version as a bare HadoopFsRelation when that is EXACTLY
+    * equivalent to [[read]] — no deletion vectors to mask and no
+    * column mapping to restore (both need a projection ABOVE the scan
+    * that a BaseRelation cannot carry). The registered data source
+    * uses this as its read path, so `format("graft")` serves native
+    * columnar parquet scans (vectorized reader, whole-stage codegen,
+    * planning-time manifest pruning through [[GraftFileIndex]],
+    * partition pruning and DPP) instead of a V1 row-materializing
+    * scan — the same front-door shape as Delta's
+    * `DeltaLog.createRelation`. None = DV'd, mapped, or
+    * Catalyst-ineligible version; callers fall back to the
+    * row-translating relation, which is always correct. */
+  private[graft] def frontDoorRelation(spark: SparkSession, path: String,
+      version: Int): Option[org.apache.spark.sql.sources.BaseRelation] =
+    catalystRelationParts(spark, path, version).collect {
+      case (relation, dvRels, st)
+          if dvRels.isEmpty && st.fields.forall(f => physName(f) == f.name)
+            && relation.schema.fieldNames.sameElements(st.fieldNames) =>
+        relation
+    }
 
   /** OPTIMIZE ZORDER: rewrite the latest version along the z-curve of
     * `zCols` as a new snapshot commit (the lakehouse maintenance verb

@@ -450,6 +450,61 @@ class DedupSimSpec extends SparkSpec {
     assert(hits >= 90, s"HNSW recall@5 regressed: $hits/100")
   }
 
+  test("GraphAnn.insert: incremental batch links into touched shards " +
+      "only; recall holds; deterministic") {
+    import graft.operators.{GraphAnn, Similarity}
+    // build on the old corpus, insert the rest as an ingest batch
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val base = GraphAnn.build(old, "vec_id", "embedding",
+      nShards = 4, m = 8, efC = 48)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard", "id", "nbrs", "upper", "unbrs").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toList,
+        r.getBoolean(3), r.getSeq[Long](4).toList))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val upd = GraphAnn.insert(base, batch, "vec_id", "embedding",
+      nShards = 4, m = 8, efC = 48)
+    // deterministic: the same insert twice produces identical graphs
+    assert(rows(upd) === rows(GraphAnn.insert(base, batch,
+      "vec_id", "embedding", nShards = 4, m = 8, efC = 48)))
+    // every vector indexed exactly once
+    assert(upd.count() === emb.count())
+    assert(upd.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() === 0)
+    // batch ids are hash-sharded: vec_id % 10 == 0 lands only in
+    // shards {0, 2} of 4 — shards 1 and 3 must pass through VERBATIM
+    // (the persist-only-touched-partitions contract)
+    val untouchedBefore = rows(base).filter(t => t._1 == 1 || t._1 == 3)
+    val untouchedAfter = rows(upd).filter(t => t._1 == 1 || t._1 == 3)
+    assert(untouchedAfter === untouchedBefore,
+      "untouched shards must not be re-linked")
+    // the inserted vectors are FINDABLE: querying with the new
+    // vectors themselves, recall@5 vs the exact arm over the full
+    // corpus stays high (new nodes are linked, not just appended)
+    val queries = emb.filter(col("vec_id") % 10 === 0 &&
+      col("vec_id") < 200)
+    val approx = GraphAnn.search(upd, queries, "vec_id", "embedding",
+        k = 5, ef = 64)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = approx.count(exact.contains)
+    assert(hits >= (exact.size * 8) / 10,
+      s"post-insert recall@5 regressed: $hits/${exact.size}")
+    // and new nodes surface as NEIGHBORS too: some result cites an
+    // inserted id for a non-inserted query
+    val oldQueries = emb.filter(col("vec_id") % 10 === 1 &&
+      col("vec_id") < 200)
+    val fromOld = GraphAnn.search(upd, oldQueries, "vec_id",
+        "embedding", k = 5, ef = 64)
+      .filter(col("corpus_id") % 10 === 0).count()
+    assert(fromOld > 0, "inserted vectors never appear in results")
+  }
+
   test("bloom decontamination plan: codegen'd might_contain prefilter + " +
       "shuffle (not broadcast) verify join") {
     val bench = docs.filter(col("doc_id") % 50 === 0)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.SnapshotTable
+import graft.sources.{GraftRelation, SnapshotTable}
 
 /** Gates for the versioned snapshot table: commit visibility, time
   * travel, optimize-as-commit, vacuum, and the create-exclusive
@@ -1338,6 +1338,20 @@ class SnapshotTableSpec extends SparkSpec {
       .write.format("graft").mode("append").save(path)
     val df = spark.read.format("graft").load(path)
     assert(df.count() === 1100)
+    // FRONT DOOR: a clean version resolves to the GraftFileIndex-
+    // backed HadoopFsRelation — native columnar scan, not a V1
+    // row-materializing RDD scan — and the overlapped-partition-column
+    // rule keeps the mid-schema partition column in stored order
+    assert(df.columns.toSeq === Seq("id", "grp", "v"))
+    assert(df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]))
+    val planStr = df.filter(col("grp") === "g1" && col("id") < 100L)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("FileScan parquet"), planStr)
+    assert(!planStr.contains("ExistingRDD"), planStr)
     // pushed partition + range filters ride the manifest machinery
     assert(df.filter(col("grp") === "g1" && col("id") < 100L)
       .count() === 25)
@@ -1347,10 +1361,16 @@ class SnapshotTableSpec extends SparkSpec {
     // time travel via options
     assert(spark.read.format("graft").option("versionAsOf", "0")
       .load(path).count() === 1000)
-    // deletion vectors mask through the format
+    // deletion vectors mask through the format — a DV'd version falls
+    // back to the always-correct V1 relation (the mask needs a
+    // projection above the scan that a BaseRelation cannot carry)
     SnapshotTable.deleteMoR(spark, path, col("id") === 7L)
-    assert(spark.read.format("graft").load(path)
-      .filter(col("id") === 7L).count() === 0)
+    val dvd = spark.read.format("graft").load(path)
+    assert(dvd.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.exists(_.isInstanceOf[GraftRelation]))
+    assert(dvd.filter(col("id") === 7L).count() === 0)
     // overwrite + errorIfExists modes
     rows.limit(10).write.format("graft").mode("overwrite").save(path)
     assert(spark.read.format("graft").load(path).count() === 10)
@@ -1373,6 +1393,171 @@ class SnapshotTableSpec extends SparkSpec {
         "SELECT count(*) AS n FROM graft_ds_spec WHERE tag IS NOT NULL")
         .head.getLong(0) === 5)
     } finally spark.sql("DROP TABLE graft_ds_spec")
+  }
+
+  test("data source pushdown: Not over a partially-translatable And " +
+      "must not prune matching rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq,
+      Not => FNot, StringContains}
+    val path = freshPath("notpolarity")
+    // grp='g1' rows split between uid containing 'x' and not: the
+    // buggy translation !(grp='g1') would prune ALL g1 files, losing
+    // the g1-without-x rows the original predicate keeps
+    val rows = (0L until 400L)
+      .map(i => (i, s"g${i % 4}", if (i % 2 == 0) s"x$i" else s"u$i"))
+      .toDF("id", "grp", "uid")
+    SnapshotTable.create(
+      rows.repartition(8, col("grp")), path, partitionBy = Seq("grp"))
+    val rel = new GraftRelation(spark.sqlContext, path,
+      SnapshotTable.versions(spark, path).max)
+    // the exactness contract itself: partial And is pushable but
+    // inexact; Not over it refuses to push
+    assert(rel.toColumn(FAnd(FEq("grp", "g1"),
+      StringContains("uid", "x"))).exists(_._2 == false))
+    assert(rel.toColumn(FNot(FAnd(FEq("grp", "g1"),
+      StringContains("uid", "x")))).isEmpty)
+    // end-to-end: a pushed Not(And(translatable, untranslatable))
+    // returns a SUPERSET of the matching rows — every row satisfying
+    // !(grp='g1' AND uid LIKE '%x%') must come back from the scan
+    val got = rel.buildScan(Array("id", "grp", "uid"),
+      Array(FNot(FAnd(FEq("grp", "g1"), StringContains("uid", "x")))))
+      .collect().map(r => r.getLong(0)).toSet
+    val expected = rows.collect()
+      .filter(r => !(r.getString(1) == "g1" && r.getString(2).contains("x")))
+      .map(_.getLong(0)).toSet
+    assert(expected.subsetOf(got),
+      s"pushdown dropped ${(expected -- got).size} matching rows")
+  }
+
+  test("data source read of a nonexistent table names the path") {
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(freshPath("nosuchtable") + "/nope")
+    }
+    assert(err.getMessage.contains("no snapshot table"))
+  }
+
+  test("zero-row staged parts are dropped, never referenced stat-less") {
+    import spark.implicits._
+    val path = freshPath("zerorow")
+    // 3 rows over 8 partitions: 5 empty part files. A referenced
+    // empty part carries NO stats, which silently aborts concurrent
+    // rebase refutation (the r12 footerHarvest regression) and
+    // defeats pruning — the stage must drop them.
+    SnapshotTable.create(
+      Seq(1L, 2L, 3L).toDF("id").repartition(8), path)
+    assert(SnapshotTable.fileCount(spark, path) <= 3)
+    assert(SnapshotTable.read(spark, path)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // and pruning still refutes from the kept files' cached ranges
+    val (_, kept, total) = SnapshotTable.readWherePruned(spark, path,
+      col("id") > 100L)
+    assert(kept === 0 && total > 0)
+  }
+
+  test("legacy manifests (no eot marker, no witness) stay readable; " +
+      "torn modern manifests are refused") {
+    import spark.implicits._
+    val path = freshPath("legacyera")
+    SnapshotTable.create((0L until 50L).toDF("id"), path)
+    SnapshotTable.append((50L until 80L).toDF("id"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+    val manifests = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+    def rewrite(p: org.apache.hadoop.fs.Path,
+        f: Seq[String] => Seq[String]): Unit = {
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      out.write((f(content).mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    // a PRE-ERA manifest: strip both the witness and the end marker —
+    // exactly what a table written by an older library version looks
+    // like; it must read fine, not spin into a torn-writer error
+    rewrite(manifests.last, _.filterNot(l =>
+      l.startsWith("#wv=") || l.startsWith("#eot=")))
+    assert(SnapshotTable.read(spark, path).count() === 80)
+    // a TORN modern manifest: witness present, end marker missing —
+    // the reader must refuse it (bounded spin, then error). The
+    // witness is re-added: the rewrite above stripped it.
+    rewrite(manifests.last, ls => "#wv=2" +: ls.filterNot(l =>
+      l.startsWith("#wv=") || l.startsWith("#eot=")))
+    val err = intercept[RuntimeException] {
+      SnapshotTable.read(spark, path).count()
+    }
+    assert(err.getMessage.contains("torn"))
+  }
+
+  test("versionAsOf and history use in-manifest commit timestamps, " +
+      "immune to filesystem mtime churn") {
+    import spark.implicits._
+    val path = freshPath("tsmeta")
+    SnapshotTable.create((0L until 10L).toDF("id"), path)
+    Thread.sleep(30)
+    val betweenCommits = System.currentTimeMillis
+    Thread.sleep(30)
+    SnapshotTable.append((10L until 20L).toDF("id"), path)
+    val histBefore = SnapshotTable.history(spark, path)
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime)).toSeq
+    assert(SnapshotTable.versionAsOf(spark, path, betweenCommits) === 0)
+    // simulate a backup/restore round-trip: every manifest's mtime
+    // shifts far into the future — pre-ts designs would now claim no
+    // version existed at betweenCommits
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+    fs.listStatus(logDir).foreach(s =>
+      fs.setTimes(s.getPath, System.currentTimeMillis + 86400000L, -1))
+    assert(SnapshotTable.versionAsOf(spark, path, betweenCommits) === 0)
+    val histAfter = SnapshotTable.history(spark, path)
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime)).toSeq
+    assert(histAfter === histBefore,
+      "history timestamps must come from the commits, not mtimes")
+  }
+
+  test("commit atomicity is pluggable: a conditional-PUT store guards " +
+      "racing commits and refuses double-commit") {
+    import spark.implicits._
+    val path = freshPath("logstore")
+    spark.conf.set("spark.graft.logStore.class",
+      classOf[ConditionalPutLogStore].getName)
+    try {
+      ConditionalPutLogStore.calls.set(0)
+      SnapshotTable.create((0L until 20L).toDF("id"), path)
+      assert(ConditionalPutLogStore.calls.get() > 0,
+        "configured store was not consulted")
+      // two racing appends: the registry (not create-exclusive) is
+      // the guard here — each commit lands on its OWN version
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs = (20L to 21L).map { base =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = SnapshotTable.append(
+              Seq(base).toDF("id"), path)
+          })
+        }
+        val versions = fs.map(_.get(60,
+          java.util.concurrent.TimeUnit.SECONDS)).toSet
+        assert(versions.size === 2, s"racing appends collided: $versions")
+      } finally pool.shutdown()
+      assert(SnapshotTable.read(spark, path).count() === 22)
+      // the guard itself: a second createAtomic on an already-claimed
+      // name is told it lost — no silent overwrite
+      val store = new ConditionalPutLogStore
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val probe = new org.apache.hadoop.fs.Path(
+        freshPath("logstoreprobe"), "v99.manifest")
+      hfs.mkdirs(probe.getParent)
+      assert(store.createAtomic(hfs, probe, "a\n#eot=1\n".getBytes))
+      assert(!store.createAtomic(hfs, probe, "b\n#eot=1\n".getBytes),
+        "double-commit was not refused")
+    } finally spark.conf.unset("spark.graft.logStore.class")
   }
 
   test("distributed manifest planning matches the driver path exactly") {
