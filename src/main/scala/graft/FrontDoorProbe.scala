@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{functions => F, SparkSession}
+
+import graft.sources.SnapshotTable
+
+/** Front-door read-path probe (VERDICT r11 item 2's bench criterion):
+  * the same filtered aggregate over one snapshot table, once through
+  * the native `readWhere` path and once through the registered
+  * `format("graft")` data source. With the r12 front door the format
+  * read resolves to the SAME GraftFileIndex-backed HadoopFsRelation,
+  * so the two should be within noise of each other (the criterion:
+  * ≤ ~1.1×); the r11 V1 path paid row boxing + lost codegen here.
+  * Prints medians of 5 after warmup, plus the executed plan's scan
+  * node names as evidence. */
+object FrontDoorProbe {
+
+  private def timeMs(f: => Unit): Double = {
+    val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e6
+  }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val path = java.nio.file.Files
+      .createTempDirectory("frontdoor_probe").toString + "/lineitem_snap"
+    val li = Tables(spark, sfDir, "lineitem").select(
+      F.col("l_orderkey"), F.col("l_partkey"), F.col("l_quantity"),
+      F.col("l_extendedprice"), F.col("l_shipdate"))
+    SnapshotTable.create(
+      li.repartitionByRange(16, F.col("l_orderkey"))
+        .sortWithinPartitions(F.col("l_orderkey")), path)
+    val maxK = li.agg(F.max(F.col("l_orderkey"))).head().getLong(0)
+    val pred = F.col("l_orderkey") >= maxK / 2 &&
+      F.col("l_orderkey") < maxK / 2 + maxK / 10
+    def native(): Unit =
+      SnapshotTable.readWhere(spark, path, pred)
+        .agg(F.count(F.lit(1)), F.sum(F.col("l_quantity"))).collect()
+    def front(): Unit =
+      spark.read.format("graft").load(path).filter(pred)
+        .agg(F.count(F.lit(1)), F.sum(F.col("l_quantity"))).collect()
+    native(); front() // warm
+    val nMs = median((0 until 5).map(_ => timeMs(native())))
+    val fMs = median((0 until 5).map(_ => timeMs(front())))
+    val scan = spark.read.format("graft").load(path).filter(pred)
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Scan") || l.contains("FileScan"))
+      .take(2).mkString(" | ").trim
+    println(f"native readWhere median: $nMs%8.1f ms")
+    println(f"format(graft) median:    $fMs%8.1f ms  (${fMs / nMs}%.2fx)")
+    println(s"front-door scan node: $scan")
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path).getParent, true)
+    spark.stop()
+  }
+}

@@ -274,6 +274,7 @@ object SnapshotTable {
       } finally in.close()
     }
     var tries = 0
+    var prev: Seq[String] = null
     while (tries < 150) {
       val lines = readOnce()
       if (lines.nonEmpty && lines.last == EotLine) return lines.init
@@ -281,7 +282,16 @@ object SnapshotTable {
       // will: accept them (legacy readability) instead of spinning
       // into a refusal. A modern in-flight/torn write is recognizable
       // by its leading witness line and keeps the bounded spin.
-      if (!lines.exists(_.startsWith("#wv="))) return lines
+      // Acceptance requires NONEMPTY content STABLE across two
+      // consecutive reads: a just-created manifest whose bytes are
+      // still in flight reads as empty (or a growing prefix) for a
+      // few ms, and accepting that here handed concurrent committers
+      // a truncated file list — the winner's content always begins
+      // with the witness, so only the pre-content window is at stake,
+      // and the stability check rides over it.
+      if (lines.nonEmpty && !lines.exists(_.startsWith("#wv=")) &&
+          prev != null && lines == prev) return lines
+      prev = if (lines.exists(_.startsWith("#wv="))) null else lines
       tries += 1
       Thread.sleep(20)
     }
@@ -2836,6 +2846,14 @@ object SnapshotTable {
         b: Map[String, (Int, Int, Array[Byte])]): Boolean =
       leaves.exists(_.eval(p, s, ss, b))
   }
+  /** NOT IN: every element's "≠" test must keep (flat conjunction —
+    * same no-recursion rationale as [[CAny]]). */
+  private[graft] final case class CAll(leaves: Vector[CPred]) extends CPred {
+    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
+      leaves.forall(_.eval(p, s, ss, b))
+  }
   /** One attr-vs-constant comparison, the constant already folded AND
     * converted down the attribute's cast chain into the native domain
     * of the cached stats (op rewritten by the conversion where
@@ -3049,6 +3067,14 @@ object SnapshotTable {
         else if (live.size == 1) live.head
         else CAny(live)
       }
+    def call(leaves: Seq[CPred]): CPred =
+      if (leaves.contains(CDrop)) CDrop
+      else {
+        val live = leaves.filterNot(_ == CKeep).toVector
+        if (live.isEmpty) CKeep
+        else if (live.size == 1) live.head
+        else CAll(live)
+      }
     def flip(op: String): String = op match {
       case ">" => "<"
       case ">=" => "<="
@@ -3077,9 +3103,34 @@ object SnapshotTable {
           foldVal(l).map(mkLeaf(n, cs, _, flip(op))).getOrElse(CKeep)
         case _ => CKeep
       }
+    // NEGATION compiles too: a filter keeps a row only when the
+    // predicate is TRUE, so under Not the kept rows are the ones
+    // where the child is FALSE — never the NULL rows — and the
+    // flipped comparison is the sound may-contain test (kept rows of
+    // `Not(a > 5)` all satisfy `a <= 5`). `Not(a = v)` becomes the
+    // "!=" leaf: refutable from a constant-value file (range [v,v])
+    // or a matching uniform partition dir — the anti-filter prune
+    // (`grp =!= 'g1'` drops the g1 partition wholesale).
     def go(x: Expression): CPred = x match {
       case And(l, r) => cand(go(l), go(r))
       case Or(l, r) => cor(go(l), go(r))
+      case Not(Not(c)) => go(c)
+      case Not(And(l, r)) => cor(go(Not(l)), go(Not(r)))
+      case Not(Or(l, r)) => cand(go(Not(l)), go(Not(r)))
+      case Not(EqualTo(l, r)) => leafSides(l, r, "!=")
+      case Not(GreaterThan(l, r)) => leafSides(l, r, "<=")
+      case Not(GreaterThanOrEqual(l, r)) => leafSides(l, r, "<")
+      case Not(LessThan(l, r)) => leafSides(l, r, ">=")
+      case Not(LessThanOrEqual(l, r)) => leafSides(l, r, ">")
+      // NOT IN: kept rows differ from EVERY element (a NULL element
+      // makes the predicate never-TRUE — mkLeaf's null leaf is CDrop
+      // and the conjunction collapses, matching SQL semantics)
+      case Not(In(a, ls)) if attrName(a).isDefined =>
+        if (ls.exists(l => foldVal(l).isEmpty)) CKeep
+        else call(ls.map(l => leafSides(a, l, "!=")))
+      case Not(InSet(a, vs)) if attrName(a).isDefined =>
+        val (nm, cs) = attrThroughCasts(a, Nil).get
+        call(vs.toSeq.map(v => mkLeaf(nm, cs, (v, a.dataType), "!=")))
       case EqualTo(l, r) => leafSides(l, r, "=")
       case GreaterThan(l, r) => leafSides(l, r, ">")
       case GreaterThanOrEqual(l, r) => leafSides(l, r, ">=")
@@ -3159,97 +3210,119 @@ object SnapshotTable {
     // whatever the column's metadata says (compiled to CDrop, this
     // guard is belt-and-braces)
     if (v == null) return false
-    val byStats = stats.get(name).map { case (lo, hi) =>
-        asLongExact(v) match {
-          case Some(x) => op match { // exact Long axis, no 2^53 rounding
-            case "=" => lo <= x && x <= hi
-            case ">" => hi > x
-            case ">=" => hi >= x
-            case "<" => lo < x
-            case "<=" => lo <= x
-            case _ => true
-          }
-          case None => asNum(v) match {
-            case None => true // non-numeric constant vs numeric range
-            case Some(x) if x.isNaN => true
-            case Some(x) if x >= 9.2233720368547e18 =>
-              // beyond Long.Max: every stat is below the constant
-              op == "<" || op == "<="
-            case Some(x) if x <= -9.2233720368547e18 =>
-              op == ">" || op == ">="
-            case Some(x) =>
-              // fractional constant vs exact Long stats: project onto
-              // the Long axis with op-appropriate floor/ceil (hi > 2.5
-              // iff hi >= 3; lo < 2.5 iff lo <= 2) — never lossy
-              val fl = math.floor(x).toLong
-              val cl = math.ceil(x).toLong
-              op match {
-                case "=" => fl == cl && lo <= fl && fl <= hi
-                case ">" => hi >= fl + 1
-                case ">=" => hi >= cl
-                case "<" => lo <= cl - 1
-                case "<=" => lo <= fl
-                case _ => true
-              }
-          }
+    // short-circuit, allocation-free: this runs once per (leaf,
+    // entry) across millions of entries — no Options, no Seq concat
+    val vLong = asLongExact(v)
+    val st = stats.getOrElse(name, null)
+    if (st != null) {
+      val (lo, hi) = st
+      val ok = vLong match {
+        case Some(x) => op match { // exact Long axis, no 2^53 rounding
+          case "=" => lo <= x && x <= hi
+          case ">" => hi > x
+          case ">=" => hi >= x
+          case "<" => lo < x
+          case "<=" => lo <= x
+          // may contain a row ≠ x unless the file holds ONLY x
+          case "!=" => !(lo == x && hi == x)
+          case _ => true
         }
-      }
-      // string bounds: lo <= true min, hi >= true max (prefix /
-      // incremented-truncation, ASCII-only), so every test below is
-      // implied TRUE whenever a matching row can exist — sound
-      // byte bounds: lo <= true min, hi >= true max in unsigned byte
-      // order — the SAME order Spark compares the column in, so every
-      // test below is implied TRUE whenever a matching row can exist.
-      // No ASCII restriction: 'période'-keyed columns prune too.
-      val byStr = strStats.get(name).map { case (lo, hi) =>
-        v match {
-          case u: org.apache.spark.unsafe.types.UTF8String =>
-            val x = u.getBytes
+        case None => asNum(v) match {
+          case None => true // non-numeric constant vs numeric range
+          case Some(x) if x.isNaN => true
+          case Some(x) if x >= 9.2233720368547e18 =>
+            // beyond Long.Max: every stat is below the constant
+            op == "<" || op == "<="
+          case Some(x) if x <= -9.2233720368547e18 =>
+            op == ">" || op == ">="
+          case Some(x) =>
+            // fractional constant vs exact Long stats: project onto
+            // the Long axis with op-appropriate floor/ceil (hi > 2.5
+            // iff hi >= 3; lo < 2.5 iff lo <= 2) — never lossy
+            val fl = math.floor(x).toLong
+            val cl = math.ceil(x).toLong
             op match {
-              case "=" => bytesLe(lo, x) && bytesLe(x, hi)
-              case ">" => bytesLt(x, hi)
-              case ">=" => bytesLe(x, hi)
-              case "<" => bytesLt(lo, x)
-              case "<=" => bytesLe(lo, x)
+              case "=" => fl == cl && lo <= fl && fl <= hi
+              case ">" => hi >= fl + 1
+              case ">=" => hi >= cl
+              case "<" => lo <= cl - 1
+              case "<=" => lo <= fl
+              // integral rows vs a fractional constant differ always;
+              // an integral constant refutes only a constant file
+              case "!=" => !(fl == cl && lo == fl && hi == fl)
               case _ => true
             }
-          case _ => true // non-string constant: keep
         }
       }
-      // partition dirs render strings/integrals verbatim; other types
-      // (timestamps as micros, dates as days) would not match the
-      // writer's formatted dir value, so only these are compared
-      // bloom point-lookup: only "=" tests (and IN elements, which
-      // arrive here as "=") can use it; any other op keeps the file
-      val byBloom =
-        if (op != "=") None
-        else blooms.get(name).map { case (m, k, filter) =>
-          bloomMayContain(m, k, filter, v, dt)
-        }
+      if (!ok) return false
+    }
+    // string byte bounds: lo <= true min, hi >= true max in unsigned
+    // byte order — the SAME order Spark compares the column in, so
+    // every test below is implied TRUE whenever a matching row can
+    // exist. No ASCII restriction: 'période'-keyed columns prune too.
+    val ss = strStats.getOrElse(name, null)
+    if (ss != null) {
+      val (lo, hi) = ss
+      val ok = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          val x = u.getBytes
+          op match {
+            case "=" => bytesLe(lo, x) && bytesLe(x, hi)
+            case ">" => bytesLt(x, hi)
+            case ">=" => bytesLe(x, hi)
+            case "<" => bytesLt(lo, x)
+            case "<=" => bytesLe(lo, x)
+            // refutable only when lo == x == hi: bounds sandwich the
+            // true min/max, so equal bounds = a constant column (a
+            // TRUNCATED hi is strictly above its prefix and can never
+            // equal lo — truncation keeps, sound)
+            case "!=" => !(java.util.Arrays.equals(lo, x) &&
+              java.util.Arrays.equals(hi, x))
+            case _ => true
+          }
+        case _ => true // non-string constant: keep
+      }
+      if (!ok) return false
+    }
+    // bloom point-lookup: only "=" tests (and IN elements, which
+    // arrive here as "=") can use it; any other op keeps the file
+    if (op == "=") {
+      val bl = blooms.getOrElse(name, null)
+      if (bl != null && !bloomMayContain(bl._1, bl._2, bl._3, v, dt))
+        return false
+    }
+    // partition dirs render strings/integrals verbatim; other types
+    // (timestamps as micros, dates as days) would not match the
+    // writer's formatted dir value, so only these are compared
+    val dir = parts.getOrElse(name, null)
+    if (dir != null) {
       val partComparable = dt == types.StringType ||
         dt == types.IntegerType || dt == types.LongType ||
         dt == types.ShortType || dt == types.ByteType
-      val byPart = parts.get(name).map { dir =>
-        if (!partComparable) true
-        else {
-          // integral dirs compare in Long (same 2^53 hazard as stats);
-          // anything else falls back to exact rendered equality for
-          // "=" and keep for order comparisons
-          val numPair = asLongExact(v).flatMap(x =>
-            scala.util.Try(dir.toLong).toOption.map(d => (d, x)))
-          (op, numPair) match {
-            case ("=", Some((d, x))) => d == x
-            case (">", Some((d, x))) => d > x
-            case (">=", Some((d, x))) => d >= x
-            case ("<", Some((d, x))) => d < x
-            case ("<=", Some((d, x))) => d <= x
-            case ("=", None) => dir == partitionPathValue(v)
-            case _ => true // order comparison on a non-numeric dir
-          }
+      if (partComparable) {
+        // integral dirs compare in Long (same 2^53 hazard as stats);
+        // anything else falls back to exact rendered equality for
+        // "=" and keep for order comparisons
+        val numPair = vLong.flatMap(x =>
+          scala.util.Try(dir.toLong).toOption.map(d => (d, x)))
+        val ok = (op, numPair) match {
+          case ("=", Some((d, x))) => d == x
+          case (">", Some((d, x))) => d > x
+          case (">=", Some((d, x))) => d >= x
+          case ("<", Some((d, x))) => d < x
+          case ("<=", Some((d, x))) => d <= x
+          case ("=", None) => dir == partitionPathValue(v)
+          // the partition value is EVERY row's value: a dir equal to
+          // the constant means no row can differ — the anti-filter
+          // partition prune
+          case ("!=", Some((d, x))) => d != x
+          case ("!=", None) => dir != partitionPathValue(v)
+          case _ => true // order comparison on a non-numeric dir
         }
+        if (!ok) return false
       }
-    (byStats.toSeq ++ byStr.toSeq ++ byPart.toSeq ++ byBloom.toSeq)
-      .forall(identity)
+    }
+    true
   }
 
   /** Layout maintenance as a snapshot commit: rewrite the latest

@@ -1437,6 +1437,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(err.getMessage.contains("no snapshot table"))
   }
 
+  test("negated predicates prune: =!= drops a matching partition, " +
+      "flipped inequalities use ranges, De Morgan composes") {
+    import spark.implicits._
+    val path = freshPath("notprune")
+    val rows = (0L until 900L).map(i => (i, s"g${i % 3}", i * 7))
+      .toDF("id", "grp", "v")
+    SnapshotTable.create(rows.repartitionByRange(9, col("id"))
+      .sortWithinPartitions(col("id")), path, partitionBy = Seq("grp"))
+    def pruned(pr: org.apache.spark.sql.Column): (Long, Int, Int) = {
+      val (df, kept, total) = SnapshotTable.readWherePruned(spark, path, pr)
+      (df.count(), kept, total)
+    }
+    val total = SnapshotTable.fileCount(spark, path)
+    // anti-filter partition prune: every g1 file drops wholesale
+    val (n1, k1, t1) = pruned(col("grp") =!= "g1")
+    assert(n1 === 600 && t1 === total && k1 < total,
+      s"=!= kept $k1/$t1 — no partition pruned")
+    // flipped inequality: !(id > 99) prunes by range like id <= 99
+    val (n2, k2, _) = pruned(!(col("id") > 99L))
+    val (n2e, k2e, _) = pruned(col("id") <= 99L)
+    assert(n2 === 100 && n2e === 100 && k2 === k2e && k2 < total,
+      s"negated inequality kept $k2 files vs $k2e for the flip")
+    // De Morgan: !(grp = 'g1' OR id > 99) = grp != 'g1' AND id <= 99
+    val (n3, k3, _) = pruned(!(col("grp") === "g1" || col("id") > 99L))
+    assert(n3 === rows.collect()
+      .count(r => r.getString(1) != "g1" && r.getLong(0) <= 99L))
+    assert(k3 <= k2, "conjoined negation should prune at least as much")
+    // soundness under double negation
+    assert(pruned(!(!(col("grp") === "g1")))._1 === 300)
+    // NOT IN drops every named partition
+    val (n4, k4, _) = pruned(!col("grp").isin("g1", "g2"))
+    assert(n4 === 300 && k4 < total,
+      s"NOT IN kept $k4/$total — named partitions not pruned")
+    // NOT IN with a NULL element is never TRUE — keeps nothing
+    val (n5, k5, _) = pruned(!col("grp").isin("g1", null))
+    assert(n5 === 0 && k5 === 0)
+  }
+
   test("zero-row staged parts are dropped, never referenced stat-less") {
     import spark.implicits._
     val path = freshPath("zerorow")
@@ -1491,6 +1529,35 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.read(spark, path).count()
     }
     assert(err.getMessage.contains("torn"))
+  }
+
+  test("a just-created, still-empty manifest is awaited, not " +
+      "accepted as a truncated legacy read") {
+    import spark.implicits._
+    val path = freshPath("inflight")
+    SnapshotTable.create((0L until 10L).toDF("id"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+    val v0 = new org.apache.hadoop.fs.Path(logDir, "v00000000.manifest")
+    val in = fs.open(v0)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    // simulate an in-flight winner: v1's NAME exists (create-exclusive
+    // won) but its bytes land 500 ms later — a reader arriving in the
+    // window must WAIT for the content, not accept the empty file as
+    // a pre-witness legacy manifest (the r12 era-gate briefly did,
+    // handing concurrent committers a truncated file list)
+    val v1 = new org.apache.hadoop.fs.Path(logDir, "v00000001.manifest")
+    val out = fs.create(v1, false)
+    val filler = new Thread(() => {
+      Thread.sleep(500)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+    })
+    filler.start()
+    try assert(SnapshotTable.read(spark, path).count() === 10)
+    finally filler.join()
   }
 
   test("versionAsOf and history use in-manifest commit timestamps, " +
