@@ -44,6 +44,7 @@ object SimilarityQueries {
   @volatile private var lastPqFit: Option[graft.operators.PqModel] = None
   @volatile private var lastHnswPairs: Option[Seq[(Long, Long)]] = None
   @volatile private var lastHnswInsertPairs: Option[Seq[(Long, Long)]] = None
+  @volatile private var lastHnswStreamPairs: Option[Seq[(Long, Long)]] = None
 
   /** One fitted PQ codebook per (session, dir) — same serving shape as
     * the IVF quantizer cache. */
@@ -311,6 +312,90 @@ object SimilarityQueries {
       val mean = out.agg(avg(col("hits_at_5"))).head().getDouble(0)
       require(mean >= 4.0,
         f"post-insert HNSW recall regressed: mean hits@5 = $mean%.2f")
+      out
+    }),
+
+    // Streaming HNSW upkeep — s14's ingest loop as an actual stream:
+    // the index persists shard-partitioned, each micro-batch links
+    // its vectors via GraphAnn.insert and re-persists ONLY the
+    // touched shard partitions (dynamic partition overwrite — the
+    // untouched shards' files are never rewritten, which is the whole
+    // point of hash-sharded incremental ANN maintenance at scale).
+    // localCheckpoint breaks the read-path lineage so the overwrite
+    // of the path being served is legal. Serving happens from the
+    // final on-disk artifact; pins and oracle as s13/s14.
+    "st14_stream_hnsw_upkeep" -> ((s, dir) => {
+      import graft.operators.GraphAnn
+      import org.apache.spark.sql.DataFrame
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st14")
+      val ipath = base.resolve("index").toString
+      GraphAnn.build(emb.filter(col("vec_id") % 5 =!= 4),
+          "vec_id", "embedding", nShards = 4, m = 8, efC = 48)
+        .write.partitionBy("shard").parquet(ipath)
+      // stage the holdout fifth as three mtime-ordered batch files
+      val staged = base.resolve("in")
+      java.nio.file.Files.createDirectories(staged)
+      for (k <- 0 until 3) {
+        val tmp = base.resolve(s"tmp$k").toString
+        emb.filter(col("vec_id") % 5 === 4 && col("vec_id") % 3 === k)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 400000L + k * 60000L))
+      }
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val touched = b.select(
+              pmod(col("vec_id"), lit(4L)).cast("int").as("s"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val upd = GraphAnn.insert(s.read.parquet(ipath), b,
+              "vec_id", "embedding", nShards = 4, m = 8, efC = 48)
+            .filter(col("shard").isin(touched: _*))
+            .localCheckpoint()
+          upd.write.partitionBy("shard").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(ipath)
+          ()
+        }
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      val served = s.read.parquet(ipath)
+      require(served.count() == emb.count(),
+        "streamed HNSW upkeep lost or duplicated vectors")
+      val approx = GraphAnn.search(served,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, ef = 64)
+        .select(col("query_id"), col("corpus_id"))
+      val pairs = approx.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      lastHnswStreamPairs = Some(pairs)
+      require(pairs.exists(_._2 % 5 == 4),
+        "no streamed vector was served — upkeep left batches unreachable")
+      import s.implicits._
+      val exact = graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approxLit = pairs.toDF("query_id", "corpus_id")
+      val hits = exact
+        .join(approxLit, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val out = exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits_at_5"))
+        .orderBy(col("query_id"))
+      val mean = out.agg(avg(col("hits_at_5"))).head().getDouble(0)
+      require(mean >= 4.0,
+        f"streamed HNSW recall regressed: mean hits@5 = $mean%.2f")
       out
     }),
 
@@ -696,6 +781,9 @@ object SimilarityQueries {
       // same exported-candidates recipe: the exact arm is identical,
       // only the served pairs differ (post-insert index)
       out += ("s14_hnsw_insert" -> s13Sql(p))
+    }
+    lastHnswStreamPairs.foreach { p =>
+      out += ("st14_stream_hnsw_upkeep" -> s13Sql(p))
     }
     lastPqFit.foreach { m =>
       out += ("s5_pq_topk" -> s5Sql(m))

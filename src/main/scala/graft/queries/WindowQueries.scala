@@ -1020,6 +1020,48 @@ object WindowQueries {
         .orderBy(col("month"))
     }),
 
+    // W41: NULL-COUNT data skipping (Delta's nullCount shape) — a
+    // nullable column whose nulls cluster in the low key range (ship
+    // date absent for low-priced orders here), key-clustered into 16
+    // snapshot files. `IS NULL` prunes to the null-bearing files from
+    // the manifest's z!/rows items alone; `IS NOT NULL` on an
+    // everywhere-null column keeps ZERO files. The require() pins
+    // both. Oracle: the same filter+aggregate over raw orders with
+    // the null injection replayed relationally.
+    "w41_null_skipping" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w41").toString + "/orders_nulls"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        when(col("o_orderkey") % 10 < 3, lit(null).cast(LongType))
+          .otherwise((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType)).as("cents"),
+        lit(null).cast(LongType).as("legacy_score"))
+      SnapshotTable.create(
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")), path)
+      // nulls are key-scattered (o_orderkey % 10), so IS NULL keeps
+      // everything here — re-cluster BY NULLNESS to localize them,
+      // the layout a real pipeline uses for sparse columns
+      SnapshotTable.overwrite(
+        SnapshotTable.read(s, path)
+          .repartitionByRange(16, col("cents").isNull, col("o_orderkey"))
+          .sortWithinPartitions(col("cents").isNull, col("o_orderkey")),
+        path)
+      val (nulls, keptN, totalN) = SnapshotTable.readWherePruned(s, path,
+        col("cents").isNull)
+      require(keptN < totalN,
+        s"IS NULL skipping regressed: kept $keptN of $totalN files")
+      val (_, keptD, _) = SnapshotTable.readWherePruned(s, path,
+        col("legacy_score").isNotNull)
+      require(keptD == 0,
+        s"IS NOT NULL on an all-null column kept $keptD files")
+      nulls.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_null_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // W23: z-order layout × manifest data skipping — orders laid out
     // along the (o_custkey, o_orderdate) z-curve into 32 snapshot
     // files, so BOTH dimensions' per-file min/max spans shrink
@@ -1664,6 +1706,12 @@ object WindowQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w41_null_skipping" ->
+      """SELECT o_orderpriority, count(*) AS n_null_cents
+        |FROM orders
+        |WHERE o_orderkey % 10 < 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w26_update_mor" ->

@@ -155,6 +155,49 @@ object SnapshotTable {
       case _ => Map.empty
     }
 
+  /** Null-count items (`col=z!<nulls>`) joined with the per-entry row
+    * count (`rows=r!<count>`): col → (nullCount, rowCount); rowCount
+    * is -1 when the entry predates row tracking (IS NOT NULL then
+    * cannot prune — keep, sound). Both value shapes are invisible to
+    * every other parser (the numeric parser needs `lo:hi`, the others
+    * key on `s!`/`b!`/`f!` prefixes), so old manifests simply lack
+    * them and old readers skip them. Parsed ONLY when the compiled
+    * predicate says a leaf consults nullness ([[CPred.needsNulls]]) —
+    * the common hot path never pays for it. */
+  private[graft] def entryNulls(line: String): Map[String, (Long, Long)] =
+    line.split("\t", 2) match {
+      case Array(_, st) =>
+        var rows = -1L
+        val ns = Map.newBuilder[String, Long]
+        st.split(";").foreach { kv =>
+          val i = kv.indexOf('=')
+          if (i > 0) {
+            val c = kv.substring(0, i)
+            val v = kv.substring(i + 1)
+            if (v.startsWith("z!"))
+              try ns += c -> v.substring(2).toLong
+              catch { case _: NumberFormatException => () }
+            else if (c == "rows" && v.startsWith("r!"))
+              try rows = v.substring(2).toLong
+              catch { case _: NumberFormatException => () }
+          }
+        }
+        val r = rows
+        ns.result().map { case (c, nc) => c -> (nc, r) }
+      case _ => Map.empty
+    }
+
+  /** The per-entry row count (`rows=r!<count>`), when recorded. */
+  private[graft] def entryRows(line: String): Option[Long] =
+    line.split("\t", 2) match {
+      case Array(_, st) =>
+        st.split(";").iterator.collectFirst {
+          case kv if kv.startsWith("rows=r!") =>
+            scala.util.Try(kv.stripPrefix("rows=r!").toLong).toOption
+        }.flatten
+      case _ => None
+    }
+
   /** ONE-pass parse of an entry's stats section into the three stat
     * families (numeric ranges, string byte bounds, bloom items). The
     * hot planning loops — FileIndex segment loaders, the distributed
@@ -490,8 +533,21 @@ object SnapshotTable {
     // carry deletion vectors (explicitly 0 on the common clean path)
     val dvItem = Seq(
       s"hasdv=${if (entries.exists(e => entryDvs(e).nonEmpty)) 1 else 0}")
+    // summed null counts + rows (only when EVERY entry carries them):
+    // IS [NOT] NULL refutes whole segments from the list line
+    val nullMaps = entries.map(entryNulls)
+    val rowsPer = entries.map(entryRows)
+    val zCols = nullMaps.map(_.keySet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty) --
+      Seq("n", "b", "part")
+    val zItems = zCols.toSeq.sorted.map(c =>
+      s"$c=z!${nullMaps.map(_(c)._1).sum}")
+    val rowsItem =
+      if (rowsPer.nonEmpty && rowsPer.forall(_.isDefined))
+        Seq(s"rows=r!${rowsPer.flatten.sum}")
+      else Nil
     (Seq(s"n=${entries.size}") ++ bItem ++ partItem ++ dvItem ++
-      numItems ++ strItems).mkString(";")
+      numItems ++ strItems ++ zItems ++ rowsItem).mkString(";")
   }
 
   /** A ref's uniform partition tuple, when recorded and well-formed
@@ -1267,6 +1323,12 @@ object SnapshotTable {
       case f if !partitionBy.contains(f.name) &&
         f.dataType == org.apache.spark.sql.types.StringType => f.name
     }.toSeq
+    // null counts apply to EVERY non-partition column, whatever its
+    // type — an all-null double column prunes IS NOT NULL even though
+    // it never gets a range
+    val nullCols = df.schema.fields.collect {
+      case f if !partitionBy.contains(f.name) => f.name
+    }.toSeq
     val tmp = new Path(path, s"__stage_${UUID.randomUUID()}")
     // Spark's default timestamp encoding is legacy INT96, which parquet
     // writes WITHOUT min/max statistics — the footer harvest (and so
@@ -1312,11 +1374,11 @@ object SnapshotTable {
       val dest = new Path(destDir, s"${UUID.randomUUID()}.parquet")
       if (!fs.rename(src, dest))
         sys.error(s"snapshot stage: rename $src -> $dest failed")
-      // ONE footer open per staged file harvests row count AND both
+      // ONE footer open per staged file harvests row count AND all
       // stat families together (opening the footer once per family
       // doubled per-file driver I/O on every commit)
-      val (rowCount, stats, strStats) =
-        footerHarvest(spark, dest, statCols, strStatCols)
+      val (rowCount, stats, strStats, nullCounts) =
+        footerHarvest(spark, dest, statCols, strStatCols, nullCols)
       // a ZERO-ROW part (coalesce/repartition of a small rewrite can
       // emit one) contributes nothing and carries no footer stats —
       // referencing it would defeat every stats-based decision made
@@ -1335,6 +1397,9 @@ object SnapshotTable {
           .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
           strStats.toSeq.sortBy(_._1)
             .map { case (c, (lo, hi)) => s"$c=s!${escStat(lo)}!${escStat(hi)}" } ++
+          nullCounts.toSeq.sortBy(_._1)
+            .map { case (c, nc) => s"$c=z!$nc" } ++
+          rowCount.toSeq.map(rc => s"rows=r!$rc") ++
           Seq(s"len=f!${fst.getLen}!${fst.getModificationTime}")
         Some(rel + "\t" + items.mkString(";"))
       }
@@ -1347,14 +1412,19 @@ object SnapshotTable {
   /** ONE footer open per staged file: total row count, the [min, max]
     * long ranges for `cols` (a column is omitted unless EVERY row
     * group has numeric non-null stats for it — omission = "unknown",
-    * never wrong), and the truncated string byte bounds for
-    * `strCols` (see [[boundLo]]/[[boundHi]]). An unreadable footer
-    * yields (None, empty, empty) — caller keeps the file with no
+    * never wrong), the truncated string byte bounds for `strCols`
+    * (see [[boundLo]]/[[boundHi]]), and per-column NULL COUNTS for
+    * `nullCols` (omitted unless every row group sets numNulls; NOT
+    * gated on hasNonNullValue — an all-null column has no min/max
+    * but a perfectly good null count, and that is exactly the file
+    * IS NOT NULL wants to skip). An unreadable footer yields
+    * (None, empty, empty, empty) — caller keeps the file with no
     * stats, conservative as ever. */
   private def footerHarvest(spark: SparkSession, file: Path,
-      cols: Seq[String], strCols: Seq[String])
+      cols: Seq[String], strCols: Seq[String],
+      nullCols: Seq[String] = Nil)
       : (Option[Long], Map[String, (Long, Long)],
-         Map[String, (Array[Byte], Array[Byte])]) = {
+         Map[String, (Array[Byte], Array[Byte])], Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1370,7 +1440,7 @@ object SnapshotTable {
         // w38's conflict refutation: a kept stat-less empty part
         // aborts every concurrent rebase). Short-circuit it.
         if (blocks.isEmpty || !rows.exists(_ > 0L))
-          return (rows, Map.empty, Map.empty)
+          return (rows, Map.empty, Map.empty, Map.empty)
         def colStats(c: String) = blocks.map { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == c)
             .map(_.getStatistics)
@@ -1406,9 +1476,19 @@ object SnapshotTable {
                 if (bytesLe(a, b)) a else b)), hi))
           }
         }.toMap
-        (rows, num, str)
+        val nulls = nullCols.flatMap { c =>
+          val perBlock = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .filter(st => st != null && st.isNumNullsSet)
+              .map(_.getNumNulls)
+          }
+          if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+          else Some(c -> perBlock.flatten.sum)
+        }.toMap
+        (rows, num, str, nulls)
       } finally reader.close()
-    } catch { case _: Exception => (None, Map.empty, Map.empty) }
+    } catch { case _: Exception => (None, Map.empty, Map.empty, Map.empty) }
   }
 
   /** Footer-harvested string [min, max] BYTE bounds for `cols` in one
@@ -2054,10 +2134,11 @@ object SnapshotTable {
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
     val cp = compilePred(pred)
     val candidates = manifest.filter(e =>
-      cp.eval(entryPartitionValues(entryPath(e)),
+      cp.evalN(entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
         relabelStats(entryStringStats(e), tableSchema),
-        relabelStats(entryBloomStats(e), tableSchema)))
+        relabelStats(entryBloomStats(e), tableSchema),
+        cpNulls(cp, e, tableSchema)))
     val affectedNames =
       if (candidates.isEmpty) Set.empty[String]
       else readEntriesDv(spark, path, tableSchema, candidates,
@@ -2087,10 +2168,11 @@ object SnapshotTable {
         Map("op" -> "DELETE") ++ meta,
         resolve = Some(ConflictSpec(readV, manifest.toSet,
           manifest.iterator.map(entryPath).toSet, affected, staged,
-          e => cp.eval(entryPartitionValues(entryPath(e)),
+          e => cp.evalN(entryPartitionValues(entryPath(e)),
             relabelStats(entryStats(e), tableSchema),
             relabelStats(entryStringStats(e), tableSchema),
-            relabelStats(entryBloomStats(e), tableSchema)))))
+            relabelStats(entryBloomStats(e), tableSchema),
+            cpNulls(cp, e, tableSchema)))))
     }
   }
 
@@ -2127,10 +2209,11 @@ object SnapshotTable {
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
     val cp = compilePred(pred)
     val candidates = manifest.filter(e =>
-      cp.eval(entryPartitionValues(entryPath(e)),
+      cp.evalN(entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
         relabelStats(entryStringStats(e), tableSchema),
-        relabelStats(entryBloomStats(e), tableSchema)))
+        relabelStats(entryBloomStats(e), tableSchema),
+        cpNulls(cp, e, tableSchema)))
     if (candidates.isEmpty) return readV
     // live matching rows only: already-masked rows never re-enter
     val hits = readEntriesDv(spark, path, tableSchema, candidates,
@@ -2166,10 +2249,11 @@ object SnapshotTable {
       Map("op" -> "DELETE-MOR") ++ meta,
       resolve = Some(ConflictSpec(readV, manifest.toSet,
         manifest.iterator.map(entryPath).toSet, affected, masked,
-        e => cp.eval(entryPartitionValues(entryPath(e)),
+        e => cp.evalN(entryPartitionValues(entryPath(e)),
           relabelStats(entryStats(e), tableSchema),
           relabelStats(entryStringStats(e), tableSchema),
-          relabelStats(entryBloomStats(e), tableSchema)))))
+          relabelStats(entryBloomStats(e), tableSchema),
+          cpNulls(cp, e, tableSchema)))))
   }
 
   /** Merge-on-read UPDATE: `SET col = expr WHERE predicate` as ONE
@@ -2202,10 +2286,11 @@ object SnapshotTable {
     val pred = resolvedPredicate(spark, schemaForPred, predicate)
     val cp = compilePred(pred)
     val candidates = manifest.filter(e =>
-      cp.eval(entryPartitionValues(entryPath(e)),
+      cp.evalN(entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), tableSchema),
         relabelStats(entryStringStats(e), tableSchema),
-        relabelStats(entryBloomStats(e), tableSchema)))
+        relabelStats(entryBloomStats(e), tableSchema),
+        cpNulls(cp, e, tableSchema)))
     if (candidates.isEmpty) return readV
     val matched = readEntriesDv(spark, path, tableSchema, candidates,
         keepRowId = true)
@@ -2248,10 +2333,11 @@ object SnapshotTable {
       Map("op" -> "UPDATE-MOR") ++ meta,
       resolve = Some(ConflictSpec(readV, manifest.toSet,
         manifest.iterator.map(entryPath).toSet, affected, newLines,
-        e => cp.eval(entryPartitionValues(entryPath(e)),
+        e => cp.evalN(entryPartitionValues(entryPath(e)),
           relabelStats(entryStats(e), tableSchema),
           relabelStats(entryStringStats(e), tableSchema),
-          relabelStats(entryBloomStats(e), tableSchema)))))
+          relabelStats(entryBloomStats(e), tableSchema),
+          cpNulls(cp, e, tableSchema)))))
   }
 
   /** Parquet-footer key-range test: true iff `file` MAY contain a key
@@ -2586,13 +2672,19 @@ object SnapshotTable {
     // ~40% of full-parse planning cost at 1M entries — r11 probe)
     val cp = compilePred(pred)
     val needBloom = predHasEquality(pred)
+    // null items parse only when a leaf actually tests nullness
+    val needNulls = cp.needsNulls
+    def nullsOf(e: String): Map[String, (Long, Long)] =
+      if (!needNulls) Map.empty
+      else relabelStats(entryNulls(e), schema)
     def entryOk(e: String,
         side: Map[String, Map[String, (Int, Int, Array[Byte])]]): Boolean =
-      cp.eval(entryPartitionValues(entryPath(e)),
+      cp.evalN(entryPartitionValues(entryPath(e)),
         relabelStats(entryStats(e), schema),
         relabelStats(entryStringStats(e), schema),
         relabelStats(entryBloomStats(e) ++
-          side.getOrElse(fileNameOf(entryPath(e)), Map.empty), schema))
+          side.getOrElse(fileNameOf(entryPath(e)), Map.empty), schema),
+        nullsOf(e))
     // DISTRIBUTED planning past the driver (Iceberg's metadata-as-a-
     // table move): above the threshold, the driver still refutes
     // whole segments from their list aggregates (pure O(#segments)
@@ -2632,10 +2724,11 @@ object SnapshotTable {
         val agg = l.stripPrefix(SegPrefix)
         // the uniform partition tuple prunes segments here exactly as
         // it does in the lazy FileIndex (absent/malformed = unknown)
-        val segOk = cp.eval(
+        val segOk = cp.evalN(
           refPartValues(l).getOrElse(Map.empty),
           relabelStats(entryStats(agg), schema),
-          relabelStats(entryStringStats(agg), schema), Map.empty)
+          relabelStats(entryStringStats(agg), schema), Map.empty,
+          nullsOf(agg))
         if (!segOk) { total += math.max(n, 1); Nil }
         else {
           // sidecar bitsets load only for equality probes that reach
@@ -2699,21 +2792,26 @@ object SnapshotTable {
     // compiled ONCE on the driver; the job ships the compiled form
     // (plain serializable case classes, smaller than the Expression)
     val cp = compilePred(pred)
+    val needNulls = cp.needsNulls
+    def nullsOf(e: String): Map[String, (Long, Long)] =
+      if (!needNulls) Map.empty
+      else relabelStats(entryNulls(e), schema)
     refs.foreach { l =>
       if (!l.startsWith(SegPrefix)) {
         total += 1
-        if (cp.eval(entryPartitionValues(entryPath(l)),
+        if (cp.evalN(entryPartitionValues(entryPath(l)),
             relabelStats(entryStats(l), schema),
             relabelStats(entryStringStats(l), schema),
-            relabelStats(entryBloomStats(l), schema)))
+            relabelStats(entryBloomStats(l), schema), nullsOf(l)))
           inlineKept += l
       } else {
         val n = math.max(refCount(l), 1)
         total += n
         val agg = l.stripPrefix(SegPrefix)
-        if (cp.eval(refPartValues(l).getOrElse(Map.empty),
+        if (cp.evalN(refPartValues(l).getOrElse(Map.empty),
             relabelStats(entryStats(agg), schema),
-            relabelStats(entryStringStats(agg), schema), Map.empty)) {
+            relabelStats(entryStringStats(agg), schema), Map.empty,
+            nullsOf(agg))) {
           livePaths += new Path(path, refRel(l)).toString
           if (needBloom)
             refBloomRel(l).foreach(r =>
@@ -2735,11 +2833,18 @@ object SnapshotTable {
           else m.map { case (k2, v2) => p2l.getOrElse(k2, k2) -> v2 }
         val entriesDs = spark.read.textFile(livePaths.toSeq: _*)
           .map(_.trim).filter(_.nonEmpty)
+        // a FUNCTION VALUE, not a local def: a def body that calls
+        // module methods lifts with the (non-serializable) module as
+        // a captured argument and poisons the task closure; a lambda
+        // body's module calls stay static
+        val taskNulls: String => Map[String, (Long, Long)] =
+          if (!needNulls) _ => Map.empty
+          else line => rlFor(entryNulls(line))
         if (sidePaths.isEmpty) {
           val kept = entriesDs.filter { line =>
             val (num, str, bl) = parseEntryStats(line)
-            cpSer.eval(entryPartitionValues(entryPath(line)),
-              rlFor(num), rlFor(str), rlFor(bl))
+            cpSer.evalN(entryPartitionValues(entryPath(line)),
+              rlFor(num), rlFor(str), rlFor(bl), taskNulls(line))
           }.collect().toSeq
           kept
         } else {
@@ -2763,14 +2868,21 @@ object SnapshotTable {
                 if (bline == null)
                   Map.empty[String, (Int, Int, Array[Byte])]
                 else entryBloomStats(bline)
-              cpSer.eval(entryPartitionValues(entryPath(line)),
-                rlFor(num), rlFor(str), rlFor(bl ++ side))
+              cpSer.evalN(entryPartitionValues(entryPath(line)),
+                rlFor(num), rlFor(str), rlFor(bl ++ side),
+                taskNulls(line))
             }
             .map(_._1).collect().toSeq
         }
       }
     (inlineKept.toSeq ++ segKept, total)
   }
+
+  /** Null metadata for one entry, parsed only when `cp` tests
+    * nullness — shared by the row-level-commit candidate scans. */
+  private def cpNulls(cp: CPred, e: String,
+      schema: Option[types.StructType]): Map[String, (Long, Long)] =
+    if (!cp.needsNulls) Map.empty else relabelStats(entryNulls(e), schema)
 
   /** Resolve `predicate` against `schema` through the session's
     * analyzer (a Filter over an empty relation): Spark 4 Columns carry
@@ -2809,50 +2921,76 @@ object SnapshotTable {
     * classes, so the distributed planning job ships the compiled form
     * (smaller and cheaper than the Expression it came from). */
   private[graft] sealed trait CPred extends Serializable {
-    def eval(parts: Map[String, String],
+    /** Evaluation without null-count metadata — null tests keep the
+      * file (sound). The FileIndex path uses this form: Catalyst
+      * pushes an IsNotNull for every referenced column, and parsing
+      * null items per entry on every query would cost more than the
+      * ~never-firing all-null-file prune is worth there. */
+    final def eval(parts: Map[String, String],
         stats: Map[String, (Long, Long)],
         strStats: Map[String, (Array[Byte], Array[Byte])],
-        blooms: Map[String, (Int, Int, Array[Byte])]): Boolean
+        blooms: Map[String, (Int, Int, Array[Byte])]): Boolean =
+      evalN(parts, stats, strStats, blooms, Map.empty)
+    /** Full evaluation: `nulls` is col → (nullCount, rowCount), rows
+      * -1 when untracked. */
+    def evalN(parts: Map[String, String],
+        stats: Map[String, (Long, Long)],
+        strStats: Map[String, (Array[Byte], Array[Byte])],
+        blooms: Map[String, (Int, Int, Array[Byte])],
+        nulls: Map[String, (Long, Long)]): Boolean
+    /** true iff some leaf consults null counts — callers parse the
+      * `z!`/`rows=` items only when this says they matter. */
+    def needsNulls: Boolean = false
   }
   /** Unknown shape / unprovable — always keep the file (sound). */
   private[graft] case object CKeep extends CPred {
-    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
         ss: Map[String, (Array[Byte], Array[Byte])],
-        b: Map[String, (Int, Int, Array[Byte])]): Boolean = true
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean = true
   }
   /** Provably no match for ANY file (e.g. comparison with NULL). */
   private[graft] case object CDrop extends CPred {
-    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
         ss: Map[String, (Array[Byte], Array[Byte])],
-        b: Map[String, (Int, Int, Array[Byte])]): Boolean = false
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean = false
   }
   private[graft] final case class CAnd(l: CPred, r: CPred) extends CPred {
-    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
         ss: Map[String, (Array[Byte], Array[Byte])],
-        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
-      l.eval(p, s, ss, b) && r.eval(p, s, ss, b)
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean =
+      l.evalN(p, s, ss, b, n) && r.evalN(p, s, ss, b, n)
+    override val needsNulls: Boolean = l.needsNulls || r.needsNulls
   }
   private[graft] final case class COr(l: CPred, r: CPred) extends CPred {
-    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
         ss: Map[String, (Array[Byte], Array[Byte])],
-        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
-      l.eval(p, s, ss, b) || r.eval(p, s, ss, b)
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean =
+      l.evalN(p, s, ss, b, n) || r.evalN(p, s, ss, b, n)
+    override val needsNulls: Boolean = l.needsNulls || r.needsNulls
   }
   /** IN / InSet: any element may match (flat vector, no tree depth on
     * thousand-element lists). */
   private[graft] final case class CAny(leaves: Vector[CPred]) extends CPred {
-    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
         ss: Map[String, (Array[Byte], Array[Byte])],
-        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
-      leaves.exists(_.eval(p, s, ss, b))
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean =
+      leaves.exists(_.evalN(p, s, ss, b, n))
+    override val needsNulls: Boolean = leaves.exists(_.needsNulls)
   }
   /** NOT IN: every element's "≠" test must keep (flat conjunction —
     * same no-recursion rationale as [[CAny]]). */
   private[graft] final case class CAll(leaves: Vector[CPred]) extends CPred {
-    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
         ss: Map[String, (Array[Byte], Array[Byte])],
-        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
-      leaves.forall(_.eval(p, s, ss, b))
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean =
+      leaves.forall(_.evalN(p, s, ss, b, n))
+    override val needsNulls: Boolean = leaves.exists(_.needsNulls)
   }
   /** One attr-vs-constant comparison, the constant already folded AND
     * converted down the attribute's cast chain into the native domain
@@ -2861,10 +2999,30 @@ object SnapshotTable {
     * (null comparisons compile to [[CDrop]]). */
   private[graft] final case class CCmp(name: String, op: String,
       v: Any, dt: types.DataType) extends CPred {
-    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
         ss: Map[String, (Array[Byte], Array[Byte])],
-        b: Map[String, (Int, Int, Array[Byte])]): Boolean =
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean =
       cmpMeta(name, op, v, dt, p, s, ss, b)
+  }
+  /** IS [NOT] NULL against cached null counts (Delta's nullCount
+    * shape): `wantNull` keeps a file iff it has a null (count > 0);
+    * `!wantNull` keeps unless EVERY row is null (count == rows; rows
+    * -1 = untracked = keep). Absent metadata keeps — old manifests
+    * simply never prune on nullness. */
+  private[graft] final case class CNull(name: String,
+      wantNull: Boolean) extends CPred {
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
+        ss: Map[String, (Array[Byte], Array[Byte])],
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean =
+      n.get(name) match {
+        case Some((nc, rows)) =>
+          if (wantNull) nc > 0
+          else rows < 0 || nc < rows
+        case None => true
+      }
+    override val needsNulls: Boolean = true
   }
   /** startsWith on a direct string attribute: `dirPrefix` is the
     * partition-dir rendering of the prefix; `pbLow`/`pbUpper` bound
@@ -2872,9 +3030,10 @@ object SnapshotTable {
     * (`pbUpper` null = prefix all-0xFF, upper bound unbounded). */
   private[graft] final case class CStarts(name: String, dirPrefix: String,
       pbLow: Array[Byte], pbUpper: Array[Byte]) extends CPred {
-    def eval(p: Map[String, String], s: Map[String, (Long, Long)],
+    def evalN(p: Map[String, String], s: Map[String, (Long, Long)],
         ss: Map[String, (Array[Byte], Array[Byte])],
-        b: Map[String, (Int, Int, Array[Byte])]): Boolean = {
+        b: Map[String, (Int, Int, Array[Byte])],
+        n: Map[String, (Long, Long)]): Boolean = {
       val byDir = p.get(name).forall(_.startsWith(dirPrefix))
       val byRange = ss.get(name).forall { case (lo, hi) =>
         bytesLe(pbLow, hi) && (pbUpper == null || bytesLt(lo, pbUpper))
@@ -3136,6 +3295,20 @@ object SnapshotTable {
       case GreaterThanOrEqual(l, r) => leafSides(l, r, ">=")
       case LessThan(l, r) => leafSides(l, r, "<")
       case LessThanOrEqual(l, r) => leafSides(l, r, "<=")
+      // nullness tests consult cached null counts — DIRECT attribute
+      // only (a cast can manufacture nulls: string→int of 'abc' is
+      // null though the column value isn't, so IsNull-through-cast is
+      // not the column's nullness)
+      case IsNull(a) if attrThroughCasts(a, Nil).exists(_._2.isEmpty) =>
+        CNull(attrName(a).get, wantNull = true)
+      case IsNotNull(a) if attrThroughCasts(a, Nil).exists(_._2.isEmpty) =>
+        CNull(attrName(a).get, wantNull = false)
+      case Not(IsNull(a))
+          if attrThroughCasts(a, Nil).exists(_._2.isEmpty) =>
+        CNull(attrName(a).get, wantNull = false)
+      case Not(IsNotNull(a))
+          if attrThroughCasts(a, Nil).exists(_._2.isEmpty) =>
+        CNull(attrName(a).get, wantNull = true)
       case In(a, ls) if attrName(a).isDefined =>
         if (ls.exists(l => foldVal(l).isEmpty)) CKeep // non-constant: keep
         else cany(ls.map(l => leafSides(a, l, "=")))

@@ -1475,6 +1475,53 @@ class SnapshotTableSpec extends SparkSpec {
     assert(n5 === 0 && k5 === 0)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL soundly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.when
+    val path = freshPath("nullstats")
+    // id-clustered: nulls of `opt` live only in the low files; `dead`
+    // is null EVERYWHERE (the all-null column ranges never see)
+    val rows = (0L until 800L).toDF("id")
+      .withColumn("opt", when(col("id") < 100L, null)
+        .otherwise(col("id") * 3))
+      .withColumn("dead", lit(null).cast("long"))
+    SnapshotTable.create(rows.repartitionByRange(8, col("id"))
+      .sortWithinPartitions(col("id")), path)
+    def pruned(pr: org.apache.spark.sql.Column): (Long, Int, Int) = {
+      val (df, kept, total) = SnapshotTable.readWherePruned(spark, path, pr)
+      (df.count(), kept, total)
+    }
+    val total = SnapshotTable.fileCount(spark, path)
+    // IS NULL keeps only the null-bearing low files
+    val (n1, k1, t1) = pruned(col("opt").isNull)
+    assert(n1 === 100 && t1 === total && k1 < total,
+      s"IS NULL kept $k1/$t1 files")
+    // IS NOT NULL on the all-null column keeps NOTHING
+    val (n2, k2, _) = pruned(col("dead").isNotNull)
+    assert(n2 === 0 && k2 === 0,
+      s"IS NOT NULL on an all-null column kept $k2 files")
+    // ...but on the mixed column keeps everything that has values
+    assert(pruned(col("opt").isNotNull)._1 === 700)
+    // negation forms route to the same leaves
+    assert(pruned(!col("opt").isNull)._1 === 700)
+    assert(pruned(!col("dead").isNotNull)._1 === 800)
+    // composes with ranges: null rows in the key range only
+    val (n3, k3, _) = pruned(col("opt").isNull && col("id") < 50L)
+    assert(n3 === 50 && k3 <= k1)
+    // segment-level refutation: segmented manifest drops whole
+    // segments from the summed z!/rows aggregates
+    spark.conf.set("spark.graft.manifest.segmentEntries", "4")
+    try {
+      val path2 = freshPath("nullstatsseg")
+      SnapshotTable.create(rows.repartitionByRange(16, col("id"))
+        .sortWithinPartitions(col("id")), path2)
+      val (df4, k4, t4) = SnapshotTable.readWherePruned(spark, path2,
+        col("opt").isNull)
+      assert(df4.count() === 100 && k4 < t4,
+        s"segmented IS NULL kept $k4/$t4")
+    } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
+  }
+
   test("zero-row staged parts are dropped, never referenced stat-less") {
     import spark.implicits._
     val path = freshPath("zerorow")
