@@ -2831,8 +2831,6 @@ object SnapshotTable {
         def rlFor[T](m: Map[String, T]): Map[String, T] =
           if (p2l.isEmpty) m
           else m.map { case (k2, v2) => p2l.getOrElse(k2, k2) -> v2 }
-        val entriesDs = spark.read.textFile(livePaths.toSeq: _*)
-          .map(_.trim).filter(_.nonEmpty)
         // a FUNCTION VALUE, not a local def: a def body that calls
         // module methods lifts with the (non-serializable) module as
         // a captured argument and poisons the task closure; a lambda
@@ -2841,13 +2839,28 @@ object SnapshotTable {
           if (!needNulls) _ => Map.empty
           else line => rlFor(entryNulls(line))
         if (sidePaths.isEmpty) {
-          val kept = entriesDs.filter { line =>
-            val (num, str, bl) = parseEntryStats(line)
-            cpSer.evalN(entryPartitionValues(entryPath(line)),
-              rlFor(num), rlFor(str), rlFor(bl), taskNulls(line))
-          }.collect().toSeq
+          // WHOLETEXT read: one row per SEGMENT file, split + parse +
+          // evaluate inside one closure — the per-LINE Dataset shape
+          // paid row-encoder and iterator overhead on every one of
+          // millions of entry lines across tens of thousands of small
+          // files (segment files are ~70 KB, far under any memory
+          // concern for one-row-per-file reads)
+          import org.apache.spark.sql.Encoders
+          val kept = spark.read.option("wholetext", "true")
+            .text(livePaths.toSeq: _*)
+            .select(org.apache.spark.sql.functions.col("value"))
+            .as[String](Encoders.STRING)
+            .mapPartitions(_.flatMap(_.split("\n").iterator
+              .map(_.trim).filter(_.nonEmpty).filter { line =>
+                val (num, str, bl) = parseEntryStats(line)
+                cpSer.evalN(entryPartitionValues(entryPath(line)),
+                  rlFor(num), rlFor(str), rlFor(bl), taskNulls(line))
+              }))(Encoders.STRING)
+            .collect().toSeq
           kept
         } else {
+          val entriesDs = spark.read.textFile(livePaths.toSeq: _*)
+            .map(_.trim).filter(_.nonEmpty)
           // equality probes join the SIDECAR bitsets in the same job
           // (keyed by file name — sidecar lines reuse the entry
           // grammar), so huge-table point lookups get distributed
