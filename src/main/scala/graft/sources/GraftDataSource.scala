@@ -58,7 +58,19 @@ class GraftDataSource extends RelationProvider
       .orElse(opt(parameters, "timestampAsOf").map { ts =>
         val millis =
           if (ts.forall(_.isDigit)) ts.toLong
-          else java.sql.Timestamp.valueOf(ts).getTime
+          else {
+            // parse in the SESSION zone (spark.sql.session.timeZone),
+            // not the JVM default — Timestamp.valueOf binds to the
+            // latter, so the same option string would time-travel to
+            // different versions depending on the driver's OS zone
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            val t = ts.trim.replace(' ', 'T')
+            val local =
+              if (t.contains("T")) java.time.LocalDateTime.parse(t)
+              else java.time.LocalDate.parse(t).atStartOfDay
+            local.atZone(zone).toInstant.toEpochMilli
+          }
         SnapshotTable.versionAsOf(spark, path, millis)
       })
       .getOrElse(vs.max)

@@ -94,8 +94,15 @@ private[graft] object GraftLogStore {
   def forSession(spark: org.apache.spark.sql.SparkSession): GraftLogStore = {
     val name = spark.conf.getOption("spark.graft.logStore.class")
       .getOrElse(classOf[HdfsLogStore].getName)
+    // resolve via the thread context classloader (Spark's
+    // Utils.classForName pattern): a custom store shipped via --jars
+    // lives in the session's user classloader, which the defining
+    // classloader of this class cannot see
     cache.computeIfAbsent(name, n =>
-      Class.forName(n).getDeclaredConstructor().newInstance()
+      Class.forName(n, true,
+          Option(Thread.currentThread.getContextClassLoader)
+            .getOrElse(getClass.getClassLoader))
+        .getDeclaredConstructor().newInstance()
         .asInstanceOf[GraftLogStore])
   }
 }

@@ -304,9 +304,27 @@ object SnapshotTable {
     * accepted for its whole body. */
   private val WvLine = "#wv=2"
 
+  /** Minimum at-rest age before witness-less content may be accepted
+    * as a legacy manifest (see [[manifestLines]]). Generous on
+    * purpose: a stalled writer of the intermediate era (`#eot` but no
+    * `#wv` witness — the marker commit predates the witness) can hold
+    * a manifest visibly half-written for the length of a GC pause or
+    * an executor hiccup, but not for minutes. Session-overridable for
+    * specs. */
+  private def legacyMinAgeMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.legacyManifestMinAgeMs"))
+      .map(_.toLong).getOrElse(300000L)
+
+  private def legacyOptIn: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.conf.getOption("spark.graft.allowLegacyManifests")
+        .contains("true"))
+
   private def manifestLines(fs: FileSystem, path: String, v: Int): Seq[String] = {
+    val mpath = new Path(logDir(path), manifestName(v))
     def readOnce(): Seq[String] = {
-      val in = fs.open(new Path(logDir(path), manifestName(v)))
+      val in = fs.open(mpath)
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
@@ -318,6 +336,7 @@ object SnapshotTable {
     }
     var tries = 0
     var prev: Seq[String] = null
+    var sawStableLegacy = false
     while (tries < 150) {
       val lines = readOnce()
       if (lines.nonEmpty && lines.last == EotLine) return lines.init
@@ -326,21 +345,35 @@ object SnapshotTable {
       // into a refusal. A modern in-flight/torn write is recognizable
       // by its leading witness line and keeps the bounded spin.
       // Acceptance requires NONEMPTY content STABLE across two
-      // consecutive reads: a just-created manifest whose bytes are
-      // still in flight reads as empty (or a growing prefix) for a
-      // few ms, and accepting that here handed concurrent committers
-      // a truncated file list — the winner's content always begins
-      // with the witness, so only the pre-content window is at stake,
-      // and the stability check rides over it.
+      // consecutive reads (a just-created manifest whose bytes are
+      // still in flight reads as empty or a growing prefix for a few
+      // ms) AND at-rest evidence: the manifest must be older than
+      // [[legacyMinAgeMs]] (a true legacy table's manifests are as
+      // old as its last pre-era commit; witness-less content younger
+      // than minutes is far more likely a write in flight from an
+      // intermediate-era writer — `#eot` predates the `#wv` witness,
+      // so such writers exist — or a fresh tear). Operators who KNOW
+      // the table is legacy can skip the age gate with
+      // `spark.graft.allowLegacyManifests=true`.
       if (lines.nonEmpty && !lines.exists(_.startsWith("#wv=")) &&
-          prev != null && lines == prev) return lines
+          prev != null && lines == prev) {
+        sawStableLegacy = true
+        if (legacyOptIn) return lines
+        val age = System.currentTimeMillis -
+          fs.getFileStatus(mpath).getModificationTime
+        if (age >= legacyMinAgeMs) return lines
+      }
       prev = if (lines.exists(_.startsWith("#wv="))) null else lines
       tries += 1
       Thread.sleep(20)
     }
     sys.error(s"manifest v$v at $path has no end-of-transaction " +
       "marker after 3s — torn by a failed writer; manual cleanup " +
-      "required")
+      "required" + (if (sawStableLegacy)
+        " (content is stable but witness-less AND younger than " +
+          s"${legacyMinAgeMs} ms — if this really is a table written " +
+          "by a pre-marker library version, set " +
+          "spark.graft.allowLegacyManifests=true)" else ""))
   }
 
   /** SEGMENTED MANIFESTS (Iceberg manifest-list shape): above the
@@ -1579,9 +1612,14 @@ object SnapshotTable {
       // instant — `ts`/`wv` are deliberately never inherited: an
       // inherited instant would backdate the commit, and versionAsOf/
       // history prefer this value over filesystem mtimes (which a
-      // backup/restore round-trip silently rewrites)
+      // backup/restore round-trip silently rewrites). Clamped to
+      // strictly-after the previous version's instant: with multiple
+      // writers on skewed clocks a later version could otherwise
+      // carry an EARLIER timestamp, making versionAsOf resolve
+      // inconsistently around the skewed pair (Delta's in-commit
+      // timestamps enforce the same monotonicity).
       val metaLines = Seq(WvLine,
-        s"#ts=${System.currentTimeMillis}") ++
+        s"#ts=${monotonicTs(fs, path, prevV)}") ++
         mergedMeta.toSeq.sortBy(_._1)
           .map { case (k, v) => s"#$k=$v" }
       val bodyLines = body match {
@@ -2462,9 +2500,10 @@ object SnapshotTable {
     def attempt(v: Int, refs: Seq[String], tail: Seq[String]): Boolean = {
       // inherit the prior version's metadata (streaming markers etc.,
       // this commit's keys winning) — same rule as commit(), witness
-      // first and a fresh publication instant, never inherited
+      // first and a fresh publication instant, never inherited,
+      // clamped monotone over the prior version (see commit())
       val metaLines = Seq(WvLine,
-        s"#ts=${System.currentTimeMillis}") ++
+        s"#ts=${monotonicTs(fs, path, if (v > 0) Some(v - 1) else None)}") ++
         ((readMeta(fs, path, v - 1) ++ meta) - "eot" - "wv" - "ts")
           .toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
       val body = refs ++ inlineOrSegment(spark, fs, path, tail) ++
@@ -2517,17 +2556,62 @@ object SnapshotTable {
     sys.error(s"snapshot commit: gave up after $tries rebase conflicts")
   }
 
+  /** The publication instant to stamp into a new commit:
+    * wall-clock, clamped to strictly-after the previous version's
+    * instant so the `#ts=` sequence is monotone even across writers
+    * with skewed clocks. One bounded head read of the previous
+    * manifest ([[commitInstant]]). */
+  private def monotonicTs(fs: FileSystem, path: String,
+      prevV: Option[Int]): Long = {
+    val now = System.currentTimeMillis
+    prevV.fold(now) { pv =>
+      val prev = try commitInstant(fs, path, pv) catch {
+        // a vacuumed/unreadable predecessor cannot constrain us
+        case _: java.io.IOException => Long.MinValue
+      }
+      math.max(prev + 1, now)
+    }
+  }
+
   /** A commit's publication instant: the `#ts=` meta every modern
     * writer stamps INTO the manifest — durable across backup/restore
     * round-trips that rewrite filesystem mtimes (Delta stores the
     * timestamp in the commit for the same reason). Legacy manifests
     * without the meta fall back to the manifest's mtime (the
     * exclusive create WAS the commit). */
-  private def commitInstant(fs: FileSystem, path: String, v: Int): Long =
-    readMeta(fs, path, v).get("ts")
-      .flatMap(t => scala.util.Try(t.toLong).toOption)
-      .getOrElse(fs.getFileStatus(
-        new Path(logDir(path), manifestName(v))).getModificationTime)
+  private def commitInstant(fs: FileSystem, path: String, v: Int): Long = {
+    // `#ts=` is stamped as the SECOND line of every modern manifest
+    // (witness, then publication instant, then inherited meta), so a
+    // bounded head read answers it — going through readMeta →
+    // manifestLines would read AND parse the entire body, O(versions
+    // × manifest bytes) of driver I/O when history()/versionAsOf walk
+    // a long log of large manifests. Only lines terminated by '\n'
+    // inside the head window are trusted (a torn/in-flight tail can
+    // never yield a truncated-but-parseable instant); a manifest
+    // whose head carries no complete `#ts=` falls back to mtime
+    // exactly like a legacy manifest.
+    val mpath = new Path(logDir(path), manifestName(v))
+    val in = fs.open(mpath)
+    val head = try {
+      val buf = new Array[Byte](4096)
+      var off = 0
+      var n = in.read(buf, off, buf.length - off)
+      while (n > 0 && off + n < buf.length) {
+        off += n; n = in.read(buf, off, buf.length - off)
+      }
+      if (n > 0) off += n
+      new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val parts = head.split("\n", -1)
+    // the final split element is either "" (head ended at a newline)
+    // or an incomplete line — never trust it
+    parts.dropRight(1).iterator.map(_.trim)
+      .takeWhile(_.startsWith("#"))
+      .collectFirst { case l if l.startsWith("#ts=") =>
+        scala.util.Try(l.drop(4).toLong).toOption }
+      .flatten
+      .getOrElse(fs.getFileStatus(mpath).getModificationTime)
+  }
 
   /** The newest version committed at or before `tsMillis` (per
     * [[commitInstant]] — in-manifest timestamps, mtime only for

@@ -1563,10 +1563,33 @@ class SnapshotTableSpec extends SparkSpec {
     }
     // a PRE-ERA manifest: strip both the witness and the end marker —
     // exactly what a table written by an older library version looks
-    // like; it must read fine, not spin into a torn-writer error
+    // like. FRESH witness-less content must be REFUSED (it is
+    // indistinguishable from an intermediate-era writer's torn or
+    // in-flight manifest — #eot predates the #wv witness, so such
+    // writers exist); the error names the opt-in
     rewrite(manifests.last, _.filterNot(l =>
       l.startsWith("#wv=") || l.startsWith("#eot=")))
-    assert(SnapshotTable.read(spark, path).count() === 80)
+    spark.conf.set("spark.graft.legacyManifestMinAgeMs", "300000")
+    try {
+      val fresh = intercept[RuntimeException] {
+        SnapshotTable.read(spark, path).count()
+      }
+      assert(fresh.getMessage.contains("allowLegacyManifests"))
+      // AT-REST evidence (mtime minutes old) unlocks the legacy read
+      fs.setTimes(manifests.last,
+        System.currentTimeMillis - 600000L, -1)
+      assert(SnapshotTable.read(spark, path).count() === 80)
+      // ... as does the explicit opt-in, age notwithstanding
+      fs.setTimes(manifests.last, System.currentTimeMillis, -1)
+      spark.conf.set("spark.graft.allowLegacyManifests", "true")
+      assert(SnapshotTable.read(spark, path).count() === 80)
+    } finally {
+      spark.conf.unset("spark.graft.allowLegacyManifests")
+      spark.conf.unset("spark.graft.legacyManifestMinAgeMs")
+    }
+    // leave the manifest old so the torn-modern arm below exercises
+    // the witness path, not the age gate
+    fs.setTimes(manifests.last, System.currentTimeMillis - 600000L, -1)
     // a TORN modern manifest: witness present, end marker missing —
     // the reader must refuse it (bounded spin, then error). The
     // witness is re-added: the rewrite above stripped it.
@@ -1632,6 +1655,63 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime)).toSeq
     assert(histAfter === histBefore,
       "history timestamps must come from the commits, not mtimes")
+  }
+
+  test("commit timestamps are monotone across skewed writer clocks") {
+    import spark.implicits._
+    val path = freshPath("tsmono")
+    SnapshotTable.create((0L until 10L).toDF("id"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+    val v0 = new org.apache.hadoop.fs.Path(logDir, "v00000000.manifest")
+    // simulate a fast-clocked writer: push v0's stamped instant ten
+    // minutes into the future
+    val skewed = System.currentTimeMillis + 600000L
+    val in = fs.open(v0)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    fs.delete(v0, false)
+    val out = fs.create(v0, false)
+    out.write(content.map(l =>
+        if (l.startsWith("#ts=")) s"#ts=$skewed" else l)
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    // a correctly-clocked writer commits next: its stamped instant
+    // must clamp to strictly-after the skewed predecessor, or
+    // versionAsOf resolves inconsistently around the pair
+    SnapshotTable.append((10L until 20L).toDF("id"), path)
+    val hist = SnapshotTable.history(spark, path).collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).getTime)).toMap
+    assert(hist(1) === skewed + 1,
+      "v1's instant must clamp to v0's skewed instant + 1")
+    assert(SnapshotTable.versionAsOf(spark, path, skewed) === 0)
+    assert(SnapshotTable.versionAsOf(spark, path, skewed + 1) === 1)
+  }
+
+  test("timestampAsOf strings parse in the session zone, not the " +
+      "JVM default") {
+    import spark.implicits._
+    val path = freshPath("tszone")
+    SnapshotTable.create((0L until 50L).toDF("id"), path)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis
+    Thread.sleep(30)
+    SnapshotTable.append((50L until 80L).toDF("id"), path)
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    // +8:45, matches no plausible JVM default: a JVM-default parse of
+    // this local string lands hours away from `between` and resolves
+    // to the wrong version
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+    try {
+      val str = java.time.Instant.ofEpochMilli(between)
+        .atZone(java.time.ZoneId.of("Australia/Eucla"))
+        .toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      assert(spark.read.format("graft").option("timestampAsOf", str)
+        .load(path).count() === 50)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
   }
 
   test("commit atomicity is pluggable: a conditional-PUT store guards " +
