@@ -56,6 +56,25 @@ object FrontDoorProbe {
     println(f"native readWhere median: $nMs%8.1f ms")
     println(f"format(graft) median:    $fMs%8.1f ms  (${fMs / nMs}%.2fx)")
     println(s"front-door scan node: $scan")
+    // DV'd arm (VERDICT r12 item 1's criterion: within ~1.2x of the
+    // clean front door): scattered MoR deletes — the steady state of
+    // a table under churn — must keep the columnar scan, now masked
+    // in-reader by GraftParquetFileFormat instead of falling back to
+    // the V1 row path
+    SnapshotTable.deleteMoR(spark, path,
+      F.col("l_orderkey") % 997 === 0)
+    def frontDv(): Unit =
+      spark.read.format("graft").load(path).filter(pred)
+        .agg(F.count(F.lit(1)), F.sum(F.col("l_quantity"))).collect()
+    frontDv() // warm
+    val dMs = median((0 until 5).map(_ => timeMs(frontDv())))
+    val dvScan = spark.read.format("graft").load(path).filter(pred)
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Scan") || l.contains("FileScan"))
+      .take(2).mkString(" | ").trim
+    println(f"format(graft) DV'd median: $dMs%6.1f ms  " +
+      f"(${dMs / fMs}%.2fx of clean front door)")
+    println(s"DV'd front-door scan node: $dvScan")
     org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(path).getParent, true)

@@ -13,14 +13,16 @@ import org.apache.spark.sql.types.StructType
   * requiring the [[SnapshotTable]] API.
   *
   * Read options: `versionAsOf` (int), `timestampAsOf` (epoch millis
-  * or `yyyy-MM-dd HH:mm:ss`). Clean versions (no deletion vectors, no
-  * column mapping) resolve to the [[GraftFileIndex]]-backed
-  * HadoopFsRelation directly ([[SnapshotTable.frontDoorRelation]]):
-  * Spark plans a native columnar parquet scan — vectorized reader,
-  * whole-stage codegen, manifest-metadata file skipping, partition
-  * pruning and DPP at planning time. DV'd or column-mapped versions
-  * fall back to a [[PrunedFilteredScan]] relation whose pushed
-  * filters translate to a Column predicate and ride
+  * or `yyyy-MM-dd HH:mm:ss`, session zone). Catalyst-eligible
+  * versions resolve to the [[GraftFileIndex]]-backed HadoopFsRelation
+  * directly ([[SnapshotTable.frontDoorRelation]]): Spark plans a
+  * native columnar parquet scan — vectorized reader, whole-stage
+  * codegen, manifest-metadata file skipping, partition pruning and
+  * DPP at planning time — with deletion vectors masked and column
+  * mapping translated INSIDE the scan ([[GraftParquetFileFormat]]).
+  * Ineligible versions (legacy logs, unsupported partition types,
+  * oversized DVs) fall back to a [[PrunedFilteredScan]] relation
+  * whose pushed filters translate to a Column predicate and ride
   * [[SnapshotTable.readWhere]]'s manifest machinery; untranslatable
   * filters are simply not pushed (Spark re-applies every filter above
   * a V1 source, so positive-polarity partial pushdown is sound — see
@@ -29,9 +31,14 @@ import org.apache.spark.sql.types.StructType
   * Write modes: ErrorIfExists/Ignore → create (`partitionBy` option:
   * comma-separated columns), Append → append (`mergeSchema=true` for
   * additive evolution), Overwrite → overwrite.
+  *
+  * `spark.readStream.format("graft")` streams the commit log — see
+  * [[GraftStreamSource]] (options `startingVersion`,
+  * `maxVersionsPerTrigger`, `readChangeFeed`).
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -44,6 +51,18 @@ class GraftDataSource extends RelationProvider
   private def pathOf(parameters: Map[String, String]): String =
     opt(parameters, "path").getOrElse(
       sys.error("graft: 'path' required — use .load(path)/.save(path)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(GraftStreamSource.sourceSchema(
+      sqlContext.sparkSession, pathOf(parameters), parameters)))
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext, pathOf(parameters), parameters)
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -74,14 +93,15 @@ class GraftDataSource extends RelationProvider
         SnapshotTable.versionAsOf(spark, path, millis)
       })
       .getOrElse(vs.max)
-    // FAST PATH: when the version needs no projection above the scan
-    // (no deletion vectors, no column mapping), hand Spark the
-    // GraftFileIndex-backed HadoopFsRelation itself — FileSourceStrategy
-    // plans it as a native columnar parquet scan (vectorized reader,
-    // whole-stage codegen, manifest pruning + DPP at planning time),
-    // the same front-door shape as Delta's DeltaLog.createRelation.
-    // The V1 row-translating relation remains the always-correct
-    // fallback for DV'd or column-mapped versions.
+    // FAST PATH: hand Spark the GraftFileIndex-backed HadoopFsRelation
+    // itself — FileSourceStrategy plans it as a native columnar
+    // parquet scan (vectorized reader, whole-stage codegen, manifest
+    // pruning + DPP at planning time), the same front-door shape as
+    // Delta's DeltaLog.createRelation. Versions with deletion vectors
+    // or column mapping keep the columnar scan too, through
+    // GraftParquetFileFormat (in-scan DV masking + name translation);
+    // the V1 row-translating relation remains the always-correct
+    // fallback for Catalyst-ineligible versions and oversized DVs.
     SnapshotTable.frontDoorRelation(spark, path, version)
       .getOrElse(new GraftRelation(sqlContext, path, version))
   }

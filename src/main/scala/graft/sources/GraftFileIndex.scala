@@ -42,15 +42,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * the physical→logical projection ABOVE the relation this index
   * serves, and Catalyst pushes predicates through both wrappers down
   * to [[listFiles]] — verified (with DPP metric pins) by the compose
-  * spec. The index therefore always sees PHYSICAL column names in
-  * both its stat keys and the pushed filters.
+  * spec. The index's stat keys are therefore always PHYSICAL column
+  * names; pushed filters arrive physical under [[SnapshotTable
+  * .readCatalyst]]'s wrappers, but LOGICAL through the front-door
+  * relation of a column-mapped version (whose dataSchema must expose
+  * logical names for analysis) — `log2phys` translates those
+  * references before stat matching, so renamed columns keep their
+  * planning-time skipping.
   */
 private[graft] class GraftFileIndex(
     tablePath: String,
     partSchema: StructType,
     segments: Seq[GraftFileIndex.Segment],
-    zoneId: java.time.ZoneId = java.time.ZoneOffset.UTC)
+    zoneId: java.time.ZoneId = java.time.ZoneOffset.UTC,
+    log2phys: Map[String, String] = Map.empty)
   extends FileIndex {
+
+  /** This index with pushed data filters translated from logical to
+    * physical column names — the front-door shape for column-mapped
+    * versions. Shares the segments, so lazily-parsed entries and
+    * sidecar blooms stay memoized across both views. */
+  private[graft] def withLogicalNames(
+      m: Map[String, String]): GraftFileIndex =
+    if (m.isEmpty) this
+    else new GraftFileIndex(tablePath, partSchema, segments, zoneId, m)
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
@@ -91,7 +106,15 @@ private[graft] class GraftFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val dataPred = dataFilters.reduceOption(And)
+    // stat keys are physical; front-door filters on a mapped version
+    // arrive logical — translate references before matching
+    val physFilters =
+      if (log2phys.isEmpty) dataFilters
+      else dataFilters.map(_.transform {
+        case a: AttributeReference if log2phys.contains(a.name) =>
+          a.withName(log2phys(a.name))
+      })
+    val dataPred = physFilters.reduceOption(And)
     // the pushed predicate compiles ONCE per listFiles call; the
     // per-segment and per-entry loops below evaluate the compiled
     // form (plain map lookups), never re-walking the Expression tree

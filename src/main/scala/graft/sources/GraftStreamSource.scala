@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftSqlAccess, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** `spark.readStream.format("graft")` — a snapshot table's commit log
+  * as a Structured Streaming source. The log is already an ordered,
+  * immutable, replayable sequence of versions, which is exactly the
+  * shape a streaming source wants: offsets are COMMIT VERSIONS, a
+  * micro-batch is the rows the table gained between two committed
+  * versions, and restart replay re-reads the same immutable manifests
+  * (so the checkpoint contract is exactly-once without any
+  * source-side bookkeeping).
+  *
+  * Modes:
+  *  - default (append feed): the NET inserted row images between the
+  *    batch's two versions — [[SnapshotTable.changes]]' insert side.
+  *    Cost scales with churn (only files added/rewritten in the range
+  *    are read), never with table size.
+  *  - `readChangeFeed=true`: full per-version CDC — `change_type`
+  *    ('insert' | 'delete') and `_commit_version` columns, one
+  *    [[SnapshotTable.changes]] diff per version in the batch (batch
+  *    size is bounded by `maxVersionsPerTrigger`, so a trigger never
+  *    fans out unboundedly).
+  *
+  * Options: `startingVersion` (default 0 — replay the full history;
+  * the initial version's rows arrive as the first batch),
+  * `maxVersionsPerTrigger` (default unbounded — cap versions consumed
+  * per micro-batch).
+  *
+  * Scale/robustness notes: offsets are pure metadata (one manifest
+  * list per trigger); replay after `vacuum` of a still-uncommitted
+  * range fails LOUDLY (the manifests are gone) instead of silently
+  * skipping data — retention must outlive checkpoint lag, the same
+  * contract Delta documents. Reference consumers that re-read
+  * intermediate outputs per run (sf_datalake's postprocessing scripts
+  * over written parquet, `io.py:89-90`) become incremental for free.
+  */
+private[graft] class GraftStreamSource(
+    sqlContext: SQLContext,
+    path: String,
+    options: Map[String, String]) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  private def opt(key: String): Option[String] =
+    options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }
+
+  private val cdc = opt("readChangeFeed").exists(_.toBoolean)
+  private val startingVersion = opt("startingVersion").map(_.toInt)
+    .getOrElse(0)
+  private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger")
+    .map(_.toLong).getOrElse(Long.MaxValue)
+  require(maxVersionsPerTrigger >= 1,
+    "maxVersionsPerTrigger must be >= 1")
+
+  override val schema: StructType =
+    GraftStreamSource.sourceSchema(spark, path, options)
+
+  /** Highest version already offered to the engine — trigger pacing
+    * state only (restart replay re-teaches it through getBatch);
+    * correctness rides on the checkpointed offsets. */
+  @volatile private var lastSeen: Long = startingVersion - 1L
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val vs = SnapshotTable.versions(spark, path)
+    if (vs.isEmpty) return None
+    val capped = math.min(vs.max.toLong,
+      lastSeen + maxVersionsPerTrigger)
+    if (capped <= lastSeen) None
+    else {
+      lastSeen = capped
+      Some(LongOffset(capped))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end).toInt
+    // (start, end] — a fresh stream (no checkpoint) begins at
+    // startingVersion inclusive
+    val startV = start.map(o => versionOf(o).toInt + 1)
+      .getOrElse(startingVersion)
+    lastSeen = math.max(lastSeen, endV)
+    val batch =
+      if (startV > endV) emptyBatch()
+      else if (cdc) {
+        (startV to endV).map(changeFeedOf).reduce(_.unionByName(_))
+      } else {
+        // NET inserts over the whole range in ONE manifest diff —
+        // churn-proportional, version-count-independent
+        val base = versionRows(startV)
+        if (startV == endV) base
+        else base.unionByName(SnapshotTable
+          .changes(spark, path, startV, Some(endV))
+          .filter(org.apache.spark.sql.functions
+            .col("change_type") === "insert")
+          .drop("change_type"))
+      }
+    GraftSqlAccess.streamingDf(spark, batch)
+  }
+
+  /** Version `v`'s own contribution to the append feed: the full
+    * snapshot for the starting version (its rows were never seen by
+    * this stream), the v-1 → v insert diff otherwise. */
+  private def versionRows(v: Int): DataFrame =
+    if (v == 0) SnapshotTable.read(spark, path, Some(0))
+    else SnapshotTable.changes(spark, path, v - 1, Some(v))
+      .filter(org.apache.spark.sql.functions
+        .col("change_type") === "insert")
+      .drop("change_type")
+
+  /** Version `v` as CDC rows (change_type + _commit_version). */
+  private def changeFeedOf(v: Int): DataFrame = {
+    val rows =
+      if (v == 0) SnapshotTable.read(spark, path, Some(0))
+        .withColumn("change_type", lit("insert"))
+      else SnapshotTable.changes(spark, path, v - 1, Some(v))
+    rows.withColumn("_commit_version", lit(v))
+  }
+
+  private def emptyBatch(): DataFrame = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+private[graft] object GraftStreamSource {
+  /** The stream's fixed schema: the table's stored schema at stream
+    * definition time, plus the CDC columns when `readChangeFeed`. */
+  def sourceSchema(spark: org.apache.spark.sql.SparkSession,
+      path: String, options: Map[String, String]): StructType = {
+    val base = SnapshotTable.read(spark, path).schema
+    val cdcOn = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v
+    }.exists(_.toBoolean)
+    if (!cdcOn) base
+    else StructType(base.fields :+
+      StructField("change_type", StringType, nullable = false) :+
+      StructField("_commit_version", IntegerType, nullable = false))
+  }
+}

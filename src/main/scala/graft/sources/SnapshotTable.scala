@@ -3766,26 +3766,103 @@ object SnapshotTable {
     Some((relation, dvRels, st))
   }
 
-  /** The version as a bare HadoopFsRelation when that is EXACTLY
-    * equivalent to [[read]] — no deletion vectors to mask and no
-    * column mapping to restore (both need a projection ABOVE the scan
-    * that a BaseRelation cannot carry). The registered data source
-    * uses this as its read path, so `format("graft")` serves native
-    * columnar parquet scans (vectorized reader, whole-stage codegen,
-    * planning-time manifest pruning through [[GraftFileIndex]],
-    * partition pruning and DPP) instead of a V1 row-materializing
-    * scan — the same front-door shape as Delta's
-    * `DeltaLog.createRelation`. None = DV'd, mapped, or
-    * Catalyst-ineligible version; callers fall back to the
-    * row-translating relation, which is always correct. */
+  /** The version as a HadoopFsRelation equivalent to [[read]]. The
+    * registered data source uses this as its read path, so
+    * `format("graft")` serves native columnar parquet scans
+    * (vectorized reader, whole-stage codegen, planning-time manifest
+    * pruning through [[GraftFileIndex]], partition pruning and DPP)
+    * instead of a V1 row-materializing scan — the same front-door
+    * shape as Delta's `DeltaLog.createRelation`.
+    *
+    * Clean versions hand back the bare relation. Versions carrying
+    * DELETION VECTORS or COLUMN MAPPING — which need work a V1
+    * BaseRelation cannot put above the scan — keep the columnar scan
+    * through [[GraftParquetFileFormat]]: logical→physical name
+    * translation inside the reader (rows are positional, so mapping
+    * costs nothing and stays vectorized) and in-scan row-position
+    * masking against the broadcast deletion sets (Delta's approach).
+    * The index is re-viewed with the logical→physical map so pushed
+    * filters on renamed columns keep their manifest pruning.
+    *
+    * None = Catalyst-ineligible version (empty manifest, unsupported
+    * partition type, legacy log) or a cumulative deletion vector past
+    * [[DvBroadcastMaxBytes]] — callers fall back to the
+    * row-translating V1 relation, which is always correct (and
+    * applies the size-gated shuffled anti-join for oversized DVs). */
   private[graft] def frontDoorRelation(spark: SparkSession, path: String,
       version: Int): Option[org.apache.spark.sql.sources.BaseRelation] =
-    catalystRelationParts(spark, path, version).collect {
-      case (relation, dvRels, st)
-          if dvRels.isEmpty && st.fields.forall(f => physName(f) == f.name)
-            && relation.schema.fieldNames.sameElements(st.fieldNames) =>
-        relation
+    catalystRelationParts(spark, path, version).flatMap {
+      case (relation, dvRels, st) =>
+        val log2phys = st.fields.iterator
+          .filter(f => physName(f) != f.name)
+          .map(f => f.name -> physName(f)).toMap
+        if (dvRels.isEmpty && log2phys.isEmpty) {
+          if (relation.schema.fieldNames.sameElements(st.fieldNames))
+            Some(relation)
+          else None
+        } else cachedDvBroadcast(spark, path, dvRels).flatMap { dvBc =>
+          // dataSchema under LOGICAL names (analysis resolves user
+          // queries against it); the format scans physical
+          val logicalData = nullify(types.StructType(st.fields))
+          val fmt = new GraftParquetFileFormat(log2phys, dvBc)
+          val index = relation.location match {
+            case g: GraftFileIndex => g.withLogicalNames(log2phys)
+            case other => other
+          }
+          val rel = relation.copy(location = index,
+            dataSchema = logicalData, fileFormat = fmt)(spark)
+          if (rel.schema.fieldNames.sameElements(st.fieldNames))
+            Some(rel)
+          else None
+        }
     }
+
+  /** Process-level cache of broadcast deletion vectors keyed by the
+    * exact DV rel set (uuid-named immutable files, so a key can never
+    * alias different content). Without it every `format("graft")`
+    * read of a DV'd version would re-run the DV load job and
+    * re-broadcast at PLANNING time — the Delta-snapshot-state reason
+    * to cache. Bounded by estimated decoded bytes, cleared past
+    * 128 MB (the ContextCleaner reclaims unreferenced broadcasts). */
+  private val dvBcCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
+  private val dvBcCacheBytes = new java.util.concurrent.atomic.AtomicLong
+
+  /** A version's cumulative deletion vector as a broadcast of
+    * `file basename -> sorted deleted positions` for
+    * [[GraftParquetFileFormat]]'s readers. Some(None) = no DVs;
+    * None = past [[DvBroadcastMaxBytes]] on disk — the caller must
+    * fall back to a relation that can anti-join distributed (the same
+    * ceiling gates [[applyDvMask]]'s broadcast join). */
+  private def cachedDvBroadcast(spark: SparkSession, path: String,
+      dvRels: Seq[String]): Option[Option[
+        org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]] = {
+    if (dvRels.isEmpty) return Some(None)
+    val key = spark.sparkContext.applicationId + " " + path +
+      " " + dvRels.sorted.mkString("|")
+    val hit = dvBcCache.get(key)
+    if (hit != null) return Some(Some(hit))
+    val fs = fsOf(spark, new Path(path))
+    val dvBytes = dvRels.map(r => scala.util.Try(
+      fs.getFileStatus(new Path(path, r)).getLen).getOrElse(0L)).sum
+    if (dvBytes > DvBroadcastMaxBytes) return None
+    val rows = spark.read
+      .parquet(dvRels.map(r => new Path(path, r).toString): _*)
+      .select("file", "pos").collect()
+    val dv = rows.groupBy(_.getString(0)).map { case (f, rs) =>
+      // positions can repeat across stacked per-commit vectors; the
+      // cursor needs them sorted and unique
+      f -> rs.map(_.getLong(1)).distinct.sorted.toArray
+    }
+    val bc = spark.sparkContext.broadcast(dv)
+    val est = dv.valuesIterator.map(_.length.toLong * 8 + 64).sum
+    if (dvBcCacheBytes.addAndGet(est) > (128L << 20)) {
+      dvBcCache.clear()
+      dvBcCacheBytes.set(est)
+    }
+    dvBcCache.put(key, bc)
+    Some(Some(bc))
+  }
 
   /** OPTIMIZE ZORDER: rewrite the latest version along the z-curve of
     * `zCols` as a new snapshot commit (the lakehouse maintenance verb

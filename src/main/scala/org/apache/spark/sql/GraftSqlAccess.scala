@@ -23,4 +23,16 @@ object GraftSqlAccess {
   def ofRelation(spark: SparkSession,
       rel: org.apache.spark.sql.sources.BaseRelation): DataFrame =
     spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(rel)
+
+  /** Re-wrap a batch DataFrame as a STREAMING one — what a V1
+    * streaming `Source.getBatch` must return (the micro-batch
+    * executor asserts `isStreaming`; file sources use the same
+    * internalCreateDataFrame shape). The batch plan is pinned to an
+    * RDD first, so the streaming wrapper replays exactly the rows the
+    * source computed for the offset range. */
+  def streamingDf(spark: SparkSession, df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

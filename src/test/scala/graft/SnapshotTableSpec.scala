@@ -1361,15 +1361,21 @@ class SnapshotTableSpec extends SparkSpec {
     // time travel via options
     assert(spark.read.format("graft").option("versionAsOf", "0")
       .load(path).count() === 1000)
-    // deletion vectors mask through the format — a DV'd version falls
-    // back to the always-correct V1 relation (the mask needs a
-    // projection above the scan that a BaseRelation cannot carry)
+    // deletion vectors mask INSIDE the scan — a DV'd version keeps
+    // the columnar FileScan front door (GraftParquetFileFormat
+    // filters row positions in the reader, Delta-style), instead of
+    // falling off to the V1 row-materializing relation
     SnapshotTable.deleteMoR(spark, path, col("id") === 7L)
     val dvd = spark.read.format("graft").load(path)
     assert(dvd.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation
-    }.exists(_.isInstanceOf[GraftRelation]))
+    }.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]))
+    val dvPlan = dvd.queryExecution.executedPlan.toString
+    assert(dvPlan.contains("FileScan parquet"), dvPlan)
+    assert(!dvPlan.contains("ExistingRDD"), dvPlan)
+    assert(dvd.count() === 1099)
     assert(dvd.filter(col("id") === 7L).count() === 0)
     // overwrite + errorIfExists modes
     rows.limit(10).write.format("graft").mode("overwrite").save(path)
@@ -1393,6 +1399,75 @@ class SnapshotTableSpec extends SparkSpec {
         "SELECT count(*) AS n FROM graft_ds_spec WHERE tag IS NOT NULL")
         .head.getLong(0) === 5)
     } finally spark.sql("DROP TABLE graft_ds_spec")
+  }
+
+  test("front door keeps the columnar scan through deletion vectors " +
+      "and column mapping") {
+    import spark.implicits._
+    val path = freshPath("fdoormor")
+    val rows = (0L until 2000L).map(i => (i, s"g${i % 4}", i * 3))
+      .toDF("id", "grp", "score")
+    rows.repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("graft").save(path)
+    // MoR deletes scattered across files, then a rename — the exact
+    // steady state (DV churn + evolution) that used to fall off to
+    // the V1 row path
+    SnapshotTable.deleteMoR(spark, path,
+      col("id") % 100 === 0 || col("id") === 1999L)
+    SnapshotTable.renameColumn(spark, path, "score", "points")
+    val fd = spark.read.format("graft").load(path)
+    assert(fd.columns.toSeq === Seq("id", "grp", "points"))
+    val plan = fd.filter(col("points") > 0L).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("FileScan parquet"), plan)
+    assert(!plan.contains("ExistingRDD"), plan)
+    // row parity with the always-correct explicit readers
+    val expect = SnapshotTable.read(spark, path)
+      .orderBy("id").collect().toSeq
+    assert(fd.orderBy("id").collect().toSeq === expect)
+    assert(fd.count() === 2000 - 21)
+    assert(fd.filter(col("id") % 100 === 0).count() === 0)
+    // pushed filters on the RENAMED column stay correct (translated
+    // to the physical name for row-group pruning) and keep manifest
+    // pruning: the range layout means a tight filter reads < 4 files
+    def scanFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      def find(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => find(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => find(qs.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case other => other.children.flatMap(find) ++
+            other.subqueries.flatMap(find)
+        }
+      find(q.queryExecution.executedPlan)
+        .find(_.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+        .getOrElse(sys.error("no FileSourceScanExec over GraftFileIndex"))
+        .metrics("numFiles").value
+    }
+    assert(fd.filter(col("points") > 5700L).count() ===
+      (1901L until 2000L count (i => i % 100 != 0 && i != 1999L)))
+    assert(scanFiles(spark.read.format("graft").load(path)
+      .filter(col("points") > 5700L).groupBy().count()) < 4)
+    // a second MoR delete stacks its vector on the same files; the
+    // in-scan mask must apply the union of both
+    SnapshotTable.deleteMoR(spark, path, col("id") === 3L)
+    val fd2 = spark.read.format("graft").load(path)
+    assert(fd2.count() === 2000 - 22)
+    assert(fd2.filter(col("id") === 3L).count() === 0)
+    // user-requested row coordinates compose with the in-scan mask:
+    // deleted positions are absent, survivors keep their TRUE in-file
+    // positions (gaps where rows were masked)
+    val pos = fd2.select(col("id"),
+        col("_metadata.row_index").as("pos"))
+      .filter(col("id") < 6L).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pos === Seq((1L, 1L), (2L, 2L), (4L, 4L), (5L, 5L)),
+      s"got $pos")
   }
 
   test("data source pushdown: Not over a partially-translatable And " +
