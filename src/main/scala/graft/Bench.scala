@@ -107,7 +107,22 @@ object Bench {
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // the harness archives only a bounded stdout tail, which cuts the
+    // full per-query map off the record once the surface outgrows it
+    // — persist the complete line to a file in the working tree so
+    // per-query timings always survive for adjudication and for
+    // tools/bench_ratio.py (which reads this same JSON shape)
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+        "BENCH_FULL_LATEST.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH: could not persist full JSON: $e")
+    }
     if (results.exists(_._4.isDefined)) System.err.println(
       s"BENCH: ${results.count(_._4.isDefined)} queries FAILED: " +
         results.collect { case (k, _, _, Some(_)) => k }.mkString(", "))

@@ -435,6 +435,56 @@ object StreamingQueries {
         SnapshotTable.read(s, path).agg(count(lit(1)).as("n_total")))
     }),
 
+    // the COMMIT LOG as a streaming source (st15): a snapshot table
+    // built in three commits is consumed one version per trigger
+    // (maxVersionsPerTrigger) into a second snapshot table, with a
+    // stop/RESTART in the middle — commits landing while the stream
+    // was down (an append and a MoR delete) must arrive exactly once
+    // from the checkpoint; the CDC feed then replays the whole log and
+    // its net state (inserts minus deletes) must equal the table's
+    // current rows. n_append_total pins exactly-once: a re-emitted
+    // version would inflate it past the oracle's count(*).
+    "st15_stream_source" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val ev = Tables(s, dir, "events").select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st15").toString
+      val src = s"$base/src"
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      SnapshotTable.create(ev.filter(col("event_id") % 3 === 0), src)
+      SnapshotTable.append(ev.filter(col("event_id") % 3 === 1), src)
+      def run(): Unit = { Streaming.runToSnapshot(s,
+        s.readStream.format("graft")
+          .option("maxVersionsPerTrigger", "1").load(src), out, ckpt)
+        () }
+      run()
+      SnapshotTable.append(ev.filter(col("event_id") % 3 === 2), src)
+      SnapshotTable.deleteMoR(s, src, col("event_id") % 97 === 0)
+      run()
+      val cdc = Streaming.runToMemory(s,
+        s.readStream.format("graft")
+          .option("readChangeFeed", "true").load(src),
+        s"st15_cdc_${runCounter.incrementAndGet()}")
+      // net state in ONE aggregation (inserts count +1, deletes -1;
+      // surviving rows net to +1) — no self-join of the feed
+      val dataCols = cdc.columns.toSeq
+        .filterNot(Set("change_type", "_commit_version"))
+      val net = cdc.withColumn("__delta",
+          when(col("change_type") === "insert", 1).otherwise(-1))
+        .groupBy(dataCols.map(col): _*)
+        .agg(sum(col("__delta")).as("__net"))
+        .filter(col("__net") > 0).drop("__net")
+      net.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .crossJoin(SnapshotTable.read(s, out)
+          .agg(count(lit(1)).as("n_append_total")))
+        .orderBy(col("event_type"))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -466,6 +516,16 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // net CDC state = all events minus the MoR-deleted slice;
+    // n_append_total = every event exactly once through the append
+    // feed (deletes are retractions the append feed ignores)
+    "st15_stream_source" ->
+      """WITH kept AS (SELECT * FROM events WHERE event_id % 97 != 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  (SELECT count(*) FROM events) AS n_append_total
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "st13_stream_bloom_ingest" ->
       """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents),
         |t AS (SELECT max(doc_id) AS target FROM documents, mid

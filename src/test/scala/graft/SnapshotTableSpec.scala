@@ -1470,6 +1470,55 @@ class SnapshotTableSpec extends SparkSpec {
       s"got $pos")
   }
 
+  test("readStream over the commit log: exactly-once across restart, " +
+      "bounded triggers, append and CDC feeds") {
+    import spark.implicits._
+    val path = freshPath("streamsrc")
+    val out = freshPath("streamout")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_gss_ckpt").toString
+    SnapshotTable.create((0L until 10L).toDF("id"), path)
+    SnapshotTable.append((10L until 20L).toDF("id"), path)
+    // one version per micro-batch: the commit log is consumed as two
+    // bounded triggers, landing exactly-once in a result table
+    def run(): Unit = graft.streaming.Streaming.runToSnapshot(spark,
+      spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(path),
+      out, ckpt)
+    run()
+    assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+      === (0L until 20L).toArray)
+    assert(SnapshotTable.versions(spark, out).size >= 2,
+      "maxVersionsPerTrigger=1 must split the history into batches")
+    // commits landing while the stream is DOWN: an append (must be
+    // emitted exactly once on restart from the checkpoint) and a MoR
+    // delete (the append feed must ignore the retraction, not
+    // re-emit or fail)
+    SnapshotTable.append((20L until 30L).toDF("id"), path)
+    SnapshotTable.deleteMoR(spark, path, col("id") === 5L)
+    run()
+    val resumed = SnapshotTable.read(spark, out).as[Long]
+      .collect().sorted
+    assert(resumed === (0L until 30L).toArray,
+      "restart must emit only the new commits, exactly once " +
+        s"(got ${resumed.length} rows)")
+    // CDC feed: same log replayed as a change feed — every insert,
+    // plus the DV delete with its commit version
+    val cdc = graft.streaming.Streaming.runToMemory(spark,
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(path),
+      "gss_cdc")
+    val inserts = cdc.filter(col("change_type") === "insert")
+      .select("id").as[Long].collect().sorted
+    assert(inserts === (0L until 30L).toArray)
+    val deletes = cdc.filter(col("change_type") === "delete")
+      .select(col("id"), col("_commit_version")).collect()
+    assert(deletes.map(_.getLong(0)).toSeq === Seq(5L))
+    assert(deletes.head.getInt(1) ===
+      SnapshotTable.versions(spark, path).max,
+      "the delete must carry the version that committed it")
+  }
+
   test("data source pushdown: Not over a partially-translatable And " +
       "must not prune matching rows") {
     import spark.implicits._
