@@ -73,7 +73,8 @@ object ManifestScaleProbe {
           SnapshotTable.entryPartitionValues(rel),
           SnapshotTable.entryStats(e),
           SnapshotTable.entryStringStats(e),
-          SnapshotTable.entryBloomStats(e))
+          SnapshotTable.entryBloomStats(e),
+          SnapshotTable.entryNulls(e))
       }.toVector
       val parseMs = (System.nanoTime() - t0) / 1e6
       val h1 = heapUsed()
@@ -161,11 +162,11 @@ object ManifestScaleProbe {
                   SnapshotTable.refRel(l)).map { e =>
                 val rel = SnapshotTable.entryPath(e)
                 val (len, mt) = SnapshotTable.entryFileMeta(e).get
-                val (num, str, bl) = SnapshotTable.parseEntryStats(e)
+                val (num, str, bl, nu) = SnapshotTable.parseEntryStats(e)
                 (new FileStatus(len, false, 1, 134217728L, mt,
                   new Path(dir, rel)),
                   SnapshotTable.entryPartitionValues(rel),
-                  num, str, bl)
+                  num, str, bl, nu)
               }))
         }
         new GraftFileIndex(dir, partSchema, segs)
@@ -274,12 +275,12 @@ object ManifestScaleProbe {
                 SnapshotTable.segEntries(fs, dir, rel).map { e =>
                   val rel2 = SnapshotTable.entryPath(e)
                   val (len, mt) = SnapshotTable.entryFileMeta(e).get
-                  val (num, str, _) = SnapshotTable.parseEntryStats(e)
+                  val (num, str, _, nu) = SnapshotTable.parseEntryStats(e)
                   (new FileStatus(len, false, 1, 134217728L, mt,
                     new Path(dir, rel2)),
                     SnapshotTable.entryPartitionValues(rel2),
                     num, str,
-                    Map.empty[String, (Int, Int, Array[Byte])])
+                    Map.empty[String, (Int, Int, Array[Byte])], nu)
                 }),
               bloomLoader = () =>
                 SnapshotTable.segBloomSidecar(fs, dir, sideOf(rel)))

@@ -34,6 +34,13 @@ import org.apache.spark.sql.types._
   * Malkov & Yashunin's algorithm: connect each new node to its M
   * nearest beam results, back-link, and prune any neighbor list past
   * 2M by keeping the closest.
+  *
+  * Full CRUD lifecycle: [[insert]] links new ids incrementally,
+  * [[delete]] tombstones (waypoints stay; shard rebuilds past a
+  * tombstone-fraction threshold), [[upsert]] replaces vectors by
+  * rebuilding only the touched shards. All three leave untouched
+  * shards byte-identical, so a `partitionBy("shard")` parquet layout
+  * re-persists only touched partitions under churn.
   */
 object GraphAnn {
 
@@ -138,11 +145,18 @@ object GraphAnn {
         nodes.iterator.map { case (id, v) =>
           (shard, id, v, base(id),
             upperAdj.contains(id),
-            upperAdj.getOrElse(id, Array.empty[Long]))
+            upperAdj.getOrElse(id, Array.empty[Long]), false)
         }
       }
-      .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs")
+      .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs", "dead")
   }
+
+  /** An index DataFrame with the `dead` tombstone column present —
+    * indexes persisted before deletes existed lack it and read as
+    * all-alive. */
+  private def withDead(index: DataFrame): DataFrame =
+    if (index.columns.contains("dead")) index
+    else index.withColumn("dead", lit(false))
 
   /** INCREMENTAL insert: link a vector batch into a built (or
     * reloaded) index without rebuilding it. Each new id lands in its
@@ -172,10 +186,11 @@ object GraphAnn {
     val touched = newRows
       .map(r => math.floorMod(r._1, nShards.toLong).toInt)
       .distinct().collect().toSeq
-    val idxTyped = index
+    val idxTyped = withDead(index)
       .select(col("shard"), col("id"), col("vec"), col("nbrs"),
-        col("upper"), col("unbrs"))
-      .as[(Int, Long, Array[Double], Array[Long], Boolean, Array[Long])]
+        col("upper"), col("unbrs"), col("dead"))
+      .as[(Int, Long, Array[Double], Array[Long], Boolean, Array[Long],
+        Boolean)]
     val untouched = idxTyped.filter(!col("shard").isin(touched: _*))
     val existing = idxTyped.filter(col("shard").isin(touched: _*))
     val fresh = newRows
@@ -193,7 +208,11 @@ object GraphAnn {
         adds.foreach(a => vecs(a._2) = a._3)
         // reconstruct both layers in ORIGINAL insertion order
         // (ascending id — the order build and prior inserts used), so
-        // entry points match what the graph was grown from
+        // entry points match what the graph was grown from. Tombstoned
+        // nodes stay in the graph as traversal waypoints; new links TO
+        // them are fine (search filters them from results only).
+        val dead = ex.iterator.filter(_._7).map(_._2)
+          .to(collection.mutable.HashSet)
         val adj = collection.mutable.LinkedHashMap[Long, Array[Long]]()
         ex.foreach(r => adj(r._2) = r._4)
         val upAdj = collection.mutable.LinkedHashMap[Long, Array[Long]]()
@@ -201,7 +220,8 @@ object GraphAnn {
         var entry = if (adj.nonEmpty) adj.head._1 else -1L
         var upEntry = if (upAdj.nonEmpty) upAdj.head._1 else -1L
         adds.foreach { case (_, id, v) =>
-          require(!adj.contains(id), s"insert: id $id already indexed")
+          require(!adj.contains(id), s"insert: id $id already indexed" +
+            " (use upsert to replace a vector)")
           if (adj.isEmpty) { adj(id) = Array.empty; entry = id }
           else insertNode(vecs, adj, entry, m, efC, id, v)
           if (math.floorMod(id, upperEvery.toLong) == 0L) {
@@ -211,11 +231,115 @@ object GraphAnn {
         }
         adj.keysIterator.map { id =>
           (shard, id, vecs(id), adj(id),
-            upAdj.contains(id), upAdj.getOrElse(id, Array.empty[Long]))
+            upAdj.contains(id), upAdj.getOrElse(id, Array.empty[Long]),
+            dead.contains(id))
         }
       }
     untouched.union(relinked)
-      .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs")
+      .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs", "dead")
+  }
+
+  /** DELETE vectors by id: shard-local TOMBSTONES (standard HNSW
+    * practice — the node stays in the graph as a traversal waypoint,
+    * [[search]] just never serves it), so a delete touches only the
+    * flag column of its shard rows and untouched shards pass through
+    * byte-identical. When a shard's tombstone fraction exceeds
+    * `rebuildAt` it is REBUILT from its live vectors instead (both
+    * layers, ascending-id order — same deterministic shape as
+    * [[build]]): waypoint clutter degrades beam quality and wastes
+    * bytes past that point, and the rebuild cost is bounded by one
+    * shard. Ids absent from the index are ignored (idempotent
+    * replays). */
+  def delete(index: DataFrame, ids: DataFrame, idCol: String,
+      nShards: Int = 16, m: Int = 8, efC: Int = 48,
+      upperEvery: Int = 16, rebuildAt: Double = 0.3): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val delIds = ids.select(col(idCol).cast(LongType)).as[Long]
+    val touched = delIds
+      .map(i => math.floorMod(i, nShards.toLong).toInt)
+      .distinct().collect().toSeq
+    val idxTyped = withDead(index)
+      .select(col("shard"), col("id"), col("vec"), col("nbrs"),
+        col("upper"), col("unbrs"), col("dead"))
+      .as[(Int, Long, Array[Double], Array[Long], Boolean, Array[Long],
+        Boolean)]
+    val untouched = idxTyped.filter(!col("shard").isin(touched: _*))
+    val existing = idxTyped.filter(col("shard").isin(touched: _*))
+    val delByShard = delIds
+      .map(i => (math.floorMod(i, nShards.toLong).toInt, i))
+    val masked = existing.groupByKey(_._1)
+      .cogroup(delByShard.groupByKey(_._1)) { (shard, exIt, delIt) =>
+        val ex = exIt.toVector.sortBy(_._2)
+        val del = delIt.map(_._2).to(collection.mutable.HashSet)
+        val flagged = ex.map(r =>
+          if (del.contains(r._2)) r.copy(_7 = true) else r)
+        val nDead = flagged.count(_._7)
+        if (ex.isEmpty || nDead.toDouble / ex.size <= rebuildAt)
+          flagged.iterator
+        else {
+          // tombstones past the threshold: rebuild this shard from
+          // its live vectors (deterministic ascending-id relink)
+          val live = flagged.filterNot(_._7).map(r => (r._2, r._3))
+          val base = buildLayer(live, m, efC)
+          val upperAdj = buildLayer(live.filter(n =>
+            math.floorMod(n._1, upperEvery.toLong) == 0L), m, efC)
+          live.iterator.map { case (id, v) =>
+            (shard, id, v, base(id), upperAdj.contains(id),
+              upperAdj.getOrElse(id, Array.empty[Long]), false)
+          }
+        }
+      }
+    untouched.union(masked)
+      .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs", "dead")
+  }
+
+  /** UPSERT: replace (or add) each batch vector under its id. A
+    * replaced vector cannot keep its old adjacency — the links encode
+    * the OLD position in the metric space — so every touched shard is
+    * REBUILT from (its live vectors with batch replacements applied) ∪
+    * (new batch ids), both layers, ascending-id order; prior
+    * tombstones fall away with the rebuild. Untouched shards pass
+    * through byte-identical, so the dynamic-partition-overwrite
+    * persistence shape (st14) applies unchanged. Cost is bounded by
+    * the touched shard set — the batch is an ingest micro-batch, as
+    * in [[insert]]. */
+  def upsert(index: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, nShards: Int = 16, m: Int = 8, efC: Int = 48,
+      upperEvery: Int = 16): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val newRows = batch.select(col(idCol).cast(LongType),
+        col(vecCol).cast(ArrayType(DoubleType)))
+      .as[(Long, Array[Double])]
+    val touched = newRows
+      .map(r => math.floorMod(r._1, nShards.toLong).toInt)
+      .distinct().collect().toSeq
+    val idxTyped = withDead(index)
+      .select(col("shard"), col("id"), col("vec"), col("nbrs"),
+        col("upper"), col("unbrs"), col("dead"))
+      .as[(Int, Long, Array[Double], Array[Long], Boolean, Array[Long],
+        Boolean)]
+    val untouched = idxTyped.filter(!col("shard").isin(touched: _*))
+    val existing = idxTyped.filter(col("shard").isin(touched: _*))
+    val fresh = newRows
+      .map(r => (math.floorMod(r._1, nShards.toLong).toInt, r._1, r._2))
+    val rebuilt = existing.groupByKey(_._1)
+      .cogroup(fresh.groupByKey(_._1)) { (shard, exIt, newIt) =>
+        val replaced = newIt.map(r => (r._2, r._3)).toMap
+        val kept = exIt.filter(r => !r._7 && !replaced.contains(r._2))
+          .map(r => (r._2, r._3)).toVector
+        val nodes = (kept ++ replaced.toVector).sortBy(_._1)
+        val base = buildLayer(nodes, m, efC)
+        val upperAdj = buildLayer(nodes.filter(n =>
+          math.floorMod(n._1, upperEvery.toLong) == 0L), m, efC)
+        nodes.iterator.map { case (id, v) =>
+          (shard, id, v, base(id), upperAdj.contains(id),
+            upperAdj.getOrElse(id, Array.empty[Long]), false)
+        }
+      }
+    untouched.union(rebuilt)
+      .toDF("shard", "id", "vec", "nbrs", "upper", "unbrs", "dead")
   }
 
   /** Top-k cosine search over a built (or reloaded) index: greedy
@@ -231,10 +355,11 @@ object GraphAnn {
     val qs = queries.select(col(idCol).cast(LongType),
         col(vecCol).cast(ArrayType(DoubleType)))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val local = index
+    val local = withDead(index)
       .select(col("shard"), col("id"), col("vec"), col("nbrs"),
-        col("upper"), col("unbrs"))
-      .as[(Int, Long, Array[Double], Array[Long], Boolean, Array[Long])]
+        col("upper"), col("unbrs"), col("dead"))
+      .as[(Int, Long, Array[Double], Array[Long], Boolean, Array[Long],
+        Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val rows = it.toVector.sortBy(_._2)
@@ -242,6 +367,10 @@ object GraphAnn {
         val adj = rows.iterator.map(r => r._2 -> r._4).toMap
         val upAdj = rows.iterator.filter(_._5)
           .map(r => r._2 -> r._6).toMap
+        // tombstoned ids: beam THROUGH them (waypoints keep the graph
+        // navigable), never serve them
+        val dead = rows.iterator.filter(_._7).map(_._2)
+          .to(collection.immutable.HashSet)
         val upEntry =
           if (upAdj.nonEmpty) upAdj.keysIterator.min
           else rows.head._2
@@ -251,7 +380,7 @@ object GraphAnn {
             if (upAdj.isEmpty) upEntry
             else beam(vecs, upAdj, upEntry, qv, 1).head._1
           beam(vecs, adj, entry, qv, ef)
-            .filter(_._1 != qid)
+            .filter(t => t._1 != qid && !dead.contains(t._1))
             .take(k)
             .map { case (cid, c) => (qid, cid, c) }
         }

@@ -45,6 +45,7 @@ object SimilarityQueries {
   @volatile private var lastHnswPairs: Option[Seq[(Long, Long)]] = None
   @volatile private var lastHnswInsertPairs: Option[Seq[(Long, Long)]] = None
   @volatile private var lastHnswStreamPairs: Option[Seq[(Long, Long)]] = None
+  @volatile private var lastHnswCrudPairs: Option[Seq[(Long, Long)]] = None
 
   /** One fitted PQ codebook per (session, dir) — same serving shape as
     * the IVF quantizer cache. */
@@ -312,6 +313,68 @@ object SimilarityQueries {
       val mean = out.agg(avg(col("hits_at_5"))).head().getDouble(0)
       require(mean >= 4.0,
         f"post-insert HNSW recall regressed: mean hits@5 = $mean%.2f")
+      out
+    }),
+
+    // HNSW delete + upsert (s15): the index loses every vec_id%10==7
+    // vector to shard-local TOMBSTONES (never served, kept as beam
+    // waypoints) and every vec_id%10==3 vector is REPLACED by a
+    // deterministic transform (touched shards rebuild). Served from
+    // the persisted+reloaded artifact; graded as hits@5 against brute
+    // force over the EXPECTED post-churn corpus state, which the
+    // DuckDB oracle reconstructs relationally (same CASE/transform).
+    "s15_hnsw_delete_upsert" -> ((s, dir) => {
+      import graft.operators.GraphAnn
+      val emb = Tables(s, dir, "embeddings")
+      val embD = emb.select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val idx = GraphAnn.build(embD, "vec_id", "embedding",
+        nShards = 4, m = 8, efC = 48)
+      val afterDel = GraphAnn.delete(idx,
+        embD.filter(col("vec_id") % 10 === 7).select(col("vec_id")),
+        "vec_id", nShards = 4, m = 8, efC = 48)
+      val replaced = embD.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(0.5) + lit(1.0)).as("embedding"))
+      val upd = GraphAnn.upsert(afterDel, replaced, "vec_id",
+        "embedding", nShards = 4, m = 8, efC = 48)
+      val ipath = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_crud").toString + "/index"
+      upd.write.partitionBy("shard").parquet(ipath)
+      val served = s.read.parquet(ipath)
+      val queries = embD.filter(col("vec_id") < 10)
+      val approx = GraphAnn.search(served, queries, "vec_id",
+          "embedding", k = 5, ef = 64)
+        .select(col("query_id"), col("corpus_id"))
+      val pairs = approx.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      lastHnswCrudPairs = Some(pairs)
+      require(!pairs.exists(_._2 % 10 == 7),
+        "a deleted vector was served")
+      import s.implicits._
+      // the EXPECTED corpus: deletes gone, upserts transformed
+      val state = embD.filter(col("vec_id") % 10 =!= 7)
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 === 3,
+            transform(col("embedding"), x => x * lit(0.5) + lit(1.0)))
+            .otherwise(col("embedding")).as("embedding"))
+      val exact = graft.operators.Similarity.bruteForceTopK(
+          queries, state, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approxLit = pairs.toDF("query_id", "corpus_id")
+      val hits = exact
+        .join(approxLit, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val out = exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits_at_5"))
+        .orderBy(col("query_id"))
+      val mean = out.agg(avg(col("hits_at_5"))).head().getDouble(0)
+      require(mean >= 4.0,
+        f"post-delete/upsert HNSW recall regressed: " +
+          f"mean hits@5 = $mean%.2f")
       out
     }),
 
@@ -762,6 +825,33 @@ object SimilarityQueries {
        |  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** s15: s13's recipe against the POST-CHURN corpus — deletes
+    * (vec_id%10==7) gone, upserts (vec_id%10==3) replaced by the same
+    * x*0.5+1.0 transform the Spark side applied (float→double cast
+    * first on both sides, so the doubles are bit-identical); queries
+    * keep their ORIGINAL vectors. */
+  private def s15Sql(pairs: Seq[(Long, Long)]): String =
+    s"""WITH approx(query_id, corpus_id) AS (VALUES
+       |  ${pairs.map(p => s"(${p._1}, ${p._2})").mkString(",\n  ")}),
+       |corpus AS (SELECT vec_id AS id,
+       |    CASE WHEN vec_id % 10 = 3
+       |      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5 + 1.0)
+       |      ELSE CAST(embedding AS DOUBLE[]) END AS v
+       |  FROM embeddings WHERE vec_id % 10 != 7),
+       |qs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 10),
+       |bscored AS (SELECT a.id AS query_id, b.id AS corpus_id,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM qs a JOIN corpus b ON a.id <> b.id),
+       |exact AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       |  FROM bscored) WHERE rank <= 5)
+       |SELECT e.query_id, CAST(count(a.corpus_id) AS BIGINT) AS hits_at_5
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracles for the fitted-quantizer family, rendered from the models
     * the queries actually served (empty until those queries have run —
     * Verify dumps oracle_sql.json after the query loop, so the full
@@ -784,6 +874,9 @@ object SimilarityQueries {
     }
     lastHnswStreamPairs.foreach { p =>
       out += ("st14_stream_hnsw_upkeep" -> s13Sql(p))
+    }
+    lastHnswCrudPairs.foreach { p =>
+      out += ("s15_hnsw_delete_upsert" -> s15Sql(p))
     }
     lastPqFit.foreach { m =>
       out += ("s5_pq_topk" -> s5Sql(m))

@@ -129,9 +129,9 @@ private[graft] class GraftFileIndex(
           pr.eval(partRow(pv))
         case _ => true
       }
-      partOk && dataCp.forall(_.eval(
+      partOk && dataCp.forall(_.evalN(
         s.partValues.getOrElse(Map.empty), s.stats, s.strStats,
-        s.blooms))
+        s.blooms, s.nulls))
     }
     // then ENTRY-level: same conservative evaluator per parsed entry.
     // EAGER (inline) segments skip it — their segment-level test
@@ -162,9 +162,9 @@ private[graft] class GraftFileIndex(
             if (side.isEmpty) Set.empty
             else side.iterator.filter(kv => fileRefuted(kv._2))
               .map(_._1).toSet
-          s.entries.filter { case (fst, pv, st, ss, bl) =>
+          s.entries.filter { case (fst, pv, st, ss, bl, nu) =>
             !refuted.contains(fst.getPath.getName) &&
-              dataCp.forall(_.eval(pv, st, ss, bl))
+              dataCp.forall(_.evalN(pv, st, ss, bl, nu))
           }
         }
       }
@@ -189,13 +189,17 @@ private[graft] class GraftFileIndex(
 
 private[graft] object GraftFileIndex {
 
-  /** One parsed manifest entry: file status, partition values, and
-    * the three stat families the evaluator consumes. */
+  /** One parsed manifest entry: file status, partition values, the
+    * three stat families, and the null metadata (col → (nullCount,
+    * rowCount), rowCount -1 when untracked) the evaluator consumes —
+    * all four ride the same single-pass
+    * [[SnapshotTable.parseEntryStats]] scan. */
   type EntryInfo = (FileStatus,
     Map[String, String],
     Map[String, (Long, Long)],
     Map[String, (Array[Byte], Array[Byte])],
-    Map[String, (Int, Int, Array[Byte])])
+    Map[String, (Int, Int, Array[Byte])],
+    Map[String, (Long, Long)])
 
   /** A unit of lazily-parsed manifest metadata: an inline entry
     * (eager, count 1) or a segment reference (aggregates up front,
@@ -217,7 +221,12 @@ private[graft] object GraftFileIndex {
         * name → column → bloom), loaded on first demand and only
         * when a pushed equality probe can use them. */
       bloomLoader: () => Map[String,
-        Map[String, (Int, Int, Array[Byte])]] = () => Map.empty) {
+        Map[String, (Int, Int, Array[Byte])]] = () => Map.empty,
+      /** null metadata for the segment-level test — populated only
+        * for EAGER (inline-entry) segments, whose segment-level maps
+        * ARE the entry's own; `@seg=` refs carry no null aggregate
+        * (empty = unknown = keep, sound). */
+      val nulls: Map[String, (Long, Long)] = Map.empty) {
     @volatile private var loaded: Seq[EntryInfo] = null
     @volatile private var loadedBlooms: Map[String,
       Map[String, (Int, Int, Array[Byte])]] = null
@@ -243,7 +252,8 @@ private[graft] object GraftFileIndex {
 
   def eager(info: EntryInfo): Segment =
     new Segment(Some(info._2), info._3, info._4, info._5, 1,
-      Some(info._1.getLen), () => Seq(info), eager = true)
+      Some(info._1.getLen), () => Seq(info), eager = true,
+      nulls = info._6)
 
   /** Partition column types [[partValueToCatalyst]] can decode from a
     * directory string; readCatalyst falls back to the classic reader

@@ -209,40 +209,120 @@ object SnapshotTable {
   private[graft] def parseEntryStats(line: String)
       : (Map[String, (Long, Long)],
          Map[String, (Array[Byte], Array[Byte])],
-         Map[String, (Int, Int, Array[Byte])]) =
-    line.split("\t", 2) match {
-      case Array(_, st) =>
-        val num = Map.newBuilder[String, (Long, Long)]
-        val str = Map.newBuilder[String, (Array[Byte], Array[Byte])]
-        val bl = Map.newBuilder[String, (Int, Int, Array[Byte])]
-        st.split(";").foreach { kv =>
-          val i = kv.indexOf('=')
-          if (i > 0) {
-            val c = kv.substring(0, i)
-            val v = kv.substring(i + 1)
-            if (v.startsWith("s!")) v.split("!", -1) match {
-              case Array(_, lo, hi) =>
-                str += c -> (unescStat(lo), unescStat(hi))
-              case _ => ()
-            }
-            else if (v.startsWith("b!")) v.split("!", -1) match {
-              case Array(_, m, k, b64) =>
-                scala.util.Try((m.toInt, k.toInt,
-                  java.util.Base64.getDecoder.decode(b64)))
-                  .foreach(bl += c -> _)
-              case _ => ()
-            }
-            else v.split(":", 2) match {
-              case Array(lo, hi) =>
-                try num += c -> ((lo.toLong, hi.toLong))
-                catch { case _: NumberFormatException => () }
-              case _ => ()
-            }
-          }
+         Map[String, (Int, Int, Array[Byte])],
+         Map[String, (Long, Long)]) = {
+    // SINGLE-PASS ZERO-ALLOC scanner: index walking over the line
+    // with range-based Long.parseLong / Integer.parseInt (Java 9+),
+    // no split() arrays, no per-item value substrings. The ~64 µs/
+    // entry of substring/split garbage this replaces was the measured
+    // floor of the distributed 10M-entry full parse (NOTES r12 §6) —
+    // the only allocations left are the retained results themselves
+    // (key strings, byte bounds, decoded blooms) plus a substring per
+    // bloom item for the Base64 decoder. Null metadata (`z!`/`rows=`,
+    // the [[entryNulls]] join) rides the same pass for free, so the
+    // FileIndex can evaluate explicit IS [NOT] NULL filters without a
+    // second scan of the line.
+    val n = line.length
+    val tab = line.indexOf('\t')
+    if (tab < 0 || tab + 1 >= n)
+      return (Map.empty, Map.empty, Map.empty, Map.empty)
+    val num = Map.newBuilder[String, (Long, Long)]
+    val str = Map.newBuilder[String, (Array[Byte], Array[Byte])]
+    val bl = Map.newBuilder[String, (Int, Int, Array[Byte])]
+    val ns = Map.newBuilder[String, Long]
+    var nsAny = false
+    var rows = -1L
+    var p = tab + 1
+    while (p < n) {
+      var semi = line.indexOf(';', p)
+      if (semi < 0) semi = n
+      val eq = line.indexOf('=', p)
+      if (eq > p && eq < semi) {
+        val v0 = eq + 1
+        val bang = v0 + 1 < semi && line.charAt(v0 + 1) == '!'
+        val tag = if (bang) line.charAt(v0) else ' '
+        if (tag == 'z') {
+          try {
+            ns += line.substring(p, eq) ->
+              java.lang.Long.parseLong(line, v0 + 2, semi, 10)
+            nsAny = true
+          } catch { case _: NumberFormatException => () }
+        } else if (tag == 'r') {
+          if (eq - p == 4 && line.regionMatches(p, "rows", 0, 4))
+            try rows = java.lang.Long.parseLong(line, v0 + 2, semi, 10)
+            catch { case _: NumberFormatException => () }
+        } else if (tag == 's') {
+          // s!lo!hi — exactly three '!'-parts
+          val b1 = line.indexOf('!', v0 + 2)
+          if (b1 >= 0 && b1 < semi &&
+              { val b2 = line.indexOf('!', b1 + 1)
+                b2 < 0 || b2 >= semi })
+            str += line.substring(p, eq) ->
+              (unescStatRange(line, v0 + 2, b1),
+               unescStatRange(line, b1 + 1, semi))
+        } else if (tag == 'b') {
+          // b!mBits!k!base64 — exactly four '!'-parts
+          val b1 = line.indexOf('!', v0 + 2)
+          val b2 = if (b1 < 0) -1 else line.indexOf('!', b1 + 1)
+          if (b1 >= 0 && b1 < semi && b2 >= 0 && b2 < semi &&
+              { val b3 = line.indexOf('!', b2 + 1)
+                b3 < 0 || b3 >= semi })
+            try bl += line.substring(p, eq) ->
+              ((Integer.parseInt(line, v0 + 2, b1, 10),
+                Integer.parseInt(line, b1 + 1, b2, 10),
+                java.util.Base64.getDecoder
+                  .decode(line.substring(b2 + 1, semi))))
+            catch { case _: IllegalArgumentException => () }
+        } else if (!bang) {
+          // numeric lo:hi — any other '!'-tagged shape (future tags)
+          // is skipped, exactly like the split-based spec parsers
+          val colon = line.indexOf(':', v0)
+          if (colon > v0 && colon < semi)
+            try num += line.substring(p, eq) ->
+              ((java.lang.Long.parseLong(line, v0, colon, 10),
+                java.lang.Long.parseLong(line, colon + 1, semi, 10)))
+            catch { case _: NumberFormatException => () }
         }
-        (num.result(), str.result(), bl.result())
-      case _ => (Map.empty, Map.empty, Map.empty)
+      }
+      p = semi + 1
     }
+    val nulls =
+      if (!nsAny) Map.empty[String, (Long, Long)]
+      else { val r = rows; ns.result().map { case (c, nc) => c -> (nc, r) } }
+    (num.result(), str.result(), bl.result(), nulls)
+  }
+
+  /** [[unescStat]] over a line RANGE without substring-ing it first;
+    * the escape-free fast path copies chars straight into the result
+    * array. Same contract: invalid hex after '%' throws (identical to
+    * the split-based parsers). */
+  private def unescStatRange(s: String, from: Int, to: Int): Array[Byte] = {
+    var pct = -1
+    var i = from
+    while (pct < 0 && i < to) {
+      if (s.charAt(i) == '%') pct = i
+      i += 1
+    }
+    if (pct < 0) {
+      val out = new Array[Byte](to - from)
+      var j = 0
+      while (j < out.length) {
+        out(j) = s.charAt(from + j).toByte
+        j += 1
+      }
+      out
+    } else {
+      val out = new java.io.ByteArrayOutputStream(to - from)
+      var k = from
+      while (k < to) {
+        if (s.charAt(k) == '%' && k + 3 <= to) {
+          out.write(Integer.parseInt(s.substring(k + 1, k + 3), 16))
+          k += 3
+        } else { out.write(s.charAt(k).toInt); k += 1 }
+      }
+      out.toByteArray
+    }
+  }
 
   /** Unsigned byte-lexicographic order — the common string order of
     * parquet binary stats, Spark's UTF8String, and DuckDB. */
@@ -2919,9 +2999,6 @@ object SnapshotTable {
         // module methods lifts with the (non-serializable) module as
         // a captured argument and poisons the task closure; a lambda
         // body's module calls stay static
-        val taskNulls: String => Map[String, (Long, Long)] =
-          if (!needNulls) _ => Map.empty
-          else line => rlFor(entryNulls(line))
         if (sidePaths.isEmpty) {
           // WHOLETEXT read: one row per SEGMENT file, split + parse +
           // evaluate inside one closure — the per-LINE Dataset shape
@@ -2936,9 +3013,10 @@ object SnapshotTable {
             .as[String](Encoders.STRING)
             .mapPartitions(_.flatMap(_.split("\n").iterator
               .map(_.trim).filter(_.nonEmpty).filter { line =>
-                val (num, str, bl) = parseEntryStats(line)
+                // null metadata rides the same single-pass parse now
+                val (num, str, bl, nu) = parseEntryStats(line)
                 cpSer.evalN(entryPartitionValues(entryPath(line)),
-                  rlFor(num), rlFor(str), rlFor(bl), taskNulls(line))
+                  rlFor(num), rlFor(str), rlFor(bl), rlFor(nu))
               }))(Encoders.STRING)
             .collect().toSeq
           kept
@@ -2960,14 +3038,14 @@ object SnapshotTable {
             .select("line", "bline")
             .as[(String, String)]
             .filter { case (line, bline) =>
-              val (num, str, bl) = parseEntryStats(line)
+              val (num, str, bl, nu) = parseEntryStats(line)
               val side =
                 if (bline == null)
                   Map.empty[String, (Int, Int, Array[Byte])]
                 else entryBloomStats(bline)
               cpSer.evalN(entryPartitionValues(entryPath(line)),
                 rlFor(num), rlFor(str), rlFor(bl ++ side),
-                taskNulls(line))
+                rlFor(nu))
             }
             .map(_._1).collect().toSeq
         }
@@ -3728,8 +3806,8 @@ object SnapshotTable {
           fsD.getDefaultBlockSize(p), mtime, p)
         case None => fsD.getFileStatus(p)
       }
-      val (num, str, bl) = parseEntryStats(e)
-      (fst, entryPartitionValues(rel), num, str, bl)
+      val (num, str, bl, nu) = parseEntryStats(e)
+      (fst, entryPartitionValues(rel), num, str, bl, nu)
     }
     // segment refs become LAZY index segments: aggregates up front,
     // entries parsed only if a pushed filter fails to refute them

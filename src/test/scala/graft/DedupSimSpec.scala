@@ -505,6 +505,95 @@ class DedupSimSpec extends SparkSpec {
     assert(fromOld > 0, "inserted vectors never appear in results")
   }
 
+  test("GraphAnn.delete/upsert: tombstones never served, waypoints " +
+      "kept, threshold rebuild, upsert serves the new vector") {
+    import graft.operators.{GraphAnn, Similarity}
+    val idx = GraphAnn.build(emb, "vec_id", "embedding",
+      nShards = 4, m = 8, efC = 48)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard", "id", "nbrs", "upper", "unbrs", "dead").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toList,
+        r.getBoolean(3), r.getSeq[Long](4).toList, r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    import spark.implicits._
+    // a SMALL delete (under the rebuild threshold): flags flip, the
+    // adjacency of the touched shard is untouched (waypoints kept),
+    // other shards byte-identical
+    val delIds = Seq(8L, 16L, 24L).toDF("vec_id") // all land in shard 0
+    val afterDel = GraphAnn.delete(idx, delIds, "vec_id",
+      nShards = 4, m = 8, efC = 48)
+    val before = rows(idx)
+    val after = rows(afterDel)
+    assert(after.filter(_._1 != 0) === before.filter(_._1 != 0),
+      "untouched shards must pass through byte-identical")
+    assert(after.filter(t => Set(8L, 16L, 24L)(t._2)).forall(_._6))
+    assert(after.map(t => (t._1, t._2, t._3, t._4, t._5)) ===
+      before.map(t => (t._1, t._2, t._3, t._4, t._5)),
+      "a sub-threshold delete must not re-link anything")
+    // deleted ids are NEVER served; their neighbors still are (the
+    // graph stays navigable through the tombstones)
+    val served = GraphAnn.search(afterDel,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, ef = 64)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(!served.exists(Set(8L, 16L, 24L)),
+      "tombstoned ids must never be served")
+    // recall vs brute force over the SURVIVING corpus stays high
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20),
+        emb.filter(!col("vec_id").isin(8L, 16L, 24L)),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = GraphAnn.search(afterDel,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, ef = 64)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = approx.count(exact.contains)
+    assert(hits >= (exact.size * 85) / 100,
+      s"post-delete recall@5 regressed: $hits/${exact.size}")
+    // a MASS delete crosses the threshold: the touched shard rebuilds
+    // from live nodes only — tombstones gone, dead ids absent
+    val massIds = emb.filter(col("vec_id") % 8 === 0) // half of shards 0,2... wait: %8==0 -> shard 0 only? floorMod(i,4): i%8==0 => i%4==0 => shard 0;
+      .select(col("vec_id"))
+    val afterMass = GraphAnn.delete(idx, massIds, "vec_id",
+      nShards = 4, m = 8, efC = 48, rebuildAt = 0.3)
+    val mass = rows(afterMass)
+    assert(mass.filter(_._1 != 0) === before.filter(_._1 != 0))
+    assert(mass.filter(_._1 == 0).forall(!_._6),
+      "an above-threshold delete must rebuild, leaving no tombstones")
+    assert(!mass.exists(t => t._1 == 0 && t._2 % 8 == 0),
+      "rebuilt shard must drop deleted nodes entirely")
+    // UPSERT: replace a vector with a very different one — the new
+    // vector must be served from its new neighborhood, the old
+    // ranking forgotten; untouched shards byte-identical
+    val target = 12L // shard 0
+    val donor = emb.filter(col("vec_id") === 101L)
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>)").head()
+      .getSeq[Double](0).toArray
+    val replacement = Seq((target, donor)).toDF("vec_id", "embedding")
+    val afterUp = GraphAnn.upsert(afterDel, replacement, "vec_id",
+      "embedding", nShards = 4, m = 8, efC = 48)
+    assert(rows(afterUp).filter(_._1 != 0) === after.filter(_._1 != 0))
+    assert(rows(afterUp).filter(_._1 == 0).forall(!_._6),
+      "upsert rebuilds the touched shard, clearing its tombstones")
+    assert(!rows(afterUp).exists(t => Set(8L, 16L, 24L)(t._2)),
+      "prior tombstones fall away with the upsert rebuild")
+    // querying WITH the donor vector must now surface the upserted id
+    // (its new position), with cosine ~1 for the id itself
+    val q = Seq((9999L, donor)).toDF("vec_id", "embedding")
+    val top = GraphAnn.search(afterUp, q, "vec_id", "embedding",
+        k = 3, ef = 64)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(top.take(2).map(_._1).toSet.contains(target),
+      s"upserted vector not served from its new position: " +
+        top.mkString(","))
+    assert(top.find(_._1 == target).exists(_._2 > 0.999),
+      "the SERVED vector must be the new one (cos ~ 1 vs the donor)")
+  }
+
   test("bloom decontamination plan: codegen'd might_contain prefilter + " +
       "shuffle (not broadcast) verify join") {
     val bench = docs.filter(col("doc_id") % 50 === 0)

@@ -1470,6 +1470,52 @@ class SnapshotTableSpec extends SparkSpec {
       s"got $pos")
   }
 
+  test("front door prunes files on explicit IS NULL / IS NOT NULL " +
+      "filters from the manifest null counts") {
+    import spark.implicits._
+    val path = freshPath("fdnull")
+    // the w41 layout: nullness-clustered files, so null metadata can
+    // separate them; plus an all-null column
+    val rows = spark.range(2000).select(col("id"),
+      when(col("id") % 10 < 3, lit(null).cast("long"))
+        .otherwise(col("id") * 2).as("cents"),
+      lit(null).cast("long").as("legacy"))
+    SnapshotTable.create(
+      rows.repartitionByRange(8, col("cents").isNull, col("id"))
+        .sortWithinPartitions(col("cents").isNull, col("id")), path)
+    def scanFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      def find(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => find(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => find(qs.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case other => other.children.flatMap(find) ++
+            other.subqueries.flatMap(find)
+        }
+      find(q.queryExecution.executedPlan)
+        .find(_.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+        .getOrElse(sys.error("no FileSourceScanExec over GraftFileIndex"))
+        .metrics("numFiles").value
+    }
+    def load = spark.read.format("graft").load(path)
+    val total = scanFiles(load.groupBy().count())
+    assert(load.filter(col("cents").isNull).count() === 600)
+    val nullScan = scanFiles(
+      load.filter(col("cents").isNull).groupBy().count())
+    assert(nullScan < total,
+      s"explicit IS NULL kept $nullScan of $total files — null " +
+        "metadata did not reach the front-door FileIndex")
+    // IS NOT NULL on an all-null column refutes every file
+    assert(load.filter(col("legacy").isNotNull).count() === 0)
+    assert(scanFiles(
+      load.filter(col("legacy").isNotNull).groupBy().count()) === 0)
+  }
+
   test("readStream over the commit log: exactly-once across restart, " +
       "bounded triggers, append and CDC feeds") {
     import spark.implicits._
@@ -2726,7 +2772,7 @@ class SnapshotTableSpec extends SparkSpec {
   test("property: parseEntryStats equals the three individual parsers") {
     val rnd = new scala.util.Random(37)
     def randName() = "c" + rnd.nextInt(5)
-    def randItem(): String = rnd.nextInt(6) match {
+    def randItem(): String = rnd.nextInt(8) match {
       case 0 => s"${randName()}=${rnd.nextInt(1000) - 500}:${rnd.nextInt(1000)}"
       case 1 => s"${randName()}=s!p${rnd.nextInt(10)}!q${rnd.nextInt(10)}%3B%21"
       case 2 =>
@@ -2736,12 +2782,15 @@ class SnapshotTableSpec extends SparkSpec {
       case 3 => s"len=f!${rnd.nextInt(100000)}!${rnd.nextInt(1 << 30)}"
       case 4 => s"dv=files/x${rnd.nextInt(10)}.parquet"
       case 5 => s"${randName()}=junk${rnd.nextInt(10)}" // malformed
+      case 6 => s"${randName()}=z!${rnd.nextInt(100)}"
+      case 7 => s"rows=r!${rnd.nextInt(100000)}"
     }
     (0 until 500).foreach { _ =>
       val line = s"files/part=${rnd.nextInt(3)}/f.parquet\t" +
         Seq.fill(1 + rnd.nextInt(8))(randItem()).mkString(";")
-      val (num, str, bl) = SnapshotTable.parseEntryStats(line)
+      val (num, str, bl, nu) = SnapshotTable.parseEntryStats(line)
       assert(num === SnapshotTable.entryStats(line), line)
+      assert(nu === SnapshotTable.entryNulls(line), line)
       assert(str.view.mapValues(v => (v._1.toSeq, v._2.toSeq)).toMap ===
         SnapshotTable.entryStringStats(line)
           .view.mapValues(v => (v._1.toSeq, v._2.toSeq)).toMap, line)
@@ -2763,8 +2812,9 @@ class SnapshotTableSpec extends SparkSpec {
       .getLines().toList.filterNot(_.startsWith("#")) finally in.close()
     assert(lines.nonEmpty)
     lines.foreach { l =>
-      val (num, str, bl) = SnapshotTable.parseEntryStats(l)
+      val (num, str, bl, nu) = SnapshotTable.parseEntryStats(l)
       assert(num === SnapshotTable.entryStats(l))
+      assert(nu === SnapshotTable.entryNulls(l))
       assert(str.keySet === SnapshotTable.entryStringStats(l).keySet)
       assert(bl.keySet === SnapshotTable.entryBloomStats(l).keySet)
     }
