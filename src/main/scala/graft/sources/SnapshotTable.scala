@@ -3728,9 +3728,19 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot table at $path")
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    // FIRST CHOICE: the front-door relation — since r13 it covers
+    // DV'd and column-mapped versions too (GraftParquetFileFormat
+    // masks row positions and translates names INSIDE the scan), so
+    // the explicit API gets the same columnar plan with no per-query
+    // DV anti-join above it
+    frontDoorRelation(spark, path, v).foreach { rel =>
+      return org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, rel)
+    }
     catalystRelationParts(spark, path, v) match {
       case None => read(spark, path, Some(v))
       case Some((relation, dvRels, st)) =>
+        // oversized-DV / odd-schema-order fallback: the classic
+        // layered shape (anti-join above the scan)
         val raw =
           org.apache.spark.sql.GraftSqlAccess.ofRelation(spark, relation)
         // deletion-vector mask: same anti-join as the classic reader,
