@@ -75,22 +75,8 @@ class GraftDataSource extends RelationProvider
           "found (create one with df.write.format(\"graft\").save(path))")
     val version = opt(parameters, "versionAsOf").map(_.toInt)
       .orElse(opt(parameters, "timestampAsOf").map { ts =>
-        val millis =
-          if (ts.forall(_.isDigit)) ts.toLong
-          else {
-            // parse in the SESSION zone (spark.sql.session.timeZone),
-            // not the JVM default — Timestamp.valueOf binds to the
-            // latter, so the same option string would time-travel to
-            // different versions depending on the driver's OS zone
-            val zone = java.time.ZoneId.of(
-              spark.sessionState.conf.sessionLocalTimeZone)
-            val t = ts.trim.replace(' ', 'T')
-            val local =
-              if (t.contains("T")) java.time.LocalDateTime.parse(t)
-              else java.time.LocalDate.parse(t).atStartOfDay
-            local.atZone(zone).toInstant.toEpochMilli
-          }
-        SnapshotTable.versionAsOf(spark, path, millis)
+        SnapshotTable.versionAsOf(spark, path,
+          SnapshotTable.parseTimestampOption(spark, ts))
       })
       .getOrElse(vs.max)
     // FAST PATH: hand Spark the GraftFileIndex-backed HadoopFsRelation

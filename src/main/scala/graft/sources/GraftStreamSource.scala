@@ -28,6 +28,9 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *
   * Options: `startingVersion` (default 0 — replay the full history;
   * the initial version's rows arrive as the first batch),
+  * `startingTimestamp` (epoch millis or a session-zone datetime
+  * string; resolves to the earliest version committed at/after the
+  * instant — an instant past the head means only future commits),
   * `maxVersionsPerTrigger` (default unbounded — cap versions consumed
   * per micro-batch).
   *
@@ -53,6 +56,15 @@ private[graft] class GraftStreamSource(
 
   private val cdc = opt("readChangeFeed").exists(_.toBoolean)
   private val startingVersion = opt("startingVersion").map(_.toInt)
+    .orElse(opt("startingTimestamp").map { ts =>
+      // earliest version committed at/after the instant (session-zone
+      // string or epoch millis); an instant past the head means
+      // "only future commits" — start one past the current maximum
+      val millis = SnapshotTable.parseTimestampOption(spark, ts)
+      SnapshotTable.versionAtOrAfter(spark, path, millis).getOrElse(
+        SnapshotTable.versions(spark, path)
+          .maxOption.map(_ + 1).getOrElse(0))
+    })
     .getOrElse(0)
   private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger")
     .map(_.toLong).getOrElse(Long.MaxValue)
@@ -76,8 +88,12 @@ private[graft] class GraftStreamSource(
   override def getOffset: Option[Offset] = {
     val vs = SnapshotTable.versions(spark, path)
     if (vs.isEmpty) return None
-    val capped = math.min(vs.max.toLong,
-      lastSeen + maxVersionsPerTrigger)
+    // saturating add: the unbounded default is Long.MaxValue, and a
+    // positive lastSeen (startingVersion > 0) would overflow a plain +
+    val horizon =
+      try Math.addExact(lastSeen, maxVersionsPerTrigger)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val capped = math.min(vs.max.toLong, horizon)
     if (capped <= lastSeen) None
     else {
       lastSeen = capped

@@ -2693,6 +2693,35 @@ object SnapshotTable {
       .getOrElse(fs.getFileStatus(mpath).getModificationTime)
   }
 
+  /** A user-facing timestamp option: epoch millis when all digits,
+    * otherwise `yyyy-MM-dd[ HH:mm:ss[.SSS]]` parsed in the SESSION
+    * zone (`spark.sql.session.timeZone`) — never the JVM default,
+    * which would time-travel differently per driver OS zone. */
+  private[graft] def parseTimestampOption(spark: SparkSession,
+      ts: String): Long =
+    if (ts.forall(_.isDigit)) ts.toLong
+    else {
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val t = ts.trim.replace(' ', 'T')
+      val local =
+        if (t.contains("T")) java.time.LocalDateTime.parse(t)
+        else java.time.LocalDate.parse(t).atStartOfDay
+      local.atZone(zone).toInstant.toEpochMilli
+    }
+
+  /** The earliest version committed at or after `tsMillis` — the
+    * streaming-source start bound (Delta's startingTimestamp shape).
+    * None = every retained commit predates the instant; the caller
+    * should start past the current head (emit only future commits). */
+  private[graft] def versionAtOrAfter(spark: SparkSession, path: String,
+      tsMillis: Long): Option[Int] = {
+    val fs = fsOf(spark, logDir(path))
+    versions(spark, path)
+      .filter(v => commitInstant(fs, path, v) >= tsMillis)
+      .minOption
+  }
+
   /** The newest version committed at or before `tsMillis` (per
     * [[commitInstant]] — in-manifest timestamps, mtime only for
     * legacy commits). Fails if the table did not exist yet at

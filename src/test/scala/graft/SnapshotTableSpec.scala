@@ -1563,6 +1563,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(deletes.head.getInt(1) ===
       SnapshotTable.versions(spark, path).max,
       "the delete must carry the version that committed it")
+    // startingTimestamp: begin at the earliest version committed
+    // at/after an instant — here, just after v1's commit instant, so
+    // only the post-restart commits (v2 append, v3 delete) replay
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ts1 = SnapshotTable.history(spark, path).collect()
+      .find(_.getInt(0) == 1).get.getTimestamp(1).getTime
+    val late = graft.streaming.Streaming.runToMemory(spark,
+      spark.readStream.format("graft")
+        .option("startingTimestamp", (ts1 + 1).toString).load(path),
+      "gss_late")
+    assert(late.select("id").as[Long].collect().sorted ===
+      (20L until 30L).toArray,
+      "startingTimestamp must replay only commits at/after the instant")
+    // an instant past the head: nothing to replay, stream just waits
+    val future = graft.streaming.Streaming.runToMemory(spark,
+      spark.readStream.format("graft")
+        .option("startingTimestamp",
+          (System.currentTimeMillis + 3600000L).toString).load(path),
+      "gss_future")
+    assert(future.count() === 0)
   }
 
   test("data source pushdown: Not over a partially-translatable And " +
