@@ -108,22 +108,44 @@ private[graft] class GraftStreamSource(
     val startV = start.map(o => versionOf(o).toInt + 1)
       .getOrElse(startingVersion)
     lastSeen = math.max(lastSeen, endV)
+    // every component aligns to the stream's fixed schema BEFORE any
+    // union: versions on either side of a schema evolution carry
+    // different columns
     val batch =
       if (startV > endV) emptyBatch()
       else if (cdc) {
-        (startV to endV).map(changeFeedOf).reduce(_.unionByName(_))
+        (startV to endV).map(v => align(changeFeedOf(v)))
+          .reduce(_.unionByName(_))
       } else {
         // NET inserts over the whole range in ONE manifest diff —
         // churn-proportional, version-count-independent
-        val base = versionRows(startV)
+        val base = align(versionRows(startV))
         if (startV == endV) base
-        else base.unionByName(SnapshotTable
+        else base.unionByName(align(SnapshotTable
           .changes(spark, path, startV, Some(endV))
           .filter(org.apache.spark.sql.functions
             .col("change_type") === "insert")
-          .drop("change_type"))
+          .drop("change_type")))
       }
     GraftSqlAccess.streamingDf(spark, batch)
+  }
+
+  /** `batch` aligned to the stream's FIXED schema: the table can
+    * evolve mid-stream (or before the stream started, with old
+    * versions replaying), so versions on either side of an additive
+    * evolution carry different columns — columns the stream's schema
+    * declares but the batch lacks null-fill (exactly how the batch
+    * readers surface pre-evolution files), columns the batch gained
+    * past the stream's definition are dropped (a restart with a fresh
+    * checkpoint picks up the wider schema). A RENAME breaks the
+    * by-name alignment and fails loudly — never silent misalignment. */
+  private def align(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (batch.columns.sameElements(schema.fieldNames)) batch
+    else schema.fields.foldLeft(batch) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Version `v`'s own contribution to the append feed: the full

@@ -1584,6 +1584,19 @@ class SnapshotTableSpec extends SparkSpec {
           (System.currentTimeMillis + 3600000L).toString).load(path),
       "gss_future")
     assert(future.count() === 0)
+    // SCHEMA EVOLUTION mid-history: a new stream defined after an
+    // additive evolution replays pre-evolution versions with the new
+    // column null-filled — every batch aligns to the stream's fixed
+    // schema instead of failing on column-count mismatch
+    SnapshotTable.append(
+      Seq((100L, "x")).toDF("id", "tag"), path, evolveSchema = true)
+    val evolved = graft.streaming.Streaming.runToMemory(spark,
+      spark.readStream.format("graft").load(path), "gss_evolved")
+    assert(evolved.columns.toSeq === Seq("id", "tag"))
+    assert(evolved.filter(col("tag").isNotNull).count() === 1)
+    assert(evolved.filter(col("id") < 100L && col("tag").isNull)
+      .count() === 30,
+      "pre-evolution versions must replay with the added column null")
   }
 
   test("data source pushdown: Not over a partially-translatable And " +
