@@ -1566,8 +1566,6 @@ class SnapshotTableSpec extends SparkSpec {
     // startingTimestamp: begin at the earliest version committed
     // at/after an instant — here, just after v1's commit instant, so
     // only the post-restart commits (v2 append, v3 delete) replay
-    val fs2 = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val ts1 = SnapshotTable.history(spark, path).collect()
       .find(_.getInt(0) == 1).get.getTimestamp(1).getTime
     val late = graft.streaming.Streaming.runToMemory(spark,
