@@ -54,9 +54,17 @@ class GraftDataSource extends RelationProvider
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(GraftStreamSource.sourceSchema(
-      sqlContext.sparkSession, pathOf(parameters), parameters)))
+      parameters: Map[String, String]): (String, StructType) = {
+    // The stream schema is table-defined; a user-supplied readStream
+    // schema would silently diverge from the batches the source emits
+    // (Delta takes the same stance). Fail upfront, not at runtime.
+    if (schema.isDefined)
+      throw new IllegalArgumentException(
+        "graft: a read schema cannot be specified for the graft " +
+          "streaming source — the schema is derived from the table")
+    (shortName(), GraftStreamSource.sourceSchema(
+      sqlContext.sparkSession, pathOf(parameters), parameters))
+  }
 
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],

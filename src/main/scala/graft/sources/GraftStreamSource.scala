@@ -31,8 +31,11 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * `startingTimestamp` (epoch millis or a session-zone datetime
   * string; resolves to the earliest version committed at/after the
   * instant — an instant past the head means only future commits),
-  * `maxVersionsPerTrigger` (default unbounded — cap versions consumed
-  * per micro-batch).
+  * `maxVersionsPerTrigger` (cap versions consumed per micro-batch;
+  * default unbounded for the append feed — whose batch is ONE
+  * manifest diff however many versions it spans — and
+  * [[GraftStreamSource.CdcDefaultVersionsPerTrigger]] under
+  * `readChangeFeed=true`, which plans one diff per version).
   *
   * Scale/robustness notes: offsets are pure metadata (one manifest
   * list per trigger); replay after `vacuum` of a still-uncommitted
@@ -66,8 +69,18 @@ private[graft] class GraftStreamSource(
           .maxOption.map(_ + 1).getOrElse(0))
     })
     .getOrElse(0)
+  /** Versions consumed per micro-batch. The append feed defaults to
+    * unbounded — its batch is ONE manifest diff regardless of how many
+    * versions it spans. CDC mode plans one change-feed diff PER
+    * VERSION in the batch, so an unbounded default over a long history
+    * (a fresh stream against a 10k-commit table) would build a
+    * 10k-way union in a single batch — a driver plan explosion before
+    * any task runs. Default CDC to a bounded batch instead; the
+    * stream still replays the full history, just across triggers. */
   private val maxVersionsPerTrigger = opt("maxVersionsPerTrigger")
-    .map(_.toLong).getOrElse(Long.MaxValue)
+    .map(_.toLong)
+    .getOrElse(if (cdc) GraftStreamSource.CdcDefaultVersionsPerTrigger
+               else Long.MaxValue)
   require(maxVersionsPerTrigger >= 1,
     "maxVersionsPerTrigger must be >= 1")
 
@@ -114,8 +127,11 @@ private[graft] class GraftStreamSource(
     val batch =
       if (startV > endV) emptyBatch()
       else if (cdc) {
-        (startV to endV).map(v => align(changeFeedOf(v)))
-          .reduce(_.unionByName(_))
+        // balanced union: a left-leaning reduce over a replayed range
+        // (a restart batch can span more versions than the trigger
+        // cap if checkpointed that way) builds an O(n)-DEEP plan that
+        // Catalyst recurses over; a tree keeps depth O(log n)
+        treeUnion((startV to endV).map(v => align(changeFeedOf(v))))
       } else {
         // NET inserts over the whole range in ONE manifest diff —
         // churn-proportional, version-count-independent
@@ -129,6 +145,14 @@ private[graft] class GraftStreamSource(
       }
     GraftSqlAccess.streamingDf(spark, batch)
   }
+
+  /** Union as a balanced binary tree (plan depth O(log n)). */
+  private def treeUnion(parts: Seq[DataFrame]): DataFrame =
+    if (parts.length == 1) parts.head
+    else {
+      val (l, r) = parts.splitAt(parts.length / 2)
+      treeUnion(l).unionByName(treeUnion(r))
+    }
 
   /** `batch` aligned to the stream's FIXED schema: the table can
     * evolve mid-stream (or before the stream started, with old
@@ -179,6 +203,12 @@ private[graft] class GraftStreamSource(
 }
 
 private[graft] object GraftStreamSource {
+  /** Default `maxVersionsPerTrigger` under `readChangeFeed=true`:
+    * bounds the per-batch union width (one change-feed plan per
+    * version) so a fresh CDC stream over a long commit history plans
+    * bounded batches instead of one history-wide union. */
+  val CdcDefaultVersionsPerTrigger = 128L
+
   /** The stream's fixed schema: the table's stored schema at stream
     * definition time, plus the CDC columns when `readChangeFeed`. */
   def sourceSchema(spark: org.apache.spark.sql.SparkSession,

@@ -555,7 +555,7 @@ class DedupSimSpec extends SparkSpec {
       s"post-delete recall@5 regressed: $hits/${exact.size}")
     // a MASS delete crosses the threshold: the touched shard rebuilds
     // from live nodes only — tombstones gone, dead ids absent
-    val massIds = emb.filter(col("vec_id") % 8 === 0) // half of shards 0,2... wait: %8==0 -> shard 0 only? floorMod(i,4): i%8==0 => i%4==0 => shard 0;
+    val massIds = emb.filter(col("vec_id") % 8 === 0) // vec_id % 8 == 0 all land in shard 0 (floorMod(id, 4)), pushing it past rebuildAt
       .select(col("vec_id"))
     val afterMass = GraphAnn.delete(idx, massIds, "vec_id",
       nShards = 4, m = 8, efC = 48, rebuildAt = 0.3)

@@ -1597,6 +1597,51 @@ class SnapshotTableSpec extends SparkSpec {
       "pre-evolution versions must replay with the added column null")
   }
 
+  test("CDC readStream over a long commit history plans bounded " +
+      "batches by default") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val path = freshPath("cdclong")
+    SnapshotTable.create(Seq(0L).toDF("id"), path)
+    (1 until 210).foreach(v =>
+      SnapshotTable.append(Seq(v.toLong).toDF("id"), path))
+    assert(SnapshotTable.versions(spark, path).max === 209)
+    // with NO user cap, CDC mode defaults to a bounded trigger: the
+    // first offer stops at the default cap, not the head
+    val src = new graft.sources.GraftStreamSource(spark.sqlContext,
+      path, Map("readChangeFeed" -> "true"))
+    val cap = graft.sources.GraftStreamSource.CdcDefaultVersionsPerTrigger
+    assert(src.getOffset === Some(LongOffset(cap - 1)),
+      "CDC default must cap the first trigger below the 210-version head")
+    assert(src.getOffset === Some(LongOffset(209L)))
+    assert(src.getOffset === None)
+    // a capped batch's union is a balanced tree: plan depth stays
+    // O(log versions), not O(versions)
+    val batch = src.getBatch(None, LongOffset(cap - 1))
+    def depth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      1 + (if (p.children.isEmpty) 0
+           else p.children.map(c => depth(
+             c.asInstanceOf[org.apache.spark.sql.catalyst.trees
+               .TreeNode[_]])).max)
+    assert(depth(batch.queryExecution.logical) < 40,
+      s"got plan depth ${depth(batch.queryExecution.logical)} for a " +
+        s"$cap-version CDC batch — union must be a balanced tree")
+    // end to end: the full 210-version history replays exactly once
+    // across the bounded triggers
+    val cdc = graft.streaming.Streaming.runToMemory(spark,
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(path), "gss_cdclong")
+    val got = cdc.select(col("id"), col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(got === (0 until 210).map(i => (i.toLong, i)),
+      "full-history CDC replay must deliver every version exactly once")
+    // an explicit user cap still wins over the default
+    val wide = new graft.sources.GraftStreamSource(spark.sqlContext,
+      path, Map("readChangeFeed" -> "true",
+        "maxVersionsPerTrigger" -> "1000"))
+    assert(wide.getOffset === Some(LongOffset(209L)))
+  }
+
   test("data source pushdown: Not over a partially-translatable And " +
       "must not prune matching rows") {
     import spark.implicits._
