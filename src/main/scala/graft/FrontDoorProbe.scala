@@ -75,6 +75,46 @@ object FrontDoorProbe {
     println(f"format(graft) DV'd median: $dMs%6.1f ms  " +
       f"(${dMs / fMs}%.2fx of clean front door)")
     println(s"DV'd front-door scan node: $dvScan")
+    // MEGA-DV arm (VERDICT r13 item 1's criterion): a cumulative
+    // deletion vector whose DECODED size crosses the old 64 MB
+    // broadcast cliff (>8M positions — the steady state of a 100 TB
+    // table under sustained MoR churn) must STILL plan the columnar
+    // FileScan within ~1.2x of the clean scan: per-file blobs load
+    // executor-side, so no global bound exists anymore. Before r14
+    // this arm fell back to the V1 row-materializing relation with a
+    // shuffled anti-join.
+    val megaPath = new org.apache.hadoop.fs.Path(path).getParent
+      .toString + "/mega_snap"
+    val n = 40000000L // 25% scattered deletes -> 10M positions (~80 MB)
+    SnapshotTable.create(
+      spark.range(n).select(F.col("id"), (F.col("id") * 2).as("v"))
+        .repartitionByRange(16, F.col("id"))
+        .sortWithinPartitions(F.col("id")), megaPath)
+    def megaAgg(): Long =
+      spark.read.format("graft").load(megaPath)
+        .agg(F.sum(F.col("v")), F.count(F.lit(1))).collect()
+        .head.getLong(1)
+    megaAgg() // warm
+    val cleanMs = median((0 until 3).map(_ => timeMs(megaAgg())))
+    val tDel = timeMs(SnapshotTable.deleteMoR(spark, megaPath,
+      F.col("id") % 4 === 1))
+    val gotRows = megaAgg() // warm + correctness
+    require(gotRows == n - n / 4,
+      s"mega-DV masked count wrong: $gotRows vs ${n - n / 4}")
+    val mMs = median((0 until 3).map(_ => timeMs(megaAgg())))
+    val megaPlan = spark.read.format("graft").load(megaPath)
+      .queryExecution.executedPlan.toString
+    val megaScan = megaPlan.linesIterator
+      .filter(l => l.contains("Scan") || l.contains("Batched"))
+      .take(2).mkString(" | ").trim
+    require(megaPlan.contains("FileScan parquet") &&
+      !megaPlan.contains("ExistingRDD"),
+      s"mega-DV arm fell off the columnar path:\n$megaScan")
+    println(f"mega clean scan median:   $cleanMs%8.1f ms  (40M rows)")
+    println(f"mega 10M-delete commit:   $tDel%8.1f ms")
+    println(f"mega DV'd scan median:    $mMs%8.1f ms  " +
+      f"(${mMs / cleanMs}%.2fx of clean; decoded DV ~80 MB > 64 MB cliff)")
+    println(s"mega DV'd scan node: $megaScan")
     org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(path).getParent, true)

@@ -74,7 +74,8 @@ object ManifestScaleProbe {
           SnapshotTable.entryStats(e),
           SnapshotTable.entryStringStats(e),
           SnapshotTable.entryBloomStats(e),
-          SnapshotTable.entryNulls(e))
+          SnapshotTable.entryNulls(e),
+          None)
       }.toVector
       val parseMs = (System.nanoTime() - t0) / 1e6
       val h1 = heapUsed()
@@ -166,7 +167,7 @@ object ManifestScaleProbe {
                 (new FileStatus(len, false, 1, 134217728L, mt,
                   new Path(dir, rel)),
                   SnapshotTable.entryPartitionValues(rel),
-                  num, str, bl, nu)
+                  num, str, bl, nu, None)
               }))
         }
         new GraftFileIndex(dir, partSchema, segs)
@@ -280,7 +281,8 @@ object ManifestScaleProbe {
                     new Path(dir, rel2)),
                     SnapshotTable.entryPartitionValues(rel2),
                     num, str,
-                    Map.empty[String, (Int, Int, Array[Byte])], nu)
+                    Map.empty[String, (Int, Int, Array[Byte])], nu,
+                    None)
                 }),
               bloomLoader = () =>
                 SnapshotTable.segBloomSidecar(fs, dir, sideOf(rel)))

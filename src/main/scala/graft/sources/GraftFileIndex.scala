@@ -162,7 +162,7 @@ private[graft] class GraftFileIndex(
             if (side.isEmpty) Set.empty
             else side.iterator.filter(kv => fileRefuted(kv._2))
               .map(_._1).toSet
-          s.entries.filter { case (fst, pv, st, ss, bl, nu) =>
+          s.entries.filter { case (fst, pv, st, ss, bl, nu, _) =>
             !refuted.contains(fst.getPath.getName) &&
               dataCp.forall(_.evalN(pv, st, ss, bl, nu))
           }
@@ -171,7 +171,7 @@ private[graft] class GraftFileIndex(
     }
     if (partSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty,
-        statKept.map(_._1).toArray))
+        statKept.map(GraftFileIndex.withMeta)))
     // group surviving files by partition tuple, decode dir strings to
     // typed catalyst values, evaluate the pushed partition filters
     val dirs = statKept.groupBy(_._2).toSeq.map { case (pv, es) =>
@@ -182,7 +182,7 @@ private[graft] class GraftFileIndex(
       case Some(pr) => dirs.filter { case (row, _) => pr.eval(row) }
     }
     kept.map { case (row, es) =>
-      PartitionDirectory(row, es.map(_._1).toArray)
+      PartitionDirectory(row, es.map(GraftFileIndex.withMeta))
     }
   }
 }
@@ -190,16 +190,21 @@ private[graft] class GraftFileIndex(
 private[graft] object GraftFileIndex {
 
   /** One parsed manifest entry: file status, partition values, the
-    * three stat families, and the null metadata (col → (nullCount,
+    * three stat families, the null metadata (col → (nullCount,
     * rowCount), rowCount -1 when untracked) the evaluator consumes —
     * all four ride the same single-pass
-    * [[SnapshotTable.parseEntryStats]] scan. */
+    * [[SnapshotTable.parseEntryStats]] scan — plus the entry's
+    * QUALIFIED per-file deletion-vector descriptor(s)
+    * ([[DvSidecar]]), which [[GraftFileIndex.listFiles]] attaches to
+    * the file's listing metadata so the scan task can load its own
+    * blob executor-side. */
   type EntryInfo = (FileStatus,
     Map[String, String],
     Map[String, (Long, Long)],
     Map[String, (Array[Byte], Array[Byte])],
     Map[String, (Int, Int, Array[Byte])],
-    Map[String, (Long, Long)])
+    Map[String, (Long, Long)],
+    Option[String])
 
   /** A unit of lazily-parsed manifest metadata: an inline entry
     * (eager, count 1) or a segment reference (aggregates up front,
@@ -254,6 +259,20 @@ private[graft] object GraftFileIndex {
     new Segment(Some(info._2), info._3, info._4, info._5, 1,
       Some(info._1.getLen), () => Seq(info), eager = true,
       nulls = info._6)
+
+  /** An entry's file as the listing element Spark splits into scan
+    * tasks — carrying its per-file dv descriptor (if any) in the
+    * metadata map, which Spark copies verbatim onto every
+    * [[org.apache.spark.sql.execution.datasources.PartitionedFile]]
+    * split of the file. */
+  private def withMeta(info: EntryInfo)
+      : org.apache.spark.sql.execution.datasources.FileStatusWithMetadata =
+    org.apache.spark.sql.execution.datasources.FileStatusWithMetadata(
+      info._1,
+      info._7 match {
+        case Some(d) => Map(DvSidecar.MetaKey -> d)
+        case None => Map.empty
+      })
 
   /** Partition column types [[partValueToCatalyst]] can decode from a
     * directory string; readCatalyst falls back to the classic reader

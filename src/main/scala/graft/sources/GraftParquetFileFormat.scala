@@ -39,21 +39,29 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    in-file row positions by both the vectorized and the row-based
   *    parquet readers, correct across file splits and row-group
   *    pushdown) to the schema it requests, masks each row's position
-  *    against the file's broadcast deletion set, and hides the helper
-  *    column again. The scan stays `Batched: true` end to end:
-  *    surviving positions are REMAPPED inside each `ColumnarBatch`
-  *    through thin [[GraftParquetFileFormat.RemapVector]] views
-  *    (Iceberg's vectorized-delete shape), so whole-stage codegen
-  *    consumes columnar batches exactly as on a clean table. Files
-  *    with no deleted rows take a separate plain reader with zero
-  *    masking work at all.
+  *    against the file's deletion set, and hides the helper column
+  *    again. The scan stays `Batched: true` end to end: surviving
+  *    positions are REMAPPED inside each `ColumnarBatch` through thin
+  *    [[GraftParquetFileFormat.RemapVector]] views (Iceberg's
+  *    vectorized-delete shape), so whole-stage codegen consumes
+  *    columnar batches exactly as on a clean table. Files with no
+  *    deleted rows take a separate plain reader with zero masking
+  *    work at all.
   *
-  * The deletion set rides a [[Broadcast]] of
-  * `file basename -> sorted deleted row positions` (the same
-  * coordinates [[SnapshotTable.applyDvMask]] joins on), bounded by
-  * [[SnapshotTable.DvBroadcastMaxBytes]] at relation-build time —
-  * oversized vectors fall back to the V1 relation's shuffled
-  * anti-join rather than risk a driver OOM.
+  * A file's deletion set arrives one of two ways:
+  *  - '''per-file blob (v2, the current write format)''' — the file's
+  *    own [[DvSidecar]] descriptor rides its listing metadata
+  *    ([[GraftFileIndex]] attaches it; Spark copies the map onto
+  *    every [[PartitionedFile]] split), and the TASK loads exactly
+  *    its file's positions with one ranged read, cached per-executor.
+  *    No driver collection, no broadcast, NO SIZE BOUND — the shape
+  *    that keeps a 100 TB table under sustained MoR churn on the
+  *    columnar fast path;
+  *  - '''whole-vector [[Broadcast]] (v1, legacy tables)''' —
+  *    `file basename -> sorted deleted row positions`, bounded by
+  *    [[SnapshotTable.DvBroadcastMaxBytes]] of decoded positions at
+  *    relation-build time; oversized legacy vectors fall back to the
+  *    V1 relation's shuffled anti-join rather than risk a driver OOM.
   *
   * Reference behavior source: sf_datalake reads its datasets through
   * pandas/pyspark readers with no lakehouse layer (`io.py`); this
@@ -61,10 +69,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 private[graft] class GraftParquetFileFormat(
     log2phys: Map[String, String],
-    dvByFile: Option[Broadcast[Map[String, Array[Long]]]])
+    dvByFile: Option[Broadcast[Map[String, Array[Long]]]],
+    perFileDv: Boolean = false)
   extends ParquetFileFormat {
 
   import GraftParquetFileFormat.RowIndexCol
+
+  private def maskActive: Boolean = dvByFile.isDefined || perFileDv
 
   private def phys(name: String): String = log2phys.getOrElse(name, name)
 
@@ -124,7 +135,7 @@ private[graft] class GraftParquetFileFormat(
       partitionSchema: StructType,
       sqlConf: org.apache.spark.sql.internal.SQLConf)
       : Option[Seq[String]] =
-    if (dvByFile.isEmpty)
+    if (!maskActive)
       super.vectorTypes(requiredSchema, partitionSchema, sqlConf)
     else None
 
@@ -140,13 +151,18 @@ private[graft] class GraftParquetFileFormat(
     val physData = toPhys(dataSchema)
     val physReq = toPhys(requiredSchema)
     val physFilters = filters.flatMap(toPhys(_).toSeq)
-    dvByFile match {
-      case None =>
+    if (!maskActive) {
         // mapping only: physical-name scan, positional rows — nothing
         // to do above the parent
         super.buildReaderWithPartitionValues(sparkSession, physData,
           partitionSchema, physReq, physFilters, options, hadoopConf)
-      case Some(bc) =>
+    } else {
+        val bcOpt = dvByFile
+        // per-file blob loads need a filesystem on the EXECUTOR; ship
+        // the scan's hadoop conf the standard way
+        val confBc = sparkSession.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            new org.apache.hadoop.conf.Configuration(hadoopConf)))
         // request real in-file row positions; reuse the column if the
         // caller (a user `_metadata.row_index` projection) already
         // asked for it
@@ -188,8 +204,18 @@ private[graft] class GraftParquetFileFormat(
             physReq.fields.map(f => (f.dataType, f.nullable)),
             partitionSchema.fields.map(f => (f.dataType, f.nullable)))
         (pf: PartitionedFile) => {
-          val deleted =
-            bc.value.getOrElse(pf.filePath.toPath.getName, null)
+          // per-file descriptor (v2) wins; legacy broadcast otherwise
+          val desc = pf.otherConstantMetadataColumnValues
+            .get(DvSidecar.MetaKey)
+          val deleted: Array[Long] =
+            if (desc.isDefined)
+              DvSidecar.load(desc.get.asInstanceOf[String],
+                confBc.value.value)
+            else bcOpt match {
+              case Some(bc) =>
+                bc.value.getOrElse(pf.filePath.toPath.getName, null)
+              case None => null
+            }
           if (deleted == null) parentPlain(pf)
           else {
             // row indexes arrive in file order, so deletion testing

@@ -1282,9 +1282,14 @@ object SnapshotTable {
     entryFileMeta(e).map(_._1).getOrElse(
       fs.getFileStatus(new Path(path, entryPath(e))).getLen)
 
-  /** All deletion-vector rels of an entry — the `dv=` item holds a
-    * COMMA-list when one commit's cumulative vector is large enough to
-    * span multiple parquet files (uuid rel paths never contain ','). */
+  /** All deletion-vector refs of an entry. Two generations:
+    *  - v1 (legacy): whole (file,pos) parquet rels shared by the
+    *    commit's affected entries — a COMMA-list when one commit's
+    *    cumulative vector spans multiple parquet files;
+    *  - v2 (`rel@off+len#count`, [[DvSidecar]]): THIS entry's own
+    *    per-file blob inside a packed sidecar — the form every new
+    *    MoR commit writes, loaded executor-side by the scan task with
+    *    no driver bound. */
   private[graft] def entryDvs(line: String): Seq[String] =
     entryDv(line).toSeq.flatMap(_.split(",").toSeq.filter(_.nonEmpty))
 
@@ -1301,6 +1306,12 @@ object SnapshotTable {
     * has been materialized (no per-read anti-join tax); the operative
     * health metric for a deleteMoR/updateMoR-heavy table, and the
     * signal that [[optimizeIncremental]] has work to do. */
+  /** Test/observability hook: a version's resolved manifest entry
+    * lines (segments expanded). */
+  private[graft] def manifestEntries(spark: SparkSession, path: String,
+      v: Int): Seq[String] =
+    readManifest(fsOf(spark, logDir(path)), path, v)
+
   def pendingDvEntries(spark: SparkSession, path: String,
       version: Option[Int] = None): Int = {
     val vs = versions(spark, path)
@@ -1327,40 +1338,72 @@ object SnapshotTable {
       schema: Option[types.StructType], entries: Seq[String],
       keepRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dvRels = entries.flatMap(entryDvs).distinct
-    val needRowId = keepRowId || dvRels.nonEmpty
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val dvRefs = entries.flatMap(e =>
+      entryDvs(e).map(r => (fileOf(entryPath(e)), r))).distinct
+    val needRowId = keepRowId || dvRefs.nonEmpty
     val base = readFilesAs(spark, path, schema, entries.map(entryPath),
       withRowId = needRowId)
     val masked =
-      if (dvRels.isEmpty) base
-      else applyDvMask(spark, path, base, dvRels)
+      if (dvRefs.isEmpty) base
+      else applyDvMask(spark, path, base, dvRefs)
     if (keepRowId) masked
     else if (needRowId) masked.drop("__file", "__pos")
     else masked
   }
 
   /** Anti-join `df` (which must carry `__file`/`__pos` row
-    * coordinates) against the deletion vectors at `dvRels`.
-    * Churn-sized vectors broadcast (map-side hash anti-join in the
-    * scan stage, no 2-sided shuffle+sort of the table); but after
-    * large/repeated MoR deletes the cumulative vector can approach
-    * table row count — gate on the on-disk parquet size and fall back
-    * to a shuffled anti-join above the threshold rather than risk a
-    * driver/executor OOM on the broadcast. */
+    * coordinates) against the deletion vectors at `dvRefs` — pairs of
+    * (data file basename, dv ref), mixing legacy v1 whole-parquet rels
+    * with per-file [[DvSidecar]] blob descriptors. Churn-sized vectors
+    * broadcast (map-side hash anti-join in the scan stage, no 2-sided
+    * shuffle+sort of the table); but after large/repeated MoR deletes
+    * the cumulative vector can approach table row count — gate on the
+    * ESTIMATED DECODED size (v2 descriptors carry exact cardinality;
+    * v1 counts come from parquet footers, never the compressed byte
+    * size, which undercounts heavily for sorted positions) and fall
+    * back to a shuffled anti-join above the threshold rather than
+    * risk an executor OOM on the broadcast hash relation. */
   private def applyDvMask(spark: SparkSession, path: String,
-      df: DataFrame, dvRels: Seq[String]): DataFrame = {
+      df: DataFrame, dvRefs: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val fs = fsOf(spark, new Path(path))
-    val dvBytes = dvRels.map(r => scala.util.Try(
-      fs.getFileStatus(new Path(path, r)).getLen).getOrElse(0L)).sum
-    val dvRaw = spark.read
-      .parquet(dvRels.map(r => new Path(path, r).toString): _*)
-      .select(col("file").as("__dvf"), col("pos").as("__dvp"))
-    val dv = if (dvBytes <= DvBroadcastMaxBytes)
+    val (v2, v1Pairs) = dvRefs.partition(p => DvSidecar.isBlobRef(p._2))
+    val v1Rels = v1Pairs.map(_._2).distinct
+    val v1Rows = v1Rels.map(r => footerHarvest(spark,
+      new Path(path, r), Nil, Nil)._1.getOrElse(Long.MaxValue >> 8))
+    val v2Counts = v2.map(p => DvSidecar.parse(p._2).count.toLong)
+    val positions = v1Rows.sum + v2Counts.sum
+    val v1Df = if (v1Rels.isEmpty) None else Some(spark.read
+      .parquet(v1Rels.map(r => new Path(path, r).toString): _*)
+      .select(col("file").as("__dvf"), col("pos").as("__dvp")))
+    val v2Df = if (v2.isEmpty) None else {
+      import spark.implicits._
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val qualified = v2.map { case (f, ref) =>
+        (f, qualifyDvRef(spark, path, ref)) }
+      Some(spark.createDataset(qualified)
+        .repartition(math.min(v2.size, 64))
+        .flatMap { case (f, ref) =>
+          DvSidecar.load(ref, conf.value).iterator.map(p => (f, p)) }
+        .toDF("__dvf", "__dvp"))
+    }
+    val dvRaw = (v1Df.toSeq ++ v2Df.toSeq).reduce(_.unionByName(_))
+    // decoded hash-relation estimate: ~48 B per (string, long) row
+    val dv = if (positions * 48 <= DvBroadcastMaxBytes)
       org.apache.spark.sql.functions.broadcast(dvRaw) else dvRaw
     df.join(dv,
       df("__file") === col("__dvf") && df("__pos") === col("__dvp"),
       "left_anti")
+  }
+
+  /** A v2 dv ref with its table-relative rel replaced by the
+    * filesystem-qualified URI — the form executor-side loads use. */
+  private def qualifyDvRef(spark: SparkSession, path: String,
+      ref: String): String = {
+    val d = DvSidecar.parse(ref)
+    val fs = fsOf(spark, new Path(path))
+    d.copy(rel = fs.makeQualified(new Path(path, d.rel)).toString).render
   }
 
   /** The table's partition columns per the log-head meta (`#partition`,
@@ -1624,20 +1667,99 @@ object SnapshotTable {
     * (on-disk parquet bytes); above it the mask joins shuffled. */
   private val DvBroadcastMaxBytes = 64L << 20
 
-  /** Target (file,pos) coordinates per staged deletion-vector file. */
+  /** Target deleted positions per staged deletion-vector sidecar. */
   private val DvRowsPerFile = 4L << 20
 
-  /** Distinct-ify and stage a commit's cumulative deletion vector,
-    * sized ~[[DvRowsPerFile]] coordinates per file: a point delete
-    * stays one small file, a vector approaching table row count
-    * parallelizes instead of bottlenecking on one write task. Returns
-    * the staged rels (multi-file vectors become a `dv=` comma-list). */
-  private def stageDv(spark: SparkSession, path: String,
-      dvRows: DataFrame): Seq[String] = {
-    val distinct = dvRows.distinct().localCheckpoint()
+  /** Stage a commit's cumulative deletion vector as PER-FILE blobs
+    * packed into shared `.dvs` sidecar files under `files/`
+    * ([[DvSidecar]] encoding). Returns data file basename →
+    * table-relative descriptor (`files/<uuid>.dvs@<off>+<len>#<count>`)
+    * for the caller to write into each affected entry's own `dv=`
+    * item. Fully distributed: positions group, sort, and encode
+    * executor-side, packed ~[[DvRowsPerFile]] positions per sidecar
+    * (a point delete stays one small file; a table-wide vector
+    * parallelizes across writers); only the O(#churned files)
+    * descriptor strings return to the driver — the same bound the
+    * callers' affected-file collect already pays. Because each data
+    * file's deletions live in their own ranged blob, the scan task
+    * later loads ONLY its file's positions — no whole-vector
+    * broadcast, no size cliff at any churn level. */
+  private def stageDvPerFile(spark: SparkSession, path: String,
+      dvRows: DataFrame): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, collect_set,
+      size => sizeOf, sort_array, sum}
+    import spark.implicits._
+    val grouped = dvRows.groupBy(col("file"))
+      .agg(sort_array(collect_set(col("pos"))).as("poss"))
+      .localCheckpoint()
+    val total = grouped.agg(sum(sizeOf(col("poss"))))
+      .head.getLong(0)
     val nParts = math.min(256L, math.max(1L,
-      (distinct.count() + DvRowsPerFile - 1) / DvRowsPerFile)).toInt
-    stage(distinct.coalesce(nParts), path).map(entryPath)
+      (total + DvRowsPerFile - 1) / DvRowsPerFile)).toInt
+    val filesUri = fsOf(spark, new Path(path))
+      .makeQualified(filesDir(path)).toString
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    grouped.repartition(nParts, col("file")).as[(String, Seq[Long])]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          // one packed sidecar per task, uuid-named (task retries
+          // write fresh names; orphans of failed attempts vacuum away
+          // unreferenced)
+          val dir = new Path(filesUri)
+          val fsE = dir.getFileSystem(conf.value)
+          val name = s"${java.util.UUID.randomUUID()}.dvs"
+          val out = fsE.create(new Path(dir, name), false)
+          val descs = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String)]
+          var off = 0L
+          try {
+            it.foreach { case (file, poss) =>
+              val blob = DvSidecar.encode(poss.toArray)
+              out.write(blob)
+              descs += ((file, DvSidecar.Desc(s"files/$name", off,
+                blob.length, poss.length).render))
+              off += blob.length
+            }
+          } finally out.close()
+          descs.iterator
+        }
+      }.collect().toMap
+  }
+
+  /** Prior deletion coordinates of the `affected` entries as
+    * (file, pos) rows riding into a new cumulative vector: v1 whole-
+    * parquet refs read and semi-joined to the affected files (a
+    * shared v1 rel can carry OTHER files' positions, which must stay
+    * with their own entries), v2 per-file blobs decoded
+    * executor-side. None = no prior vectors. */
+  private def priorDvRows(spark: SparkSession, path: String,
+      affected: Seq[String], affectedFiles: DataFrame)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val pairs = affected.flatMap(e =>
+      entryDvs(e).map(r => (fileOf(entryPath(e)), r))).distinct
+    if (pairs.isEmpty) return None
+    val (v2, v1) = pairs.partition(p => DvSidecar.isBlobRef(p._2))
+    val v1Df = if (v1.isEmpty) None else Some(
+      spark.read.parquet(v1.map(_._2).distinct.map(r =>
+          new Path(path, r).toString): _*)
+        .select(col("file"), col("pos"))
+        .join(affectedFiles, Seq("file"), "left_semi"))
+    val v2Df = if (v2.isEmpty) None else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val q = v2.map { case (f, r) => (f, qualifyDvRef(spark, path, r)) }
+      Some(spark.createDataset(q)
+        .repartition(math.min(v2.size, 64))
+        .flatMap { case (f, ref) =>
+          DvSidecar.load(ref, conf.value).iterator.map(p => (f, p)) }
+        .toDF("file", "pos"))
+    }
+    Some((v1Df.toSeq ++ v2Df.toSeq).reduce(_.unionByName(_)))
   }
 
   private[graft] def boundLo(s: Array[Byte]): Array[Byte] =
@@ -2351,18 +2473,14 @@ object SnapshotTable {
     val loose = tagged.collect {
       case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
     // cumulative vector: prior coordinates of the affected files ride
-    // into the new commit's vector (entries reference ONE dv each)
-    val priorRels = affected.flatMap(entryDvs).distinct
-    val dvRows =
-      if (priorRels.isEmpty) hits
-      else hits.unionByName(
-        spark.read.parquet(priorRels.map(r =>
-            new Path(path, r).toString): _*)
-          .select(col("file"), col("pos"))
-          .join(hits.select(col("file")).distinct(), Seq("file"),
-            "left_semi"))
-    val dvRels = stageDv(spark, path, dvRows)
-    val masked = affected.map(e => withDv(e, dvRels))
+    // into the new commit's per-file blobs (each entry references ITS
+    // OWN descriptor)
+    val dvRows = priorDvRows(spark, path, affected,
+        hits.select(col("file")).distinct())
+      .map(hits.unionByName(_)).getOrElse(hits)
+    val descByFile = stageDvPerFile(spark, path, dvRows)
+    val masked = affected.map(e =>
+      withDv(e, Seq(descByFile(fileOf(entryPath(e))))))
     commitPinned(spark, path, keptRefs, loose ++ masked, readV + 1,
       Map("op" -> "DELETE-MOR") ++ meta,
       resolve = Some(ConflictSpec(readV, manifest.toSet,
@@ -2427,16 +2545,10 @@ object SnapshotTable {
       l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
     val loose = tagged.collect {
       case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
-    val priorRels = affected.flatMap(entryDvs).distinct
-    val dvRows =
-      if (priorRels.isEmpty) hits
-      else hits.unionByName(
-        spark.read.parquet(priorRels.map(r =>
-            new Path(path, r).toString): _*)
-          .select(col("file"), col("pos"))
-          .join(hits.select(col("file")).distinct(), Seq("file"),
-            "left_semi"))
-    val dvRels = stageDv(spark, path, dvRows)
+    val dvRows = priorDvRows(spark, path, affected,
+        hits.select(col("file")).distinct())
+      .map(hits.unionByName(_)).getOrElse(hits)
+    val descByFile = stageDvPerFile(spark, path, dvRows)
     // new images: matched rows with assignments applied, table columns
     val updated = matched.drop("__file", "__pos")
       .select(schemaForPred.fieldNames.toSeq.map(n =>
@@ -2446,7 +2558,8 @@ object SnapshotTable {
       toPhysical(updated.coalesce(math.max(1,
         affectedNames.size / 8)), tableSchema), path,
       partitioning(spark, path))
-    val newLines = affected.map(e => withDv(e, dvRels)) ++ staged
+    val newLines = affected.map(e =>
+      withDv(e, Seq(descByFile(fileOf(entryPath(e)))))) ++ staged
     commitPinned(spark, path, keptRefs, loose ++ newLines, readV + 1,
       Map("op" -> "UPDATE-MOR") ++ meta,
       resolve = Some(ConflictSpec(readV, manifest.toSet,
@@ -3806,7 +3919,8 @@ object SnapshotTable {
     * columns can't be renamed). */
   private[graft] def catalystRelationParts(spark: SparkSession,
       path: String, v: Int): Option[(org.apache.spark.sql.execution
-        .datasources.HadoopFsRelation, Seq[String], types.StructType)] = {
+        .datasources.HadoopFsRelation, Seq[(String, String)],
+        types.StructType)] = {
     val fs = fsOf(spark, logDir(path))
     // planning reads the manifest LIST only — segment refs stay
     // unresolved unless something below genuinely needs their entries
@@ -3846,7 +3960,19 @@ object SnapshotTable {
         case None => fsD.getFileStatus(p)
       }
       val (num, str, bl, nu) = parseEntryStats(e)
-      (fst, entryPartitionValues(rel), num, str, bl, nu)
+      // v2 per-file dv blobs ride the file listing as metadata (the
+      // scan task loads ONLY its own blob — no global broadcast);
+      // qualified here once so the executor never needs the table path
+      val dvMeta = {
+        val blobs = entryDvs(e).filter(DvSidecar.isBlobRef)
+        if (blobs.isEmpty) None
+        else Some(blobs.map { r =>
+          val d = DvSidecar.parse(r)
+          d.copy(rel = fsD.makeQualified(
+            new Path(path, d.rel)).toString).render
+        }.mkString(","))
+      }
+      (fst, entryPartitionValues(rel), num, str, bl, nu, dvMeta)
     }
     // segment refs become LAZY index segments: aggregates up front,
     // entries parsed only if a pushed filter fails to refute them
@@ -3872,15 +3998,19 @@ object SnapshotTable {
         new org.apache.spark.sql.execution.datasources.parquet
           .ParquetFileFormat(),
         Map.empty[String, String])(spark)
-    // deletion-vector rels the caller must mask. Only segments whose
-    // hasdv flag is true (or absent — legacy) resolve here; the
-    // common clean path stays pure list metadata.
-    val dvRels = refs.flatMap { l =>
-      if (!l.startsWith(SegPrefix)) entryDvs(l)
+    // deletion-vector refs the caller must mask, as (data file
+    // basename, ref) pairs. Only segments whose hasdv flag is true
+    // (or absent — legacy) resolve here; the common clean path stays
+    // pure list metadata.
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    def pairsOf(e: String): Seq[(String, String)] =
+      entryDvs(e).map(r => (fileOf(entryPath(e)), r))
+    val dvRefs = refs.flatMap { l =>
+      if (!l.startsWith(SegPrefix)) pairsOf(l)
       else if (refHasDv(l).contains(false)) Nil
-      else segEntries(fs, path, refRel(l)).flatMap(entryDvs)
+      else segEntries(fs, path, refRel(l)).flatMap(pairsOf)
     }.distinct
-    Some((relation, dvRels, st))
+    Some((relation, dvRefs, st))
   }
 
   /** The version as a HadoopFsRelation equivalent to [[read]]. The
@@ -3897,31 +4027,40 @@ object SnapshotTable {
     * through [[GraftParquetFileFormat]]: logical→physical name
     * translation inside the reader (rows are positional, so mapping
     * costs nothing and stays vectorized) and in-scan row-position
-    * masking against the broadcast deletion sets (Delta's approach).
-    * The index is re-viewed with the logical→physical map so pushed
-    * filters on renamed columns keep their manifest pruning.
+    * masking against per-file deletion blobs riding the file listing
+    * (v2, [[DvSidecar]] — the scan task loads only its own file's
+    * blob, so there is NO size bound however large the table's
+    * cumulative churn) or against the broadcast deletion sets (v1
+    * legacy vectors, bounded). The index is re-viewed with the
+    * logical→physical map so pushed filters on renamed columns keep
+    * their manifest pruning.
     *
     * None = Catalyst-ineligible version (empty manifest, unsupported
-    * partition type, legacy log) or a cumulative deletion vector past
-    * [[DvBroadcastMaxBytes]] — callers fall back to the
+    * partition type, legacy log) or a LEGACY v1 cumulative deletion
+    * vector past [[DvBroadcastMaxBytes]] — callers fall back to the
     * row-translating V1 relation, which is always correct (and
-    * applies the size-gated shuffled anti-join for oversized DVs). */
+    * applies the size-gated shuffled anti-join for oversized DVs).
+    * Vectors written by current MoR commits are per-file blobs and
+    * never hit that cliff. */
   private[graft] def frontDoorRelation(spark: SparkSession, path: String,
       version: Int): Option[org.apache.spark.sql.sources.BaseRelation] =
     catalystRelationParts(spark, path, version).flatMap {
-      case (relation, dvRels, st) =>
+      case (relation, dvRefs, st) =>
         val log2phys = st.fields.iterator
           .filter(f => physName(f) != f.name)
           .map(f => f.name -> physName(f)).toMap
-        if (dvRels.isEmpty && log2phys.isEmpty) {
+        val v1Rels = dvRefs.collect {
+          case (_, r) if !DvSidecar.isBlobRef(r) => r }.distinct
+        val perFile = dvRefs.exists(p => DvSidecar.isBlobRef(p._2))
+        if (dvRefs.isEmpty && log2phys.isEmpty) {
           if (relation.schema.fieldNames.sameElements(st.fieldNames))
             Some(relation)
           else None
-        } else cachedDvBroadcast(spark, path, dvRels).flatMap { dvBc =>
+        } else cachedDvBroadcast(spark, path, v1Rels).flatMap { dvBc =>
           // dataSchema under LOGICAL names (analysis resolves user
           // queries against it); the format scans physical
           val logicalData = nullify(types.StructType(st.fields))
-          val fmt = new GraftParquetFileFormat(log2phys, dvBc)
+          val fmt = new GraftParquetFileFormat(log2phys, dvBc, perFile)
           val index = relation.location match {
             case g: GraftFileIndex => g.withLogicalNames(log2phys)
             case other => other
@@ -3945,12 +4084,16 @@ object SnapshotTable {
     String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
   private val dvBcCacheBytes = new java.util.concurrent.atomic.AtomicLong
 
-  /** A version's cumulative deletion vector as a broadcast of
-    * `file basename -> sorted deleted positions` for
-    * [[GraftParquetFileFormat]]'s readers. Some(None) = no DVs;
-    * None = past [[DvBroadcastMaxBytes]] on disk — the caller must
-    * fall back to a relation that can anti-join distributed (the same
-    * ceiling gates [[applyDvMask]]'s broadcast join). */
+  /** A version's LEGACY v1 cumulative deletion vector as a broadcast
+    * of `file basename -> sorted deleted positions` for
+    * [[GraftParquetFileFormat]]'s readers (current commits write
+    * per-file [[DvSidecar]] blobs that never need this). Some(None) =
+    * no v1 DVs; None = past [[DvBroadcastMaxBytes]] of DECODED
+    * positions (parquet footer row counts × 8 B — sorted longs
+    * compress heavily, so the on-disk size would badly undercount the
+    * driver-side Row materialization this method performs) — the
+    * caller must fall back to a relation that can anti-join
+    * distributed. */
   private def cachedDvBroadcast(spark: SparkSession, path: String,
       dvRels: Seq[String]): Option[Option[
         org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]] = {
@@ -3959,10 +4102,9 @@ object SnapshotTable {
       " " + dvRels.sorted.mkString("|")
     val hit = dvBcCache.get(key)
     if (hit != null) return Some(Some(hit))
-    val fs = fsOf(spark, new Path(path))
-    val dvBytes = dvRels.map(r => scala.util.Try(
-      fs.getFileStatus(new Path(path, r)).getLen).getOrElse(0L)).sum
-    if (dvBytes > DvBroadcastMaxBytes) return None
+    val dvPositions = dvRels.map(r => footerHarvest(spark,
+      new Path(path, r), Nil, Nil)._1.getOrElse(Long.MaxValue >> 8)).sum
+    if (dvPositions * 8 > DvBroadcastMaxBytes) return None
     val rows = spark.read
       .parquet(dvRels.map(r => new Path(path, r).toString): _*)
       .select("file", "pos").collect()
@@ -4333,7 +4475,7 @@ object SnapshotTable {
     val kept = vs.takeRight(keep)
     val referenced = kept.flatMap { v =>
       val es = readManifest(fs, path, v)
-      es.map(entryPath) ++ es.flatMap(entryDvs)
+      es.map(entryPath) ++ es.flatMap(entryDvs).map(DvSidecar.relOf)
     }.toSet.map((rel: String) => new Path(path, rel).getName)
     // segment files referenced by KEPT manifest lists survive; the
     // rest (orphans of lost commit races, segments of dropped

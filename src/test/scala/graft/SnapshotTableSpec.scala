@@ -2585,9 +2585,16 @@ class SnapshotTableSpec extends SparkSpec {
     val filesV0 = SnapshotTable.read(spark, path).inputFiles.toSet
     val v1 = SnapshotTable.deleteMoR(spark, path, col("id") < 50L)
     assert(v1 === 1)
-    // the data file set is IDENTICAL - the only new input is the vector
+    // the data file set is IDENTICAL — the vector is a per-file blob
+    // in a packed .dvs sidecar referenced from the affected entries,
+    // never a scanned input
     val filesV1 = SnapshotTable.read(spark, path).inputFiles.toSet
-    assert(filesV0.subsetOf(filesV1) && filesV1.size === filesV0.size + 1)
+    assert(filesV1 === filesV0)
+    val refs1 = SnapshotTable.manifestEntries(spark, path, 1)
+      .flatMap(SnapshotTable.entryDvs)
+    assert(refs1.nonEmpty && refs1.forall(graft.sources.DvSidecar.isBlobRef))
+    assert(refs1.map(r => graft.sources.DvSidecar.parse(r).rel).distinct
+      .forall(_.endsWith(".dvs")))
     assert(SnapshotTable.read(spark, path).count() === 350)
     assert(SnapshotTable.read(spark, path)
       .filter(col("id") < 50L).count() === 0)
@@ -2601,7 +2608,12 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path)
       .filter(col("id") < 80L).count() === 0)
     val filesV2 = SnapshotTable.read(spark, path).inputFiles.toSet
-    assert(filesV0.subsetOf(filesV2) && filesV2.size === filesV0.size + 1)
+    assert(filesV2 === filesV0)
+    // the second commit re-staged the touched files' cumulative blobs:
+    // every ref is fresh (uuid sidecars are immutable, never appended)
+    val refs2 = SnapshotTable.manifestEntries(spark, path, 2)
+      .flatMap(SnapshotTable.entryDvs)
+    assert(refs2.nonEmpty && refs2.intersect(refs1).isEmpty)
     // no-match predicate commits nothing
     assert(SnapshotTable.deleteMoR(spark, path, lit(false)) === 2)
     // NULL predicate keeps rows (TRUE-only semantics)
@@ -2690,10 +2702,14 @@ class SnapshotTableSpec extends SparkSpec {
       === "updated")
     assert(now.filter(col("id") === 100L).select("n").as[Long].head()
       === 100L)
-    // original files all still referenced; additions are the vector
-    // and the one new-images file
+    // original files all still referenced; the only scanned addition
+    // is the one new-images file (the vector is a .dvs sidecar
+    // referenced from the masked entries, not a scanned input)
     val filesV1 = now.inputFiles.toSet
-    assert(filesV0.subsetOf(filesV1) && filesV1.size === filesV0.size + 2)
+    assert(filesV0.subsetOf(filesV1) && filesV1.size === filesV0.size + 1)
+    assert(SnapshotTable.manifestEntries(spark, path, 1)
+      .flatMap(SnapshotTable.entryDvs)
+      .forall(graft.sources.DvSidecar.isBlobRef))
     // v0 frozen
     assert(SnapshotTable.read(spark, path, Some(0))
       .filter(col("id") === 5L).select("n").as[Long].head() === 5L)
@@ -3006,6 +3022,119 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got.count() === 3)
     assert(got.filter(col("id") === 2L).select("v")
       .as[String].collect().toSeq === Seq("B2"))
+  }
+
+  test("per-file deletion blobs: codec round-trip, masking across " +
+      "file SPLITS, and vacuum of replaced sidecars") {
+    import graft.sources.DvSidecar
+    // codec: delta-varint round-trip across small, clustered, and
+    // beyond-int positions
+    val ps = Array(0L, 1L, 2L, 999999L, (1L << 40) + 3, (1L << 40) + 4)
+    assert(DvSidecar.decode(DvSidecar.encode(ps)).toSeq === ps.toSeq)
+    assert(DvSidecar.decode(DvSidecar.encode(Array.empty[Long])).isEmpty)
+    val d = DvSidecar.Desc("files/x.dvs", 12345L, 678, 90)
+    assert(DvSidecar.parse(d.render) === d)
+    assert(DvSidecar.relOf(d.render) === "files/x.dvs")
+    assert(DvSidecar.relOf("files/y.parquet") === "files/y.parquet")
+    assert(DvSidecar.isBlobRef(d.render))
+    assert(!DvSidecar.isBlobRef("files/y.parquet"))
+    // SPLITS: positions are file-absolute, so every split of a big
+    // file must mask only its own range — force one data file into
+    // many PartitionedFile splits and pin the masked aggregate
+    val path = freshPath("dvsplit")
+    SnapshotTable.create(spark.range(100000)
+      .select(col("id"), (col("id") * 3).as("v")).coalesce(1), path)
+    SnapshotTable.deleteMoR(spark, path, col("id") % 10 === 7)
+    val expect = spark.range(100000).filter(col("id") % 10 =!= 7)
+      .agg(sum(col("id") * 3)).head.getLong(0)
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (64 * 1024).toString)
+      val df = spark.read.format("graft").load(path)
+      assert(df.rdd.getNumPartitions > 1,
+        "split setup broken: one data file must become several splits")
+      assert(df.count() === 90000)
+      assert(df.agg(sum(col("v"))).head.getLong(0) === expect)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes",
+      prevSplit)
+    // VACUUM: a second delete re-stages the file's cumulative blob;
+    // dropping history reclaims the replaced sidecar, keeps the live
+    // one, and the table still reads masked
+    SnapshotTable.deleteMoR(spark, path, col("id") % 10 === 3)
+    SnapshotTable.vacuum(spark, path, keep = 1, graceMs = 0)
+    val live = SnapshotTable.manifestEntries(spark, path,
+        SnapshotTable.versions(spark, path).max)
+      .flatMap(SnapshotTable.entryDvs).map(r =>
+        new org.apache.hadoop.fs.Path(DvSidecar.relOf(r)).getName).toSet
+    val onDisk = new java.io.File(path, "files").listFiles()
+      .map(_.getName).filter(_.endsWith(".dvs")).toSet
+    assert(onDisk === live,
+      s"vacuum must keep exactly the referenced .dvs sidecars " +
+        s"(disk $onDisk vs referenced $live)")
+    assert(spark.read.format("graft").load(path).count() === 80000)
+  }
+
+  test("legacy v1 whole-parquet deletion vectors still read, classic " +
+      "and front door") {
+    import graft.sources.DvSidecar
+    // forge the legacy shape: a table whose dv= refs point at a
+    // shared (file,pos) parquet — what pre-r14 MoR commits wrote.
+    // Only legacy-era tables carry these, so the manifest is made
+    // legacy too (witness stripped, aged) and read via the opt-in.
+    val path = freshPath("v1dv")
+    SnapshotTable.create(spark.range(2000)
+      .select(col("id"), (col("id") * 7).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), path)
+    SnapshotTable.deleteMoR(spark, path, col("id") % 10 === 7)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // the same coordinates as the committed blobs, as a v1 parquet
+    val dataFiles = SnapshotTable.manifestEntries(spark, path, 0)
+      .map(e => s"$path/${SnapshotTable.entryPath(e)}")
+    val tmp = freshPath("v1dv_stage")
+    spark.read.parquet(dataFiles: _*)
+      .select(col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 10 === 7).drop("id")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val v1Rel = "files/legacy_v1_dv.parquet"
+    assert(fs.rename(new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      new org.apache.hadoop.fs.Path(path, v1Rel)))
+    // point every dv= item at the v1 parquet; legacy-ify the manifest
+    val m1 = new org.apache.hadoop.fs.Path(path,
+      "_graft_log/v00000001.manifest")
+    val in = fs.open(m1)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    fs.delete(m1, false)
+    val out = fs.create(m1, false)
+    out.write((lines.filterNot(l =>
+        l.startsWith("#wv=") || l.startsWith("#eot="))
+      .map(_.replaceAll("dv=[^;\\t]*", s"dv=$v1Rel"))
+      .mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(m1, System.currentTimeMillis - 600000L, -1)
+    spark.conf.set("spark.graft.allowLegacyManifests", "true")
+    try {
+      val refs = SnapshotTable.manifestEntries(spark, path, 1)
+        .flatMap(SnapshotTable.entryDvs).distinct
+      assert(refs === Seq(v1Rel) && !DvSidecar.isBlobRef(refs.head))
+      // classic reader: broadcast-masked anti-join
+      assert(SnapshotTable.read(spark, path).count() === 1800)
+      assert(SnapshotTable.read(spark, path)
+        .filter(col("id") % 10 === 7).count() === 0)
+      // front door: the v1 broadcast keeps the columnar scan
+      val fd = spark.read.format("graft").load(path)
+      assert(fd.count() === 1800)
+      assert(fd.queryExecution.executedPlan.toString
+        .contains("FileScan parquet"))
+      assert(fd.agg(sum(col("v"))).head.getLong(0) ===
+        spark.range(2000).filter(col("id") % 10 =!= 7)
+          .agg(sum(col("id") * 7)).head.getLong(0))
+    } finally spark.conf.unset("spark.graft.allowLegacyManifests")
   }
 
   test("multi-file deletion vectors: dv= comma list round-trips") {
