@@ -279,7 +279,9 @@ private[graft] object GraftFileIndex {
     * for layouts outside this set. */
   def supportedPartType(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType |
-         BooleanType | DateType | TimestampType | TimestampNTZType => true
+         BooleanType | DateType | TimestampType | TimestampNTZType |
+         FloatType | DoubleType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -327,6 +329,14 @@ private[graft] object GraftFileIndex {
             UTF8String.fromString(s))
           .getOrElse(sys.error(
             s"unparseable TIMESTAMP_NTZ partition value '$s'"))
+      // fractional/decimal layouts: the writer renders via cast-to-
+      // string (Java canonical text, incl. scientific notation for
+      // extreme doubles), which the JDK parsers invert exactly
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(s), d.precision, d.scale)
       case other => sys.error(s"unsupported partition type $other")
     }
   }

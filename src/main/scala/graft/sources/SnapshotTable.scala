@@ -3931,7 +3931,12 @@ object SnapshotTable {
     // not the log head's
     val partCols = readMeta(fs, path, v).get("partition")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    val catalystEligible = refs.nonEmpty &&
+    // EMPTY versions (delete-all, truncating overwrite) stay on the
+    // front door when the log stores their schema: a zero-segment
+    // index plans an ordinary (0-file) FileScan instead of dropping
+    // to the V1 row relation. Legacy empty logs without a schema have
+    // nothing to infer from and keep the classic fallback.
+    val catalystEligible = (refs.nonEmpty || schemaOpt.isDefined) &&
       (partCols.isEmpty || (schemaOpt.exists(s =>
         partCols.forall(c => s.fieldNames.contains(c) &&
           GraftFileIndex.supportedPartType(s(c).dataType)))))

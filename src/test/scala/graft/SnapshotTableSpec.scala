@@ -3150,6 +3150,64 @@ class SnapshotTableSpec extends SparkSpec {
     assert(re.contains("id=1:5"))
   }
 
+  test("front door covers fractional/decimal partition layouts and " +
+      "empty versions") {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    def frontDoor(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst {
+        case l: LogicalRelation => l.relation
+      }.exists(_.isInstanceOf[HadoopFsRelation])
+    // double-partitioned layout: previously outside supportedPartType,
+    // so EVERY read of such a table fell to the V1 row relation
+    val dPath = freshPath("fdoordbl")
+    (0 until 400).map(i => (i.toLong, (i % 4) * 0.25, i * 2L))
+      .toDF("id", "rate", "v")
+      .write.format("graft").option("partitionBy", "rate").save(dPath)
+    val dDf = spark.read.format("graft").load(dPath)
+    assert(frontDoor(dDf))
+    val dPlan = dDf.filter(col("rate") === 0.25)
+      .queryExecution.executedPlan.toString
+    assert(dPlan.contains("FileScan parquet"), dPlan)
+    assert(!dPlan.contains("ExistingRDD"), dPlan)
+    assert(dDf.filter(col("rate") === 0.25).count() === 100)
+    assert(dDf.agg(sum(col("v"))).head.getLong(0) ===
+      (0 until 400).map(_ * 2L).sum)
+    // float + decimal layouts round-trip their directory rendering
+    val fPath = freshPath("fdoorflt")
+    (0 until 90).map(i => (i.toLong, (i % 3).toFloat / 2f))
+      .toDF("id", "fr")
+      .write.format("graft").option("partitionBy", "fr").save(fPath)
+    val fDf = spark.read.format("graft").load(fPath)
+    assert(frontDoor(fDf))
+    assert(fDf.filter(col("fr") === 0.5f).count() === 30)
+    val cPath = freshPath("fdoordec")
+    spark.range(90).select(col("id"),
+        (col("id") % 3).cast("decimal(5,2)").as("bucket"))
+      .write.format("graft").option("partitionBy", "bucket").save(cPath)
+    val cDf = spark.read.format("graft").load(cPath)
+    assert(frontDoor(cDf))
+    assert(cDf.filter(col("bucket") ===
+      new java.math.BigDecimal("2.00")).count() === 30)
+    assert(cDf.select(sum(col("bucket"))).head.getDecimal(0)
+      .compareTo(new java.math.BigDecimal(30 * (0 + 1 + 2))) === 0)
+    // delete-all leaves an EMPTY version: with the schema stored in
+    // the log it stays a (0-file) FileScan, not a V1 fallback
+    val ePath = freshPath("fdoorempty")
+    spark.range(50).select(col("id"), (col("id") % 5).as("k"))
+      .write.format("graft").save(ePath)
+    SnapshotTable.delete(spark, ePath, col("id") >= 0L)
+    val eDf = spark.read.format("graft").load(ePath)
+    assert(frontDoor(eDf))
+    assert(eDf.columns.toSeq === Seq("id", "k"))
+    assert(eDf.count() === 0)
+    // time travel to the pre-delete version is unaffected
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(ePath).count() === 50)
+    // readCatalyst (the explicit API) takes the same front door
+    assert(SnapshotTable.readCatalyst(spark, ePath).count() === 0)
+  }
+
   test("a persistent manifest-write failure rethrows, not 'gave up after conflicts'") {
     // route the table through a FileSystem whose manifest creates fail
     // like a dead disk: data staging works, the commit create throws,
