@@ -46,6 +46,7 @@ object SimilarityQueries {
   @volatile private var lastHnswInsertPairs: Option[Seq[(Long, Long)]] = None
   @volatile private var lastHnswStreamPairs: Option[Seq[(Long, Long)]] = None
   @volatile private var lastHnswCrudPairs: Option[Seq[(Long, Long)]] = None
+  @volatile private var lastHnswChurnPairs: Option[Seq[(Long, Long)]] = None
 
   /** One fitted PQ codebook per (session, dir) — same serving shape as
     * the IVF quantizer cache. */
@@ -462,6 +463,161 @@ object SimilarityQueries {
       out
     }),
 
+    // Streaming ANN churn upkeep — st14's maintenance loop for the
+    // OTHER two lifecycle verbs: a stream of delete/upsert commands
+    // keeps the served HNSW index current, with touched-shard-only
+    // re-persistence throughout and a stop/RESTART mid-stream. The
+    // churn is staged so every tombstone regime is exercised live:
+    // batch 0 tombstones 20% of shard 3 (below rebuildAt — the dead
+    // flags PERSIST to disk and must survive the restart unserved),
+    // batch 1 pushes shard 3 to a CUMULATIVE 40% (the rebuild
+    // threshold fires mid-stream and sweeps the shard) while shard 1
+    // stays tombstoned, batch 2 upserts transformed vectors into
+    // shards 1 and 3 (rebuild; shard 1's tombstones fall away).
+    // Shards 0 and 2 are untouched by the whole stream — their
+    // parquet files must be byte-identical at the end, which is what
+    // makes hash-sharded ANN maintenance viable at 100 TB: persistence
+    // cost scales with churn, never index size. Oracle: the s15
+    // recipe against the expected post-churn corpus.
+    "st16_stream_ann_churn" -> ((s, dir) => {
+      import graft.operators.GraphAnn
+      import org.apache.spark.sql.DataFrame
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st16")
+      val ipath = base.resolve("index").toString
+      GraphAnn.build(emb, "vec_id", "embedding",
+          nShards = 4, m = 8, efC = 48)
+        .write.partitionBy("shard").parquet(ipath)
+      val cleanShardFiles = new java.io.File(ipath).listFiles()
+        .filter(f => f.getName == "shard=0" || f.getName == "shard=2")
+        .flatMap(_.listFiles()).map(f => (f.getName, f.length()))
+        .sortBy(_._1).toSeq
+      // churn command batches (op, vec_id, embedding), staged as
+      // mtime-ordered files; %20==7/17/19 all hash to shards 3/1/3
+      val staged = base.resolve("in")
+      java.nio.file.Files.createDirectories(staged)
+      def stage(k: Int, cmds: DataFrame): Unit = {
+        val tmp = base.resolve(s"tmp$k").toString
+        cmds.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = staged.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 400000L + k * 60000L))
+      }
+      val delCmd = (p: org.apache.spark.sql.Column) =>
+        emb.filter(p).select(lit("delete").as("op"), col("vec_id"),
+          lit(null).cast(ArrayType(DoubleType)).as("embedding"))
+      stage(0, delCmd(col("vec_id") % 20 === 7))
+      val cmdSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("op", StringType),
+        org.apache.spark.sql.types.StructField("vec_id", LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          ArrayType(DoubleType))))
+      def runStream(): Unit = {
+        val q = s.readStream.schema(cmdSchema)
+          .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+          .writeStream
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val ops = b.select(col("op")).distinct()
+              .collect().map(_.getString(0)).toSet
+            val touched = b.select(
+                pmod(col("vec_id"), lit(4L)).cast("int").as("t"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            var idx = s.read.parquet(ipath)
+            if (ops("delete"))
+              idx = GraphAnn.delete(idx,
+                b.filter(col("op") === "delete").select(col("vec_id")),
+                "vec_id", nShards = 4, m = 8, efC = 48)
+            if (ops("upsert"))
+              idx = GraphAnn.upsert(idx,
+                b.filter(col("op") === "upsert")
+                  .select(col("vec_id"), col("embedding")),
+                "vec_id", "embedding", nShards = 4, m = 8, efC = 48)
+            val upd = idx.filter(col("shard").isin(touched: _*))
+              .localCheckpoint()
+            upd.write.partitionBy("shard").mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic").parquet(ipath)
+            ()
+          }
+          .start()
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      runStream() // phase 1: batch 0 only, then STOP
+      // tombstones (not yet rebuilt) must survive persistence: the
+      // reloaded artifact never serves a deleted id across the restart
+      val mid = s.read.parquet(ipath)
+      require(mid.filter(col("shard") === 3 && col("dead")).count() > 0,
+        "expected shard 3 to carry persisted tombstones after batch 0")
+      val midServed = GraphAnn.search(mid,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, ef = 64)
+        .select(col("corpus_id")).collect().map(_.getLong(0))
+      require(!midServed.exists(_ % 20 == 7),
+        "a tombstoned vector was served across the restart")
+      // phase 2: stage the rest and RESTART from the same checkpoint
+      stage(1, delCmd(col("vec_id") % 20 === 17 ||
+        col("vec_id") % 20 === 19))
+      stage(2, emb.filter(col("vec_id") % 10 === 3)
+        .select(lit("upsert").as("op"), col("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(0.5) + lit(1.0)).as("embedding")))
+      runStream()
+      val served = s.read.parquet(ipath)
+      // the cumulative 40% crossed rebuildAt: shard 3 was swept (no
+      // dead rows, deleted ids physically gone); shard 1's tombstones
+      // fell away with the upsert rebuild
+      require(served.filter(col("dead")).count() == 0L,
+        "expected every tombstone swept by rebuilds at end of stream")
+      require(served.filter(col("id") % 20 === 7).count() == 0L,
+        "rebuild left deleted ids in shard 3")
+      // untouched shards were never rewritten
+      val endShardFiles = new java.io.File(ipath).listFiles()
+        .filter(f => f.getName == "shard=0" || f.getName == "shard=2")
+        .flatMap(_.listFiles()).map(f => (f.getName, f.length()))
+        .sortBy(_._1).toSeq
+      require(endShardFiles == cleanShardFiles,
+        "untouched shards 0/2 were rewritten by the churn stream")
+      val queries = emb.filter(col("vec_id") < 10)
+      val approx = GraphAnn.search(served, queries, "vec_id",
+          "embedding", k = 5, ef = 64)
+        .select(col("query_id"), col("corpus_id"))
+      val pairs = approx.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      lastHnswChurnPairs = Some(pairs)
+      require(!pairs.exists(p => p._2 % 20 == 7 || p._2 % 20 == 17 ||
+        p._2 % 20 == 19), "a deleted vector was served")
+      import s.implicits._
+      val state = emb.filter(col("vec_id") % 20 =!= 7 &&
+          col("vec_id") % 20 =!= 17 && col("vec_id") % 20 =!= 19)
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 === 3,
+            transform(col("embedding"), x => x * lit(0.5) + lit(1.0)))
+            .otherwise(col("embedding")).as("embedding"))
+      val exact = graft.operators.Similarity.bruteForceTopK(
+          queries, state, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approxLit = pairs.toDF("query_id", "corpus_id")
+      val hits = exact
+        .join(approxLit, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      val out = exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits_at_5"))
+        .orderBy(col("query_id"))
+      val mean = out.agg(avg(col("hits_at_5"))).head().getDouble(0)
+      require(mean >= 4.0,
+        f"post-churn streamed HNSW recall regressed: " +
+          f"mean hits@5 = $mean%.2f")
+      out
+    }),
+
     // Filtered vector search — the other common serving shape: top-k
     // cosine restricted to a metadata predicate (label filter),
     // pre-filter strategy: the predicate prunes the corpus IN THE SCAN
@@ -852,6 +1008,32 @@ object SimilarityQueries {
        |  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st16: the s15 recipe against the streamed post-churn corpus —
+    * deletes (vec_id%20 ∈ {7,17,19}) gone, upserts (vec_id%10==3)
+    * replaced by the same x*0.5+1.0 transform; queries keep their
+    * ORIGINAL vectors. */
+  private def st16Sql(pairs: Seq[(Long, Long)]): String =
+    s"""WITH approx(query_id, corpus_id) AS (VALUES
+       |  ${pairs.map(p => s"(${p._1}, ${p._2})").mkString(",\n  ")}),
+       |corpus AS (SELECT vec_id AS id,
+       |    CASE WHEN vec_id % 10 = 3
+       |      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5 + 1.0)
+       |      ELSE CAST(embedding AS DOUBLE[]) END AS v
+       |  FROM embeddings WHERE vec_id % 20 NOT IN (7, 17, 19)),
+       |qs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 10),
+       |bscored AS (SELECT a.id AS query_id, b.id AS corpus_id,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM qs a JOIN corpus b ON a.id <> b.id),
+       |exact AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+       |  FROM bscored) WHERE rank <= 5)
+       |SELECT e.query_id, CAST(count(a.corpus_id) AS BIGINT) AS hits_at_5
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracles for the fitted-quantizer family, rendered from the models
     * the queries actually served (empty until those queries have run —
     * Verify dumps oracle_sql.json after the query loop, so the full
@@ -877,6 +1059,9 @@ object SimilarityQueries {
     }
     lastHnswCrudPairs.foreach { p =>
       out += ("s15_hnsw_delete_upsert" -> s15Sql(p))
+    }
+    lastHnswChurnPairs.foreach { p =>
+      out += ("st16_stream_ann_churn" -> st16Sql(p))
     }
     lastPqFit.foreach { m =>
       out += ("s5_pq_topk" -> s5Sql(m))
