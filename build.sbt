@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Persistent file reporter: a full-suite failure's TEST NAME survives
+// even when the console tail is lost in Spark INFO spam (the r13
+// flake-watch gap — one failure left no name behind). Overwritten per
+// run; durations included.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-fD", "target/scalatest-run.log")
 // Pass the forked JVM's stdout through verbatim (no sbt "[info] " prefix)
 // so Bench/Verify's single JSON output line stays machine-parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -44,6 +44,10 @@ object PlanScaleProbe {
       .createTempDirectory("plan_probe").toString
     fs.mkdirs(new Path(dir, "_graft_log"))
     val n = args.headOption.map(_.toInt).getOrElse(10000000)
+    // which format family to forge+run: "text", "pq", or "both" —
+    // each half is ~6-10 min at 10M, so same-rig A/Bs run them as
+    // separate invocations
+    val formats = if (args.length > 1) args(1) else "both"
     val per = 512
     val nSegs = (n + per - 1) / per
     val schema = StructType(Seq(
@@ -67,31 +71,39 @@ object PlanScaleProbe {
       }
       java.util.Base64.getEncoder.withoutPadding.encodeToString(bs)
     }
-    println(s"forging $nSegs segment files ($n entries) + sidecars...")
-    val tF = System.nanoTime()
-    val refs = (0 until nSegs).map { s =>
-      val lo = s.toLong * per
-      val hi = math.min(lo + per, n.toLong) - 1
-      val rel = f"_graft_log/seg-$s%06d.entries"
-      val bRel = f"_graft_log/seg-$s%06d.blooms"
-      val out = fs.create(new Path(dir, rel), true)
-      val sb = new StringBuilder
-      (lo to hi).foreach(i => { sb.append(line(i)); sb.append('\n') })
-      out.write(sb.toString.getBytes("UTF-8")); out.close()
-      val bOut = fs.create(new Path(dir, bRel), true)
+    def segAgg(lo: Long, hi: Long): String =
+      Seq(s"n=${hi - lo + 1}", s"b=${(hi - lo + 1) * 134217728L}",
+        "hasdv=0",
+        s"id=${lo * 1000}:${hi * 1000 + 999}",
+        s"ts=${1700000000L + lo}:${1700000600L + hi}",
+        s"bl=f!${f"_graft_log/seg-${(lo / per)}%06d.blooms"}",
+        "blcols=uid").mkString(";")
+    def forgeBlooms(s: Int, lo: Long, hi: Long): Unit = {
+      val bOut = fs.create(
+        new Path(dir, f"_graft_log/seg-$s%06d.blooms"), true)
       val bsb = new StringBuilder
       (lo to hi).foreach { i =>
         bsb.append(s"f$i.parquet\tuid=b!512!6!${pool((i % 64).toInt)}\n")
       }
       bOut.write(bsb.toString.getBytes("UTF-8")); bOut.close()
-      val agg = Seq(s"n=${hi - lo + 1}", s"b=${(hi - lo + 1) * 134217728L}",
-        "hasdv=0",
-        s"id=${lo * 1000}:${hi * 1000 + 999}",
-        s"ts=${1700000000L + lo}:${1700000600L + hi}",
-        s"bl=f!$bRel", "blcols=uid").mkString(";")
-      s"@seg=$rel\t$agg"
     }
-    println(f"  forged in ${(System.nanoTime() - tF) / 1e9}%.0f s")
+    val refs = if (formats == "pq") Seq.empty[String] else {
+      println(s"forging $nSegs segment files ($n entries) + sidecars...")
+      val tF = System.nanoTime()
+      val rs = (0 until nSegs).map { s =>
+        val lo = s.toLong * per
+        val hi = math.min(lo + per, n.toLong) - 1
+        val rel = f"_graft_log/seg-$s%06d.entries"
+        val out = fs.create(new Path(dir, rel), true)
+        val sb = new StringBuilder
+        (lo to hi).foreach(i => { sb.append(line(i)); sb.append('\n') })
+        out.write(sb.toString.getBytes("UTF-8")); out.close()
+        forgeBlooms(s, lo, hi)
+        s"@seg=$rel\t${segAgg(lo, hi)}"
+      }
+      println(f"  forged in ${(System.nanoTime() - tF) / 1e9}%.0f s")
+      rs
+    }
     val rangePred = SnapshotTable.resolvedPredicate(spark, schema,
       F.col("id") >= (n.toLong * 1000 / 2) &&
         F.col("id") < (n.toLong * 1000 / 2 + n.toLong))
@@ -118,11 +130,47 @@ object PlanScaleProbe {
         println(f"  $label%-34s $phase%4s: ${ms}%9.1f ms, " +
           f"${kept.size}%8d of $tot%d kept, driver heap +${dh}%7.1f MB")
       }
-    println(s"distributed planning, $n entries, local[32]:")
-    run("0.01% id range (segment-refuted)", refs, rangePred)
-    run("full parse (aggregates stripped)", bare, rangePred)
-    run("uid point lookup, NO sidecars", noBloomRefs, uidPred)
-    run("uid point lookup, sidecar join", refs, uidPred)
+    if (formats != "pq") {
+      println(s"distributed planning, $n entries, local[32], " +
+        "TEXT segments:")
+      run("0.01% id range (segment-refuted)", refs, rangePred)
+      run("full parse (aggregates stripped)", bare, rangePred)
+      run("uid point lookup, NO sidecars", noBloomRefs, uidPred)
+      run("uid point lookup, sidecar join", refs, uidPred)
+    }
+    if (formats != "text") {
+      // COLUMNAR segments (r14): same 10M entries, same aggregates,
+      // the on-disk segment format is parquet — the full-parse arm
+      // reads typed stat columns vectorized instead of wholetext lines
+      println(s"forging $nSegs COLUMNAR segment files...")
+      val tP = System.nanoTime()
+      val pool2 = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pqRefs = (0 until nSegs).map { s =>
+        pool2.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            val lo = s.toLong * per
+            val hi = math.min(lo + per, n.toLong) - 1
+            val rel = f"_graft_log/seg-$s%06d.entriesp"
+            graft.sources.SegmentCodec.write(new Path(dir, rel),
+              (lo to hi).map(line), conf)
+            if (formats == "pq") forgeBlooms(s, lo, hi)
+            s"@seg=$rel\t${segAgg(lo, hi)}"
+          }
+        })
+      }.map(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+      pool2.shutdown()
+      println(f"  forged in ${(System.nanoTime() - tP) / 1e9}%.0f s")
+      val pqNoBloom =
+        pqRefs.map(_.replaceAll(";bl=f![^;]*;blcols=uid", ""))
+      val pqBare = pqRefs.map(l => l.split("\t")(0) + s"\tn=$per")
+      println(s"distributed planning, $n entries, local[32], " +
+        "COLUMNAR segments:")
+      run("0.01% id range (segment-refuted)", pqRefs, rangePred)
+      run("full parse (aggregates stripped)", pqBare, rangePred)
+      run("uid point lookup, NO sidecars", pqNoBloom, uidPred)
+      run("uid point lookup, sidecar join", pqRefs, uidPred)
+    }
     fs.delete(new Path(dir), true)
     spark.stop()
   }

@@ -85,6 +85,90 @@ class HdfsLogStore extends GraftLogStore {
   }
 }
 
+/** Object-store-shaped commit guard — the PRODUCTION template for
+  * buckets without atomic create-exclusive (plain S3/GCS/Azure),
+  * runnable and stress-tested in this sandbox. It performs the exact
+  * two-step commit a cloud deployment performs:
+  *
+  *   1. [[stage]]: upload the COMPLETE manifest body as a hidden,
+  *      uniquely-named staging object (`staged-<uuid>.obj`). Object
+  *      PUTs are all-or-nothing, so no reader can ever observe a
+  *      partial manifest — a writer dying here leaves only an
+  *      invisible orphan ([[SnapshotTable.vacuum]] reclaims it past
+  *      the grace window; version listings match `v*.manifest` and
+  *      never see it).
+  *   2. [[publishIfAbsent]]: bind the staged content to the target
+  *      name iff the name is unclaimed. On S3 this is
+  *      `PUT ... If-None-Match: *` (supported since 2024) or
+  *      CopyObject with the same precondition; on GCS
+  *      `x-goog-if-generation-match: 0`; on Azure `If-None-Match: *`.
+  *      This instance emulates the precondition with an atomic POSIX
+  *      hard link — link(2) fails with EEXIST iff the name exists and
+  *      is atomic against every concurrent linker, the same
+  *      at-most-one-winner semantics — so the protocol around it is
+  *      exercised unchanged; a bucket deployment swaps ONLY the body
+  *      of [[publishIfAbsent]] for the real conditional PUT.
+  *
+  * Failure contract (same as the trait's): a lost precondition
+  * returns false; everything else throws. The staging name is
+  * unlinked on every path — after a successful publish the content
+  * survives under the target name (the inode has two names until the
+  * unlink), after a loss or failure nothing visible remains. */
+class ObjectStoreLogStore extends GraftLogStore {
+
+  /** Step 1: the all-or-nothing upload. FS-agnostic (uses the Hadoop
+    * stream API); any failure cleans the orphan best-effort and
+    * rethrows — the target name was never touched. */
+  protected def stage(fs: FileSystem, target: Path,
+      content: Array[Byte]): Path = {
+    val staged = new Path(target.getParent,
+      s"staged-${java.util.UUID.randomUUID()}.obj")
+    val out = fs.create(staged, false)
+    try { out.write(content); out.close() }
+    catch {
+      case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        try fs.delete(staged, false) catch { case _: Throwable => () }
+        throw new java.io.IOException(
+          s"snapshot commit: staging object upload to $staged failed", e)
+    }
+    staged
+  }
+
+  /** Step 2: the conditional publish. true = claimed the name;
+    * false = precondition failed (a competing manifest owns it). */
+  protected def publishIfAbsent(fs: FileSystem, staged: Path,
+      target: Path): Boolean = {
+    val local = (p: Path) => {
+      val u = p.toUri
+      require(u.getScheme == null || u.getScheme == "file",
+        s"ObjectStoreLogStore's sandbox publish emulates the " +
+          s"conditional PUT with a POSIX hard link and needs a local " +
+          s"path (got $p); deploy against a bucket by overriding " +
+          s"publishIfAbsent with the store's real conditional PUT")
+      java.nio.file.Paths.get(u.getPath)
+    }
+    try {
+      java.nio.file.Files.createLink(local(target), local(staged))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  override def createAtomic(fs: FileSystem, target: Path,
+      content: Array[Byte]): Boolean = {
+    val staged = stage(fs, target, content)
+    try publishIfAbsent(fs, staged, target)
+    finally {
+      // drop the staging NAME; published content lives on under the
+      // target name. A failure here leaves a harmless orphan that
+      // vacuum reclaims — never worth failing a won commit over.
+      try fs.delete(staged, false) catch { case _: Throwable => () }
+    }
+  }
+}
+
 private[graft] object GraftLogStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, GraftLogStore]()

@@ -401,6 +401,17 @@ object SnapshotTable {
       .exists(_.conf.getOption("spark.graft.allowLegacyManifests")
         .contains("true"))
 
+  /** How long a reader waits for a marker-less manifest's bytes to
+    * settle before declaring it torn. Session-overridable so specs
+    * can shorten the refusal arms (no 3 s burn) and LENGTHEN the
+    * in-flight-writer arm (a loaded rig must not starve a 500 ms
+    * filler thread into a spurious torn error — the r13 flake-watch
+    * hypothesis). */
+  private def tornAwaitMs: Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.manifest.tornAwaitMs"))
+      .map(_.toLong).getOrElse(3000L)
+
   private def manifestLines(fs: FileSystem, path: String, v: Int): Seq[String] = {
     val mpath = new Path(logDir(path), manifestName(v))
     def readOnce(): Seq[String] = {
@@ -417,7 +428,11 @@ object SnapshotTable {
     var tries = 0
     var prev: Seq[String] = null
     var sawStableLegacy = false
-    while (tries < 150) {
+    val budget = tornAwaitMs
+    val deadline = System.currentTimeMillis + budget
+    // at least two reads regardless of budget — legacy acceptance
+    // needs a stability compare across consecutive reads
+    while (tries < 2 || System.currentTimeMillis < deadline) {
       val lines = readOnce()
       if (lines.nonEmpty && lines.last == EotLine) return lines.init
       // pre-witness manifests never carry the end marker and never
@@ -448,8 +463,8 @@ object SnapshotTable {
       Thread.sleep(20)
     }
     sys.error(s"manifest v$v at $path has no end-of-transaction " +
-      "marker after 3s — torn by a failed writer; manual cleanup " +
-      "required" + (if (sawStableLegacy)
+      s"marker after $budget ms — torn by a failed writer; manual " +
+      "cleanup required" + (if (sawStableLegacy)
         " (content is stable but witness-less AND younger than " +
           s"${legacyMinAgeMs} ms — if this really is a table written " +
           "by a pre-marker library version, set " +
@@ -529,8 +544,13 @@ object SnapshotTable {
     val hit = segCache.get(key)
     if (hit != null) hit
     else {
+      // columnar segments read their ONE projected line column through
+      // the parquet Group reader — still a direct driver read, no job
+      val lines = if (SegmentCodec.isParquetSeg(rel))
+        SegmentCodec.readLines(new Path(path, rel), fs.getConf)
+      else {
       val in = fs.open(new Path(path, rel))
-      val lines = try {
+      try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
@@ -538,6 +558,7 @@ object SnapshotTable {
         new String(bytes.toByteArray, "UTF-8").split("\n").toSeq
           .map(_.trim).filter(_.nonEmpty)
       } finally in.close()
+      }
       val est = lines.iterator.map(_.length.toLong + 40L).sum
       if (segCacheBytes.addAndGet(est) > (256L << 20)) {
         segCache.clear()
@@ -894,10 +915,25 @@ object SnapshotTable {
       val blItems = writeBloomSidecar(fs, path, perFile)
       val lines =
         if (blItems.isEmpty) group else group.map(stripAllBloomItems)
-      val rel = s"_graft_log/seg-${UUID.randomUUID()}.entries"
-      val out = fs.create(new Path(path, rel), false)
-      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
+      // segment format: TEXT by default — the r14 SegReadProbe A/B
+      // measured direct task-side text reads 13x FASTER than parquet
+      // segments at this 512-entry granularity (per-file parquet
+      // footer/reader-init overhead dominates, and object stores pay
+      // 2-3 ranged GETs per parquet file vs one for text). `parquet`
+      // stays a fully-supported opt-in ([[SegmentCodec]]) — typed
+      // stat columns readable as a user-facing metadata table.
+      val parquetSeg = spark.conf
+        .getOption("spark.graft.manifest.segmentFormat")
+        .contains("parquet")
+      val rel = s"_graft_log/seg-${UUID.randomUUID()}" +
+        (if (parquetSeg) SegmentCodec.Extension else ".entries")
+      if (parquetSeg)
+        SegmentCodec.write(new Path(path, rel), lines, fs.getConf)
+      else {
+        val out = fs.create(new Path(path, rel), false)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
       (Seq(s"$SegPrefix$rel\t${segAggItems(lines)}") ++ blItems)
         .mkString(";")
     }.toSeq
@@ -3092,8 +3128,9 @@ object SnapshotTable {
     // design rationale
     var total = 0
     val inlineKept = scala.collection.mutable.ArrayBuffer[String]()
-    val livePaths = scala.collection.mutable.ArrayBuffer[String]()
-    val sidePaths = scala.collection.mutable.ArrayBuffer[String]()
+    // (segment path, its bloom sidecar path or null): each task loads
+    // ITS segments' sidecars directly — no join stage
+    val livePairs = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val needBloom = predHasEquality(pred)
     // compiled ONCE on the driver; the job ships the compiled form
     // (plain serializable case classes, smaller than the Expression)
@@ -3118,79 +3155,58 @@ object SnapshotTable {
             relabelStats(entryStats(agg), schema),
             relabelStats(entryStringStats(agg), schema), Map.empty,
             nullsOf(agg))) {
-          livePaths += new Path(path, refRel(l)).toString
-          if (needBloom)
-            refBloomRel(l).foreach(r =>
-              sidePaths += new Path(path, r).toString)
+          val side =
+            if (!needBloom) null
+            else refBloomRel(l)
+              .map(r => new Path(path, r).toString).orNull
+          livePairs += ((new Path(path, refRel(l)).toString, side))
         }
       }
     }
     val segKept: Seq[String] =
-      if (livePaths.isEmpty) Nil
+      if (livePairs.isEmpty) Nil
       else {
-        import spark.implicits._
-        // physical→logical relabel map is tiny and serializable; the
-        // closure captures only it and the predicate tree
+        // DIRECT task-side reads, not a file-source scan: each task
+        // opens its segment files through the FileSystem API, parses
+        // with the zero-alloc scanner, and evaluates in place. The
+        // SegReadProbe A/B (NOTES r14) measured the previous
+        // wholetext file-source shape at ~7 s for a 2M-entry listing
+        // against ~0.2 s for this one — listing-scan setup, row
+        // encoders and per-file planning dominated, not bytes or
+        // parse. Bloom sidecars load INSIDE the task for its own
+        // segments (a segment has at most one sidecar), replacing the
+        // old join stage; range-only predicates never touch them.
+        // Columnar segments ride the same job through their verbatim
+        // line column.
         val p2l: Map[String, String] = schema.toSeq
           .flatMap(_.fields.map(f => physName(f) -> f.name)).toMap
         val cpSer = cp
         def rlFor[T](m: Map[String, T]): Map[String, T] =
           if (p2l.isEmpty) m
           else m.map { case (k2, v2) => p2l.getOrElse(k2, k2) -> v2 }
-        // a FUNCTION VALUE, not a local def: a def body that calls
-        // module methods lifts with the (non-serializable) module as
-        // a captured argument and poisons the task closure; a lambda
-        // body's module calls stay static
-        if (sidePaths.isEmpty) {
-          // WHOLETEXT read: one row per SEGMENT file, split + parse +
-          // evaluate inside one closure — the per-LINE Dataset shape
-          // paid row-encoder and iterator overhead on every one of
-          // millions of entry lines across tens of thousands of small
-          // files (segment files are ~70 KB, far under any memory
-          // concern for one-row-per-file reads)
-          import org.apache.spark.sql.Encoders
-          val kept = spark.read.option("wholetext", "true")
-            .text(livePaths.toSeq: _*)
-            .select(org.apache.spark.sql.functions.col("value"))
-            .as[String](Encoders.STRING)
-            .mapPartitions(_.flatMap(_.split("\n").iterator
-              .map(_.trim).filter(_.nonEmpty).filter { line =>
-                // null metadata rides the same single-pass parse now
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val slices = math.max(1, math.min(livePairs.size,
+          spark.sparkContext.defaultParallelism * 4))
+        spark.sparkContext.parallelize(livePairs.toSeq, slices)
+          .mapPartitions(_.flatMap { case (segPath, sidePath) =>
+            val side: Map[String, Map[String, (Int, Int, Array[Byte])]] =
+              if (sidePath == null) Map.empty
+              else SegmentCodec.readAnyLines(
+                  new Path(sidePath), conf.value)
+                .map(l => entryPath(l) -> entryBloomStats(l)).toMap
+            SegmentCodec.readAnyLines(new Path(segPath), conf.value)
+              .iterator.filter { line =>
                 val (num, str, bl, nu) = parseEntryStats(line)
+                val blAll =
+                  if (side.isEmpty) bl
+                  else bl ++ side.getOrElse(
+                    fileNameOf(entryPath(line)), Map.empty)
                 cpSer.evalN(entryPartitionValues(entryPath(line)),
-                  rlFor(num), rlFor(str), rlFor(bl), rlFor(nu))
-              }))(Encoders.STRING)
-            .collect().toSeq
-          kept
-        } else {
-          val entriesDs = spark.read.textFile(livePaths.toSeq: _*)
-            .map(_.trim).filter(_.nonEmpty)
-          // equality probes join the SIDECAR bitsets in the same job
-          // (keyed by file name — sidecar lines reuse the entry
-          // grammar), so huge-table point lookups get distributed
-          // parsing AND bloom pruning together
-          val keyed = entriesDs
-            .map(l => (fileNameOf(entryPath(l)), l))
-            .toDF("fn", "line")
-          val sides = spark.read.textFile(sidePaths.toSeq: _*)
-            .map(_.trim).filter(_.nonEmpty)
-            .map(l => (entryPath(l), l))
-            .toDF("fn", "bline")
-          keyed.join(sides, Seq("fn"), "left")
-            .select("line", "bline")
-            .as[(String, String)]
-            .filter { case (line, bline) =>
-              val (num, str, bl, nu) = parseEntryStats(line)
-              val side =
-                if (bline == null)
-                  Map.empty[String, (Int, Int, Array[Byte])]
-                else entryBloomStats(bline)
-              cpSer.evalN(entryPartitionValues(entryPath(line)),
-                rlFor(num), rlFor(str), rlFor(bl ++ side),
-                rlFor(nu))
-            }
-            .map(_._1).collect().toSeq
-        }
+                  rlFor(num), rlFor(str), rlFor(blAll), rlFor(nu))
+              }
+          })
+          .collect().toSeq
       }
     (inlineKept.toSeq ++ segKept, total)
   }
@@ -4495,9 +4511,15 @@ object SnapshotTable {
     }
     val cutoff = System.currentTimeMillis() - graceMs
     val droppedSegs = fs.listStatus(logDir(path)).toSeq
-      .filter(f => f.getPath.getName.startsWith("seg-") &&
-        (f.getPath.getName.endsWith(".entries") ||
-          f.getPath.getName.endsWith(".blooms")))
+      .filter { f =>
+        val n = f.getPath.getName
+        (n.startsWith("seg-") &&
+          (n.endsWith(".entries") || n.endsWith(SegmentCodec.Extension) ||
+            n.endsWith(".blooms"))) ||
+        // ObjectStoreLogStore staging orphans (writer died between
+        // upload and publish) — invisible to readers, reclaimed here
+        (n.startsWith("staged-") && n.endsWith(".obj"))
+      }
       .filterNot(f => referencedSegs.contains(f.getPath.getName))
       .filter(f => f.getModificationTime <= cutoff)
     droppedSegs.foreach { f =>

@@ -1817,6 +1817,9 @@ class SnapshotTableSpec extends SparkSpec {
     rewrite(manifests.last, _.filterNot(l =>
       l.startsWith("#wv=") || l.startsWith("#eot=")))
     spark.conf.set("spark.graft.legacyManifestMinAgeMs", "300000")
+    // short, injected refusal budget: the refusal arms should not
+    // burn the default 3 s spin each, and must not race suite load
+    spark.conf.set("spark.graft.manifest.tornAwaitMs", "400")
     try {
       val fresh = intercept[RuntimeException] {
         SnapshotTable.read(spark, path).count()
@@ -1834,18 +1837,20 @@ class SnapshotTableSpec extends SparkSpec {
       spark.conf.unset("spark.graft.allowLegacyManifests")
       spark.conf.unset("spark.graft.legacyManifestMinAgeMs")
     }
-    // leave the manifest old so the torn-modern arm below exercises
-    // the witness path, not the age gate
-    fs.setTimes(manifests.last, System.currentTimeMillis - 600000L, -1)
-    // a TORN modern manifest: witness present, end marker missing —
-    // the reader must refuse it (bounded spin, then error). The
-    // witness is re-added: the rewrite above stripped it.
-    rewrite(manifests.last, ls => "#wv=2" +: ls.filterNot(l =>
-      l.startsWith("#wv=") || l.startsWith("#eot=")))
-    val err = intercept[RuntimeException] {
-      SnapshotTable.read(spark, path).count()
-    }
-    assert(err.getMessage.contains("torn"))
+    try {
+      // leave the manifest old so the torn-modern arm below exercises
+      // the witness path, not the age gate
+      fs.setTimes(manifests.last, System.currentTimeMillis - 600000L, -1)
+      // a TORN modern manifest: witness present, end marker missing —
+      // the reader must refuse it (bounded spin, then error). The
+      // witness is re-added: the rewrite above stripped it.
+      rewrite(manifests.last, ls => "#wv=2" +: ls.filterNot(l =>
+        l.startsWith("#wv=") || l.startsWith("#eot=")))
+      val err = intercept[RuntimeException] {
+        SnapshotTable.read(spark, path).count()
+      }
+      assert(err.getMessage.contains("torn"))
+    } finally spark.conf.unset("spark.graft.manifest.tornAwaitMs")
   }
 
   test("a just-created, still-empty manifest is awaited, not " +
@@ -1872,9 +1877,18 @@ class SnapshotTableSpec extends SparkSpec {
       out.write(content.getBytes("UTF-8"))
       out.close()
     })
+    // a GENEROUS injected wait budget: under full-suite 32-thread
+    // load the filler thread's 500 ms sleep can fire late, and the
+    // default 3 s torn budget racing it is exactly the flake shape
+    // the r13 notes flagged — the reader must out-wait scheduler
+    // noise, not race it
+    spark.conf.set("spark.graft.manifest.tornAwaitMs", "30000")
     filler.start()
     try assert(SnapshotTable.read(spark, path).count() === 10)
-    finally filler.join()
+    finally {
+      filler.join()
+      spark.conf.unset("spark.graft.manifest.tornAwaitMs")
+    }
   }
 
   test("versionAsOf and history use in-manifest commit timestamps, " +
@@ -2001,6 +2015,84 @@ class SnapshotTableSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.logStore.class")
   }
 
+  test("ObjectStoreLogStore: staged-object conditional publish guards " +
+      "racing commits; a mid-commit death leaves nothing visible") {
+    import spark.implicits._
+    import graft.sources.ObjectStoreLogStore
+    val path = freshPath("objstore")
+    spark.conf.set("spark.graft.logStore.class",
+      classOf[ObjectStoreLogStore].getName)
+    try {
+      SnapshotTable.create((0L until 20L).toDF("id"), path)
+      // racing appends THROUGH the store: every commit lands on its
+      // own version, all rows land
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val fus = (0 until 4).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int =
+              SnapshotTable.append(Seq(100L + i).toDF("id"), path)
+          })
+        }
+        val versions = fus.map(_.get(120,
+          java.util.concurrent.TimeUnit.SECONDS)).toSet
+        assert(versions.size === 4, s"racing appends collided: $versions")
+      } finally pool.shutdown()
+      assert(SnapshotTable.read(spark, path).count() === 24)
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      // no staging orphans after clean commits (every staged NAME is
+      // unlinked; published content lives on under the target name)
+      val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+      assert(hfs.listStatus(logDir)
+        .count(_.getPath.getName.startsWith("staged-")) === 0)
+      // the primitive itself: 8 threads racing one name — exactly one
+      // winner, and the name holds the WINNER's bytes
+      val store = new ObjectStoreLogStore
+      val probe = new org.apache.hadoop.fs.Path(
+        freshPath("objprobe"), "v00000000.manifest")
+      hfs.mkdirs(probe.getParent)
+      val racePool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val outcomes = (0 until 8).map { i =>
+          racePool.submit(new java.util.concurrent.Callable[(Int, Boolean)] {
+            def call(): (Int, Boolean) = (i,
+              store.createAtomic(hfs, probe, s"w$i\n#eot=1\n".getBytes))
+          })
+        }.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        val winners = outcomes.filter(_._2)
+        assert(winners.size === 1,
+          s"conditional publish let ${winners.size} writers win")
+        val in = hfs.open(probe)
+        val body = try scala.io.Source.fromInputStream(in).mkString
+          finally in.close()
+        assert(body === s"w${winners.head._1}\n#eot=1\n",
+          "published content is not the winner's bytes")
+      } finally racePool.shutdown()
+      // double-commit refused after the fact too
+      assert(!store.createAtomic(hfs, probe, "late\n#eot=1\n".getBytes))
+      // a writer dying BETWEEN upload and publish: the staged object
+      // is invisible to readers (listings match v*.manifest), the
+      // version slot stays winnable, and vacuum reclaims the orphan
+      val exposed = new ObjectStoreLogStore {
+        def stageOnly(fs: org.apache.hadoop.fs.FileSystem,
+            t: org.apache.hadoop.fs.Path, c: Array[Byte])
+            : org.apache.hadoop.fs.Path = stage(fs, t, c)
+      }
+      val nextV = SnapshotTable.versions(spark, path).max + 1
+      val orphan = exposed.stageOnly(hfs, new org.apache.hadoop.fs.Path(
+        logDir, f"v$nextV%08d.manifest"), "dead\n#eot=1\n".getBytes)
+      assert(SnapshotTable.versions(spark, path).max === nextV - 1,
+        "a staged-but-unpublished manifest became visible")
+      val nKeep = SnapshotTable.versions(spark, path).size
+      SnapshotTable.vacuum(spark, path, keep = nKeep, graceMs = 0L)
+      assert(!hfs.exists(orphan), "vacuum left the staging orphan")
+      // the slot the dead writer was aiming at is still winnable
+      assert(SnapshotTable.append(Seq(999L).toDF("id"), path) === nextV)
+      assert(SnapshotTable.read(spark, path).count() === 25)
+    } finally spark.conf.unset("spark.graft.logStore.class")
+  }
+
   test("distributed manifest planning matches the driver path exactly") {
     val path = freshPath("distplan")
     spark.conf.set("spark.graft.manifest.segmentEntries", "4")
@@ -2053,6 +2145,95 @@ class SnapshotTableSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.manifest.segmentEntries")
   }
 
+  test("columnar segments: parquet-encoded manifests plan and commit " +
+      "identically, mixed with legacy text segments") {
+    import graft.sources.SegmentCodec
+    val path = freshPath("colseg")
+    spark.conf.set("spark.graft.manifest.segmentEntries", "4")
+    try {
+      val rows = (0L until 2000L).map(i => (i, s"g${i % 5}", i * 3))
+        .toDF("id", "grp", "score")
+      // v0 in the default text format; v1 appended with the columnar
+      // opt-in — one manifest referencing BOTH formats
+      SnapshotTable.create(rows.filter(col("id") < 1000L)
+        .repartitionByRange(8, col("id"))
+        .sortWithinPartitions(col("id")), path)
+      spark.conf.set("spark.graft.manifest.segmentFormat", "parquet")
+      SnapshotTable.append(rows.filter(col("id") >= 1000L)
+        .repartitionByRange(8, col("id"))
+        .sortWithinPartitions(col("id")), path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def segRels(v: Int): Seq[String] = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          path + f"/_graft_log/v$v%08d.manifest"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.startsWith("@seg=")).map(_.drop(5).split("\t")(0))
+          .toList
+        finally in.close()
+      }
+      val rels = segRels(1)
+      assert(rels.exists(_.endsWith(".entries")) &&
+        rels.exists(r => SegmentCodec.isParquetSeg(r)),
+        s"expected a mixed-format manifest, got $rels")
+      // text refs pass through VERBATIM under the columnar default —
+      // cross-format reuse, no rewrite of old metadata
+      assert(segRels(0).toSet.subsetOf(rels.toSet),
+        "append rewrote the legacy text segments")
+      // reads + counters agree across driver and distributed planning
+      // on the mixed manifest
+      def prune(pr: org.apache.spark.sql.Column): (Seq[String], Int, Int) = {
+        val (d, k, t) = SnapshotTable.readWherePruned(spark, path, pr)
+        (d.collect().map(_.toString).sorted.toSeq, k, t)
+      }
+      for (pr <- Seq(col("id") >= 300L && col("id") < 1400L,
+          col("grp") === "g2", col("id") < 0L)) {
+        val (r1, k1, t1) = prune(pr)
+        spark.conf.set(
+          "spark.graft.manifest.distributedPlanning.minFiles", "1")
+        val (r2, k2, t2) =
+          try prune(pr)
+          finally spark.conf.unset(
+            "spark.graft.manifest.distributedPlanning.minFiles")
+        assert((k2, t2) === ((k1, t1)),
+          s"mixed-format planning diverged on $pr: $k2/$t2 vs $k1/$t1")
+        assert(r2 === r1)
+      }
+      // range pruning still refutes whole segments from the list line
+      val (_, keptR, totalR) = SnapshotTable.readWherePruned(spark,
+        path, col("id") >= 1900L)
+      assert(keptR < totalR / 4,
+        s"columnar segments lost list-level pruning: $keptR/$totalR")
+      // the columnar segment doubles as a user-readable metadata
+      // table: plain spark.read.parquet sees rel + typed stat columns
+      val pq = rels.filter(SegmentCodec.isParquetSeg)
+      val meta = spark.read.parquet(
+        pq.map(r => path + "/" + r): _*)
+      assert(meta.count() === 8)
+      assert(meta.columns.contains("rel") &&
+        meta.columns.contains("num_col"))
+      val one = meta.selectExpr("rel", "num_lo[0]", "num_hi[0]",
+        "line").head()
+      assert(one.getString(0).startsWith("files/"))
+      assert(one.getLong(2) >= one.getLong(1))
+      assert(one.getString(3).startsWith(one.getString(0)),
+        "verbatim line column must round-trip the entry")
+      // a DELETE that touches both formats: straddling segments of
+      // each format rewrite (as columnar), the rest reuse; results
+      // stay exact
+      SnapshotTable.delete(spark, path, col("id") % 2 === 1L)
+      assert(SnapshotTable.read(spark, path).count() === 1000)
+      assert(SnapshotTable.readWhere(spark, path, col("id") < 10L)
+        .collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(0L, 2L, 4L, 6L, 8L))
+      // time travel to the pre-delete mixed version is unaffected
+      assert(SnapshotTable.read(spark, path, Some(1)).count() === 2000)
+    } finally {
+      spark.conf.unset("spark.graft.manifest.segmentEntries")
+      spark.conf.unset("spark.graft.manifest.segmentFormat")
+    }
+  }
+
   test("bloom SIDECARS: segmented tables keep bitsets off the manifest parse") {
     val path = freshPath("bloomside")
     spark.conf.set("spark.graft.manifest.segmentEntries", "4")
@@ -2075,11 +2256,11 @@ class SnapshotTableSpec extends SparkSpec {
       assert(refs.nonEmpty && refs.forall(_.contains("bl=f!")),
         "segment refs should reference a bloom sidecar")
       // entry LINES are slim: no inline bitset survives segmentation
+      // (read through segEntries — format-agnostic across text and
+      // columnar segments)
       refs.foreach { r =>
         val rel = r.stripPrefix("@seg=").split("\t")(0)
-        val in = fs.open(new org.apache.hadoop.fs.Path(path, rel))
-        val ls = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toList finally in.close()
+        val ls = SnapshotTable.segEntries(fs, path, rel)
         assert(ls.forall(!_.contains("=b!")),
           s"segment $rel still carries inline bloom bitsets")
       }
