@@ -412,6 +412,51 @@ object SnapshotTable {
       .flatMap(_.conf.getOption("spark.graft.manifest.tornAwaitMs"))
       .map(_.toLong).getOrElse(3000L)
 
+  /** Whole-log legacy evidence for a freshly-RESTORED legacy table
+    * (backup/restore rewrites mtimes, so the age gate reads its
+    * manifests as suspiciously young): stable witness-less content is
+    * still accepted when EVERY other manifest in the log is also
+    * legacy-shaped — no `#wv` witness among its complete head lines
+    * and no end-of-transaction marker in its tail. A mid-flight
+    * intermediate-era write cannot fake that signal in a multi-commit
+    * log: its COMPLETED sibling commits carry `#eot`. Single-manifest
+    * logs keep the age gate (one in-flight first-ever write really is
+    * indistinguishable from a one-commit legacy table). Bounded I/O —
+    * one 4 KB head + one 128 B tail read per other manifest, on this
+    * rare already-refusing path only. */
+  private def wholeLogIsLegacy(fs: FileSystem, path: String,
+      v: Int): Boolean = {
+    val others = fs.listStatus(logDir(path)).toSeq.filter { s =>
+      val n = s.getPath.getName
+      n.startsWith("v") && n.endsWith(".manifest") &&
+        n != manifestName(v)
+    }
+    others.nonEmpty && others.forall { st =>
+      val in = fs.open(st.getPath)
+      val (head, tail) = try {
+        val hbuf = new Array[Byte](4096)
+        var off = 0
+        var n = in.read(hbuf, off, hbuf.length - off)
+        while (n > 0 && off + n < hbuf.length) {
+          off += n; n = in.read(hbuf, off, hbuf.length - off)
+        }
+        if (n > 0) off += n
+        val h = new String(hbuf, 0, off,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val len = st.getLen
+        val from = math.max(0L, len - 128L)
+        in.seek(from)
+        val tbuf = new Array[Byte]((len - from).toInt)
+        in.readFully(tbuf)
+        (h, new String(tbuf, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+      val noWv = !head.split("\n", -1).dropRight(1)
+        .exists(_.trim.startsWith("#wv="))
+      val noEot = !tail.split("\n").exists(_.trim == EotLine)
+      noWv && noEot
+    }
+  }
+
   private def manifestLines(fs: FileSystem, path: String, v: Int): Seq[String] = {
     val mpath = new Path(logDir(path), manifestName(v))
     def readOnce(): Seq[String] = {
@@ -428,6 +473,7 @@ object SnapshotTable {
     var tries = 0
     var prev: Seq[String] = null
     var sawStableLegacy = false
+    var wholeLegacy: java.lang.Boolean = null
     val budget = tornAwaitMs
     val deadline = System.currentTimeMillis + budget
     // at least two reads regardless of budget — legacy acceptance
@@ -457,6 +503,13 @@ object SnapshotTable {
         val age = System.currentTimeMillis -
           fs.getFileStatus(mpath).getModificationTime
         if (age >= legacyMinAgeMs) return lines
+        // young AND witness-less: a RESTORED legacy table reads this
+        // way (backup rewrote mtimes) — accept on whole-log evidence,
+        // checked once per call (bounded head+tail reads per version)
+        if (wholeLegacy == null)
+          wholeLegacy = java.lang.Boolean.valueOf(
+            wholeLogIsLegacy(fs, path, v))
+        if (wholeLegacy.booleanValue()) return lines
       }
       prev = if (lines.exists(_.startsWith("#wv="))) null else lines
       tries += 1

@@ -1853,6 +1853,52 @@ class SnapshotTableSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.manifest.tornAwaitMs")
   }
 
+  test("a RESTORED legacy table (all manifests witness-less, mtimes " +
+      "rewritten young) is accepted on whole-log evidence") {
+    import spark.implicits._
+    val path = freshPath("legacyrestore")
+    SnapshotTable.create((0L until 50L).toDF("id"), path)
+    SnapshotTable.append((50L until 80L).toDF("id"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+    val manifests = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+    def rewrite(p: org.apache.hadoop.fs.Path,
+        f: Seq[String] => Seq[String]): Unit = {
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      out.write((f(content).mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    // the backup/restore shape: EVERY manifest is legacy (no witness,
+    // no end marker) and every mtime is freshly rewritten — the age
+    // gate alone would refuse this table forever without the opt-in
+    manifests.foreach(m => rewrite(m, _.filterNot(l =>
+      l.startsWith("#wv=") || l.startsWith("#eot="))))
+    spark.conf.set("spark.graft.legacyManifestMinAgeMs", "300000")
+    spark.conf.set("spark.graft.manifest.tornAwaitMs", "400")
+    try {
+      assert(SnapshotTable.read(spark, path).count() === 80)
+      // counter-arm: once ANY sibling manifest is modern, young
+      // witness-less content is refused again (a mid-flight
+      // intermediate-era write in a live modern table must not ride
+      // the restore exemption)
+      rewrite(manifests.head,
+        ls => ("#wv=2" +: ls) :+ "#eot=1")
+      val err = intercept[RuntimeException] {
+        SnapshotTable.read(spark, path).count()
+      }
+      assert(err.getMessage.contains("allowLegacyManifests"))
+    } finally {
+      spark.conf.unset("spark.graft.legacyManifestMinAgeMs")
+      spark.conf.unset("spark.graft.manifest.tornAwaitMs")
+    }
+  }
+
   test("a just-created, still-empty manifest is awaited, not " +
       "accepted as a truncated legacy read") {
     import spark.implicits._
