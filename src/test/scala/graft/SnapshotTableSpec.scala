@@ -3361,6 +3361,31 @@ class SnapshotTableSpec extends SparkSpec {
       assert(fd.agg(sum(col("v"))).head.getLong(0) ===
         spark.range(2000).filter(col("id") % 10 =!= 7)
           .agg(sum(col("id") * 7)).head.getLong(0))
+      // UPGRADE: one metadata-only commit folds the v1 vector into
+      // per-file v2 blobs — rows bit-identical, the change feed emits
+      // NOTHING across the commit, no v1 ref survives, and the v2
+      // head no longer needs the broadcast-bounded mask path
+      val expectSum = spark.range(2000).filter(col("id") % 10 =!= 7)
+        .agg(sum(col("id") * 7)).head.getLong(0)
+      val v2 = SnapshotTable.upgradeDeletionVectors(spark, path)
+      assert(v2 === 2)
+      val refs2 = SnapshotTable.manifestEntries(spark, path, 2)
+        .flatMap(SnapshotTable.entryDvs).distinct
+      assert(refs2.nonEmpty && refs2.forall(DvSidecar.isBlobRef),
+        s"upgrade left non-blob refs: $refs2")
+      assert(SnapshotTable.read(spark, path).count() === 1800)
+      assert(SnapshotTable.read(spark, path)
+        .filter(col("id") % 10 === 7).count() === 0)
+      assert(SnapshotTable.changes(spark, path, 1, Some(2)).count() === 0,
+        "a metadata-only DV upgrade fabricated CDC rows")
+      val fd2 = spark.read.format("graft").load(path)
+      assert(fd2.queryExecution.executedPlan.toString
+        .contains("FileScan parquet"))
+      assert(fd2.agg(sum(col("v"))).head.getLong(0) === expectSum)
+      // idempotent: a second call commits nothing
+      assert(SnapshotTable.upgradeDeletionVectors(spark, path) === 2)
+      // time travel to the v1 era still reads through the old vector
+      assert(SnapshotTable.read(spark, path, Some(1)).count() === 1800)
     } finally spark.conf.unset("spark.graft.allowLegacyManifests")
   }
 
