@@ -485,6 +485,59 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // SUB-VERSION backfill (st17): streaming an EXISTING table is the
+    // first thing a 100 TB deployment does, and version-grained
+    // offsets would make the initial snapshot ONE table-sized batch.
+    // With maxFilesPerTrigger the source's offsets become (version,
+    // units) pairs and the 8-file create splits into >=3 bounded
+    // micro-batches (require-pinned, plus a per-batch row cap); the
+    // graded aggregate is over the landed result table, so any
+    // dropped or re-emitted slice breaks the count/sum oracle.
+    "st17_stream_backfill" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.DataFrame
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st17").toString
+      val src = s"$base/src"
+      val out = s"$base/out"
+      SnapshotTable.create(orders
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")), src)
+      // per-batch row ceiling = the 3 LARGEST files (range
+      // partitioning samples, so file sizes are uneven) — read from
+      // the table's own metadata, no data scan
+      val perBatchCap = SnapshotTable.metadataTable(s, src)
+        .orderBy(col("rows").desc).limit(3)
+        .agg(sum(col("rows"))).head().getLong(0)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = s.readStream.format("graft")
+        .option("maxFilesPerTrigger", "3").load(src)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val n = b.count()
+          require(n <= perBatchCap,
+            s"a backfill batch held $n rows (> $perBatchCap) — the " +
+              "3-file cap leaked")
+          if (n > 0) batches.incrementAndGet()
+          if (SnapshotTable.versions(s, out).isEmpty)
+            SnapshotTable.create(b, out)
+          else SnapshotTable.append(b, out)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      require(batches.get() >= 3,
+        s"an 8-file backfill at 3 files/trigger must split into >=3 " +
+          s"batches, got ${batches.get()}")
+      SnapshotTable.read(s, out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -525,6 +578,12 @@ object StreamingQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  (SELECT count(*) FROM events) AS n_append_total
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "st17_stream_backfill" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st13_stream_bloom_ingest" ->
       """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents),

@@ -35,7 +35,17 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * default unbounded for the append feed — whose batch is ONE
   * manifest diff however many versions it spans — and
   * [[GraftStreamSource.CdcDefaultVersionsPerTrigger]] under
-  * `readChangeFeed=true`, which plans one diff per version).
+  * `readChangeFeed=true`, which plans one diff per version),
+  * `maxFilesPerTrigger` (append feed only): split LARGE commits
+  * across micro-batches. Offsets become (version, units-consumed)
+  * pairs — the Delta file-index shape — and a PURE-APPEND version's
+  * added files (sorted by path, a deterministic order immutable
+  * manifests replay exactly) are consumed ≤ N per trigger, so
+  * starting a stream against an existing 100 TB table backfills as
+  * bounded batches instead of one table-sized batch. A version that
+  * is NOT a pure append (rewrites, deletes, DV changes — whose
+  * insert diff is row-level, not file-level) is consumed atomically
+  * even when it exceeds the budget, like Delta's non-append commits.
   *
   * Scale/robustness notes: offsets are pure metadata (one manifest
   * list per trigger); replay after `vacuum` of a still-uncommitted
@@ -84,37 +94,149 @@ private[graft] class GraftStreamSource(
   require(maxVersionsPerTrigger >= 1,
     "maxVersionsPerTrigger must be >= 1")
 
+  /** Sub-version batching budget; None = version-grained offsets
+    * (the default, byte-compatible with existing checkpoints). */
+  private val fileCap: Option[Long] = opt("maxFilesPerTrigger").map(_.toLong)
+  require(fileCap.forall(_ >= 1), "maxFilesPerTrigger must be >= 1")
+  require(fileCap.isEmpty || !cdc,
+    "graft: maxFilesPerTrigger applies to the append feed only — the " +
+      "CDC feed is version-grained (use maxVersionsPerTrigger)")
+
   override val schema: StructType =
     GraftStreamSource.sourceSchema(spark, path, options)
 
-  /** Highest version already offered to the engine — trigger pacing
-    * state only (restart replay re-teaches it through getBatch);
-    * correctness rides on the checkpointed offsets. */
+  /** Highest (version, units-consumed) already offered to the engine —
+    * trigger pacing state only (restart replay re-teaches it through
+    * getBatch); correctness rides on the checkpointed offsets. Units
+    * only advance past version grain under `maxFilesPerTrigger`. */
   @volatile private var lastSeen: Long = startingVersion - 1L
+  @volatile private var lastSeenUnits: Long = Long.MaxValue
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json.trim.toLong
+  private def versionOf(o: Offset): Long = {
+    val t = o match {
+      case l: LongOffset => return l.offset
+      case s: SerializedOffset => s.json.trim
+      case other => other.json.trim
+    }
+    if (t.startsWith("{"))
+      throw new IllegalStateException(
+        "graft: this stream checkpoint holds sub-version " +
+          "(maxFilesPerTrigger) offsets — restart the query with " +
+          "maxFilesPerTrigger set, or use a fresh checkpoint")
+    t.toLong
   }
+
+  /** Any offset as (version, units-consumed): composite JSON, or a
+    * legacy long meaning that version fully consumed. */
+  private def compositeOf(o: Offset): (Long, Long) = o match {
+    case g: GraftSourceOffset => (g.v, g.u)
+    case l: LongOffset => (l.offset, Long.MaxValue)
+    case other =>
+      val t = other.json.trim
+      if (t.startsWith("{")) GraftSourceOffset.parse(t)
+      else (t.toLong, Long.MaxValue)
+  }
+
+  /** Sub-version unit accounting for `maxFilesPerTrigger`:
+    * (splittable, unit count, sorted added entries). A PURE-APPEND
+    * version (every prior entry survives verbatim by (path, dv)
+    * identity) splits by added file — its insert diff IS exactly the
+    * added entries' visible rows, so a partition of the sorted add
+    * list partitions the batch rows. Anything else (rewrites,
+    * deletes, DV changes) is ONE atomic unit: its diff is row-level.
+    * Entries sort by path — a deterministic order immutable manifests
+    * replay exactly across restarts. Small LRU; manifests are
+    * immutable so recomputation is always safe. */
+  private val unitCache =
+    new java.util.LinkedHashMap[Int, (Boolean, Long, Seq[String])](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, (Boolean, Long, Seq[String])])
+          : Boolean = size() > 4
+    }
+
+  private def unitInfo(v: Int): (Boolean, Long, Seq[String]) =
+    unitCache.synchronized {
+      val hit = unitCache.get(v)
+      if (hit != null) hit
+      else {
+        val cur = SnapshotTable.manifestEntries(spark, path, v)
+        val computed =
+          if (v == 0)
+            (true, cur.size.toLong, cur.sortBy(SnapshotTable.entryPath))
+          else {
+            val curKeys = cur.map(SnapshotTable.entryKey).toSet
+            val prev = SnapshotTable.manifestEntries(spark, path, v - 1)
+            val removed =
+              prev.exists(e => !curKeys(SnapshotTable.entryKey(e)))
+            if (removed) (false, 1L, Seq.empty)
+            else {
+              val prevKeys = prev.map(SnapshotTable.entryKey).toSet
+              val adds = cur
+                .filter(e => !prevKeys(SnapshotTable.entryKey(e)))
+                .sortBy(SnapshotTable.entryPath)
+              (true, adds.size.toLong, adds)
+            }
+          }
+        unitCache.put(v, computed)
+        computed
+      }
+    }
 
   override def getOffset: Option[Offset] = {
     val vs = SnapshotTable.versions(spark, path)
     if (vs.isEmpty) return None
-    // saturating add: the unbounded default is Long.MaxValue, and a
-    // positive lastSeen (startingVersion > 0) would overflow a plain +
-    val horizon =
-      try Math.addExact(lastSeen, maxVersionsPerTrigger)
-      catch { case _: ArithmeticException => Long.MaxValue }
-    val capped = math.min(vs.max.toLong, horizon)
-    if (capped <= lastSeen) None
-    else {
-      lastSeen = capped
-      Some(LongOffset(capped))
+    if (fileCap.isEmpty) {
+      // saturating add: the unbounded default is Long.MaxValue, and a
+      // positive lastSeen (startingVersion > 0) would overflow a plain +
+      val horizon =
+        try Math.addExact(lastSeen, maxVersionsPerTrigger)
+        catch { case _: ArithmeticException => Long.MaxValue }
+      val capped = math.min(vs.max.toLong, horizon)
+      if (capped <= lastSeen) None
+      else {
+        lastSeen = capped
+        Some(LongOffset(capped))
+      }
+    } else {
+      val head = vs.max.toLong
+      var v = lastSeen
+      var u = lastSeenUnits
+      var budget = fileCap.get
+      var versionsLeft = maxVersionsPerTrigger
+      var progressed = false
+      var done = false
+      while (!done && budget > 0 && versionsLeft > 0) {
+        if (v < startingVersion) { v = startingVersion.toLong; u = 0L }
+        else if (v > head) done = true
+        else {
+          val (split, cnt, _) = unitInfo(v.toInt)
+          if (u >= cnt) {
+            if (v >= head) done = true
+            else { v += 1; u = 0L }
+          } else {
+            // an atomic version is consumed whole even past the
+            // budget (a trigger always makes progress); a splittable
+            // one stops at the budget mid-version
+            val take = if (!split) cnt - u else math.min(budget, cnt - u)
+            u += take
+            budget -= take
+            progressed = true
+            if (u >= cnt) versionsLeft -= 1 else budget = 0L
+          }
+        }
+      }
+      if (!progressed) None
+      else {
+        lastSeen = v
+        lastSeenUnits = u
+        Some(GraftSourceOffset(v, u))
+      }
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    if (fileCap.isDefined) return getBatchSliced(start, end)
     val endV = versionOf(end).toInt
     // (start, end] — a fresh stream (no checkpoint) begins at
     // startingVersion inclusive
@@ -144,6 +266,37 @@ private[graft] class GraftStreamSource(
           .drop("change_type")))
       }
     GraftSqlAccess.streamingDf(spark, batch)
+  }
+
+  /** The (start, end] batch under sub-version offsets: per version,
+    * the covered slice of a pure-append version's sorted add list
+    * reads directly ([[SnapshotTable.readEntriesAt]] — masks applied,
+    * that version's stored schema), an atomic version contributes its
+    * whole row-level diff. Replay determinism: slices are positions
+    * into a path-sorted list computed from immutable manifests, so a
+    * restarted query reconstructs the exact checkpointed batches. */
+  private def getBatchSliced(start: Option[Offset], end: Offset)
+      : DataFrame = {
+    val (ev, euRaw) = compositeOf(end)
+    val (sv, su) = start.map(compositeOf)
+      .getOrElse((startingVersion.toLong, 0L))
+    if (ev > lastSeen || (ev == lastSeen && euRaw > lastSeenUnits)) {
+      lastSeen = ev
+      lastSeenUnits = euRaw
+    }
+    val firstV = math.max(sv, startingVersion.toLong)
+    val parts = (firstV to ev).flatMap { vL =>
+      val v = vL.toInt
+      val (split, cnt, adds) = unitInfo(v)
+      val from = if (vL == sv) math.min(su, cnt) else 0L
+      val until = if (vL == ev) math.min(euRaw, cnt) else cnt
+      if (from >= until) None
+      else if (!split) Some(align(versionRows(v)))
+      else Some(align(SnapshotTable.readEntriesAt(spark, path, v,
+        adds.slice(from.toInt, until.toInt))))
+    }
+    GraftSqlAccess.streamingDf(spark,
+      if (parts.isEmpty) emptyBatch() else treeUnion(parts))
   }
 
   /** Union as a balanced binary tree (plan depth O(log n)). */
@@ -200,6 +353,29 @@ private[graft] class GraftStreamSource(
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** Sub-version stream offset: `u` units of version `v`'s add list
+  * consumed (units = added files of a pure-append version; 1 atomic
+  * unit otherwise). JSON round-trips through the checkpoint log. */
+private[graft] case class GraftSourceOffset(v: Long, u: Long)
+    extends Offset {
+  override val json: String = s"""{"v":$v,"u":$u}"""
+}
+
+private[graft] object GraftSourceOffset {
+  def parse(json: String): (Long, Long) = {
+    def field(name: String): Long = {
+      val i = json.indexOf(s""""$name":""")
+      require(i >= 0, s"malformed graft stream offset: $json")
+      val from = i + name.length + 3
+      var to = from
+      while (to < json.length &&
+          (json.charAt(to).isDigit || json.charAt(to) == '-')) to += 1
+      json.substring(from, to).toLong
+    }
+    (field("v"), field("u"))
+  }
 }
 
 private[graft] object GraftStreamSource {

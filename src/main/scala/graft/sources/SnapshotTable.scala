@@ -1419,8 +1419,18 @@ object SnapshotTable {
   /** Entry identity for change detection: path plus dv reference — a
     * merge-on-read delete changes an entry's visible ROWS without
     * touching its data file, and the change feed must see that. */
-  private def entryKey(line: String): String =
+  private[graft] def entryKey(line: String): String =
     entryPath(line) + "|" + entryDv(line).getOrElse("")
+
+  /** The visible rows of `entries` under version `v`'s stored schema —
+    * the stream source's sub-version SLICE reader (a micro-batch of a
+    * split large commit reads only its own slice of the added
+    * entries, masks included). */
+  private[graft] def readEntriesAt(spark: SparkSession, path: String,
+      v: Int, entries: Seq[String]): DataFrame = {
+    val fs = fsOf(spark, logDir(path))
+    readEntriesDv(spark, path, storedSchema(fs, path, v), entries)
+  }
 
   /** Central DV-applied reader: read `entries` (full manifest lines)
     * and mask every row whose (file, pos) appears in a referenced

@@ -1642,6 +1642,79 @@ class SnapshotTableSpec extends SparkSpec {
     assert(wide.getOffset === Some(LongOffset(209L)))
   }
 
+  test("maxFilesPerTrigger: sub-version offsets split large commits " +
+      "into bounded batches, exactly once across restart") {
+    import spark.implicits._
+    import graft.sources.{GraftSourceOffset, GraftStreamSource}
+    import org.apache.spark.sql.DataFrame
+    val path = freshPath("filecap")
+    // v0: 8 files × 100 rows — the "stream an existing table" backfill
+    SnapshotTable.create((0L until 800L).toDF("id").repartition(8), path)
+    // the offset walker: 8 files at cap 3 → (0,3) (0,6) (0,8), done
+    val src = new GraftStreamSource(spark.sqlContext, path,
+      Map("maxFilesPerTrigger" -> "3"))
+    assert(src.getOffset === Some(GraftSourceOffset(0L, 3L)))
+    assert(src.getOffset === Some(GraftSourceOffset(0L, 6L)))
+    assert(src.getOffset === Some(GraftSourceOffset(0L, 8L)))
+    assert(src.getOffset === None)
+    // end to end with batch-size accounting
+    val out = freshPath("filecapout")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_filecap_ckpt").toString
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "3").load(path)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val n = b.count()
+          sizes.synchronized { sizes += n }
+          if (SnapshotTable.versions(spark, out).isEmpty)
+            SnapshotTable.create(b, out)
+          else SnapshotTable.append(b, out)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(sizes.count(_ > 0) >= 3,
+      s"8 files at cap 3 must take >= 3 batches, got $sizes")
+    assert(sizes.forall(_ <= 300L),
+      s"a batch exceeded 3 files x 100 rows: $sizes")
+    assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+      === (0L until 800L).toArray)
+    // while DOWN: a pure 2-file append (one batch), an atomic MoR
+    // delete (not splittable — and the append feed emits nothing for
+    // a retraction), and a 4-file append (must split again)
+    SnapshotTable.append(
+      (800L until 1000L).toDF("id").repartition(2), path)
+    SnapshotTable.deleteMoR(spark, path, col("id") === 5L)
+    SnapshotTable.append(
+      (1000L until 1400L).toDF("id").repartition(4), path)
+    val before = sizes.size
+    run()
+    assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+      === (0L until 1400L).toArray,
+      "restart must emit the new commits exactly once, splits included")
+    val resumed = sizes.drop(before)
+    assert(resumed.forall(_ <= 300L),
+      s"post-restart batches exceeded the file cap: $resumed")
+    // flipping the option OFF against a sub-version checkpoint must
+    // fail LOUDLY (a version-grained restart could silently skip the
+    // unconsumed remainder of a split version)
+    SnapshotTable.append(Seq(9999L).toDF("id"), path)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft").load(path)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage.contains("maxFilesPerTrigger") ||
+      Option(err.getCause).exists(_.getMessage != null) &&
+        err.getCause.getMessage.contains("maxFilesPerTrigger"),
+      s"expected the sub-version checkpoint refusal, got: $err")
+  }
+
   test("data source pushdown: Not over a partially-translatable And " +
       "must not prune matching rows") {
     import spark.implicits._
