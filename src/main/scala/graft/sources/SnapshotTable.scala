@@ -4699,9 +4699,34 @@ object SnapshotTable {
     val dropped = listRecursive(fs, filesDir(path))
       .filterNot(f => referenced.contains(f.getPath.getName))
       .filter(f => f.getModificationTime <= cutoff)
-    dropped.foreach { f =>
-      if (!fs.delete(f.getPath, false))
-        sys.error(s"vacuum: could not delete ${f.getPath}")
+    // deletes are one round trip each: a big reclaim (the compaction
+    // aftermath of a million-file table) DISTRIBUTES them across
+    // executors instead of a driver-serial RPC loop; small reclaims
+    // skip the job overhead. Every failure still fails the vacuum —
+    // a lingering file is an error, not a shrug.
+    val minParallel = spark.conf
+      .getOption("spark.graft.vacuum.parallelDeleteMinFiles")
+      .map(_.toInt).getOrElse(512)
+    if (dropped.size < minParallel)
+      dropped.foreach { f =>
+        if (!fs.delete(f.getPath, false))
+          sys.error(s"vacuum: could not delete ${f.getPath}")
+      }
+    else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.max(1, math.min(dropped.size / 64,
+        spark.sparkContext.defaultParallelism * 4))
+      val failed = spark.sparkContext
+        .parallelize(dropped.map(_.getPath.toString), slices)
+        .mapPartitions(_.filter { p =>
+          val hp = new Path(p)
+          !hp.getFileSystem(conf.value).delete(hp, false)
+        })
+        .collect()
+      if (failed.nonEmpty)
+        sys.error(s"vacuum: could not delete ${failed.length} data " +
+          s"files (first: ${failed.head})")
     }
     dropped.size
   }

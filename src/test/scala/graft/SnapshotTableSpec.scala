@@ -183,6 +183,24 @@ class SnapshotTableSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq === Seq(5, 4))
   }
 
+  test("vacuum distributes a large delete phase across executors") {
+    import spark.implicits._
+    val path = freshPath("vacdist")
+    SnapshotTable.create(
+      spark.range(400).toDF("id").repartition(8), path)
+    SnapshotTable.overwrite(spark.range(10).toDF("id"), path)
+    // force the distributed path on this small reclaim
+    spark.conf.set("spark.graft.vacuum.parallelDeleteMinFiles", "2")
+    try {
+      assert(SnapshotTable.vacuum(spark, path, keep = 1,
+        graceMs = 0L) === 8)
+      assert(SnapshotTable.read(spark, path)
+        .as[Long].collect().sorted === (0L until 10L).toArray)
+      assert(SnapshotTable.versions(spark, path) === Seq(1))
+    } finally
+      spark.conf.unset("spark.graft.vacuum.parallelDeleteMinFiles")
+  }
+
   test("concurrent appends on a SEGMENTED table: loser retries, segments stay sound") {
     val path = freshPath("segrace")
     spark.conf.set("spark.graft.manifest.segmentEntries", "4")
