@@ -1717,6 +1717,17 @@ class SnapshotTableSpec extends SparkSpec {
     val resumed = sizes.drop(before)
     assert(resumed.forall(_ <= 300L),
       s"post-restart batches exceeded the file cap: $resumed")
+    // a restart with NOTHING new must emit nothing: the fresh source
+    // instance's offset walk must never rewind behind the committed
+    // checkpoint and re-offer consumed slices
+    run()
+    assert(SnapshotTable.read(spark, out).count() === 1400,
+      "an idle restart re-emitted already-consumed slices")
+    // ... and a subsequent small append arrives alone, exactly once
+    SnapshotTable.append(Seq(5000L).toDF("id"), path)
+    run()
+    assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+      === ((0L until 1400L) :+ 5000L).toArray)
     // flipping the option OFF against a sub-version checkpoint must
     // fail LOUDLY (a version-grained restart could silently skip the
     // unconsumed remainder of a split version)
