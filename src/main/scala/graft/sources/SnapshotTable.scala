@@ -4237,8 +4237,8 @@ object SnapshotTable {
       dvRels: Seq[String]): Option[Option[
         org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]] = {
     if (dvRels.isEmpty) return Some(None)
-    val key = spark.sparkContext.applicationId + " " + path +
-      " " + dvRels.sorted.mkString("|")
+    val key = spark.sparkContext.applicationId + "\u0000" + path +
+      "\u0000" + dvRels.sorted.mkString("|")
     val hit = dvBcCache.get(key)
     if (hit != null) return Some(Some(hit))
     val dvPositions = dvRels.map(r => footerHarvest(spark,
