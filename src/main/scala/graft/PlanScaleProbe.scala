@@ -170,6 +170,21 @@ object PlanScaleProbe {
       run("full parse (aggregates stripped)", pqBare, rangePred)
       run("uid point lookup, NO sidecars", pqNoBloom, uidPred)
       run("uid point lookup, sidecar join", pqRefs, uidPred)
+      // metadataTable over the same 10M entries: forge a real
+      // manifest list so the ops verb has a measured number at scale
+      val m = fs.create(new Path(dir, "_graft_log/v00000000.manifest"),
+        true)
+      m.write(("#wv=2\n#ts=1700000000000\n" +
+        pqRefs.mkString("\n") + "\n#eot=1\n").getBytes("UTF-8"))
+      m.close()
+      for (phase <- Seq("cold", "warm")) {
+        val t = System.nanoTime()
+        val md = SnapshotTable.metadataTable(spark, dir)
+        val agg = md.agg(F.count(F.lit(1)), F.sum("rows")).head()
+        println(f"  metadataTable rows+sum           $phase%4s: " +
+          f"${(System.nanoTime() - t) / 1e6}%9.1f ms, " +
+          f"files=${agg.getLong(0)}%d")
+      }
     }
     fs.delete(new Path(dir), true)
     spark.stop()
