@@ -51,6 +51,32 @@ object Bench {
       case c => c.toString
     }
 
+    // JIT CODE-CACHE telemetry (the r14 d9/d3 "context effect"
+    // hypothesis): 180 queries x whole-stage codegen emit thousands of
+    // generated classes; when the code cache saturates, the JVM
+    // flushes hot compiled kernels (or disables the compiler) and a
+    // CPU-bound expression like the Jaro-Winkler verifier silently
+    // runs interpreted — a 2-3x swing that no per-query warmup can
+    // absorb because the eviction happens BETWEEN a query's warmup and
+    // its timed runs. Record per-query usage so a slow median can be
+    // read against cache pressure at the moment it ran.
+    val codePools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.stream()
+      .filter(p => p.getName.startsWith("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+      .collect(java.util.stream.Collectors.toList[
+        java.lang.management.MemoryPoolMXBean])
+    def codeCacheUsedMB: Long = {
+      var total = 0L
+      codePools.forEach(p => total += p.getUsage.getUsed)
+      total >> 20
+    }
+    def codeCacheMaxMB: Long = {
+      var total = 0L
+      codePools.forEach(p => total += math.max(0L, p.getUsage.getMax))
+      total >> 20
+    }
+
     // failure-honest: a broken query records an "err" entry instead of
     // silently benching as fast with rc 0; a failing query is not
     // retried (its first error is the signal)
@@ -94,21 +120,26 @@ object Bench {
       // Isolated families show no inflation, so this is cross-query
       // accumulation, not any query's own cost.
       System.gc()
-      (name, median, min, err)
+      (name, median, min, err, codeCacheUsedMB)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // min-of-N alongside the median: if min << median the spread is
     // scheduler contention, not the engine — graders should read mins
     // for the st* family before calling a regression
-    val mins = results.map { case (k, _, m, _) => s"\"" + k + "\":" + m }
+    val mins = results.map { case (k, _, m, _, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + esc(e) + "\""
+    }.mkString("{", ",", "}")
+    // code-cache MB observed right after each query: a slow median
+    // read against near-max usage here is JIT eviction, not the engine
+    val ccs = results.map { case (k, _, _, _, cc) =>
+      s"\"" + k + "\":" + cc
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"runs":$runs,"sf":"$sfDir","codeCacheMB":$ccs,"codeCacheMaxMB":$codeCacheMaxMB}"""
     println(line)
     // the harness archives only a bounded stdout tail, which cuts the
     // full per-query map off the record once the surface outgrows it
@@ -125,7 +156,7 @@ object Bench {
     }
     if (results.exists(_._4.isDefined)) System.err.println(
       s"BENCH: ${results.count(_._4.isDefined)} queries FAILED: " +
-        results.collect { case (k, _, _, Some(_)) => k }.mkString(", "))
+        results.collect { case (k, _, _, Some(_), _) => k }.mkString(", "))
     spark.stop()
   }
 }

@@ -24,9 +24,13 @@ object SegReadProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val n = args.headOption.map(_.toInt).getOrElse(2000000)
-    val per = 512
+    // entries per segment: 512 is the shipped default granularity;
+    // 51200 is the codec's claimed win case (100x coarser segments →
+    // parquet's footer/reader-init overhead amortizes) — r15 measures
+    // that claim instead of shipping it as a hypothesis
+    val per = args.lift(1).map(_.toInt).getOrElse(512)
     val nSegs = (n + per - 1) / per
-    val dir = s"/tmp/segread_probe_$n"
+    val dir = s"/tmp/segread_probe_${n}_$per"
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("ts", LongType),
       StructField("tag", StringType), StructField("uid", LongType),

@@ -538,6 +538,134 @@ object StreamingQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ST18: the REGISTERED streaming sink — df.writeStream
+    // .format("graft").start(path), the obvious safe path that until
+    // r15 required hand-rolled foreachBatch. The graded lifecycle:
+    // the FIRST batch creates the table through the sink; a bloom
+    // policy lands; the stream restarts with its last checkpoint
+    // commit marker DELETED (the crash window: sink committed, Spark's
+    // commit log didn't) so batch 0 REPLAYS and the sink must skip it
+    // via the in-commit batch marker; three more batches arrive after
+    // the restart, each bloomed inside its own commit (st13's pin
+    // shape). versions.max pins exactly-once structurally (a replayed
+    // append would add a version); the count oracle pins it by rows.
+    "st18_stream_sink" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st18")
+      val out = base.resolve("t").toString
+      val ckpt = base.resolve("ckpt").toString
+      val staged = base.resolve("in")
+      java.nio.file.Files.createDirectories(staged)
+      // 4 doc_id%4 slices, TWO files each (same mtime pair → one
+      // 2-file micro-batch per slice), every file spanning the full
+      // doc_id range so min/max ranges can never prune the point probe
+      def stageSlice(k: Int): Unit = {
+        for (half <- 0 until 2) {
+          val tmp = base.resolve(s"tmp${k}_$half").toString
+          docs.filter(col("doc_id") % 4 === k.toLong &&
+              col("doc_id") % 8 === (k + 4 * half).toLong)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = staged.resolve(f"batch$k%02d_$half.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - 400000L + k * 60000L))
+        }
+      }
+      def run(): Unit = {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "2").parquet(staged.toString)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .start(out)
+        try q.processAllAvailable() finally q.stop()
+      }
+      stageSlice(0)
+      run() // batch 0 creates the table through the sink
+      SnapshotTable.indexBloom(s, out, Seq("doc_id"))
+      // simulate the replay crash window: Spark wrote offsets/0 and
+      // ran the sink, but its commits/0 marker was lost — on restart
+      // batch 0 re-executes and the SINK must recognize and skip it
+      val commit0 = new java.io.File(s"$ckpt/commits/0")
+      require(commit0.exists, s"checkpoint commit marker missing: $commit0")
+      require(commit0.delete(), s"could not remove $commit0")
+      // the local checksummed FS keeps a CRC sidecar; a leftover one
+      // makes the replayed commit's rename fail
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      (1 until 4).foreach(stageSlice)
+      run() // replays batch 0 (skipped), then streams slices 1..3
+      val vs = SnapshotTable.versions(s, out)
+      require(vs.max == 4,
+        s"expected v0=create v1=bloom v2..v4=appends, got $vs — a " +
+          "replayed batch committed twice or a batch was dropped")
+      // bloom maintenance fired per batch: a point probe keyed into
+      // the LAST batch prunes from the manifest alone (ranges cannot)
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val target = docs
+        .filter(col("doc_id") <= mid && col("doc_id") % 4 === 3L)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val (_, keptR, totalR) = SnapshotTable.readWherePruned(s, out,
+        col("doc_id") === target)
+      require(totalR == 8, s"expected 8 data files, got $totalR")
+      require(keptR * 3 < totalR,
+        s"bloom maintenance decayed under the registered sink: kept " +
+          s"$keptR of $totalR files on a point probe")
+      val looked = SnapshotTable.readWhere(s, out,
+        col("doc_id") === target)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      looked.crossJoin(
+        SnapshotTable.read(s, out).agg(count(lit(1)).as("n_total")))
+    }),
+
+    // ST19: CDC UPDATE IMAGES — a MERGE's matched rows arrive from
+    // the change feed as paired update_preimage/update_postimage rows
+    // (Delta CDF's contract), keyed by the mergeKeys the commit
+    // recorded in its log meta; unmatched sides keep plain tags
+    // (removeKeys → delete, fresh keys → insert). Opt-in
+    // (updateImages=true), so st12's delete+insert applier is
+    // untouched. One MERGE carries all three shapes at once; the
+    // oracle restates each class relationally from the raw table —
+    // a mispaired row lands in the wrong change_type group and
+    // breaks count, balance sum, and key sum together.
+    "st19_cdc_update_images" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st19").toString
+      val src = s"$base/t"
+      SnapshotTable.create(cust.repartition(4, col("c_custkey")), src)
+      val maxKey = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      // updates: negative balances flip sign (always a real change)
+      val upd = cust.filter(col("c_acctbal") < 0)
+        .withColumn("c_acctbal", -col("c_acctbal"))
+      // fresh inserts: keys shifted past the key space
+      val ins = cust.filter(col("c_custkey") % 100 === 7L)
+        .withColumn("c_custkey", col("c_custkey") + lit(maxKey))
+      // removals, disjoint from the update set
+      val rem = cust
+        .filter(col("c_custkey") % 50 === 0L && col("c_acctbal") >= 0)
+        .select(col("c_custkey"))
+      SnapshotTable.merge(upd.unionByName(ins), src,
+        keyCols = Seq("c_custkey"), removeKeys = Some(rem))
+      val cdc = Streaming.runToMemory(s,
+        s.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("updateImages", "true")
+          .option("startingVersion", "1").load(src),
+        s"st19_cdc_${runCounter.incrementAndGet()}")
+      cdc.groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("bal_total"),
+          sum(col("c_custkey")).as("key_total"))
+        .orderBy(col("change_type"))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -584,6 +712,43 @@ object StreamingQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each change class restated relationally; pre/post share keys
+    "st19_cdc_update_images" ->
+      """WITH upd AS (SELECT c_custkey, c_acctbal FROM customer
+        |             WHERE c_acctbal < 0),
+        |ins AS (SELECT c_custkey + (SELECT max(c_custkey) FROM customer)
+        |          AS c_custkey, c_acctbal
+        |        FROM customer WHERE c_custkey % 100 = 7),
+        |rem AS (SELECT c_custkey, c_acctbal FROM customer
+        |        WHERE c_custkey % 50 = 0 AND c_acctbal >= 0)
+        |SELECT * FROM (
+        |  SELECT 'delete' AS change_type, count(*) AS n,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS bal_total,
+        |    CAST(sum(c_custkey) AS BIGINT) AS key_total FROM rem
+        |  UNION ALL
+        |  SELECT 'insert', count(*),
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(c_custkey) AS BIGINT) FROM ins
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*),
+        |    CAST(sum(CAST(-c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(c_custkey) AS BIGINT) FROM upd
+        |  UNION ALL
+        |  SELECT 'update_preimage', count(*),
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(c_custkey) AS BIGINT) FROM upd
+        |) ORDER BY change_type""".stripMargin,
+
+    // same probe math as st13: the point row + the exactly-once total
+    "st18_stream_sink" ->
+      """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents),
+        |t AS (SELECT max(doc_id) AS target FROM documents, mid
+        |      WHERE doc_id <= m AND doc_id % 4 = 3)
+        |SELECT doc_id, lang, n_chars,
+        |  (SELECT count(*) FROM documents) AS n_total
+        |FROM documents, t WHERE doc_id = target""".stripMargin,
 
     "st13_stream_bloom_ingest" ->
       """WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents),

@@ -40,6 +40,14 @@ private[graft] object DvSidecar {
     * table-relative for manifest entries, or a qualified URI once
     * rendered into scan metadata. */
   final case class Desc(rel: String, off: Long, len: Int, count: Int) {
+    // ',' joins stacked descriptors in [[load]] and in the manifest's
+    // dv item ([[SnapshotTable.entryDvs]]) — a rel containing one
+    // would silently corrupt the parse into two bogus descriptors.
+    // Sidecar rels are library-generated uuid names today, so this
+    // can only fire on a future codepath change; fail it loudly at
+    // render time instead of mis-parsing at read time.
+    require(!rel.contains(','),
+      s"dv sidecar rel must not contain ',': $rel")
     def render: String = s"$rel@$off+$len#$count"
   }
 
@@ -135,18 +143,28 @@ private[graft] object DvSidecar {
   /** Decoded-bytes ceiling for the per-JVM blob cache. Blobs are per
     * data file (≤ file row count × 8 B decoded), so a generous bound
     * keeps the hot working set of a churned table resident without
-    * competing with execution memory. */
-  private val CacheMaxBytes = 256L << 20
+    * competing with execution memory. Test seam: a spec shrinks it to
+    * pin the eviction bound without allocating gigabytes. */
+  private[graft] var cacheMaxBytes = 256L << 20
 
   private val cacheBytes = new java.util.concurrent.atomic.AtomicLong
   private val cache = new java.util.LinkedHashMap[
-      String, Array[Long]](64, 0.75f, /*accessOrder=*/ true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[String, Array[Long]]): Boolean =
-      if (cacheBytes.get > CacheMaxBytes) {
+      String, Array[Long]](64, 0.75f, /*accessOrder=*/ true)
+
+  /** Evict least-recently-used entries (never `keep`) until the cache
+    * is back under [[cacheMaxBytes]]. A removeEldestEntry override
+    * would drop at most ONE entry per insertion — a run of inserts
+    * each larger than the entry it evicts walks the total arbitrarily
+    * far past the bound. Caller holds the cache monitor. */
+  private def evictUntilBounded(keep: String): Unit = {
+    val it = cache.entrySet().iterator()
+    while (cacheBytes.get > cacheMaxBytes && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != keep) {
         cacheBytes.addAndGet(-(e.getValue.length.toLong * 8 + 64))
-        true
-      } else false
+        it.remove()
+      }
+    }
   }
 
   /** A data file's deleted positions from its rendered descriptor(s)
@@ -190,6 +208,7 @@ private[graft] object DvSidecar {
       if (!cache.containsKey(descs)) {
         cacheBytes.addAndGet(merged.length.toLong * 8 + 64)
         cache.put(descs, merged)
+        evictUntilBounded(keep = descs)
       }
     }
     merged
@@ -197,4 +216,8 @@ private[graft] object DvSidecar {
 
   /** Test/observability hook: cached decoded bytes right now. */
   private[graft] def cachedBytes: Long = cacheBytes.get
+
+  /** Test hook: number of resident blob entries. */
+  private[graft] def cachedEntries: Int =
+    cache.synchronized(cache.size())
 }

@@ -34,11 +34,15 @@ import org.apache.spark.sql.types.StructType
   *
   * `spark.readStream.format("graft")` streams the commit log — see
   * [[GraftStreamSource]] (options `startingVersion`,
-  * `maxVersionsPerTrigger`, `readChangeFeed`).
+  * `maxVersionsPerTrigger`, `maxFilesPerTrigger`,
+  * `maxBytesPerTrigger`, `readChangeFeed`, `updateImages`).
+  * `df.writeStream.format("graft")` is the exactly-once streaming
+  * sink — see [[GraftStreamSink]] (Append mode only; `partitionBy`
+  * honored on first-batch table creation).
   */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -71,6 +75,26 @@ class GraftDataSource extends RelationProvider
       providerName: String, parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(sqlContext, pathOf(parameters), parameters)
+
+  /** `df.writeStream.format("graft")` — see [[GraftStreamSink]].
+    * Append mode only; `partitionBy` comes from the stream writer's
+    * partitionBy(...) columns or a comma-separated option. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode — " +
+        "Complete/Update would silently rewrite or upsert the table " +
+        "per trigger; use foreachBatch with SnapshotTable.merge for " +
+        "keyed upserts")
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else opt(parameters, "partitionBy")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+    new GraftStreamSink(sqlContext, pathOf(parameters), partCols)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

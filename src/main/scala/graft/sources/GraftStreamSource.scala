@@ -36,14 +36,17 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * manifest diff however many versions it spans — and
   * [[GraftStreamSource.CdcDefaultVersionsPerTrigger]] under
   * `readChangeFeed=true`, which plans one diff per version),
-  * `maxFilesPerTrigger` (append feed only): split LARGE commits
-  * across micro-batches. Offsets become (version, units-consumed)
-  * pairs — the Delta file-index shape — and a PURE-APPEND version's
-  * added files (sorted by path, a deterministic order immutable
-  * manifests replay exactly) are consumed ≤ N per trigger, so
-  * starting a stream against an existing 100 TB table backfills as
-  * bounded batches instead of one table-sized batch. A version that
-  * is NOT a pure append (rewrites, deletes, DV changes — whose
+  * `maxFilesPerTrigger` / `maxBytesPerTrigger` (append feed only):
+  * split LARGE commits across micro-batches. Offsets become
+  * (version, units-consumed) pairs — the Delta file-index shape —
+  * and a PURE-APPEND version's added files (sorted by path, a
+  * deterministic order immutable manifests replay exactly) are
+  * consumed up to the file count and/or manifest-recorded byte
+  * budget per trigger (whichever exhausts first; bytes are what
+  * actually bound executor pressure when file sizes vary 1 KB–1 GB),
+  * so starting a stream against an existing 100 TB table backfills
+  * as bounded batches instead of one table-sized batch. A version
+  * that is NOT a pure append (rewrites, deletes, DV changes — whose
   * insert diff is row-level, not file-level) is consumed atomically
   * even when it exceeds the budget, like Delta's non-append commits.
   *
@@ -68,6 +71,17 @@ private[graft] class GraftStreamSource(
     }
 
   private val cdc = opt("readChangeFeed").exists(_.toBoolean)
+
+  /** `updateImages=true` (CDC mode only): a MERGE/UPDATE-MOR commit's
+    * matched rows arrive as paired `update_preimage`/
+    * `update_postimage` rows instead of bare delete+insert — what a
+    * downstream MERGE-applier or audit consumer keys on (Delta CDF's
+    * contract). Opt-in: existing delete+insert consumers (st12's
+    * applier) see no change. */
+  private val updImages = opt("updateImages").exists(_.toBoolean)
+  require(!updImages || cdc,
+    "graft: updateImages applies to the CDC feed only — set " +
+      "readChangeFeed=true")
   private val startingVersion = opt("startingVersion").map(_.toInt)
     .orElse(opt("startingTimestamp").map { ts =>
       // earliest version committed at/after the instant (session-zone
@@ -94,13 +108,24 @@ private[graft] class GraftStreamSource(
   require(maxVersionsPerTrigger >= 1,
     "maxVersionsPerTrigger must be >= 1")
 
-  /** Sub-version batching budget; None = version-grained offsets
-    * (the default, byte-compatible with existing checkpoints). */
+  /** Sub-version batching budgets; both unset = version-grained
+    * offsets (the default, byte-compatible with existing checkpoints).
+    * `maxBytesPerTrigger` budgets the staged file LENGTHS recorded in
+    * the manifest (`len=` item) — the cap that actually bounds
+    * executor pressure when file sizes vary 1 KB–1 GB; a file whose
+    * manifest predates length recording (legacy) budgets as 0 bytes,
+    * so combine with `maxFilesPerTrigger` on legacy tables. A single
+    * file larger than the byte budget still ships alone (a trigger
+    * always makes progress). */
   private val fileCap: Option[Long] = opt("maxFilesPerTrigger").map(_.toLong)
+  private val byteCap: Option[Long] = opt("maxBytesPerTrigger").map(_.toLong)
   require(fileCap.forall(_ >= 1), "maxFilesPerTrigger must be >= 1")
-  require(fileCap.isEmpty || !cdc,
-    "graft: maxFilesPerTrigger applies to the append feed only — the " +
-      "CDC feed is version-grained (use maxVersionsPerTrigger)")
+  require(byteCap.forall(_ >= 1), "maxBytesPerTrigger must be >= 1")
+  private val subVersion = fileCap.isDefined || byteCap.isDefined
+  require(!subVersion || !cdc,
+    "graft: maxFilesPerTrigger/maxBytesPerTrigger apply to the append " +
+      "feed only — the CDC feed is version-grained (use " +
+      "maxVersionsPerTrigger)")
 
   override val schema: StructType =
     GraftStreamSource.sourceSchema(spark, path, options)
@@ -121,8 +146,9 @@ private[graft] class GraftStreamSource(
     if (t.startsWith("{"))
       throw new IllegalStateException(
         "graft: this stream checkpoint holds sub-version " +
-          "(maxFilesPerTrigger) offsets — restart the query with " +
-          "maxFilesPerTrigger set, or use a fresh checkpoint")
+          "(maxFilesPerTrigger/maxBytesPerTrigger) offsets — restart " +
+          "the query with a trigger budget set, or use a fresh " +
+          "checkpoint")
     t.toLong
   }
 
@@ -137,45 +163,64 @@ private[graft] class GraftStreamSource(
       else (t.toLong, Long.MaxValue)
   }
 
-  /** Sub-version unit accounting for `maxFilesPerTrigger`:
-    * (splittable, unit count, sorted added entries). A PURE-APPEND
-    * version (every prior entry survives verbatim by (path, dv)
-    * identity) splits by added file — its insert diff IS exactly the
-    * added entries' visible rows, so a partition of the sorted add
-    * list partitions the batch rows. Anything else (rewrites,
-    * deletes, DV changes) is ONE atomic unit: its diff is row-level.
-    * Entries sort by path — a deterministic order immutable manifests
-    * replay exactly across restarts. Small LRU; manifests are
-    * immutable so recomputation is always safe. */
+  /** Sub-version unit accounting for the trigger budgets: splittable
+    * flag, unit count, and — for a splittable version — the sorted
+    * added files' REL PATHS and manifest-recorded byte lengths. A
+    * PURE-APPEND version (every prior entry survives verbatim by
+    * (path, dv) identity) splits by added file — its insert diff IS
+    * exactly the added entries' visible rows, so a partition of the
+    * sorted add list partitions the batch rows. Anything else
+    * (rewrites, deletes, DV changes) is ONE atomic unit: its diff is
+    * row-level. Paths sort — a deterministic order immutable
+    * manifests replay exactly across restarts.
+    *
+    * Driver residency is deliberately paths + lengths ONLY (~100 B +
+    * 8 B per add), never whole entry lines (~0.5 KB+ of stats each):
+    * backfilling a 10M-file initial version would otherwise hold
+    * multiple GB of strings in this LRU. Full entry lines are
+    * re-materialized per batch for just the slice being shipped
+    * ([[SnapshotTable.entriesForPaths]]); manifests are immutable so
+    * recomputation is always safe. */
+  private final case class UnitInfo(split: Boolean, cnt: Long,
+      paths: Array[String], sizes: Array[Long])
+
   private val unitCache =
-    new java.util.LinkedHashMap[Int, (Boolean, Long, Seq[String])](
-        8, 0.75f, true) {
+    new java.util.LinkedHashMap[Int, UnitInfo](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Int, (Boolean, Long, Seq[String])])
-          : Boolean = size() > 4
+          e: java.util.Map.Entry[Int, UnitInfo]): Boolean = size() > 4
     }
 
-  private def unitInfo(v: Int): (Boolean, Long, Seq[String]) =
+  private def unitInfo(v: Int): UnitInfo =
     unitCache.synchronized {
       val hit = unitCache.get(v)
       if (hit != null) hit
       else {
+        def ofAdds(adds: Seq[String]): UnitInfo = {
+          // offsets are Long-typed but a splittable slice indexes an
+          // Int-addressed array — an (impossible today: Seq is
+          // Int-sized) oversized add list must fail loudly, never
+          // mis-slice
+          require(adds.size >= 0 && adds.size <= Int.MaxValue,
+            s"version $v: ${adds.size} added files exceed slice range")
+          val sorted = adds.sortBy(SnapshotTable.entryPath)
+          UnitInfo(split = true, sorted.size.toLong,
+            sorted.map(SnapshotTable.entryPath).toArray,
+            sorted.map(e => SnapshotTable.entryFileMeta(e)
+              .map(_._1).getOrElse(0L)).toArray)
+        }
         val cur = SnapshotTable.manifestEntries(spark, path, v)
         val computed =
-          if (v == 0)
-            (true, cur.size.toLong, cur.sortBy(SnapshotTable.entryPath))
+          if (v == 0) ofAdds(cur)
           else {
             val curKeys = cur.map(SnapshotTable.entryKey).toSet
             val prev = SnapshotTable.manifestEntries(spark, path, v - 1)
             val removed =
               prev.exists(e => !curKeys(SnapshotTable.entryKey(e)))
-            if (removed) (false, 1L, Seq.empty)
+            if (removed)
+              UnitInfo(split = false, 1L, Array.empty, Array.empty)
             else {
               val prevKeys = prev.map(SnapshotTable.entryKey).toSet
-              val adds = cur
-                .filter(e => !prevKeys(SnapshotTable.entryKey(e)))
-                .sortBy(SnapshotTable.entryPath)
-              (true, adds.size.toLong, adds)
+              ofAdds(cur.filter(e => !prevKeys(SnapshotTable.entryKey(e))))
             }
           }
         unitCache.put(v, computed)
@@ -183,10 +228,25 @@ private[graft] class GraftStreamSource(
       }
     }
 
+  /** Test/observability hook: characters resident in the unit cache's
+    * path arrays — the driver-residency bound the cache design pins
+    * (paths only, never entry lines). */
+  private[graft] def unitCacheResidentChars: Long =
+    unitCache.synchronized {
+      var total = 0L
+      unitCache.values.forEach { info =>
+        var i = 0
+        while (i < info.paths.length) {
+          total += info.paths(i).length; i += 1
+        }
+      }
+      total
+    }
+
   override def getOffset: Option[Offset] = {
     val vs = SnapshotTable.versions(spark, path)
     if (vs.isEmpty) return None
-    if (fileCap.isEmpty) {
+    if (!subVersion) {
       // saturating add: the unbounded default is Long.MaxValue, and a
       // positive lastSeen (startingVersion > 0) would overflow a plain +
       val horizon =
@@ -202,27 +262,42 @@ private[graft] class GraftStreamSource(
       val head = vs.max.toLong
       var v = lastSeen
       var u = lastSeenUnits
-      var budget = fileCap.get
+      var fileBudget = fileCap.getOrElse(Long.MaxValue)
+      var byteBudget = byteCap.getOrElse(Long.MaxValue)
       var versionsLeft = maxVersionsPerTrigger
       var progressed = false
       var done = false
-      while (!done && budget > 0 && versionsLeft > 0) {
+      while (!done && fileBudget > 0 && byteBudget > 0 &&
+          versionsLeft > 0) {
         if (v < startingVersion) { v = startingVersion.toLong; u = 0L }
         else if (v > head) done = true
         else {
-          val (split, cnt, _) = unitInfo(v.toInt)
-          if (u >= cnt) {
+          val info = unitInfo(v.toInt)
+          if (u >= info.cnt) {
             if (v >= head) done = true
             else { v += 1; u = 0L }
-          } else {
+          } else if (!info.split) {
             // an atomic version is consumed whole even past the
-            // budget (a trigger always makes progress); a splittable
-            // one stops at the budget mid-version
-            val take = if (!split) cnt - u else math.min(budget, cnt - u)
-            u += take
-            budget -= take
+            // budgets (a trigger always makes progress); its diff is
+            // row-level so only the file budget is charged (1 unit)
+            u = info.cnt
+            fileBudget -= 1
             progressed = true
-            if (u >= cnt) versionsLeft -= 1 else budget = 0L
+            versionsLeft -= 1
+          } else {
+            // per-file walk under BOTH budgets (whichever exhausts
+            // first stops the trigger); the first file of a trigger
+            // always ships, even when alone it exceeds the byte
+            // budget — progress over strictness, Delta's contract
+            while (u < info.cnt &&
+                (!progressed || (fileBudget > 0 && byteBudget > 0))) {
+              byteBudget -= info.sizes(u.toInt)
+              fileBudget -= 1
+              u += 1
+              progressed = true
+            }
+            if (u >= info.cnt) versionsLeft -= 1
+            else done = true
           }
         }
       }
@@ -235,14 +310,55 @@ private[graft] class GraftStreamSource(
     }
   }
 
+  /** Versions in [first, last] absent from the log (vacuumed or never
+    * committed). A batch over them cannot be rebuilt. */
+  private def missingVersions(first: Long, last: Long): Seq[Long] = {
+    val have = SnapshotTable.versions(spark, path).map(_.toLong).toSet
+    (math.max(0L, first) to last).filterNot(have)
+  }
+
+  /** A batch whose EXECUTION fails loudly: getBatch must stay cheap
+    * and storage-free to CONSTRUCT, because the engine re-calls it
+    * over the last committed range on every restart and discards the
+    * result (V1 recovery) — a checkpoint that advanced past a
+    * vacuumed range must keep streaming. Only a batch the engine
+    * actually RUNS may (and must) fail, with the retention contract
+    * named; data is never silently skipped. */
+  private def deferredFailure(msg: String): DataFrame =
+    GraftSqlAccess.streamingDfFromInternal(spark,
+      spark.sparkContext.parallelize(Seq(0), 1)
+        .mapPartitions[org.apache.spark.sql.catalyst.InternalRow](
+          _ => throw new IllegalStateException(msg)), schema)
+
+  /** The deferred-failure batch for a replay range with vacuumed
+    * manifests, or None when every needed version is present. */
+  private def vacuumedRangeBatch(firstNeeded: Long, last: Long)
+      : Option[DataFrame] = {
+    val missing = missingVersions(firstNeeded, last)
+    if (missing.isEmpty) None
+    else Some(deferredFailure(
+      s"graft stream at $path: replay needs version(s) " +
+        s"${missing.mkString(",")} but their manifests are gone — " +
+        "vacuum retention must outlive streaming checkpoint lag " +
+        "(raise vacuum keep / spark.graft.vacuum.minVersionsToRetain, " +
+        "check lag first with vacuumPlan); this stream cannot resume " +
+        "without a fresh checkpoint"))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    if (fileCap.isDefined) return getBatchSliced(start, end)
+    if (subVersion) return getBatchSliced(start, end)
     val endV = versionOf(end).toInt
     // (start, end] — a fresh stream (no checkpoint) begins at
     // startingVersion inclusive
     val startV = start.map(o => versionOf(o).toInt + 1)
       .getOrElse(startingVersion)
     lastSeen = math.max(lastSeen, endV)
+    // version v's rows need manifest v-1 too (the diff's other side)
+    if (startV <= endV) {
+      val firstNeeded = if (startV == 0) 0L else startV - 1L
+      vacuumedRangeBatch(firstNeeded, endV.toLong)
+        .foreach(d => return d)
+    }
     // every component aligns to the stream's fixed schema BEFORE any
     // union: versions on either side of a schema evolution carry
     // different columns
@@ -285,15 +401,28 @@ private[graft] class GraftStreamSource(
       lastSeenUnits = euRaw
     }
     val firstV = math.max(sv, startingVersion.toLong)
+    // unitInfo(v) diffs manifests v-1 and v — both must exist
+    if (firstV <= ev)
+      vacuumedRangeBatch(math.max(0L, firstV - 1L), ev)
+        .foreach(d => return d)
     val parts = (firstV to ev).flatMap { vL =>
       val v = vL.toInt
-      val (split, cnt, adds) = unitInfo(v)
-      val from = if (vL == sv) math.min(su, cnt) else 0L
-      val until = if (vL == ev) math.min(euRaw, cnt) else cnt
+      val info = unitInfo(v)
+      val from = math.min(if (vL == sv) math.min(su, info.cnt) else 0L,
+        Int.MaxValue.toLong)
+      val until = math.min(if (vL == ev) math.min(euRaw, info.cnt)
+                           else info.cnt, Int.MaxValue.toLong)
       if (from >= until) None
-      else if (!split) Some(align(versionRows(v)))
-      else Some(align(SnapshotTable.readEntriesAt(spark, path, v,
-        adds.slice(from.toInt, until.toInt))))
+      else if (!info.split) Some(align(versionRows(v)))
+      else {
+        // re-materialize FULL entry lines for just this slice — the
+        // cache holds paths only (driver residency), the immutable
+        // manifest supplies the rest per batch
+        val slicePaths =
+          info.paths.slice(from.toInt, until.toInt).toSet
+        Some(align(SnapshotTable.readEntriesAt(spark, path, v,
+          SnapshotTable.entriesForPaths(spark, path, v, slicePaths))))
+      }
     }
     GraftSqlAccess.streamingDf(spark,
       if (parts.isEmpty) emptyBatch() else treeUnion(parts))
@@ -340,7 +469,8 @@ private[graft] class GraftStreamSource(
     val rows =
       if (v == 0) SnapshotTable.read(spark, path, Some(0))
         .withColumn("change_type", lit("insert"))
-      else SnapshotTable.changes(spark, path, v - 1, Some(v))
+      else SnapshotTable.changes(spark, path, v - 1, Some(v),
+        updateImages = updImages)
     rows.withColumn("_commit_version", lit(v))
   }
 

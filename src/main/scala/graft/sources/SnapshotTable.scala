@@ -474,11 +474,20 @@ object SnapshotTable {
     var prev: Seq[String] = null
     var sawStableLegacy = false
     var wholeLegacy: java.lang.Boolean = null
+    // whole-log acceptance candidate: witness-less content that must
+    // now stay byte-stable (content AND file length) for a FULL
+    // tornAwaitMs window before it may be accepted
+    var cand: Seq[String] = null
+    var candLen = -1L
+    var candAt = 0L
     val budget = tornAwaitMs
     val deadline = System.currentTimeMillis + budget
     // at least two reads regardless of budget — legacy acceptance
-    // needs a stability compare across consecutive reads
-    while (tries < 2 || System.currentTimeMillis < deadline) {
+    // needs a stability compare across consecutive reads. The loop
+    // extends past the torn deadline only while a whole-log candidate
+    // is still aging toward its own full-budget stability window.
+    while (tries < 2 || System.currentTimeMillis < deadline ||
+        (cand != null && System.currentTimeMillis < candAt + budget)) {
       val lines = readOnce()
       if (lines.nonEmpty && lines.last == EotLine) return lines.init
       // pre-witness manifests never carry the end marker and never
@@ -504,16 +513,43 @@ object SnapshotTable {
           fs.getFileStatus(mpath).getModificationTime
         if (age >= legacyMinAgeMs) return lines
         // young AND witness-less: a RESTORED legacy table reads this
-        // way (backup rewrote mtimes) — accept on whole-log evidence,
-        // checked once per call (bounded head+tail reads per version)
-        if (wholeLegacy == null)
-          wholeLegacy = java.lang.Boolean.valueOf(
-            wholeLogIsLegacy(fs, path, v))
-        if (wholeLegacy.booleanValue()) return lines
-      }
+        // way (backup rewrote mtimes) — acceptable on whole-log
+        // evidence, but NOT after one 20 ms stable pair: the first
+        // intermediate-era (#eot-writing, pre-#wv) commit onto a
+        // legacy table has no completed modern sibling, so a reader
+        // racing that in-flight write could bless a momentarily-
+        // stable torn prefix. Require content AND file-length
+        // stability across a FULL tornAwaitMs window first — a
+        // writer that stalls that long mid-body is the same exposure
+        // the torn deadline already accepts for marker-era tables.
+        val len = fs.getFileStatus(mpath).getLen
+        if (cand == null || lines != cand || len != candLen) {
+          cand = lines; candLen = len
+          candAt = System.currentTimeMillis
+        } else if (System.currentTimeMillis - candAt >= budget) {
+          // whole-log evidence checked once per call (bounded
+          // head+tail reads per other version)
+          if (wholeLegacy == null)
+            wholeLegacy = java.lang.Boolean.valueOf(
+              wholeLogIsLegacy(fs, path, v))
+          if (wholeLegacy.booleanValue()) return lines
+        }
+      } else if (cand != null && lines != cand) cand = null
       prev = if (lines.exists(_.startsWith("#wv="))) null else lines
       tries += 1
       Thread.sleep(20)
+    }
+    // final confirmation for a candidate whose stability window closed
+    // exactly as the loop exited: one more read + length check against
+    // the snapshot taken >= budget ms ago
+    if (cand != null &&
+        System.currentTimeMillis - candAt >= budget &&
+        readOnce() == cand &&
+        fs.getFileStatus(mpath).getLen == candLen) {
+      if (wholeLegacy == null)
+        wholeLegacy = java.lang.Boolean.valueOf(
+          wholeLogIsLegacy(fs, path, v))
+      if (wholeLegacy.booleanValue()) return cand
     }
     sys.error(s"manifest v$v at $path has no end-of-transaction " +
       s"marker after $budget ms — torn by a failed writer; manual " +
@@ -1407,6 +1443,18 @@ object SnapshotTable {
       v: Int): Seq[String] =
     readManifest(fsOf(spark, logDir(path)), path, v)
 
+  /** A version's manifest entry LINES restricted to `wanted` data-file
+    * rel paths — the stream source's slice re-materializer: its offset
+    * walker caches only paths (a 10M-add backfill version held as
+    * whole entry lines is gigabytes of driver strings), and re-reads
+    * the immutable manifest for just the entries a micro-batch slice
+    * actually needs. Full lines exist only transiently inside this
+    * call; what's RETAINED is slice-sized. */
+  private[graft] def entriesForPaths(spark: SparkSession, path: String,
+      v: Int, wanted: Set[String]): Seq[String] =
+    readManifest(fsOf(spark, logDir(path)), path, v)
+      .filter(e => wanted(entryPath(e)))
+
   def pendingDvEntries(spark: SparkSession, path: String,
       version: Option[Int] = None): Int = {
     val vs = versions(spark, path)
@@ -2072,22 +2120,35 @@ object SnapshotTable {
     *
     * Single stream writer per table (markers are unscoped, like a
     * one-writer Delta txn) — concurrent batch appends/merges are fine,
-    * a SECOND stream would collide on batch ids. */
+    * a SECOND stream would collide on batch ids.
+    *
+    * `partitionBy` applies only when the FIRST batch creates the
+    * table (recorded in the log meta exactly as [[create]] does);
+    * against an existing table it must match the stored layout —
+    * silently writing a different layout would corrupt pruning. */
   def appendStreamBatch(df: DataFrame, path: String,
-      batchId: Long): Option[Int] = {
+      batchId: Long, partitionBy: Seq[String] = Nil): Option[Int] = {
     val spark = df.sparkSession
     if (committedStreamBatch(spark, path).exists(_ >= batchId)) None
     else {
       val priorVs = versions(spark, path)
       val fs = fsOf(spark, logDir(path))
+      val layout =
+        if (priorVs.isEmpty) partitionBy
+        else {
+          val stored = partitioning(spark, path)
+          require(partitionBy.isEmpty || partitionBy == stored,
+            s"stream partitionBy [${partitionBy.mkString(",")}] does " +
+              s"not match the table's layout [${stored.mkString(",")}]")
+          stored
+        }
       val priorMeta =
         if (priorVs.isEmpty) Map.empty[String, String]
         else readMeta(fs, path, priorVs.max)
       val mapped =
         if (priorVs.isEmpty) None
         else storedSchema(fs, path, priorVs.max)
-      val staged = stage(toPhysical(df, mapped), path,
-        partitioning(spark, path))
+      val staged = stage(toPhysical(df, mapped), path, layout)
       // bloom MAINTENANCE under streaming churn: if the table carries
       // a bloom policy ([[indexBloom]] meta), bloom this batch's new
       // files inside the batch's own commit — one churn-sized scan of
@@ -2097,10 +2158,13 @@ object SnapshotTable {
       // unconditionally, as for every write path.
       val stagedIndexed = maintainBlooms(spark, path, priorMeta,
         mapped, df.columns.toSeq, staged)
-      // first batch creates the table and records its schema; later
-      // batches inherit the stored schema through the meta chain
+      // first batch creates the table and records its schema (and
+      // partition layout); later batches inherit through the meta chain
       val schemaM =
-        if (versions(spark, path).isEmpty) schemaMeta(df.schema)
+        if (versions(spark, path).isEmpty)
+          schemaMeta(df.schema) ++
+            (if (layout.isEmpty) Map.empty[String, String]
+             else Map("partition" -> layout.mkString(",")))
         else Map.empty[String, String]
       Some(commit(spark, path, AppendSpec(stagedIndexed),
         meta = Map("streamBatch" -> batchId.toString,
@@ -2437,8 +2501,18 @@ object SnapshotTable {
     val evolveMeta =
       if (evolveSchema) schemaMeta(evolvedSt)
       else Map.empty[String, String]
+    // the merge KEYS ride the commit meta so the change feed can pair
+    // a matched row's delete+insert sides into update pre/post images.
+    // ALWAYS written (meta is inherited commit-over-commit — omitting
+    // the key would leak a PREVIOUS merge's keys onto this commit);
+    // empty = unpairable (a pathological comma-bearing column name the
+    // meta list grammar cannot represent — the feed then keeps plain
+    // insert/delete tags for this commit)
+    val keyMeta = Map("mergeKeys" ->
+      (if (keyCols.exists(_.contains(","))) ""
+       else keyCols.mkString(",")))
     commitPinned(spark, path, keptRefs, loose ++ staged, readV + 1,
-      Map("op" -> "MERGE") ++ evolveMeta ++ meta,
+      Map("op" -> "MERGE") ++ keyMeta ++ evolveMeta ++ meta,
       resolve = if (evolveSchema) None
         else Some(ConflictSpec(readV, manifest.toSet,
           manifest.iterator.map(entryPath).toSet, affected, staged,
@@ -2715,7 +2789,14 @@ object SnapshotTable {
     val newLines = affected.map(e =>
       withDv(e, Seq(descByFile(fileOf(entryPath(e)))))) ++ staged
     commitPinned(spark, path, keptRefs, loose ++ newLines, readV + 1,
-      Map("op" -> "UPDATE-MOR") ++ meta,
+      Map("op" -> "UPDATE-MOR",
+        // the SET columns ride the meta so the change feed can pair a
+        // masked row with its updated image on the untouched-column
+        // projection (always written — inherited meta would otherwise
+        // leak a previous update's set list; empty = unpairable)
+        "updateSet" ->
+          (if (assignments.keys.exists(_.contains(","))) ""
+           else assignments.keys.toSeq.sorted.mkString(","))) ++ meta,
       resolve = Some(ConflictSpec(readV, manifest.toSet,
         manifest.iterator.map(entryPath).toSet, affected, newLines,
         e => cp.evalN(entryPartitionValues(entryPath(e)),
@@ -2769,7 +2850,8 @@ object SnapshotTable {
     * of each). Cost scales with CHURN (rewritten bytes), never table
     * size. */
   def changes(spark: SparkSession, path: String,
-      fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+      fromVersion: Int, toVersion: Option[Int] = None,
+      updateImages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
@@ -2777,6 +2859,11 @@ object SnapshotTable {
     require(vs.contains(fromVersion) && vs.contains(toV) && fromVersion <= toV,
       s"changes needs committed versions from<=to, got $fromVersion..$toV " +
         s"of ${vs.mkString(",")}")
+    require(!updateImages || toV - fromVersion <= 1,
+      "updateImages pairs a SINGLE commit's delete+insert sides — " +
+        s"got the multi-version span $fromVersion..$toV, whose net " +
+        "diff has no per-commit pairing identity; walk it one " +
+        "version at a time (the CDC stream source does)")
     val fs = fsOf(spark, logDir(path))
     // diff by (path, dv) identity — stats are a per-file constant, but
     // a merge-on-read delete changes an entry's VISIBLE rows without
@@ -2796,9 +2883,61 @@ object SnapshotTable {
       else readEntriesDv(spark, path, toSchema, entries)
     val old = readE(eFrom.filterNot(e => toKeys(entryKey(e))))
     val neu = readE(eTo.filterNot(e => fromKeys(entryKey(e))))
-    neu.exceptAll(old).withColumn("change_type", lit("insert"))
+    val tagged = neu.exceptAll(old)
+      .withColumn("change_type", lit("insert"))
       .unionByName(
         old.exceptAll(neu).withColumn("change_type", lit("delete")))
+    if (!updateImages) tagged
+    else pairUpdateImages(spark, tagged,
+      readMeta(fs, path, toV),
+      storedSchema(fs, path, toV)
+        .map(_.fieldNames.toSeq)
+        .getOrElse(read(spark, path, Some(toV)).columns.toSeq))
+  }
+
+  /** Delta-CDF-style update images over a single commit's diff: when
+    * the commit recorded a row-pairing identity — `mergeKeys` for a
+    * MERGE's matched rows, or (for UPDATE-MOR) the complement of its
+    * `updateSet` columns, on which a masked row and its updated image
+    * agree by construction — any pairing-key group holding BOTH a
+    * delete and an insert is one logical UPDATE: its delete side
+    * retags `update_preimage`, its insert side `update_postimage`.
+    * Unmatched sides keep their plain tags (a true insert has no
+    * deleted twin; a removeKeys delete has no inserted one). Commits
+    * without a pairing identity (appends, overwrites, plain deletes,
+    * compactions) pass through unchanged — "an update is one delete +
+    * one insert" remains their honest contract. One window over the
+    * churn-sized diff, shuffled on the pairing keys — never
+    * table-sized. */
+  private def pairUpdateImages(spark: SparkSession, diff: DataFrame,
+      meta: Map[String, String], columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, max, when}
+    val pairCols: Seq[String] = meta.get("op") match {
+      case Some("MERGE") =>
+        meta.get("mergeKeys").filter(_.nonEmpty)
+          .map(_.split(",").toSeq).getOrElse(Seq.empty)
+      case Some("UPDATE-MOR") =>
+        meta.get("updateSet").filter(_.nonEmpty)
+          .map { s =>
+            val set = s.split(",").toSet
+            columns.filterNot(set)
+          }.getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }
+    if (pairCols.isEmpty || !pairCols.forall(columns.contains)) diff
+    else {
+      val w = Window.partitionBy(pairCols.map(col): _*)
+      val ins = max(when(col("change_type") === "insert", 1)
+        .otherwise(0)).over(w)
+      val del = max(when(col("change_type") === "delete", 1)
+        .otherwise(0)).over(w)
+      diff.withColumn("change_type",
+        when(ins === 1 && del === 1,
+          when(col("change_type") === "insert", lit("update_postimage"))
+            .otherwise(lit("update_preimage")))
+          .otherwise(col("change_type")))
+    }
   }
 
   /** Evidence for optimistic conflict RESOLUTION of a pinned
@@ -4637,6 +4776,28 @@ object SnapshotTable {
     }
   }
 
+  /** The retention actually applied by [[vacuum]]: the caller's
+    * `keep` floored by `spark.graft.vacuum.minVersionsToRetain` — an
+    * operational conf set once per deployment so a too-aggressive
+    * ad-hoc vacuum cannot drop versions the fleet's streaming
+    * checkpoints are known to lag behind. */
+  private def effectiveKeep(spark: SparkSession, keep: Int): Int =
+    math.max(keep, spark.conf
+      .getOption("spark.graft.vacuum.minVersionsToRetain")
+      .map(_.toInt).getOrElse(1))
+
+  /** DRY RUN of [[vacuum]]: the versions a `vacuum(keep)` would drop
+    * right now (respecting `minVersionsToRetain`), deleting nothing.
+    * The scheduler's pre-flight: compare against the lowest version
+    * any streaming checkpoint still needs (its next offset) and skip
+    * or re-retain BEFORE data becomes unreachable — after the fact, a
+    * lagging stream's restart can only fail loudly. */
+  def vacuumPlan(spark: SparkSession, path: String,
+      keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "vacuum must keep at least the latest version")
+    versions(spark, path).dropRight(effectiveKeep(spark, keep))
+  }
+
   /** Drop all but the newest `keep` versions and delete every data
     * file no kept version references. Bounds the log and storage;
     * time travel to vacuumed versions is gone (that is the point).
@@ -4655,13 +4816,26 @@ object SnapshotTable {
     * in-flight writer, not garbage. `graceMs` (default 10 min, the
     * same idea as Delta's tombstone retention) keeps any unreferenced
     * file younger than the grace window; pass 0 only when no writer
-    * can be in flight (single-operator maintenance window). */
+    * can be in flight (single-operator maintenance window).
+    *
+    * Streaming checkpoints: a `readStream.format("graft")` consumer
+    * replays committed versions from its checkpoint — vacuuming a
+    * range a LAGGING checkpoint still needs makes its next restart
+    * fail loudly (the manifests are gone; data is never silently
+    * skipped — Delta documents the same retention-vs-lag contract).
+    * Operational guards: `spark.graft.vacuum.minVersionsToRetain`
+    * floors the effective `keep` fleet-wide (an ops-set conf a
+    * too-aggressive caller cannot undercut), and [[vacuumPlan]] is
+    * the dry run — it returns exactly the versions a vacuum would
+    * drop, so a scheduler can check them against its consumers' lag
+    * BEFORE deleting anything. */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2,
       graceMs: Long = 10 * 60 * 1000L): Int = {
     require(keep >= 1, "vacuum must keep at least the latest version")
     val fs = fsOf(spark, new Path(path))
     val vs = versions(spark, path)
-    val kept = vs.takeRight(keep)
+    val keepN = effectiveKeep(spark, keep)
+    val kept = vs.takeRight(keepN)
     val referenced = kept.flatMap { v =>
       val es = readManifest(fs, path, v)
       es.map(entryPath) ++ es.flatMap(entryDvs).map(DvSidecar.relOf)
@@ -4673,9 +4847,16 @@ object SnapshotTable {
       readManifestRefs(fs, path, v).filter(_.startsWith(SegPrefix))
         .flatMap(l => Seq(new Path(path, refRel(l)).getName) ++
           refBloomRel(l).map(r => new Path(path, r).getName))).toSet
-    vs.dropRight(keep).foreach { v =>
+    // delete()==false also means "already gone" (Hadoop's contract) —
+    // a re-run after partial progress, or a concurrent vacuum, must
+    // count such files as reclaimed, not fail; only a file that is
+    // STILL THERE after a failed delete is an error. Keeps vacuum
+    // retry-idempotent end to end.
+    def deleteOrGone(p: Path): Boolean =
+      fs.delete(p, false) || !fs.exists(p)
+    vs.dropRight(keepN).foreach { v =>
       val m = new Path(logDir(path), manifestName(v))
-      if (!fs.delete(m, false)) sys.error(s"vacuum: could not delete $m")
+      if (!deleteOrGone(m)) sys.error(s"vacuum: could not delete $m")
     }
     val cutoff = System.currentTimeMillis() - graceMs
     val droppedSegs = fs.listStatus(logDir(path)).toSeq
@@ -4691,7 +4872,7 @@ object SnapshotTable {
       .filterNot(f => referencedSegs.contains(f.getPath.getName))
       .filter(f => f.getModificationTime <= cutoff)
     droppedSegs.foreach { f =>
-      if (!fs.delete(f.getPath, false))
+      if (!deleteOrGone(f.getPath))
         sys.error(s"vacuum: could not delete ${f.getPath}")
     }
     // recursive: partitioned tables nest data files one directory per
@@ -4709,7 +4890,7 @@ object SnapshotTable {
       .map(_.toInt).getOrElse(512)
     if (dropped.size < minParallel)
       dropped.foreach { f =>
-        if (!fs.delete(f.getPath, false))
+        if (!deleteOrGone(f.getPath))
           sys.error(s"vacuum: could not delete ${f.getPath}")
       }
     else {
@@ -4721,7 +4902,11 @@ object SnapshotTable {
         .parallelize(dropped.map(_.getPath.toString), slices)
         .mapPartitions(_.filter { p =>
           val hp = new Path(p)
-          !hp.getFileSystem(conf.value).delete(hp, false)
+          val fsE = hp.getFileSystem(conf.value)
+          // same already-gone exemption as the serial path: a task
+          // retry after partial progress re-deletes files its first
+          // attempt reclaimed
+          !fsE.delete(hp, false) && fsE.exists(hp)
         })
         .collect()
       if (failed.nonEmpty)

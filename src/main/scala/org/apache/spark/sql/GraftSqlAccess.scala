@@ -35,4 +35,29 @@ object GraftSqlAccess {
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
       ds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** A STREAMING DataFrame over pre-built InternalRows — the shape a
+    * V1 source needs for batches it must construct WITHOUT touching
+    * storage (e.g. a deferred-failure batch for a vacuumed replay
+    * range: recovery discards it unexecuted, a real execution fails
+    * loudly). */
+  def streamingDfFromInternal(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      rdd, schema, isStreaming = true)
+
+  /** The inverse re-wrap for a V1 streaming SINK: the micro-batch
+    * DataFrame handed to `Sink.addBatch` still carries streaming
+    * leaves in its logical plan, so re-planning it through the
+    * DataFrame writer path (as a batch write must) would trip the
+    * unsupported-operation checker. Pin the batch's rows to the
+    * incremental execution's RDD and wrap them as a plain BATCH frame
+    * — no row re-encoding, same rows, batch semantics. */
+  def batchDf(spark: SparkSession, df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -1744,6 +1744,430 @@ class SnapshotTableSpec extends SparkSpec {
       s"expected the sub-version checkpoint refusal, got: $err")
   }
 
+  test("maxBytesPerTrigger: a byte budget splits a version the file " +
+      "cap would not, restart replay exact") {
+    import spark.implicits._
+    import graft.sources.{GraftSourceOffset, GraftStreamSource}
+    import org.apache.spark.sql.DataFrame
+    val path = freshPath("bytecap")
+    // v0: 6 similar-size files
+    SnapshotTable.create((0L until 600L).toDF("id").repartition(6), path)
+    val sizes = SnapshotTable.manifestEntries(spark, path, 0)
+      .sortBy(SnapshotTable.entryPath)
+      .map(e => SnapshotTable.entryFileMeta(e).map(_._1).getOrElse(0L))
+    assert(sizes.length === 6 && sizes.forall(_ > 0L),
+      s"manifest must record file lengths, got $sizes")
+    // a FILE cap of 100 takes the whole version in one trigger...
+    val wide = new GraftStreamSource(spark.sqlContext, path,
+      Map("maxFilesPerTrigger" -> "100"))
+    assert(wide.getOffset === Some(GraftSourceOffset(0L, 6L)))
+    // ...while a two-file byte budget splits it: files are admitted
+    // while the remaining budget is positive, so the walker ships
+    // exactly 3 near-equal files per trigger here
+    val budget = sizes.max * 2 + 1L
+    val src = new GraftStreamSource(spark.sqlContext, path,
+      Map("maxBytesPerTrigger" -> budget.toString))
+    assert(src.getOffset === Some(GraftSourceOffset(0L, 3L)))
+    assert(src.getOffset === Some(GraftSourceOffset(0L, 6L)))
+    assert(src.getOffset === None)
+    // a single file larger than the budget still ships, alone
+    val tiny = new GraftStreamSource(spark.sqlContext, path,
+      Map("maxBytesPerTrigger" -> "1"))
+    assert(tiny.getOffset === Some(GraftSourceOffset(0L, 1L)))
+    // end to end with restart: exactly-once, batches bounded
+    val out = freshPath("bytecapout")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_bytecap_ckpt").toString
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxBytesPerTrigger", budget.toString).load(path)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          counts.synchronized { counts += b.count() }
+          if (SnapshotTable.versions(spark, out).isEmpty)
+            SnapshotTable.create(b, out)
+          else SnapshotTable.append(b, out)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(counts.count(_ > 0) >= 2,
+      s"6 files under a 2-file byte budget must take >= 2 batches: $counts")
+    assert(counts.forall(_ <= 300L),
+      s"a batch exceeded ~3 files x 100 rows: $counts")
+    // while down: one 4-file append; the restart must split it too
+    SnapshotTable.append((600L until 1000L).toDF("id").repartition(4),
+      path)
+    run()
+    assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+      === (0L until 1000L).toArray,
+      "restart must emit the new commit exactly once, byte-split included")
+  }
+
+  test("sub-version offset walker holds PATHS, not entry lines: a " +
+      "forged 100k-add backfill version stays path-sized on the driver") {
+    import spark.implicits._
+    import graft.sources.GraftStreamSource
+    val path = freshPath("walkmem")
+    SnapshotTable.create((0L until 20L).toDF("id").repartition(2), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+    val v0 = new org.apache.hadoop.fs.Path(logDir, "v00000000.manifest")
+    val in = fs.open(v0)
+    val v0Lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    // forge v1 = v0 + 100k synthetic adds, each entry carrying a fat
+    // realistic stats payload (~300 B) the walker must NOT retain.
+    // The walker never opens data files (getBatch would), so the adds
+    // need no backing parquet.
+    val n = 100000
+    val fatStats = (0 until 12)
+      .map(c => s"c$c=${"0" * 9}:${"9" * 9}").mkString(";")
+    val forged = (0 until n).map(i =>
+      f"files/forge$i%06d.parquet\tn=100;len=f!1048576!0;$fatStats")
+    // source constructed FIRST: its schema resolves against v0's real
+    // files (the forged adds have no backing parquet — the walker
+    // never opens data files, which is the point of this spec)
+    val src = new GraftStreamSource(spark.sqlContext, path,
+      Map("maxFilesPerTrigger" -> "30000"))
+    val v1 = new org.apache.hadoop.fs.Path(logDir, "v00000001.manifest")
+    val out = fs.create(v1, false)
+    out.write((v0Lines.filterNot(_ == "#eot=1") ++ forged ++ Seq("#eot=1"))
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val bodyChars = forged.iterator.map(_.length.toLong).sum
+    // walk the full backfill: ~4 triggers over 100,002 units
+    var offers = 0
+    while (src.getOffset.isDefined && offers < 100) offers += 1
+    assert(offers >= 4 && offers < 100, s"unexpected trigger count $offers")
+    val resident = src.unitCacheResidentChars
+    assert(resident > 0L, "walker cache unexpectedly empty")
+    // the pin: resident chars are path-sized (~25 B/add), a small
+    // fraction of the entry-line bytes the old cache held
+    assert(resident < bodyChars / 5,
+      s"walker retains $resident chars vs $bodyChars entry-line chars " +
+        "— cache must hold paths, not whole entry lines")
+    assert(resident < n.toLong * 40,
+      s"walker resident chars $resident exceed a path-sized budget")
+  }
+
+  test("DvSidecar: blob cache evicts to its byte bound; descriptor " +
+      "rels refuse commas") {
+    import graft.sources.DvSidecar
+    intercept[IllegalArgumentException] {
+      DvSidecar.Desc("files/a,b.dvs", 0L, 10, 1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dvsbound")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    // 8 blobs of 512 positions each (~4 KB decoded apiece), cache
+    // bound shrunk to ~2.5 blobs: an insert run must keep evicting —
+    // the old removeEldestEntry dropped at most ONE entry per put, so
+    // same-size inserts walked the total past any bound
+    val sidecar = new org.apache.hadoop.fs.Path(dir.toString, "pack.dvs")
+    val outS = fs.create(sidecar, false)
+    val descs = (0 until 8).map { b =>
+      val blob = DvSidecar.encode(
+        Array.tabulate(512)(i => (b * 100000 + i * 3).toLong))
+      val off = outS.getPos
+      outS.write(blob)
+      DvSidecar.Desc(fs.makeQualified(sidecar).toString, off,
+        blob.length, 512).render
+    }
+    outS.close()
+    val saved = DvSidecar.cacheMaxBytes
+    DvSidecar.cacheMaxBytes = 10L * 1024
+    try {
+      descs.foreach { d =>
+        val got = DvSidecar.load(d, conf)
+        assert(got.length === 512)
+        assert(DvSidecar.cachedBytes <= DvSidecar.cacheMaxBytes,
+          s"cache ${DvSidecar.cachedBytes} B exceeds its " +
+            s"${DvSidecar.cacheMaxBytes} B bound mid-run")
+      }
+      // loads stay correct after eviction (re-read from the sidecar)
+      assert(DvSidecar.load(descs.head, conf).length === 512)
+      assert(DvSidecar.cachedBytes <= DvSidecar.cacheMaxBytes)
+    } finally DvSidecar.cacheMaxBytes = saved
+  }
+
+  test("vacuum is retry-idempotent: files already gone count as " +
+      "reclaimed, serial and distributed") {
+    import spark.implicits._
+    val path = freshPath("vacretry")
+    SnapshotTable.create((0L until 100L).toDF("id").repartition(4), path)
+    SnapshotTable.overwrite((0L until 10L).toDF("id"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a prior partial vacuum: one doomed v0 file already gone
+    val keptNames = SnapshotTable.manifestEntries(spark, path, 1)
+      .map(e => new org.apache.hadoop.fs.Path(path,
+        SnapshotTable.entryPath(e)).getName).toSet
+    val doomed = fs.listStatus(
+      new org.apache.hadoop.fs.Path(path, "files"))
+      .filterNot(f => keptNames.contains(f.getPath.getName))
+    assert(doomed.length === 4)
+    fs.delete(doomed.head.getPath, false)
+    // serial path (below the parallel threshold): must not fail on
+    // the already-missing file — Hadoop delete() returns false for it
+    assert(SnapshotTable.vacuum(spark, path, keep = 1, graceMs = 0) >= 3)
+    assert(SnapshotTable.read(spark, path).count() === 10)
+    // distributed path: force it with a threshold of 1
+    val path2 = freshPath("vacretry2")
+    SnapshotTable.create((0L until 100L).toDF("id").repartition(4), path2)
+    SnapshotTable.overwrite((0L until 10L).toDF("id"), path2)
+    val kept2 = SnapshotTable.manifestEntries(spark, path2, 1)
+      .map(e => new org.apache.hadoop.fs.Path(path2,
+        SnapshotTable.entryPath(e)).getName).toSet
+    val doomed2 = fs.listStatus(
+      new org.apache.hadoop.fs.Path(path2, "files"))
+      .filterNot(f => kept2.contains(f.getPath.getName))
+    fs.delete(doomed2.head.getPath, false)
+    spark.conf.set("spark.graft.vacuum.parallelDeleteMinFiles", "1")
+    try
+      assert(SnapshotTable.vacuum(spark, path2, keep = 1, graceMs = 0) >= 3)
+    finally
+      spark.conf.unset("spark.graft.vacuum.parallelDeleteMinFiles")
+    assert(SnapshotTable.read(spark, path2).count() === 10)
+  }
+
+  test("whole-log legacy acceptance requires FULL-budget stability: " +
+      "a racing reader never blesses a momentarily-stable torn prefix") {
+    import spark.implicits._
+    val path = freshPath("legacyrace")
+    SnapshotTable.create((0L until 50L).toDF("id"), path)
+    SnapshotTable.append((50L until 80L).toDF("id"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+    val manifests = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+    def strip(lines: Seq[String]): Seq[String] = lines.filterNot(l =>
+      l.startsWith("#wv=") || l.startsWith("#eot="))
+    def contentOf(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+    }
+    def write(p: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+      if (fs.exists(p)) fs.delete(p, false)
+      val o = fs.create(p, false)
+      o.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      o.close()
+    }
+    // ALL manifests legacy-shaped (restored-table scenario), mtimes
+    // young — the exact whole-log-exemption surface of the r14 ADVICE
+    val full = manifests.map(m => strip(contentOf(m)))
+    manifests.zip(full).foreach { case (m, ls) => write(m, ls) }
+    // the head manifest starts as a TORN PREFIX (half its file list)
+    // that sits stable for ~150 ms — longer than the old 2x20 ms
+    // acceptance window — before the "writer" completes it
+    val head = manifests.last
+    val headFull = full.last
+    write(head, headFull.take(headFull.length / 2))
+    spark.conf.set("spark.graft.legacyManifestMinAgeMs", "300000")
+    spark.conf.set("spark.graft.manifest.tornAwaitMs", "400")
+    val filler = new Thread(() => {
+      Thread.sleep(150)
+      write(head, headFull)
+    })
+    filler.start()
+    val t0 = System.nanoTime()
+    try {
+      // the read must return the COMPLETE content (all 80 rows), not
+      // the momentarily-stable 50-row torn prefix the old two-read
+      // acceptance would have blessed
+      assert(SnapshotTable.read(spark, path).count() === 80)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(elapsedMs >= 400.0,
+        f"accepted after $elapsedMs%.0f ms — whole-log acceptance " +
+          "must out-wait the full tornAwaitMs stability window")
+    } finally {
+      filler.join()
+      spark.conf.unset("spark.graft.legacyManifestMinAgeMs")
+      spark.conf.unset("spark.graft.manifest.tornAwaitMs")
+    }
+  }
+
+  test("registered streaming sink: creates partitioned tables, " +
+      "refuses non-Append modes and layout drift") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftsink")
+    val in = base.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val rows = (0L until 40L).map(i => (i, s"l${i % 2}")).toDF("id", "lang")
+    val tmp = base.resolve("tmp").toString
+    rows.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, in.resolve("b0.parquet"))
+    val out = base.resolve("t").toString
+    def start(mode: String, partCols: Seq[String],
+        ckpt: String) = {
+      val w = spark.readStream.schema(rows.schema)
+        .parquet(in.toString)
+        .writeStream.format("graft").outputMode(mode)
+        .option("checkpointLocation", ckpt)
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .start(out)
+    }
+    // Complete/Update refused at start (sink construction), loudly
+    val err = intercept[Exception] {
+      val q = start("complete", Nil, s"$base/ckpt_bad")
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage.contains("Append") ||
+      Option(err.getCause).exists(_.getMessage.contains("Append")),
+      s"expected the Append-only refusal, got: $err")
+    // Append with partitionBy: first batch creates a PARTITIONED table
+    val q = start("append", Seq("lang"), s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(SnapshotTable.partitioning(spark, out) === Seq("lang"))
+    assert(SnapshotTable.read(spark, out).count() === 40)
+    // partition values live in directory names — an equality prune
+    // keeps only the l1 files
+    val (_, kept, total) = SnapshotTable.readWherePruned(spark, out,
+      col("lang") === "l1")
+    assert(kept < total, s"partition prune kept $kept of $total")
+    // a restarted stream with a DIFFERENT partitionBy fails loudly
+    rows.coalesce(1).write.parquet(tmp + "2")
+    val part2 = new java.io.File(tmp + "2").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part2.toPath, in.resolve("b1.parquet"))
+    val drift = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = start("append", Seq("id"), s"$base/ckpt")
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def anyMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator(""))
+        .mkString("|")
+    assert(anyMsg(drift).contains("does not match the table's layout"),
+      s"expected the layout-drift refusal, got: $drift")
+  }
+
+  test("changes(updateImages=true): MERGE and UPDATE-MOR commits pair " +
+      "delete+insert into pre/post images; other commits pass through") {
+    import spark.implicits._
+    val path = freshPath("updimg")
+    val rows = (0L until 100L).map(i => (i, s"u$i", i * 10.0))
+      .toDF("id", "name", "bal")
+    SnapshotTable.create(rows.repartition(4, col("id")), path)
+    // v1: MERGE — 10 updates (bal negated-minus-one: id 0's bal of 0.0
+    // must still CHANGE, else its old and new rows cancel in the
+    // multiset diff and no image exists — correct feed semantics),
+    // 5 fresh inserts, 5 removals
+    val upd = rows.filter(col("id") < 10)
+      .withColumn("bal", -col("bal") - 1.0)
+    val ins = rows.filter(col("id") >= 95)
+      .withColumn("id", col("id") + 1000L)
+    SnapshotTable.merge(upd.unionByName(ins), path, Seq("id"),
+      removeKeys = Some(Seq(90L, 91L, 92L, 93L, 94L).toDF("id")))
+    val cdc1 = SnapshotTable.changes(spark, path, 0, Some(1),
+      updateImages = true).collect()
+    def byType(t: String) = cdc1.filter(_.getAs[String]("change_type") == t)
+    assert(byType("update_preimage").map(_.getLong(0)).sorted
+      === (0L until 10L).toArray,
+      "every merged-matched key must retag as update_preimage")
+    assert(byType("update_postimage").map(_.getLong(0)).sorted
+      === (0L until 10L).toArray)
+    // pre carries the OLD bal, post the new (negated) one
+    assert(byType("update_preimage").map(_.getDouble(2)).forall(_ >= 0))
+    assert(byType("update_postimage").map(_.getDouble(2)).forall(_ < 0))
+    assert(byType("insert").map(_.getLong(0)).sorted
+      === (1095L until 1100L).toArray, "fresh keys stay plain inserts")
+    assert(byType("delete").map(_.getLong(0)).sorted
+      === (90L until 95L).toArray, "removed keys stay plain deletes")
+    // v2: UPDATE-MOR — pre/post pair on the NON-set columns
+    SnapshotTable.updateMoR(spark, path, col("id") === 42L,
+      Map("bal" -> lit(-1.0)))
+    val cdc2 = SnapshotTable.changes(spark, path, 1, Some(2),
+      updateImages = true).collect()
+    assert(cdc2.length === 2)
+    val pre2 = cdc2.find(_.getAs[String]("change_type") == "update_preimage")
+    val post2 = cdc2.find(_.getAs[String]("change_type") == "update_postimage")
+    assert(pre2.exists(r => r.getLong(0) == 42L && r.getDouble(2) == 420.0))
+    assert(post2.exists(r => r.getLong(0) == 42L && r.getDouble(2) == -1.0))
+    // v3: a PLAIN delete keeps its tag even under updateImages
+    SnapshotTable.delete(spark, path, col("id") === 7L)
+    val cdc3 = SnapshotTable.changes(spark, path, 2, Some(3),
+      updateImages = true).collect()
+    assert(cdc3.map(_.getAs[String]("change_type")).toSeq === Seq("delete"))
+    // multi-version spans have no per-commit pairing identity: refuse
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.changes(spark, path, 0, Some(3), updateImages = true)
+    }
+    assert(err.getMessage.contains("SINGLE commit"))
+    // default (updateImages absent) is byte-for-byte the old contract
+    val plain = SnapshotTable.changes(spark, path, 0, Some(1)).collect()
+    assert(plain.map(_.getAs[String]("change_type")).toSet
+      === Set("insert", "delete"))
+  }
+
+  test("vacuum dry run + retention floor protect a lagging stream " +
+      "checkpoint; a forced vacuum then fails the stream loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val base = java.nio.file.Files.createTempDirectory("vacguard")
+    val src = s"$base/src"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    SnapshotTable.create((0L until 10L).toDF("id"), src)
+    SnapshotTable.append((10L until 20L).toDF("id"), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          SnapshotTable.appendStreamBatch(b, out, id); () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // checkpoint now at v1
+    // two more commits while the stream is DOWN — the checkpoint lags
+    SnapshotTable.append((20L until 30L).toDF("id"), src)
+    SnapshotTable.append((30L until 40L).toDF("id"), src)
+    // dry run: an aggressive vacuum WOULD drop v0..v2 — including v1,
+    // which the lagging stream's next batch (v2 = changes(1,2)) needs.
+    // Nothing is deleted by the plan itself.
+    assert(SnapshotTable.vacuumPlan(spark, src, keep = 1) === Seq(0, 1, 2))
+    assert(SnapshotTable.versions(spark, src) === Seq(0, 1, 2, 3))
+    // the retention floor: ops pin minVersionsToRetain=3, so the same
+    // aggressive vacuum keeps v1..v3 and the stream resumes exactly
+    spark.conf.set("spark.graft.vacuum.minVersionsToRetain", "3")
+    try {
+      assert(SnapshotTable.vacuumPlan(spark, src, keep = 1) === Seq(0))
+      SnapshotTable.vacuum(spark, src, keep = 1, graceMs = 0)
+      assert(SnapshotTable.versions(spark, src) === Seq(1, 2, 3))
+      run()
+      assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+        === (0L until 40L).toArray,
+        "the floored vacuum must leave the lagging stream's range")
+    } finally
+      spark.conf.unset("spark.graft.vacuum.minVersionsToRetain")
+    // regress the lag and force the unsafe vacuum: the restart must
+    // fail LOUDLY, never silently skip the vacuumed range
+    SnapshotTable.append((40L until 50L).toDF("id"), src)
+    SnapshotTable.append((50L until 60L).toDF("id"), src)
+    SnapshotTable.vacuum(spark, src, keep = 1, graceMs = 0)
+    assert(SnapshotTable.versions(spark, src) === Seq(5))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(err).toLowerCase.contains("manifest") ||
+      msgs(err).contains("FileNotFound") ||
+      msgs(err).toLowerCase.contains("does not exist"),
+      s"expected a loud missing-manifest failure, got: ${msgs(err).take(300)}")
+    // and the landed table never saw a partial or duplicated range
+    assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+      === (0L until 40L).toArray)
+  }
+
   test("data source pushdown: Not over a partially-translatable And " +
       "must not prune matching rows") {
     import spark.implicits._
