@@ -7,15 +7,24 @@ import org.apache.spark.sql.SparkSession
   * seconds. A warmup pass (table counts + one tiny query) runs first so
   * timings measure query execution, not JVM/codegen/session startup.
   *
-  * Each query gets one UNTIMED warmup execution, then runs `runs`
-  * times (default 3) and reports the MEDIAN — single-run timings at
-  * this scale are noisy enough (±50%) that regressions and wins are
-  * indistinguishable from scheduler jitter, and without the warmup a
-  * transient contention burst poisons all samples at once (the
-  * BENCH_r05 st1 false regression). `mins` carries min-of-N per query
-  * as the contention tell: min << median means scheduler noise, not
-  * the engine. Key names in the JSON are unchanged from the
-  * single-run contract.
+  * Sampling is PASS-STRUCTURED (r15): one untimed warm-up pass over
+  * the whole surface, then `runs` (default 3) TIMED passes, median
+  * per query across passes. Same total work as the old
+  * per-query-consecutive design, but robust to the variance that
+  * actually dominates this rig — measured r15: two same-day full
+  * runs totaled 229.8 vs 193.6 s with WITHIN-run min≈median on the
+  * swingers (g4 11.40/11.12 in the slow run vs 7.22 in the fast one)
+  * and code-cache telemetry flat at 154/240 MB, i.e. throughput
+  * varies at the WINDOW scale (minutes), not per execution.
+  * Consecutive sampling put all three of a query's samples inside
+  * the same window, so a slow window wrote an unfixable 1.6× median
+  * for whichever queries it covered (the r13 g4/g7 and r14 d9/d3
+  * false regressions). Spread across passes ~15 min apart, a slow
+  * window inflates ONE sample of many queries and the median rejects
+  * it. `mins` stays the contention tell; `codeCacheMB` (after each
+  * query's last sample) + `codeCacheMaxMB` keep the JIT-eviction
+  * hypothesis testable per archive. Key names in the JSON are
+  * unchanged from the single-run contract.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,6 +38,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // pass-structured sampling re-plans every query once per pass;
+      // the default 100-entry codegen cache cannot hold a 180-query
+      // surface, so without this each pass would re-compile every
+      // query's generated classes (static conf — set before session)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -85,42 +99,48 @@ object Bench {
     // driver never sets it, so the full-surface contract is unchanged
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var err: Option[String] = None
-      // per-query UNTIMED warmup (r5 lesson: a contended first run
-      // poisons all 3 samples at once, so the median can't save it —
-      // BENCH_r05 recorded st1 at 9.57 s vs 1.27 s on a quiet JVM).
-      // The warmup absorbs plan compilation, codegen, shuffle-file
-      // creation and page-cache fill; the timed runs then measure
-      // steady-state query execution, matching DedupScaleProbe.
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-      }
-      var i = 0
-      while (i < runs && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-        }
-        i += 1
-      }
-      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
-      val min = if (times.isEmpty) 0.0 else times.min
+    def fmtErr(e: Throwable): String =
+      s"${e.getClass.getSimpleName}: " +
+        Option(e.getMessage).getOrElse("").take(200)
+    val times = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Double]]
+    val errs0 = scala.collection.mutable.Map.empty[String, String]
+    val ccAfter = scala.collection.mutable.Map.empty[String, Long]
+    named.foreach { case (n, _) =>
+      times(n) = scala.collection.mutable.ArrayBuffer.empty[Double]
+    }
+    // pass 0 is the UNTIMED warm-up over the WHOLE surface (r5
+    // lesson: a contended first execution must not poison the
+    // samples). It absorbs plan compilation, codegen, shuffle-file
+    // creation and page-cache fill; passes 1..runs then sample each
+    // query once per pass, so a slow WINDOW (the variance that
+    // dominates this rig — see the scaladoc) lands in at most one of
+    // a query's samples and the median rejects it. A query that
+    // errors skips its remaining passes (first error is the signal).
+    for (pass <- 0 to runs; (name, fn) <- named
+         if !errs0.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        if (pass > 0) times(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable => errs0(name) = fmtErr(e) }
+      if (pass == runs) ccAfter(name) = codeCacheUsedMB
       // UNTIMED inter-query reclaim: local-checkpoint and broadcast
       // blocks are freed by ContextCleaner only after the JVM GCs the
-      // RDD references, and a 96 GiB heap left alone collects far too
+      // RDD references, and a big heap left alone collects far too
       // rarely — measured on the 140-query pass: without this,
       // checkpoint-heavy queries inflate 3-10x late in the run from
       // accumulated old-gen (g2_bfs 36 s vs 3 s solo; NOTES round 8).
-      // Isolated families show no inflation, so this is cross-query
-      // accumulation, not any query's own cost.
       System.gc()
-      (name, median, min, err, codeCacheUsedMB)
+    }
+    val results = named.map { case (name, _) =>
+      val ts = times(name)
+      val median = if (ts.isEmpty) 0.0 else ts.sorted.apply(ts.size / 2)
+      val min = if (ts.isEmpty) 0.0 else ts.min
+      (name, median, min, errs0.get(name),
+        ccAfter.getOrElse(name, codeCacheUsedMB))
     }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1073,6 +1073,46 @@ object WindowQueries {
     // cardinalities; the metadata scan itself is distributed
     // (segments resolve in tasks), so the verb holds at million-file
     // scale. No data file is read by the graded aggregate.
+    // W43: RESTORE (time travel made writable) × batch change feed.
+    // v0 full table → v1 CoW delete of slice A → v2 append of slice B
+    // → v3 RESTORE to v0, a METADATA-ONLY commit (require-pinned:
+    // v3's entry set IS v0's, byte-for-byte — zero data I/O). The
+    // batch CDF through spark.read.format("graft") then prices the
+    // whole lifecycle: v1 deletes A, v2 inserts B, and the restore
+    // arrives as one churn-sized diff (A resurrected as inserts, B
+    // rolled back as deletes) — each class restated relationally by
+    // the oracle, so a restore that re-read or re-wrote data, or a
+    // feed that mis-diffed it, breaks count and sum together.
+    "w43_restore_cdf" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w43").toString + "/orders_r"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")), path)
+      SnapshotTable.delete(s, path, col("o_orderkey") % 10 === 3L)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      SnapshotTable.append(
+        orders.filter(col("o_orderkey") % 100 === 1L)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey)),
+        path)
+      val v3 = SnapshotTable.restore(s, path, 0)
+      require(v3 == 3, s"restore committed $v3, expected 3")
+      require(SnapshotTable.manifestEntries(s, path, 3).toSet ==
+          SnapshotTable.manifestEntries(s, path, 0).toSet,
+        "restore must reference v0's manifest entries verbatim — " +
+          "metadata-only, zero data I/O")
+      s.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(path)
+        .groupBy(col("_commit_version"), col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy(col("_commit_version"), col("change_type"))
+    }),
+
     "w42_metadata_table" -> ((s, dir) => {
       import graft.sources.SnapshotTable
       val path = java.nio.file.Files
@@ -1753,6 +1793,34 @@ object WindowQueries {
         |FROM orders
         |WHERE o_orderkey % 10 < 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each lifecycle commit's change class restated from raw orders:
+    // A = the CoW-deleted slice, B = the appended (shifted) slice;
+    // the restore emits A back as inserts and retracts B
+    "w43_restore_cdf" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_orderkey % 10 = 3),
+        |b AS (SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders)
+        |        AS o_orderkey, o_totalprice
+        |      FROM orders WHERE o_orderkey % 100 = 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS _commit_version, 'delete' AS change_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total FROM a
+        |  UNION ALL
+        |  SELECT 2, 'insert', count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM b
+        |  UNION ALL
+        |  SELECT 3, 'delete', count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM b
+        |  UNION ALL
+        |  SELECT 3, 'insert', count(*),
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM a
+        |) ORDER BY _commit_version, change_type""".stripMargin,
 
     "w42_metadata_table" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows

@@ -585,6 +585,26 @@ object SnapshotTable {
     spark.conf.getOption("spark.graft.manifest.segmentEntries")
       .map(_.toInt).getOrElse(512)
 
+  /** Segment granularity at/above which `segmentFormat=auto` picks
+    * parquet over text: the geometric midpoint of the two measured
+    * SegReadProbe endpoints (512 entries → text ~18x faster; 51,200
+    * → parquet ~4-6x faster; r14/r15 notes carry the tables). Only
+    * the endpoints are measured — the midpoint is the honest
+    * least-assumption crossover estimate, and either explicit format
+    * value overrides it. */
+  private val ParquetAutoPickEntries = 5120
+
+  /** The segment format [[writeSegments]] will use under the current
+    * session confs (see the in-writer rationale for the measured
+    * crossover behind `auto`). */
+  private[graft] def segmentFormatIsParquet(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.manifest.segmentFormat")
+      .getOrElse("auto") match {
+        case "parquet" => true
+        case "text" => false
+        case _ => segmentEntriesConf(spark) >= ParquetAutoPickEntries
+      }
+
   /** Process-level cache of immutable segment files (uuid-named, so a
     * path can never be reused with different content). Bounded by
     * ESTIMATED RETAINED BYTES (sum of line lengths), like
@@ -1004,16 +1024,21 @@ object SnapshotTable {
       val blItems = writeBloomSidecar(fs, path, perFile)
       val lines =
         if (blItems.isEmpty) group else group.map(stripAllBloomItems)
-      // segment format: TEXT by default — the r14 SegReadProbe A/B
-      // measured direct task-side text reads 13x FASTER than parquet
-      // segments at this 512-entry granularity (per-file parquet
-      // footer/reader-init overhead dominates, and object stores pay
-      // 2-3 ranged GETs per parquet file vs one for text). `parquet`
-      // stays a fully-supported opt-in ([[SegmentCodec]]) — typed
-      // stat columns readable as a user-facing metadata table.
-      val parquetSeg = spark.conf
-        .getOption("spark.graft.manifest.segmentFormat")
-        .contains("parquet")
+      // segment format: AUTO-PICKED by measured granularity crossover
+      // (`spark.graft.manifest.segmentFormat` = text | parquet | auto,
+      // default auto). The r14/r15 SegReadProbe A/B measured BOTH
+      // regimes on this rig (2M entries, same-day arms): at the
+      // default 512-entry granularity direct task-side TEXT reads are
+      // ~18x faster than parquet (0.17-0.22 s vs 3.1-3.7 s — per-file
+      // parquet footer/reader-init dominates, and object stores pay
+      // 2-3 ranged GETs per parquet file vs one for text); at
+      // 51,200-entry granularity PARQUET wins ~4-6x (0.50-0.76 s vs
+      // ~2.9 s best text — column projection + page compression
+      // amortize once files are MBs). Auto picks parquet at/above the
+      // geometric midpoint of the measured endpoints (~5k entries);
+      // either explicit value pins the format (SegmentCodec parquet
+      // stays the typed, user-queryable metadata-table shape).
+      val parquetSeg = segmentFormatIsParquet(spark)
       val rel = s"_graft_log/seg-${UUID.randomUUID()}" +
         (if (parquetSeg) SegmentCodec.Extension else ".entries")
       if (parquetSeg)
@@ -2893,6 +2918,98 @@ object SnapshotTable {
       storedSchema(fs, path, toV)
         .map(_.fieldNames.toSeq)
         .getOrElse(read(spark, path, Some(toV)).columns.toSeq))
+  }
+
+  /** RESTORE (Delta parity): make the table's LATEST state equal the
+    * earlier committed `version`, as one new METADATA-ONLY commit —
+    * time travel made writable. The restored version's manifest body
+    * passes through by reference (segment refs reused verbatim,
+    * O(#refs) write, zero data I/O; its files are still on disk
+    * because every version in the log is vacuum-kept), and its
+    * schema/partition/bloom meta revert with it — a column dropped
+    * after `version` comes back, reading the same old physical bytes.
+    * Lifecycle keys introduced AFTER `version` reset to the empty
+    * value their parsers treat as absent. The change feed prices the
+    * restore naturally: one churn-sized diff (resurrected rows as
+    * inserts, rolled-back rows as deletes). The streaming batch
+    * marker is deliberately NOT restored — rewinding it would make an
+    * exactly-once sink re-accept replayed batch ids.
+    *
+    * Concurrent writers: pinned to head+1, aborts with
+    * ConcurrentModificationException if a racer lands first (the
+    * caller decides whether restoring over the racer's commit is
+    * still what the operator wants). Restoring the current head is a
+    * no-op. */
+  def restore(spark: SparkSession, path: String, version: Int): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    require(vs.contains(version),
+      s"restore: version $version not in ${vs.mkString(",")} " +
+        "(vacuumed away?)")
+    val head = vs.max
+    if (version == head) return head
+    val fs = fsOf(spark, logDir(path))
+    val body = readManifestRefs(fs, path, version)
+    val (refs, loose) = body.partition(_.startsWith(SegPrefix))
+    val oldMeta = readMeta(fs, path, version) -
+      "eot" - "wv" - "ts" - "streamBatch"
+    val headMeta = readMeta(fs, path, head)
+    val resets = (headMeta.keySet -- oldMeta.keySet)
+      .intersect(Set("droppedPhys", "bloomCols", "bloomBits",
+        "bloomHashes", "partition", "mergeKeys", "updateSet"))
+      .map(_ -> "").toMap
+    commitPinned(spark, path, refs, loose, head + 1,
+      oldMeta ++ resets +
+        ("op" -> "RESTORE", "restoredFrom" -> version.toString))
+  }
+
+  /** Batch change-data-feed over a version RANGE — the batch twin of
+    * the CDC stream (Delta's `readChangeFeed` batch read): one row
+    * per change with `change_type` and `_commit_version`, versions
+    * `fromVersion..toVersion` each contributing its own single-commit
+    * diff (version 0 = its full snapshot as inserts), aligned to the
+    * TO version's schema (pre-evolution batches null-fill added
+    * columns), unioned as a balanced tree. `updateImages` retags
+    * MERGE/UPDATE-MOR commits' matched rows as pre/post images (see
+    * [[pairUpdateImages]]) — here it composes per version, so the
+    * single-commit restriction on [[changes]] never bites. Cost: one
+    * churn-proportional diff per version in the range. */
+  def changeFeed(spark: SparkSession, path: String, fromVersion: Int,
+      toVersion: Option[Int] = None,
+      updateImages: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val toV = toVersion.getOrElse(vs.max)
+    require(vs.contains(fromVersion) && vs.contains(toV) &&
+        fromVersion <= toV,
+      s"changeFeed needs committed versions from<=to, got " +
+        s"$fromVersion..$toV of ${vs.mkString(",")}")
+    val target = read(spark, path, Some(toV)).schema
+    def align(df: DataFrame): DataFrame = {
+      val extra = df.columns.filterNot(c =>
+        target.fieldNames.contains(c) ||
+          c == "change_type" || c == "_commit_version")
+      val base = target.fields.foldLeft(df.drop(extra.toSeq: _*)) {
+        (d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      base.select((target.fieldNames.toSeq :+ "change_type" :+
+        "_commit_version").map(col): _*)
+    }
+    def feedOf(v: Int): DataFrame =
+      (if (v == 0) read(spark, path, Some(0))
+          .withColumn("change_type", lit("insert"))
+       else changes(spark, path, v - 1, Some(v), updateImages))
+        .withColumn("_commit_version", lit(v))
+    def tree(parts: Seq[DataFrame]): DataFrame =
+      if (parts.length == 1) parts.head
+      else {
+        val (l, r) = parts.splitAt(parts.length / 2)
+        tree(l).unionByName(tree(r))
+      }
+    tree((fromVersion to toV).map(v => align(feedOf(v))))
   }
 
   /** Delta-CDF-style update images over a single commit's diff: when

@@ -2168,6 +2168,78 @@ class SnapshotTableSpec extends SparkSpec {
       === (0L until 40L).toArray)
   }
 
+  test("segment format auto-pick follows the measured granularity " +
+      "crossover; explicit values pin it") {
+    def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+      try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+      finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    // default granularity (512) → text (measured ~18x faster there)
+    assert(!SnapshotTable.segmentFormatIsParquet(spark))
+    // coarse granularity → parquet (measured 4-6x faster at 51,200)
+    withConfs("spark.graft.manifest.segmentEntries" -> "51200") {
+      assert(SnapshotTable.segmentFormatIsParquet(spark))
+    }
+    withConfs("spark.graft.manifest.segmentEntries" -> "4096") {
+      assert(!SnapshotTable.segmentFormatIsParquet(spark))
+    }
+    // explicit formats override the heuristic in both directions
+    withConfs("spark.graft.manifest.segmentFormat" -> "parquet") {
+      assert(SnapshotTable.segmentFormatIsParquet(spark))
+    }
+    withConfs("spark.graft.manifest.segmentFormat" -> "text",
+        "spark.graft.manifest.segmentEntries" -> "51200") {
+      assert(!SnapshotTable.segmentFormatIsParquet(spark))
+    }
+  }
+
+  test("restore: metadata-only rollback — schema reverts, stream " +
+      "markers don't rewind, batch CDF prices it") {
+    import spark.implicits._
+    val path = freshPath("restore")
+    val rows = (0L until 50L).map(i => (i, i * 2.0)).toDF("id", "bal")
+    SnapshotTable.create(rows.repartition(2, col("id")), path)
+    // v1: exactly-once stream batch (marker 5 rides the commit)
+    SnapshotTable.appendStreamBatch(
+      (50L until 60L).map(i => (i, -1.0)).toDF("id", "bal"), path, 5L)
+    // v2: drop a column (metadata-only DDL)
+    SnapshotTable.dropColumn(spark, path, "bal")
+    assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id"))
+    // v3: RESTORE to v0 — bal comes back with its ORIGINAL values,
+    // read from the same old physical bytes
+    assert(SnapshotTable.restore(spark, path, 0) === 3)
+    val got = SnapshotTable.read(spark, path)
+      .as[(Long, Double)].collect().sorted
+    assert(got === (0L until 50L).map(i => (i, i * 2.0)).toArray)
+    // v0 itself is untouched (restore is a NEW commit)
+    assert(SnapshotTable.versions(spark, path) === Seq(0, 1, 2, 3))
+    // the stream marker did NOT rewind: a replay of batch 5 is still
+    // recognized and skipped (restoring the marker would double it)
+    assert(SnapshotTable.committedStreamBatch(spark, path) === Some(5L))
+    assert(SnapshotTable.appendStreamBatch(
+      (99L to 99L).map(i => (i, 0.0)).toDF("id", "bal"), path, 5L).isEmpty)
+    // restoring the head is a no-op; unknown versions refuse
+    assert(SnapshotTable.restore(spark, path, 3) === 3)
+    assert(SnapshotTable.versions(spark, path).max === 3)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, path, 17)
+    }
+    // the batch change feed prices the rollback as one CHURN diff:
+    // v0's untouched entries appear verbatim in both v2 and v3 and
+    // CANCEL (restore is by-reference), so the v3 diff is exactly the
+    // v1 stream batch's retraction — 10 deletes, nothing else
+    val cdf = SnapshotTable.changeFeed(spark, path, 3).collect()
+    val byType = cdf.groupBy(_.getAs[String]("change_type"))
+      .view.mapValues(_.length).toMap
+    assert(byType === Map("delete" -> 10),
+      s"restore diff must be exactly the rolled-back batch, got $byType")
+    // ...aligned to v3's RESTORED schema: the retracted rows carry
+    // their original bal bytes (not nulls) even though v2 had dropped
+    // the column
+    assert(cdf.forall(r => r.getDouble(r.fieldIndex("bal")) == -1.0),
+      "retracted batch rows must read their original bal bytes")
+  }
+
   test("data source pushdown: Not over a partially-translatable And " +
       "must not prune matching rows") {
     import spark.implicits._
