@@ -666,6 +666,66 @@ object StreamingQueries {
         .orderBy(col("change_type"))
     }),
 
+    // ST20: APPLY CHANGES INTO — table-to-table replication off the
+    // update-images CDC stream (the DLT shape, and the consumer st19's
+    // pre/post pairs exist FOR). Source lifecycle: v0 create, v1 MERGE
+    // (bal-flip updates + shifted fresh inserts + removeKeys), then —
+    // while the replica's stream is DOWN — v2 MoR delete; the restart
+    // must apply v2 exactly once from the checkpoint. The replica is
+    // maintained by Streaming.applyChangeFeed (per batch: final
+    // disposition per key by (_commit_version, post>delete>pre), one
+    // keyed merge, batch marker for exactly-once). Oracle: the
+    // source's final state restated relationally — a mis-paired
+    // image, dropped delete, or double-applied batch each break
+    // count/balance/key sums per nation.
+    "st20_cdc_apply_images" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st20").toString
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      val ckpt = s"$base/ckpt"
+      SnapshotTable.create(cust.repartition(4, col("c_custkey")), src)
+      val maxKey = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val upd = cust.filter(col("c_acctbal") < 0)
+        .withColumn("c_acctbal", -col("c_acctbal"))
+      val ins = cust.filter(col("c_custkey") % 100 === 7L)
+        .withColumn("c_custkey", col("c_custkey") + lit(maxKey))
+      val rem = cust
+        .filter(col("c_custkey") % 50 === 0L && col("c_acctbal") >= 0)
+        .select(col("c_custkey"))
+      SnapshotTable.merge(upd.unionByName(ins), src,
+        keyCols = Seq("c_custkey"), removeKeys = Some(rem))
+      def run(): Unit = {
+        Streaming.applyChangeFeed(s,
+          s.readStream.format("graft")
+            .option("readChangeFeed", "true")
+            .option("updateImages", "true")
+            .option("maxVersionsPerTrigger", "1").load(src),
+          rep, keyCols = Seq("c_custkey"), checkpoint = ckpt)
+        ()
+      }
+      run()
+      // a commit lands while the replica is down; restart applies it
+      // exactly once from the checkpoint
+      SnapshotTable.deleteMoR(s, src,
+        col("c_custkey") % 97 === 11L && col("c_custkey") <= maxKey)
+      run()
+      // the replica IS the source's latest state, row for row
+      require(SnapshotTable.read(s, rep).count() ==
+        SnapshotTable.read(s, src).count(),
+        "replica row count diverged from the source")
+      SnapshotTable.read(s, rep)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("bal_total"),
+          sum(col("c_custkey")).as("key_total"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -712,6 +772,28 @@ object StreamingQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the replica's final state restated from raw customer: flipped
+    // negative balances, minus the removed and MoR-deleted keys, plus
+    // the shifted inserts (shifted keys can't match the delete
+    // predicates: > max for %50/%97-with-bound arms)
+    "st20_cdc_apply_images" ->
+      """WITH flipped AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE c_acctbal END
+        |      AS bal
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 50 = 0 AND c_acctbal >= 0)
+        |    AND NOT c_custkey % 97 = 11),
+        |ins AS (
+        |  SELECT c_custkey + (SELECT max(c_custkey) FROM customer)
+        |      AS c_custkey, c_nationkey, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 100 = 7),
+        |final AS (SELECT * FROM flipped UNION ALL SELECT * FROM ins)
+        |SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_total
+        |FROM final GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // each change class restated relationally; pre/post share keys
     "st19_cdc_update_images" ->

@@ -1,6 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, GraftSqlAccess, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+  ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow,
+  Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.lit
@@ -52,16 +56,24 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *
   * Scale/robustness notes: offsets are pure metadata (one manifest
   * list per trigger); replay after `vacuum` of a still-uncommitted
-  * range fails LOUDLY (the manifests are gone) instead of silently
-  * skipping data — retention must outlive checkpoint lag, the same
-  * contract Delta documents. Reference consumers that re-read
+  * range fails LOUDLY at execution (the manifests are gone) instead
+  * of silently skipping data — retention must outlive checkpoint
+  * lag, the same contract Delta documents (a checkpoint that
+  * ADVANCED PAST a vacuumed range keeps streaming: recovery batches
+  * are constructed lazily). The source implements
+  * SupportsAdmissionControl + SupportsTriggerAvailableNow (the Delta
+  * V1-source pattern), so `Trigger.AvailableNow` pins the head
+  * version at start and drains to it in budget-bounded batches,
+  * self-terminating — the periodic-batch-job-over-a-stream shape a
+  * 100 TB backfill actually runs. Reference consumers that re-read
   * intermediate outputs per run (sf_datalake's postprocessing scripts
   * over written parquet, `io.py:89-90`) become incremental for free.
   */
 private[graft] class GraftStreamSource(
     sqlContext: SQLContext,
     path: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
@@ -243,27 +255,89 @@ private[graft] class GraftStreamSource(
       total
     }
 
-  override def getOffset: Option[Offset] = {
+  // ---- trigger admission control ------------------------------------
+  // The source implements SupportsAdmissionControl +
+  // SupportsTriggerAvailableNow (the Delta pattern for V1 sources):
+  // without them, Trigger.AvailableNow snapshots the RATE-LIMITED
+  // getOffset once and terminates after one capped batch — a
+  // "process everything available" run that silently processes
+  // maxFilesPerTrigger files. With them, the engine calls
+  // prepareForTriggerAvailableNow (pin the head version at start),
+  // then drains to that pin in budget-bounded batches and
+  // self-terminates. Versions are immutable once committed, so the
+  // pin is just a version number.
+
+  /** Versions beyond this do not exist for the current
+    * Trigger.AvailableNow run (None = unbounded / not an
+    * AvailableNow run). */
+  @volatile private var availableNowCapV: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val vs = SnapshotTable.versions(spark, path)
+    availableNowCapV =
+      Some(vs.maxOption.map(_.toLong).getOrElse(startingVersion - 1L))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls: Seq[ReadLimit] =
+      fileCap.map(f => ReadLimit.maxFiles(
+        math.min(f, Int.MaxValue.toLong).toInt)).toSeq ++
+        byteCap.map(b => ReadLimit.maxBytes(b)).toSeq
+    if (ls.isEmpty) ReadLimit.allAvailable()
+    else if (ls.size == 1) ls.head
+    else ReadLimit.compositeLimit(ls.toArray)
+  }
+
+  /** (file budget, byte budget) a ReadLimit asks for. Unknown limit
+    * shapes fall back to the option-derived budgets (never silently
+    * unbounded). */
+  private def budgetsOf(limit: ReadLimit): (Long, Long) = limit match {
+    case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+    case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(budgetsOf).reduce((a, b) =>
+        (math.min(a._1, b._1), math.min(a._2, b._2)))
+    case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue)
+    case _ =>
+      (fileCap.getOrElse(Long.MaxValue), byteCap.getOrElse(Long.MaxValue))
+  }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    val (fb, bb) = budgetsOf(limit)
+    walkOffset(fb, bb).orNull
+  }
+
+  override def getOffset: Option[Offset] =
+    walkOffset(fileCap.getOrElse(Long.MaxValue),
+      byteCap.getOrElse(Long.MaxValue))
+
+  /** One trigger's offset under the given budgets (and the
+    * AvailableNow pin when set): advances [[lastSeen]]. */
+  private def walkOffset(fileBudget0: Long, byteBudget0: Long)
+      : Option[Offset] = {
     val vs = SnapshotTable.versions(spark, path)
     if (vs.isEmpty) return None
+    val headAll = availableNowCapV
+      .fold(vs.max.toLong)(c => math.min(vs.max.toLong, c))
     if (!subVersion) {
       // saturating add: the unbounded default is Long.MaxValue, and a
       // positive lastSeen (startingVersion > 0) would overflow a plain +
       val horizon =
         try Math.addExact(lastSeen, maxVersionsPerTrigger)
         catch { case _: ArithmeticException => Long.MaxValue }
-      val capped = math.min(vs.max.toLong, horizon)
+      val capped = math.min(headAll, horizon)
       if (capped <= lastSeen) None
       else {
         lastSeen = capped
         Some(LongOffset(capped))
       }
     } else {
-      val head = vs.max.toLong
+      val head = headAll
       var v = lastSeen
       var u = lastSeenUnits
-      var fileBudget = fileCap.getOrElse(Long.MaxValue)
-      var byteBudget = byteCap.getOrElse(Long.MaxValue)
+      var fileBudget = fileBudget0
+      var byteBudget = byteBudget0
       var versionsLeft = maxVersionsPerTrigger
       var progressed = false
       var done = false

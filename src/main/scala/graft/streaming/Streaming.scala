@@ -354,6 +354,68 @@ object Streaming {
     SnapshotTable.versions(spark, tablePath).max
   }
 
+  /** APPLY CHANGES INTO (the DLT/Delta Live shape): consume another
+    * graft table's CDC stream — `readStream.format("graft")` with
+    * `readChangeFeed=true, updateImages=true` — and maintain an
+    * exact REPLICA by key. Per micro-batch:
+    *  1. reduce to each key's FINAL disposition: highest
+    *     `_commit_version` wins; within one version an
+    *     insert/update_postimage beats a delete beats an
+    *     update_preimage (a matched update carries pre+post in the
+    *     same version — post IS the new state; a preimage without
+    *     its postimage in the batch decides nothing);
+    *  2. one [[graft.sources.SnapshotTable.merge]]: final
+    *     insert/postimage rows upsert, final delete keys remove —
+    *     the keyed-churn commit, exactly-once via the batch marker
+    *     (a replayed batch after restart is recognized and skipped).
+    * The first batch (the source's v0 snapshot, all inserts) creates
+    * the replica through the same exactly-once append.
+    *
+    * Batch-order contract: commit versions are totally ordered and
+    * the CDC stream delivers them in order, so the replica equals
+    * the source's latest state whatever the trigger batching —
+    * unlike [[cdcApplyToSnapshot]]'s time-slice assumption, version
+    * order is the source table's own serialization. */
+  def applyChangeFeed(spark: SparkSession, streamed: DataFrame,
+      tablePath: String, keyCols: Seq[String],
+      checkpoint: String): Int = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.expressions.Window
+    val q = streamed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!SnapshotTable.committedStreamBatch(batch.sparkSession,
+            tablePath).exists(_ >= id)) {
+          val prec = when(col("change_type")
+              .isin("insert", "update_postimage"), 2)
+            .when(col("change_type") === "delete", 1)
+            .otherwise(0)
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col("_commit_version").desc, prec.desc)
+          val fin = batch.withColumn("__p", prec)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+          val ups = fin.filter(col("__p") === 2)
+            .drop("change_type", "_commit_version", "__p", "__rn")
+          val rems = fin.filter(col("__p") === 1)
+            .select(keyCols.map(col): _*)
+          if (SnapshotTable.versions(batch.sparkSession, tablePath)
+              .isEmpty)
+            SnapshotTable.appendStreamBatch(ups, tablePath, id)
+          else
+            SnapshotTable.merge(ups, tablePath, keyCols,
+              meta = Map("streamBatch" -> id.toString),
+              removeKeys = Some(rems))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    SnapshotTable.versions(spark, tablePath).max
+  }
+
   def upsertToSnapshot(spark: SparkSession, streamed: DataFrame,
       tablePath: String, keyCols: Seq[String], checkpoint: String): Int = {
     import graft.sources.SnapshotTable

@@ -2240,6 +2240,56 @@ class SnapshotTableSpec extends SparkSpec {
       "retracted batch rows must read their original bal bytes")
   }
 
+  test("Trigger.AvailableNow drains the start-time snapshot in " +
+      "budget-bounded batches and self-terminates (admission control)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("availnow")
+    val src = s"$base/src"
+    val out = s"$base/out"
+    SnapshotTable.create((0L until 800L).toDF("id").repartition(8), src)
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "3").load(src)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (b.count() > 0) batches.incrementAndGet()
+        SnapshotTable.appendStreamBatch(b, out, id); () }
+      .start()
+    // AvailableNow must terminate ON ITS OWN once the start-time
+    // snapshot is drained — no stop() call here
+    assert(q.awaitTermination(120000),
+      "AvailableNow failed to self-terminate")
+    // SupportsAdmissionControl + SupportsTriggerAvailableNow (the
+    // Delta V1-source pattern): without them, Spark snapshots the
+    // rate-limited getOffset ONCE and a "process everything" run
+    // silently drained only maxFilesPerTrigger files (measured before
+    // the traits landed: 1 batch, 300 of 800 rows). With them the
+    // engine pins the head at start and drains to it in bounded
+    // batches.
+    assert(batches.get() >= 3,
+      s"8 files at cap 3 must drain in >= 3 bounded batches, " +
+        s"got ${batches.get()}")
+    assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+      === (0L until 800L).toArray,
+      "the snapshot must land exactly once across the bounded batches")
+    // a LATER commit is next run's work: a fresh AvailableNow run
+    // picks up exactly the delta
+    SnapshotTable.append(Seq(9000L).toDF("id"), src)
+    val q2 = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "3").load(src)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        SnapshotTable.appendStreamBatch(b, out, id); () }
+      .start()
+    assert(q2.awaitTermination(120000))
+    assert(SnapshotTable.read(spark, out).as[Long].collect().sorted
+      === ((0L until 800L) :+ 9000L).toArray)
+  }
+
   test("data source pushdown: Not over a partially-translatable And " +
       "must not prune matching rows") {
     import spark.implicits._
