@@ -93,7 +93,9 @@ class GraftDataSource extends RelationProvider
       else opt(parameters, "partitionBy")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq.empty)
-    new GraftStreamSink(sqlContext, pathOf(parameters), partCols)
+    new GraftStreamSink(sqlContext, pathOf(parameters), partCols,
+      mergeSchema =
+        opt(parameters, "mergeSchema").exists(_.toBoolean))
   }
 
   override def createRelation(sqlContext: SQLContext,

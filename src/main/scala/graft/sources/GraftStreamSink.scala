@@ -24,7 +24,12 @@ import org.apache.spark.sql.execution.streaming.Sink
   *
   * The first batch CREATES the table; `partitionBy` (from the stream
   * writer or a `partitionBy` option, comma-separated) applies then
-  * and must match the stored layout ever after.
+  * and must match the stored layout ever after. `mergeSchema=true`
+  * admits a restarted stream whose schema gained columns — the
+  * additive evolution commits with the batch, metadata-only, exactly
+  * [[SnapshotTable.append]]'s evolveSchema contract (the
+  * drifting-CDC-ingestion shape); schema drift is refused loudly
+  * otherwise.
   *
   * Reference behavior source: sf_datalake writes all outputs as plain
   * parquet snapshots (`io.py:89-99`); this is the beyond-reference
@@ -33,7 +38,8 @@ import org.apache.spark.sql.execution.streaming.Sink
 private[graft] class GraftStreamSink(
     sqlContext: SQLContext,
     path: String,
-    partitionBy: Seq[String]) extends Sink {
+    partitionBy: Seq[String],
+    mergeSchema: Boolean) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is the micro-batch engine's incremental
@@ -41,7 +47,8 @@ private[graft] class GraftStreamSink(
     // frame before handing it to the batch-append path (which plans a
     // fresh write job over it)
     val batch = GraftSqlAccess.batchDf(sqlContext.sparkSession, data)
-    SnapshotTable.appendStreamBatch(batch, path, batchId, partitionBy)
+    SnapshotTable.appendStreamBatch(batch, path, batchId, partitionBy,
+      evolveSchema = mergeSchema)
   }
 
   override def toString: String = s"GraftStreamSink[$path]"

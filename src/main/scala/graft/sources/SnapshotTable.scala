@@ -2056,12 +2056,16 @@ object SnapshotTable {
     * the new columns as NULL; a column common to both sides must keep
     * its type). Dropping or retyping a column is deliberately not
     * expressible — that is an overwrite. */
-  def append(df: DataFrame, path: String,
-      evolveSchema: Boolean = false): Int = {
-    val spark = df.sparkSession
+  /** The stored schema an append of `df` commits (shared by [[append]]
+    * and [[appendStreamBatch]]): the current table schema, plus —
+    * only under `evolveSchema` — `df`'s new columns (metadata-only:
+    * old files read them as null). Common columns must keep their
+    * type; without `evolveSchema` the schemas must match exactly,
+    * refused loudly otherwise. */
+  private def evolvedAppendSchema(spark: SparkSession, fs: FileSystem,
+      path: String, df: DataFrame,
+      evolveSchema: Boolean): types.StructType = {
     val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no snapshot table at $path")
-    val fs = fsOf(spark, logDir(path))
     // the table schema is metadata (stored in the log head); fall back
     // to footer inference for legacy logs, and to "unknown" for a head
     // that references no files at all (an empty overwrite)
@@ -2085,7 +2089,8 @@ object SnapshotTable {
             df.schema.fields.length == current.fields.length),
           s"append schema [${df.columns.mkString(",")}] differs from " +
             s"table [${current.fieldNames.mkString(",")}] — pass " +
-            "evolveSchema = true to add columns")
+            "evolveSchema = true (mergeSchema on the writers) to " +
+            "add columns")
         add
     }
     // a re-added logical name whose physical slot was ever used (a
@@ -2098,8 +2103,17 @@ object SnapshotTable {
       if (usedPhys.contains(f.name))
         withPhys(f, "c_" + UUID.randomUUID().toString.take(8))
       else f)
-    val evolved = types.StructType(
+    types.StructType(
       currentOpt.fold(df.schema.fields)(_.fields ++ addedMapped))
+  }
+
+  def append(df: DataFrame, path: String,
+      evolveSchema: Boolean = false): Int = {
+    val spark = df.sparkSession
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val fs = fsOf(spark, logDir(path))
+    val evolved = evolvedAppendSchema(spark, fs, path, df, evolveSchema)
     // appends inherit the table's partition layout from the log meta
     val staged = stage(toPhysical(df, Some(evolved)), path,
       partitioning(spark, path))
@@ -2150,9 +2164,15 @@ object SnapshotTable {
     * `partitionBy` applies only when the FIRST batch creates the
     * table (recorded in the log meta exactly as [[create]] does);
     * against an existing table it must match the stored layout —
-    * silently writing a different layout would corrupt pruning. */
+    * silently writing a different layout would corrupt pruning.
+    * `evolveSchema` (the sink's `mergeSchema` option) admits a
+    * RESTARTED stream whose schema gained columns: the additive
+    * evolution commits with the batch (metadata-only — old files
+    * read the new columns as null), exactly [[append]]'s contract;
+    * anything else still refuses loudly. */
   def appendStreamBatch(df: DataFrame, path: String,
-      batchId: Long, partitionBy: Seq[String] = Nil): Option[Int] = {
+      batchId: Long, partitionBy: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Option[Int] = {
     val spark = df.sparkSession
     if (committedStreamBatch(spark, path).exists(_ >= batchId)) None
     else {
@@ -2172,7 +2192,7 @@ object SnapshotTable {
         else readMeta(fs, path, priorVs.max)
       val mapped =
         if (priorVs.isEmpty) None
-        else storedSchema(fs, path, priorVs.max)
+        else Some(evolvedAppendSchema(spark, fs, path, df, evolveSchema))
       val staged = stage(toPhysical(df, mapped), path, layout)
       // bloom MAINTENANCE under streaming churn: if the table carries
       // a bloom policy ([[indexBloom]] meta), bloom this batch's new
@@ -2184,12 +2204,16 @@ object SnapshotTable {
       val stagedIndexed = maintainBlooms(spark, path, priorMeta,
         mapped, df.columns.toSeq, staged)
       // first batch creates the table and records its schema (and
-      // partition layout); later batches inherit through the meta chain
+      // partition layout); later batches inherit through the meta
+      // chain — except an EVOLVING batch, which must commit the
+      // widened schema with its own data
       val schemaM =
         if (versions(spark, path).isEmpty)
           schemaMeta(df.schema) ++
             (if (layout.isEmpty) Map.empty[String, String]
              else Map("partition" -> layout.mkString(",")))
+        else if (evolveSchema) mapped.fold(
+          Map.empty[String, String])(schemaMeta)
         else Map.empty[String, String]
       Some(commit(spark, path, AppendSpec(stagedIndexed),
         meta = Map("streamBatch" -> batchId.toString,

@@ -2047,6 +2047,42 @@ class SnapshotTableSpec extends SparkSpec {
         .mkString("|")
     assert(anyMsg(drift).contains("does not match the table's layout"),
       s"expected the layout-drift refusal, got: $drift")
+    // a stream whose schema GAINED a column vs its target table:
+    // refused by default, admitted as additive evolution under
+    // mergeSchema (old rows read the new column as null) — the
+    // drifting-CDC-ingestion shape. A FRESH table (batch-created, no
+    // stream markers): the sink's exactly-once contract is one stream
+    // per table, so reusing `out` would skip the new stream's batch 0
+    // as a replay of the old stream's.
+    val out2 = base.resolve("t2").toString
+    SnapshotTable.create(rows, out2)
+    val wide = rows.withColumn("score", col("id") * 10L)
+    wide.coalesce(1).write.parquet(tmp + "3")
+    val part3 = new java.io.File(tmp + "3").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val in2 = base.resolve("in2")
+    java.nio.file.Files.createDirectories(in2)
+    java.nio.file.Files.move(part3.toPath, in2.resolve("b0.parquet"))
+    def startWide(merge: Boolean) = spark.readStream
+      .schema(wide.schema).parquet(in2.toString)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt_wide_$merge")
+      .option("mergeSchema", merge.toString)
+      .start(out2)
+    val refuse = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q3 = startWide(merge = false)
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(anyMsg(refuse).contains("mergeSchema"),
+      s"expected the schema-drift refusal naming the option, got: $refuse")
+    val q4 = startWide(merge = true)
+    try q4.processAllAvailable() finally q4.stop()
+    val evolved = SnapshotTable.read(spark, out2)
+    assert(evolved.columns.toSeq === Seq("id", "lang", "score"))
+    assert(evolved.count() === 80)
+    assert(evolved.filter(col("score").isNull).count() === 40,
+      "pre-evolution rows must read the added column as null")
+    assert(evolved.filter(col("score") === col("id") * 10L).count() === 40)
   }
 
   test("changes(updateImages=true): MERGE and UPDATE-MOR commits pair " +
