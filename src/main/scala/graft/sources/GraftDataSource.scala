@@ -180,8 +180,16 @@ private[graft] class GraftChangeFeedRelation(ctx: SQLContext,
 
   override def sqlContext: SQLContext = ctx
 
-  private def feed: org.apache.spark.sql.DataFrame =
-    SnapshotTable.changeFeed(ctx.sparkSession, path, from, to,
+  // endingVersion pinned at relation CREATION: schema resolution and
+  // buildScan must see the same head (a commit racing between the
+  // two would scan versions the schema never aligned to), and the
+  // feed builds ONCE (lazy val) — each construction is one manifest
+  // diff per version in the range, not something to pay twice
+  private val toV: Option[Int] = to.orElse(Some(
+    SnapshotTable.versions(ctx.sparkSession, path).max))
+
+  private lazy val feed: org.apache.spark.sql.DataFrame =
+    SnapshotTable.changeFeed(ctx.sparkSession, path, from, toV,
       updateImages)
 
   override val schema: StructType = feed.schema

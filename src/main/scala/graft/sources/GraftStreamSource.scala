@@ -207,13 +207,10 @@ private[graft] class GraftStreamSource(
       val hit = unitCache.get(v)
       if (hit != null) hit
       else {
+        // paths are Int-indexed arrays, so a slice position can never
+        // exceed Int range (manifests are Int-sized sequences; the
+        // Long offsets clamp to cnt before slicing)
         def ofAdds(adds: Seq[String]): UnitInfo = {
-          // offsets are Long-typed but a splittable slice indexes an
-          // Int-addressed array — an (impossible today: Seq is
-          // Int-sized) oversized add list must fail loudly, never
-          // mis-slice
-          require(adds.size >= 0 && adds.size <= Int.MaxValue,
-            s"version $v: ${adds.size} added files exceed slice range")
           val sorted = adds.sortBy(SnapshotTable.entryPath)
           UnitInfo(split = true, sorted.size.toLong,
             sorted.map(SnapshotTable.entryPath).toArray,
@@ -228,9 +225,22 @@ private[graft] class GraftStreamSource(
             val prev = SnapshotTable.manifestEntries(spark, path, v - 1)
             val removed =
               prev.exists(e => !curKeys(SnapshotTable.entryKey(e)))
-            if (removed)
-              UnitInfo(split = false, 1L, Array.empty, Array.empty)
-            else {
+            if (removed) {
+              // an atomic version still CHARGES the byte budget with
+              // its newly-written bytes (the rewrite's churn — the
+              // best cheap proxy for its row-level diff's read cost):
+              // without a charge, a run of merge/delete commits under
+              // maxBytesPerTrigger alone would collapse into ONE
+              // unbounded trigger
+              val prevKeys = prev.map(SnapshotTable.entryKey).toSet
+              val newBytes = cur.iterator
+                .filter(e => !prevKeys(SnapshotTable.entryKey(e)))
+                .map(e => SnapshotTable.entryFileMeta(e)
+                  .map(_._1).getOrElse(0L))
+                .sum
+              UnitInfo(split = false, 1L, Array.empty,
+                Array(newBytes))
+            } else {
               val prevKeys = prev.map(SnapshotTable.entryKey).toSet
               ofAdds(cur.filter(e => !prevKeys(SnapshotTable.entryKey(e))))
             }
@@ -352,10 +362,12 @@ private[graft] class GraftStreamSource(
             else { v += 1; u = 0L }
           } else if (!info.split) {
             // an atomic version is consumed whole even past the
-            // budgets (a trigger always makes progress); its diff is
-            // row-level so only the file budget is charged (1 unit)
+            // budgets (a trigger always makes progress); it charges
+            // 1 file unit plus its newly-written bytes, so a RUN of
+            // rewrite commits stays bounded under either cap
             u = info.cnt
             fileBudget -= 1
+            byteBudget -= (if (info.sizes.nonEmpty) info.sizes(0) else 0L)
             progressed = true
             versionsLeft -= 1
           } else {
@@ -504,11 +516,7 @@ private[graft] class GraftStreamSource(
 
   /** Union as a balanced binary tree (plan depth O(log n)). */
   private def treeUnion(parts: Seq[DataFrame]): DataFrame =
-    if (parts.length == 1) parts.head
-    else {
-      val (l, r) = parts.splitAt(parts.length / 2)
-      treeUnion(l).unionByName(treeUnion(r))
-    }
+    SnapshotTable.unionTree(parts)
 
   /** `batch` aligned to the stream's FIXED schema: the table can
     * evolve mid-stream (or before the stream started, with old
@@ -522,10 +530,29 @@ private[graft] class GraftStreamSource(
   private def align(batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     if (batch.columns.sameElements(schema.fieldNames)) batch
-    else schema.fields.foldLeft(batch) { (df, f) =>
+    else {
+      // the rename fingerprint: the batch carries a column the stream
+      // schema lacks WHILE the schema expects one the batch lacks —
+      // by-name alignment would silently null the renamed column's
+      // values. Fail loudly (the documented contract); extra-only is
+      // benign mid-stream additive evolution (dropped until a fresh
+      // checkpoint), missing-only is pre-evolution null-fill.
+      val extra = batch.columns
+        .filterNot(schema.fieldNames.contains).toSeq
+      val missing = schema.fieldNames
+        .filterNot(batch.columns.contains).toSeq
+      if (extra.nonEmpty && missing.nonEmpty)
+        throw new IllegalStateException(
+          s"graft stream at $path: a batch's schema carries " +
+            s"[${extra.mkString(",")}] while the stream schema " +
+            s"expects [${missing.mkString(",")}] — a column rename " +
+            "mid-stream cannot be aligned by name; restart the " +
+            "query with a fresh checkpoint past the rename")
+      schema.fields.foldLeft(batch) { (df, f) =>
         if (df.columns.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
       }.select(schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 
   /** Version `v`'s own contribution to the append feed: the full

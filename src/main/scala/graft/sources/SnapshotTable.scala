@@ -2063,17 +2063,24 @@ object SnapshotTable {
     * type; without `evolveSchema` the schemas must match exactly,
     * refused loudly otherwise. */
   private def evolvedAppendSchema(spark: SparkSession, fs: FileSystem,
-      path: String, df: DataFrame,
-      evolveSchema: Boolean): types.StructType = {
-    val vs = versions(spark, path)
+      path: String, headV: Int, df: DataFrame, evolveSchema: Boolean,
+      inferLegacy: Boolean = true): types.StructType = {
     // the table schema is metadata (stored in the log head); fall back
     // to footer inference for legacy logs, and to "unknown" for a head
-    // that references no files at all (an empty overwrite)
+    // that references no files at all (an empty overwrite).
+    // `inferLegacy=false` (the per-batch streaming path) skips the
+    // footer-inference fallback — building an inference plan on EVERY
+    // micro-batch of a legacy table is per-trigger latency the old
+    // unchecked path never paid; such batches stage schema-unchecked,
+    // as before.
     val currentOpt: Option[types.StructType] =
-      storedSchema(fs, path, vs.max).orElse {
-        val rels = manifestPaths(fs, path, vs.max)
-        if (rels.isEmpty) None
-        else Some(readFilesAs(spark, path, None, rels).schema)
+      storedSchema(fs, path, headV).orElse {
+        if (!inferLegacy) None
+        else {
+          val rels = manifestPaths(fs, path, headV)
+          if (rels.isEmpty) None
+          else Some(readFilesAs(spark, path, None, rels).schema)
+        }
       }
     val added = currentOpt match {
       case None => Array.empty[types.StructField]
@@ -2098,7 +2105,7 @@ object SnapshotTable {
     // still present in old files) gets a fresh physical name — old
     // bytes must never resurrect under a new column
     val usedPhys = currentOpt.toSeq.flatMap(_.fields.map(physName))
-      .toSet ++ droppedPhys(fs, path, vs.max)
+      .toSet ++ droppedPhys(fs, path, headV)
     val addedMapped = added.map(f =>
       if (usedPhys.contains(f.name))
         withPhys(f, "c_" + UUID.randomUUID().toString.take(8))
@@ -2113,7 +2120,8 @@ object SnapshotTable {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
     val fs = fsOf(spark, logDir(path))
-    val evolved = evolvedAppendSchema(spark, fs, path, df, evolveSchema)
+    val evolved = evolvedAppendSchema(spark, fs, path, vs.max, df,
+      evolveSchema)
     // appends inherit the table's partition layout from the log meta
     val staged = stage(toPhysical(df, Some(evolved)), path,
       partitioning(spark, path))
@@ -2176,23 +2184,36 @@ object SnapshotTable {
     val spark = df.sparkSession
     if (committedStreamBatch(spark, path).exists(_ >= batchId)) None
     else {
+      // the log is listed ONCE and the head's meta read ONCE per
+      // batch — layout, schema, and bloom policy all come from them
+      // (this is the per-trigger hot path; every extra listing is an
+      // object-store RPC)
       val priorVs = versions(spark, path)
       val fs = fsOf(spark, logDir(path))
+      val priorMeta =
+        if (priorVs.isEmpty) Map.empty[String, String]
+        else readMeta(fs, path, priorVs.max)
       val layout =
         if (priorVs.isEmpty) partitionBy
         else {
-          val stored = partitioning(spark, path)
+          val stored = priorMeta.get("partition")
+            .map(_.split(",").toSeq.filter(_.nonEmpty))
+            .getOrElse(Seq.empty)
           require(partitionBy.isEmpty || partitionBy == stored,
             s"stream partitionBy [${partitionBy.mkString(",")}] does " +
               s"not match the table's layout [${stored.mkString(",")}]")
           stored
         }
-      val priorMeta =
-        if (priorVs.isEmpty) Map.empty[String, String]
-        else readMeta(fs, path, priorVs.max)
       val mapped =
         if (priorVs.isEmpty) None
-        else Some(evolvedAppendSchema(spark, fs, path, df, evolveSchema))
+        else {
+          val evolved = evolvedAppendSchema(spark, fs, path,
+            priorVs.max, df, evolveSchema, inferLegacy = false)
+          // legacy logs without schema meta stage unchecked (as
+          // before r15): evolvedAppendSchema returns df.schema there,
+          // which carries no physical mapping to translate
+          Some(evolved)
+        }
       val staged = stage(toPhysical(df, mapped), path, layout)
       // bloom MAINTENANCE under streaming churn: if the table carries
       // a bloom policy ([[indexBloom]] meta), bloom this batch's new
@@ -2208,7 +2229,7 @@ object SnapshotTable {
       // chain — except an EVOLVING batch, which must commit the
       // widened schema with its own data
       val schemaM =
-        if (versions(spark, path).isEmpty)
+        if (priorVs.isEmpty)
           schemaMeta(df.schema) ++
             (if (layout.isEmpty) Map.empty[String, String]
              else Map("partition" -> layout.mkString(",")))
@@ -3014,6 +3035,24 @@ object SnapshotTable {
       val extra = df.columns.filterNot(c =>
         target.fieldNames.contains(c) ||
           c == "change_type" || c == "_commit_version")
+      val missing = target.fieldNames.filterNot(df.columns.contains)
+      // a version carrying a column the range-end schema lacks WHILE
+      // the range-end schema expects one this version lacks is a
+      // RENAME (or drop+add) between them: by-name alignment would
+      // silently report the renamed column as NULL for every
+      // pre-rename row even though column mapping preserves the
+      // bytes. Refuse loudly (Delta CDF takes the same stance on
+      // incompatible schema changes across a range); extra-only is
+      // the benign later-dropped-column case, missing-only the
+      // benign pre-evolution case (null-fill is exactly how batch
+      // readers surface those files).
+      if (extra.nonEmpty && missing.nonEmpty)
+        throw new IllegalStateException(
+          "changeFeed cannot align version schemas across a column " +
+            s"rename/retype: a version carries [${extra.mkString(",")}]" +
+            s" while the range-end schema expects " +
+            s"[${missing.mkString(",")}] — narrow the version range " +
+            "to one side of the schema change")
       val base = target.fields.foldLeft(df.drop(extra.toSeq: _*)) {
         (d, f) =>
           if (d.columns.contains(f.name)) d
@@ -3027,14 +3066,18 @@ object SnapshotTable {
           .withColumn("change_type", lit("insert"))
        else changes(spark, path, v - 1, Some(v), updateImages))
         .withColumn("_commit_version", lit(v))
-    def tree(parts: Seq[DataFrame]): DataFrame =
-      if (parts.length == 1) parts.head
-      else {
-        val (l, r) = parts.splitAt(parts.length / 2)
-        tree(l).unionByName(tree(r))
-      }
-    tree((fromVersion to toV).map(v => align(feedOf(v))))
+    unionTree((fromVersion to toV).map(v => align(feedOf(v))))
   }
+
+  /** Union as a balanced binary tree: plan depth O(log n), the shape
+    * both the CDC stream source and the batch change feed need for
+    * ranges spanning many versions. */
+  private[graft] def unionTree(parts: Seq[DataFrame]): DataFrame =
+    if (parts.length == 1) parts.head
+    else {
+      val (l, r) = parts.splitAt(parts.length / 2)
+      unionTree(l).unionByName(unionTree(r))
+    }
 
   /** Delta-CDF-style update images over a single commit's diff: when
     * the commit recorded a row-pairing identity — `mergeKeys` for a

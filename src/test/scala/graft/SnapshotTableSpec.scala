@@ -2326,6 +2326,67 @@ class SnapshotTableSpec extends SparkSpec {
       === ((0L until 800L) :+ 9000L).toArray)
   }
 
+  test("change feeds refuse column renames across their range — " +
+      "never silent nulls; atomic versions charge the byte budget") {
+    import spark.implicits._
+    import graft.sources.{GraftSourceOffset, GraftStreamSource}
+    import org.apache.spark.sql.DataFrame
+    val path = freshPath("renamecdf")
+    SnapshotTable.create((0L until 40L).toDF("a"), path)
+    // a live stream captures schema [a]; the rename lands MID-RUN —
+    // the next batch aligns [b] against [a] and must fail LOUDLY
+    // (by-name alignment would emit the renamed column as null)
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("renameckpt").toString)
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    q.processAllAvailable()
+    SnapshotTable.renameColumn(spark, path, "a", "b")
+    SnapshotTable.append((40L until 50L).toDF("b"), path)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    assert(msgs(err).contains("rename"),
+      s"expected the rename refusal, got: ${msgs(err).take(300)}")
+    // batch CDF: a range SPANNING the rename refuses with the same
+    // contract; a range past it aligns fine
+    val cdfErr = intercept[IllegalStateException] {
+      SnapshotTable.changeFeed(spark, path, 0).collect()
+    }
+    assert(cdfErr.getMessage.contains("rename"))
+    assert(SnapshotTable.changeFeed(spark, path, 2)
+      .select(col("b")).collect().map(_.getLong(0)).sorted
+      === (40L until 50L).toArray,
+      "a post-rename range must read the renamed column's real values")
+
+    // atomic byte charge: a RUN of MoR-delete commits under
+    // maxBytesPerTrigger alone must split into bounded triggers —
+    // each re-masked file charges its data bytes (what the row-level
+    // diff actually re-reads)
+    val p2 = freshPath("atomicbytes")
+    SnapshotTable.create((0L until 1000L).toDF("id").coalesce(1), p2)
+    val fileLen = SnapshotTable.manifestEntries(spark, p2, 0)
+      .flatMap(e => SnapshotTable.entryFileMeta(e).map(_._1)).sum
+    assert(fileLen > 0L)
+    (1 to 3).foreach(k =>
+      SnapshotTable.deleteMoR(spark, p2, col("id") === k.toLong))
+    // budget of ~one file: the first trigger takes v0's file + one
+    // atomic version (progress), later triggers two atomic versions
+    // each (charge L, remaining 1, next consumed, then negative)
+    val src = new GraftStreamSource(spark.sqlContext, p2,
+      Map("maxBytesPerTrigger" -> (fileLen + 1).toString))
+    assert(src.getOffset === Some(GraftSourceOffset(1L, 1L)))
+    assert(src.getOffset === Some(GraftSourceOffset(3L, 1L)))
+    assert(src.getOffset === None)
+    // a generous budget still takes everything in one trigger
+    val wide = new GraftStreamSource(spark.sqlContext, p2,
+      Map("maxBytesPerTrigger" -> (fileLen * 100).toString))
+    assert(wide.getOffset === Some(GraftSourceOffset(3L, 1L)))
+  }
+
   test("data source pushdown: Not over a partially-translatable And " +
       "must not prune matching rows") {
     import spark.implicits._
