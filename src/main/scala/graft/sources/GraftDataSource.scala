@@ -37,8 +37,9 @@ import org.apache.spark.sql.types.StructType
   * `maxVersionsPerTrigger`, `maxFilesPerTrigger`,
   * `maxBytesPerTrigger`, `readChangeFeed`, `updateImages`).
   * `df.writeStream.format("graft")` is the exactly-once streaming
-  * sink — see [[GraftStreamSink]] (Append mode only; `partitionBy`
-  * honored on first-batch table creation).
+  * sink — see [[GraftStreamSink]] (Append mode, or Update mode with
+  * `mergeKeys` for per-trigger keyed merges; `partitionBy` honored on
+  * first-batch table creation).
   */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
@@ -77,25 +78,50 @@ class GraftDataSource extends RelationProvider
     new GraftStreamSource(sqlContext, pathOf(parameters), parameters)
 
   /** `df.writeStream.format("graft")` — see [[GraftStreamSink]].
-    * Append mode only; `partitionBy` comes from the stream writer's
+    * Append mode (plain batch appends), or Update mode with a
+    * `mergeKeys` option (exactly-once keyed merge per micro-batch —
+    * CDC-shaped batches reduce to final dispositions, deletes apply);
+    * Complete refused. `partitionBy` comes from the stream writer's
     * partitionBy(...) columns or a comma-separated option. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"graft sink supports Append output mode only, got $outputMode — " +
-        "Complete/Update would silently rewrite or upsert the table " +
-        "per trigger; use foreachBatch with SnapshotTable.merge for " +
-        "keyed upserts")
+    import org.apache.spark.sql.streaming.OutputMode
+    val mergeKeys = opt(parameters, "mergeKeys")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    outputMode match {
+      case m if m == OutputMode.Append() =>
+        require(mergeKeys.isEmpty,
+          "graft sink: mergeKeys requires outputMode(\"update\") — an " +
+            "Append sink silently deduplicating by key would hide " +
+            "dropped rows; pick the mode that states the semantics")
+      case m if m == OutputMode.Update() =>
+        require(mergeKeys.nonEmpty,
+          "graft sink: Update output mode needs a key identity — set " +
+            ".option(\"mergeKeys\", \"k1,k2\") to upsert by those " +
+            "columns (CDC-shaped batches also apply their deletes)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft sink supports Append and Update(mergeKeys) output " +
+            s"modes, got $other — Complete would rewrite the table " +
+            "per trigger; use SnapshotTable.overwrite under your own " +
+            "control")
+    }
     val partCols =
       if (partitionColumns.nonEmpty) partitionColumns
       else opt(parameters, "partitionBy")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq.empty)
+    require(mergeKeys.isEmpty ||
+        !opt(parameters, "mergeSchema").exists(_.toBoolean),
+      "graft sink: mergeSchema composes with Append mode only — a " +
+        "keyed merge evolves no schema (merge refuses drifted columns)")
     new GraftStreamSink(sqlContext, pathOf(parameters), partCols,
       mergeSchema =
-        opt(parameters, "mergeSchema").exists(_.toBoolean))
+        opt(parameters, "mergeSchema").exists(_.toBoolean),
+      mergeKeys = mergeKeys)
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -202,6 +202,12 @@ private[graft] class GraftStreamSource(
           e: java.util.Map.Entry[Int, UnitInfo]): Boolean = size() > 4
     }
 
+  /** Versions already warned about for the zero-length/byte-cap
+    * combination — once per version per source instance. */
+  private val warnedZeroLen =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+
   private def unitInfo(v: Int): UnitInfo =
     unitCache.synchronized {
       val hit = unitCache.get(v)
@@ -371,6 +377,21 @@ private[graft] class GraftStreamSource(
             progressed = true
             versionsLeft -= 1
           } else {
+            // a legacy version whose entries predate length recording
+            // budgets every file as 0 bytes: with ONLY the byte cap
+            // set, the whole version — however many files — ships in
+            // one trigger. Nothing can be charged (the sizes are
+            // simply unknown), but the silent unbounded trigger must
+            // at least be visible: warn once per such version and
+            // name the fix (combine with maxFilesPerTrigger).
+            if (byteCap.isDefined && fileCap.isEmpty && info.cnt > 1 &&
+                u == 0L && info.sizes.forall(_ == 0L) &&
+                warnedZeroLen.add(v))
+              GraftStreamSource.log.warn(
+                s"graft stream at $path: version $v has ${info.cnt} " +
+                  "added files with no recorded byte lengths (legacy " +
+                  "manifest) — maxBytesPerTrigger cannot bound this " +
+                  "trigger; set maxFilesPerTrigger as well to cap it")
             // per-file walk under BOTH budgets (whichever exhausts
             // first stops the trigger); the first file of a trigger
             // always ships, even when alone it exceeds the byte
@@ -610,6 +631,9 @@ private[graft] object GraftSourceOffset {
 }
 
 private[graft] object GraftStreamSource {
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftStreamSource])
+
   /** Default `maxVersionsPerTrigger` under `readChangeFeed=true`:
     * bounds the per-batch union width (one change-feed plan per
     * version) so a fresh CDC stream over a long commit history plans

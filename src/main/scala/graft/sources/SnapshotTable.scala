@@ -3,7 +3,7 @@ package graft.sources
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types
 
 /** Minimal versioned snapshot table: an append-only manifest log over
@@ -482,12 +482,20 @@ object SnapshotTable {
     var candAt = 0L
     val budget = tornAwaitMs
     val deadline = System.currentTimeMillis + budget
+    // hard ceiling on the whole call: candidate aging RESETS on every
+    // content/length change, so a witness-less writer that keeps
+    // appending in sub-budget intervals would otherwise extend the
+    // loop without bound — past 3x the torn budget the manifest is
+    // adjudicated torn, the same exposure the plain deadline accepts
+    val hardDeadline = System.currentTimeMillis + 3 * budget
     // at least two reads regardless of budget — legacy acceptance
     // needs a stability compare across consecutive reads. The loop
     // extends past the torn deadline only while a whole-log candidate
-    // is still aging toward its own full-budget stability window.
+    // is still aging toward its own full-budget stability window,
+    // never past the hard ceiling.
     while (tries < 2 || System.currentTimeMillis < deadline ||
-        (cand != null && System.currentTimeMillis < candAt + budget)) {
+        (cand != null && System.currentTimeMillis < candAt + budget &&
+          System.currentTimeMillis < hardDeadline)) {
       val lines = readOnce()
       if (lines.nonEmpty && lines.last == EotLine) return lines.init
       // pre-witness manifests never carry the end marker and never
@@ -715,12 +723,46 @@ object SnapshotTable {
     * O(churn) write half of the segmented-manifest design. */
   private def readManifestTagged(fs: FileSystem, path: String,
       v: Int): Seq[(String, Option[String])] =
-    readManifestRefs(fs, path, v).flatMap { l =>
+    taggedOfLines(fs, path, manifestLines(fs, path, v))
+
+  /** [[readManifestTagged]] over already-read manifest lines — the
+    * change-feed walk reads each manifest file ONCE and derives meta,
+    * refs, and tagged entries from the same lines. */
+  private def taggedOfLines(fs: FileSystem, path: String,
+      lines: Seq[String]): Seq[(String, Option[String])] =
+    lines.filterNot(_.startsWith("#")).flatMap { l =>
       if (l.startsWith(SegPrefix)) {
         val rel = refRel(l)
         segEntries(fs, path, rel).map(e => (e, Some(rel)))
       } else Seq((l, None))
     }
+
+  /** (removed, added) entry lines between two manifests, diffed by
+    * (path, dv) identity with SEGMENT-level pre-cancellation: a
+    * segment referenced by BOTH manifests contributes nothing to the
+    * diff and its entries are never even compared (clean segments
+    * pass through row-level commits by reference, so on a large table
+    * almost every entry lives in a common segment). Sound because a
+    * live entry key appears exactly once per manifest: a key inside a
+    * common segment is present on both sides via that segment and so
+    * can never ALSO sit in either side's unique part. Per-version
+    * diff cost is O(churn + segment count), not O(table entries). */
+  private def diffEntrySides(
+      fromTagged: Seq[(String, Option[String])],
+      toTagged: Seq[(String, Option[String])])
+      : (Seq[String], Seq[String]) = {
+    val fromSegs = fromTagged.iterator.flatMap(_._2).toSet
+    val toSegs = toTagged.iterator.flatMap(_._2).toSet
+    val common = fromSegs.intersect(toSegs)
+    val fromU = fromTagged.collect {
+      case (e, s) if !s.exists(common) => e }
+    val toU = toTagged.collect {
+      case (e, s) if !s.exists(common) => e }
+    val fk = fromU.map(entryKey).toSet
+    val tk = toU.map(entryKey).toSet
+    (fromU.filterNot(e => tk(entryKey(e))),
+      toU.filterNot(e => fk(entryKey(e))))
+  }
 
   /** Merged per-column aggregates over a segment's entries, in the
     * entry item grammar. A column aggregates only when EVERY entry
@@ -1083,7 +1125,10 @@ object SnapshotTable {
 
   /** Per-commit metadata of a manifest (`#key=value` header lines). */
   private def readMeta(fs: FileSystem, path: String, v: Int): Map[String, String] =
-    manifestLines(fs, path, v).filter(_.startsWith("#")).flatMap { l =>
+    metaOfLines(manifestLines(fs, path, v))
+
+  private def metaOfLines(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("#")).flatMap { l =>
       l.drop(1).split("=", 2) match {
         case Array(k, v2) => Some(k -> v2)
         case _ => None
@@ -1121,7 +1166,11 @@ object SnapshotTable {
     * tracking (those read with footer-inferred schema, as before). */
   private def storedSchema(fs: FileSystem, path: String,
       v: Int): Option[types.StructType] =
-    readMeta(fs, path, v).get("schema").map(j =>
+    // empty = the key's RESET value (see [[restore]]'s inverted meta
+    // rewind): a restored pre-schema-era version reads as legacy —
+    // footer-inferred schema — instead of keeping the abandoned
+    // head's schema in force over the restored entries
+    readMeta(fs, path, v).get("schema").filter(_.nonEmpty).map(j =>
       types.DataType.fromJson(j).asInstanceOf[types.StructType])
 
   /** Column mapping (Delta-style): each field's PHYSICAL name — the
@@ -2248,7 +2297,8 @@ object SnapshotTable {
   def committedStreamBatch(spark: SparkSession, path: String): Option[Long] = {
     val fs = fsOf(spark, logDir(path))
     versions(spark, path).reverseIterator
-      .map(v => readMeta(fs, path, v).get("streamBatch"))
+      .map(v => readMeta(fs, path, v).get("streamBatch")
+        .filter(_.nonEmpty))
       .collectFirst { case Some(b) => b.toLong }
   }
 
@@ -2938,31 +2988,60 @@ object SnapshotTable {
     // diff by (path, dv) identity — stats are a per-file constant, but
     // a merge-on-read delete changes an entry's VISIBLE rows without
     // renaming its file, and the feed must see that; reading each side
-    // with its own entry lines applies each side's own deletion vector
-    val eFrom = readManifest(fs, path, fromVersion)
-    val eTo = readManifest(fs, path, toV)
-    val fromKeys = eFrom.map(entryKey).toSet
-    val toKeys = eTo.map(entryKey).toSet
-    val empty = read(spark, path, Some(toV)).filter(lit(false))
+    // with its own entry lines applies each side's own deletion vector.
+    // Segment-level pre-cancellation ([[diffEntrySides]]) keeps the
+    // driver compare churn-proportional on segmented tables.
+    val toLines = manifestLines(fs, path, toV)
+    val (oldE, neuE) = diffEntrySides(
+      readManifestTagged(fs, path, fromVersion),
+      taggedOfLines(fs, path, toLines))
     // both sides read with the TO version's schema: across a schema
     // evolution the feed compares on the new schema (old rows' added
     // columns are null), keeping the diff well-typed
-    val toSchema = storedSchema(fs, path, toV)
-    def readE(entries: Seq[String]): DataFrame =
-      if (entries.isEmpty) empty
-      else readEntriesDv(spark, path, toSchema, entries)
-    val old = readE(eFrom.filterNot(e => toKeys(entryKey(e))))
-    val neu = readE(eTo.filterNot(e => fromKeys(entryKey(e))))
-    val tagged = neu.exceptAll(old)
-      .withColumn("change_type", lit("insert"))
-      .unionByName(
-        old.exceptAll(neu).withColumn("change_type", lit("delete")))
+    val toMeta = metaOfLines(toLines)
+    val toSchema = toMeta.get("schema").filter(_.nonEmpty).map(j =>
+      types.DataType.fromJson(j).asInstanceOf[types.StructType])
+    val tagged = diffFrame(spark, path, oldE, neuE, toSchema,
+      () => read(spark, path, Some(toV)))
     if (!updateImages) tagged
-    else pairUpdateImages(spark, tagged,
-      readMeta(fs, path, toV),
-      storedSchema(fs, path, toV)
-        .map(_.fieldNames.toSeq)
+    else pairUpdateImages(spark, tagged, toMeta,
+      toSchema.map(_.fieldNames.toSeq)
         .getOrElse(read(spark, path, Some(toV)).columns.toSeq))
+  }
+
+  /** The tagged insert/delete frame over a diff's (removed, added)
+    * entry lines. The multiset EXCEPT ALL pair runs only when BOTH
+    * sides are non-empty: a pure append's diff IS its added files'
+    * visible rows (one scan leaf, no join — the common case in a
+    * version walk), a pure delete symmetrical, and an empty diff is a
+    * typed empty frame built from the stored schema with zero plan
+    * weight (`legacyRead` covers pre-schema-era logs only). */
+  private def diffFrame(spark: SparkSession, path: String,
+      oldE: Seq[String], neuE: Seq[String],
+      schema: Option[types.StructType],
+      legacyRead: () => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    def readE(entries: Seq[String]): DataFrame =
+      readEntriesDv(spark, path, schema, entries)
+    if (oldE.isEmpty && neuE.isEmpty) {
+      val base = schema match {
+        case Some(st) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], nullify(st))
+        case None => legacyRead().filter(lit(false))
+      }
+      base.withColumn("change_type", lit("insert")).filter(lit(false))
+    }
+    else if (oldE.isEmpty)
+      readE(neuE).withColumn("change_type", lit("insert"))
+    else if (neuE.isEmpty)
+      readE(oldE).withColumn("change_type", lit("delete"))
+    else {
+      val old = readE(oldE)
+      val neu = readE(neuE)
+      neu.exceptAll(old).withColumn("change_type", lit("insert"))
+        .unionByName(
+          old.exceptAll(neu).withColumn("change_type", lit("delete")))
+    }
   }
 
   /** RESTORE (Delta parity): make the table's LATEST state equal the
@@ -2999,9 +3078,22 @@ object SnapshotTable {
     val oldMeta = readMeta(fs, path, version) -
       "eot" - "wv" - "ts" - "streamBatch"
     val headMeta = readMeta(fs, path, head)
-    val resets = (headMeta.keySet -- oldMeta.keySet)
-      .intersect(Set("droppedPhys", "bloomCols", "bloomBits",
-        "bloomHashes", "partition", "mergeKeys", "updateSet"))
+    // INVERTED meta rewind (r16, was a hand-maintained reset
+    // whitelist): the restored commit's meta is rebuilt from the
+    // restored version's meta ALONE — every key the abandoned head
+    // carries that the restored version did not is a lifecycle key
+    // introduced AFTER it (schema tracking, bloom policy, column
+    // mapping's dropped list, a future feature's key...) and RESETS
+    // to the empty value every parser treats as absent. Future keys
+    // thus rewind by default instead of leaking by default; the only
+    // keys that must NOT rewind are named here, with their reasons:
+    //  - streamBatch: rewinding the exactly-once marker would make a
+    //    sink re-accept already-delivered batch ids (see scaladoc);
+    //  - op / restoredFrom: this commit's own identity, set below.
+    // (eot/wv/ts never inherit — commitPinned strips and restamps.)
+    val carryForward = Set("streamBatch", "op", "restoredFrom",
+      "eot", "wv", "ts")
+    val resets = (headMeta.keySet -- oldMeta.keySet -- carryForward)
       .map(_ -> "").toMap
     commitPinned(spark, path, refs, loose, head + 1,
       oldMeta ++ resets +
@@ -3018,7 +3110,24 @@ object SnapshotTable {
     * MERGE/UPDATE-MOR commits' matched rows as pre/post images (see
     * [[pairUpdateImages]]) — here it composes per version, so the
     * single-commit restriction on [[changes]] never bites. Cost: one
-    * churn-proportional diff per version in the range. */
+    * churn-proportional diff per version in the range.
+    *
+    * Scale (r16): the range is walked ONCE — each manifest file is
+    * read a single time and serves as both its version's TO side and
+    * the next version's FROM side, with segment-level pre-cancellation
+    * ([[diffEntrySides]]) keeping each driver compare churn-sized.
+    * Ranges longer than `spark.graft.changeFeed.maxPlanVersions`
+    * (default 64) are planned in CHUNKS: each chunk's union subtree is
+    * pinned to its computed rows via an EAGER localCheckpoint, so the
+    * driver's live plan is O(chunk) whatever the range — a year of
+    * 10-minute commits (~50k versions) would otherwise analyze a
+    * 50k-leaf union before the first task launched. Above the
+    * threshold the call therefore EXECUTES chunk jobs eagerly and the
+    * checkpointed rows live in executor storage (memory-then-disk,
+    * non-reliable — an executor loss fails the read; re-run it); for
+    * open-ended CDC consumption prefer the streaming source, which
+    * paces itself with `maxVersionsPerTrigger` and checkpoints
+    * durable offsets instead. */
   def changeFeed(spark: SparkSession, path: String, fromVersion: Int,
       toVersion: Option[Int] = None,
       updateImages: Boolean = false): DataFrame = {
@@ -3061,13 +3170,59 @@ object SnapshotTable {
       base.select((target.fieldNames.toSeq :+ "change_type" :+
         "_commit_version").map(col): _*)
     }
-    def feedOf(v: Int): DataFrame =
-      (if (v == 0) read(spark, path, Some(0))
+    val fs = fsOf(spark, logDir(path))
+    val chunkSize = spark.conf
+      .getOption("spark.graft.changeFeed.maxPlanVersions")
+      .map(_.toInt).getOrElse(DefaultCdfPlanVersions)
+    require(chunkSize >= 1,
+      "spark.graft.changeFeed.maxPlanVersions must be >= 1")
+    val lazyWhole = (toV - fromVersion + 1) <= chunkSize
+    // the walk: each manifest read once; version v's tagged entries
+    // become version v+1's FROM side. Missing intermediate versions
+    // cannot occur (vacuum trims only the log's OLD end and the
+    // requires above pin both range ends to committed versions).
+    var prevTagged: Seq[(String, Option[String])] =
+      if (fromVersion == 0) Seq.empty
+      else readManifestTagged(fs, path, fromVersion - 1)
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (v <- fromVersion to toV) {
+      val lines = manifestLines(fs, path, v)
+      val meta = metaOfLines(lines)
+      val curTagged = taggedOfLines(fs, path, lines)
+      val schemaV = meta.get("schema").filter(_.nonEmpty).map(j =>
+        types.DataType.fromJson(j).asInstanceOf[types.StructType])
+      val diff: DataFrame =
+        if (v == 0) read(spark, path, Some(0))
           .withColumn("change_type", lit("insert"))
-       else changes(spark, path, v - 1, Some(v), updateImages))
-        .withColumn("_commit_version", lit(v))
-    unionTree((fromVersion to toV).map(v => align(feedOf(v))))
+        else {
+          val (oldE, neuE) = diffEntrySides(prevTagged, curTagged)
+          val t = diffFrame(spark, path, oldE, neuE, schemaV,
+            () => read(spark, path, Some(v)))
+          if (!updateImages) t
+          else pairUpdateImages(spark, t, meta,
+            schemaV.map(_.fieldNames.toSeq)
+              .getOrElse(read(spark, path, Some(v)).columns.toSeq))
+        }
+      pending += align(diff.withColumn("_commit_version", lit(v)))
+      prevTagged = curTagged
+      if (!lazyWhole && pending.size >= chunkSize) {
+        done += unionTree(pending.toSeq).localCheckpoint(eager = true)
+        pending.clear()
+      }
+    }
+    if (pending.nonEmpty)
+      done += (if (lazyWhole) unionTree(pending.toSeq)
+               else unionTree(pending.toSeq).localCheckpoint(eager = true))
+    unionTree(done.toSeq)
   }
+
+  /** Default version-chunk size for [[changeFeed]]'s driver plan (the
+    * live plan holds at most this many diff subtrees; longer ranges
+    * pin completed chunks to their rows). 64 diff subtrees ≈ the
+    * analysis weight of a medium multi-join query — well inside
+    * Catalyst's comfort zone while keeping chunk jobs coarse. */
+  private val DefaultCdfPlanVersions = 64
 
   /** Union as a balanced binary tree: plan depth O(log n), the shape
     * both the CDC stream source and the batch change feed need for
@@ -4737,8 +4892,10 @@ object SnapshotTable {
   private def maintainBlooms(spark: SparkSession, path: String,
       priorMeta: Map[String, String], mapped: Option[types.StructType],
       dfCols: Seq[String], staged: Seq[String]): Seq[String] =
-    (priorMeta.get("bloomCols"), priorMeta.get("bloomBits"),
-        priorMeta.get("bloomHashes")) match {
+    // empty = a key's post-restore RESET value, same as absent
+    (priorMeta.get("bloomCols").filter(_.nonEmpty),
+        priorMeta.get("bloomBits").filter(_.nonEmpty),
+        priorMeta.get("bloomHashes").filter(_.nonEmpty)) match {
       case (Some(cs), Some(b), Some(h)) =>
         val cols = cs.split(",").toSeq.filter(dfCols.contains)
         if (cols.isEmpty) staged

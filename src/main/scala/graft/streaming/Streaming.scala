@@ -379,36 +379,17 @@ object Streaming {
   def applyChangeFeed(spark: SparkSession, streamed: DataFrame,
       tablePath: String, keyCols: Seq[String],
       checkpoint: String): Int = {
-    import graft.sources.SnapshotTable
-    import org.apache.spark.sql.expressions.Window
+    import graft.sources.{GraftStreamSink, SnapshotTable}
+    // the per-batch body — disposition reduce, deterministic
+    // tie-break, one keyed merge, exactly-once batch marker — is
+    // shared verbatim with the registered Update-mode sink
+    // (writeStream.format("graft").outputMode("update")
+    //  .option("mergeKeys", ...)): one body, one contract
     val q = streamed.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!SnapshotTable.committedStreamBatch(batch.sparkSession,
-            tablePath).exists(_ >= id)) {
-          val prec = when(col("change_type")
-              .isin("insert", "update_postimage"), 2)
-            .when(col("change_type") === "delete", 1)
-            .otherwise(0)
-          val w = Window.partitionBy(keyCols.map(col): _*)
-            .orderBy(col("_commit_version").desc, prec.desc)
-          val fin = batch.withColumn("__p", prec)
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-          val ups = fin.filter(col("__p") === 2)
-            .drop("change_type", "_commit_version", "__p", "__rn")
-          val rems = fin.filter(col("__p") === 1)
-            .select(keyCols.map(col): _*)
-          if (SnapshotTable.versions(batch.sparkSession, tablePath)
-              .isEmpty)
-            SnapshotTable.appendStreamBatch(ups, tablePath, id)
-          else
-            SnapshotTable.merge(ups, tablePath, keyCols,
-              meta = Map("streamBatch" -> id.toString),
-              removeKeys = Some(rems))
-        }
-        ()
+        GraftStreamSink.applyChangeBatch(batch, tablePath, keyCols, id)
       }
       .start()
     q.processAllAvailable()

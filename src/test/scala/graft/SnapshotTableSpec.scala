@@ -2085,6 +2085,198 @@ class SnapshotTableSpec extends SparkSpec {
     assert(evolved.filter(col("score") === col("id") * 10L).count() === 40)
   }
 
+  test("Update-mode sink: mergeKeys maintains an exact CDC replica " +
+      "with no foreachBatch; exactly-once; mode/option misuse refused") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftupsink")
+    val src = s"$base/src"
+    val rep = s"$base/rep"
+    // source lifecycle: create, then keyed churn
+    SnapshotTable.create(
+      (0L until 50L).map(i => (i, i * 2.0)).toDF("id", "bal")
+        .repartition(4, col("id")), src)
+    SnapshotTable.merge(
+      ((0L until 5L).map(i => (i, -1.0)) ++
+        (100L until 105L).map(i => (i, 9.0))).toDF("id", "bal"),
+      src, Seq("id"),
+      removeKeys = Some(Seq(40L, 41L).toDF("id")))
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("updateImages", "true")
+        .load(src)
+        .writeStream.format("graft").outputMode("update")
+        .option("mergeKeys", "id")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start(rep)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runStream()
+    def snap(p: String): Set[(Long, Double)] =
+      SnapshotTable.read(spark, p).as[(Long, Double)].collect().toSet
+    def anyMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator(""))
+        .mkString("|")
+    assert(snap(rep) === snap(src),
+      "replica must equal the source after the first drain")
+    // churn while the stream is DOWN — a MERGE and a MoR delete —
+    // then a restart drains the missed versions through the same
+    // checkpoint and converges again
+    SnapshotTable.merge(Seq((3L, 42.0), (200L, 1.0)).toDF("id", "bal"),
+      src, Seq("id"))
+    SnapshotTable.deleteMoR(spark, src, col("id") >= 100L && col("id") < 105L)
+    runStream()
+    assert(snap(rep) === snap(src),
+      "replica must converge after restart over merge + MoR delete")
+    // exactly-once: a third run has nothing to deliver — the replica
+    // commits NO new version (replayed batches recognized and skipped)
+    val vBefore = SnapshotTable.versions(spark, rep).max
+    runStream()
+    assert(SnapshotTable.versions(spark, rep).max === vBefore,
+      "an empty redrain must not commit new replica versions")
+    // misuse is refused loudly at sink construction:
+    // Update without mergeKeys...
+    val noKeys = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft").outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt_nk")
+        .start(s"$base/rep_nk")
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(noKeys.getMessage.contains("mergeKeys") ||
+      Option(noKeys.getCause).exists(_.getMessage.contains("mergeKeys")),
+      s"expected the mergeKeys-required refusal, got: $noKeys")
+    // ...and mergeKeys under Append (silent key-dedup would be an
+    // accident waiting to be discovered)
+    val apKeys = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft").outputMode("append")
+        .option("mergeKeys", "id")
+        .option("checkpointLocation", s"$base/ckpt_ak")
+        .start(s"$base/rep_ak")
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(apKeys.getMessage.contains("update") ||
+      Option(apKeys.getCause).exists(_.getMessage.contains("update")),
+      s"expected the Append+mergeKeys refusal, got: $apKeys")
+    // a PLAIN (non-CDC) stream in Update mode upserts by key, batch
+    // by batch: two parquet files arriving as two micro-batches, the
+    // second overlapping the first's keys with NEW images
+    val rep2 = s"$base/rep2"
+    val in2 = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/in2"))
+    def dropFile(rows: Seq[(Long, Double)], name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDF("id", "bal").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, in2.resolve(name))
+    }
+    def runPlain(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bal",
+            org.apache.spark.sql.types.DoubleType))))
+        .option("maxFilesPerTrigger", "1").parquet(in2.toString)
+        .writeStream.format("graft").outputMode("update")
+        .option("mergeKeys", "id")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .start(rep2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    dropFile((0L until 10L).map(i => (i, 1.0)), "b0.parquet")
+    runPlain()
+    dropFile((5L until 15L).map(i => (i, 2.0)), "b1.parquet")
+    runPlain()
+    assert(snap(rep2) ===
+      ((0L until 5L).map(i => (i, 1.0)) ++
+        (5L until 15L).map(i => (i, 2.0))).toSet,
+      "plain Update mode must upsert the newest image per key")
+    // ...and a batch carrying two images of ONE key is refused loudly
+    // (no ordering says which image wins — the CDC shape carries one)
+    dropFile(Seq((3L, 7.0), (3L, 8.0)), "b2.parquet")
+    val dupErr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runPlain()
+    }
+    assert(anyMsg(dupErr).contains("multiple"),
+      s"expected the duplicate-key refusal, got: $dupErr")
+  }
+
+  test("changeFeed over a 1000-commit history: driver plan stays " +
+      "O(chunk), manifests read once, per-version composition exact") {
+    import spark.implicits._
+    val path = freshPath("cdf1k")
+    // v0: a real created table (2 rows, ids 0..1)
+    SnapshotTable.create(Seq(0L, 1L).toDF("id").coalesce(1), path)
+    // stage 1000 one-file-per-version parquet files in ONE job:
+    // partitionBy(k) writes each key's rows to its own directory
+    // (hash-repartitioned on k so each key lands in exactly one task
+    // → exactly one file), then move them under the table root
+    val tmp = java.nio.file.Files.createTempDirectory("cdf1kstage")
+    (1 to 1000).flatMap(k => Seq((k, 2L * k), (k, 2L * k + 1)))
+      .toDF("k", "id")
+      .repartition(1000, col("k"))
+      .write.partitionBy("k").parquet(s"$tmp/files")
+    val filesDir = java.nio.file.Paths.get(path, "files")
+    (1 to 1000).foreach { k =>
+      val dir = new java.io.File(s"$tmp/files/k=$k")
+      val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"staging: k=$k has ${parts.length} files")
+      java.nio.file.Files.move(parts.head.toPath,
+        filesDir.resolve(f"f$k%04d.parquet"))
+    }
+    // forge manifests v1..v1000: version K's body = v0's entries plus
+    // files f0001..f000K (pure appends — a year-of-commits shape).
+    // Hand-written with the manifest grammar: witness, monotone ts,
+    // v0's schema meta, entry lines, end marker.
+    val logDir = java.nio.file.Paths.get(path, "_graft_log")
+    val v0Lines = java.nio.file.Files.readAllLines(
+      logDir.resolve("v00000000.manifest"))
+    val schemaLine = v0Lines.stream()
+      .filter(_.startsWith("#schema=")).findFirst().get()
+    val v0Entries = (0 until v0Lines.size).map(v0Lines.get)
+      .filterNot(_.startsWith("#"))
+    val baseTs = System.currentTimeMillis
+    (1 to 1000).foreach { v =>
+      val body = v0Entries ++
+        (1 to v).map(k => f"files/f$k%04d.parquet")
+      val lines = Seq("#wv=2", s"#ts=${baseTs + v}", schemaLine) ++
+        body ++ Seq("#eot=1")
+      java.nio.file.Files.write(logDir.resolve(f"v$v%08d.manifest"),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    }
+    assert(SnapshotTable.versions(spark, path).size === 1001)
+    // the full-range feed: 1001 per-version diffs, chunked planning
+    val cf = SnapshotTable.changeFeed(spark, path, 0, Some(1000))
+    // the LIVE plan is O(chunk): every 64-version chunk was pinned to
+    // its computed rows, so the returned tree holds ~16 RDD leaves —
+    // NOT 1001 scan subtrees (the r15 driver-explosion shape)
+    val leaves = cf.queryExecution.logical.collectLeaves().size
+    assert(leaves <= 32,
+      s"driver plan must be chunk-bounded, found $leaves leaves")
+    // composition: v0 contributes its snapshot, every version K its
+    // two appended rows, all inserts
+    assert(cf.count() === 2002)
+    assert(cf.filter(col("change_type") =!= "insert").count() === 0)
+    val off = cf.groupBy("_commit_version").count()
+      .filter(col("count") =!= 2).count()
+    assert(off === 0, "every version must contribute exactly 2 inserts")
+    val v500 = cf.filter(col("_commit_version") === 500)
+      .select("id").as[Long].collect().sorted
+    assert(v500 === Array(1000L, 1001L))
+    // ...and matches the public single-span API on a sampled version
+    val single = SnapshotTable.changes(spark, path, 499, Some(500))
+      .select("id").as[Long].collect().sorted
+    assert(single === v500)
+    // a sub-chunk range keeps the fully-lazy plan (w43's shape):
+    // parquet scan leaves, no checkpoint materialization
+    val lazyCf = SnapshotTable.changeFeed(spark, path, 998, Some(1000))
+    assert(lazyCf.count() === 6)
+  }
+
   test("changes(updateImages=true): MERGE and UPDATE-MOR commits pair " +
       "delete+insert into pre/post images; other commits pass through") {
     import spark.implicits._
@@ -2274,6 +2466,97 @@ class SnapshotTableSpec extends SparkSpec {
     // the column
     assert(cdf.forall(r => r.getDouble(r.fieldIndex("bal")) == -1.0),
       "retracted batch rows must read their original bal bytes")
+  }
+
+  /** Rewrite a committed manifest's lines through the Hadoop fs API —
+    * java.nio writes would desync LocalFileSystem's .crc sidecar and
+    * every later read would fail with ChecksumException. */
+  private def rewriteManifest(path: String, v: Int)(
+      f: Seq[String] => Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(path,
+      f"_graft_log/v$v%08d.manifest")
+    val in = fs.open(mp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val out = fs.create(mp, true)
+    try out.write((f(lines).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("restore: INVERTED meta rewind — an unknown lifecycle key " +
+      "introduced after the restored version resets by default") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val path = freshPath("restoreinvert")
+    SnapshotTable.create((0L until 20L).toDF("id"), path)         // v0
+    SnapshotTable.appendStreamBatch(
+      (20L until 30L).toDF("id"), path, 7L)                       // v1
+    // inject an UNKNOWN future lifecycle key into the head manifest —
+    // the shape of a feature this library has not grown yet (r15's
+    // reset was a hand-maintained whitelist, so a key like this
+    // silently SURVIVED restores; the r16 inversion rewinds it)
+    rewriteManifest(path, 1) { lines1 =>
+      lines1.head +: "#futurekey=somefuturestate" +: lines1.tail
+    }
+    // an ordinary commit inherits it (meta is inherited chain-wide —
+    // exactly why leak-by-default was dangerous)
+    SnapshotTable.append((30L until 40L).toDF("id"), path)        // v2
+    def metaOf(v: Int): Map[String, String] =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path,
+        "_graft_log", f"v$v%08d.manifest")).asScala
+        .filter(_.startsWith("#"))
+        .map(_.drop(1).split("=", 2)).collect {
+          case Array(k, v2) => k -> v2
+        }.toMap
+    assert(metaOf(2).get("futurekey") === Some("somefuturestate"),
+      "setup: the injected key must inherit onto v2")
+    // RESTORE to v0, which PREDATES the key: it must reset to the
+    // empty value every parser treats as absent — no whitelist entry
+    // needed
+    assert(SnapshotTable.restore(spark, path, 0) === 3)
+    assert(metaOf(3).get("futurekey") === Some(""),
+      "a lifecycle key unknown to restore() must rewind by default")
+    // ...while the named carry-forwards survive: the exactly-once
+    // stream marker did NOT rewind (replaying batch 7 still skips)
+    assert(SnapshotTable.committedStreamBatch(spark, path) === Some(7L))
+    assert(SnapshotTable.appendStreamBatch(
+      (99L to 99L).toDF("id"), path, 7L).isEmpty)
+    assert(SnapshotTable.read(spark, path).count() === 20)
+  }
+
+  test("restore: rewinding to a pre-schema-era (legacy) version " +
+      "drops the head's schema meta — footer inference takes over") {
+    import spark.implicits._
+    val path = freshPath("restorelegacyschema")
+    SnapshotTable.create(
+      (0L until 12L).map(i => (i, i * 2.0)).toDF("id", "bal"), path)
+    // forge v0 into a pre-schema-era manifest: strip its #schema line
+    // (everything else — witness, ts, eot, entries — stays intact)
+    rewriteManifest(path, 0) { lines0 =>
+      assert(lines0.exists(_.startsWith("#schema=")),
+        "setup: no schema")
+      lines0.filterNot(_.startsWith("#schema="))
+    }
+    // modern commits re-establish schema tracking, then DROP bal
+    SnapshotTable.append(
+      (12L until 15L).map(i => (i, -1.0)).toDF("id", "bal"), path)  // v1
+    SnapshotTable.dropColumn(spark, path, "bal")                    // v2
+    assert(SnapshotTable.read(spark, path).columns.toSeq === Seq("id"))
+    // restore to the legacy v0: the ADVICE r15 scenario — under the
+    // whitelist reset, 'schema' was not in the list, so the HEAD's
+    // post-drop schema stayed in force and bal remained invisible
+    // over the restored entries. Inverted rewind resets it; the
+    // restored head reads legacy-style (footer inference) and bal is
+    // BACK with its original bytes.
+    assert(SnapshotTable.restore(spark, path, 0) === 3)
+    val got = SnapshotTable.read(spark, path)
+    assert(got.columns.toSet === Set("id", "bal"),
+      s"restored legacy version must surface bal again, got " +
+        got.columns.mkString(","))
+    assert(got.as[(Long, Double)].collect().sorted ===
+      (0L until 12L).map(i => (i, i * 2.0)).toArray)
   }
 
   test("Trigger.AvailableNow drains the start-time snapshot in " +
