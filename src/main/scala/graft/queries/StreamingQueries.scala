@@ -726,6 +726,87 @@ object StreamingQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // ST21: the st20 replica maintained by the REGISTERED Update-mode
+    // sink ALONE — readStream(readChangeFeed) piped straight into
+    // writeStream.format("graft").outputMode("update")
+    // .option("mergeKeys", ...), zero foreachBatch (the VERDICT r15
+    // one-liner; the per-batch body is the same shared
+    // applyChangeBatch st20's applyChangeFeed uses). Same source
+    // lifecycle as st20: v0 create, v1 MERGE (updates + shifted
+    // inserts + removals), then a MoR delete landing while the stream
+    // is DOWN, applied exactly once from the checkpoint on restart.
+    // Exactly-once is then pinned through the CRASH window (st18's
+    // arm): the engine's newest commit marker is deleted from the
+    // checkpoint, so the restarted stream re-offers the already-
+    // applied batch — the sink must recognize the batch id from the
+    // replica's log head, skip it, and the replica's version count
+    // must not move. Oracle: the source's final state restated
+    // relationally (same math as st20, independent dirs).
+    "st21_update_sink_replica" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_st21").toString
+      val src = s"$base/src"
+      val rep = s"$base/replica"
+      val ckpt = s"$base/ckpt"
+      SnapshotTable.create(cust.repartition(4, col("c_custkey")), src)
+      val maxKey = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val upd = cust.filter(col("c_acctbal") < 0)
+        .withColumn("c_acctbal", -col("c_acctbal"))
+      val ins = cust.filter(col("c_custkey") % 100 === 7L)
+        .withColumn("c_custkey", col("c_custkey") + lit(maxKey))
+      val rem = cust
+        .filter(col("c_custkey") % 50 === 0L && col("c_acctbal") >= 0)
+        .select(col("c_custkey"))
+      SnapshotTable.merge(upd.unionByName(ins), src,
+        keyCols = Seq("c_custkey"), removeKeys = Some(rem))
+      def run(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("updateImages", "true")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .writeStream.format("graft").outputMode("update")
+          .option("mergeKeys", "c_custkey")
+          .option("checkpointLocation", ckpt)
+          .start(rep)
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      SnapshotTable.deleteMoR(s, src,
+        col("c_custkey") % 97 === 11L && col("c_custkey") <= maxKey)
+      run()
+      require(SnapshotTable.read(s, rep).count() ==
+        SnapshotTable.read(s, src).count(),
+        "replica row count diverged from the source")
+      // crash-window replay: with the newest engine commit marker
+      // gone, the restart re-runs the last batch — already applied
+      val commits = new java.io.File(s"$ckpt/commits")
+      val newest = commits.listFiles()
+        .filter(_.getName.forall(_.isDigit))
+        .maxBy(_.getName.toLong)
+      require(newest.delete(), "st21: could not delete commit marker")
+      // the LocalFS checksum sidecar must go with it, or the restart
+      // reads a stale-crc ghost and aborts as a concurrent-use clash
+      new java.io.File(s"$ckpt/commits/.${newest.getName}.crc").delete()
+      val vBefore = SnapshotTable.versions(s, rep).max
+      run()
+      require(SnapshotTable.versions(s, rep).max == vBefore,
+        "replayed batch must be skipped (exactly-once), but the " +
+          "replica committed a new version")
+      require(SnapshotTable.read(s, rep).count() ==
+        SnapshotTable.read(s, src).count(),
+        "replica diverged after the crash-window replay")
+      SnapshotTable.read(s, rep)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("bal_total"),
+          sum(col("c_custkey")).as("key_total"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "st9_stream_ingest" -> ((s, dir) => {
       val stream = eventsStream(s, dir)
       val base = java.nio.file.Files
@@ -778,6 +859,28 @@ object StreamingQueries {
     // the shifted inserts (shifted keys can't match the delete
     // predicates: > max for %50/%97-with-bound arms)
     "st20_cdc_apply_images" ->
+      """WITH flipped AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE c_acctbal END
+        |      AS bal
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 50 = 0 AND c_acctbal >= 0)
+        |    AND NOT c_custkey % 97 = 11),
+        |ins AS (
+        |  SELECT c_custkey + (SELECT max(c_custkey) FROM customer)
+        |      AS c_custkey, c_nationkey, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 100 = 7),
+        |final AS (SELECT * FROM flipped UNION ALL SELECT * FROM ins)
+        |SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_total
+        |FROM final GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // st21 replays st20's lifecycle through the registered Update
+    // sink — the replica's final state is the same relational
+    // restatement (independent temp dirs, so both can run in one
+    // session)
+    "st21_update_sink_replica" ->
       """WITH flipped AS (
         |  SELECT c_custkey, c_nationkey,
         |    CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE c_acctbal END
