@@ -593,24 +593,26 @@ object SnapshotTable {
     spark.conf.getOption("spark.graft.manifest.segmentEntries")
       .map(_.toInt).getOrElse(512)
 
-  /** Segment granularity at/above which `segmentFormat=auto` picks
-    * parquet over text: the geometric midpoint of the two measured
-    * SegReadProbe endpoints (512 entries → text ~18x faster; 51,200
-    * → parquet ~4-6x faster; r14/r15 notes carry the tables). Only
-    * the endpoints are measured — the midpoint is the honest
-    * least-assumption crossover estimate, and either explicit format
-    * value overrides it. */
-  private val ParquetAutoPickEntries = 5120
-
   /** The segment format [[writeSegments]] will use under the current
-    * session confs (see the in-writer rationale for the measured
-    * crossover behind `auto`). */
+    * session confs. `auto` now picks TEXT at every granularity: r16
+    * measured the r15 midpoint AND re-measured the 51,200 endpoint
+    * (three same-session SegReadProbe runs, 2M entries) — direct text
+    * reads beat the parquet Group reader 1.5-3x at 5,120, 20,480 and
+    * 51,200 entries/segment alike (B 0.18/0.23/0.30-0.35 s vs D
+    * 0.50/0.35/0.45-0.66 s). r15's "parquet 4-6x at 51,200" endpoint
+    * did not reproduce; its recorded 2.9-18 s text spread already
+    * marked that window as contended, and the r16 per-5120 arm the
+    * VERDICT asked for settles the default: the auto-pick constant is
+    * GONE rather than re-tuned, because no measured granularity
+    * favors parquet on this rig. `segmentFormat=parquet` remains the
+    * explicit opt-in where its real advantages live off-rig: half the
+    * bytes at rest (136 vs 280 MB per 2M entries) where object-store
+    * egress dominates cold reads. */
   private[graft] def segmentFormatIsParquet(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.manifest.segmentFormat")
       .getOrElse("auto") match {
         case "parquet" => true
-        case "text" => false
-        case _ => segmentEntriesConf(spark) >= ParquetAutoPickEntries
+        case _ => false
       }
 
   /** Process-level cache of immutable segment files (uuid-named, so a

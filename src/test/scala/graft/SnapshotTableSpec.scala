@@ -2396,22 +2396,25 @@ class SnapshotTableSpec extends SparkSpec {
       === (0L until 40L).toArray)
   }
 
-  test("segment format auto-pick follows the measured granularity " +
-      "crossover; explicit values pin it") {
+  test("segment format: auto is text at every granularity (r16 " +
+      "re-measurement); parquet stays an explicit opt-in") {
     def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
       try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
       finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
     }
-    // default granularity (512) → text (measured ~18x faster there)
+    // r16 probed the r15 midpoint (5,120) AND re-measured the 51,200
+    // endpoint three times in one session: direct text beat parquet
+    // 1.5-3x everywhere, so the granularity heuristic is GONE — auto
+    // means text even where r15's contended-window numbers once said
+    // parquet
     assert(!SnapshotTable.segmentFormatIsParquet(spark))
-    // coarse granularity → parquet (measured 4-6x faster at 51,200)
     withConfs("spark.graft.manifest.segmentEntries" -> "51200") {
-      assert(SnapshotTable.segmentFormatIsParquet(spark))
+      assert(!SnapshotTable.segmentFormatIsParquet(spark))
     }
     withConfs("spark.graft.manifest.segmentEntries" -> "4096") {
       assert(!SnapshotTable.segmentFormatIsParquet(spark))
     }
-    // explicit formats override the heuristic in both directions
+    // explicit formats still pin it in both directions
     withConfs("spark.graft.manifest.segmentFormat" -> "parquet") {
       assert(SnapshotTable.segmentFormatIsParquet(spark))
     }
