@@ -739,27 +739,36 @@ object SnapshotTable {
       } else Seq((l, None))
     }
 
-  /** (removed, added) entry lines between two manifests, diffed by
-    * (path, dv) identity with SEGMENT-level pre-cancellation: a
-    * segment referenced by BOTH manifests contributes nothing to the
-    * diff and its entries are never even compared (clean segments
-    * pass through row-level commits by reference, so on a large table
-    * almost every entry lives in a common segment). Sound because a
-    * live entry key appears exactly once per manifest: a key inside a
-    * common segment is present on both sides via that segment and so
-    * can never ALSO sit in either side's unique part. Per-version
-    * diff cost is O(churn + segment count), not O(table entries). */
-  private def diffEntrySides(
-      fromTagged: Seq[(String, Option[String])],
-      toTagged: Seq[(String, Option[String])])
+  /** (removed, added) entry lines between two manifests — given as
+    * their REF lists (`#`-stripped manifest bodies: segment refs +
+    * loose lines) — diffed by (path, dv) identity with SEGMENT-level
+    * pre-cancellation: a segment referenced by BOTH manifests
+    * contributes nothing to the diff and its entries are never even
+    * MATERIALIZED (no parse, no cache churn, no driver copy — clean
+    * segments pass through row-level commits by reference, so on a
+    * large table almost every entry lives in a common segment; a
+    * 10M-file table's per-version diff touches kilobytes of refs, not
+    * gigabytes of entry strings). Sound because a live entry key
+    * appears exactly once per manifest: a key inside a common segment
+    * is present on both sides via that segment and so can never ALSO
+    * sit in either side's unique part. Per-version diff cost is
+    * O(churn + ref-list length) in both CPU and memory. */
+  private def diffEntrySides(fs: FileSystem, path: String,
+      fromRefs: Seq[String], toRefs: Seq[String])
       : (Seq[String], Seq[String]) = {
-    val fromSegs = fromTagged.iterator.flatMap(_._2).toSet
-    val toSegs = toTagged.iterator.flatMap(_._2).toSet
-    val common = fromSegs.intersect(toSegs)
-    val fromU = fromTagged.collect {
-      case (e, s) if !s.exists(common) => e }
-    val toU = toTagged.collect {
-      case (e, s) if !s.exists(common) => e }
+    def segsOf(refs: Seq[String]): Set[String] =
+      refs.iterator.filter(_.startsWith(SegPrefix)).map(refRel).toSet
+    val common = segsOf(fromRefs).intersect(segsOf(toRefs))
+    def uniqueEntries(refs: Seq[String]): Seq[String] =
+      refs.flatMap { l =>
+        if (!l.startsWith(SegPrefix)) Seq(l)
+        else {
+          val rel = refRel(l)
+          if (common(rel)) Seq.empty else segEntries(fs, path, rel)
+        }
+      }
+    val fromU = uniqueEntries(fromRefs)
+    val toU = uniqueEntries(toRefs)
     val fk = fromU.map(entryKey).toSet
     val tk = toU.map(entryKey).toSet
     (fromU.filterNot(e => tk(entryKey(e))),
@@ -2994,9 +3003,9 @@ object SnapshotTable {
     // Segment-level pre-cancellation ([[diffEntrySides]]) keeps the
     // driver compare churn-proportional on segmented tables.
     val toLines = manifestLines(fs, path, toV)
-    val (oldE, neuE) = diffEntrySides(
-      readManifestTagged(fs, path, fromVersion),
-      taggedOfLines(fs, path, toLines))
+    val (oldE, neuE) = diffEntrySides(fs, path,
+      readManifestRefs(fs, path, fromVersion),
+      toLines.filterNot(_.startsWith("#")))
     // both sides read with the TO version's schema: across a schema
     // evolution the feed compares on the new schema (old rows' added
     // columns are null), keeping the diff well-typed
@@ -3179,26 +3188,27 @@ object SnapshotTable {
     require(chunkSize >= 1,
       "spark.graft.changeFeed.maxPlanVersions must be >= 1")
     val lazyWhole = (toV - fromVersion + 1) <= chunkSize
-    // the walk: each manifest read once; version v's tagged entries
-    // become version v+1's FROM side. Missing intermediate versions
-    // cannot occur (vacuum trims only the log's OLD end and the
-    // requires above pin both range ends to committed versions).
-    var prevTagged: Seq[(String, Option[String])] =
+    // the walk: each manifest read once; version v's ref list (tiny —
+    // segment refs + loose lines, never flattened entries) becomes
+    // version v+1's FROM side. Missing intermediate versions cannot
+    // occur (vacuum trims only the log's OLD end and the requires
+    // above pin both range ends to committed versions).
+    var prevRefs: Seq[String] =
       if (fromVersion == 0) Seq.empty
-      else readManifestTagged(fs, path, fromVersion - 1)
+      else readManifestRefs(fs, path, fromVersion - 1)
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (v <- fromVersion to toV) {
       val lines = manifestLines(fs, path, v)
       val meta = metaOfLines(lines)
-      val curTagged = taggedOfLines(fs, path, lines)
+      val curRefs = lines.filterNot(_.startsWith("#"))
       val schemaV = meta.get("schema").filter(_.nonEmpty).map(j =>
         types.DataType.fromJson(j).asInstanceOf[types.StructType])
       val diff: DataFrame =
         if (v == 0) read(spark, path, Some(0))
           .withColumn("change_type", lit("insert"))
         else {
-          val (oldE, neuE) = diffEntrySides(prevTagged, curTagged)
+          val (oldE, neuE) = diffEntrySides(fs, path, prevRefs, curRefs)
           val t = diffFrame(spark, path, oldE, neuE, schemaV,
             () => read(spark, path, Some(v)))
           if (!updateImages) t
@@ -3207,7 +3217,7 @@ object SnapshotTable {
               .getOrElse(read(spark, path, Some(v)).columns.toSeq))
         }
       pending += align(diff.withColumn("_commit_version", lit(v)))
-      prevTagged = curTagged
+      prevRefs = curRefs
       if (!lazyWhole && pending.size >= chunkSize) {
         done += unionTree(pending.toSeq).localCheckpoint(eager = true)
         pending.clear()
