@@ -75,6 +75,19 @@ private[graft] class GraftParquetFileFormat(
 
   import GraftParquetFileFormat.RowIndexCol
 
+  // SQL `INSERT INTO` a catalog table backed by this relation routes
+  // through Spark's file-source write path, which would drop parquet
+  // files into the table directory that NO manifest references —
+  // readers silently never see them and the next vacuum reaps them
+  // as orphans. Every legitimate write goes through the manifest
+  // committer; refuse at write preparation, loudly.
+  override def prepareWrite(sparkSession: org.apache.spark.sql.SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw GraftReadOnlyParquetFormat.directWriteRefusal
+
   private def maskActive: Boolean = dvByFile.isDefined || perFileDv
 
   private def phys(name: String): String = log2phys.getOrElse(name, name)
@@ -365,4 +378,33 @@ private[graft] object GraftParquetFileFormat {
           BoundReference(n + 1 + i, dt, nu) })
     }
   }
+}
+
+/** Stock parquet READING with the file-source write path refused: the
+  * front door for DV-free, unmapped versions. SELECT plans stay
+  * byte-identical to stock ParquetFileFormat (no read method is
+  * overridden), but a SQL `INSERT INTO` the catalog table — which
+  * Spark plans as a direct file-source write into the table directory,
+  * invisible to every manifest — fails loudly instead of silently
+  * losing the data to the next vacuum. */
+private[graft] class GraftReadOnlyParquetFormat
+  extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  override def prepareWrite(sparkSession: org.apache.spark.sql.SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw GraftReadOnlyParquetFormat.directWriteRefusal
+}
+
+private[graft] object GraftReadOnlyParquetFormat {
+  def directWriteRefusal: UnsupportedOperationException =
+    new UnsupportedOperationException(
+      "graft: a direct file-source write (INSERT INTO the catalog " +
+        "table, or a foreign-format writer aimed at the table path) " +
+        "would add parquet files no manifest references — readers " +
+        "would never see the rows and vacuum would reap them as " +
+        "orphans. Write through df.write.format(\"graft\") " +
+        "(mode append/overwrite), SnapshotTable.append/merge/" +
+        "overwrite, or the streaming sink.")
 }

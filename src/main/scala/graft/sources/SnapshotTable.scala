@@ -4624,8 +4624,10 @@ object SnapshotTable {
     val relation = org.apache.spark.sql.execution.datasources
       .HadoopFsRelation(index, partSchema, dataSchema,
         None,
-        new org.apache.spark.sql.execution.datasources.parquet
-          .ParquetFileFormat(),
+        // read-identical to stock ParquetFileFormat; refuses the
+        // file-source WRITE path (INSERT INTO would land
+        // manifest-invisible files)
+        new GraftReadOnlyParquetFormat(),
         Map.empty[String, String])(spark)
     // deletion-vector refs the caller must mask, as (data file
     // basename, ref) pairs. Only segments whose hasdv flag is true

@@ -2424,6 +2424,40 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL: CREATE TABLE USING graft reads columnar; INSERT " +
+      "INTO refuses loudly instead of writing manifest-invisible files") {
+    val path = freshPath("sqlddl")
+    SnapshotTable.create(spark.range(100).toDF("id"), path)
+    spark.sql(
+      s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$path')")
+    try {
+      assert(spark.table("graft_sql_t").count() === 100)
+      // the catalog table rides the same columnar front door as
+      // format("graft") reads
+      val plan = spark.table("graft_sql_t")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan") || plan.contains("Scan parquet"),
+        s"expected a columnar file scan, got: ${plan.take(400)}")
+      // INSERT INTO would route through Spark's file-source write
+      // path, dropping parquet files into the table directory that NO
+      // manifest references — readers would silently never see them
+      // (and vacuum would reap them as orphans). Refused loudly at
+      // write preparation, naming the committed write paths.
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft_sql_t VALUES (999)")
+      }
+      def anyMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")) ++ Iterator(""))
+          .mkString("|")
+      assert(anyMsg(e).contains("graft"),
+        s"expected the graft-committer refusal, got: $e")
+      // nothing landed: not in the table, no orphan files either
+      assert(spark.table("graft_sql_t").count() === 100)
+      assert(SnapshotTable.read(spark, path).count() === 100)
+    } finally spark.sql("DROP TABLE graft_sql_t")
+  }
+
   test("restore: metadata-only rollback — schema reverts, stream " +
       "markers don't rewind, batch CDF prices it") {
     import spark.implicits._
