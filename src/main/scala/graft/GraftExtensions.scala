@@ -40,5 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinValues)
+    // SQL INSERT INTO / INSERT OVERWRITE a `USING graft` catalog
+    // table: rewrite Spark's raw file-source write (which would land
+    // manifest-invisible files — the formats refuse it loudly) into a
+    // manifest commit. Runs post-hoc, AFTER PreprocessTableInsertion
+    // has aligned the query to the table schema.
+    ext.injectPostHocResolutionRule(_ => graft.plans.RewriteGraftInserts)
   }
 }

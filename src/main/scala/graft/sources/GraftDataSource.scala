@@ -30,7 +30,14 @@ import org.apache.spark.sql.types.StructType
   *
   * Write modes: ErrorIfExists/Ignore → create (`partitionBy` option:
   * comma-separated columns), Append → append (`mergeSchema=true` for
-  * additive evolution), Overwrite → overwrite.
+  * additive evolution), Overwrite → overwrite. With
+  * [[graft.GraftExtensions]] installed, SQL
+  * `INSERT INTO` / `INSERT OVERWRITE TABLE` a `USING graft` catalog
+  * table commit through the manifest too
+  * ([[graft.plans.RewriteGraftInserts]]); without the extensions —
+  * or through a time-travel pin — such writes are REFUSED loudly
+  * (never Spark's raw file-source write, which would land
+  * manifest-invisible files).
   *
   * `spark.readStream.format("graft")` streams the commit log — see
   * [[GraftStreamSource]] (options `startingVersion`,
@@ -160,8 +167,24 @@ class GraftDataSource extends RelationProvider
     // GraftParquetFileFormat (in-scan DV masking + name translation);
     // the V1 row-translating relation remains the always-correct
     // fallback for Catalyst-ineligible versions and oversized DVs.
-    SnapshotTable.frontDoorRelation(spark, path, version)
+    val rel = SnapshotTable.frontDoorRelation(spark, path, version)
       .getOrElse(new GraftRelation(sqlContext, path, version))
+    // UNPINNED head relations carry the insert-target mark on their
+    // file format: with GraftExtensions installed, SQL INSERT INTO /
+    // INSERT OVERWRITE rewrite into manifest commits
+    // ([[graft.plans.RewriteGraftInserts]]); without the extensions —
+    // or through a versionAsOf/timestampAsOf pin, where writing "into
+    // the past" is RESTORE's explicit job — the formats' prepareWrite
+    // refusal keeps raw file-source writes out, loudly.
+    val pinned = opt(parameters, "versionAsOf").isDefined ||
+      opt(parameters, "timestampAsOf").isDefined
+    rel match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+          if !pinned =>
+        fs.copy(fileFormat =
+          GraftInsertTarget.mark(fs.fileFormat, path))(spark)
+      case other => other
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -282,3 +305,4 @@ private[graft] class GraftRelation(ctx: SQLContext, path: String,
     base.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 }
+

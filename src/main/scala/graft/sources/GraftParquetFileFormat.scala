@@ -68,9 +68,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * front-door machinery is beyond-reference scale work.
   */
 private[graft] class GraftParquetFileFormat(
-    log2phys: Map[String, String],
-    dvByFile: Option[Broadcast[Map[String, Array[Long]]]],
-    perFileDv: Boolean = false)
+    val log2phys: Map[String, String],
+    val dvByFile: Option[Broadcast[Map[String, Array[Long]]]],
+    val perFileDv: Boolean = false,
+    val insertablePath: Option[String] = None)
   extends ParquetFileFormat {
 
   import GraftParquetFileFormat.RowIndexCol
@@ -387,7 +388,8 @@ private[graft] object GraftParquetFileFormat {
   * Spark plans as a direct file-source write into the table directory,
   * invisible to every manifest — fails loudly instead of silently
   * losing the data to the next vacuum. */
-private[graft] class GraftReadOnlyParquetFormat
+private[graft] class GraftReadOnlyParquetFormat(
+    val insertablePath: Option[String] = None)
   extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
   override def prepareWrite(sparkSession: org.apache.spark.sql.SparkSession,
       job: org.apache.hadoop.mapreduce.Job,
@@ -395,6 +397,31 @@ private[graft] class GraftReadOnlyParquetFormat
       dataSchema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
     throw GraftReadOnlyParquetFormat.directWriteRefusal
+}
+
+/** The insert-target marking the data source stamps on UNPINNED
+  * head-version relations' file formats, read back by
+  * [[graft.plans.RewriteGraftInserts]] to rewrite a SQL insert into a
+  * manifest commit. Pinned (time-travel) relations carry None and
+  * keep the loud refusal. */
+private[graft] object GraftInsertTarget {
+  def of(fmt: org.apache.spark.sql.execution.datasources.FileFormat)
+      : Option[String] = fmt match {
+    case g: GraftReadOnlyParquetFormat => g.insertablePath
+    case g: GraftParquetFileFormat => g.insertablePath
+    case _ => None
+  }
+
+  def mark(fmt: org.apache.spark.sql.execution.datasources.FileFormat,
+      path: String)
+      : org.apache.spark.sql.execution.datasources.FileFormat = fmt match {
+    case g: GraftParquetFileFormat =>
+      new GraftParquetFileFormat(g.log2phys, g.dvByFile, g.perFileDv,
+        Some(path))
+    case _: GraftReadOnlyParquetFormat =>
+      new GraftReadOnlyParquetFormat(Some(path))
+    case other => other
+  }
 }
 
 private[graft] object GraftReadOnlyParquetFormat {

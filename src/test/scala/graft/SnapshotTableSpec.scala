@@ -2424,8 +2424,8 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
-  test("SQL DDL: CREATE TABLE USING graft reads columnar; INSERT " +
-      "INTO refuses loudly instead of writing manifest-invisible files") {
+  test("SQL DML: CREATE TABLE USING graft reads columnar; INSERT " +
+      "INTO/OVERWRITE commit through the manifest; pinned writes refuse") {
     val path = freshPath("sqlddl")
     SnapshotTable.create(spark.range(100).toDF("id"), path)
     spark.sql(
@@ -2438,23 +2438,49 @@ class SnapshotTableSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(plan.contains("FileScan") || plan.contains("Scan parquet"),
         s"expected a columnar file scan, got: ${plan.take(400)}")
-      // INSERT INTO would route through Spark's file-source write
-      // path, dropping parquet files into the table directory that NO
-      // manifest references — readers would silently never see them
-      // (and vacuum would reap them as orphans). Refused loudly at
-      // write preparation, naming the committed write paths.
-      val e = intercept[Exception] {
-        spark.sql("INSERT INTO graft_sql_t VALUES (999)")
+      // INSERT INTO commits through the MANIFEST (InsertableRelation
+      // → SnapshotTable.append): before r16 this routed through
+      // Spark's raw file-source write, dropping a parquet file into
+      // the table directory that NO manifest referenced — the spec
+      // originally demonstrated the row silently vanishing. The
+      // formats' prepareWrite refusal remains the safety net should
+      // analysis ever route an insert down the file-write path.
+      spark.sql("INSERT INTO graft_sql_t VALUES (999)")
+      assert(SnapshotTable.versions(spark, path).max === 1,
+        "the insert must land as one ordinary manifest commit")
+      assert(SnapshotTable.read(spark, path)
+        .filter(col("id") === 999L).count() === 1)
+      assert(spark.table("graft_sql_t").count() === 101,
+        "the catalog table must see the committed insert (cache " +
+          "refreshed)")
+      // INSERT OVERWRITE replaces the table as one overwrite commit;
+      // prior versions stay time-travelable
+      spark.sql(
+        "INSERT OVERWRITE TABLE graft_sql_t SELECT id FROM range(7)")
+      assert(spark.table("graft_sql_t").count() === 7)
+      assert(SnapshotTable.read(spark, path, Some(1)).count() === 101)
+      // a TIME-TRAVEL-pinned read stays read-only: the pinned
+      // relation refuses inserts (writing into the past is RESTORE's
+      // explicit job) — the file-format refusal is the backstop
+      // whatever rule resolves the write
+      val pinnedErr = intercept[Exception] {
+        spark.read.format("graft").option("versionAsOf", "0")
+          .load(path).write.format("parquet").mode("append")
+          .save(path + "_elsewhere") // control: pinned READ is fine
+        spark.sql("DROP TABLE IF EXISTS graft_sql_pinned")
+        spark.sql("CREATE TABLE graft_sql_pinned USING graft " +
+          s"OPTIONS (path '$path', versionAsOf '0')")
+        try spark.sql("INSERT INTO graft_sql_pinned VALUES (1000)")
+        finally spark.sql("DROP TABLE graft_sql_pinned")
       }
       def anyMsg(t: Throwable): String =
         (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(x => Option(x.getMessage).getOrElse("")) ++ Iterator(""))
           .mkString("|")
-      assert(anyMsg(e).contains("graft"),
-        s"expected the graft-committer refusal, got: $e")
-      // nothing landed: not in the table, no orphan files either
-      assert(spark.table("graft_sql_t").count() === 100)
-      assert(SnapshotTable.read(spark, path).count() === 100)
+      assert(anyMsg(pinnedErr).contains("graft"),
+        s"expected the pinned-read write refusal, got: $pinnedErr")
+      assert(SnapshotTable.read(spark, path).count() === 7,
+        "the refused pinned insert must land nothing")
     } finally spark.sql("DROP TABLE graft_sql_t")
   }
 

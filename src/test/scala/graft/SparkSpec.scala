@@ -10,6 +10,10 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // production wiring: native expressions, the as-of join strategy,
+    // and the SQL-insert rewrite all ride the documented extensions
+    // entry point — the suite runs what a user's session runs
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }
 
