@@ -2459,6 +2459,54 @@ class SnapshotTableSpec extends SparkSpec {
         "INSERT OVERWRITE TABLE graft_sql_t SELECT id FROM range(7)")
       assert(spark.table("graft_sql_t").count() === 7)
       assert(SnapshotTable.read(spark, path, Some(1)).count() === 101)
+      // SQL DELETE FROM → the copy-on-write delete verb, one commit
+      spark.sql("DELETE FROM graft_sql_t WHERE id >= 5")
+      assert(spark.table("graft_sql_t").count() === 5)
+      assert(SnapshotTable.read(spark, path).count() === 5)
+      // SQL UPDATE → the merge-on-read update verb (DV mask + append)
+      spark.sql("UPDATE graft_sql_t SET id = id + 100 WHERE id = 0")
+      assert(spark.table("graft_sql_t")
+        .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L, 100L))
+      // both were ordinary commits: the whole history time-travels
+      assert(SnapshotTable.read(spark, path, Some(2)).count() === 7)
+      def ids(): Seq[Long] = spark.table("graft_sql_t")
+        .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      // SQL MERGE INTO, canonical upsert: matched keys replaced,
+      // unmatched inserted — one keyed-merge commit
+      spark.sql("MERGE INTO graft_sql_t t USING (SELECT * FROM " +
+        "VALUES (1L), (777L) AS v(id)) s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(ids() === Seq(1L, 2L, 3L, 4L, 100L, 777L))
+      // WHEN MATCHED THEN DELETE: matched keys removed, absent keys
+      // are no-ops
+      spark.sql("MERGE INTO graft_sql_t t USING (SELECT * FROM " +
+        "VALUES (2L), (3L), (55555L) AS v(id)) s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+      assert(ids() === Seq(1L, 4L, 100L, 777L))
+      // UPDATE*-only: an unmatched source key must NOT insert
+      spark.sql("MERGE INTO graft_sql_t t USING (SELECT * FROM " +
+        "VALUES (777L), (999L) AS v(id)) s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+      assert(ids() === Seq(1L, 4L, 100L, 777L),
+        "update-only merge must not insert unmatched keys")
+      // INSERT*-only: a matched source key must NOT update/duplicate
+      spark.sql("MERGE INTO graft_sql_t t USING (SELECT * FROM " +
+        "VALUES (777L), (888L) AS v(id)) s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(ids() === Seq(1L, 4L, 100L, 777L, 888L))
+      // richer shapes refuse loudly, naming the supported grammar
+      val mergeErr = intercept[Exception] {
+        spark.sql("MERGE INTO graft_sql_t t USING (SELECT * FROM " +
+          "VALUES (1L) AS v(id)) s ON t.id = s.id " +
+          "WHEN MATCHED AND t.id > 0 THEN DELETE")
+      }
+      assert(mergeErr.getMessage.contains("graft MERGE INTO") ||
+        Option(mergeErr.getCause).exists(
+          _.getMessage.contains("graft MERGE INTO")),
+        s"expected the merge-shape refusal, got: $mergeErr")
       // a TIME-TRAVEL-pinned read stays read-only: the pinned
       // relation refuses inserts (writing into the past is RESTORE's
       // explicit job) — the file-format refusal is the backstop
@@ -2479,7 +2527,7 @@ class SnapshotTableSpec extends SparkSpec {
           .mkString("|")
       assert(anyMsg(pinnedErr).contains("graft"),
         s"expected the pinned-read write refusal, got: $pinnedErr")
-      assert(SnapshotTable.read(spark, path).count() === 7,
+      assert(SnapshotTable.read(spark, path).count() === 5,
         "the refused pinned insert must land nothing")
     } finally spark.sql("DROP TABLE graft_sql_t")
   }
