@@ -50,6 +50,8 @@ object Bench {
       // surface, so without this each pass would re-compile every
       // query's generated classes (static conf — set before session)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // the documented production wiring (w44 drives SQL DML)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

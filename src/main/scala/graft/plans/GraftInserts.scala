@@ -156,13 +156,25 @@ object RewriteGraftInserts extends Rule[LogicalPlan] {
         // — star-equivalent when every target column is assigned its
         // same-named source attribute
         def starLike(assigns: Seq[Assignment]): Boolean = {
+          // the analyzer may wrap a star assignment's source attribute
+          // in its own store-assignment CAST (type alignment) — still
+          // the star shape (GraftMergeCommand re-applies the table's
+          // exact types before the keyed merge)
+          def attrOf(e: Expression): Option[AttributeReference] =
+            e match {
+              case a: AttributeReference => Some(a)
+              case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+                c.child match {
+                  case a: AttributeReference => Some(a)
+                  case _ => None
+                }
+              case _ => None
+            }
           val pairs = assigns.flatMap {
-            case Assignment(t: AttributeReference,
-                v: AttributeReference)
-                if target.outputSet.contains(t) &&
-                  source.outputSet.contains(v) &&
-                  t.name == v.name =>
-              Some(t.name)
+            case Assignment(t: AttributeReference, v)
+                if target.outputSet.contains(t) =>
+              attrOf(v).filter(a => source.outputSet.contains(a) &&
+                a.name == t.name).map(_ => t.name)
             case _ => None
           }
           pairs.length == assigns.length &&
@@ -266,9 +278,16 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
       case (d, (t, s)) => if (t == s) d else d.withColumnRenamed(s, t)
     }
     val table0 = SnapshotTable.read(spark, path)
+    // project to the table's columns AND types: star semantics let
+    // the source carry promotable types (the analyzer validated the
+    // store-assignment casts; this re-applies them), and the keyed
+    // merge verb refuses any remaining drift loudly
     val src =
-      if (shape == "delete_matched") renamed
-      else renamed.select(table0.columns.toSeq.map(col): _*)
+      if (shape == "delete_matched")
+        renamed.select(keyCols.map(k =>
+          col(k).cast(table0.schema(k).dataType).as(k)): _*)
+      else renamed.select(table0.schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
     shape match {
       case "upsert" =>
         SnapshotTable.merge(src, path, keyCols)
@@ -284,7 +303,7 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
           path, keyCols)
       case "delete_matched" =>
         SnapshotTable.merge(table0.filter(lit(false)), path, keyCols,
-          removeKeys = Some(src.select(keyCols.map(col): _*)))
+          removeKeys = Some(src))
     }
     table.foreach(t => spark.sessionState.catalog.refreshTable(t))
     spark.catalog.refreshByPath(path)

@@ -1113,6 +1113,57 @@ object WindowQueries {
         .orderBy(col("_commit_version"), col("change_type"))
     }),
 
+    // W44: the SQL DML surface end-to-end through the catalog — one
+    // `USING graft` table driven ONLY by SQL statements (INSERT INTO,
+    // DELETE FROM, UPDATE, MERGE INTO upsert with a self-referencing
+    // source), each one manifest commit via the GraftExtensions
+    // post-hoc rewrite (GraftInserts.scala). The oracle restates the
+    // statement sequence relationally over raw customer. The MERGE's
+    // source reads the pre-merge snapshot (its own table), so the
+    // oracle composes s2 (post-update state) for both the negation
+    // and the inserted shifted rows.
+    "w44_sql_dml" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w44").toString + "/cust_sql"
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      SnapshotTable.create(
+        cust.repartitionByRange(4, col("c_custkey"))
+          .sortWithinPartitions(col("c_custkey")), path)
+      val tbl = "graft_w44_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$path')")
+      try {
+        s.sql(s"INSERT INTO $tbl VALUES (CAST(20000000 AS BIGINT), " +
+          "CAST(98 AS INT), CAST(7.25 AS DOUBLE))")
+        s.sql(s"DELETE FROM $tbl WHERE c_custkey % 10 = 3")
+        s.sql(s"UPDATE $tbl SET c_acctbal = c_acctbal + 1000.0 " +
+          "WHERE c_nationkey < 5")
+        s.sql(s"""MERGE INTO $tbl t USING (
+          |  SELECT c_custkey, c_nationkey,
+          |         -c_acctbal AS c_acctbal
+          |  FROM $tbl WHERE c_custkey % 7 = 0
+          |  UNION ALL
+          |  SELECT CAST(c_custkey + 10000000 AS BIGINT),
+          |         CAST(99 AS INT), CAST(5.0 AS DOUBLE)
+          |  FROM $tbl WHERE c_custkey % 500 = 1
+          |) src ON t.c_custkey = src.c_custkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        // four statements = four ordinary commits on top of create
+        require(SnapshotTable.versions(s, path).max == 4,
+          "each SQL statement must land as exactly one manifest commit")
+        s.table(tbl)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("bal_total"),
+            sum(col("c_custkey")).as("key_total"))
+          .orderBy(col("c_nationkey"))
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     "w42_metadata_table" -> ((s, dir) => {
       import graft.sources.SnapshotTable
       val path = java.nio.file.Files
@@ -1821,6 +1872,34 @@ object WindowQueries {
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    FROM a
         |) ORDER BY _commit_version, change_type""".stripMargin,
+
+    // the SQL statement sequence restated relationally: s0 = +insert,
+    // s1 = -deleted slice, s2 = +1000 where nation<5 (the UPDATE),
+    // s3 = %7 keys negated (the MERGE's matched arm over the s2
+    // snapshot), ins = the MERGE's shifted not-matched inserts
+    "w44_sql_dml" ->
+      """WITH s0 AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  UNION ALL SELECT CAST(20000000 AS BIGINT),
+        |    CAST(98 AS INT), CAST(7.25 AS DOUBLE)),
+        |s1 AS (SELECT * FROM s0 WHERE c_custkey % 10 != 3),
+        |s2 AS (SELECT c_custkey, c_nationkey,
+        |         CASE WHEN c_nationkey < 5 THEN c_acctbal + 1000.0
+        |              ELSE c_acctbal END AS bal
+        |       FROM s1),
+        |s3 AS (SELECT c_custkey, c_nationkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN -bal ELSE bal END
+        |           AS bal
+        |       FROM s2),
+        |ins AS (SELECT CAST(c_custkey + 10000000 AS BIGINT)
+        |          AS c_custkey, CAST(99 AS INT) AS c_nationkey,
+        |          CAST(5.0 AS DOUBLE) AS bal
+        |        FROM s2 WHERE c_custkey % 500 = 1),
+        |fin AS (SELECT * FROM s3 UNION ALL SELECT * FROM ins)
+        |SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_total
+        |FROM fin GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "w42_metadata_table" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows
