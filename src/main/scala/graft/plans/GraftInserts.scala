@@ -323,6 +323,22 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
     val df = if (columnNames.nonEmpty &&
         columnNames.length == df0.columns.length)
       df0.toDF(columnNames: _*) else df0
+    // dynamic partition overwrite means "replace only the partitions
+    // this data touches" — a different verb than the full-table
+    // overwrite below. Refuse rather than silently over-delete; the
+    // keyed/partition-scoped paths (merge, delete+append) express it
+    // under user control. Spark's default (STATIC, no partition spec)
+    // IS whole-table replacement, which matches.
+    if (overwrite &&
+        SnapshotTable.partitioning(spark, path).nonEmpty &&
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+          "static").equalsIgnoreCase("dynamic"))
+      throw new UnsupportedOperationException(
+        "graft INSERT OVERWRITE: partitionOverwriteMode=dynamic " +
+          "(partition-scoped replacement) is not supported on a " +
+          "partitioned graft table — this command replaces the WHOLE " +
+          "table; use SnapshotTable.delete + append (or merge) for " +
+          "partition-scoped rewrites")
     if (overwrite) SnapshotTable.overwrite(df, path)
     else SnapshotTable.append(df, path)
     // the catalog caches the resolved relation per table (with its

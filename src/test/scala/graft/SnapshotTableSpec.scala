@@ -2497,6 +2497,35 @@ class SnapshotTableSpec extends SparkSpec {
         "VALUES (777L), (888L) AS v(id)) s ON t.id = s.id " +
         "WHEN NOT MATCHED THEN INSERT *")
       assert(ids() === Seq(1L, 4L, 100L, 777L, 888L))
+      // dynamic partition overwrite on a PARTITIONED graft table is a
+      // different verb (partition-scoped replace) — refused loudly
+      // rather than silently over-deleting; static mode (the default,
+      // whole-table semantics) is what the overwrite above exercised
+      val pPath = freshPath("sqldynpart")
+      import spark.implicits._
+      SnapshotTable.create(
+        (0L until 20L).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
+        pPath, partitionBy = Seq("grp"))
+      spark.sql("CREATE TABLE graft_sql_part USING graft OPTIONS " +
+        s"(path '$pPath')")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        val dynErr = intercept[Exception] {
+          spark.sql("INSERT OVERWRITE TABLE graft_sql_part " +
+            "SELECT id, 'g0' AS grp FROM range(3)")
+        }
+        val dynMsg = Iterator.iterate(dynErr: Throwable)(_.getCause)
+          .takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+        assert(dynMsg.contains("partitionOverwriteMode"),
+          s"expected the dynamic-overwrite refusal, got: $dynErr")
+        assert(SnapshotTable.read(spark, pPath).count() === 20,
+          "the refused dynamic overwrite must land nothing")
+      } finally {
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        spark.sql("DROP TABLE graft_sql_part")
+      }
       // richer shapes refuse loudly, naming the supported grammar
       val mergeErr = intercept[Exception] {
         spark.sql("MERGE INTO graft_sql_t t USING (SELECT * FROM " +
