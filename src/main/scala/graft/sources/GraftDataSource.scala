@@ -128,7 +128,12 @@ class GraftDataSource extends RelationProvider
     new GraftStreamSink(sqlContext, pathOf(parameters), partCols,
       mergeSchema =
         opt(parameters, "mergeSchema").exists(_.toBoolean),
-      mergeKeys = mergeKeys)
+      mergeKeys = mergeKeys,
+      // `cdc` pins how Update-mode batches are interpreted, instead
+      // of sniffing column names: true REQUIRES the CDC shape
+      // (refused loudly otherwise), false forces plain upserts even
+      // if columns named change_type/_commit_version happen to exist
+      cdcOverride = opt(parameters, "cdc").map(_.toBoolean))
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -55,7 +55,8 @@ private[graft] class GraftStreamSink(
     path: String,
     partitionBy: Seq[String],
     mergeSchema: Boolean,
-    mergeKeys: Seq[String]) extends Sink {
+    mergeKeys: Seq[String],
+    cdcOverride: Option[Boolean] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is the micro-batch engine's incremental
@@ -68,7 +69,7 @@ private[graft] class GraftStreamSink(
         evolveSchema = mergeSchema)
     else
       GraftStreamSink.applyKeyedBatch(batch, path, mergeKeys, batchId,
-        partitionBy)
+        partitionBy, cdcOverride)
   }
 
   override def toString: String = s"GraftStreamSink[$path]"
@@ -83,6 +84,28 @@ private[graft] object GraftStreamSink {
     cs.contains("change_type") && cs.contains("_commit_version")
   }
 
+  /** The change_type values the CDC reduction understands. Anything
+    * else would silently rank at precedence 0 and vanish from both
+    * the upserts and the removals (ADVICE r16 #4) — validated loudly
+    * in [[applyChangeBatch]] instead. */
+  private val CdcTypes =
+    Seq("insert", "update_postimage", "update_preimage", "delete")
+
+  /** The batch's columns, name-sorted, each rendered hashable for the
+    * deterministic replay tie-break: Spark's hash family refuses
+    * MapType anywhere in the type tree (ADVICE r16 #3 — before this,
+    * a CDC feed carrying a map column failed at runtime), so
+    * map-bearing columns ride as their JSON image (content-stable
+    * across replays of the same batch bytes), everything else raw. */
+  private def hashableCols(batch: DataFrame)
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    batch.schema.fields.sortBy(_.name).toSeq.map(f =>
+      if (SnapshotTable.containsMapType(f.dataType))
+        to_json(struct(col(f.name)))
+      else col(f.name))
+  }
+
   /** One Update-mode micro-batch applied to the snapshot table at
     * `tablePath` as ONE keyed merge, exactly-once via the batch
     * marker (a replayed batch after restart is recognized from the
@@ -95,12 +118,20 @@ private[graft] object GraftStreamSink {
     * contract. */
   def applyKeyedBatch(batch: DataFrame, tablePath: String,
       keyCols: Seq[String], batchId: Long,
-      partitionBy: Seq[String] = Seq.empty): Unit = {
+      partitionBy: Seq[String] = Seq.empty,
+      cdcOverride: Option[Boolean] = None): Unit = {
     val spark = batch.sparkSession
     if (SnapshotTable.committedStreamBatch(spark, tablePath)
         .exists(_ >= batchId)) return
-    if (isCdcShaped(batch)) applyChangeBatch(batch, tablePath, keyCols,
-      batchId, partitionBy)
+    // `cdc` option pins the interpretation; without it the shape is
+    // sniffed from the column names (and the CDC path then VALIDATES
+    // the change_type values loudly — see applyChangeBatch)
+    cdcOverride.foreach(want => require(!want || isCdcShaped(batch),
+      "graft update sink: .option(\"cdc\", \"true\") requires the CDC " +
+        "columns change_type and _commit_version in the stream, got " +
+        s"[${batch.columns.mkString(",")}]"))
+    if (cdcOverride.getOrElse(isCdcShaped(batch)))
+      applyChangeBatch(batch, tablePath, keyCols, batchId, partitionBy)
     else {
       import org.apache.spark.sql.functions.col
       require(keyCols.forall(batch.columns.contains),
@@ -161,13 +192,27 @@ private[graft] object GraftStreamSink {
     require(keyCols.forall(batch.columns.contains),
       s"graft CDC apply: key columns [${keyCols.mkString(",")}] must " +
         s"all be batch columns [${batch.columns.mkString(",")}]")
+    // an unrecognized change_type would rank at precedence 0 and
+    // silently vanish from both the upserts and the removals — a
+    // mis-shaped feed (or a plain stream that merely happens to carry
+    // these column names) must fail LOUDLY, not drop rows. One
+    // churn-sized early-out scan.
+    val bad = batch.filter(!col("change_type").isin(CdcTypes: _*))
+      .select(col("change_type")).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"graft CDC apply: micro-batch $batchId carries change_type " +
+          s"'${bad.head.get(0)}' — not a CDC disposition " +
+          s"[${CdcTypes.mkString(",")}]; if the stream is NOT a " +
+          "change feed, set .option(\"cdc\", \"false\") to upsert " +
+          "rows as plain images")
     val prec = when(col("change_type")
         .isin("insert", "update_postimage"), 2)
       .when(col("change_type") === "delete", 1)
       .otherwise(0)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_commit_version").desc, prec.desc,
-        xxhash64(batch.columns.sorted.toSeq.map(col): _*).desc)
+        xxhash64(hashableCols(batch): _*).desc)
     val fin = batch.withColumn("__p", prec)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

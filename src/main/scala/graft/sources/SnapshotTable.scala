@@ -2216,6 +2216,61 @@ object SnapshotTable {
           "op" -> op))
   }
 
+  /** Hive-style DYNAMIC partition overwrite as ONE manifest commit:
+    * replace exactly the partitions `df` carries rows for; every
+    * other partition's entries pass through BY REFERENCE (clean
+    * segments as refs — O(#segments + churn) manifest write, zero
+    * data I/O outside the touched partitions). The SQL
+    * `INSERT OVERWRITE ... partitionOverwriteMode=dynamic` rewrite
+    * rides this verb; an empty source replaces nothing (Hive
+    * semantics) and commits no version. The touched partition set is
+    * derived from the STAGED entries' own directory names, so the
+    * value encoding matches the manifest's byte-for-byte (no
+    * literal-rendering drift). Concurrency: pinned commit; a racer
+    * touching the same partitions aborts, disjoint commits rebase. */
+  def replacePartitions(df: DataFrame, path: String,
+      meta: Map[String, String] = Map.empty): Int = {
+    val spark = df.sparkSession
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val readV = vs.max
+    val layout = partitioning(spark, path)
+    require(layout.nonEmpty,
+      "replacePartitions needs a PARTITIONED table (whole-table " +
+        s"replacement is overwrite's job) — $path has no partition " +
+        "layout")
+    val fs = fsOf(spark, new Path(path))
+    // schema checked exactly like append — a partition replace is
+    // data churn, not DDL
+    val evolved = evolvedAppendSchema(spark, fs, path, readV, df,
+      evolveSchema = false)
+    val tagged = readManifestTagged(fs, path, readV)
+    val manifest = tagged.map(_._1)
+    val staged0 = stage(toPhysical(df, Some(evolved)), path, layout)
+    val staged = maintainBlooms(spark, path, readMeta(fs, path, readV),
+      Some(evolved), df.columns.toSeq, staged0)
+    val touchedVals = staged.iterator
+      .map(e => layout.map(c =>
+        entryPartitionValues(entryPath(e)).get(c)))
+      .toSet
+    if (touchedVals.isEmpty) return readV
+    val touched = (e: String) => touchedVals.contains(
+      layout.map(c => entryPartitionValues(entryPath(e)).get(c)))
+    val dirtySegs = tagged.iterator.collect {
+      case (e, Some(sr)) if touched(e) => sr }.toSet
+    val keptRefs = readManifestRefs(fs, path, readV).filter(l =>
+      l.startsWith(SegPrefix) && !dirtySegs.contains(refRel(l)))
+    val loose = tagged.collect {
+      case (e, sOpt) if !touched(e) && sOpt.forall(dirtySegs.contains)
+        => e }
+    val affected = manifest.filter(touched)
+    commitPinned(spark, path, keptRefs, loose ++ staged, readV + 1,
+      Map("op" -> "REPLACE-PARTITIONS") ++ meta,
+      resolve = Some(ConflictSpec(readV, manifest.toSet,
+        manifest.iterator.map(entryPath).toSet, affected, staged,
+        e => touched(e))))
+  }
+
   /** EXACTLY-ONCE idempotent append for a streaming micro-batch: the
     * batch id rides inside the atomic manifest commit as a
     * `#streamBatch=<id>` metadata line, so the data and its delivery
@@ -3049,10 +3104,76 @@ object SnapshotTable {
     else {
       val old = readE(oldE)
       val neu = readE(neuE)
-      neu.exceptAll(old).withColumn("change_type", lit("insert"))
-        .unionByName(
-          old.exceptAll(neu).withColumn("change_type", lit("delete")))
+      if (!old.schema.fields.exists(f => containsMapType(f.dataType)))
+        neu.exceptAll(old).withColumn("change_type", lit("insert"))
+          .unionByName(
+            old.exceptAll(neu).withColumn("change_type", lit("delete")))
+      else mapSafeMultisetDiff(old, neu)
     }
+  }
+
+  /** Does the type carry a MapType anywhere? Spark refuses set
+    * operations, grouping, and hashing on such types (map equality is
+    * entry-order-ambiguous), so the diff and the sink tie-break route
+    * them through a canonical rendering instead. */
+  private[sources] def containsMapType(dt: types.DataType): Boolean =
+    dt match {
+      case _: types.MapType => true
+      case a: types.ArrayType => containsMapType(a.elementType)
+      case s: types.StructType =>
+        s.fields.exists(f => containsMapType(f.dataType))
+      case _ => false
+    }
+
+  /** A column rendered CANONICAL for row-equality purposes: a
+    * top-level map compares by its SORTED entry list (the equality
+    * Spark declines to define — entry order must not matter), and a
+    * map buried deeper (map-valued map, map inside a struct/array)
+    * falls back to its JSON image (entry-order-sensitive, exact for
+    * engine-written data — parquet round-trips preserve entry
+    * order). Non-map types pass through untouched. */
+  private def canonicalCol(f: types.StructField)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_sort, col, map_entries, struct, to_json}
+    f.dataType match {
+      case m: types.MapType if !containsMapType(m.valueType) =>
+        array_sort(map_entries(col(f.name)))
+      case dt if containsMapType(dt) => to_json(struct(col(f.name)))
+      case _ => col(f.name)
+    }
+  }
+
+  /** EXCEPT ALL in both directions for MAP-BEARING schemas, without a
+    * set operation: each side's rows get an occurrence index within
+    * their canonical-equality group ([[canonicalCol]] — sorted-entry
+    * map semantics), and a row survives as insert (new side) or
+    * delete (old side) exactly when its occurrence index exceeds the
+    * OTHER side's count in that group — the multiset difference, row
+    * for row. One shuffle on the canonical key, churn-sized; the
+    * surviving rows keep their ORIGINAL map bytes (the canonical
+    * rendering exists only inside the window keys). */
+  private def mapSafeMultisetDiff(old: DataFrame,
+      neu: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number, sum, when}
+    val side = "__graft_diff_side"
+    val all = neu.withColumn(side, lit(1))
+      .unionByName(old.withColumn(side, lit(0)))
+    val canon = neu.schema.fields.toSeq.map(canonicalCol)
+    val grp = Window.partitionBy(canon: _*)
+    val occ = row_number().over(
+      Window.partitionBy(canon :+ col(side): _*).orderBy(lit(1)))
+    val nNew = sum(col(side)).over(grp)
+    val nOld = sum(lit(1) - col(side)).over(grp)
+    all
+      .withColumn("__graft_occ", occ)
+      .withColumn("__graft_keep",
+        (col(side) === 1 && col("__graft_occ") > nOld) ||
+          (col(side) === 0 && col("__graft_occ") > nNew))
+      .filter(col("__graft_keep"))
+      .withColumn("change_type",
+        when(col(side) === 1, lit("insert")).otherwise(lit("delete")))
+      .drop(side, "__graft_occ", "__graft_keep")
   }
 
   /** RESTORE (Delta parity): make the table's LATEST state equal the
@@ -3138,7 +3259,16 @@ object SnapshotTable {
     * non-reliable — an executor loss fails the read; re-run it); for
     * open-ended CDC consumption prefer the streaming source, which
     * paces itself with `maxVersionsPerTrigger` and checkpoints
-    * durable offsets instead. */
+    * durable offsets instead.
+    *
+    * `spark.graft.changeFeed.materializePath` (r17): when set,
+    * completed chunks SPILL TO PARQUET under a fresh subdirectory of
+    * that path instead of localCheckpoint — the rows live on
+    * (reliable) storage, so a long-range CDF read survives executor
+    * loss: losing a worker re-reads parquet instead of failing the
+    * whole call. The subdirectory is this call's alone (UUID-named);
+    * the CALLER owns cleanup after consuming the frame. The lazy
+    * small-range path never materializes. */
   def changeFeed(spark: SparkSession, path: String, fromVersion: Int,
       toVersion: Option[Int] = None,
       updateImages: Boolean = false): DataFrame = {
@@ -3188,6 +3318,23 @@ object SnapshotTable {
     require(chunkSize >= 1,
       "spark.graft.changeFeed.maxPlanVersions must be >= 1")
     val lazyWhole = (toV - fromVersion + 1) <= chunkSize
+    // chunk pinning: reliable parquet spill when the caller named a
+    // materialize path, executor-memory localCheckpoint otherwise
+    val matDir = spark.conf
+      .getOption("spark.graft.changeFeed.materializePath")
+      .filter(_.nonEmpty)
+      .map(p => s"$p/cdf_${UUID.randomUUID().toString.take(8)}")
+    var chunkNo = 0
+    def pinChunk(df: DataFrame): DataFrame = matDir match {
+      case None => df.localCheckpoint(eager = true)
+      case Some(dir) =>
+        val out = s"$dir/chunk_$chunkNo"
+        chunkNo += 1
+        df.write.mode("overwrite").parquet(out)
+        // explicit schema: an all-empty chunk writes no part file to
+        // infer from, and align() already fixed the exact shape
+        spark.read.schema(df.schema).parquet(out)
+    }
     // the walk: each manifest read once; version v's ref list (tiny —
     // segment refs + loose lines, never flattened entries) becomes
     // version v+1's FROM side. Missing intermediate versions cannot
@@ -3219,13 +3366,13 @@ object SnapshotTable {
       pending += align(diff.withColumn("_commit_version", lit(v)))
       prevRefs = curRefs
       if (!lazyWhole && pending.size >= chunkSize) {
-        done += unionTree(pending.toSeq).localCheckpoint(eager = true)
+        done += pinChunk(unionTree(pending.toSeq))
         pending.clear()
       }
     }
     if (pending.nonEmpty)
       done += (if (lazyWhole) unionTree(pending.toSeq)
-               else unionTree(pending.toSeq).localCheckpoint(eager = true))
+               else pinChunk(unionTree(pending.toSeq)))
     unionTree(done.toSeq)
   }
 
