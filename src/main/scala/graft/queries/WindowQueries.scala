@@ -1164,6 +1164,108 @@ object WindowQueries {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // W45: the RICH SQL MERGE surface (round-17) — clause
+    // AND-conditions, explicit SET lists, and WHEN NOT MATCHED BY
+    // SOURCE, each statement still exactly ONE keyed-merge manifest
+    // commit (GraftMergeRichCommand). Statement 1: a conditional
+    // update-or-delete over a self-referencing source (doubled
+    // balances above a threshold update and shift the nation key,
+    // the rest of the matched slice deletes). Statement 2: the
+    // sync-two-tables idiom — even keys refresh, stale odd keys
+    // delete below a nation threshold and zero out above it. The
+    // oracle restates both statements relationally over raw customer.
+    "w45_sql_merge_rich" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w45").toString + "/cust_rich"
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      SnapshotTable.create(
+        cust.repartitionByRange(4, col("c_custkey"))
+          .sortWithinPartitions(col("c_custkey")), path)
+      val tbl = "graft_w45_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$path')")
+      try {
+        s.sql(s"""MERGE INTO $tbl t USING (
+          |  SELECT c_custkey, c_acctbal * 2 AS newbal
+          |  FROM $tbl WHERE c_custkey % 3 = 0
+          |) src ON t.c_custkey = src.c_custkey
+          |WHEN MATCHED AND src.newbal > 1000.0 THEN UPDATE SET
+          |  c_acctbal = src.newbal, c_nationkey = t.c_nationkey + 100
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+        s.sql(s"""MERGE INTO $tbl t USING (
+          |  SELECT c_custkey FROM $tbl WHERE c_custkey % 2 = 0
+          |) src ON t.c_custkey = src.c_custkey
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 1.0
+          |WHEN NOT MATCHED BY SOURCE AND t.c_nationkey < 10
+          |  THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE
+          |  THEN UPDATE SET c_acctbal = 0.0""".stripMargin)
+        require(SnapshotTable.versions(s, path).max == 2,
+          "each rich MERGE must land as exactly one manifest commit")
+        s.table(tbl)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("bal_total"),
+            sum(col("c_custkey")).as("key_total"))
+          .orderBy(col("c_nationkey"))
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
+    // W46: dynamic-partition INSERT OVERWRITE as a REAL verb
+    // (round-17; was a refusal) — a partitioned orders table where
+    // one SQL statement under partitionOverwriteMode=dynamic replaces
+    // exactly the partition the data touches (URGENT orders, prices
+    // negated — bit-exact, no fp-rounding drift vs the oracle) in ONE
+    // commit; the untouched partitions' manifest
+    // entries are require()-pinned VERBATIM (by-reference
+    // pass-through, zero data I/O outside the touched partition) and
+    // v0 stays time-travelable. Oracle: orders with URGENT halved.
+    "w46_sql_dyn_overwrite" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w46").toString + "/orders_dyn"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      SnapshotTable.create(
+        orders.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        path, partitionBy = Seq("o_orderpriority"))
+      val untouchedBefore = SnapshotTable.manifestEntries(s, path, 0)
+        .filterNot(_.contains("1-URGENT")).toSet
+      val tbl = "graft_w46_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$path')")
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = s.conf.getOption(modeKey)
+      try {
+        s.conf.set(modeKey, "dynamic")
+        s.sql(s"INSERT OVERWRITE TABLE $tbl " +
+          s"SELECT o_orderkey, o_orderpriority, -o_totalprice " +
+          s"FROM $tbl WHERE o_orderpriority = '1-URGENT'")
+        require(SnapshotTable.versions(s, path).max == 1,
+          "dynamic partition overwrite must land as ONE commit")
+        require(SnapshotTable.manifestEntries(s, path, 1)
+            .filterNot(_.contains("1-URGENT")).toSet == untouchedBefore,
+          "untouched partitions must pass through by reference")
+        s.table(tbl)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"),
+            sum(col("o_orderkey")).as("key_total"))
+          .orderBy(col("o_orderpriority"))
+      } finally {
+        prior match {
+          case Some(v) => s.conf.set(modeKey, v)
+          case None => s.conf.unset(modeKey)
+        }
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+      }
+    }),
+
     "w42_metadata_table" -> ((s, dir) => {
       import graft.sources.SnapshotTable
       val path = java.nio.file.Files
@@ -1900,6 +2002,45 @@ object WindowQueries {
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
         |  CAST(sum(c_custkey) AS BIGINT) AS key_total
         |FROM fin GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // the two rich MERGE statements restated relationally: s1 = the
+    // conditional update-or-delete (matched %3 keys: doubled balance
+    // wins above 1000 and shifts the nation key, else the row goes);
+    // s2 = the sync (even keys +1, stale odd keys delete under
+    // nation<10, zero otherwise)
+    "w45_sql_merge_rich" ->
+      """WITH s0 AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+        |m1 AS (SELECT c_custkey, c_acctbal * 2 AS newbal
+        |       FROM s0 WHERE c_custkey % 3 = 0),
+        |s1 AS (
+        |  SELECT t.c_custkey,
+        |    CASE WHEN m.c_custkey IS NOT NULL AND m.newbal > 1000.0
+        |         THEN t.c_nationkey + 100 ELSE t.c_nationkey END
+        |      AS c_nationkey,
+        |    CASE WHEN m.c_custkey IS NOT NULL AND m.newbal > 1000.0
+        |         THEN m.newbal ELSE t.c_acctbal END AS c_acctbal
+        |  FROM s0 t LEFT JOIN m1 m ON t.c_custkey = m.c_custkey
+        |  WHERE m.c_custkey IS NULL OR m.newbal > 1000.0),
+        |s2 AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1.0
+        |         ELSE 0.0 END AS c_acctbal
+        |  FROM s1 WHERE c_custkey % 2 = 0 OR c_nationkey >= 10)
+        |SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS bal_total,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_total
+        |FROM s2 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "w46_sql_dyn_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN -o_totalprice ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "w42_metadata_table" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows

@@ -2497,10 +2497,12 @@ class SnapshotTableSpec extends SparkSpec {
         "VALUES (777L), (888L) AS v(id)) s ON t.id = s.id " +
         "WHEN NOT MATCHED THEN INSERT *")
       assert(ids() === Seq(1L, 4L, 100L, 777L, 888L))
-      // dynamic partition overwrite on a PARTITIONED graft table is a
-      // different verb (partition-scoped replace) — refused loudly
-      // rather than silently over-deleting; static mode (the default,
-      // whole-table semantics) is what the overwrite above exercised
+      // dynamic partition overwrite on a PARTITIONED graft table is
+      // partition-scoped replacement (r17: a real verb — before, a
+      // loud refusal): exactly the partitions the data touches
+      // replace, everything else passes through BY REFERENCE in one
+      // commit; static mode (the default, whole-table semantics) is
+      // what the overwrite above exercised
       val pPath = freshPath("sqldynpart")
       import spark.implicits._
       SnapshotTable.create(
@@ -2509,28 +2511,51 @@ class SnapshotTableSpec extends SparkSpec {
       spark.sql("CREATE TABLE graft_sql_part USING graft OPTIONS " +
         s"(path '$pPath')")
       try {
+        val g1Before = SnapshotTable.manifestEntries(spark, pPath, 0)
+          .filter(_.contains("grp=g1")).toSet
+        assert(g1Before.nonEmpty)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
           "dynamic")
-        val dynErr = intercept[Exception] {
-          spark.sql("INSERT OVERWRITE TABLE graft_sql_part " +
-            "SELECT id, 'g0' AS grp FROM range(3)")
+        spark.sql("INSERT OVERWRITE TABLE graft_sql_part " +
+          "SELECT id, 'g0' AS grp FROM range(3)")
+        // g0 holds exactly the 3 new rows, g1 is untouched
+        assert(spark.table("graft_sql_part")
+          .filter(col("grp") === "g0")
+          .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq === Seq(0L, 1L, 2L))
+        assert(spark.table("graft_sql_part")
+          .filter(col("grp") === "g1").count() === 10)
+        // ...one commit, and the untouched partition's manifest
+        // entries are VERBATIM the old ones (by-reference pass-through)
+        assert(SnapshotTable.versions(spark, pPath).max === 1,
+          "dynamic overwrite must land as exactly one commit")
+        assert(SnapshotTable.manifestEntries(spark, pPath, 1)
+          .filter(_.contains("grp=g1")).toSet === g1Before,
+          "untouched partitions must pass through by reference")
+        // the time-travel history prices it: v0 is intact
+        assert(SnapshotTable.read(spark, pPath, Some(0)).count() === 20)
+        // an empty source replaces NOTHING and commits no version
+        spark.sql("INSERT OVERWRITE TABLE graft_sql_part " +
+          "SELECT id, 'g0' AS grp FROM range(3) WHERE id < 0")
+        assert(SnapshotTable.versions(spark, pPath).max === 1,
+          "an empty dynamic overwrite must be a no-op")
+        // the direct verb refuses a non-partitioned table loudly
+        val flatErr = intercept[IllegalArgumentException] {
+          SnapshotTable.replacePartitions(
+            Seq((1L, "x")).toDF("id", "grp"), path)
         }
-        val dynMsg = Iterator.iterate(dynErr: Throwable)(_.getCause)
-          .takeWhile(_ != null)
-          .map(x => Option(x.getMessage).getOrElse("")).mkString("|")
-        assert(dynMsg.contains("partitionOverwriteMode"),
-          s"expected the dynamic-overwrite refusal, got: $dynErr")
-        assert(SnapshotTable.read(spark, pPath).count() === 20,
-          "the refused dynamic overwrite must land nothing")
+        assert(flatErr.getMessage.contains("PARTITIONED"))
       } finally {
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         spark.sql("DROP TABLE graft_sql_part")
       }
-      // richer shapes refuse loudly, naming the supported grammar
+      // conditional clauses are the RICH path since r17
+      // (GraftSqlDmlSpec grades them); what still refuses loudly,
+      // naming the supported grammar, is a non-equi ON condition
       val mergeErr = intercept[Exception] {
         spark.sql("MERGE INTO graft_sql_t t USING (SELECT * FROM " +
-          "VALUES (1L) AS v(id)) s ON t.id = s.id " +
-          "WHEN MATCHED AND t.id > 0 THEN DELETE")
+          "VALUES (1L) AS v(id)) s ON t.id > s.id " +
+          "WHEN MATCHED THEN DELETE")
       }
       assert(mergeErr.getMessage.contains("graft MERGE INTO") ||
         Option(mergeErr.getCause).exists(
