@@ -32,6 +32,13 @@ import org.apache.spark.sql.SparkSession
   * pre-annotated instead of costing a forensic session
   * (`SPARK_GRAFT_BENCH_BASELINES` overrides the archive list; absent
   * archives annotate nothing).
+  *
+  * r17 adds the RERUN instrument to each annotation: an annotated
+  * outlier re-runs once at the end of the same invocation and the
+  * annotation records `rerun` + `rerun_in_band` — two consecutive
+  * driver rounds showed the same 1.6-1.9x family skews with flat
+  * controls, and the rerun makes "transient context vs persistent"
+  * a mechanical read instead of an adjudication.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -222,8 +229,26 @@ object Bench {
           else None
         }
       }
+    // RERUN INSTRUMENT (r17, the VERDICT r16 ask): each annotated
+    // outlier re-runs ONCE at the end of the invocation — a fresh
+    // execution minutes after its pass samples, same JVM. A rerun
+    // landing back inside the (slack-widened) band self-classifies
+    // the deviation as transient window context, mechanically; a
+    // rerun that REPEATS the deviation is a persistent signal worth
+    // a forensic look. The raw median still ships either way.
+    val reruns: Map[String, Double] = outliers.map {
+      case (name, _, _, _) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => name -> -1.0 }
+    }.toMap
     val outliersJson = outliers.map { case (k, m, lo, hi) =>
-      f""""$k":{"median":$m,"band":[$lo%.3f,$hi%.3f],"ratio":${m / hi}%.2f}"""
+      val rr = reruns.getOrElse(k, -1.0)
+      val inBand = rr >= 0.0 && rr <= hi * 1.6 && rr >= lo / 1.6
+      f""""$k":{"median":$m,"band":[$lo%.3f,$hi%.3f],"ratio":${m / hi}%.2f,"rerun":$rr%.3f,"rerun_in_band":$inBand}"""
     }.mkString("{", ",", "}")
     val baseJson = baselines.map(b => "\"" + esc(b._1) + "\"")
       .mkString("[", ",", "]")
