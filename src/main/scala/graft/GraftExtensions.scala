@@ -46,5 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest commit. Runs post-hoc, AFTER PreprocessTableInsertion
     // has aligned the query to the table schema.
     ext.injectPostHocResolutionRule(_ => graft.plans.RewriteGraftInserts)
+    // SQL time travel (`FROM tbl VERSION AS OF n` / TIMESTAMP AS OF)
+    // on graft catalog tables. Injection point matters: Spark's own
+    // ResolveRelations THROWS for v1 time travel inside the
+    // Resolution batch, before any extended resolution rule runs —
+    // the hint-resolution batch is the one extension hook that sees
+    // the plan earlier, so the claim rides there (the rule only
+    // touches RelationTimeTravel over graft catalog tables).
+    ext.injectHintResolutionRule(s =>
+      graft.plans.ResolveGraftTimeTravel(s))
   }
 }

@@ -216,10 +216,10 @@ object RewriteGraftInserts extends Rule[LogicalPlan] {
               "[WHEN MATCHED [AND cond] THEN UPDATE SET */<assigns> " +
               "| DELETE] [WHEN NOT MATCHED [AND cond] THEN INSERT " +
               "*/<cols+values>] [WHEN NOT MATCHED BY SOURCE [AND " +
-              "cond] THEN UPDATE <assigns> | DELETE] (no schema " +
-              "evolution, no nested-field assignments); use " +
-              "SnapshotTable.merge / updateMoR for richer shapes")
-        if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
+              "cond] THEN UPDATE <assigns> | DELETE], WITH SCHEMA " +
+              "EVOLUTION adding source-only columns (no nested-field " +
+              "assignments); use SnapshotTable.merge / updateMoR for " +
+              "richer shapes")
         val keys = mergeKeyPairs(cond, target, source)
           .getOrElse(refuse(s"merge condition `${cond.sql}` is not a " +
             "conjunction of cross-side column equalities"))
@@ -275,7 +275,8 @@ object RewriteGraftInserts extends Rule[LogicalPlan] {
           }
         fastShape match {
           case Some(shape) =>
-            GraftMergeCommand(path, source, keys, shape, tableOf(target))
+            GraftMergeCommand(path, source, keys, shape, tableOf(target),
+              evolve = m.withSchemaEvolution)
           case None =>
             // rich lowering: every clause becomes (kind, by-name
             // condition Column, by-name assignment Columns), with
@@ -291,8 +292,18 @@ object RewriteGraftInserts extends Rule[LogicalPlan] {
                 case Assignment(k, _) =>
                   refuse(s"nested-field assignment to $k")
               }
+            // a star clause lowers to assigns=None so the command
+            // copies EVERY output column from the source — which
+            // under WITH SCHEMA EVOLUTION includes the source-only
+            // columns the analyzer's star expansion (over the
+            // pre-evolution target schema) cannot name. UpdateAction
+            // records star origin (`fromStar`); InsertAction does
+            // not, so a star-shaped explicit list is treated as star
+            // only when evolution asked for the extra columns.
             def lowMatched(a: Any): GraftMergeClause = a match {
               case UpdateStarAction(c) =>
+                GraftMergeClause("update", c.map(lowCol), None)
+              case UpdateAction(c, _, true) =>
                 GraftMergeClause("update", c.map(lowCol), None)
               case UpdateAction(c, as, _) =>
                 GraftMergeClause("update", c.map(lowCol),
@@ -303,6 +314,9 @@ object RewriteGraftInserts extends Rule[LogicalPlan] {
             }
             def lowNotMatched(a: Any): GraftMergeClause = a match {
               case InsertStarAction(c) =>
+                GraftMergeClause("insert", c.map(lowCol), None)
+              case InsertAction(c, as)
+                  if m.withSchemaEvolution && starLike(as) =>
                 GraftMergeClause("insert", c.map(lowCol), None)
               case InsertAction(c, as) =>
                 GraftMergeClause("insert", c.map(lowCol),
@@ -322,7 +336,8 @@ object RewriteGraftInserts extends Rule[LogicalPlan] {
             }
             GraftMergeRichCommand(path, source, keys,
               matched.map(lowMatched), notMatched.map(lowNotMatched),
-              notMatchedBySource.map(lowNmbs), tableOf(target))
+              notMatchedBySource.map(lowNmbs), tableOf(target),
+              evolve = m.withSchemaEvolution)
         }
       case other => other
     }
@@ -386,7 +401,8 @@ case class GraftUpdateCommand(path: String,
   *    removeKeys (absent keys are no-ops, matching SQL semantics). */
 case class GraftMergeCommand(path: String, source: LogicalPlan,
     keys: Seq[(String, String)], shape: String,
-    table: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    table: Option[org.apache.spark.sql.catalyst.TableIdentifier],
+    evolve: Boolean = false)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -401,13 +417,23 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
     // project to the table's columns AND types: star semantics let
     // the source carry promotable types (the analyzer validated the
     // store-assignment casts; this re-applies them), and the keyed
-    // merge verb refuses any remaining drift loudly
+    // merge verb refuses any remaining drift loudly. Under WITH
+    // SCHEMA EVOLUTION the source's EXTRA columns ride along (the
+    // analyzer expands SET */INSERT * over the existing target
+    // columns only and leaves evolution to the command — the verb's
+    // evolveSchema contract adds them metadata-only, old rows
+    // reading null); without it they drop, per plain star semantics.
+    val extras =
+      if (evolve && shape != "delete_matched")
+        renamed.columns.toSeq.filterNot(table0.columns.contains)
+      else Seq.empty
     val src =
       if (shape == "delete_matched")
         renamed.select(keyCols.map(k =>
           col(k).cast(table0.schema(k).dataType).as(k)): _*)
       else renamed.select(table0.schema.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)): _*)
+        col(f.name).cast(f.dataType).as(f.name)) ++
+        extras.map(col): _*)
     // SQL MERGE cardinality: a target row matched by MORE THAN ONE
     // source row is ambiguous for the matched verbs — which image
     // wins is undefined, and the keyed-merge engine would land BOTH
@@ -431,26 +457,50 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
             "GROUP BY the merge keys) so each target row matches at " +
             "most one source row")
     }
+    val ev = extras.nonEmpty
     shape match {
       case "upsert" =>
-        SnapshotTable.merge(src, path, keyCols)
+        SnapshotTable.merge(src, path, keyCols, evolveSchema = ev)
       case "update_only" =>
         SnapshotTable.merge(
           src.join(table0.select(keyCols.map(col): _*),
             keyCols, "left_semi"),
-          path, keyCols)
+          path, keyCols, evolveSchema = ev)
       case "insert_only" =>
         SnapshotTable.merge(
           src.join(table0.select(keyCols.map(col): _*),
             keyCols, "left_anti"),
-          path, keyCols)
+          path, keyCols, evolveSchema = ev)
       case "delete_matched" =>
         SnapshotTable.merge(table0.filter(lit(false)), path, keyCols,
           removeKeys = Some(src))
     }
-    table.foreach(t => spark.sessionState.catalog.refreshTable(t))
-    spark.catalog.refreshByPath(path)
+    GraftMergeCommand.syncCatalog(spark, path, table, evolved = ev)
     Seq.empty
+  }
+}
+
+object GraftMergeCommand {
+  /** Post-DML catalog upkeep shared by the merge commands: drop the
+    * cached relation, and after a SCHEMA-EVOLVING commit re-record
+    * the catalog table's data schema — the catalog pinned the
+    * creation-time schema as user-specified, and the next resolve
+    * would refuse the mismatch against the table's evolved reality
+    * (exactly what ALTER TABLE ADD COLUMNS would have recorded, had
+    * Spark allowed it on this source). */
+  private[plans] def syncCatalog(spark: SparkSession, path: String,
+      table: Option[org.apache.spark.sql.catalyst.TableIdentifier],
+      evolved: Boolean): Unit = {
+    table.foreach { t =>
+      val cat = spark.sessionState.catalog
+      if (evolved) {
+        val now = SnapshotTable.read(spark, path).schema
+        if (cat.getTableMetadata(t).dataSchema != now)
+          cat.alterTableDataSchema(t, now)
+      }
+      cat.refreshTable(t)
+    }
+    spark.catalog.refreshByPath(path)
   }
 }
 
@@ -499,7 +549,8 @@ case class GraftMergeRichCommand(path: String, source: LogicalPlan,
     matched: Seq[GraftMergeClause],
     notMatched: Seq[GraftMergeClause],
     notMatchedBySource: Seq[GraftMergeClause],
-    table: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    table: Option[org.apache.spark.sql.catalyst.TableIdentifier],
+    evolve: Boolean = false)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -509,19 +560,28 @@ case class GraftMergeRichCommand(path: String, source: LogicalPlan,
     import org.apache.spark.sql.functions.{col, lit, when}
     import org.apache.spark.sql.types.StructField
     val t0 = SnapshotTable.read(spark, path)
-    val fieldsT = t0.schema.fields.toSeq
     val keyColsT = keys.map(_._1)
     val keyType = (k: String) => t0.schema(k).dataType
     def tp(c: String) = "__t_" + c
     def sp(c: String) = "__s_" + c
     val srcDf = GraftSqlAccess.ofRows(spark, source)
+    // WITH SCHEMA EVOLUTION: the output schema extends with the
+    // source's extra columns (added metadata-only by the verb's
+    // evolveSchema contract); rows with no source side — NMBS
+    // updates, explicit-list images — read them as null
+    val extraFields =
+      if (!evolve) Seq.empty
+      else srcDf.schema.fields.toSeq
+        .filterNot(f => t0.columns.contains(f.name))
+    val isNew = extraFields.map(_.name).toSet
+    val fieldsT = t0.schema.fields.toSeq ++ extraFields
     val starNeeds = (matched ++ notMatched)
       .filter(c => c.kind != "delete" && c.assigns.isEmpty)
     if (starNeeds.nonEmpty)
       fieldsT.foreach(f => require(srcDf.columns.contains(f.name),
         s"graft MERGE INTO: UPDATE/INSERT * needs source column " +
           s"${f.name} (source has [${srcDf.columns.mkString(",")}])"))
-    val tP = t0.select(fieldsT.map(f => col(f.name).as(tp(f.name))): _*)
+    val tP = t0.select(t0.columns.toSeq.map(c => col(c).as(tp(c))): _*)
     val sP = srcDf.select(
       srcDf.columns.toSeq.map(c => col(c).as(sp(c))): _*)
     val joinCond = keys.map { case (tk, sk) =>
@@ -555,8 +615,9 @@ case class GraftMergeRichCommand(path: String, source: LogicalPlan,
     def keyFrame(df: DataFrame, of: String => String): DataFrame =
       df.select(keyColsT.map(k =>
         col(of(k)).cast(keyType(k)).as(k)): _*)
+    // delete-only shapes: an empty update frame in the TABLE's own
+    // schema (no evolution rides a merge that lands no images)
     val emptyRows = t0.filter(lit(false))
-      .select(fieldsT.map(f => col(f.name)): _*)
 
     var upserts = Seq.empty[DataFrame]
     var removals = Seq.empty[DataFrame]
@@ -583,7 +644,9 @@ case class GraftMergeRichCommand(path: String, source: LogicalPlan,
       if (mUp.nonEmpty)
         upserts :+= mActive.filter(col("__idx").isin(mUp: _*))
           .select(fieldsT.map(
-            image(matched, mUp, f => col(tp(f.name)))): _*)
+            image(matched, mUp, f =>
+              if (isNew(f.name)) lit(null).cast(f.dataType)
+              else col(tp(f.name)))): _*)
       if (mDel.nonEmpty)
         removals :+= keyFrame(
           mActive.filter(col("__idx").isin(mDel: _*)), tp)
@@ -618,7 +681,9 @@ case class GraftMergeRichCommand(path: String, source: LogicalPlan,
       if (nUp.nonEmpty)
         upserts :+= nmsActive.filter(col("__idx").isin(nUp: _*))
           .select(fieldsT.map(
-            image(notMatchedBySource, nUp, f => col(tp(f.name)))): _*)
+            image(notMatchedBySource, nUp, f =>
+              if (isNew(f.name)) lit(null).cast(f.dataType)
+              else col(tp(f.name)))): _*)
       if (nDel.nonEmpty)
         removals :+= keyFrame(
           nmsActive.filter(col("__idx").isin(nDel: _*)), tp)
@@ -633,9 +698,10 @@ case class GraftMergeRichCommand(path: String, source: LogicalPlan,
     val remFrame =
       if (removals.isEmpty) None
       else Some(removals.reduce(_.unionByName(_)))
-    SnapshotTable.merge(upFrame, path, keyColsT, removeKeys = remFrame)
-    table.foreach(t => spark.sessionState.catalog.refreshTable(t))
-    spark.catalog.refreshByPath(path)
+    SnapshotTable.merge(upFrame, path, keyColsT, removeKeys = remFrame,
+      evolveSchema = extraFields.nonEmpty && upserts.nonEmpty)
+    GraftMergeCommand.syncCatalog(spark, path, table,
+      evolved = extraFields.nonEmpty && upserts.nonEmpty)
     Seq.empty
   }
 }

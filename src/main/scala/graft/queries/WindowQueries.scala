@@ -1266,6 +1266,54 @@ object WindowQueries {
       }
     }),
 
+    // W47: MERGE WITH SCHEMA EVOLUTION through the rich path —
+    // clause conditions + star evolution in one statement: matched
+    // negative balances flip positive and gain the new `seg` column,
+    // the rest of the matched slice deletes, shifted keys insert with
+    // seg=3; untouched rows read the added column as NULL
+    // (metadata-only evolution — zero old files rewritten). One
+    // commit, require()-pinned. Oracle restates it over raw customer.
+    "w47_sql_merge_evolve" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w47").toString + "/cust_ev"
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_acctbal"))
+      SnapshotTable.create(
+        cust.repartitionByRange(4, col("c_custkey"))
+          .sortWithinPartitions(col("c_custkey")), path)
+      val tbl = "graft_w47_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$path')")
+      try {
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING (
+          |  SELECT c_custkey, -c_acctbal AS c_acctbal,
+          |         CAST(c_custkey % 7 AS INT) AS seg
+          |  FROM $tbl WHERE c_custkey % 4 = 0
+          |  UNION ALL
+          |  SELECT CAST(c_custkey + 10000000 AS BIGINT),
+          |         CAST(5.0 AS DOUBLE), CAST(3 AS INT)
+          |  FROM $tbl WHERE c_custkey % 500 = 2
+          |) s ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.c_acctbal > t.c_acctbal
+          |  THEN UPDATE SET *
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        require(SnapshotTable.versions(s, path).max == 1,
+          "the evolving merge must land as exactly one commit")
+        require(s.table(tbl).columns.toSeq ==
+            Seq("c_custkey", "c_acctbal", "seg"),
+          "seg must ADD via schema evolution (catalog schema synced)")
+        s.table(tbl)
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("bal_total"),
+            sum(col("c_custkey")).as("key_total"))
+          .orderBy(col("seg"))
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     "w42_metadata_table" -> ((s, dir) => {
       import graft.sources.SnapshotTable
       val path = java.nio.file.Files
@@ -2032,6 +2080,29 @@ object WindowQueries {
         |    AS bal_total,
         |  CAST(sum(c_custkey) AS BIGINT) AS key_total
         |FROM s2 GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // matched %4 keys: negated balance wins only when the original
+    // was negative (else DELETE); untouched keys keep bal, seg null;
+    // shifted keys insert with seg=3
+    "w47_sql_merge_evolve" ->
+      """WITH s0 AS (SELECT c_custkey, c_acctbal FROM customer),
+        |upd AS (SELECT c_custkey, -c_acctbal AS c_acctbal,
+        |          CAST(c_custkey % 7 AS INT) AS seg
+        |        FROM s0
+        |        WHERE c_custkey % 4 = 0 AND -c_acctbal > c_acctbal),
+        |keep AS (SELECT c_custkey, c_acctbal, CAST(NULL AS INT) AS seg
+        |         FROM s0 WHERE c_custkey % 4 <> 0),
+        |ins AS (SELECT CAST(c_custkey + 10000000 AS BIGINT)
+        |          AS c_custkey, CAST(5.0 AS DOUBLE) AS c_acctbal,
+        |          CAST(3 AS INT) AS seg
+        |        FROM s0 WHERE c_custkey % 500 = 2),
+        |fin AS (SELECT * FROM upd UNION ALL SELECT * FROM keep
+        |        UNION ALL SELECT * FROM ins)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS bal_total,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_total
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
 
     "w46_sql_dyn_overwrite" ->
       """SELECT o_orderpriority, count(*) AS n,

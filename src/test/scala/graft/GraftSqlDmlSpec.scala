@@ -257,6 +257,135 @@ class GraftSqlDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_dml_nest")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns ADD " +
+      "metadata-only on both the star fast path and the rich path") {
+    val path = freshPath("mse")
+    SnapshotTable.create(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path)
+    spark.sql(s"CREATE TABLE graft_dml_mse USING graft " +
+      s"OPTIONS (path '$path')")
+    try {
+      // star fast path: upsert with an extra source column — the
+      // column ADDS (old rows read null), matched key takes the new
+      // image, unmatched inserts
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft_dml_mse t " +
+        "USING (SELECT * FROM VALUES (2L, 22.0, 'b'), (3L, 33.0, 'c')" +
+        " AS v(id, bal, tag)) s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      def got(): Set[(Long, Double, String)] =
+        spark.table("graft_dml_mse").collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            if (r.isNullAt(2)) null else r.getString(2))).toSet
+      assert(spark.table("graft_dml_mse").columns.toSeq ===
+        Seq("id", "bal", "tag"))
+      assert(got() === Set((1L, 10.0, null), (2L, 22.0, "b"),
+        (3L, 33.0, "c")))
+      assert(SnapshotTable.versions(spark, path).max === 1,
+        "the evolving merge must land as one commit")
+      // rich path (clause condition) with a SECOND new column: star
+      // rows carry it, null elsewhere
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft_dml_mse t " +
+        "USING (SELECT * FROM VALUES " +
+        "(1L, 100.0, 'a2', 7), (3L, 3.0, 'c2', 9) " +
+        "AS v(id, bal, tag, rank)) s ON t.id = s.id " +
+        "WHEN MATCHED AND s.bal > t.bal THEN UPDATE SET *")
+      val rows = spark.table("graft_dml_mse")
+        .selectExpr("id", "bal", "tag", "rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+      // id=1 claimed (100>10) → new image with rank 7; id=3 passed
+      // over (3<33) → untouched, rank null; id=2 unmatched by the
+      // source → untouched
+      assert(rows === Set((1L, 100.0, "a2", 7), (2L, 22.0, "b", -1),
+        (3L, 33.0, "c", -1)))
+      // plain star merge (no evolution keyword) still DROPS unknown
+      // source columns instead of evolving
+      spark.sql("MERGE INTO graft_dml_mse t USING (SELECT * FROM " +
+        "VALUES (9L, 9.0, 'z', 0, true) AS v(id, bal, tag, rank, x))" +
+        " s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, bal, tag, rank) " +
+        "VALUES (s.id, s.bal, s.tag, s.rank)")
+      assert(spark.table("graft_dml_mse").columns.toSeq ===
+        Seq("id", "bal", "tag", "rank"))
+    } finally spark.sql("DROP TABLE graft_dml_mse")
+  }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on a graft " +
+      "catalog table resolve to the pinned relation") {
+    val path = freshPath("tt")
+    SnapshotTable.create(Seq(1L, 2L).toDF("id"), path)
+    // epoch millis — the timestampAsOf form that is session-zone-proof
+    val tsAfterV0 = System.currentTimeMillis().toString
+    Thread.sleep(20)
+    SnapshotTable.append(Seq(3L, 4L, 5L).toDF("id"), path)
+    spark.sql(s"CREATE TABLE graft_dml_tt USING graft " +
+      s"OPTIONS (path '$path')")
+    try {
+      assert(spark.table("graft_dml_tt").count() === 5)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_dml_tt VERSION AS OF 0")
+        .head().getLong(0) === 2)
+      // joins across two pins of the SAME table work (each pin is
+      // its own relation instance)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_dml_tt VERSION AS OF 1 t1 " +
+          "LEFT ANTI JOIN graft_dml_tt VERSION AS OF 0 t0 " +
+          "ON t1.id = t0.id").head().getLong(0) === 3)
+      assert(spark.sql("SELECT count(*) FROM graft_dml_tt " +
+        s"TIMESTAMP AS OF '$tsAfterV0'").head().getLong(0) === 2)
+      // an unknown version refuses loudly, as the option door does
+      val err = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_dml_tt VERSION AS OF 99")
+          .collect()
+      }
+      assert(msgs(err).nonEmpty)
+      // non-graft targets keep Spark's own time-travel refusal
+      spark.sql("CREATE TABLE graft_dml_tt_pq (id BIGINT) USING parquet")
+      try {
+        val e2 = intercept[Exception] {
+          spark.sql("SELECT * FROM graft_dml_tt_pq VERSION AS OF 0")
+            .collect()
+        }
+        assert(msgs(e2).contains("TIME_TRAVEL") ||
+          msgs(e2).toLowerCase.contains("time travel"))
+      } finally spark.sql("DROP TABLE graft_dml_tt_pq")
+    } finally spark.sql("DROP TABLE graft_dml_tt")
+  }
+
+  test("DML conditions may carry subqueries: DELETE/UPDATE WHERE id " +
+      "IN (SELECT ...) resolve against the verb's fresh read") {
+    val path = freshPath("subq")
+    SnapshotTable.create((0L until 10L).map(i => (i, i * 1.0))
+      .toDF("id", "bal"), path)
+    val path2 = freshPath("subq2")
+    SnapshotTable.create(Seq(2L, 4L, 6L).toDF("k"), path2)
+    spark.sql(s"CREATE TABLE graft_dml_sq USING graft " +
+      s"OPTIONS (path '$path')")
+    spark.sql(s"CREATE TABLE graft_dml_sq2 USING graft " +
+      s"OPTIONS (path '$path2')")
+    try {
+      spark.sql("DELETE FROM graft_dml_sq WHERE id IN " +
+        "(SELECT k FROM graft_dml_sq2 WHERE k < 5)")
+      assert(spark.table("graft_dml_sq").select("id")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq ===
+        Seq(0L, 1L, 3L, 5L, 6L, 7L, 8L, 9L))
+      spark.sql("UPDATE graft_dml_sq SET bal = -1.0 WHERE id IN " +
+        "(SELECT k FROM graft_dml_sq2)")
+      assert(spark.table("graft_dml_sq")
+        .filter(col("bal") === -1.0).select("id")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq === Seq(6L))
+      assert(SnapshotTable.versions(spark, path).max === 2,
+        "each subquery DML must land as one commit")
+    } finally {
+      spark.sql("DROP TABLE graft_dml_sq")
+      spark.sql("DROP TABLE graft_dml_sq2")
+    }
+  }
+
   test("SQL CTAS: CREATE TABLE USING graft AS SELECT creates the " +
       "manifest table; partitionBy option passes through; " +
       "already-exists refuses") {
