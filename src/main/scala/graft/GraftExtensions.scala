@@ -55,5 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // touches RelationTimeTravel over graft catalog tables).
     ext.injectHintResolutionRule(s =>
       graft.plans.ResolveGraftTimeTravel(s))
+    // SQL maintenance verbs (OPTIMIZE / VACUUM / DESCRIBE HISTORY /
+    // RESTORE TABLE) — a DELEGATING parser: statements whose leading
+    // keyword is not a graft maintenance verb go verbatim to Spark's
+    // own parser, so the grammar is additive, never shadowing.
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
   }
 }

@@ -1314,6 +1314,69 @@ object WindowQueries {
       } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
     }),
 
+    // W48: the SQL MAINTENANCE surface (round-17) — the injected
+    // delegating parser's verbs driven end-to-end against one catalog
+    // table: OPTIMIZE (incremental bin-pack, then a pinned NO-OP),
+    // OPTIMIZE ZORDER BY, DESCRIBE HISTORY (op labels pinned),
+    // VACUUM DRY RUN (deletes nothing — pinned), and RESTORE TABLE TO
+    // VERSION AS OF undoing the DELETE. Maintenance commits are
+    // relationally invisible by design, so the oracle restates only
+    // the DATA statements (insert slice + conditional update) — the
+    // DELETE is restored away — while the require()s pin the
+    // maintenance mechanics the oracle cannot see.
+    "w48_sql_maintenance" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w48").toString + "/orders_mt"
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      // a fragmented start: 8 small files = OPTIMIZE has real work
+      SnapshotTable.create(
+        orders.filter(col("o_orderkey") % 3 === 0).repartition(8), path)
+      val tbl = "graft_w48_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$path')")
+      orders.filter(col("o_orderkey") % 3 === 1)
+        .createOrReplaceTempView("w48_src")
+      try {
+        s.sql(s"INSERT INTO $tbl SELECT * FROM w48_src")
+        s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 100000.0" +
+          " WHERE o_custkey % 10 < 3")
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")
+        val opt = s.sql(s"OPTIMIZE $tbl").collect()
+        require(!opt.head.isNullAt(2) && opt.head.getInt(2) == 4,
+          "OPTIMIZE must commit the bin-pack as version 4")
+        require(s.sql(s"OPTIMIZE $tbl").collect().head.isNullAt(2),
+          "a second OPTIMIZE must NO-OP on the compacted table")
+        s.sql(s"OPTIMIZE $tbl ZORDER BY (o_custkey)")
+        val ops = s.sql(s"DESCRIBE HISTORY $tbl").collect()
+          .map(_.getString(2)).toSeq
+        require(ops == Seq("OPTIMIZE-ZORDER", "OPTIMIZE", "DELETE",
+            "UPDATE-MOR", "APPEND", "CREATE"),
+          s"history op labels drifted: $ops")
+        val dry = s.sql(s"VACUUM $tbl RETAIN 2 VERSIONS DRY RUN")
+          .collect().map(_.getInt(0)).toSeq
+        require(dry == Seq(0, 1, 2, 3),
+          s"VACUUM DRY RUN must report the droppable versions: $dry")
+        require(SnapshotTable.versions(s, path) == Seq(0, 1, 2, 3, 4, 5),
+          "DRY RUN must delete nothing")
+        val res = s.sql(
+          s"RESTORE TABLE $tbl TO VERSION AS OF 2").collect()
+        require(res.head.getInt(2) == 6,
+          "RESTORE must publish the pre-DELETE state as version 6")
+        s.table(tbl)
+          .groupBy((col("o_custkey") % 7).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("price_total"),
+            sum(col("o_orderkey")).as("key_total"))
+          .orderBy(col("grp"))
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.catalog.dropTempView("w48_src")
+      }
+    }),
+
     "w42_metadata_table" -> ((s, dir) => {
       import graft.sources.SnapshotTable
       val path = java.nio.file.Files
@@ -2112,6 +2175,24 @@ object WindowQueries {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_total
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // maintenance commits are relationally invisible; the oracle
+    // restates the DATA statements only — the insert slice and the
+    // conditional update survive, the DELETE is restored away
+    "w48_sql_maintenance" ->
+      """WITH s0 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1)),
+        |s1 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_custkey % 10 < 3 THEN o_totalprice + 100000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM s0)
+        |SELECT o_custkey % 7 AS grp, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_total,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_total
+        |FROM s1 GROUP BY grp ORDER BY grp""".stripMargin,
 
     "w42_metadata_table" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows

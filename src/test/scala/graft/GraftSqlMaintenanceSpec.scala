@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** The SQL MAINTENANCE surface (round-17): OPTIMIZE / VACUUM /
+  * DESCRIBE HISTORY / RESTORE TABLE through the injected delegating
+  * parser (plans/GraftSqlMaintenance.scala). Contracts pinned here:
+  *  - every verb resolves a catalog table OR the Delta-style
+  *    graft.`/path` spelling, late (at run time);
+  *  - plain OPTIMIZE is the incremental bin-pack (no-op on a
+  *    compacted table — null version, NOTHING committed);
+  *  - VACUUM DRY RUN deletes nothing; real VACUUM honors the
+  *    RETAIN n VERSIONS count and the graceMs conf;
+  *  - RESTORE refreshes the catalog cache so the next SELECT sees
+  *    the restored head;
+  *  - non-graft targets refuse loudly naming the provider; malformed
+  *    graft statements throw a ParseException NAMING the grammar;
+  *    ordinary SQL delegates untouched.
+  */
+class GraftSqlMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"sqlmaint$tag").toString + "/t"
+
+  private def msgs(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+
+  test("OPTIMIZE / DESCRIBE HISTORY / VACUUM / RESTORE drive a " +
+      "catalog table end-to-end") {
+    val path = freshPath("life")
+    // three single-row appends → three small files: OPTIMIZE has work
+    SnapshotTable.create(Seq((1L, "a", 10.0)).toDF("id", "grp", "v")
+      .coalesce(1), path)
+    SnapshotTable.append(Seq((2L, "b", 20.0)).toDF("id", "grp", "v")
+      .coalesce(1), path)
+    SnapshotTable.append(Seq((3L, "a", 30.0)).toDF("id", "grp", "v")
+      .coalesce(1), path)
+    val tbl = "graft_maint_life"
+    spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$path')")
+    try {
+      // history: newest first, one row per commit, ops recorded
+      val hist = spark.sql(s"DESCRIBE HISTORY $tbl").collect()
+      assert(hist.map(_.getInt(0)).toSeq === Seq(2, 1, 0))
+      assert(hist.map(_.getString(2)).toSeq ===
+        Seq("APPEND", "APPEND", "CREATE"))
+
+      // plain OPTIMIZE: incremental bin-pack commits version 3 and
+      // the data is unchanged
+      val opt = spark.sql(s"OPTIMIZE $tbl").collect()
+      assert(opt.length === 1)
+      assert(opt.head.getString(1) === "OPTIMIZE")
+      assert(opt.head.getInt(2) === 3)
+      assert(SnapshotTable.fileCount(spark, path) === 1)
+      assert(spark.table(tbl).agg(sum(col("v"))).head.getDouble(0)
+        === 60.0)
+
+      // a second OPTIMIZE is a NO-OP: null version, nothing committed
+      val noop = spark.sql(s"OPTIMIZE $tbl").collect()
+      assert(noop.head.isNullAt(2), "compacted table must no-op")
+      assert(SnapshotTable.versions(spark, path).max === 3)
+
+      // ZORDER form commits a full re-layout as version 4 (numeric
+      // z-columns — the curve's domain)
+      val zo = spark.sql(s"OPTIMIZE $tbl ZORDER BY (id, v)").collect()
+      assert(zo.head.getString(1) === "OPTIMIZE-ZORDER")
+      assert(SnapshotTable.versions(spark, path).max === 4)
+      assert(spark.table(tbl).count() === 3)
+
+      // DRY RUN reports what RETAIN 2 would drop — and deletes nothing
+      val dry = spark.sql(s"VACUUM $tbl RETAIN 2 VERSIONS DRY RUN")
+        .collect().map(_.getInt(0)).toSeq
+      assert(dry === Seq(0, 1, 2))
+      assert(SnapshotTable.versions(spark, path) === Seq(0, 1, 2, 3, 4))
+
+      // real VACUUM under a zero grace window (no writer in flight
+      // here) reclaims the pre-compaction files
+      spark.conf.set("spark.graft.vacuum.graceMs", "0")
+      try {
+        val vac = spark.sql(s"VACUUM $tbl RETAIN 2 VERSIONS").collect()
+        assert(SnapshotTable.versions(spark, path) === Seq(3, 4))
+        assert(vac.head.getInt(1) >= 3,
+          "the three small pre-OPTIMIZE files must reclaim")
+      } finally spark.conf.unset("spark.graft.vacuum.graceMs")
+      assert(spark.table(tbl).agg(sum(col("v"))).head.getDouble(0)
+        === 60.0)
+
+      // RESTORE to the kept pre-zorder version: new head, cache
+      // refreshed — the very next SELECT sees it
+      val res = spark.sql(
+        s"RESTORE TABLE $tbl TO VERSION AS OF 3").collect()
+      assert(res.head.getInt(1) === 3 && res.head.getInt(2) === 5)
+      assert(spark.table(tbl).count() === 3)
+      val hist2 = spark.sql(s"DESC HISTORY $tbl").collect()
+      assert(hist2.head.getInt(0) === 5)
+      assert(hist2.head.getString(2) === "RESTORE")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("graft.`/path` spelling and TIMESTAMP AS OF restore work " +
+      "without any catalog entry") {
+    val path = freshPath("path")
+    SnapshotTable.create(Seq((1L, 1.0)).toDF("id", "v"), path)
+    SnapshotTable.append(Seq((2L, 2.0)).toDF("id", "v"), path)
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$path`").collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 0))
+    // timestamp restore: v0's commit instant resolves back to v0
+    val t0 = hist.last.getTimestamp(1)
+    val res = spark.sql(s"RESTORE TABLE graft.`$path` TO TIMESTAMP " +
+      s"AS OF '${t0.getTime}'").collect()
+    assert(res.head.getInt(1) === 0 && res.head.getInt(2) === 2)
+    assert(SnapshotTable.read(spark, path).count() === 1)
+  }
+
+  test("refusals: non-graft tables, malformed grammar; ordinary SQL " +
+      "delegates untouched") {
+    val tbl = "graft_maint_parquet"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = freshPath("pq")
+    spark.sql(s"CREATE TABLE $tbl (id INT) USING parquet " +
+      s"LOCATION '$loc'")
+    try {
+      val e = intercept[Exception] { spark.sql(s"OPTIMIZE $tbl") }
+      assert(msgs(e).contains("not a graft table"))
+      val e2 = intercept[Exception] {
+        spark.sql(s"DESCRIBE HISTORY $tbl") }
+      assert(msgs(e2).contains("not a graft table"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // view target refuses by name
+    spark.sql("CREATE OR REPLACE TEMP VIEW graft_maint_v AS SELECT 1 AS x")
+    try {
+      val ev = intercept[Exception] {
+        spark.sql("OPTIMIZE graft_maint_v") }
+      assert(msgs(ev).contains("view"))
+    } finally spark.sql("DROP VIEW IF EXISTS graft_maint_v")
+    // malformed remainder names the grammar, not a generic error
+    val pe = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("RESTORE TABLE t TO VERSION 3")
+    }
+    assert(pe.getMessage.contains("RESTORE TABLE <tbl> TO VERSION AS OF"))
+    val pe2 = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("OPTIMIZE t ZORDER BY ()")
+    }
+    assert(pe2.getMessage.contains("ZORDER"))
+    // delegation: ordinary statements are untouched (a DESCRIBE that
+    // is NOT history, and a plain query)
+    assert(spark.sql("SELECT 40 + 2").head.getInt(0) === 42)
+    val df = Seq((1, "x")).toDF("a", "b")
+    df.createOrReplaceTempView("graft_maint_plain")
+    try assert(spark.sql("DESCRIBE graft_maint_plain").count() >= 2)
+    finally spark.catalog.dropTempView("graft_maint_plain")
+  }
+}
