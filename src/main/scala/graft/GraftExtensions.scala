@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // touches RelationTimeTravel over graft catalog tables).
     ext.injectHintResolutionRule(s =>
       graft.plans.ResolveGraftTimeTravel(s))
+    // SQL schema evolution (ALTER TABLE ADD/RENAME/DROP/ALTER
+    // COLUMN) mapped onto the metadata-only evolution verbs — same
+    // early-batch injection as time travel: Spark's own Resolution
+    // batch throws "v2 only" for these plans on session-catalog
+    // tables before post-hoc rules run.
+    ext.injectHintResolutionRule(s =>
+      graft.plans.ResolveGraftAlterTable(s))
     // SQL maintenance verbs (OPTIMIZE / VACUUM / DESCRIBE HISTORY /
     // RESTORE TABLE) — a DELEGATING parser: statements whose leading
     // keyword is not a graft maintenance verb go verbatim to Spark's

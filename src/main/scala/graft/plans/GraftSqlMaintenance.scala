@@ -22,6 +22,7 @@ import graft.sources.SnapshotTable
   * DESCRIBE HISTORY tbl
   * RESTORE TABLE tbl TO VERSION AS OF n
   * RESTORE TABLE tbl TO TIMESTAMP AS OF '2026-01-01 00:00:00'
+  * CONVERT TO GRAFT parquet.`/path`    -- in-place adoption, zero bytes rewritten
   * }}}
   *
   * `tbl` is a catalog table (`USING graft`) or an explicit path in
@@ -98,7 +99,27 @@ object GraftSqlMaintenance {
       Some(GraftDescribeHistoryCommand(parseTarget(target, delegate, sqlText)))
     } else if (up.startsWith("RESTORE "))
       Some(parseRestore(rest(8), delegate, sqlText))
+    else if (up.startsWith("CONVERT "))
+      Some(parseConvert(rest(8), delegate, sqlText))
     else None
+  }
+
+  private val ConvertRe = """(?is)TO\s+GRAFT\s+(.+)""".r
+  private def parseConvert(rest: String, delegate: ParserInterface,
+      sqlText: String): LogicalPlan = rest match {
+    case ConvertRe(target) =>
+      val parts =
+        try delegate.parseMultipartIdentifier(target.trim)
+        catch { case _: ParseException =>
+          fail(sqlText, s"cannot parse CONVERT target '${target.trim}'") }
+      parts match {
+        case Seq(fmt, p) if fmt.equalsIgnoreCase("parquet") =>
+          GraftConvertCommand(p)
+        case _ => fail(sqlText,
+          "CONVERT TO GRAFT takes an explicit parquet directory: " +
+            "CONVERT TO GRAFT parquet.`/path`")
+      }
+    case _ => fail(sqlText, "cannot parse CONVERT statement")
   }
 
   /** A statement whose LEADING keyword is ours but whose remainder is
@@ -120,6 +141,7 @@ object GraftSqlMaintenance {
            |  DESCRIBE HISTORY <tbl>
            |  RESTORE TABLE <tbl> TO VERSION AS OF <n>
            |  RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<ts>'
+           |  CONVERT TO GRAFT parquet.`/path`
            |where <tbl> is a catalog table or graft.`/path`""".stripMargin))
 
   private def parseTarget(text: String, delegate: ParserInterface,
@@ -318,5 +340,20 @@ case class GraftRestoreCommand(target: GraftSqlMaintenance.Target,
     val newV = SnapshotTable.restore(spark, path, v)
     GraftSqlMaintenance.refresh(spark, path, table)
     Seq(Row(path, v, newV))
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`/path`` — adopt a plain parquet
+  * directory in place ([[SnapshotTable.convert]]: distributed footer
+  * harvest, version 0 references the existing files, zero bytes
+  * rewritten). */
+case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+  import GraftSqlMaintenance._
+  override val output: Seq[Attribute] = Seq(
+    attr("path", StringType), attr("version", IntegerType),
+    attr("num_files", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = SnapshotTable.convert(spark, path)
+    Seq(Row(path, v, SnapshotTable.fileCount(spark, path)))
   }
 }

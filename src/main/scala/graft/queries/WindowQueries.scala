@@ -1377,6 +1377,110 @@ object WindowQueries {
       }
     }),
 
+    // W49: SQL schema evolution (round-17) — ALTER TABLE ADD /
+    // RENAME / widen / DROP COLUMN on a catalog table, interleaved
+    // with DML over the evolved schema: the added column backfills
+    // via UPDATE, the renamed column keeps its physical bytes (column
+    // mapping), the widen is metadata-only, and the dropped column's
+    // retirement leaves every remaining value intact. The oracle
+    // restates the data effects; the require()s pin the evolution
+    // mechanics (op labels, metadata-only-ness via file counts).
+    "w49_sql_alter" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_snap_w49").toString + "/cust_ddl"
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      SnapshotTable.create(
+        cust.filter(col("c_custkey") % 2 === 0)
+          .repartitionByRange(4, col("c_custkey"))
+          .sortWithinPartitions(col("c_custkey")), path)
+      val files0 = SnapshotTable.fileCount(s, path)
+      val tbl = "graft_w49_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$path')")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .createOrReplaceTempView("w49_src")
+      try {
+        s.sql(s"ALTER TABLE $tbl ADD COLUMNS (seg INT)")
+        require(SnapshotTable.fileCount(s, path) == files0,
+          "ADD COLUMNS must be metadata-only (zero files rewritten)")
+        s.sql(s"INSERT INTO $tbl SELECT c_custkey, c_nationkey, " +
+          "c_acctbal, CAST(c_nationkey % 5 AS INT) FROM w49_src")
+        s.sql(s"UPDATE $tbl SET seg = CAST(c_custkey % 3 AS INT) " +
+          "WHERE seg IS NULL")
+        val filesPreDdl = SnapshotTable.fileCount(s, path)
+        s.sql(s"ALTER TABLE $tbl RENAME COLUMN c_acctbal TO bal")
+        s.sql(s"ALTER TABLE $tbl ALTER COLUMN seg TYPE BIGINT")
+        s.sql(s"ALTER TABLE $tbl DROP COLUMN c_nationkey")
+        require(SnapshotTable.fileCount(s, path) == filesPreDdl,
+          "RENAME/widen/DROP must be metadata-only")
+        val ops = s.sql(s"DESCRIBE HISTORY $tbl").collect()
+          .map(_.getString(2)).toSeq
+        require(ops == Seq("DROP-COLUMN", "WIDEN-COLUMN",
+            "RENAME-COLUMN", "UPDATE-MOR", "APPEND", "ADD-COLUMNS",
+            "CREATE"), s"history op labels drifted: $ops")
+        require(s.table(tbl).columns.toSeq ==
+            Seq("c_custkey", "bal", "seg"),
+          "catalog schema must track the evolved reality")
+        s.table(tbl)
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("bal").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("bal_total"),
+            sum(col("c_custkey")).as("key_total"))
+          .orderBy(col("seg"))
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.catalog.dropTempView("w49_src")
+      }
+    }),
+
+    // W50: CONVERT TO GRAFT (round-17) — a plain Hive-partitioned
+    // parquet lake adopted IN PLACE (distributed footer harvest,
+    // version 0 references the original files, zero bytes rewritten),
+    // then immediately driven like any graft table: catalog
+    // registration, a partition-pruned SQL DELETE, time travel back
+    // to the adoption commit. The oracle restates the delete over raw
+    // orders; the require()s pin the in-place mechanics.
+    "w50_convert" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_snap_w50").toString + "/lake"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .coalesce(4)
+        .write.partitionBy("o_orderpriority").parquet(base)
+      val res = s.sql(s"CONVERT TO GRAFT parquet.`$base`").collect()
+      require(res.head.getInt(1) == 0, "convert must publish version 0")
+      require(SnapshotTable.manifestEntries(s, base, 0)
+          .forall(e => e.split("\t")(0).startsWith("o_orderpriority=")),
+        "version 0 must reference the ORIGINAL files in place")
+      require(SnapshotTable.partitioning(s, base) ==
+        Seq("o_orderpriority"), "inferred layout must be recorded")
+      val tbl = "graft_w50_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$base')")
+      try {
+        s.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 3")
+        require(s.sql(s"DESCRIBE HISTORY $tbl").collect()
+            .map(_.getString(2)).toSeq == Seq("DELETE", "CONVERT"),
+          "history must carry the adoption + the delete")
+        // time travel to the adoption commit still reads everything
+        require(s.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 0")
+            .head.getLong(0) > s.table(tbl).count(),
+          "version 0 must still serve the pre-delete rows")
+        s.table(tbl)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("price_total"),
+            sum(col("o_orderkey")).as("key_total"))
+          .orderBy(col("o_orderpriority"))
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }),
+
     "w42_metadata_table" -> ((s, dir) => {
       import graft.sources.SnapshotTable
       val path = java.nio.file.Files
@@ -2193,6 +2297,33 @@ object WindowQueries {
         |    AS price_total,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_total
         |FROM s1 GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // evolution restated: even keys (created pre-evolution) backfill
+    // seg = key % 3 via the UPDATE; odd keys (inserted post-ADD)
+    // carry seg = nation % 5; rename/widen/drop change names and
+    // types, never values — BIGINT seg matches the widen
+    "w49_sql_alter" ->
+      """WITH evens AS (
+        |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+        |    CAST(c_custkey % 3 AS BIGINT) AS seg
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |odds AS (
+        |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+        |    CAST(c_nationkey % 5 AS BIGINT) AS seg
+        |  FROM customer WHERE c_custkey % 2 = 1),
+        |fin AS (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        |SELECT seg, count(*) AS n,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_total,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_total
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "w50_convert" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_total,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_total
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "w42_metadata_table" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows

@@ -1263,6 +1263,39 @@ object SnapshotTable {
       meta = schemaMeta(renamed) ++ bloomM + ("op" -> "RENAME-COLUMN"))
   }
 
+  /** Add columns — METADATA-ONLY: the fields join the stored schema
+    * (forced nullable: every existing file lacks them, so old rows
+    * read null), no file is rewritten. Same fresh-physical-name
+    * discipline as append's schema evolution: a logical name whose
+    * physical slot was EVER used (live, or retired by a drop) binds a
+    * fresh physical, so dropped bytes in old files can never
+    * resurrect under a re-added name. The SQL door is
+    * `ALTER TABLE t ADD COLUMNS (...)` (plans/GraftAlterTable). */
+  def addColumns(spark: SparkSession, path: String,
+      cols: Seq[types.StructField]): Int = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    require(cols.nonEmpty, "addColumns: no columns given")
+    val fs = fsOf(spark, logDir(path))
+    val st = storedSchema(fs, path, vs.max).getOrElse(
+      sys.error(s"addColumns: $path has no stored schema (legacy log)"))
+    cols.foreach(f => require(!st.fieldNames.contains(f.name),
+      s"column ${f.name} already exists"))
+    require(cols.map(_.name).distinct.length == cols.length,
+      "addColumns: duplicate column names in the add list")
+    val usedPhys = st.fields.map(physName).toSet ++
+      droppedPhys(fs, path, vs.max)
+    val mapped = cols.map { f0 =>
+      val f = f0.copy(nullable = true)
+      if (usedPhys.contains(f.name))
+        withPhys(f, "c_" + UUID.randomUUID().toString.take(8))
+      else f
+    }
+    commit(spark, path, AppendSpec(Seq.empty),
+      meta = schemaMeta(types.StructType(st.fields ++ mapped)) +
+        ("op" -> "ADD-COLUMNS"))
+  }
+
   /** Drop a column — METADATA-ONLY: the field leaves the schema, its
     * physical name joins the retired list, no file is rewritten, and
     * time travel to prior versions still reads it. A later re-added
@@ -1426,8 +1459,14 @@ object SnapshotTable {
     // LOGICAL names and the stored order/types
     val physSchema = schema.map(st => types.StructType(
       st.fields.map(f => f.copy(name = physName(f)))))
+    // basePath is the TABLE ROOT, not files/: partition discovery
+    // stops at the first non-k=v directory walking up from each leaf,
+    // so staged entries (files/region=EU/…) and CONVERTED in-place
+    // entries (region=EU/… at the root) both decode — and a freshly
+    // converted table has no files/ directory at all, which Spark
+    // would refuse as a basePath
     val raw = physSchema.fold(spark.read)(st => spark.read.schema(st))
-      .option("basePath", filesDir(path).toString)
+      .option("basePath", path)
       .parquet(paths: _*)
     // `withRowId` appends the file identity (uuid basename — stable if
     // the table moves) and the in-file row position, the coordinates
@@ -1607,7 +1646,8 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.col
     val (v2, v1Pairs) = dvRefs.partition(p => DvSidecar.isBlobRef(p._2))
     val v1Rels = v1Pairs.map(_._2).distinct
-    val v1Rows = v1Rels.map(r => footerHarvest(spark,
+    val v1Rows = v1Rels.map(r => footerHarvest(
+      spark.sparkContext.hadoopConfiguration,
       new Path(path, r), Nil, Nil)._1.getOrElse(Long.MaxValue >> 8))
     val v2Counts = v2.map(p => DvSidecar.parse(p._2).count.toLong)
     val positions = v1Rows.sum + v2Counts.sum
@@ -1772,7 +1812,8 @@ object SnapshotTable {
       // stat families together (opening the footer once per family
       // doubled per-file driver I/O on every commit)
       val (rowCount, stats, strStats, nullCounts) =
-        footerHarvest(spark, dest, statCols, strStatCols, nullCols)
+        footerHarvest(spark.sparkContext.hadoopConfiguration,
+          dest, statCols, strStatCols, nullCols)
       // a ZERO-ROW part (coalesce/repartition of a small rewrite can
       // emit one) contributes nothing and carries no footer stats —
       // referencing it would defeat every stats-based decision made
@@ -1787,20 +1828,32 @@ object SnapshotTable {
         // stats the file again (one RPC here, at write time, where the
         // footer harvest already touches the file anyway)
         val fst = fs.getFileStatus(dest)
-        val items = stats.toSeq.sortBy(_._1)
-          .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
-          strStats.toSeq.sortBy(_._1)
-            .map { case (c, (lo, hi)) => s"$c=s!${escStat(lo)}!${escStat(hi)}" } ++
-          nullCounts.toSeq.sortBy(_._1)
-            .map { case (c, nc) => s"$c=z!$nc" } ++
-          rowCount.toSeq.map(rc => s"rows=r!$rc") ++
-          Seq(s"len=f!${fst.getLen}!${fst.getModificationTime}")
-        Some(rel + "\t" + items.mkString(";"))
+        Some(entryLineOf(rel, fst.getLen, fst.getModificationTime,
+          rowCount, stats, strStats, nullCounts))
       }
     }
     if (!fs.delete(tmp, true))
       sys.error(s"snapshot stage: could not clear $tmp")
     staged
+  }
+
+  /** One manifest entry line from a file's harvested footer stats —
+    * the single source of the entry grammar
+    * (`rel TAB c=lo:hi;c=s!lo!hi;c=z!n;rows=r!n;len=f!len!mtime`),
+    * shared by [[stage]] and [[convert]]. */
+  private[graft] def entryLineOf(rel: String, len: Long, mtime: Long,
+      rowCount: Option[Long], stats: Map[String, (Long, Long)],
+      strStats: Map[String, (Array[Byte], Array[Byte])],
+      nullCounts: Map[String, Long]): String = {
+    val items = stats.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
+      strStats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=s!${escStat(lo)}!${escStat(hi)}" } ++
+      nullCounts.toSeq.sortBy(_._1)
+        .map { case (c, nc) => s"$c=z!$nc" } ++
+      rowCount.toSeq.map(rc => s"rows=r!$rc") ++
+      Seq(s"len=f!$len!$mtime")
+    rel + "\t" + items.mkString(";")
   }
 
   /** ONE footer open per staged file: total row count, the [min, max]
@@ -1814,7 +1867,8 @@ object SnapshotTable {
     * IS NOT NULL wants to skip). An unreadable footer yields
     * (None, empty, empty, empty) — caller keeps the file with no
     * stats, conservative as ever. */
-  private def footerHarvest(spark: SparkSession, file: Path,
+  private[graft] def footerHarvest(conf: org.apache.hadoop.conf
+      .Configuration, file: Path,
       cols: Seq[String], strCols: Seq[String],
       nullCols: Seq[String] = Nil)
       : (Option[Long], Map[String, (Long, Long)],
@@ -1822,7 +1876,7 @@ object SnapshotTable {
     import scala.jdk.CollectionConverters._
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        file, spark.sparkContext.hadoopConfiguration)
+        file, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -2106,6 +2160,91 @@ object SnapshotTable {
       else Map("partition" -> partitionBy.mkString(","))
     commit(spark, path, ReplaceSpec(stage(df, path, partitionBy)),
       meta = schemaMeta(df.schema) ++ partMeta + ("op" -> "CREATE"))
+  }
+
+  /** Convert a plain parquet directory (flat or Hive-partitioned)
+    * into a graft table IN PLACE — zero bytes rewritten: version 0's
+    * manifest references the existing files where they lie, with
+    * footer stats harvested DISTRIBUTED (one executor task per file
+    * batch — a million-file lake must not serialize footer reads
+    * through the driver). Partition columns and their types come from
+    * Spark's own directory inference; the layout is recorded in the
+    * log meta like any created table, so partition pruning, DML, CDC
+    * and maintenance all work from the first commit.
+    *
+    * The adoption contract (the 100 TB migration path): reads,
+    * appends, MoR updates/deletes attach to the in-place files
+    * immediately; rewriting verbs (OPTIMIZE, CoW delete) migrate data
+    * under `files/` as they touch it. In-place ORIGINALS are outside
+    * [[vacuum]]'s reclaim walk (it sweeps `files/` only — deleting
+    * from a directory the user owns is not this library's call), so
+    * after a full rewrite the operator deletes the originals
+    * explicitly. SQL door: {{{CONVERT TO GRAFT parquet.`/path`}}}. */
+  def convert(spark: SparkSession, path: String): Int = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      StringType, TimestampNTZType, TimestampType}
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    require(fs.exists(root), s"convert: no directory at $path")
+    require(versions(spark, path).isEmpty,
+      s"convert: $path is already a graft table")
+    // schema incl. inferred partition columns, typed by Spark's own
+    // directory inference — the same read a user does today
+    val schema = spark.read.parquet(path).schema
+    val rootUri = root.toUri.getPath
+    val statuses = listRecursive(fs, root)
+      .map(f => (f.getPath.toUri.getPath.stripPrefix(rootUri)
+        .stripPrefix("/"), f.getLen, f.getModificationTime))
+      .filter { case (rel, _, _) =>
+        rel.endsWith(".parquet") &&
+          !rel.split("/").exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+      }
+    require(statuses.nonEmpty, s"convert: no parquet files under $path")
+    // partition keys from the directory segments, ordered by depth;
+    // every file must agree on the same key sequence (a mixed layout
+    // is not one table)
+    def partKeys(rel: String): Seq[String] = rel.split("/").dropRight(1)
+      .toSeq.filter(_.contains("=")).map(_.split("=", 2)(0))
+    val partitionBy = partKeys(statuses.head._1)
+    statuses.foreach { case (rel, _, _) =>
+      require(partKeys(rel) == partitionBy,
+        s"convert: inconsistent partition layout at $rel " +
+          s"(expected [${partitionBy.mkString(",")}])") }
+    partitionBy.foreach(k => require(schema.fieldNames.contains(k),
+      s"convert: inferred partition column $k missing from schema"))
+    val statCols = schema.fields.collect {
+      case f if !partitionBy.contains(f.name) &&
+        (f.dataType == IntegerType || f.dataType == LongType ||
+          f.dataType == DateType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType) => f.name
+    }.toSeq
+    val strStatCols = schema.fields.collect {
+      case f if !partitionBy.contains(f.name) &&
+        f.dataType == StringType => f.name
+    }.toSeq
+    val nullCols = schema.fields.collect {
+      case f if !partitionBy.contains(f.name) => f.name }.toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val pathStr = path
+    val slices = math.max(1, math.min(statuses.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val entries = spark.sparkContext
+      .parallelize(statuses.toSeq, slices)
+      .map { case (rel, len, mtime) =>
+        val (rc, st, ss, nc) = footerHarvest(conf.value,
+          new Path(pathStr, rel), statCols, strStatCols, nullCols)
+        // a zero-row part contributes nothing: leave the file (it is
+        // the user's), reference it never
+        (rel, if (rc.contains(0L)) None
+          else Some(entryLineOf(rel, len, mtime, rc, st, ss, nc)))
+      }.collect().sortBy(_._1).flatMap(_._2).toSeq
+    val partMeta =
+      if (partitionBy.isEmpty) Map.empty[String, String]
+      else Map("partition" -> partitionBy.mkString(","))
+    commit(spark, path, ReplaceSpec(entries),
+      meta = schemaMeta(schema) ++ partMeta + ("op" -> "CONVERT"))
   }
 
   /** Commit `df`'s rows on top of the latest version (its files plus
@@ -4880,7 +5019,8 @@ object SnapshotTable {
       "\u0000" + dvRels.sorted.mkString("|")
     val hit = dvBcCache.get(key)
     if (hit != null) return Some(Some(hit))
-    val dvPositions = dvRels.map(r => footerHarvest(spark,
+    val dvPositions = dvRels.map(r => footerHarvest(
+      spark.sparkContext.hadoopConfiguration,
       new Path(path, r), Nil, Nil)._1.getOrElse(Long.MaxValue >> 8)).sum
     if (dvPositions * 8 > DvBroadcastMaxBytes) return None
     val rows = spark.read

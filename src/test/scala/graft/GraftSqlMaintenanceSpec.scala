@@ -115,6 +115,42 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 1)
   }
 
+  test("CONVERT TO GRAFT adopts a partitioned parquet directory in " +
+      "place: zero bytes rewritten, pruning + DML + history work") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlconv")
+      .toString + "/lake"
+    val src = Seq((1L, "EU", 10.0), (2L, "EU", 20.0), (3L, "US", 30.0),
+      (4L, "US", 40.0), (5L, "AS", 50.0))
+      .toDF("id", "region", "v")
+    src.coalesce(1).write.partitionBy("region").parquet(dir)
+    val res = spark.sql(s"CONVERT TO GRAFT parquet.`$dir`").collect()
+    assert(res.head.getInt(1) === 0 && res.head.getInt(2) === 3)
+    // content identical, partition layout recorded
+    assert(SnapshotTable.read(spark, dir).count() === 5)
+    assert(SnapshotTable.partitioning(spark, dir) === Seq("region"))
+    // entries reference the ORIGINAL files in place (no files/ copy)
+    val rels = SnapshotTable.manifestEntries(spark, dir, 0)
+      .map(_.split("\t")(0))
+    assert(rels.forall(r => r.startsWith("region=") &&
+      r.contains("part-")), s"expected in-place refs, got $rels")
+    // partition pruning: an equality filter reads one directory
+    val eu = spark.read.format("graft").load(dir)
+      .filter(col("region") === "EU")
+    assert(eu.count() === 2)
+    assert(eu.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(region"),
+      "the filter must reach the scan as a real PARTITION filter")
+    // history + immediate DML on the adopted table
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$dir`").collect()
+      .map(_.getString(2)).toSeq === Seq("CONVERT"))
+    SnapshotTable.delete(spark, dir, col("id") === 2L)
+    assert(SnapshotTable.read(spark, dir).count() === 4)
+    // a second CONVERT refuses: it is already a graft table
+    val e = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT parquet.`$dir`") }
+    assert(msgs(e).contains("already a graft table"))
+  }
+
   test("refusals: non-graft tables, malformed grammar; ordinary SQL " +
       "delegates untouched") {
     val tbl = "graft_maint_parquet"
