@@ -84,22 +84,32 @@ object GraftSqlMaintenance {
   case class PathTarget(path: String) extends Target
   case class TableTarget(parts: Seq[String]) extends Target
 
+  private val DescHistoryRe = """(?is)DESC(?:RIBE)?\s+HISTORY\s+(.+)""".r
+
   def parse(sqlText: String, delegate: ParserInterface)
       : Option[LogicalPlan] = {
     val s = sqlText.trim.stripSuffix(";").trim
-    val up = s.toUpperCase(Locale.ROOT)
+    // this sits on EVERY statement's parse path: decide on an
+    // uppercased 9-char prefix, never a full-text copy (a multi-KB
+    // SELECT must not pay for grammar it cannot match)
+    val head = s.substring(0, math.min(s.length, 9))
+      .toUpperCase(Locale.ROOT)
     def rest(prefixLen: Int) = s.substring(prefixLen).trim
-    if (up.startsWith("OPTIMIZE "))
+    if (head.startsWith("OPTIMIZE "))
       Some(parseOptimize(rest(9), delegate, sqlText))
-    else if (up.startsWith("VACUUM "))
+    else if (head.startsWith("VACUUM "))
       Some(parseVacuum(rest(7), delegate, sqlText))
-    else if (up.matches("(?s)DESC(RIBE)?\\s+HISTORY\\s.*")) {
-      val afterDesc = s.substring(if (up.startsWith("DESCRIBE")) 8 else 4)
-      val target = afterDesc.trim.substring(7).trim // past HISTORY
-      Some(GraftDescribeHistoryCommand(parseTarget(target, delegate, sqlText)))
-    } else if (up.startsWith("RESTORE "))
+    else if (head.startsWith("DESCRIBE ") || head.startsWith("DESC "))
+      s match {
+        // only DESCRIBE HISTORY is ours; every other DESCRIBE (and a
+        // table actually named `history` with nothing after) delegates
+        case DescHistoryRe(target) => Some(GraftDescribeHistoryCommand(
+          parseTarget(target, delegate, sqlText)))
+        case _ => None
+      }
+    else if (head.startsWith("RESTORE "))
       Some(parseRestore(rest(8), delegate, sqlText))
-    else if (up.startsWith("CONVERT "))
+    else if (head.startsWith("CONVERT "))
       Some(parseConvert(rest(8), delegate, sqlText))
     else None
   }

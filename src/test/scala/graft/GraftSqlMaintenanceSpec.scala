@@ -151,6 +151,34 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     assert(msgs(e).contains("already a graft table"))
   }
 
+  test("converted tables migrate under files/ as rewriting verbs " +
+      "touch them; flat dirs and streams adopt too") {
+    // flat (non-partitioned) adoption
+    val dir = java.nio.file.Files.createTempDirectory("sqlconvf")
+      .toString + "/flat"
+    Seq((1L, 5.0), (2L, 6.0), (3L, 7.0)).toDF("id", "v")
+      .repartition(3).write.parquet(dir)
+    spark.sql(s"CONVERT TO GRAFT parquet.`$dir`")
+    assert(SnapshotTable.read(spark, dir).count() === 3)
+    assert(SnapshotTable.partitioning(spark, dir) === Nil)
+    // OPTIMIZE migrates the in-place originals under files/ — the
+    // adoption contract's reclaim path
+    val opt = spark.sql(s"OPTIMIZE graft.`$dir`").collect()
+    assert(!opt.head.isNullAt(2), "3 small in-place files must compact")
+    val rels = SnapshotTable.manifestEntries(spark, dir,
+      SnapshotTable.versions(spark, dir).max).map(_.split("\t")(0))
+    assert(rels.forall(_.startsWith("files/")),
+      s"post-OPTIMIZE entries must live under files/, got $rels")
+    assert(SnapshotTable.read(spark, dir)
+      .agg(sum(col("v"))).head.getDouble(0) === 18.0)
+    // a streaming read replays the adoption commit like any commit
+    val sdf = spark.readStream.format("graft").load(dir)
+    val q = sdf.writeStream.format("memory")
+      .queryName("conv_stream").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.table("conv_stream").count() === 3)
+  }
+
   test("refusals: non-graft tables, malformed grammar; ordinary SQL " +
       "delegates untouched") {
     val tbl = "graft_maint_parquet"
