@@ -19,7 +19,7 @@ import graft.sources.SnapshotTable
   * OPTIMIZE tbl                            -- incremental bin-pack (small files + DV'd rewrites)
   * OPTIMIZE tbl ZORDER BY (c1, c2)         -- full z-curve re-layout
   * VACUUM tbl [RETAIN n VERSIONS] [DRY RUN]
-  * DESCRIBE HISTORY tbl
+  * DESCRIBE HISTORY tbl / DESCRIBE DETAIL tbl
   * RESTORE TABLE tbl TO VERSION AS OF n
   * RESTORE TABLE tbl TO TIMESTAMP AS OF '2026-01-01 00:00:00'
   * CONVERT TO GRAFT parquet.`/path`    -- in-place adoption, zero bytes rewritten
@@ -85,6 +85,7 @@ object GraftSqlMaintenance {
   case class TableTarget(parts: Seq[String]) extends Target
 
   private val DescHistoryRe = """(?is)DESC(?:RIBE)?\s+HISTORY\s+(.+)""".r
+  private val DescDetailRe = """(?is)DESC(?:RIBE)?\s+DETAIL\s+(.+)""".r
 
   def parse(sqlText: String, delegate: ParserInterface)
       : Option[LogicalPlan] = {
@@ -101,9 +102,12 @@ object GraftSqlMaintenance {
       Some(parseVacuum(rest(7), delegate, sqlText))
     else if (head.startsWith("DESCRIBE ") || head.startsWith("DESC "))
       s match {
-        // only DESCRIBE HISTORY is ours; every other DESCRIBE (and a
-        // table actually named `history` with nothing after) delegates
+        // only DESCRIBE HISTORY/DETAIL are ours; every other DESCRIBE
+        // (and a table actually named `history` with nothing after)
+        // delegates
         case DescHistoryRe(target) => Some(GraftDescribeHistoryCommand(
+          parseTarget(target, delegate, sqlText)))
+        case DescDetailRe(target) => Some(GraftDescribeDetailCommand(
           parseTarget(target, delegate, sqlText)))
         case _ => None
       }
@@ -123,11 +127,14 @@ object GraftSqlMaintenance {
         catch { case _: ParseException =>
           fail(sqlText, s"cannot parse CONVERT target '${target.trim}'") }
       parts match {
-        case Seq(fmt, p) if fmt.equalsIgnoreCase("parquet") =>
-          GraftConvertCommand(p)
+        case Seq(fmt, p) if fmt.equalsIgnoreCase("parquet") &&
+          (p.contains("/") || p.contains("\\")) =>
+          GraftConvertCommand(Left(p))
+        case tbl if tbl.length <= 3 => GraftConvertCommand(Right(tbl))
         case _ => fail(sqlText,
-          "CONVERT TO GRAFT takes an explicit parquet directory: " +
-            "CONVERT TO GRAFT parquet.`/path`")
+          "CONVERT TO GRAFT takes a parquet directory " +
+            "(CONVERT TO GRAFT parquet.`/path`) or a catalog " +
+            "parquet table (CONVERT TO GRAFT db.tbl)")
       }
     case _ => fail(sqlText, "cannot parse CONVERT statement")
   }
@@ -148,7 +155,7 @@ object GraftSqlMaintenance {
         "hint" -> s""". Supported graft maintenance grammar:
            |  OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)]
            |  VACUUM <tbl> [RETAIN <n> VERSIONS] [DRY RUN]
-           |  DESCRIBE HISTORY <tbl>
+           |  DESCRIBE HISTORY <tbl> / DESCRIBE DETAIL <tbl>
            |  RESTORE TABLE <tbl> TO VERSION AS OF <n>
            |  RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<ts>'
            |  CONVERT TO GRAFT parquet.`/path`
@@ -353,17 +360,79 @@ case class GraftRestoreCommand(target: GraftSqlMaintenance.Target,
   }
 }
 
-/** `CONVERT TO GRAFT parquet.`/path`` — adopt a plain parquet
-  * directory in place ([[SnapshotTable.convert]]: distributed footer
-  * harvest, version 0 references the existing files, zero bytes
-  * rewritten). */
-case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+/** `CONVERT TO GRAFT parquet.`/path`` / `CONVERT TO GRAFT db.tbl` —
+  * adopt a plain parquet directory (or a catalog parquet table) in
+  * place ([[SnapshotTable.convert]]: distributed footer harvest,
+  * version 0 references the existing files, zero bytes rewritten).
+  * The catalog form additionally FLIPS the table's provider to graft
+  * (partition columns leave the catalog record — graft carries the
+  * layout in the log meta) so every later SELECT/DML/maintenance
+  * statement resolves through the manifest. Non-parquet providers
+  * refuse: the footer harvest is parquet-specific. */
+case class GraftConvertCommand(target: Either[String, Seq[String]])
+  extends LeafRunnableCommand {
   import GraftSqlMaintenance._
   override val output: Seq[Attribute] = Seq(
     attr("path", StringType), attr("version", IntegerType),
     attr("num_files", IntegerType))
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = target match {
+      case Left(p) => p
+      case Right(parts) =>
+        val cat = spark.sessionState.catalog
+        require(!cat.isTempView(parts),
+          s"${parts.mkString(".")} is a view; CONVERT TO GRAFT needs " +
+            "a parquet table or directory")
+        val ident = parts match {
+          case Seq(t) => TableIdentifier(t)
+          case Seq(db, t) => TableIdentifier(t, Some(db))
+          case Seq(c, db, t) => TableIdentifier(t, Some(db), Some(c))
+        }
+        val meta = cat.getTableMetadata(ident)
+        require(meta.provider.exists(_.equalsIgnoreCase("parquet")),
+          s"CONVERT TO GRAFT: ${ident.unquotedString} has provider " +
+            s"${meta.provider.getOrElse("none")}; only parquet tables " +
+            "convert (the footer harvest is parquet-specific)")
+        meta.location.toString.stripPrefix("file:")
+    }
     val v = SnapshotTable.convert(spark, path)
+    target.foreach { parts =>
+      val cat = spark.sessionState.catalog
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case Seq(c, db, t) => TableIdentifier(t, Some(db), Some(c))
+      }
+      val meta = cat.getTableMetadata(ident)
+      // provider flips; partition columns leave the catalog record
+      // (graft resolves layout from the log meta — GraftAlterSync
+      // requires catalog-partitionless graft tables); schema stays,
+      // Spark re-reads it through the graft relation from here on
+      cat.alterTable(meta.copy(
+        provider = Some("graft"),
+        partitionColumnNames = Seq.empty))
+      cat.refreshTable(ident)
+    }
+    spark.catalog.refreshByPath(path)
     Seq(Row(path, v, SnapshotTable.fileCount(spark, path)))
+  }
+}
+
+/** `DESCRIBE DETAIL tbl` — one-row summary (head version, retained
+  * versions, files, referenced bytes, layout, last commit/op). Pure
+  * metadata ([[SnapshotTable.detail]]). */
+case class GraftDescribeDetailCommand(target: GraftSqlMaintenance.Target)
+  extends LeafRunnableCommand {
+  import GraftSqlMaintenance._
+  override val output: Seq[Attribute] = Seq(
+    attr("path", StringType), attr("version", IntegerType),
+    attr("num_versions", IntegerType), attr("num_files", IntegerType),
+    attr("size_bytes", LongType),
+    attr("partition_columns", StringType),
+    attr("last_commit_at", TimestampType),
+    attr("last_operation", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = GraftSqlMaintenance.resolve(spark, target)
+    SnapshotTable.detail(spark, path).collect().toSeq
   }
 }

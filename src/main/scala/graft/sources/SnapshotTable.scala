@@ -2088,13 +2088,23 @@ object SnapshotTable {
     * (append semantics survive losing a race). Returns the committed
     * version number. */
   private def commit(spark: SparkSession, path: String,
-      body: BodySpec, meta: Map[String, String] = Map.empty): Int = {
+      body: BodySpec, meta: Map[String, String] = Map.empty,
+      expectVersion: Option[Int] = None): Int = {
     val fs = fsOf(spark, logDir(path))
     fs.mkdirs(logDir(path))
     var attempts = 0
     while (attempts < 50) {
       val vs = versions(spark, path)
       val next = if (vs.isEmpty) 0 else vs.max + 1
+      // a version-pinned commit (create/convert pin 0) must FAIL on a
+      // lost race, not retry into a silent replace of the winner:
+      // two concurrent CREATEs (or CONVERTs) racing the same path is
+      // a caller bug to surface, not a conflict to auto-resolve
+      expectVersion.foreach(ev => require(next == ev,
+        s"commit: expected to publish version $ev of $path but the " +
+          s"log is at ${vs.max} — lost a concurrent create/convert " +
+          "race (the other writer's table is live; re-read before " +
+          "writing)"))
       val prevV = if (vs.isEmpty) None else Some(vs.max)
       // metadata is INHERITED commit-over-commit (this commit's keys
       // win): markers like the streaming batch id stay on the log head
@@ -2159,7 +2169,8 @@ object SnapshotTable {
       if (partitionBy.isEmpty) Map.empty[String, String]
       else Map("partition" -> partitionBy.mkString(","))
     commit(spark, path, ReplaceSpec(stage(df, path, partitionBy)),
-      meta = schemaMeta(df.schema) ++ partMeta + ("op" -> "CREATE"))
+      meta = schemaMeta(df.schema) ++ partMeta + ("op" -> "CREATE"),
+      expectVersion = Some(0))
   }
 
   /** Convert a plain parquet directory (flat or Hive-partitioned)
@@ -2244,7 +2255,8 @@ object SnapshotTable {
       if (partitionBy.isEmpty) Map.empty[String, String]
       else Map("partition" -> partitionBy.mkString(","))
     commit(spark, path, ReplaceSpec(entries),
-      meta = schemaMeta(schema) ++ partMeta + ("op" -> "CONVERT"))
+      meta = schemaMeta(schema) ++ partMeta + ("op" -> "CONVERT"),
+      expectVersion = Some(0))
   }
 
   /** Commit `df`'s rows on top of the latest version (its files plus
@@ -3841,6 +3853,41 @@ object SnapshotTable {
         types.StructField("timestamp", types.TimestampType, nullable = false),
         types.StructField("operation", types.StringType, nullable = true),
         types.StructField("n_files", types.IntegerType, nullable = false))))
+  }
+
+  /** One-row table summary — the DESCRIBE DETAIL surface: head
+    * version, retained version count, file count, total referenced
+    * bytes (from the entries' recorded `len=`, a stat RPC only for
+    * legacy entries), partition layout, last commit instant and
+    * operation. Metadata-only — no data I/O. */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val fs = fsOf(spark, logDir(path))
+    val head = vs.max
+    val es = readManifest(fs, path, head)
+    val size = es.map(e => entryLenOf(fs, path, e)).sum
+    val row = org.apache.spark.sql.Row(
+      path, head, vs.length, es.length, size,
+      partitioning(spark, path).mkString(","),
+      new java.sql.Timestamp(commitInstant(fs, path, head)),
+      readMeta(fs, path, head).get("op").orNull)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1),
+      types.StructType(Seq(
+        types.StructField("path", types.StringType, nullable = false),
+        types.StructField("version", types.IntegerType, nullable = false),
+        types.StructField("num_versions", types.IntegerType,
+          nullable = false),
+        types.StructField("num_files", types.IntegerType,
+          nullable = false),
+        types.StructField("size_bytes", types.LongType, nullable = false),
+        types.StructField("partition_columns", types.StringType,
+          nullable = false),
+        types.StructField("last_commit_at", types.TimestampType,
+          nullable = false),
+        types.StructField("last_operation", types.StringType,
+          nullable = true))))
   }
 
   /** Number of data files a version references — ref-aware pure

@@ -179,6 +179,46 @@ class GraftSqlMaintenanceSpec extends SparkSpec {
     assert(spark.table("conv_stream").count() === 3)
   }
 
+  test("CONVERT TO GRAFT db.tbl flips a catalog parquet table's " +
+      "provider; DESCRIBE DETAIL summarizes") {
+    val loc = freshPath("cat")
+    val tbl = "maint_conv_cat"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "tag", "v")
+      .write.parquet(loc)
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, tag STRING, v DOUBLE) " +
+      s"USING parquet LOCATION '$loc'")
+    try {
+      spark.sql(s"CONVERT TO GRAFT $tbl")
+      // provider flipped: the SAME name now resolves through the
+      // manifest — SQL DML commits versions, history reads
+      assert(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst
+          .TableIdentifier(tbl)).provider.map(_.toLowerCase)
+        === Some("graft"))
+      assert(spark.table(tbl).count() === 2)
+      spark.sql(s"INSERT INTO $tbl VALUES (3L, 'c', 3.5)")
+      assert(spark.table(tbl).count() === 3)
+      assert(spark.sql(s"DESCRIBE HISTORY $tbl").collect()
+        .map(_.getString(2)).toSeq === Seq("APPEND", "CONVERT"))
+      // DESCRIBE DETAIL: one metadata row
+      val det = spark.sql(s"DESCRIBE DETAIL $tbl").collect()
+      assert(det.length === 1)
+      assert(det.head.getInt(1) === 1)       // head version
+      assert(det.head.getInt(2) === 2)       // retained versions
+      assert(det.head.getLong(4) > 0L)       // referenced bytes
+      assert(det.head.getString(7) === "APPEND")
+      // non-parquet provider refuses by name
+      spark.sql("CREATE TABLE maint_conv_csv (id INT) USING csv " +
+        s"LOCATION '${freshPath("csv")}'")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("CONVERT TO GRAFT maint_conv_csv") }
+        assert(msgs(e).contains("only parquet tables convert"))
+      } finally spark.sql("DROP TABLE IF EXISTS maint_conv_csv")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("refusals: non-graft tables, malformed grammar; ordinary SQL " +
       "delegates untouched") {
     val tbl = "graft_maint_parquet"
