@@ -40,9 +40,15 @@ object Graph {
     // expensive) edge derivation per round. On a cluster prefer
     // persist(DISK_ONLY)/checkpoint for multi-executor reuse.
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // deg and nodes are re-read EVERY iteration (deg in the contrib
+    // join, nodes in the rank rebuild): materialize each once instead
+    // of re-running its |E|-row aggregate per round (guide §2.4 —
+    // 3 iterations re-derived them 3x; both are |V|-sized, so the
+    // checkpoint is small at any scale)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node")).union(
-      e.select(col("dst").as("node"))).distinct()
+      e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val teleport = (10000L - dampingBp) * 1000000L / 10000L
     var ranks = nodes.withColumn("rank_units", lit(1000000L))
     for (_ <- 1 to iterations) {

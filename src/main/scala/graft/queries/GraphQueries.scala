@@ -14,15 +14,24 @@ object GraphQueries {
     * an edge per distinct (supplier, customer) trading pair, emitted
     * in both directions. */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    // distinct on the NUMERIC key pair, prefixes concatenated after —
+    // the aggregate shuffles two longs instead of two strings (guide
+    // §2.3 "narrower types"; the concat is injective, so distinct on
+    // (suppkey, custkey) = distinct on the prefixed strings)
     val pairs = Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey")).as("s"),
-        concat(lit("c"), col("o_custkey")).as("c"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
       .distinct()
+      .select(concat(lit("s"), col("sk")).as("s"),
+        concat(lit("c"), col("ck")).as("c"))
+    // the two mirror sides are DISJOINT (src is s-prefixed on one side,
+    // c-prefixed on the other) and each is internally distinct, so the
+    // union is already duplicate-free: unionAll, no second Exchange +
+    // HashAggregate over 2|E| rows (guide §2.4 "remove shuffles
+    // outright" — the old .distinct() here was a full no-op shuffle)
     pairs.select(col("s").as("src"), col("c").as("dst"))
-      .union(pairs.select(col("c").as("src"), col("s").as("dst")))
-      .distinct()
+      .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -111,17 +120,7 @@ object GraphQueries {
     // lexicographic ordered 3-join (orientation strategy doesn't
     // change the counts)
     "g4_triangles" -> ((s, dir) => {
-      val ps = Tables(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"),
-          concat(lit("s"), col("l_suppkey")).as("sk"))
-        .distinct()
-      val edges = ps.as("x").join(ps.as("y"),
-          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
-        .distinct()
-        .filter(conv(substring(md5(concat(col("src"), lit("|"),
-            col("dst"))), 1, 15), 16, 10).cast("long") % 10 === 0)
-      Graph.triangleCounts(edges).orderBy(col("node"))
+      Graph.triangleCounts(coSupplyEdges(s, dir)).orderBy(col("node"))
     }),
 
     // G7: local clustering coefficient over the same hash-sparsified
@@ -131,33 +130,80 @@ object GraphQueries {
     // the standard community-structure signal next to raw triangle
     // counts.
     "g7_clustering_coeff" -> ((s, dir) => {
-      val ps = Tables(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"),
-          concat(lit("s"), col("l_suppkey")).as("sk"))
-        .distinct()
-      val edges = ps.as("x").join(ps.as("y"),
-          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
-        .distinct()
-        .filter(conv(substring(md5(concat(col("src"), lit("|"),
-            col("dst"))), 1, 15), 16, 10).cast("long") % 10 === 0)
-      Graph.clusteringCoefficients(edges).orderBy(col("node"))
+      Graph.clusteringCoefficients(coSupplyEdges(s, dir))
+        .orderBy(col("node"))
     })
   )
+
+  /** The g4/g7 hash-sparsified co-supply edge set (shared derivation;
+    * the queries composed identical inline copies before r17-opt).
+    *
+    * Optimization shape, driven by the TriProbe stage timings (guide
+    * §1.1: measure, then attack the measured stage):
+    *  - the old plan deduped STRING pairs (~8.7M pair-per-shared-part
+    *    rows at sf0.1 through the distinct exchange as two ~7-char
+    *    strings) and only then hashed the ~0.5M survivors. Probe:
+    *    self-join 1.8 s, string distinct + md5 ≈ 5-6 s.
+    *  - moving the md5 below the distinct was WORSE (md5+conv on all
+    *    8.7M rows ≈ 5 s — the expression chain, not the shuffle, is
+    *    the cost at local scale).
+    *  - this shape deduplicates the NUMERIC (ka < kb) pair first —
+    *    16 bytes/row through the exchange, partial map-side dedup
+    *    (guide §2.3 "narrower types", §2.3 "aggregate before you
+    *    shuffle") — and computes the string form + md5 predicate on
+    *    the ~0.5M DISTINCT pairs only. No trailing distinct needed:
+    *    the filter input is already unique.
+    * Orientation is unchanged: the join enumerates each unordered pair
+    * once per shared part under the numeric x.k < y.k condition, and
+    * (src, dst) = (least, greatest) of the prefixed strings — exactly
+    * the old string-ordered (x.sk < y.sk) orientation, so the md5
+    * predicate sees byte-identical input and the edge set is
+    * bit-identical (oracle-checked). */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("k"))
+      .distinct()
+    ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.k") < col("y.k"))
+      .select(col("x.k").as("ka"), col("y.k").as("kb"))
+      .distinct()
+      // BARRIER, load-bearing: without it Catalyst pushes the md5
+      // predicate below the distinct (it is deterministic over the
+      // grouping columns), hashing all ~8.7M pair-per-shared-part rows
+      // instead of the ~0.5M distinct pairs — measured 6.5 s of pure
+      // expression work at sf0.1, the dominant stage of the old plan
+      // (TriProbe; the same pushdown silently applied to the original
+      // string-distinct shape too). The checkpoint is 16 bytes/row and
+      // also stops triangleCounts' canonical-edge materialization from
+      // re-deriving the whole join lineage a second time.
+      .localCheckpoint()
+      .select(
+        least(concat(lit("s"), col("ka")), concat(lit("s"), col("kb")))
+          .as("src"),
+        greatest(concat(lit("s"), col("ka")), concat(lit("s"), col("kb")))
+          .as("dst"))
+      .filter(conv(substring(md5(concat(col("src"), lit("|"),
+          col("dst"))), 1, 15), 16, 10).cast("long") % 10 === 0)
+  }
 
   /** Supplier↔customer pairs with at least `minOrders` distinct
     * orders, as (i, j) string-node pairs (components: ≥4 fragments
     * the graph; k-core: ≥2 keeps enough cycles for a 2-core). */
   private def repeatPairs(s: SparkSession, dir: String,
       minOrders: Int = 4): DataFrame =
+    // group by the NUMERIC key pair and prefix after the aggregate —
+    // the two aggregation exchanges (countDistinct plans an expand +
+    // two hash aggregates) shuffle longs instead of strings (guide
+    // §2.3 "narrower types"; concat is injective, so the groups are
+    // identical)
     Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(concat(lit("s"), col("l_suppkey")).as("i"),
-        concat(lit("c"), col("o_custkey")).as("j"))
+      .groupBy(col("l_suppkey").as("ik"), col("o_custkey").as("jk"))
       .agg(countDistinct(col("o_orderkey")).as("n"))
       .filter(col("n") >= minOrders)
-      .select(col("i"), col("j"))
+      .select(concat(lit("s"), col("ik")).as("i"),
+        concat(lit("c"), col("jk")).as("j"))
 
   /** The g5 oracle's 5 unrolled peel rounds: each round keeps nodes
     * with ≥2 src rows (both edge directions are present, so src count
