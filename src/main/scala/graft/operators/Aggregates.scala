@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 import org.apache.spark.sql.types.LongType
 
 /** Group-by aggregation patterns from the reference (SURVEY.md §2.4). */
@@ -95,7 +96,7 @@ object Aggregates {
     // block fails the job instead of recomputing differently.
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__part", spark_partition_id())
-      .localCheckpoint()
+      .barrier(pinned = true)
     // cast the per-partition totals explicitly: sum() of a DoubleType
     // value column returns DoubleType and getLong would throw; an
     // all-null partition sums to null. The running-sum output keeps the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Barrier.BarrierOps
 
 /** Deduplication operators for training-data pipelines (beyond the
   * reference surface — BASELINE.json north star): exact, n-gram Jaccard,
@@ -183,7 +184,7 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = candidates.count()
-    val out = verifyJaccard(candidates, nCand, sets, threshold).localCheckpoint()
+    val out = verifyJaccard(candidates, nCand, sets, threshold).barrier()
     prefixes.unpersist(false)
     candidates.unpersist(false)
     out
@@ -414,7 +415,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = candidates.count()
     // verify candidates with exact set jaccard (no false positives)
-    val out = verifyJaccard(candidates, nCand, sets, threshold).localCheckpoint()
+    val out = verifyJaccard(candidates, nCand, sets, threshold).barrier()
     banded.unpersist(false)
     candidates.unpersist(false)
     out
@@ -460,9 +461,10 @@ object Dedup {
       pairs: DataFrame, pointerJump: Boolean = true): DataFrame = {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .localCheckpoint()
+      .barrier()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
+      .barrier()
+    var prevRound = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -482,9 +484,15 @@ object Dedup {
       // storage every few rounds — localCheckpoint blocks don't survive
       // executor loss.)
       val merged = labels.join(neighborMin, Seq("id"), "left")
-        .localCheckpoint()
+        .barrier()
       changed = merged.filter(col("nlabel") < col("label")).count()
       if (changed > 0) {
+        // labels moves onto this round's frame below, so the previous
+        // round's barrier is dead (no-op except under diskPersist);
+        // on changed == 0 the loop exits with labels still reading the
+        // PREVIOUS frame, which therefore stays live
+        graft.Barrier.release(prevRound)
+        prevRound = merged
         // cheap projection over the checkpointed round — O(1) plan
         val stepped = merged.select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
@@ -797,7 +805,7 @@ object Dedup {
         .as(Seq("chunk", "cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunked.count()
-    val out = simHashCandidatePairs(chunked, maxDist).localCheckpoint()
+    val out = simHashCandidatePairs(chunked, maxDist).barrier()
     chunked.unpersist(false)
     out
   }
@@ -817,7 +825,7 @@ object Dedup {
         .as(Seq("chunk", "cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunked.count()
-    val out = simHashCandidatePairs(chunked, maxDist).localCheckpoint()
+    val out = simHashCandidatePairs(chunked, maxDist).barrier()
     chunked.unpersist(false)
     out
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 
 /** Distributed graph analytics on DataFrames (no GraphX dependency —
   * the RDD-based library buys nothing here: PageRank's inner loop IS
@@ -39,16 +40,16 @@ object Graph {
     // un-materialized lineage would re-run the caller's (possibly
     // expensive) edge derivation per round. On a cluster prefer
     // persist(DISK_ONLY)/checkpoint for multi-executor reuse.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).barrier()
     // deg and nodes are re-read EVERY iteration (deg in the contrib
     // join, nodes in the rank rebuild): materialize each once instead
     // of re-running its |E|-row aggregate per round (guide §2.4 —
     // 3 iterations re-derived them 3x; both are |V|-sized, so the
     // checkpoint is small at any scale)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .barrier()
     val nodes = e.select(col("src").as("node")).union(
-      e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      e.select(col("dst").as("node"))).distinct().barrier()
     val teleport = (10000L - dampingBp) * 1000000L / 10000L
     var ranks = nodes.withColumn("rank_units", lit(1000000L))
     for (_ <- 1 to iterations) {
@@ -93,7 +94,7 @@ object Graph {
       greatest(col("src"), col("dst")).as("b"))
     .filter(col("a") =!= col("b"))
     .distinct()
-    .localCheckpoint()
+    .barrier()
 
   private def degreesOf(canon: DataFrame): DataFrame =
     canon.select(col("a").as("node"))
@@ -118,7 +119,7 @@ object Graph {
     // orientation-invariant, so results are id-independent.
     val ids = deg
       .withColumn("nid", monotonically_increasing_id())
-      .localCheckpoint()
+      .barrier(pinned = true)
     // orient each edge from the endpoint with the smaller (deg, nid)
     // pair — a total order, so orientation is acyclic; carry the
     // destination's rank so wedges can be ordered by the SAME order
@@ -138,7 +139,7 @@ object Graph {
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"),
         struct(col("e.dv").as("d"), col("e.v").as("n")).as("rv"))
-      .localCheckpoint()
+      .barrier()
     // wedges from each apex u: (u→v, u→w) with rank(v) < rank(w);
     // close with the oriented edge v→w, which exists iff the triangle
     // does (struct comparison = the orientation's (deg, nid) order)
@@ -201,16 +202,20 @@ object Graph {
     * within the core. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var e = edges.select(col("src"), col("dst")).barrier()
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
+      val prev = e
       e = e
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .barrier()
+      // the previous round's frame is dead once this round is
+      // materialized (no-op except under diskPersist)
+      graft.Barrier.release(prev)
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
@@ -240,10 +245,13 @@ object Graph {
   def sssp(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
     val e = edges.select(col("src"), col("dst"), col("w"))
-      .localCheckpoint()
+      .barrier()
     var dist = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).barrier()
     var frontier = dist
+    // barrier frame the CURRENT round's plans still read; each round
+    // releases it once the next round is materialized
+    var prevRound = dist
     for (_ <- 1 to rounds) {
       val offers = e
         .join(frontier.withColumnRenamed("node", "src"), "src")
@@ -256,7 +264,9 @@ object Graph {
             .otherwise(least(col("dist"), col("nd"))).as("dist"),
           (col("dist").isNull || col("nd") < col("dist"))
             .as("improved"))
-        .localCheckpoint()
+        .barrier()
+      graft.Barrier.release(prevRound)
+      prevRound = merged
       frontier = merged.filter(col("improved"))
         .select(col("node"), col("dist"))
       dist = merged.select(col("node"), col("dist"))
@@ -274,7 +284,7 @@ object Graph {
   def bfsLevels(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).barrier()
     var reached = sources.select(col("node")).distinct()
       .withColumn("level", lit(0))
     var frontier = reached
@@ -294,7 +304,7 @@ object Graph {
       // materialize the frontier so the lineage doesn't re-expand the
       // whole prefix each round (iterative-algorithm hygiene; at scale
       // checkpoint every few hops instead)
-      frontier = next.localCheckpoint()
+      frontier = next.barrier()
       reached = reached.unionByName(frontier)
       hop += 1
     }

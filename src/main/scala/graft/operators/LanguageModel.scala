@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 import org.apache.spark.sql.types._
 
 /** Statistical language-model scoring for corpus curation (the CCNet
@@ -48,7 +49,7 @@ object LanguageModel {
     // window (one task holding a web-scale vocab), no cross join.
     val unigramCounts = toks.select(explode(col("__toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint()
+      .barrier()
     val unigrams = unigramCounts.withColumn("v", lit(unigramCounts.count()))
     val docBigrams = toks
       .select(col("doc_id"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 import org.apache.spark.sql.types._
 
 /** Similarity search over embedding columns (`Array[Float]`) — the
@@ -351,7 +352,7 @@ object Similarity {
       .select(col("i"), col("j"), col("cos"))
       // eager: the pair output is small; materializing it here lets the
       // scoped persist of `base` be released before returning
-      .localCheckpoint()
+      .barrier()
     base.unpersist(false)
     out
   }

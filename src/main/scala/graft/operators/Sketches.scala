@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 
 /** Sketch-based approximate aggregation — the 100 TB path for the
   * stats the exact operators (A8 quantiles, A9 distribution counts)
@@ -242,7 +243,7 @@ object Sketches {
     val counts = df
       .select(explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .barrier()
     val total = counts.agg(sum(col("n"))).collect()(0).getLong(0)
     counts.filter(col("n") > lit(total) * minFrac)
       .select(col("token"), col("n"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 import org.apache.spark.sql.types._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -338,7 +339,7 @@ object TextOps {
       .withColumn("__lns", lines(col(textCol)))
       .select(keep :+ gopherPass(col(textCol), col("__toks"),
         col("__grams"), col("__lns")).as("__gopher_pass"): _*)
-      .localCheckpoint()
+      .barrier()
       .filter(col("__gopher_pass"))
       .drop("__gopher_pass")
   }

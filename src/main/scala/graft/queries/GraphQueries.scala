@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 
 import graft.Tables
 import graft.operators.{Dedup, Graph}
@@ -176,7 +177,7 @@ object GraphQueries {
       // string-distinct shape too). The checkpoint is 16 bytes/row and
       // also stops triangleCounts' canonical-edge materialization from
       // re-deriving the whole join lineage a second time.
-      .localCheckpoint()
+      .barrier()
       .select(
         least(concat(lit("s"), col("ka")), concat(lit("s"), col("kb")))
           .as("src"),

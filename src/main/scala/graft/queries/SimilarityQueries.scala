@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -424,7 +425,7 @@ object SimilarityQueries {
           val upd = GraphAnn.insert(s.read.parquet(ipath), b,
               "vec_id", "embedding", nShards = 4, m = 8, efC = 48)
             .filter(col("shard").isin(touched: _*))
-            .localCheckpoint()
+            .barrier(pinned = true)
           upd.write.partitionBy("shard").mode("overwrite")
             .option("partitionOverwriteMode", "dynamic").parquet(ipath)
           ()
@@ -540,7 +541,7 @@ object SimilarityQueries {
                   .select(col("vec_id"), col("embedding")),
                 "vec_id", "embedding", nShards = 4, m = 8, efC = 48)
             val upd = idx.filter(col("shard").isin(touched: _*))
-              .localCheckpoint()
+              .barrier(pinned = true)
             upd.write.partitionBy("shard").mode("overwrite")
               .option("partitionOverwriteMode", "dynamic").parquet(ipath)
             ()

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.Barrier.BarrierOps
 
 /** Incremental materialized-view maintenance over a snapshot table's
   * CDC feed: keep a (group → count, sum) aggregate table in sync with
@@ -60,7 +61,7 @@ object IncrementalView {
       .select(col(groupCol),
         (coalesce(col("old_n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("old_total"), lit(0L)) + col("dv")).as("total"))
-      .localCheckpoint() // two consumers below; compute the join once
+      .barrier(pinned = true) // two consumers below; compute the join once
     // upserts and emptied-group removals ride ONE merge rewrite —
     // fully distributed, no driver-side key list, no second pass
     SnapshotTable.merge(
@@ -131,7 +132,7 @@ object IncrementalView {
       .withColumn("total", coalesce(col("old_total"), lit(0L)) + col("dv"))
       .withColumn("invalid",
         (minInvalid || maxInvalid) && col("n") > 0L)
-      .localCheckpoint() // three consumers; compute the join once
+      .barrier(pinned = true) // three consumers; compute the join once
     val exact = joined.filter(!col("invalid") && col("n") > 0L)
       .select(col(groupCol), col("n"), col("total"),
         least(coalesce(col("old_mn"), col("ins_mn")),

@@ -4,6 +4,8 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+
+import graft.Barrier.BarrierOps
 import org.apache.spark.sql.types
 
 /** Minimal versioned snapshot table: an append-only manifest log over
@@ -2008,7 +2010,7 @@ object SnapshotTable {
     import spark.implicits._
     val grouped = dvRows.groupBy(col("file"))
       .agg(sort_array(collect_set(col("pos"))).as("poss"))
-      .localCheckpoint()
+      .barrier(pinned = true)
     val total = grouped.agg(sum(sizeOf(col("poss"))))
       .head.getLong(0)
     val nParts = math.min(256L, math.max(1L,
@@ -2679,7 +2681,7 @@ object SnapshotTable {
     val keys = updates.select(keyCols.map(col): _*)
       .unionByName(removeKeys.getOrElse(
         updates.select(keyCols.map(col): _*).limit(0)))
-      .distinct().localCheckpoint()
+      .distinct().barrier(pinned = true)
     val fileOf = (p: String) => p.substring(p.lastIndexOf('/') + 1)
     // Level-1 pruning, NO data scan, two metadata signals per entry:
     //  (a) range: EVERY integral/date key column's cached [min,max]
@@ -3001,7 +3003,7 @@ object SnapshotTable {
         keepRowId = true)
       .filter(predicate)
       .select(col("__file").as("file"), col("__pos").as("pos"))
-      .localCheckpoint()
+      .barrier(pinned = true)
     val affectedNames = hits.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return readV
@@ -3121,7 +3123,7 @@ object SnapshotTable {
     val matched = readEntriesDv(spark, path, tableSchema, candidates,
         keepRowId = true)
       .filter(predicate)
-      .localCheckpoint()
+      .barrier(pinned = true)
     val hits = matched.select(col("__file").as("file"),
       col("__pos").as("pos"))
     val affectedNames = hits.select(col("file")).distinct()
@@ -3502,7 +3504,7 @@ object SnapshotTable {
       .map(p => s"$p/cdf_${UUID.randomUUID().toString.take(8)}")
     var chunkNo = 0
     def pinChunk(df: DataFrame): DataFrame = matDir match {
-      case None => df.localCheckpoint(eager = true)
+      case None => graft.Barrier.materialize(df)
       case Some(dir) =>
         val out = s"$dir/chunk_$chunkNo"
         chunkNo += 1
