@@ -378,7 +378,31 @@ object Sketches {
   def sampledQuantilesByGroup(df: DataFrame, stratumCol: String,
       valueCol: String, keyCol: Column, k: Int,
       probs: Seq[Double]): DataFrame = {
-    val sampled = bottomKSample(df, stratumCol, keyCol, k)
+    // md5 ONCE per row (r18): [[bottomKSample]]'s two-scan shape
+    // evaluates kmvHash twice per row — once under the threshold
+    // aggregate and once in the selection filter, because the two
+    // consumers are separate scans of `df`. The quantile needs only
+    // (stratum, value, hash): project those three NARROW columns,
+    // materialize once ([[graft.Barrier]], ~20 B/row — disk-backed or
+    // durable at cluster scale via spark.graft.barrier), and run both
+    // the threshold aggregate and the selection filter over the
+    // materialized frame — one md5 per row, one base-table scan.
+    // Same threshold, same sampled rows, same percentile input as the
+    // bottomKSample form: bit-identical results (the a17 oracle
+    // re-certifies). p14/p15 keep the two-scan form: they return every
+    // input column, so materializing their projection is the full row.
+    val hashed = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol), col(valueCol), kmvHash(keyCol).as("__h"))
+      .barrier()
+    val thresholds = hashed.groupBy(col(stratumCol))
+      .agg(graft.functions.expressions.BottomK
+        .bottom_k_distinct(col("__h"), k).as("kmv"))
+      .select(col(stratumCol),
+        when(size(col("kmv")) > 0,
+          element_at(col("kmv"), size(col("kmv")))).as("kmv_threshold"))
+    val sampled = hashed
+      .join(broadcast(thresholds), Seq(stratumCol))
+      .filter(col("__h") <= col("kmv_threshold"))
     val aggs = probs.zipWithIndex.map { case (p, i) =>
       percentile(col(valueCol), lit(p)).as(s"q_$i") }
     sampled.groupBy(col(stratumCol)).agg(aggs.head, aggs.tail: _*)
