@@ -55,9 +55,19 @@ object LanguageModel {
       .select(col("doc_id"),
         explode(Dedup.shinglesOfTokens(col("__toks"), 2)).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
-    val bigrams = docBigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    // corpus bigram counts via a bg-partitioned WINDOW instead of a
+    // groupBy + self-join (r18): the join form plans docBigrams TWICE
+    // (once under the count aggregate, once as the probe side), so the
+    // corpus-sized explode ran twice per execution; the window computes
+    // the identical per-bigram count in ONE pass over one explode. At
+    // scale the join form's probe side is shuffled (or sorted for SMJ)
+    // by bg anyway, so the window's bg-shuffle+sort is the same bytes
+    // moved once instead of twice. Counts are integers and the NLL sum
+    // is decimal — order-independent, so results are bit-identical
+    // (oracle re-certified).
     docBigrams
-      .join(bigrams, "bg")
+      .withColumn("cb", count(lit(1)).over(org.apache.spark.sql
+        .expressions.Window.partitionBy(col("bg"))))
       .join(unigrams, "w1")
       .withColumn("lnp",
         round(log((col("cb") + alpha) / (col("cu") + col("v") * alpha)), 9)
