@@ -40,7 +40,8 @@ object MergeJobsProbe {
     })
 
     val orders = Tables(spark, sfDir, "orders")
-    val base = "/tmp/merge_jobs_probe"
+    val base = java.nio.file.Files
+      .createTempDirectory("merge_jobs_probe").toString
     val dir = s"$base/t"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
 

@@ -23,7 +23,8 @@ object StageScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val orders = Tables(spark, sfDir, "orders")
     orders.count()
-    val base = "/tmp/stage_scale_probe"
+    val base = java.nio.file.Files
+      .createTempDirectory("stage_scale_probe").toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     for (files <- Seq(1, 4, 16, 64, 256); rep <- 1 to 3) {
       val dir = s"$base/t_${files}_$rep"

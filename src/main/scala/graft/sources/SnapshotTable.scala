@@ -1851,12 +1851,30 @@ object SnapshotTable {
         import scala.concurrent.duration.Duration
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, parts.size))
+        // abort flag (r18, ADVICE r17): once any stageOne fails, tasks
+        // not yet past the flag check skip their rename, and the error
+        // path drains the pool BEFORE rethrowing — otherwise in-flight
+        // renames would keep landing under files/ after the commit is
+        // known aborted (tmp cleanup below is skipped on error, so
+        // those files would be unreferenced orphans forever)
+        val aborted = new java.util.concurrent.atomic.AtomicBoolean
         try {
           implicit val ec: ExecutionContext =
             ExecutionContext.fromExecutor(pool)
           Await.result(
-            Future.sequence(parts.toSeq.map(p => Future(stageOne(p)))),
+            Future.sequence(parts.toSeq.map(p => Future {
+              if (aborted.get) throw new IllegalStateException(
+                "staging aborted by a concurrent failure")
+              try stageOne(p)
+              catch { case e: Throwable => aborted.set(true); throw e }
+            })),
             Duration.Inf).flatten
+        } catch { case e: Throwable =>
+          aborted.set(true)
+          pool.shutdownNow()
+          pool.awaitTermination(60,
+            java.util.concurrent.TimeUnit.SECONDS)
+          throw e
         } finally pool.shutdown()
       }
     if (!fs.delete(tmp, true))
