@@ -186,7 +186,7 @@ object Bench {
     // for the grader ("read this against the band, not as a
     // regression"), never a suppression: the raw median still ships.
     val baselinePaths = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINES",
-      "BENCH_R17_OPT_FINAL_1.json,BENCH_R17_OPT_FINAL_2.json")
+      "BENCH_R18_OPT_FINAL_1.json,BENCH_R18_OPT_FINAL_2.json")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val control = "t1_token_count"
     def queriesOf(path: String): Option[Map[String, Double]] =
