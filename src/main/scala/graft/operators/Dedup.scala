@@ -480,9 +480,9 @@ object Dedup {
       // DRIVER dies rendering exponentially-sized plan trees around
       // diameter ~15, long before the executors feel anything.
       // Iterative dataflow rule: per-round driver cost must be O(1) in
-      // round count. (On a cluster, swap for checkpoint() to reliable
-      // storage every few rounds — localCheckpoint blocks don't survive
-      // executor loss.)
+      // round count. (On a cluster, spark.graft.barrier — or a set
+      // checkpoint dir — makes every round's barrier a reliable
+      // checkpoint; localCheckpoint blocks don't survive executor loss.)
       val merged = labels.join(neighborMin, Seq("id"), "left")
         .barrier()
       changed = merged.filter(col("nlabel") < col("label")).count()

@@ -38,8 +38,8 @@ object Graph {
     require(iterations >= 1 && dampingBp >= 0 && dampingBp <= 10000)
     // materialize the edge list ONCE: every iteration joins it, and an
     // un-materialized lineage would re-run the caller's (possibly
-    // expensive) edge derivation per round. On a cluster prefer
-    // persist(DISK_ONLY)/checkpoint for multi-executor reuse.
+    // expensive) edge derivation per round. On a cluster set
+    // spark.graft.barrier (or a checkpoint dir) for a durable form.
     val e = edges.select(col("src"), col("dst")).barrier()
     // deg and nodes are re-read EVERY iteration (deg in the contrib
     // join, nodes in the rank rebuild): materialize each once instead
